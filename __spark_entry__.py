@@ -1,38 +1,710 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship CDC replay (SURVEY.md §2.10 q6) at sf0.001.
+`queries()` — one entry per implemented operator from SURVEY.md §2 plus
+the mandated data-pipeline extensions; each callable: (spark, sf_dir) →
+DataFrame.
+`oracle_sql()` — DuckDB-equivalent ANSI SQL per query. The changeset
+log is derived deterministically from `events` (FIXTURES.md §4) by
+`warp_pipe_spark.io.derive_changesets` and, identically, by the
+`CHANGESETS_CTE` SQL both sides share.
+
+Cross-engine conventions (so value-hashes match):
+  - every integer output column is BIGINT (Spark ints cast to long);
+  - timestamps are emitted as epoch milliseconds (unix_millis/epoch_ms);
+  - monetary doubles are emitted as bigint cents via round(x*100);
+  - ratio/similarity doubles are rounded to fixed decimals, computed
+    with identical association order in both engines;
+  - all hashes derive from md5 (h32/h60 = leading md5 hex chars as int).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from warp_pipe_spark.apply import replay
+from warp_pipe_spark.datapipe.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from warp_pipe_spark.datapipe.multimodal import decode_media, media_from_documents
+from warp_pipe_spark.datapipe.similarity import ivf_topk_cosine, topk_cosine
+from warp_pipe_spark.datapipe.text import (
+    LANG_MARKERS,
+    fingerprints,
+    lang_id,
+    quality_scores,
+    token_stats,
+)
+from warp_pipe_spark.changeset import normalize_kind
+from warp_pipe_spark.filters import ignore_tables, whitelist_tables
+from warp_pipe_spark.io import CHANGESETS_CTE, derive_changesets, read_table
+from warp_pipe_spark.store import ChangesetStore
+
+# ---------------------------------------------------------------------------
+# shared bits
+
+_CENTS = lambda c: F.round(F.col(c) * 100, 0).cast("long")  # noqa: E731
+
+
+def _cs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derive_changesets(spark, sf_dir)
+
+
+def _cs_select(df: DataFrame) -> DataFrame:
+    """Canonical changeset projection for oracle-compared outputs."""
+    return df.select(
+        "id",
+        "action",
+        "table_name",
+        "pk",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        _CENTS("value").alias("value_cents"),
+    )
+
+
+_CS_SELECT_SQL = (
+    "id, action, table_name, pk, user_id, epoch_ms(ts) AS ts_ms, "
+    "CAST(round(value * 100) AS BIGINT) AS value_cents"
+)
+
+_REPLAY_SQL = f"""
+WITH {CHANGESETS_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY table_name, pk ORDER BY id DESC) AS rn
+  FROM changesets
+)
+SELECT table_name, pk, user_id, event_type,
+       CAST(round(value * 100) AS BIGINT) AS value_cents,
+       id AS last_id
+FROM ranked WHERE rn = 1 AND action <> 'DELETE'
+"""
+
+
+def _replay_final(spark: SparkSession, sf_dir: str, duplicate: bool = False) -> DataFrame:
+    cs = _cs(spark, sf_dir)
+    if duplicate:
+        cs = cs.unionByName(cs)  # at-least-once delivery simulation (O4)
+    final = replay(cs, ["pk"], id_col="id", kind_col="action", table_col="table_name")
+    return final.select(
+        "table_name",
+        "pk",
+        "user_id",
+        "event_type",
+        _CENTS("value").alias("value_cents"),
+        F.col("id").alias("last_id"),
+    )
+
+
+# shingle + hash SQL fragments shared by the dedup oracles
+_SH3_SQL = (
+    "[array_to_string(t[i:i+2], ' ') FOR i IN range(1, greatest(len(t)-2, 1)+1)]"
+)
+_SH5_SQL = (
+    "[array_to_string(t[i:i+4], ' ') FOR i IN range(1, greatest(len(t)-4, 1)+1)]"
+)
+_H32_SQL = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+_H60_SQL = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+_MINHASH_SIG_CTE = f"""
+tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct({_SH3_SQL})) AS s FROM tok),
+hv AS (SELECT doc_id, {_H32_SQL.format(x='s')} AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"min((h * {a} + {b}) % {MINHASH_P}) AS mh{j}" for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)))}
+  FROM hv GROUP BY doc_id
+)
+"""
+
+# 64-element double fold: dot product / norms with left-to-right
+# association, mirroring Spark's F.aggregate fold exactly.
+_FOLD = "list_reduce([{expr} FOR i IN range(1, len(a.v)+1)], (acc, x) -> acc + x)"
+_COS_SQL = (
+    f"round(({_FOLD.format(expr='a.v[i] * b.v[i]')}) / "
+    f"(sqrt({_FOLD.format(expr='a.v[i] * a.v[i]')}) * "
+    f"sqrt({_FOLD.format(expr='b.v[i] * b.v[i]')})), 6)"
+)
+
+
+# ---------------------------------------------------------------------------
+# entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: derive the changeset log from sf0.001 events and fold it
+    to final table state (insert/update/delete, last-writer-wins)."""
+    return _replay_final(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- CDC core (SURVEY.md §2) ---------------------------------------
+    def cs_count_stats(spark, sf):  # G1, G2
+        return _cs(spark, sf).agg(
+            F.count("id").alias("changeset_count"),
+            F.max("id").alias("max_id"),
+            F.min("id").alias("min_id"),
+        )
+
+    def cs_since_id(spark, sf):  # S3
+        return _cs_select(ChangesetStore(_cs(spark, sf)).since_id(55000))
+
+    def cs_since_ts(spark, sf):  # S4
+        return _cs_select(
+            ChangesetStore(_cs(spark, sf)).since_timestamp("2024-01-02 00:00:00")
+        )
+
+    def cs_point_lookup(spark, sf):  # S5
+        return _cs_select(ChangesetStore(_cs(spark, sf)).by_id(4200))
+
+    def cs_retention(spark, sf):  # S6
+        kept = ChangesetStore(_cs(spark, sf)).delete_before_id(50000)
+        return kept.agg(
+            F.count("id").alias("kept_count"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+
+    def cs_whitelist_ignore(spark, sf):  # P2, P3
+        cs = _cs(spark, sf)
+        cs = whitelist_tables(cs, ["public.click", "public.view", "purchase"])
+        cs = ignore_tables(cs, ["view"])
+        return cs.groupBy("table_name").agg(F.count("*").alias("n"))
+
+    def cs_kind_normalize(spark, sf):  # P6
+        cs = _cs(spark, sf).withColumn(
+            "action_variant",
+            F.when(F.col("pk") % 3 == 0, F.upper("action"))
+            .when(F.col("pk") % 3 == 1, F.lower("action"))
+            .otherwise(F.lit("bogus")),
+        )
+        return (
+            cs.withColumn("kind", normalize_kind("action_variant"))
+            .groupBy("kind")
+            .agg(F.count("*").alias("n"))
+        )
+
+    def cs_replay_final_state(spark, sf):  # A1-A3 flagship (§2.10 q6)
+        return _replay_final(spark, sf)
+
+    def cs_replay_dedup(spark, sf):  # O4: duplicated log → same state
+        return _replay_final(spark, sf, duplicate=True)
+
+    def cs_pk_collect(spark, sf):  # G4
+        return (
+            _cs(spark, sf)
+            .groupBy("table_name")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_set(F.col("pk") % 97)),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                ).alias("pk_mods"),
+                F.count("*").alias("n"),
+            )
+        )
+
+    def cs_checksum(spark, sf):  # G3 (order-normalized digest of state)
+        final = _replay_final(spark, sf)
+        h = F.md5(
+            F.concat_ws("|", "pk", "user_id", "event_type", "value_cents")
+        ).alias("h")
+        return (
+            final.select("table_name", h)
+            .groupBy("table_name")
+            .agg(
+                F.count("h").alias("row_count"),
+                F.md5(F.concat_ws("", F.sort_array(F.collect_list("h")))).alias(
+                    "digest"
+                ),
+            )
+        )
+
+    q.update(
+        cs_count_stats=cs_count_stats,
+        cs_since_id=cs_since_id,
+        cs_since_ts=cs_since_ts,
+        cs_point_lookup=cs_point_lookup,
+        cs_retention=cs_retention,
+        cs_whitelist_ignore=cs_whitelist_ignore,
+        cs_kind_normalize=cs_kind_normalize,
+        cs_replay_final_state=cs_replay_final_state,
+        cs_replay_dedup=cs_replay_dedup,
+        cs_pk_collect=cs_pk_collect,
+        cs_checksum=cs_checksum,
+    )
+
+    # --- analytics over the star schema (bench anchors) ----------------
+    def tpch_q1(spark, sf):
+        li = read_table(spark, sf, "lineitem").filter(
+            F.col("l_shipdate") <= "1998-09-02"
+        )
+        disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(F.sum(disc), 2).alias("sum_disc_price"),
+                F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+                F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    def tpch_q3(spark, sf):
+        cust = read_table(spark, sf, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        orders = read_table(spark, sf, "orders").filter(
+            F.col("o_orderdate") < "1998-01-01"
+        )
+        li = read_table(spark, sf, "lineitem").filter(
+            F.col("l_shipdate") > "1998-01-01"
+        )
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        joined = li.join(
+            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        return (
+            joined.groupBy("l_orderkey", "o_orderdate")
+            .agg(F.round(F.sum(rev), 2).alias("revenue"))
+            .select(
+                "l_orderkey",
+                F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+                    "o_orderdate_ms"
+                ),
+                "revenue",
+            )
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+            .limit(10)
+        )
+
+    def tpch_q5(spark, sf):
+        region = read_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+        nation = read_table(spark, sf, "nation")
+        cust = read_table(spark, sf, "customer")
+        supp = read_table(spark, sf, "supplier")
+        orders = read_table(spark, sf, "orders").filter(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+        )
+        li = read_table(spark, sf, "lineitem")
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        dims = (
+            nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .join(supp, nation.n_nationkey == supp.s_nationkey)
+        )
+        joined = (
+            li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+            .join(
+                F.broadcast(cust),
+                (orders.o_custkey == cust.c_custkey)
+                & (cust.c_nationkey == dims.n_nationkey),
+            )
+        )
+        return joined.groupBy("n_name").agg(F.round(F.sum(rev), 2).alias("revenue"))
+
+    q.update(tpch_q1=tpch_q1, tpch_q3=tpch_q3, tpch_q5=tpch_q5)
+
+    # --- text analysis --------------------------------------------------
+    def _docs(spark, sf):
+        return read_table(spark, sf, "documents")
+
+    def _longify(df, *cols):
+        return df.select(
+            *[
+                F.col(c).cast("long").alias(c) if c in cols else F.col(c)
+                for c in df.columns
+            ]
+        )
+
+    def text_token_stats(spark, sf):
+        return _longify(
+            token_stats(_docs(spark, sf)),
+            "ws_tokens",
+            "bpe_tokens",
+            "distinct_tokens",
+            "n_chars",
+        )
+
+    def text_quality(spark, sf):
+        return _longify(quality_scores(_docs(spark, sf)), "n_tokens", "n_chars")
+
+    def text_langid(spark, sf):
+        return _longify(
+            lang_id(_docs(spark, sf)), *[f"score_{lg}" for lg in LANG_MARKERS]
+        )
+
+    def text_fingerprints(spark, sf):
+        return fingerprints(_docs(spark, sf))
+
+    q.update(
+        text_token_stats=text_token_stats,
+        text_quality=text_quality,
+        text_langid=text_langid,
+        text_fingerprints=text_fingerprints,
+    )
+
+    # --- dedup ----------------------------------------------------------
+    def dedup_exact_q(spark, sf):
+        return exact_dedup(_docs(spark, sf))
+
+    def dedup_minhash_sig(spark, sf):
+        return minhash_signatures(_docs(spark, sf))
+
+    def dedup_minhash_pairs(spark, sf):
+        return minhash_lsh_pairs(_docs(spark, sf))
+
+    def dedup_simhash_q(spark, sf):
+        return simhash(_docs(spark, sf))
+
+    def dedup_ngram_jaccard_q(spark, sf):
+        return ngram_jaccard_pairs(_docs(spark, sf), threshold=0.01)
+
+    def dedup_embedding_q(spark, sf):
+        return embedding_near_dup_pairs(
+            read_table(spark, sf, "embeddings"), threshold=0.4
+        )
+
+    q.update(
+        dedup_exact=dedup_exact_q,
+        dedup_minhash_sig=dedup_minhash_sig,
+        dedup_minhash_pairs=dedup_minhash_pairs,
+        dedup_simhash=dedup_simhash_q,
+        dedup_ngram_jaccard=dedup_ngram_jaccard_q,
+        dedup_embedding=dedup_embedding_q,
+    )
+
+    # --- similarity search ---------------------------------------------
+    def ann_topk(spark, sf):
+        df = topk_cosine(read_table(spark, sf, "embeddings"), k=5, n_queries=10)
+        return df.select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "cos_sim",
+        )
+
+    def ann_ivf_topk(spark, sf):  # rows-only check (no oracle)
+        df = ivf_topk_cosine(read_table(spark, sf, "embeddings"), k=5, n_queries=10)
+        return df.select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "cos_sim",
+        )
+
+    q.update(ann_topk=ann_topk, ann_ivf_topk=ann_ivf_topk)
+
+    # --- multimodal plumbing (rows-only: binary/UDF path) ---------------
+    def multimodal_features(spark, sf):
+        media = media_from_documents(_docs(spark, sf))
+        return decode_media(media, fake=True)
+
+    q.update(multimodal_features=multimodal_features)
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["cs_count_stats"] = f"""
+    WITH {CHANGESETS_CTE}
+    SELECT count(id) AS changeset_count, max(id) AS max_id, min(id) AS min_id
+    FROM changesets
     """
-    return {}
+
+    o["cs_since_id"] = f"""
+    WITH {CHANGESETS_CTE}
+    SELECT {_CS_SELECT_SQL} FROM changesets WHERE id >= 55000
+    """
+
+    o["cs_since_ts"] = f"""
+    WITH {CHANGESETS_CTE}
+    SELECT {_CS_SELECT_SQL} FROM changesets WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+    """
+
+    o["cs_point_lookup"] = f"""
+    WITH {CHANGESETS_CTE}
+    SELECT {_CS_SELECT_SQL} FROM changesets WHERE id = 4200
+    """
+
+    o["cs_retention"] = f"""
+    WITH {CHANGESETS_CTE}
+    SELECT count(id) AS kept_count, min(id) AS min_id, max(id) AS max_id
+    FROM changesets WHERE id >= 50000
+    """
+
+    o["cs_whitelist_ignore"] = f"""
+    WITH {CHANGESETS_CTE}
+    SELECT table_name, count(*) AS n FROM changesets
+    WHERE ((schema_name = 'public' AND table_name = 'click')
+        OR (schema_name = 'public' AND table_name = 'view')
+        OR table_name = 'purchase')
+      AND NOT (table_name = 'view')
+    GROUP BY table_name
+    """
+
+    o["cs_kind_normalize"] = f"""
+    WITH {CHANGESETS_CTE},
+    v AS (
+      SELECT CASE WHEN pk % 3 = 0 THEN upper(action)
+                  WHEN pk % 3 = 1 THEN lower(action)
+                  ELSE 'bogus' END AS action_variant
+      FROM changesets
+    )
+    SELECT CASE WHEN lower(action_variant) IN ('insert','update','delete')
+                THEN lower(action_variant) ELSE '' END AS kind,
+           count(*) AS n
+    FROM v GROUP BY 1
+    """
+
+    o["cs_replay_final_state"] = _REPLAY_SQL
+
+    o["cs_replay_dedup"] = f"""
+    WITH {CHANGESETS_CTE},
+    doubled AS (SELECT * FROM changesets UNION ALL SELECT * FROM changesets),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY table_name, pk ORDER BY id DESC) AS rn
+      FROM doubled
+    )
+    SELECT table_name, pk, user_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_cents,
+           id AS last_id
+    FROM ranked WHERE rn = 1 AND action <> 'DELETE'
+    """
+
+    o["cs_pk_collect"] = f"""
+    WITH {CHANGESETS_CTE}
+    SELECT table_name,
+           array_to_string(list_sort(list(DISTINCT pk % 97)), ',') AS pk_mods,
+           count(*) AS n
+    FROM changesets GROUP BY table_name
+    """
+
+    o["cs_checksum"] = f"""
+    WITH {CHANGESETS_CTE},
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY table_name, pk ORDER BY id DESC) AS rn
+      FROM changesets
+    ),
+    final AS (
+      SELECT table_name, pk, user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS value_cents
+      FROM ranked WHERE rn = 1 AND action <> 'DELETE'
+    ),
+    hashed AS (
+      SELECT table_name,
+             md5(concat_ws('|', pk, user_id, event_type, value_cents)) AS h
+      FROM final
+    )
+    SELECT table_name, count(h) AS row_count,
+           md5(string_agg(h, '' ORDER BY h)) AS digest
+    FROM hashed GROUP BY table_name
+    """
+
+    o["tpch_q1"] = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """
+
+    o["tpch_q3"] = """
+    SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """
+
+    o["tpch_q5"] = """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """
+
+    o["text_token_stats"] = """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens,
+           len(list_distinct(string_split(text, ' '))) AS distinct_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """
+
+    o["text_quality"] = """
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             length(text) AS n_chars,
+             len(list_filter(string_split(text, ' '), x -> x IN ('a','the'))) AS n_stop,
+             length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id,
+           n_tok AS n_tokens, n_chars,
+           round(n_stop::DOUBLE / n_tok, 6) AS stop_ratio,
+           round(n_punct::DOUBLE / n_chars, 6) AS punct_ratio,
+           round((n_chars - (n_tok - 1))::DOUBLE / n_tok, 6) AS mean_token_len,
+           round(
+             (CASE WHEN n_tok >= 20 AND n_tok <= 1000 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN round(n_stop::DOUBLE / n_tok, 6) <= 0.3 THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN round(n_punct::DOUBLE / n_chars, 6) <= 0.1 THEN 0.2 ELSE 0.0 END)
+           + (CASE WHEN round((n_chars - (n_tok - 1))::DOUBLE / n_tok, 6) >= 3.0 THEN 0.1 ELSE 0.0 END)
+           , 2) AS quality_score
+    FROM t
+    """
+
+    _score_sql = {
+        lg: f"len(list_filter(string_split(text, ' '), x -> x IN ({', '.join(repr(m) for m in markers)})))"
+        for lg, markers in LANG_MARKERS.items()
+    }
+    _langs = list(LANG_MARKERS)
+    _best = "greatest(" + ", ".join(f"score_{lg}" for lg in _langs) + ")"
+    _case = "CASE " + " ".join(
+        f"WHEN score_{lg} = {_best} THEN '{lg}'" for lg in _langs
+    ) + " END"
+    o["text_langid"] = f"""
+    WITH s AS (
+      SELECT doc_id,
+             {", ".join(f"{expr} AS score_{lg}" for lg, expr in _score_sql.items())}
+      FROM documents
+    )
+    SELECT doc_id, {", ".join(f"score_{lg}" for lg in _langs)},
+           {_case} AS pred_lang
+    FROM s
+    """
+
+    o["text_fingerprints"] = f"""
+    WITH tok AS (SELECT doc_id, md5(text) AS text_md5, string_split(text, ' ') AS t FROM documents)
+    SELECT doc_id, text_md5,
+           list_aggregate([{_H60_SQL.format(x='s')} FOR s IN {_SH5_SQL}], 'min') AS minhash_fp
+    FROM tok
+    """
+
+    o["dedup_exact"] = """
+    SELECT min(doc_id) AS keep_id, md5(text) AS text_md5, count(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """
+
+    o["dedup_minhash_sig"] = f"""
+    WITH {_MINHASH_SIG_CTE}
+    SELECT * FROM sig
+    """
+
+    _band_keys = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('_', mh{2*b}, mh{2*b+1}) AS bkey FROM sig"
+        for b in range(4)
+    )
+    o["dedup_minhash_pairs"] = f"""
+    WITH {_MINHASH_SIG_CTE},
+    bands AS ({_band_keys})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    """
+
+    o["dedup_simhash"] = f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+    hv AS (SELECT doc_id, c, {_H32_SQL.format(x='w')} AS h FROM cnt),
+    bits AS (
+      SELECT doc_id, i,
+             CAST(sum(CASE WHEN (h >> i) & 1 = 1 THEN c ELSE -c END) AS BIGINT) AS s
+      FROM hv CROSS JOIN (SELECT unnest(range(0, 32)) AS i) g
+      GROUP BY doc_id, i
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """
+
+    o["dedup_ngram_jaccard"] = f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SH3_SQL})) AS s FROM tok),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, inter,
+           round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.01
+    """
+
+    o["dedup_embedding"] = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS_SQL} AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.4
+    """
+
+    o["ann_topk"] = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS_SQL} AS cos_sim
+      FROM e a JOIN e b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, cos_sim
+    FROM ranked WHERE rnk <= 5
+    """
+
+    # ann_ivf_topk, multimodal_features: intentionally no oracle —
+    # IVF probing and the binary-UDF path are checked rows-only.
+    return o

@@ -1,0 +1,80 @@
+"""Apply/merge — fold a changeset stream into final table state.
+
+Parity: axon's write path (A1 insert, A2 upsert, A3 delete-by-PK,
+O4 duplicate-skip; axon_sql.go:59-194, axon.go:277-286).
+
+The reference applies record-at-a-time SQL against a target Postgres,
+catching unique_violation per row. Spark-first restatement: the apply is
+a **set-based last-writer-wins fold** —
+
+    dropDuplicates(id)                       # O4: at-least-once → once
+    row_number() OVER (PARTITION BY table, pk ORDER BY id DESC) = 1
+    filter(kind != 'delete')                 # delete tombstones win
+
+— one shuffle on the key, partial aggregation free, AQE handles skewed
+keys. Replaying N changesets over K distinct keys is O(N) with a single
+exchange instead of N round-trips. This is §2.10 q6, the flagship query.
+
+`merge_batch` is the incremental form used by streaming foreachBatch:
+union(target_state, batch) → same fold → rewritten target. Idempotent by
+construction (replaying a batch yields the same state), which upgrades
+the reference's at-least-once to effective exactly-once per sink.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from warp_pipe_spark.changeset import KIND_DELETE
+
+
+def replay(
+    changesets: DataFrame,
+    pk_cols: Sequence[str],
+    id_col: str = "id",
+    kind_col: str = "action",
+    table_col: str | None = "table_name",
+    delete_kinds: tuple[str, ...] = (KIND_DELETE, "DELETE"),
+) -> DataFrame:
+    """Fold changesets (typed/decoded form: one column per field) into
+    final state: last writer wins per PK, delete tombstones drop rows.
+
+    pk_cols may be composite (db/schema.go:226-258 supports multi-column
+    PKs). The single shuffle is on (table, pk) — the natural key — and
+    survives scale-up; no global sort is required.
+    """
+    parts = ([table_col] if table_col else []) + list(pk_cols)
+    w = Window.partitionBy(*parts).orderBy(F.col(id_col).desc())
+    return (
+        changesets.dropDuplicates([id_col])  # O4 duplicate-skip
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .filter(~F.col(kind_col).isin(*delete_kinds))
+    )
+
+
+def merge_batch(
+    target_state: DataFrame | None,
+    batch: DataFrame,
+    pk_cols: Sequence[str],
+    id_col: str = "id",
+    kind_col: str = "action",
+    table_col: str | None = "table_name",
+) -> DataFrame:
+    """Incremental MERGE: existing state + new changesets → new state.
+
+    Target rows are treated as changesets with their original last id —
+    a new changeset for the same PK wins iff its id is higher; a delete
+    removes the row (A2's ON CONFLICT upsert + A3's DELETE-by-PK,
+    axon_sql.go:77-122). Update-before-insert upserts a row, matching
+    the reference's upsert-insert behavior (axon_sql.go:92-103).
+    """
+    if target_state is None:
+        return replay(batch, pk_cols, id_col, kind_col, table_col)
+    cols = batch.columns
+    unioned = target_state.select(*cols).unionByName(batch.select(*cols))
+    return replay(unioned, pk_cols, id_col, kind_col, table_col)

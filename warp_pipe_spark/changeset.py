@@ -1,0 +1,92 @@
+"""Changeset data model — the engine's single event abstraction.
+
+Parity: reference `Changeset` struct (changeset.go:36-44) with
+`ChangesetColumn{Column, Value, Type}` (changeset.go:77-81), and the
+audit-table row shape (db/sql.go:14-24).
+
+Two representations, mirroring the reference's two capture modes:
+
+- ``CHANGESET_SCHEMA`` — normalized, order-preserving: values as
+  ``ARRAY<STRUCT<column,value,type>>`` with raw-string values. This is
+  the wal2json-fidelity form (column order matters, nested JSON stays an
+  unparsed string — notify_listener.go:192-198).
+- ``AUDIT_LOG_SCHEMA`` — the storage/log form: one row per change with
+  ``new_values``/``old_values`` as raw JSON strings, exactly the
+  `warp_pipe.changesets` audit table (db/sql.go:14-24). This is the
+  replayable source-of-truth log; in Spark it is a parquet/Delta table
+  partitionable by table_name/date for partition pruning at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --- kinds (changeset.go:14-33) -------------------------------------------
+KIND_INSERT = "insert"
+KIND_UPDATE = "update"
+KIND_DELETE = "delete"
+KINDS = (KIND_INSERT, KIND_UPDATE, KIND_DELETE)
+
+# column triple: name, raw string value, declared source type
+CHANGESET_COLUMN = T.StructType(
+    [
+        T.StructField("column", T.StringType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("type", T.StringType()),
+    ]
+)
+
+CHANGESET_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("kind", T.StringType()),
+        T.StructField("schema", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("new_values", T.ArrayType(CHANGESET_COLUMN)),
+        T.StructField("old_values", T.ArrayType(CHANGESET_COLUMN)),
+    ]
+)
+
+AUDIT_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("action", T.StringType()),
+        T.StructField("schema_name", T.StringType()),
+        T.StructField("table_name", T.StringType()),
+        T.StructField("relid", T.LongType()),
+        T.StructField("new_values", T.StringType()),
+        T.StructField("old_values", T.StringType()),
+    ]
+)
+
+
+def normalize_kind(col: Column | str) -> Column:
+    """Lower-case + enum parse; unknown kinds map to '' (changeset.go:21-33).
+
+    Pure built-in expression → stays inside whole-stage codegen.
+    """
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    return F.when(c.isin(*KINDS), c).otherwise(F.lit(""))
+
+
+def column_value(values_col: Column | str, name: str) -> Column:
+    """First match by column name in a values array (changeset.go:46-54).
+
+    `filter` + `element_at` are codegen'd higher-order functions — no UDF.
+    Returns NULL when absent, like the reference's (nil, error) path.
+    """
+    arr = F.col(values_col) if isinstance(values_col, str) else values_col
+    matches = F.filter(arr, lambda x: x["column"] == F.lit(name))
+    return F.when(F.size(matches) > 0, F.element_at(matches, 1)["value"])
+
+
+def to_json_lines(df) -> "Column | object":
+    """S7 stdout-JSON sink shape: one JSON object per changeset
+    (internal/cli/warp_pipe.go:101-114). Returns a 1-column DataFrame of
+    JSON strings; callers stream/collect/write it.
+    """
+    return df.select(F.to_json(F.struct(*df.columns)).alias("json"))

@@ -1,0 +1,210 @@
+"""Deduplication operators over the `documents` / `embeddings` tables:
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design: every op is expressed as explode → keyed aggregation →
+(band-)join, the canonical shuffle-bounded shapes that survive 100 TB:
+  - exact dedup: one hash groupBy (map-side partial agg).
+  - MinHash: one explode + ONE groupBy computing all k min-hashes
+    (k aggregates in a single pass), then an equi-join on band keys —
+    never an all-pairs product.
+  - SimHash: explode tokens ×32 bit positions → two keyed aggs.
+  - n-gram Jaccard: candidate pairs only from shared shingles
+    (inverted-index self-join), never O(n²).
+  - embedding near-dup: all-pairs only below a block threshold;
+    the scale path is LSH band-join (random-hyperplane signatures).
+
+Hashes all derive from md5 so the DuckDB oracle replays them exactly
+(h32(s) = first 8 md5 hex chars as int).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from warp_pipe_spark.datapipe.text import h32, shingles
+
+# MinHash universal-hash params: h_j(x) = (A[j]*x + B[j]) mod P.
+# P = 2^31-1 (Mersenne prime); A odd primes < 2^30 so A*x < 2^62.
+MINHASH_P = 2147483647
+MINHASH_A = (769, 12289, 786433, 50331653, 201326611, 805306457, 402653189, 100663319)
+MINHASH_B = tuple(7919 * (j + 1) for j in range(8))
+N_BANDS = 4  # 4 bands × 2 rows per band over the k=8 signature
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup by content hash: keep the lowest doc_id per distinct
+    text. Output one row per distinct content: (keep_id, text_md5,
+    dup_count). Single hash groupBy — the 100 TB shape."""
+    return (
+        docs.select(F.col("doc_id"), F.md5("text").alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_count"))
+        .select("keep_id", "text_md5", "dup_count")
+    )
+
+
+def _doc_shingles(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, shingle) distinct pairs."""
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles(F.col("text"), n))).alias("shingle")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """k=8 MinHash signature per doc: (doc_id, mh0..mh7).
+
+    One explode + one groupBy computing all eight mins in a single
+    aggregation pass (map-side combine makes the shuffle k integers per
+    doc regardless of doc length)."""
+    sh = _doc_shingles(docs, n).withColumn("h", h32(F.col("shingle")))
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{j}")
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
+    """LSH banding: docs sharing any (band, band-key) are candidate
+    duplicate pairs. Returns (doc_a, doc_b) with doc_a < doc_b.
+
+    The join is an equi-join on the band key — shuffle-bounded by bucket
+    sizes, never an all-pairs product."""
+    sig = minhash_signatures(docs, n)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
+                        ).alias("key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """32-bit SimHash fingerprint per doc, weighted by token frequency.
+
+    explode(tokens) → token counts → ×bits bit-positions → signed sum
+    per (doc, bit) → assemble. Two keyed aggregations, no joins."""
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    cnt = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    cnt = cnt.withColumn("h", h32(F.col("w")))
+    bitpos = cnt.select(
+        "doc_id",
+        "c",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("i"),
+    )
+    # shiftright/shiftleft builtins need literal shift amounts in the
+    # Python API; the SQL forms accept column shifts.
+    signed = bitpos.withColumn(
+        "contrib",
+        F.when(F.expr("(shiftright(h, i) & 1) = 1"), F.col("c")).otherwise(-F.col("c")),
+    )
+    bitsum = signed.groupBy("doc_id", "i").agg(F.sum("contrib").alias("s"))
+    return (
+        bitsum.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), i)")
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.01
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs discovered via the
+    shared-shingle inverted index (no all-pairs scan):
+    J = |A∩B| / (|A|+|B|-|A∩B|). Output (doc_a, doc_b, inter, jaccard).
+    """
+    sh = _doc_shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    j = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "inter", "jaccard"
+    )
+
+
+def _cast_double(vec: F.Column) -> F.Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def cosine(a: F.Column, b: F.Column) -> F.Column:
+    """Sequential-fold cosine on double-cast vectors — deterministic
+    summation order so the oracle's replay matches bit-for-bit (up to
+    final rounding)."""
+    a, b = _cast_double(a), _cast_double(b)
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Embedding-cosine near-duplicates: pairs with cos ≥ threshold.
+
+    This is the exact (all-pairs) variant for bounded inputs; the scale
+    path is `similarity.hyperplane_lsh_pairs` (band-join on sign
+    signatures) with this as the verify step on candidates only.
+    """
+    v = embeddings.select("vec_id", "embedding")
+    a = v.alias("a")
+    b = v.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    sim = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

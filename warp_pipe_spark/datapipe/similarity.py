@@ -1,0 +1,176 @@
+"""Similarity search over an embedding column (`array<float>`):
+brute-force cosine top-k (baseline) and LSH/IVF bucketed variants
+(the scale path).
+
+Scale design: top-k never global-sorts — it's a window rank inside each
+query partition (shuffle keyed by query_id), and the candidate set is
+bounded by broadcast queries (brute force) or bucket co-membership
+(LSH/IVF). At 100 TB the brute-force path is a broadcast-join +
+per-partition partial top-k; the IVF path prunes to probed cells first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from warp_pipe_spark.datapipe.dedup import cosine
+from warp_pipe_spark.datapipe.text import h32
+
+
+def topk_cosine(
+    embeddings: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 5,
+    n_queries: int = 10,
+) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector, the k nearest
+    other vectors. Output (query_id, neighbor_id, rank, cos_sim).
+
+    queries defaults to the first `n_queries` vec_ids — deterministic.
+    The query side is broadcast (small); the big side streams through
+    one narrow stage; ranking shuffles only (n_queries × N) scored rows
+    keyed by query — AQE coalesces. Ties break by neighbor_id asc on the
+    ROUNDED similarity so rank order is engine-independent.
+    """
+    if queries is None:
+        queries = embeddings.filter(F.col("vec_id") < n_queries)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6))
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def hyperplane_signatures(embeddings: DataFrame, n_planes: int = 16) -> DataFrame:
+    """Random-hyperplane LSH signature: bit i = sign(<v, r_i>) where r_i
+    is a deterministic ±1 hyperplane derived from md5(i || dim) — no RNG,
+    reproducible everywhere. Output (vec_id, sig LONG)."""
+    dim_planes = []
+    for i in range(n_planes):
+        # ±1 pattern per dimension from the shared md5-derived hash
+        plane = F.transform(
+            F.sequence(F.lit(0), F.size("embedding") - 1),
+            lambda d, i=i: F.when(
+                h32(F.concat_ws(":", F.lit(str(i)), d.cast("string"))) % 2 == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), plane, lambda x, r: x.cast("double") * r),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dim_planes.append(
+            F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    sig = dim_planes[0]
+    for p in dim_planes[1:]:
+        sig = sig + p
+    return embeddings.select("vec_id", sig.alias("sig"))
+
+
+def hyperplane_lsh_pairs(
+    embeddings: DataFrame, n_planes: int = 16, n_bands: int = 4
+) -> DataFrame:
+    """Scale path for near-dup: band the signature (4 bands × 4 bits),
+    equi-join on (band, band-bits) — candidates share a band. Verify
+    candidates with exact cosine downstream (dedup.embedding_near_dup_pairs
+    semantics on the candidate set only)."""
+    bits_per_band = n_planes // n_bands
+    sig = hyperplane_signatures(embeddings, n_planes)
+    bands = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sig"), b * bits_per_band)
+                        .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+
+
+def ivf_topk_cosine(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    n_centroids: int = 10,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF-style ANN: deterministic centroids (every (N//n_centroids)-th
+    vector), assign each vector to its nearest centroid, queries probe
+    the `n_probe` nearest cells, exact top-k within probed cells.
+
+    At scale: centroid assignment is a broadcast-join narrow stage;
+    search touches n_probe/n_centroids of the data — the pruning is the
+    point. Output (query_id, neighbor_id, rank, cos_sim)."""
+    cents = embeddings.filter(
+        (F.col("vec_id") % F.lit(max(1, 500 // n_centroids)) == 0)
+    ).limit(n_centroids)
+    cent = cents.select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    # nearest centroid per vector (rounded sim, centroid-id tie-break)
+    scored = embeddings.crossJoin(F.broadcast(cent)).withColumn(
+        "csim", F.round(cosine(F.col("embedding"), F.col("cent_emb")), 6)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id").asc())
+    assign = (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+    # queries probe n_probe nearest centroids
+    probes = (
+        scored.filter(F.col("vec_id") < n_queries)
+        .withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= n_probe)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "cent_id")
+    )
+    cands = probes.join(assign, "cent_id").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    sim = F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
+    ranked = cands.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("cos_sim")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        ranked.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

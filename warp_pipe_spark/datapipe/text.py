@@ -1,0 +1,136 @@
+"""Text analysis over the `documents` table: language-ID, quality
+scoring, token counting, fingerprinting.
+
+All pure Catalyst expressions (split / higher-order functions / md5 /
+regexp) — zero Python in the data path, so each op is one narrow
+codegen'd stage over the scan and parallelizes linearly at 100 TB.
+
+Cross-engine determinism rules (these ops are oracle-checked against
+DuckDB): only integer arithmetic, exact string ops, IEEE +,-,*,/ on
+doubles, and md5 — no exp/log/locale-dependent ops; ratios rounded to 6
+decimals at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deterministic marker lexicons for the n-gram/marker language heuristic.
+# Priority order (ties resolve in this order) is the dict order.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "row", "table"),
+    "de": ("group", "hash", "data"),
+    "es": ("fast", "slow", "big"),
+    "fr": ("join", "merge", "line"),
+    "zh": ("window", "batch", "stream"),
+}
+
+STOPWORDS = ("a", "the")
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def _marker_score(toks: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token count
+    (letters runs / digit runs / single other-chars)."""
+    toks = _tokens(F.col("text"))
+    bpe = F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("ws_tokens"),
+        F.size(bpe).alias("bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("distinct_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Quality scoring: length / punctuation / stopword-ratio heuristics.
+
+    quality_score is a rational-arithmetic combination of exact
+    indicator comparisons (no transcendental fns → bit-stable across
+    engines)."""
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_punct = F.length(F.regexp_replace(F.col("text"), "[a-z0-9 ]", ""))
+    stop_ratio = F.round(n_stop.cast("double") / n_tok, 6)
+    punct_ratio = F.round(n_punct.cast("double") / n_chars, 6)
+    mean_tok_len = F.round(
+        (n_chars - (n_tok - 1)).cast("double") / n_tok, 6
+    )  # chars minus separators over tokens
+    score = (
+        F.when((n_tok >= 20) & (n_tok <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio <= 0.3, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.1, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(mean_tok_len >= 3.0, F.lit(0.1)).otherwise(F.lit(0.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        stop_ratio.alias("stop_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+        F.round(score, 2).alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-lexicon language ID: per-language token-count scores,
+    argmax with deterministic priority-order tie-break (CASE chain)."""
+    toks = _tokens(F.col("text"))
+    scores = {lang: _marker_score(toks, m) for lang, m in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[scores[lg] for lg in langs])
+    pred = F.lit(None).cast("string")
+    # build the CASE chain in reverse so earlier langs win ties
+    for lg in reversed(langs):
+        pred = F.when(scores[lg] == best, F.lit(lg)).otherwise(pred)
+    sel = [F.col("doc_id")]
+    sel += [scores[lg].alias(f"score_{lg}") for lg in langs]
+    sel.append(pred.alias("pred_lang"))
+    return docs.select(*sel)
+
+
+def h32(col: Column) -> Column:
+    """Shared 32-bit string hash: first 8 hex chars of md5 as an int.
+    DuckDB replays it as ('0x' || substr(md5(x),1,8))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def h60(col: Column) -> Column:
+    """60-bit variant (15 hex chars) — collision-safe for fingerprints."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def shingles(text: Column, n: int) -> Column:
+    """Word n-gram shingles via sequence+slice (codegen'd, no explode
+    needed until the consumer wants one)."""
+    toks = _tokens(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def fingerprints(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Document fingerprinting: full-text md5 + a rolling min-hash over
+    word n-gram shingles (winnowing-style global min of 60-bit shingle
+    hashes — identical docs ⇒ identical fp, near-identical docs usually
+    share it)."""
+    sh = shingles(F.col("text"), n)
+    min_h = F.array_min(F.transform(sh, lambda s: h60(s)))
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        min_h.alias("minhash_fp"),
+    )

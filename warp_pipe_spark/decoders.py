@@ -1,0 +1,126 @@
+"""Wire-format decoders: wal2json messages and audit-table rows →
+normalized changesets.
+
+Parity:
+  - P4 wal2json decode + fan-out (lr_listener.go:214-255) over the
+    message shape in db/wal2json.go:4-26.
+  - P5 audit-row decode (notify_listener.go:170-239) including the
+    raw-JSON-string passthrough rule for nested objects
+    (notify_listener.go:192-198): values stay unparsed text so checksum
+    fidelity survives round-trips.
+
+Everything is `from_json` / `explode` / `arrays_zip` / `transform` —
+pure Catalyst expressions, whole-stage-codegen'd, no Python in the hot
+path. At 100 TB the decode is embarrassingly parallel: one narrow stage
+fused into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from warp_pipe_spark.changeset import normalize_kind
+
+# wal2json message schema (db/wal2json.go:4-26). Values arrive as
+# heterogeneous JSON; we keep them as raw strings for fidelity.
+WAL2JSON_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "change",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("id", T.LongType()),
+                        T.StructField("kind", T.StringType()),
+                        T.StructField("schema", T.StringType()),
+                        T.StructField("table", T.StringType()),
+                        T.StructField("columnnames", T.ArrayType(T.StringType())),
+                        T.StructField("columntypes", T.ArrayType(T.StringType())),
+                        T.StructField("columnvalues", T.ArrayType(T.StringType())),
+                        T.StructField(
+                            "oldkeys",
+                            T.StructType(
+                                [
+                                    T.StructField("keynames", T.ArrayType(T.StringType())),
+                                    T.StructField("keytypes", T.ArrayType(T.StringType())),
+                                    T.StructField("keyvalues", T.ArrayType(T.StringType())),
+                                ]
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("nextlsn", T.StringType()),
+    ]
+)
+
+
+def _zip_columns(names: F.Column, types: F.Column, values: F.Column) -> F.Column:
+    """Zip the three positional arrays into ordered column structs
+    (lr_listener.go:231-251). arrays_zip + transform keeps it JVM-side."""
+    zipped = F.arrays_zip(names.alias("column"), values.alias("value"), types.alias("type"))
+    return F.transform(
+        zipped,
+        lambda x: F.struct(
+            x["column"].alias("column"), x["value"].alias("value"), x["type"].alias("type")
+        ),
+    )
+
+
+def decode_wal2json(df: DataFrame, message_col: str = "message") -> DataFrame:
+    """P4: parse wal2json message JSON, explode the per-transaction
+    `change` array (1→N fan-out), zip positional arrays into structs.
+
+    Input: any DataFrame with a string column of wal2json documents.
+    Output: normalized changeset rows
+    (id, kind, schema, table, timestamp?, new_values, old_values, nextlsn).
+    """
+    parsed = df.withColumn("_msg", F.from_json(F.col(message_col), WAL2JSON_SCHEMA))
+    ch = parsed.select(
+        F.col("_msg.nextlsn").alias("nextlsn"),
+        F.explode("_msg.change").alias("c"),
+    )
+    has_old = F.col("c.oldkeys.keynames").isNotNull()
+    return ch.select(
+        F.col("c.id").alias("id"),
+        normalize_kind(F.col("c.kind")).alias("kind"),
+        F.col("c.schema").alias("schema"),
+        F.col("c.table").alias("table"),
+        _zip_columns(
+            F.col("c.columnnames"), F.col("c.columntypes"), F.col("c.columnvalues")
+        ).alias("new_values"),
+        F.when(
+            has_old,
+            _zip_columns(
+                F.col("c.oldkeys.keynames"),
+                F.col("c.oldkeys.keytypes"),
+                F.col("c.oldkeys.keyvalues"),
+            ),
+        ).alias("old_values"),
+        F.col("nextlsn"),
+    )
+
+
+def decode_audit_values(df: DataFrame) -> DataFrame:
+    """P5: audit-log rows → map-form changesets.
+
+    ``new_values``/``old_values`` JSON objects become
+    ``MAP<STRING,STRING>`` — order is already lost in audit mode
+    (changeset.go:58-60), and nested objects/arrays survive as their raw
+    JSON text (the reference re-serializes maps back to strings,
+    notify_listener.go:192-198; `from_json` to MAP<STRING,STRING> keeps
+    nested JSON as the unparsed substring, same invariant).
+    """
+    mt = T.MapType(T.StringType(), T.StringType())
+    return df.select(
+        F.col("id"),
+        F.col("ts").alias("timestamp"),
+        normalize_kind(F.col("action")).alias("kind"),
+        F.col("schema_name").alias("schema"),
+        F.col("table_name").alias("table"),
+        F.from_json("new_values", mt).alias("new_values"),
+        F.from_json("old_values", mt).alias("old_values"),
+    )

@@ -1,0 +1,141 @@
+"""Table loading + the deterministic changeset-log derivation.
+
+The driver's testdata (TESTDATA.md) has no changeset log, so the CDC
+fixtures are DERIVED from the `events` table, deterministically and
+seed-free, exactly as FIXTURES.md §4 prescribes: every event becomes an
+INSERT; a deterministic subset gets a follow-up UPDATE (event_id % 10
+== 0) and DELETE (event_id % 20 == 0); ids are assigned so replay order
+is insert < update < delete per key. `table_name` is the event_type, so
+the log naturally interleaves five "tables" for whitelist/ignore tests.
+
+The SAME derivation exists twice, intentionally:
+  - `derive_changesets(spark, sf_dir)` — DataFrame build (three narrow
+    projections + unionByName; no shuffle, fused by codegen).
+  - `CHANGESETS_CTE` — the ANSI-SQL equivalent the DuckDB oracle runs.
+Both must stay in lock-step; tests/test_entry.py compares them.
+
+Typed ("decoded") columns are used rather than JSON strings so values
+compare bit-identically across engines; the engine's faithful JSON log
+form is produced by `changesets_as_audit_log` (to_json) on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects;
+        # read nanos as long and convert to a microsecond timestamp
+        # (same truncation DuckDB applies when it emits epoch_ms).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer division — double division loses ULPs at 1e18 ns
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load and register temp views so both DataFrame and spark.sql
+    queries see the same tables."""
+    out = {}
+    for n in names:
+        df = read_table(spark, sf_dir, n)
+        df.createOrReplaceTempView(n)
+        out[n] = df
+    return out
+
+
+# --- deterministic changeset derivation (FIXTURES.md §4) -------------------
+
+def derive_changesets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → typed changeset log.
+
+    Columns: id, ts, action, schema_name, table_name, relid,
+    pk, user_id, event_type, value. Per key (pk = event_id):
+    INSERT@id*10, optional UPDATE@id*10+5 (+1h, value+1000), optional
+    DELETE@id*10+7 (+2h). Three projections of one scan, unioned —
+    Catalyst reads the parquet once per branch with column pruning; no
+    shuffle, no Python.
+    """
+    ev = read_table(spark, sf_dir, "events")
+
+    def base(action: str, id_off: int, hours: int, value_col: F.Column) -> DataFrame:
+        return ev.select(
+            (F.col("event_id") * 10 + id_off).alias("id"),
+            (F.col("ts") + F.expr(f"INTERVAL {hours} HOUR")).alias("ts"),
+            F.lit(action).alias("action"),
+            F.lit("public").alias("schema_name"),
+            F.col("event_type").alias("table_name"),
+            (F.lit(50000) + F.col("event_id") % 5).alias("relid"),
+            F.col("event_id").alias("pk"),
+            F.col("user_id"),
+            F.col("event_type"),
+            value_col.alias("value"),
+        )
+
+    inserts = base("INSERT", 0, 0, F.col("value"))
+    updates = base("UPDATE", 5, 1, F.col("value") + F.lit(1000.0)).filter(
+        F.col("pk") % 10 == 0
+    )
+    deletes = base("DELETE", 7, 2, F.col("value")).filter(F.col("pk") % 20 == 0)
+    return inserts.unionByName(updates).unionByName(deletes)
+
+
+# DuckDB-side equivalent. The oracle harness pre-registers `events`.
+CHANGESETS_CTE = """
+changesets AS (
+  SELECT event_id * 10 AS id, ts, 'INSERT' AS action,
+         'public' AS schema_name, event_type AS table_name,
+         50000 + (event_id % 5) AS relid,
+         event_id AS pk, user_id, event_type, value
+  FROM events
+  UNION ALL
+  SELECT event_id * 10 + 5, ts + INTERVAL 1 HOUR, 'UPDATE',
+         'public', event_type, 50000 + (event_id % 5),
+         event_id, user_id, event_type, value + 1000.0
+  FROM events WHERE event_id % 10 = 0
+  UNION ALL
+  SELECT event_id * 10 + 7, ts + INTERVAL 2 HOUR, 'DELETE',
+         'public', event_type, 50000 + (event_id % 5),
+         event_id, user_id, event_type, value
+  FROM events WHERE event_id % 20 = 0
+)
+"""
+
+
+def changesets_as_audit_log(cs: DataFrame) -> DataFrame:
+    """Typed changesets → faithful AUDIT_LOG_SCHEMA form: values as raw
+    JSON strings (db/sql.go:14-24; NULL new_values for DELETE, NULL
+    old_values for INSERT, db/sql.go:72-110)."""
+    row_json = F.to_json(F.struct("pk", "user_id", "event_type", "value"))
+    return cs.select(
+        "id",
+        "ts",
+        "action",
+        "schema_name",
+        "table_name",
+        "relid",
+        F.when(F.col("action") != "DELETE", row_json).alias("new_values"),
+        F.when(F.col("action") != "INSERT", row_json).alias("old_values"),
+    )

@@ -1,0 +1,185 @@
+"""Pipeline — composable transform stages over changesets (P1).
+
+Parity: reference `Pipeline`/`Stage` (pipeline.go:10-89): user stages
+`func(*Changeset) -> (*Changeset, error)` chained in insertion order,
+with nil-return = drop and an out-of-band error channel that does NOT
+stop the stream (pipeline.go:17-27).
+
+Spark-first restatement:
+  - the fast path is a **DataFrame stage**: `fn(df) -> df` composed via
+    `DataFrame.transform`. Catalyst fuses the whole chain into one
+    codegen'd stage — the goroutine-per-stage handoff disappears.
+  - arbitrary per-record Python (the reference's escape hatch) is a
+    **record stage**: `fn(dict) -> dict | None` run through Arrow-batched
+    `mapInPandas` (not row-at-a-time UDFs). None = drop. An exception
+    routes the record to a dead-letter side output instead of killing the
+    stream (§2.8 error-channel mapping), preserved in `_wp_error`.
+
+At scale: DataFrame stages cost nothing extra; record stages cost one
+Arrow exchange per pipeline run (all record stages are fused into a
+single mapInPandas pass, not one per stage).
+"""
+
+from __future__ import annotations
+
+import json
+import traceback
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DataFrameStage = Callable[[DataFrame], DataFrame]
+RecordStage = Callable[[dict], "dict | None"]
+
+_ERROR_COL = "_wp_error"
+
+
+@dataclass
+class _Stage:
+    name: str
+    fn: Callable
+    record_level: bool = False
+
+
+@dataclass
+class Pipeline:
+    """Ordered stage list; `run(df)` applies all stages.
+
+    Mirrors `NewPipeline().AddStage(name, fn)` + `P.Start`
+    (pipeline.go:62-89). Stage order is execution order; consecutive
+    record stages fuse into one Arrow pass.
+    """
+
+    stages: list[_Stage] = field(default_factory=list)
+
+    def add_stage(self, name: str, fn: DataFrameStage) -> "Pipeline":
+        """Vectorized stage: fn(DataFrame) -> DataFrame. Preferred."""
+        self.stages.append(_Stage(name, fn, record_level=False))
+        return self
+
+    def add_record_stage(self, name: str, fn: RecordStage) -> "Pipeline":
+        """Reference-contract stage: fn(record_dict) -> dict | None.
+
+        None drops the record (pipeline.go:38-43 nil semantics); raising
+        routes the record to the dead-letter output with the error text.
+        """
+        self.stages.append(_Stage(name, fn, record_level=True))
+        return self
+
+    # -- execution ---------------------------------------------------------
+
+    def run(self, df: DataFrame) -> DataFrame:
+        """Apply all stages; dead-lettered records are dropped from the
+        main output (use run_with_errors to keep them)."""
+        out = self._apply(df)
+        if _ERROR_COL in out.columns:
+            out = out.filter(F.col(_ERROR_COL).isNull()).drop(_ERROR_COL)
+        return out
+
+    def run_with_errors(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Apply all stages; returns (ok, dead_letter) DataFrames —
+        the Spark mapping of the reference's out-of-band error channel
+        (pipeline.go:17-27: errors reported, stream continues)."""
+        out = self._apply(df)
+        if _ERROR_COL not in out.columns:
+            return out, out.limit(0).withColumn(_ERROR_COL, F.lit(None).cast("string"))
+        ok = out.filter(F.col(_ERROR_COL).isNull()).drop(_ERROR_COL)
+        bad = out.filter(F.col(_ERROR_COL).isNotNull())
+        return ok, bad
+
+    def _apply(self, df: DataFrame) -> DataFrame:
+        i, n = 0, len(self.stages)
+        while i < n:
+            st = self.stages[i]
+            if not st.record_level:
+                df = df.transform(st.fn)
+                i += 1
+                continue
+            # fuse the maximal run of consecutive record stages
+            group: list[_Stage] = []
+            while i < n and self.stages[i].record_level:
+                group.append(self.stages[i])
+                i += 1
+            df = _run_record_stages(df, group)
+        return df
+
+
+def _run_record_stages(df: DataFrame, stages: list[_Stage]) -> DataFrame:
+    """One mapInPandas pass applying each record stage in order.
+
+    Columns are passed to user fns as a plain dict; unknown/new keys are
+    not allowed (schema is fixed up front — Spark needs a static schema,
+    unlike the reference's dynamic Changeset). Complex-typed columns are
+    JSON-round-tripped so user code sees plain Python values.
+    """
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(_ERROR_COL, T.StringType())]
+    )
+    fns = [(s.name, s.fn) for s in stages]
+    in_cols = [f.name for f in df.schema.fields]
+
+    def mapper(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_rows = []
+            for rec in pdf.to_dict("records"):
+                err = None
+                cur: dict | None = dict(rec)
+                for name, fn in fns:
+                    try:
+                        cur = fn(cur)
+                    except Exception:
+                        err = f"stage {name!r}: {traceback.format_exc(limit=1)}"
+                        cur = dict(rec)  # dead-letter the original record
+                        break
+                    if cur is None:
+                        break  # dropped
+                if cur is not None:
+                    row = {k: cur.get(k) for k in in_cols}
+                    row[_ERROR_COL] = err
+                    out_rows.append(row)
+            yield pd.DataFrame(out_rows, columns=in_cols + [_ERROR_COL]) if out_rows else pd.DataFrame(
+                {c: [] for c in in_cols + [_ERROR_COL]}
+            )
+
+    return df.mapInPandas(mapper, schema=out_schema)
+
+
+def remove_column_stage(column: str) -> RecordStage:
+    """Example stage from the reference tests: PII column removal
+    (pipeline_test.go:15-24) — here for map-form value dicts."""
+
+    def fn(rec: dict) -> dict:
+        for side in ("new_values", "old_values"):
+            v = rec.get(side)
+            if isinstance(v, dict) and column in v:
+                v = dict(v)
+                v.pop(column, None)
+                rec[side] = v
+        return rec
+
+    return fn
+
+
+def uppercase_table_stage() -> RecordStage:
+    """pipeline_test.go:26-31."""
+
+    def fn(rec: dict) -> dict:
+        if rec.get("table"):
+            rec["table"] = rec["table"].upper()
+        return rec
+
+    return fn
+
+
+def drop_where_stage(pred: Callable[[dict], bool]) -> RecordStage:
+    """pipeline_test.go:33-40 (drop test users): drop when pred is true."""
+
+    def fn(rec: dict) -> "dict | None":
+        return None if pred(rec) else rec
+
+    return fn

@@ -1,0 +1,89 @@
+"""ChangesetStore — queries over the replayable changeset log.
+
+Parity: internal/store/changeset_store.go (S3-S6, G1, G2, O1, O2).
+
+The reference pages through Postgres with `LIMIT 500 OFFSET k` loops
+(changeset_store.go:17, :128-149 — O(n²) rescans and a skip/dup race we
+deliberately do not reproduce, SURVEY.md §4). In Spark the log is a
+partitioned parquet/Delta table: an ordered replay is a partitioned scan
+with the predicate pushed into the file source — no pagination needed at
+any scale. Retention "DELETE WHERE" becomes an anti-filter rewrite of
+the log (or a Delta DELETE where available).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ChangesetStore:
+    """Wraps the audit-log DataFrame (AUDIT_LOG_SCHEMA-shaped or the
+    typed/decoded variant — anything with `id` and `ts` columns)."""
+
+    def __init__(self, df: DataFrame, id_col: str = "id", ts_col: str = "ts"):
+        self.df = df
+        self.id_col = id_col
+        self.ts_col = ts_col
+
+    @classmethod
+    def from_parquet(cls, spark: SparkSession, path: str, **kw) -> "ChangesetStore":
+        return cls(spark.read.parquet(path), **kw)
+
+    # -- backfill / replay (S3, S4) ---------------------------------------
+
+    def since_id(self, start_id: int) -> DataFrame:
+        """S3 GetSinceID (changeset_store.go:114-150): `id >= x ORDER BY id`.
+
+        The filter pushes into the parquet scan (min/max row-group
+        skipping); the global sort only matters for single-consumer
+        replay — for distributed apply, replay() re-orders per key.
+        """
+        return self.df.filter(F.col(self.id_col) >= F.lit(start_id)).orderBy(self.id_col)
+
+    def since_timestamp(self, ts: "_dt.datetime | str") -> DataFrame:
+        """S4 GetSinceTimestamp (changeset_store.go:153-189)."""
+        return self.df.filter(F.col(self.ts_col) >= F.lit(ts)).orderBy(self.ts_col)
+
+    # -- point lookup (S5) -------------------------------------------------
+
+    def by_id(self, cid: int) -> DataFrame:
+        """S5 GetByID (changeset_store.go:67-78): pushed-down point predicate."""
+        return self.df.filter(F.col(self.id_col) == F.lit(cid))
+
+    # -- retention (S6) ----------------------------------------------------
+
+    def delete_before_id(self, cid: int) -> DataFrame:
+        """S6 DeleteBeforeID (changeset_store.go:192-198): returns the
+        retained log (anti-filter rewrite; the reference's exec is itself
+        a no-op stub, changeset_store.go:104-106)."""
+        return self.df.filter(F.col(self.id_col) >= F.lit(cid))
+
+    def delete_before_timestamp(self, ts: "_dt.datetime | str") -> DataFrame:
+        """S6 DeleteBeforeTimestamp (changeset_store.go:200-207)."""
+        return self.df.filter(F.col(self.ts_col) >= F.lit(ts))
+
+    # -- stats (G1, G2, A8) ------------------------------------------------
+
+    def stats(self) -> DataFrame:
+        """G1 count (axon_schema.go:52-60) + G2 latest id
+        (warp_pipe.go:172 `ORDER BY id DESC LIMIT 1` → max).
+        One partial-aggregated pass, no sort."""
+        return self.df.agg(
+            F.count(self.id_col).alias("changeset_count"),
+            F.max(self.id_col).alias("max_id"),
+        )
+
+    def count(self) -> int:
+        return self.df.count()
+
+    def max_id(self) -> int:
+        row = self.df.agg(F.max(self.id_col).alias("m")).collect()[0]
+        return row["m"]
+
+    def is_latest_changeset(self, cid: int) -> bool:
+        """A8 convergence detector (warp_pipe.go:169-190). In streaming,
+        `trigger(availableNow=True)` is the native drain-and-stop."""
+        return self.max_id() == cid
