@@ -1,0 +1,70 @@
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit":
+"sec", "queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count() forces the full plan;
+results are small aggregates/pair-sets, so count ≈ full materialize
+without driver-collect overhead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from warp_pipe_spark.session import get_spark
+
+HEADLINE = [
+    "cs_replay_final_state",
+    "cs_checksum",
+    "cs_since_id",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "text_quality",
+    "text_fingerprints",
+    "ann_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("warp_pipe_bench")
+    qs = entrymod.queries()
+
+    # warm the JVM + parquet footers with the flagship once
+    qs["cs_replay_final_state"](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""Apply/replay semantics — the FIXTURES.md §3 canonical lifecycle
+(insert, insert, delete, update → single surviving row) plus the edge
+cases FIXTURES.md lists: duplicate ids, update-before-insert upsert."""
+
+import pytest
+
+from warp_pipe_spark.apply import merge_batch, replay
+
+SCHEMA = (
+    "id LONG, action STRING, table_name STRING, pk LONG, "
+    "first_name STRING, last_name STRING, email STRING"
+)
+
+CANONICAL = [
+    (1, "INSERT", "users", 1, "Han", "Solo", "han@test.com"),
+    (2, "INSERT", "users", 2, "Leia", "Skywalker", "leia@test.com"),
+    (3, "DELETE", "users", 1, "Han", "Solo", "han@test.com"),
+    (4, "UPDATE", "users", 2, "Leia", "Solo", "leia@test.com"),
+]
+
+
+@pytest.fixture()
+def canonical(spark):
+    return spark.createDataFrame(CANONICAL, SCHEMA)
+
+
+def test_canonical_lifecycle_final_state(canonical):
+    # FIXTURES.md §3: exactly one row (2, Leia, Solo, leia@test.com)
+    out = replay(canonical, ["pk"]).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row["pk"], row["first_name"], row["last_name"], row["email"]) == (
+        2,
+        "Leia",
+        "Solo",
+        "leia@test.com",
+    )
+
+
+def test_duplicate_ids_applied_once(spark, canonical):
+    # at-least-once delivery: duplicated log → same state (O4)
+    doubled = canonical.unionByName(canonical)
+    a = sorted(map(tuple, replay(canonical, ["pk"]).collect()))
+    b = sorted(map(tuple, replay(doubled, ["pk"]).collect()))
+    assert a == b
+
+
+def test_update_before_insert_upserts(spark):
+    # axon_sql.go:92-103: UPDATE for an absent PK inserts the row
+    cs = spark.createDataFrame(
+        [(1, "UPDATE", "users", 9, "Lando", "C", "l@test.com")], SCHEMA
+    )
+    out = replay(cs, ["pk"]).collect()
+    assert len(out) == 1 and out[0]["first_name"] == "Lando"
+
+
+def test_composite_pk(spark):
+    # db/schema.go:226-258: multi-column PKs
+    cs = spark.createDataFrame(
+        [
+            (1, "INSERT", "li", 1, "a", "x", "e"),
+            (2, "INSERT", "li", 1, "b", "x", "e"),  # same pk, different first_name=2nd key
+            (3, "UPDATE", "li", 1, "a", "y", "e"),
+        ],
+        SCHEMA,
+    )
+    out = replay(cs, ["pk", "first_name"]).collect()
+    state = {(r["pk"], r["first_name"]): r["last_name"] for r in out}
+    assert state == {(1, "a"): "y", (1, "b"): "x"}
+
+
+def test_incremental_merge_equals_full_replay(spark, canonical):
+    # split the log into two micro-batches; merge must converge to the
+    # same state as one-shot replay (streaming foreachBatch contract)
+    b1 = canonical.filter("id <= 2")
+    b2 = canonical.filter("id > 2")
+    s1 = merge_batch(None, b1, ["pk"])
+    s2 = merge_batch(s1, b2, ["pk"])
+    a = sorted(map(tuple, s2.select(*canonical.columns).collect()))
+    b = sorted(map(tuple, replay(canonical, ["pk"]).select(*canonical.columns).collect()))
+    assert a == b
+
+
+def test_merge_batch_idempotent(spark, canonical):
+    b2 = canonical.filter("id > 2")
+    s_full = merge_batch(None, canonical, ["pk"])
+    s_again = merge_batch(s_full, b2, ["pk"])  # re-apply the last batch
+    a = sorted(map(tuple, s_full.select(*canonical.columns).collect()))
+    b = sorted(map(tuple, s_again.select(*canonical.columns).collect()))
+    assert a == b

@@ -1,0 +1,74 @@
+"""Dedup operator semantics on controlled fixtures (exact duplicates,
+near-duplicates, disjoint docs)."""
+
+import pytest
+
+from warp_pipe_spark.datapipe.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy cat again and again today"
+OTHER = "completely different content with no overlap whatsoever in any way"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(1, BASE), (2, BASE), (3, NEAR), (4, OTHER)]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_exact_dedup_groups_identical_texts(docs):
+    out = {r["text_md5"]: (r["keep_id"], r["dup_count"]) for r in exact_dedup(docs).collect()}
+    assert len(out) == 3  # three distinct texts
+    counts = sorted(v[1] for v in out.values())
+    assert counts == [1, 1, 2]
+    # the duplicate group keeps the LOWEST doc_id
+    dup_group = [v for v in out.values() if v[1] == 2][0]
+    assert dup_group[0] == 1
+
+
+def test_minhash_identical_docs_identical_signatures(docs):
+    sig = {r["doc_id"]: tuple(r[f"mh{j}"] for j in range(8)) for r in minhash_signatures(docs).collect()}
+    assert sig[1] == sig[2]
+    assert sig[1] != sig[4]
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()}
+    assert (1, 2) in pairs  # identical docs always collide in every band
+    assert (1, 4) not in pairs and (2, 4) not in pairs  # disjoint docs don't
+
+
+def test_simhash_identical_equal_near_close(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sh[1] == sh[2]
+    ham_near = bin(sh[1] ^ sh[3]).count("1")
+    ham_far = bin(sh[1] ^ sh[4]).count("1")
+    assert ham_near < ham_far  # near-dup closer in Hamming space
+
+
+def test_ngram_jaccard_scores(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.01).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical
+    assert 0.3 < pairs[(1, 3)] < 1.0  # near-dup
+    assert (1, 4) not in pairs  # disjoint
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),  # same direction
+        (3, [0.0, 1.0, 0.0, 0.0]),  # orthogonal
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    pairs = {(r["vec_a"], r["vec_b"]) for r in embedding_near_dup_pairs(emb, 0.95).collect()}
+    assert pairs == {(1, 2)}

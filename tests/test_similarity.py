@@ -1,0 +1,53 @@
+"""Similarity-search operators: brute-force top-k, hyperplane LSH, IVF."""
+
+import pytest
+
+from warp_pipe_spark.datapipe.similarity import (
+    hyperplane_lsh_pairs,
+    hyperplane_signatures,
+    ivf_topk_cosine,
+    topk_cosine,
+)
+from warp_pipe_spark.io import read_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings")
+
+
+def test_topk_shape_and_ranks(emb):
+    out = topk_cosine(emb, k=5, n_queries=4).collect()
+    assert len(out) == 20
+    by_q = {}
+    for r in out:
+        assert r["query_id"] != r["neighbor_id"]  # self excluded
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cos_sim"]))
+    for q, rs in by_q.items():
+        rs.sort()
+        assert [r[0] for r in rs] == [1, 2, 3, 4, 5]
+        sims = [r[1] for r in rs]
+        assert sims == sorted(sims, reverse=True)  # rank follows similarity
+
+
+def test_hyperplane_identical_vectors_same_signature(spark):
+    rows = [(1, [0.5] * 16), (2, [0.5] * 16), (3, [-0.5] * 16)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    sigs = {r["vec_id"]: r["sig"] for r in hyperplane_signatures(df, 8).collect()}
+    assert sigs[1] == sigs[2]
+    pairs = {(r["vec_a"], r["vec_b"]) for r in hyperplane_lsh_pairs(df, 8, 2).collect()}
+    assert (1, 2) in pairs
+
+
+def test_ivf_recall_against_bruteforce(emb):
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_cosine(emb, k=5, n_queries=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk_cosine(emb, k=5, n_queries=5, n_centroids=10, n_probe=3).collect()
+    }
+    # IVF probes 3/10 cells: imperfect recall is expected, zero overlap is a bug
+    assert len(exact & approx) > 0
+    assert len(approx) == 25

@@ -120,13 +120,33 @@ def _run_record_stages(df: DataFrame, stages: list[_Stage]) -> DataFrame:
     )
     fns = [(s.name, s.fn) for s in stages]
     in_cols = [f.name for f in df.schema.fields]
+    # Arrow maps cross the boundary as lists of (k, v) tuples; user code
+    # gets/returns plain dicts (the reference's Changeset ergonomics).
+    map_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.MapType)]
 
     def mapper(batches):
         import pandas as pd
 
+        def to_user(rec: dict) -> dict:
+            for c in map_cols:
+                v = rec.get(c)
+                if v is not None and not isinstance(v, dict):
+                    rec[c] = dict(v)
+            return rec
+
+        def from_user(rec: dict) -> dict:
+            # Spark 4's map serializer wants dicts (convert_map calls
+            # .items()); ensure non-dict forms are dicts again.
+            for c in map_cols:
+                v = rec.get(c)
+                if v is not None and not isinstance(v, dict):
+                    rec[c] = dict(v)
+            return rec
+
         for pdf in batches:
             out_rows = []
-            for rec in pdf.to_dict("records"):
+            for raw in pdf.to_dict("records"):
+                rec = to_user(dict(raw))
                 err = None
                 cur: dict | None = dict(rec)
                 for name, fn in fns:
@@ -139,12 +159,11 @@ def _run_record_stages(df: DataFrame, stages: list[_Stage]) -> DataFrame:
                     if cur is None:
                         break  # dropped
                 if cur is not None:
-                    row = {k: cur.get(k) for k in in_cols}
+                    row = from_user({k: cur.get(k) for k in in_cols})
                     row[_ERROR_COL] = err
                     out_rows.append(row)
-            yield pd.DataFrame(out_rows, columns=in_cols + [_ERROR_COL]) if out_rows else pd.DataFrame(
-                {c: [] for c in in_cols + [_ERROR_COL]}
-            )
+            if out_rows:  # yielding nothing is valid for all-dropped batches
+                yield pd.DataFrame(out_rows, columns=in_cols + [_ERROR_COL])
 
     return df.mapInPandas(mapper, schema=out_schema)
 
