@@ -328,6 +328,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q.update(tpch_q1=tpch_q1, tpch_q3=tpch_q3, tpch_q5=tpch_q5)
 
+    # --- event-time analytics (windowed surface, SURVEY.md §2.8 ext) ----
+    def events_hourly(spark, sf):
+        from warp_pipe_spark.analytics import hourly_rollup
+
+        return hourly_rollup(read_table(spark, sf, "events"))
+
+    def events_sessionize(spark, sf):
+        from warp_pipe_spark.analytics import sessionize
+
+        return sessionize(read_table(spark, sf, "events"), gap_minutes=30)
+
+    q.update(events_hourly=events_hourly, events_sessionize=events_sessionize)
+
     # --- text analysis --------------------------------------------------
     def _docs(spark, sf):
         return read_table(spark, sf, "documents")
@@ -567,6 +580,35 @@ def oracle_sql() -> dict[str, str]:
       AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY n_name
+    """
+
+    o["events_hourly"] = """
+    SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+           count(*) AS n_events,
+           CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
+    FROM events GROUP BY 1, 2
+    """
+
+    o["events_sessionize"] = """
+    WITH o AS (
+      SELECT user_id, epoch_ms(ts) AS tms,
+             lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events
+    ),
+    b AS (
+      SELECT user_id, tms,
+             CASE WHEN prev IS NOT NULL AND tms - prev > 1800000 THEN 1 ELSE 0 END AS brk
+      FROM o
+    ),
+    s AS (
+      SELECT user_id, tms,
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tms
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM b
+    )
+    SELECT user_id, session_seq, count(*) AS n_events,
+           min(tms) AS start_ms, max(tms) AS end_ms
+    FROM s GROUP BY user_id, session_seq
     """
 
     o["text_token_stats"] = """

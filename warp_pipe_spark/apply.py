@@ -42,15 +42,21 @@ def replay(
     """Fold changesets (typed/decoded form: one column per field) into
     final state: last writer wins per PK, delete tombstones drop rows.
 
+    O4 duplicate-skip comes for free: a redelivered changeset (same id,
+    same content) lands in the same (table, pk) partition and only the
+    rn=1 row survives — no separate dropDuplicates(id) pass, which
+    would cost a second full shuffle keyed by id.
+
     pk_cols may be composite (db/schema.go:226-258 supports multi-column
     PKs). The single shuffle is on (table, pk) — the natural key — and
-    survives scale-up; no global sort is required.
+    survives scale-up; no global sort is required. Spark's
+    WindowGroupLimit rewrites the rank filter into a partial per-group
+    top-1 BEFORE the exchange, so the shuffle carries ~one row per key.
     """
     parts = ([table_col] if table_col else []) + list(pk_cols)
     w = Window.partitionBy(*parts).orderBy(F.col(id_col).desc())
     return (
-        changesets.dropDuplicates([id_col])  # O4 duplicate-skip
-        .withColumn("_rn", F.row_number().over(w))
+        changesets.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
         .filter(~F.col(kind_col).isin(*delete_kinds))

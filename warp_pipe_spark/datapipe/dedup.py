@@ -65,12 +65,40 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def bucket_pairs(
+    df: DataFrame, bucket_cols: Sequence[str], id_col: str, a_name: str, b_name: str
+) -> DataFrame:
+    """Distinct (a < b) id pairs co-occurring in any bucket.
+
+    One shuffle keyed by the bucket, pairs emitted inside each posting
+    list — half the exchanges of a self-equi-join on the bucket key,
+    which shuffles the exploded table twice. Bucket skew is the scale
+    hazard either way; callers bound bucket sizes by construction
+    (band width / shingle rarity)."""
+    buckets = (
+        df.groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda b: F.struct(a.alias(a_name), b.alias(b_name)),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col(f"p.{a_name}").alias(a_name), F.col(f"p.{b_name}").alias(b_name))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
     """LSH banding: docs sharing any (band, band-key) are candidate
-    duplicate pairs. Returns (doc_a, doc_b) with doc_a < doc_b.
-
-    The join is an equi-join on the band key — shuffle-bounded by bucket
-    sizes, never an all-pairs product."""
+    duplicate pairs. Returns (doc_a, doc_b) with doc_a < doc_b."""
     sig = minhash_signatures(docs, n)
     bands = sig.select(
         "doc_id",
@@ -88,18 +116,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return bucket_pairs(bands, ["band", "key"], "doc_id", "doc_a", "doc_b")
 
 
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
@@ -144,14 +161,26 @@ def ngram_jaccard_pairs(
     """
     sh = _doc_shingles(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # inverted index: ONE shuffle keyed by shingle, then emit the i<j
+    # doc pairs inside each posting list — half the exchanges of the
+    # equivalent self-join (which shuffles the exploded table twice).
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda a, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size("docs")),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    inter = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))

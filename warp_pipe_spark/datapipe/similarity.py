@@ -109,17 +109,9 @@ def hyperplane_lsh_pairs(
             )
         ).alias("bk"),
     ).select("vec_id", "bk.band", "bk.key")
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
-    )
+    from warp_pipe_spark.datapipe.dedup import bucket_pairs
+
+    return bucket_pairs(bands, ["band", "key"], "vec_id", "vec_a", "vec_b")
 
 
 def ivf_topk_cosine(

@@ -1,0 +1,140 @@
+"""JDBC adapters for a live Postgres audit table — the in-repo parity
+path for S1/S2 capture plus the catalog/DDL surface (S10-S12).
+
+No Postgres exists in the test container, so everything here is
+import-safe and connection-free until called with a real url; the
+builders return configured readers / SQL text so the shapes are unit-
+testable offline.
+
+Scale notes baked in:
+  - backfill reads are PARTITIONED on the monotone id
+    (partitionColumn/numPartitions) — the replacement for the
+    reference's O(n²) LIMIT/OFFSET pagination loop
+    (changeset_store.go:128-149);
+  - the live tail is a keyset micro-batch poll (`id > last_offset`,
+    one indexed range scan per trigger) driven from foreachBatch —
+    Spark has no LISTEN/NOTIFY, push becomes poll (SURVEY.md §2.8);
+  - predicates push down through the JDBC source (Catalyst emits
+    WHERE into the remote query).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+AUDIT_TABLE = "warp_pipe.changesets"
+
+
+def audit_reader(
+    spark: SparkSession,
+    url: str,
+    table: str = AUDIT_TABLE,
+    lower_id: int = 0,
+    upper_id: int | None = None,
+    num_partitions: int = 32,
+    properties: dict[str, str] | None = None,
+):
+    """Partitioned JDBC reader over the audit log (S3 backfill path).
+
+    Returns the configured DataFrameReader; .load() connects."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("partitionColumn", "id")
+        .option("lowerBound", str(lower_id))
+        .option("upperBound", str(upper_id if upper_id is not None else lower_id + 1))
+        .option("numPartitions", str(num_partitions))
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader
+
+
+def keyset_query(table: str, last_id: int, limit: int | None = None) -> str:
+    """One keyset poll (S2 tail): strictly-after `last_id`, id order.
+    Indexed range scan — no OFFSET, no skipped rows under concurrent
+    writes (the reference's pagination race, changeset_store.go:128-149,
+    cannot happen on a keyset cursor)."""
+    q = f"SELECT * FROM {table} WHERE id > {int(last_id)} ORDER BY id"
+    if limit:
+        q += f" LIMIT {int(limit)}"
+    return q
+
+
+def poll_microbatch(
+    spark: SparkSession,
+    url: str,
+    last_id: int,
+    table: str = AUDIT_TABLE,
+    limit: int = 100_000,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """Fetch the next micro-batch of changesets after `last_id`."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("query", keyset_query(table, last_id, limit))
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+# --- DDL text (S10/S11 setup/teardown; shapes per FIXTURES.md §2) ----------
+
+def setup_ddl(audit_schema: str = "warp_pipe") -> list[str]:
+    """DDL a driver-side JDBC connection executes to provision the
+    audit log: schema, changesets table, replay indexes. (The
+    reference additionally installs a row_to_json AFTER-trigger per
+    captured table; trigger bodies are target-dialect-specific and
+    belong to the deployment, not the engine.)"""
+    t = f"{audit_schema}.changesets"
+    return [
+        f"CREATE SCHEMA IF NOT EXISTS {audit_schema}",
+        (
+            f"CREATE TABLE IF NOT EXISTS {t} ("
+            "id BIGSERIAL PRIMARY KEY, "
+            "ts TIMESTAMPTZ NOT NULL DEFAULT now(), "
+            "action TEXT NOT NULL CHECK (action IN ('INSERT','UPDATE','DELETE')), "
+            "schema_name TEXT NOT NULL, "
+            "table_name TEXT NOT NULL, "
+            "relid BIGINT, "
+            "new_values JSON, "
+            "old_values JSON)"
+        ),
+        f"CREATE INDEX IF NOT EXISTS changesets_ts_idx ON {t} (ts)",
+        f"CREATE INDEX IF NOT EXISTS changesets_action_idx ON {t} (action)",
+        f"CREATE INDEX IF NOT EXISTS changesets_table_idx ON {t} (table_name)",
+    ]
+
+
+def teardown_ddl(audit_schema: str = "warp_pipe") -> list[str]:
+    """S11 (db/schema.go:32-39)."""
+    return [f"DROP SCHEMA IF EXISTS {audit_schema} CASCADE"]
+
+
+def tables_list_query(schemas: Sequence[str]) -> str:
+    """S12 discovery: enumerate candidate tables per schema."""
+    in_list = ", ".join(f"'{s}'" for s in schemas)
+    return (
+        "SELECT table_schema AS schema_name, table_name "
+        "FROM information_schema.tables "
+        f"WHERE table_type = 'BASE TABLE' AND table_schema IN ({in_list})"
+    )
+
+
+def primary_keys_query(schemas: Sequence[str]) -> str:
+    """A4/G4 PK discovery feed for catalog.primary_keys()."""
+    in_list = ", ".join(f"'{s}'" for s in schemas)
+    return (
+        "SELECT kcu.table_name, kcu.column_name, kcu.ordinal_position "
+        "FROM information_schema.table_constraints tc "
+        "JOIN information_schema.key_column_usage kcu "
+        "  ON tc.constraint_name = kcu.constraint_name "
+        " AND tc.table_schema = kcu.table_schema "
+        "WHERE tc.constraint_type = 'PRIMARY KEY' "
+        f"  AND tc.table_schema IN ({in_list})"
+    )

@@ -121,6 +121,17 @@ def apply_stream(
     return writer.start()
 
 
+def wal2json_stream(spark: SparkSession, drop_dir: str) -> DataFrame:
+    """S1 LR-mode parity: tail a directory of wal2json JSONL messages
+    (one document per line, the shape Debezium/wal2json emit) and decode
+    to normalized changesets. The decode is pure Catalyst (P4), so the
+    streaming plan is scan → narrow codegen stage."""
+    from warp_pipe_spark.decoders import decode_wal2json
+
+    raw = spark.readStream.format("text").load(drop_dir)
+    return decode_wal2json(raw, message_col="value")
+
+
 def console_json_stream(stream: DataFrame, checkpoint_dir: str) -> StreamingQuery:
     """S7 stdout JSON sink: one JSON object per changeset
     (internal/cli/warp_pipe.go:101-114)."""

@@ -53,12 +53,13 @@ def table_digest(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
 def table_digest_scalable(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     """One row: (row_count, digest_sum) — commutative 60-bit-hash sum.
 
-    `conv(substr(md5,1,15),16,10)` keeps the value < 2^60 so a bigint
-    sum over ~2^40 rows cannot overflow. Fully partial-aggregated: scales
-    to any row count with one tiny shuffle.
+    The 60-bit hashes accumulate in DECIMAL(38,0) (a bigint would
+    overflow after ~8 rows of 2^60-scale values; decimal holds ~1e20
+    rows). Fully partial-aggregated: scales to any row count with one
+    tiny shuffle.
     """
     cols = cols or df.columns
-    h60 = F.conv(F.substring(row_hash(cols), 1, 15), 16, 10).cast("long")
+    h60 = F.conv(F.substring(row_hash(cols), 1, 15), 16, 10).cast("decimal(38,0)")
     return df.select(h60.alias("h")).agg(
         F.count("h").alias("row_count"),
         F.sum("h").alias("digest_sum"),
