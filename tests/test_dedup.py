@@ -72,3 +72,30 @@ def test_embedding_near_dup(spark):
     emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
     pairs = {(r["vec_a"], r["vec_b"]) for r in embedding_near_dup_pairs(emb, 0.95).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_regex_shingles_match_slice_form(spark):
+    """The regex-lookahead shingle extraction must equal the reference
+    slice+concat_ws formulation, including the <n-token fallback."""
+    from pyspark.sql import functions as F
+
+    from warp_pipe_spark.datapipe.text import _tokens, shingles
+
+    rows = [
+        (1, BASE),
+        (2, "one two"),
+        (3, "single"),
+        (4, "a b c d e f g"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    for n in (2, 3, 5):
+        toks = _tokens(F.col("text"))
+        ref = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+        bad = df.select(
+            (F.sort_array(F.array_distinct(shingles(F.col("text"), n)))
+             == F.sort_array(F.array_distinct(ref))).alias("eq")
+        ).filter(~F.col("eq"))
+        assert bad.count() == 0, f"n={n} mismatch"

@@ -54,15 +54,29 @@ def _doc_shingles(docs: DataFrame, n: int) -> DataFrame:
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     """k=8 MinHash signature per doc: (doc_id, mh0..mh7).
 
-    One explode + one groupBy computing all eight mins in a single
-    aggregation pass (map-side combine makes the shuffle k integers per
-    doc regardless of doc length)."""
-    sh = _doc_shingles(docs, n).withColumn("h", h32(F.col("shingle")))
-    aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{j}")
-        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    ZERO shuffles: shingling, hashing, and all eight mins happen
+    doc-locally in one array fold (`aggregate` carrying the running
+    8-way min vector), so the hashed-shingle array is evaluated exactly
+    once per row — 8 separate array_min(transform(...)) projections
+    would re-evaluate it per signature column after Catalyst collapses
+    the projects. The row count never leaves |docs|; at 100 TB this is
+    a pure map stage, embarrassingly parallel over input splits."""
+    hs = F.transform(F.array_distinct(shingles(F.col("text"), n)), lambda s: h32(s))
+    init = F.array(*[F.lit(MINHASH_P).cast("long")] * len(MINHASH_A))
+    fold = F.aggregate(
+        hs,
+        init,
+        lambda acc, h: F.array(
+            *[
+                F.least(acc[j], (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P))
+                for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+            ]
+        ),
+    )
+    sig = docs.select("doc_id", fold.alias("sig"))
+    return sig.select(
+        "doc_id", *[F.col("sig")[j].alias(f"mh{j}") for j in range(len(MINHASH_A))]
+    )
 
 
 def bucket_pairs(
@@ -122,34 +136,30 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """32-bit SimHash fingerprint per doc, weighted by token frequency.
 
-    explode(tokens) → token counts → ×bits bit-positions → signed sum
-    per (doc, bit) → assemble. Two keyed aggregations, no joins."""
+    explode(tokens) → (doc, token) counts → ONE groupBy(doc) computing
+    all `bits` signed bit-sums as parallel aggregates → assemble in a
+    projection. One token-level shuffle + one doc-level shuffle; the
+    shuffle row count never exceeds the distinct (doc, token) pairs
+    (the old shape exploded that ×bits — 32× the exchange volume)."""
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     cnt = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
     cnt = cnt.withColumn("h", h32(F.col("w")))
-    bitpos = cnt.select(
-        "doc_id",
-        "c",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("i"),
-    )
-    # shiftright/shiftleft builtins need literal shift amounts in the
-    # Python API; the SQL forms accept column shifts.
-    signed = bitpos.withColumn(
-        "contrib",
-        F.when(F.expr("(shiftright(h, i) & 1) = 1"), F.col("c")).otherwise(-F.col("c")),
-    )
-    bitsum = signed.groupBy("doc_id", "i").agg(F.sum("contrib").alias("s"))
-    return (
-        bitsum.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), i)")
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
+    bit_aggs = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(h, {i}) & 1) = 1"), F.col("c")).otherwise(
+                -F.col("c")
+            )
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    bitsums = cnt.groupBy("doc_id").agg(*bit_aggs)
+    assembled = sum(
+        F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
+        for i in range(bits)
     )
+    return bitsums.select("doc_id", assembled.alias("simhash"))
 
 
 def ngram_jaccard_pairs(
@@ -160,7 +170,12 @@ def ngram_jaccard_pairs(
     J = |A∩B| / (|A|+|B|-|A∩B|). Output (doc_a, doc_b, inter, jaccard).
     """
     sh = _doc_shingles(docs, n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # per-doc distinct-shingle counts straight off the docs scan — no
+    # second explode/shuffle (the explode branch above is scan-heavy).
+    sizes = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(shingles(F.col("text"), n))).alias("n_sh"),
+    )
     # inverted index: ONE shuffle keyed by shingle, then emit the i<j
     # doc pairs inside each posting list — half the exchanges of the
     # equivalent self-join (which shuffles the exploded table twice).
