@@ -47,8 +47,14 @@ from warp_pipe_spark.datapipe.text import (
     token_stats,
 )
 from warp_pipe_spark.changeset import normalize_kind
+from warp_pipe_spark.decoders import decode_audit_values, decode_wal2json
 from warp_pipe_spark.filters import ignore_tables, whitelist_tables
-from warp_pipe_spark.io import CHANGESETS_CTE, derive_changesets, read_table
+from warp_pipe_spark.io import (
+    CHANGESETS_CTE,
+    changesets_as_audit_log,
+    derive_changesets,
+    read_table,
+)
 from warp_pipe_spark.store import ChangesetStore
 
 # ---------------------------------------------------------------------------
@@ -239,6 +245,123 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def cs_audit_decode(spark, sf):  # P5 audit decode + P7 map lookup
+        """Typed log → audit-log JSON form (db/sql.go:14-24) → decode back
+        via from_json MAP<STRING,STRING> (notify_listener.go:170-239),
+        values recovered by name lookup (changeset.go:46-54)."""
+        audit = changesets_as_audit_log(_cs(spark, sf))
+        dec = decode_audit_values(audit)
+        return dec.select(
+            "id",
+            "kind",
+            F.col("table").alias("table_name"),
+            F.try_element_at("new_values", F.lit("pk")).cast("long").alias("pk"),
+            F.try_element_at("new_values", F.lit("user_id"))
+            .cast("long")
+            .alias("user_id"),
+            F.round(
+                F.try_element_at("new_values", F.lit("value")).cast("double") * 100, 0
+            )
+            .cast("long")
+            .alias("value_cents"),
+            F.col("old_values").isNotNull().alias("has_old"),
+        )
+
+    def cs_wal2json_decode(spark, sf):  # P4 wal2json decode + P7 array lookup
+        """Typed log → wal2json messages (one per pk, all changes for the
+        key in one `change` array, db/wal2json.go:4-26) → decode_wal2json
+        (explode fan-out + arrays_zip, lr_listener.go:214-255); values
+        recovered positionally and by name from the ordered structs."""
+        cs = _cs(spark, sf)
+        change = F.struct(
+            F.col("id"),
+            F.col("action").alias("kind"),  # normalize_kind lower-cases downstream
+            F.col("schema_name").alias("schema"),
+            F.col("table_name").alias("table"),
+            F.array(
+                F.lit("pk"), F.lit("user_id"), F.lit("event_type"), F.lit("value")
+            ).alias("columnnames"),
+            F.array(
+                F.lit("bigint"),
+                F.lit("bigint"),
+                F.lit("text"),
+                F.lit("double precision"),
+            ).alias("columntypes"),
+            F.array(
+                F.col("pk").cast("string"),
+                F.col("user_id").cast("string"),
+                F.col("event_type"),
+                F.col("value").cast("string"),
+            ).alias("columnvalues"),
+            F.when(
+                F.col("action") != "INSERT",
+                F.struct(
+                    F.array(F.lit("pk")).alias("keynames"),
+                    F.array(F.lit("bigint")).alias("keytypes"),
+                    F.array(F.col("pk").cast("string")).alias("keyvalues"),
+                ),
+            ).alias("oldkeys"),
+        )
+        msgs = (
+            cs.groupBy("pk")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("id").alias("sid"), change.alias("c")))
+                    ),
+                    lambda x: x["c"],
+                ).alias("change"),
+                F.format_string("0/%X", F.max("id")).alias("nextlsn"),
+            )
+            .select(F.to_json(F.struct("change", "nextlsn")).alias("message"))
+        )
+        dec = decode_wal2json(msgs, "message")
+        by_name = lambda side, k: F.get(  # noqa: E731
+            F.filter(F.col(side), lambda x: x["column"] == k), 0
+        )["value"]
+        return dec.select(
+            "id",
+            "kind",
+            F.col("table").alias("table_name"),
+            F.get("new_values", 0)["value"].cast("long").alias("pk"),  # positional
+            by_name("new_values", "user_id").cast("long").alias("user_id"),
+            F.round(by_name("new_values", "value").cast("double") * 100, 0)
+            .cast("long")
+            .alias("value_cents"),
+            by_name("old_values", "pk").cast("long").alias("old_pk"),
+        )
+
+    def cs_pipeline_stages(spark, sf):  # P1/P9 pipeline contract
+        """Reference pipeline_test.go:12-100 shape on the real log: a
+        DataFrame stage (whitelist) then two record stages (uppercase
+        table, drop-by-predicate) fused into ONE Arrow mapInPandas pass;
+        None-drop semantics per pipeline.go:38-43."""
+        from warp_pipe_spark.pipeline import Pipeline
+
+        def upper_table(rec):
+            rec["table_name"] = rec["table_name"].upper()
+            return rec
+
+        def drop_mod7(rec):
+            return None if rec["user_id"] % 7 == 0 else rec
+
+        p = (
+            Pipeline()
+            .add_stage(
+                "whitelist",
+                lambda df: whitelist_tables(
+                    df, ["public.click", "public.purchase", "signup"]
+                ),
+            )
+            .add_record_stage("uppercase_table", upper_table)
+            .add_record_stage("drop_mod7_users", drop_mod7)
+        )
+        out = p.run(_cs(spark, sf))
+        return out.groupBy("table_name").agg(
+            F.count("*").alias("n"),
+            F.sum(_CENTS("value")).alias("sum_value_cents"),
+        )
+
     q.update(
         cs_count_stats=cs_count_stats,
         cs_since_id=cs_since_id,
@@ -251,6 +374,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cs_replay_dedup=cs_replay_dedup,
         cs_pk_collect=cs_pk_collect,
         cs_checksum=cs_checksum,
+        cs_audit_decode=cs_audit_decode,
+        cs_wal2json_decode=cs_wal2json_decode,
+        cs_pipeline_stages=cs_pipeline_stages,
     )
 
     # --- analytics over the star schema (bench anchors) ----------------
@@ -326,7 +452,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return joined.groupBy("n_name").agg(F.round(F.sum(rev), 2).alias("revenue"))
 
-    q.update(tpch_q1=tpch_q1, tpch_q3=tpch_q3, tpch_q5=tpch_q5)
+    def tpch_q4(spark, sf):
+        """Q4 shape (EXISTS → left-semi join); predicate adapted to the
+        testdata schema (no commit/receipt dates): orders having at least
+        one lineitem with discount > 0.08."""
+        orders = read_table(spark, sf, "orders").filter(
+            (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+        )
+        li = read_table(spark, sf, "lineitem").filter(F.col("l_discount") > 0.08)
+        return (
+            orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count"))
+        )
+
+    def tpch_q6(spark, sf):
+        li = read_table(spark, sf, "lineitem").filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        return li.agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+
+    q.update(
+        tpch_q1=tpch_q1, tpch_q3=tpch_q3, tpch_q4=tpch_q4, tpch_q5=tpch_q5, tpch_q6=tpch_q6
+    )
 
     # --- event-time analytics (windowed surface, SURVEY.md §2.8 ext) ----
     def events_hourly(spark, sf):
@@ -339,7 +496,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return sessionize(read_table(spark, sf, "events"), gap_minutes=30)
 
-    q.update(events_hourly=events_hourly, events_sessionize=events_sessionize)
+    def events_topk_users(spark, sf):
+        """Top-3 users by spend per event_type — grouped agg + rank
+        window (WindowGroupLimit pushes the top-k map-side)."""
+        ev = read_table(spark, sf, "events")
+        g = ev.groupBy("event_type", "user_id").agg(
+            F.sum(_CENTS("value")).alias("total_cents"),
+            F.count("*").alias("n_events"),
+        )
+        w = Window.partitionBy("event_type").orderBy(
+            F.col("total_cents").desc(), F.col("user_id").asc()
+        )
+        return (
+            g.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 3)
+        )
+
+    def events_user_running(spark, sf):
+        """Per-user running total (analytic window, event-time order)."""
+        ev = read_table(spark, sf, "events")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return ev.select(
+            "user_id",
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            F.sum(_CENTS("value")).over(w).alias("running_cents"),
+        )
+
+    def events_props_json(spark, sf):
+        """Schema-on-read over the raw-JSON `props` column (the P5
+        passthrough invariant: nested JSON stays text until queried)."""
+        ev = read_table(spark, sf, "events")
+        k = F.get_json_object("props", "$.k").cast("long")
+        return ev.groupBy("event_type").agg(
+            F.sum(k).alias("sum_k"),
+            F.max(k).alias("max_k"),
+            F.count(k).alias("n_with_k"),
+        )
+
+    q.update(
+        events_hourly=events_hourly,
+        events_sessionize=events_sessionize,
+        events_topk_users=events_topk_users,
+        events_user_running=events_user_running,
+        events_props_json=events_props_json,
+    )
 
     # --- text analysis --------------------------------------------------
     def _docs(spark, sf):
@@ -429,7 +634,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cos_sim",
         )
 
-    q.update(ann_topk=ann_topk, ann_ivf_topk=ann_ivf_topk)
+    def ann_lsh_pairs(spark, sf):
+        """Scale path for embedding near-dup: random-hyperplane LSH
+        signatures (deterministic md5-derived planes) banded 4×4 bits;
+        pairs = bucket co-membership. Exact-cosine verify happens
+        downstream on candidates only."""
+        from warp_pipe_spark.datapipe.similarity import hyperplane_lsh_pairs
+
+        return hyperplane_lsh_pairs(read_table(spark, sf, "embeddings"))
+
+    q.update(ann_topk=ann_topk, ann_ivf_topk=ann_ivf_topk, ann_lsh_pairs=ann_lsh_pairs)
 
     # --- multimodal plumbing (rows-only: binary/UDF path) ---------------
     def multimodal_features(spark, sf):
@@ -542,6 +756,37 @@ def oracle_sql() -> dict[str, str]:
     FROM hashed GROUP BY table_name
     """
 
+    o["cs_audit_decode"] = f"""
+    WITH {CHANGESETS_CTE}
+    SELECT id, lower(action) AS kind, table_name,
+           CASE WHEN action <> 'DELETE' THEN pk END AS pk,
+           CASE WHEN action <> 'DELETE' THEN user_id END AS user_id,
+           CASE WHEN action <> 'DELETE' THEN CAST(round(value * 100) AS BIGINT) END AS value_cents,
+           action <> 'INSERT' AS has_old
+    FROM changesets
+    """
+
+    o["cs_wal2json_decode"] = f"""
+    WITH {CHANGESETS_CTE}
+    SELECT id, lower(action) AS kind, table_name,
+           pk, user_id,
+           CAST(round(value * 100) AS BIGINT) AS value_cents,
+           CASE WHEN action <> 'INSERT' THEN pk END AS old_pk
+    FROM changesets
+    """
+
+    o["cs_pipeline_stages"] = f"""
+    WITH {CHANGESETS_CTE}
+    SELECT upper(table_name) AS table_name, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM changesets
+    WHERE ((schema_name = 'public' AND table_name = 'click')
+        OR (schema_name = 'public' AND table_name = 'purchase')
+        OR table_name = 'signup')
+      AND user_id % 7 <> 0
+    GROUP BY 1
+    """
+
     o["tpch_q1"] = """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
@@ -582,6 +827,26 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY n_name
     """
 
+    o["tpch_q4"] = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+    GROUP BY o_orderpriority
+    """
+
+    o["tpch_q6"] = """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """
+
     o["events_hourly"] = """
     SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS hour_ms,
            count(*) AS n_events,
@@ -609,6 +874,38 @@ def oracle_sql() -> dict[str, str]:
     SELECT user_id, session_seq, count(*) AS n_events,
            min(tms) AS start_ms, max(tms) AS end_ms
     FROM s GROUP BY user_id, session_seq
+    """
+
+    o["events_topk_users"] = """
+    WITH g AS (
+      SELECT event_type, user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY total_cents DESC, user_id ASC) AS rnk
+      FROM g
+    )
+    SELECT event_type, user_id, total_cents, n_events, CAST(rnk AS BIGINT) AS rank
+    FROM r WHERE rnk <= 3
+    """
+
+    o["events_user_running"] = """
+    SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+    FROM events
+    """
+
+    o["events_props_json"] = """
+    SELECT event_type,
+           CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+           max(json_extract_string(props, '$.k')::BIGINT) AS max_k,
+           count(json_extract_string(props, '$.k')::BIGINT) AS n_with_k
+    FROM events GROUP BY 1
     """
 
     o["text_token_stats"] = """
@@ -745,6 +1042,33 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, cos_sim
     FROM ranked WHERE rnk <= 5
+    """
+
+    # Random-hyperplane LSH: plane(i, d) = +1 if h32(i ':' d) is even
+    # else -1 (similarity.hyperplane_signatures); dot folds left-to-right
+    # like Spark's F.aggregate so the sign test is bit-identical.
+    _plane = (
+        "CASE WHEN ('0x' || substr(md5(concat({i}::VARCHAR, ':', (d-1)::VARCHAR)), 1, 8))::BIGINT % 2 = 0 "
+        "THEN 1.0 ELSE -1.0 END"
+    )
+    _dot = (
+        "list_reduce([v[d] * (" + _plane + ") FOR d IN range(1, len(v)+1)], "
+        "(acc, x) -> acc + x)"
+    )
+    _sig_terms = " + ".join(
+        f"(CASE WHEN ({_dot.format(i=i)}) > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        for i in range(16)
+    )
+    o["ann_lsh_pairs"] = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (SELECT vec_id, CAST({_sig_terms} AS BIGINT) AS sig FROM e),
+    bands AS (
+      SELECT vec_id, g.band, (sig >> (g.band * 4)) & 15 AS key
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) g
+    )
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
     """
 
     # ann_ivf_topk, multimodal_features: intentionally no oracle —

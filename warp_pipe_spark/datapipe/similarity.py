@@ -60,15 +60,20 @@ def hyperplane_signatures(embeddings: DataFrame, n_planes: int = 16) -> DataFram
     """Random-hyperplane LSH signature: bit i = sign(<v, r_i>) where r_i
     is a deterministic ±1 hyperplane derived from md5(i || dim) — no RNG,
     reproducible everywhere. Output (vec_id, sig LONG)."""
+    def _plane_fn(i: int):
+        # unary lambda on purpose: a 2-arg lambda would be interpreted by
+        # PySpark as (element, index) and `i` would silently become the
+        # array-index Column instead of the captured plane number.
+        return lambda d: F.when(
+            h32(F.concat_ws(":", F.lit(str(i)), d.cast("string"))) % 2 == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+
     dim_planes = []
     for i in range(n_planes):
         # ±1 pattern per dimension from the shared md5-derived hash
         plane = F.transform(
-            F.sequence(F.lit(0), F.size("embedding") - 1),
-            lambda d, i=i: F.when(
-                h32(F.concat_ws(":", F.lit(str(i)), d.cast("string"))) % 2 == 0,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
+            F.sequence(F.lit(0), F.size("embedding") - 1), _plane_fn(i)
         )
         dot = F.aggregate(
             F.zip_with(F.col("embedding"), plane, lambda x, r: x.cast("double") * r),
