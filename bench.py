@@ -25,9 +25,16 @@ HEADLINE = [
     "cs_replay_final_state",
     "cs_checksum",
     "cs_since_id",
+    "cs_audit_decode",
+    "cs_wal2json_decode",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q4",
     "tpch_q5",
+    "tpch_q6",
+    "events_hourly",
+    "events_topk_users",
+    "events_user_running",
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_simhash",
@@ -35,6 +42,7 @@ HEADLINE = [
     "text_quality",
     "text_fingerprints",
     "ann_topk",
+    "ann_lsh_pairs",
 ]
 
 

@@ -1,0 +1,95 @@
+"""Physical-plan audits: assert the scale-critical plan shapes hold so
+regressions that silently add shuffles / break pushdown / drop broadcast
+fail CI, not the 100 TB run.
+
+These inspect `explain("formatted")` output:
+  - Exchange nodes in the plan TREE = real shuffles (the node-details
+    section repeats the word, so only the tree is counted).
+  - PushedFilters / ReadSchema on the parquet scan prove predicate
+    pushdown and column pruning reached the source.
+  - WindowGroupLimit proves the rank-filter is applied map-side before
+    the shuffle (per-key top-k, not full-history exchange).
+"""
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entrymod.queries()
+
+
+def plan_of(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def tree_of(plan: str) -> str:
+    return plan.split("\n\n")[0]
+
+
+def n_exchanges(plan: str) -> int:
+    return len(re.findall(r"[+:]- Exchange", tree_of(plan)))
+
+
+def test_replay_is_single_shuffle_with_group_limit(spark, qs):
+    """README claim: replay/apply is ONE shuffle keyed by (table, pk),
+    with a map-side per-key top-1 (WindowGroupLimit) on both sides."""
+    p = plan_of(spark, qs["cs_replay_final_state"](spark, SF))
+    assert n_exchanges(p) == 1, tree_of(p)
+    assert tree_of(p).count("WindowGroupLimit") == 2, tree_of(p)
+
+
+def test_minhash_signatures_zero_shuffle(spark, qs):
+    p = plan_of(spark, qs["dedup_minhash_sig"](spark, SF))
+    assert n_exchanges(p) == 0, tree_of(p)
+
+
+def test_text_ops_zero_shuffle(spark, qs):
+    for name in ("text_quality", "text_langid", "text_fingerprints"):
+        p = plan_of(spark, qs[name](spark, SF))
+        assert n_exchanges(p) == 0, f"{name}:\n{tree_of(p)}"
+
+
+def test_tpch_q1_pushdown_and_pruning(spark, qs):
+    p = plan_of(spark, qs["tpch_q1"](spark, SF))
+    assert re.search(r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate", p), p
+    read_schemas = re.findall(r"ReadSchema: [^\n]*", p)
+    assert read_schemas and all("l_partkey" not in rs for rs in read_schemas)
+    # one shuffle: the groupBy (partial agg is map-side)
+    assert n_exchanges(p) == 1, tree_of(p)
+
+
+def test_tpch_q3_broadcasts_dims(spark, qs):
+    p = plan_of(spark, qs["tpch_q3"](spark, SF))
+    assert "BroadcastHashJoin" in tree_of(p), tree_of(p)
+    assert "SortMergeJoin" not in tree_of(p), tree_of(p)
+    assert re.search(r"PushedFilters: \[.*GreaterThan\(l_shipdate", p), p
+
+
+def test_tpch_q5_broadcasts_dims(spark, qs):
+    p = plan_of(spark, qs["tpch_q5"](spark, SF))
+    assert "BroadcastHashJoin" in tree_of(p), tree_of(p)
+    assert "SortMergeJoin" not in tree_of(p), tree_of(p)
+
+
+def test_topk_users_uses_window_group_limit(spark, qs):
+    p = plan_of(spark, qs["events_topk_users"](spark, SF))
+    assert "WindowGroupLimit" in tree_of(p), tree_of(p)
+
+
+def test_since_id_is_filter_plus_order_only(spark, qs):
+    """S3 ordered replay: a filter + the single range-partitioning
+    exchange the global `ORDER BY id` requires — nothing else. (The
+    reference's LIMIT/OFFSET pagination loop is replaced by this one
+    partitioned sort, SURVEY.md §2.1 S3.)"""
+    p = plan_of(spark, qs["cs_since_id"](spark, SF))
+    assert n_exchanges(p) <= 1, tree_of(p)
+    assert "Sort" in tree_of(p)

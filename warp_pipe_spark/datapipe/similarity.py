@@ -15,7 +15,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from warp_pipe_spark.datapipe.dedup import cosine
-from warp_pipe_spark.datapipe.text import h32
 
 
 def topk_cosine(
@@ -56,32 +55,46 @@ def topk_cosine(
     )
 
 
-def hyperplane_signatures(embeddings: DataFrame, n_planes: int = 16) -> DataFrame:
-    """Random-hyperplane LSH signature: bit i = sign(<v, r_i>) where r_i
-    is a deterministic ±1 hyperplane derived from md5(i || dim) — no RNG,
-    reproducible everywhere. Output (vec_id, sig LONG)."""
-    def _plane_fn(i: int):
-        # unary lambda on purpose: a 2-arg lambda would be interpreted by
-        # PySpark as (element, index) and `i` would silently become the
-        # array-index Column instead of the captured plane number.
-        return lambda d: F.when(
-            h32(F.concat_ws(":", F.lit(str(i)), d.cast("string"))) % 2 == 0,
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0))
+def plane_sign(i: int, d: int) -> float:
+    """Deterministic ±1 hyperplane component: +1 iff the 32-bit md5
+    prefix of "i:d" is even (the same h32 scheme the SQL oracles
+    replay). Pure function of (plane, dimension) — no RNG, reproducible
+    in any engine."""
+    import hashlib
 
+    h = int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:8], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
+def hyperplane_signatures(
+    embeddings: DataFrame, n_planes: int = 16, dim: int | None = None
+) -> DataFrame:
+    """Random-hyperplane LSH signature: bit i = sign(<v, r_i>) with r_i
+    the deterministic ±1 plane from `plane_sign`. Output (vec_id, sig).
+
+    The planes depend only on (i, d), so they are computed ONCE on the
+    driver and inlined as literal arrays — per-row work is just the
+    n_planes multiply-add folds (left-to-right, bit-identical to the
+    oracle's list_reduce). Deriving the md5s inside the expression cost
+    ~6 interpreted ops per element per plane for values that never
+    change across rows.
+    """
+    if dim is None:
+        dim = embeddings.select(F.size("embedding").alias("d")).first()["d"]
     dim_planes = []
     for i in range(n_planes):
-        # ±1 pattern per dimension from the shared md5-derived hash
-        plane = F.transform(
-            F.sequence(F.lit(0), F.size("embedding") - 1), _plane_fn(i)
-        )
+        plane = [plane_sign(i, d) for d in range(dim)]
         dot = F.aggregate(
-            F.zip_with(F.col("embedding"), plane, lambda x, r: x.cast("double") * r),
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(r) for r in plane]),
+                lambda x, r: x.cast("double") * r,
+            ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
         dim_planes.append(
-            F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+            F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
         )
     sig = dim_planes[0]
     for p in dim_planes[1:]:
