@@ -606,6 +606,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             read_table(spark, sf, "embeddings"), threshold=0.4
         )
 
+    def docs_clean_corpus(spark, sf):
+        """End-to-end training-data cleaning pass: keep the canonical
+        copy of each exact-duplicate group, drop near-duplicates
+        (n-gram Jaccard ≥ 0.6, higher doc_id loses), require quality
+        ≥ 0.6, and attach the predicted language. One composed plan:
+        two semi/anti joins + the quality/langid map stages."""
+        docs = _docs(spark, sf)
+        qual = quality_scores(docs).select(
+            "doc_id", "quality_score", F.col("n_tokens").cast("long").alias("n_tokens")
+        )
+        lid = lang_id(docs).select("doc_id", "pred_lang")
+        keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+        near = (
+            ngram_jaccard_pairs(docs, threshold=0.6)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        return (
+            docs.select("doc_id", "lang")
+            .join(qual, "doc_id")
+            .join(lid, "doc_id")
+            .join(keep, "doc_id", "left_semi")
+            .join(near, "doc_id", "left_anti")
+            .filter(F.col("quality_score") >= 0.6)
+        )
+
     q.update(
         dedup_exact=dedup_exact_q,
         dedup_minhash_sig=dedup_minhash_sig,
@@ -613,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_simhash=dedup_simhash_q,
         dedup_ngram_jaccard=dedup_ngram_jaccard_q,
         dedup_embedding=dedup_embedding_q,
+        docs_clean_corpus=docs_clean_corpus,
     )
 
     # --- similarity search ---------------------------------------------
@@ -1006,7 +1033,8 @@ def oracle_sql() -> dict[str, str]:
 
     o["dedup_ngram_jaccard"] = f"""
     WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh AS (SELECT doc_id, unnest(list_distinct({_SH3_SQL})) AS s FROM tok),
+    sh0 AS (SELECT doc_id, unnest(list_distinct({_SH3_SQL})) AS s0 FROM tok),
+    sh AS (SELECT doc_id, {_H60_SQL.format(x='s0')} AS s FROM sh0),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -1019,6 +1047,57 @@ def oracle_sql() -> dict[str, str]:
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.01
+    """
+
+    o["docs_clean_corpus"] = f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             length(text) AS n_chars,
+             len(list_filter(string_split(text, ' '), x -> x IN ('a','the'))) AS n_stop,
+             length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct
+      FROM documents
+    ),
+    qual AS (
+      SELECT doc_id, n_tok AS n_tokens,
+             round(
+               (CASE WHEN n_tok >= 20 AND n_tok <= 1000 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN round(n_stop::DOUBLE / n_tok, 6) <= 0.3 THEN 0.3 ELSE 0.0 END)
+             + (CASE WHEN round(n_punct::DOUBLE / n_chars, 6) <= 0.1 THEN 0.2 ELSE 0.0 END)
+             + (CASE WHEN round((n_chars - (n_tok - 1))::DOUBLE / n_tok, 6) >= 3.0 THEN 0.1 ELSE 0.0 END)
+             , 2) AS quality_score
+      FROM t
+    ),
+    lid AS (
+      SELECT doc_id,
+             {", ".join(f"{expr} AS score_{lg}" for lg, expr in _score_sql.items())}
+      FROM documents
+    ),
+    lpred AS (SELECT doc_id, {_case} AS pred_lang FROM lid),
+    keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh0 AS (SELECT doc_id, unnest(list_distinct({_SH3_SQL})) AS s0 FROM tok),
+    sh AS (SELECT doc_id, {_H60_SQL.format(x='s0')} AS s FROM sh0),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    near AS (
+      SELECT DISTINCT doc_b AS doc_id
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.6
+    )
+    SELECT d.doc_id, d.lang, q.quality_score, q.n_tokens, l.pred_lang
+    FROM documents d
+    JOIN qual q ON q.doc_id = d.doc_id
+    JOIN lpred l ON l.doc_id = d.doc_id
+    WHERE d.doc_id IN (SELECT doc_id FROM keepers)
+      AND d.doc_id NOT IN (SELECT doc_id FROM near)
+      AND q.quality_score >= 0.6
     """
 
     o["dedup_embedding"] = f"""

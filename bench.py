@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "docs_clean_corpus",
     "text_quality",
     "text_fingerprints",
     "ann_topk",
