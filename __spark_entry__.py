@@ -538,12 +538,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(k).alias("n_with_k"),
         )
 
+    def events_heavy_hitters(spark, sf):
+        """Top-20 spenders via the skew-safe path: two-stage salted
+        aggregation (hot keys spread over 16 sub-groups before the
+        merge) + TakeOrdered top-k (no global sort)."""
+        from warp_pipe_spark.skew import salted_agg, top_k
+
+        ev = read_table(spark, sf, "events").withColumn("cents", _CENTS("value"))
+        g = salted_agg(
+            ev,
+            ["user_id"],
+            {"total_cents": ("sum", "cents"), "n_events": ("count", None)},
+            n_salt=16,
+        )
+        return top_k(g, [F.col("total_cents").desc(), F.col("user_id").asc()], 20)
+
     q.update(
         events_hourly=events_hourly,
         events_sessionize=events_sessionize,
         events_topk_users=events_topk_users,
         events_user_running=events_user_running,
         events_props_json=events_props_json,
+        events_heavy_hitters=events_heavy_hitters,
     )
 
     # --- text analysis --------------------------------------------------
@@ -925,6 +941,14 @@ def oracle_sql() -> dict[str, str]:
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
     FROM events
+    """
+
+    o["events_heavy_hitters"] = """
+    SELECT user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    ORDER BY total_cents DESC, user_id ASC LIMIT 20
     """
 
     o["events_props_json"] = """

@@ -1,0 +1,100 @@
+"""Skew-salted aggregation correctness + the bucketed co-located join
+plan guarantee (zero exchanges on a bucket-aligned join)."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from warp_pipe_spark.io import read_table, write_bucketed
+from warp_pipe_spark.skew import salted_agg, top_k
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, df):
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def _tree(p):
+    return p.split("\n\n")[0]
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    ev = read_table(spark, SF, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    salted = salted_agg(
+        ev.withColumn("cents", cents),
+        ["user_id"],
+        {
+            "total_cents": ("sum", "cents"),
+            "n_events": ("count", None),
+            "max_cents": ("max", "cents"),
+        },
+        n_salt=8,
+    )
+    plain = ev.groupBy("user_id").agg(
+        F.sum(cents).alias("total_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(cents).alias("max_cents"),
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_agg_rejects_non_mergeable(spark):
+    ev = read_table(spark, SF, "events")
+    with pytest.raises(ValueError, match="non-mergeable"):
+        salted_agg(ev, ["user_id"], {"vals": ("collect_list", "value")})
+
+
+def test_top_k_compiles_to_take_ordered(spark):
+    ev = read_table(spark, SF, "events")
+    g = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    p = _plan(spark, top_k(g, [F.col("n").desc(), F.col("user_id")], 10))
+    assert "TakeOrderedAndProject" in p, _tree(p)
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join: orders ⋈ lineitem both bucketed by orderkey →
+    the join plan has ZERO Exchange nodes (broadcast disabled to force
+    the sort-merge path a 100 TB fact-fact join would take)."""
+    orders = read_table(spark, SF, "orders")
+    li = read_table(spark, SF, "lineitem")
+    write_bucketed(
+        orders, "b_orders", ["o_orderkey"], 8, path=str(tmp_path / "bo")
+    )
+    write_bucketed(
+        li, "b_lineitem", ["l_orderkey"], 8, path=str(tmp_path / "bl")
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = (
+            spark.table("b_orders")
+            .join(
+                spark.table("b_lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        p = _plan(spark, j)
+        tree = _tree(p)
+        join_part = tree.split("HashAggregate")[-1]  # below the agg: the join
+        assert "SortMergeJoin" in tree, tree
+        assert not re.search(r"[+:]- Exchange", join_part), tree
+        # and it still returns the right answer
+        got = {r["o_orderpriority"]: r["n"] for r in j.collect()}
+        want = {
+            r["o_orderpriority"]: r["n"]
+            for r in orders.join(li, orders.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

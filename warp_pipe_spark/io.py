@@ -124,6 +124,29 @@ changesets AS (
 """
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: "tuple[str, ...] | list[str]",
+    n_buckets: int = 32,
+    path: str | None = None,
+    sort_by: "tuple[str, ...] | list[str] | None" = None,
+) -> None:
+    """Persist `df` hash-bucketed by `keys` — the co-located-join
+    primitive. Two tables bucketed by the same key with the same bucket
+    count join with ZERO exchanges (each bucket pairs 1:1), which at
+    100 TB removes the dominant shuffle from repeated fact-to-fact
+    joins; `sort_by` additionally pre-sorts within buckets so the
+    sort-merge join skips its Sort. Asserted in tests/test_bucketing.py.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *keys)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 def changesets_as_audit_log(cs: DataFrame) -> DataFrame:
     """Typed changesets → faithful AUDIT_LOG_SCHEMA form: values as raw
     JSON strings (db/sql.go:14-24; NULL new_values for DELETE, NULL
