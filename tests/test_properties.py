@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis): operator invariants that must
+hold for ARBITRARY inputs, not just the driver's clean synthetic data.
+
+Each property batches all hypothesis examples into ONE DataFrame and a
+single Spark action — per-example Spark jobs would make shrinking
+unusably slow.
+"""
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from warp_pipe_spark.apply import replay
+from warp_pipe_spark.changeset import normalize_kind
+from warp_pipe_spark.datapipe.text import _tokens, shingles
+
+# text with realistic hazards: runs of spaces, tabs, newlines, empties
+_texts = st.text(
+    alphabet=st.sampled_from(list("ab x") + [" ", "\t", "\n"]),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(_texts, min_size=1, max_size=8), st.integers(2, 4))
+def test_shingles_equal_slice_spec_for_arbitrary_text(spark, texts, n):
+    """The fast regex path + fallbacks must equal the slice+concat_ws
+    SPEC (what the DuckDB oracles compute) for any input text."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    toks = _tokens(F.col("text"))
+    spec = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    bad = df.select(
+        "text", (shingles(F.col("text"), n) == spec).alias("eq")
+    ).filter(~F.col("eq"))
+    rows = bad.collect()
+    assert not rows, f"n={n} mismatches: {[r['text'] for r in rows]!r}"
+
+
+_kinds = st.one_of(
+    st.sampled_from(
+        ["INSERT", "insert", "Update", "UPDATE", "delete", "DELETE", "", "truncate", "bogus"]
+    ),
+    st.text(max_size=10),
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_kinds, min_size=1, max_size=20))
+def test_normalize_kind_matches_reference_enum(spark, kinds):
+    """changeset.go:21-33 semantics: case-insensitive member of
+    {insert, update, delete}, anything else -> empty string."""
+    df = spark.createDataFrame([(k,) for k in kinds], "k STRING")
+    got = [r["n"] for r in df.select(normalize_kind("k").alias("n")).collect()]
+    want = [
+        k.lower() if k.lower() in ("insert", "update", "delete") else ""
+        for k in kinds
+    ]
+    assert got == want
+
+
+_actions = st.sampled_from(["INSERT", "UPDATE", "DELETE"])
+
+
+@st.composite
+def _logs(draw):
+    n = draw(st.integers(1, 25))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i + 1,  # id: unique, increasing
+                draw(_actions),
+                "t",
+                draw(st.integers(0, 5)),  # pk: few keys -> real conflicts
+                draw(st.text(alphabet="xyz", min_size=0, max_size=3)),
+            )
+        )
+    return rows
+
+
+@settings(max_examples=15, deadline=None)
+@given(_logs())
+def test_replay_idempotent_under_duplicate_delivery(spark, rows):
+    """At-least-once tolerance (O4/A1-A3): replay(log ++ log) ==
+    replay(log), and the survivor per pk is the max-id non-DELETE."""
+    schema = "id LONG, action STRING, table_name STRING, pk LONG, val STRING"
+    log = spark.createDataFrame(rows, schema)
+    once = sorted(map(tuple, replay(log, ["pk"]).collect()))
+    twice = sorted(map(tuple, replay(log.unionByName(log), ["pk"]).collect()))
+    assert once == twice
+
+    # oracle in plain python: last writer wins, deletes tombstone
+    last = {}
+    for rid, action, _t, pk, val in sorted(rows):
+        last[pk] = (rid, action, val)
+    want = sorted(
+        (rid, action, "t", pk, val)
+        for pk, (rid, action, val) in last.items()
+        if action != "DELETE"
+    )
+    got = sorted(
+        (r["id"], r["action"], r["table_name"], r["pk"], r["val"])
+        for r in replay(log, ["pk"]).collect()
+    )
+    assert got == want

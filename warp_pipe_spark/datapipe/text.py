@@ -121,15 +121,27 @@ def shingles(text: Column, n: int) -> Column:
 
     Texts with fewer than n tokens yield the whole text as the single
     shingle (matching the slice-based semantics the DuckDB oracles
-    replay). Assumes single-space token separation, as produced by
-    `_tokens`; equality with the slice form is asserted in tests.
+    replay). The regex treats any whitespace as a separator while the
+    spec tokenizes on single spaces only, so texts with irregular
+    whitespace (runs of spaces, leading/trailing space, tabs/newlines)
+    take the exact slice-based path instead; equality with the slice
+    form for arbitrary input is property-tested (hypothesis).
     """
     toks = _tokens(text)
     pat = r"(?=(" + r"\S+ " * (n - 1) + r"\S+))\S+ ?"
     grams = F.filter(
         F.regexp_extract_all(text, F.lit(pat), 1), lambda s: s != ""
     )
-    return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(grams)
+    slice_form = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    irregular = text.rlike(r"  |^ | $|[^\S ]")
+    return (
+        F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks)))
+        .when(irregular, slice_form)
+        .otherwise(grams)
+    )
 
 
 def fingerprints(docs: DataFrame, n: int = 5) -> DataFrame:
