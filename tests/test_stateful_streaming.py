@@ -1,0 +1,64 @@
+"""applyInPandasWithState sessionization: state must persist across
+micro-batches and emit sessions exactly when the gap closes them."""
+
+import time
+
+import pytest
+
+from warp_pipe_spark.analytics import stateful_sessionize
+
+SCHEMA = "user_id LONG, ts_ms LONG, value DOUBLE"
+
+T0 = 1_700_000_000_000  # arbitrary epoch ms
+MIN = 60_000
+
+
+def _write(spark, rows, path):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_sessions_emitted_across_microbatches(spark, tmp_path):
+    drop = str(tmp_path / "drop")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: user 1 has two close events; user 2 one event
+    _write(spark, [(1, T0, 1.0), (1, T0 + 5 * MIN, 2.0), (2, T0, 5.0)], drop)
+    # batch 2 (separate file): user 1 returns 2h later -> closes session 1
+    _write(spark, [(1, T0 + 125 * MIN, 4.0)], drop)
+
+    from pyspark.sql import types as T
+
+    # the state store allocates one instance per shuffle partition per
+    # micro-batch; 2 keys don't need 8 — keeps the test fast. Baked
+    # into the checkpoint at first start, so set it before .start().
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+
+    stream = (
+        spark.readStream.schema(T.StructType.fromDDL(SCHEMA))
+        .option("maxFilesPerTrigger", 1)  # force one micro-batch per file
+        .parquet(drop)
+    )
+    q = (
+        # use_timeout=False: pending ProcessingTime timers would keep an
+        # availableNow query alive forever (empty timer micro-batches)
+        stateful_sessionize(stream, gap_minutes=30, use_timeout=False)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        terminated = q.awaitTermination(120)
+        assert terminated, "availableNow drain did not terminate"
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    rows = {
+        (r["user_id"], r["start_ms"], r["end_ms"], r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    # exactly ONE closed session: user 1's first (2 events, sum 3.0),
+    # closed by the event that arrived in the SECOND micro-batch.
+    assert rows == {(1, T0, T0 + 5 * MIN, 2, 3.0)}

@@ -66,6 +66,82 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id LONG, start_ms LONG, end_ms LONG, n_events LONG, sum_value DOUBLE"
+)
+_SESSION_STATE_SCHEMA = "start LONG, last LONG, n LONG, s DOUBLE"
+
+
+def stateful_sessionize(
+    stream: DataFrame, gap_minutes: int = 30, use_timeout: bool = True
+) -> DataFrame:
+    """Custom STATEFUL streaming operator (§2.8 extension):
+    applyInPandasWithState sessionization. Per-user session state
+    (start, last-seen, count, sum) lives in the state store across
+    micro-batches; a session is emitted when a later event arrives more
+    than `gap_minutes` after the last one, or — in continuous tailing
+    mode — when the processing-time timeout fires with no new events.
+
+    use_timeout: register a ProcessingTimeTimeout so idle sessions
+    flush. Leave True for continuous streams; set False for
+    availableNow drains — pending timers keep an availableNow query
+    triggering empty micro-batches, so it never terminates.
+
+    Input stream needs columns (user_id LONG, ts_ms LONG, value DOUBLE).
+    Scale: state is keyed by user (one shuffle); per-key state is O(1)
+    — four scalars — so the state store grows with |active users|, not
+    |events|. Arrow-batched like every Python boundary in this repo.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_ms = gap_minutes * 60 * 1000
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        cols = ["user_id", "start_ms", "end_ms", "n_events", "sum_value"]
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n, s = state.get
+            state.remove()
+            yield pd.DataFrame([(user_id, start, last, n, s)], columns=cols)
+            return
+        cur = tuple(state.get) if state.exists else None
+        closed = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts_ms")
+            for t, v in zip(pdf["ts_ms"], pdf["value"]):
+                t, v = int(t), float(v)
+                if cur is None:
+                    cur = (t, t, 1, v)
+                elif t - cur[1] > gap_ms:
+                    closed.append((user_id, *cur))
+                    cur = (t, t, 1, v)
+                else:
+                    cur = (cur[0], t, cur[2] + 1, cur[3] + v)
+        state.update(cur)
+        if use_timeout:
+            state.setTimeoutDuration(gap_ms)
+        if closed:
+            yield pd.DataFrame(closed, columns=cols)
+
+    return (
+        stream.select("user_id", "ts_ms", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if use_timeout
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
 def streaming_hourly(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming form of hourly_rollup with late-data handling: the
     watermark bounds state (windows older than max(event_time) -
