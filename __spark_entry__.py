@@ -1147,6 +1147,65 @@ def oracle_sql() -> dict[str, str]:
     FROM ranked WHERE rnk <= 5
     """
 
+    # IVF probing, fully replayed: deterministic centroids (every 50th
+    # vec_id, bounded), nearest-cell assignment, top-3 probed cells per
+    # query, exact cosine inside probed cells only.
+    def _fold2(expr: str, ref: str) -> str:
+        return (
+            f"list_reduce([{expr} FOR i IN range(1, len({ref})+1)], "
+            "(acc, x) -> acc + x)"
+        )
+
+    def _cos2(x: str, y: str) -> str:
+        return (
+            f"round(({_fold2(f'{x}[i] * {y}[i]', x)}) / "
+            f"(sqrt({_fold2(f'{x}[i] * {x}[i]', x)}) * "
+            f"sqrt({_fold2(f'{y}[i] * {y}[i]', y)})), 6)"
+        )
+
+    o["ann_ivf_topk"] = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
+             WHERE vec_id % 50 = 0 AND vec_id < 500),
+    scored AS (
+      SELECT a.vec_id, c.cent_id, {_cos2('a.v', 'c.cv')} AS csim
+      FROM e a CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cent_id ASC) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cent_id ASC) AS rn
+        FROM scored WHERE vec_id < 10) WHERE rn <= 3
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, t.vec_id AS neighbor_id
+      FROM probes p JOIN assign t ON t.cent_id = p.cent_id
+      WHERE t.vec_id <> p.query_id
+    ),
+    sims AS (
+      SELECT c.query_id, c.neighbor_id, {_cos2('q.v', 'n.v')} AS cos_sim
+      FROM cand c
+      JOIN e q ON q.vec_id = c.query_id
+      JOIN e n ON n.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, cos_sim
+    FROM ranked WHERE rnk <= 5
+    """
+
     # Random-hyperplane LSH: plane(i, d) = +1 if h32(i ':' d) is even
     # else -1 (similarity.hyperplane_signatures); dot folds left-to-right
     # like Spark's F.aggregate so the sign test is bit-identical.
@@ -1174,6 +1233,6 @@ def oracle_sql() -> dict[str, str]:
       ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
     """
 
-    # ann_ivf_topk, multimodal_features: intentionally no oracle —
-    # IVF probing and the binary-UDF path are checked rows-only.
+    # multimodal_features: intentionally no oracle — the binary-UDF
+    # decode path is checked rows-only (stubbed decode, real plumbing).
     return o

@@ -145,10 +145,15 @@ def ivf_topk_cosine(
 
     At scale: centroid assignment is a broadcast-join narrow stage;
     search touches n_probe/n_centroids of the data — the pruning is the
-    point. Output (query_id, neighbor_id, rank, cos_sim)."""
+    point. Output (query_id, neighbor_id, rank, cos_sim).
+
+    Centroid choice is fully deterministic (every `step`-th vec_id,
+    bounded, never a bare limit on an unordered scan) so the DuckDB
+    oracle can replay the probe decisions exactly."""
+    step = 50
     cents = embeddings.filter(
-        (F.col("vec_id") % F.lit(max(1, 500 // n_centroids)) == 0)
-    ).limit(n_centroids)
+        (F.col("vec_id") % step == 0) & (F.col("vec_id") < step * n_centroids)
+    )
     cent = cents.select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
     )
