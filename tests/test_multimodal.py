@@ -48,3 +48,20 @@ def test_frame_sample_counts(media):
     metas = {r["media_id"]: r["meta"]["duration_ms"] for r in media.collect()}
     for r in got:
         assert r["count"] == metas[r["media_id"]] // 1000 + 1
+
+
+def test_resize_caps_dims_preserving_aspect(spark, media):
+    from warp_pipe_spark.datapipe.multimodal import resize_media
+
+    with pytest.raises(NotImplementedError):
+        resize_media(media, fake=False)
+
+    out = {r["media_id"]: r for r in resize_media(media, 100, 100, fake=True).collect()}
+    src = {r["media_id"]: r for r in media.collect()}
+    for mid, r in out.items():
+        w, h = r["meta"]["width"], r["meta"]["height"]
+        assert w <= 100 and h <= 100
+        sw, sh = src[mid]["meta"]["width"], src[mid]["meta"]["height"]
+        if sw <= 100 and sh <= 100:  # no upscaling
+            assert (w, h) == (sw, sh)
+        assert bytes(r["content"]) == bytes(src[mid]["content"])  # stub passthrough

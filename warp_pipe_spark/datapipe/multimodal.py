@@ -115,6 +115,45 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     return media.mapInPandas(mapper, schema=FEATURES_SCHEMA)
 
 
+def resize_media(
+    media: DataFrame, max_width: int = 256, max_height: int = 256, fake: bool = False
+) -> DataFrame:
+    """Image-resize plumbing: recompute target dimensions (aspect-ratio
+    preserving, JVM-side arithmetic) and push the pixel work through the
+    same Arrow mapInPandas boundary as decode. The pixel transform is
+    the stubbed step (needs PIL); fake=True passes bytes through
+    untouched while exercising the full batch path with the resized
+    metadata — schema out == schema in (MEDIA_SCHEMA)."""
+    if not fake:
+        raise NotImplementedError(
+            "real resize needs PIL (not in container); call with fake=True "
+            "for the metadata-only pass-through"
+        )
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(float(max_width)) / F.col("meta.width"),
+        F.lit(float(max_height)) / F.col("meta.height"),
+    )
+    with_target = media.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.n_bytes"),
+            F.col("meta.mime"),
+            F.ceil(F.col("meta.width") * scale).cast("int").alias("width"),
+            F.ceil(F.col("meta.height") * scale).cast("int").alias("height"),
+            F.col("meta.duration_ms"),
+        ),
+    )
+
+    def mapper(batches):
+        for pdf in batches:
+            # stub: real impl decodes pdf["content"], resizes to the
+            # meta dims, re-encodes. Bytes pass through unchanged.
+            yield pdf
+
+    return with_target.mapInPandas(mapper, schema=MEDIA_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: expand each video row into frame
     timestamps (the decode of each frame is the stubbed step). Pure
