@@ -245,6 +245,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def cs_incremental_merge(spark, sf):  # A1-A3 micro-batch merge path
+        """The incremental apply the streaming sink runs per micro-batch
+        (merge_batch: upsert + delete-by-PK vs existing state), folded
+        over 3 INTERLEAVED id-slices — adversarially out-of-order
+        delivery. Tombstone retention makes the fold converge to the
+        one-shot replay for any batch partitioning (a dropped delete
+        would let a late lower-id insert resurrect the row); the oracle
+        IS the replay SQL."""
+        from warp_pipe_spark.apply import merge_batch
+
+        cs = _cs(spark, sf)
+        state = None
+        for k in range(3):
+            state = merge_batch(
+                state,
+                cs.filter(F.col("id") % 3 == k),
+                ["pk"],
+                table_col="table_name",
+                keep_tombstones=True,
+            )
+        state = state.filter(F.col("action") != "DELETE")
+        return state.select(
+            "table_name",
+            "pk",
+            "user_id",
+            "event_type",
+            _CENTS("value").alias("value_cents"),
+            F.col("id").alias("last_id"),
+        )
+
+    def cs_checksum_scalable(spark, sf):  # G3 scalable commutative digest
+        """The 100 TB checksum path: per-table SUM of 60-bit row hashes
+        in DECIMAL(38,0) — fully map-side-partial, no sort, no collect
+        (vs cs_checksum's order-normalized md5 chain, the wire-compat
+        small-table variant)."""
+        from warp_pipe_spark.verify import row_hash
+
+        final = _replay_final(spark, sf)
+        h60 = (
+            F.conv(
+                F.substring(
+                    row_hash(["pk", "user_id", "event_type", "value_cents"]), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("decimal(38,0)")
+            .alias("h")
+        )
+        return (
+            final.select("table_name", h60)
+            .groupBy("table_name")
+            .agg(F.count("h").alias("row_count"), F.sum("h").alias("digest_sum"))
+        )
+
     def cs_audit_decode(spark, sf):  # P5 audit decode + P7 map lookup
         """Typed log → audit-log JSON form (db/sql.go:14-24) → decode back
         via from_json MAP<STRING,STRING> (notify_listener.go:170-239),
@@ -377,6 +432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cs_audit_decode=cs_audit_decode,
         cs_wal2json_decode=cs_wal2json_decode,
         cs_pipeline_stages=cs_pipeline_stages,
+        cs_incremental_merge=cs_incremental_merge,
+        cs_checksum_scalable=cs_checksum_scalable,
     )
 
     # --- analytics over the star schema (bench anchors) ----------------
@@ -796,6 +853,33 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT table_name, count(h) AS row_count,
            md5(string_agg(h, '' ORDER BY h)) AS digest
+    FROM hashed GROUP BY table_name
+    """
+
+    o["cs_incremental_merge"] = _REPLAY_SQL
+
+    o["cs_checksum_scalable"] = f"""
+    WITH {CHANGESETS_CTE},
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY table_name, pk ORDER BY id DESC) AS rn
+      FROM changesets
+    ),
+    final AS (
+      SELECT table_name, pk, user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS value_cents
+      FROM ranked WHERE rn = 1 AND action <> 'DELETE'
+    ),
+    hashed AS (
+      SELECT table_name,
+             ('0x' || substr(md5(concat_ws('|',
+                 coalesce(pk::VARCHAR, '\\N'),
+                 coalesce(user_id::VARCHAR, '\\N'),
+                 coalesce(event_type, '\\N'),
+                 coalesce(value_cents::VARCHAR, '\\N'))), 1, 15))::BIGINT AS h
+      FROM final
+    )
+    SELECT table_name, count(h) AS row_count,
+           CAST(sum(h) AS DECIMAL(38,0)) AS digest_sum
     FROM hashed GROUP BY table_name
     """
 

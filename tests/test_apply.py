@@ -88,3 +88,39 @@ def test_merge_batch_idempotent(spark, canonical):
     a = sorted(map(tuple, s_full.select(*canonical.columns).collect()))
     b = sorted(map(tuple, s_again.select(*canonical.columns).collect()))
     assert a == b
+
+
+def test_out_of_order_merge_needs_tombstones(spark):
+    """A DELETE processed before a late lower-id INSERT must not let the
+    insert resurrect the row; tombstone retention converges to one-shot
+    replay for any batch split."""
+    from pyspark.sql import functions as F
+
+    from warp_pipe_spark.apply import merge_batch, replay
+
+    schema = "id LONG, action STRING, table_name STRING, pk LONG, val STRING"
+    rows = [
+        (1, "INSERT", "t", 1, "a"),
+        (2, "UPDATE", "t", 1, "a2"),
+        (3, "DELETE", "t", 1, "a2"),
+        (4, "INSERT", "t", 2, "b"),
+    ]
+    log = spark.createDataFrame(rows, schema)
+    want = sorted(map(tuple, replay(log, ["pk"]).collect()))
+
+    # adversarial order: the DELETE (id 3) lands in batch 0, the
+    # earlier INSERT/UPDATE in batch 1
+    state = None
+    for k in range(2):
+        batch = log.filter(F.col("id") % 2 == (k + 1) % 2)
+        state = merge_batch(state, batch, ["pk"], keep_tombstones=True)
+    got = sorted(map(tuple, state.filter(F.col("action") != "DELETE").collect()))
+    assert got == want == [(4, "INSERT", "t", 2, "b")]
+
+    # without tombstones the same split resurrects pk=1 (documents why
+    # keep_tombstones exists for out-of-order delivery)
+    state = None
+    for k in range(2):
+        batch = log.filter(F.col("id") % 2 == (k + 1) % 2)
+        state = merge_batch(state, batch, ["pk"])
+    assert sorted(r["pk"] for r in state.collect()) == [1, 2]

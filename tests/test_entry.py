@@ -32,7 +32,7 @@ def test_every_oracle_key_has_a_query():
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     assert set(os_) <= set(qs)
     # known rows-only exceptions documented in the entry module
-    assert set(qs) - set(os_) == {"ann_ivf_topk", "multimodal_features"}
+    assert set(qs) - set(os_) == {"multimodal_features"}
 
 
 @pytest.mark.parametrize("name", FAST_SUBSET)

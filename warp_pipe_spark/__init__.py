@@ -13,6 +13,8 @@ Reference parity map: see SURVEY.md §2 (operator ids S1..S12, P1..P9,
 A1..A8, G1..G4, O1..O4 cited throughout the modules).
 """
 
+from warp_pipe_spark.apply import merge_batch, replay
+from warp_pipe_spark.axon import Axon
 from warp_pipe_spark.changeset import (
     CHANGESET_SCHEMA,
     KIND_DELETE,
@@ -20,10 +22,14 @@ from warp_pipe_spark.changeset import (
     KIND_UPDATE,
     normalize_kind,
 )
+from warp_pipe_spark.decoders import decode_audit_values, decode_wal2json
 from warp_pipe_spark.filters import ignore_tables, table_match, whitelist_tables
 from warp_pipe_spark.pipeline import Pipeline
 from warp_pipe_spark.session import get_spark
+from warp_pipe_spark.skew import salted_agg, top_k
 from warp_pipe_spark.store import ChangesetStore
+from warp_pipe_spark.verify import table_digest, table_digest_scalable, verify_tables
+from warp_pipe_spark.warp_pipe import WarpPipe, WarpPipeConfig
 
 __all__ = [
     "CHANGESET_SCHEMA",
@@ -31,10 +37,22 @@ __all__ = [
     "KIND_UPDATE",
     "KIND_DELETE",
     "normalize_kind",
+    "decode_wal2json",
+    "decode_audit_values",
     "whitelist_tables",
     "ignore_tables",
     "table_match",
     "Pipeline",
     "ChangesetStore",
+    "replay",
+    "merge_batch",
+    "table_digest",
+    "table_digest_scalable",
+    "verify_tables",
+    "salted_agg",
+    "top_k",
+    "WarpPipe",
+    "WarpPipeConfig",
+    "Axon",
     "get_spark",
 ]

@@ -38,6 +38,7 @@ def replay(
     kind_col: str = "action",
     table_col: str | None = "table_name",
     delete_kinds: tuple[str, ...] = (KIND_DELETE, "DELETE"),
+    drop_deletes: bool = True,
 ) -> DataFrame:
     """Fold changesets (typed/decoded form: one column per field) into
     final state: last writer wins per PK, delete tombstones drop rows.
@@ -55,12 +56,14 @@ def replay(
     """
     parts = ([table_col] if table_col else []) + list(pk_cols)
     w = Window.partitionBy(*parts).orderBy(F.col(id_col).desc())
-    return (
+    folded = (
         changesets.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
-        .filter(~F.col(kind_col).isin(*delete_kinds))
     )
+    if drop_deletes:
+        folded = folded.filter(~F.col(kind_col).isin(*delete_kinds))
+    return folded
 
 
 def merge_batch(
@@ -70,6 +73,7 @@ def merge_batch(
     id_col: str = "id",
     kind_col: str = "action",
     table_col: str | None = "table_name",
+    keep_tombstones: bool = False,
 ) -> DataFrame:
     """Incremental MERGE: existing state + new changesets → new state.
 
@@ -78,9 +82,20 @@ def merge_batch(
     removes the row (A2's ON CONFLICT upsert + A3's DELETE-by-PK,
     axon_sql.go:77-122). Update-before-insert upserts a row, matching
     the reference's upsert-insert behavior (axon_sql.go:92-103).
+
+    keep_tombstones: retain DELETE rows in the state instead of
+    dropping them at each merge. With in-order micro-batches (the
+    streaming source's delivery order) tombstones are unnecessary;
+    under OUT-OF-ORDER delivery they are required — dropping a delete
+    immediately lets a late-arriving lower-id change resurrect the row.
+    With tombstones the fold converges to the one-shot replay for ANY
+    partitioning of the log into batches (strictly stronger than the
+    reference's ordered-stream assumption); filter the delete rows out
+    when publishing the final state.
     """
+    drop = not keep_tombstones
     if target_state is None:
-        return replay(batch, pk_cols, id_col, kind_col, table_col)
+        return replay(batch, pk_cols, id_col, kind_col, table_col, drop_deletes=drop)
     cols = batch.columns
     unioned = target_state.select(*cols).unionByName(batch.select(*cols))
-    return replay(unioned, pk_cols, id_col, kind_col, table_col)
+    return replay(unioned, pk_cols, id_col, kind_col, table_col, drop_deletes=drop)
