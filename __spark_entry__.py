@@ -745,10 +745,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q.update(ann_topk=ann_topk, ann_ivf_topk=ann_ivf_topk, ann_lsh_pairs=ann_lsh_pairs)
 
-    # --- multimodal plumbing (rows-only: binary/UDF path) ---------------
+    # --- multimodal plumbing (binary/UDF path) ---------------------------
     def multimodal_features(spark, sf):
+        """Binary media through the Arrow mapInPandas featurizer; the
+        deterministic fake decoder makes even the Python-UDF path
+        oracle-comparable (features flattened to scalar columns)."""
         media = media_from_documents(_docs(spark, sf))
-        return decode_media(media, fake=True)
+        feats = decode_media(media, fake=True)
+        return feats.select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            "content_md5",
+            *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
+        )
 
     q.update(multimodal_features=multimodal_features)
     return q
@@ -1317,6 +1327,20 @@ def oracle_sql() -> dict[str, str]:
       ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
     """
 
-    # multimodal_features: intentionally no oracle — the binary-UDF
-    # decode path is checked rows-only (stubbed decode, real plumbing).
+    # multimodal: the fake featurizer is pure md5 arithmetic, so even
+    # the Python-UDF decode path replays exactly (features are dyadic
+    # k/65536 doubles — no float rounding to disagree on).
+    _feat = ", ".join(
+        f"('0x' || substr(md5(text), {4 * i + 1}, 4))::BIGINT / 65536.0 AS f{i}"
+        for i in range(8)
+    )
+    o["multimodal_features"] = f"""
+    SELECT doc_id AS media_id,
+           CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           {_feat}
+    FROM documents
+    """
     return o

@@ -31,8 +31,8 @@ def test_entry_returns_rows(spark):
 def test_every_oracle_key_has_a_query():
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     assert set(os_) <= set(qs)
-    # known rows-only exceptions documented in the entry module
-    assert set(qs) - set(os_) == {"multimodal_features"}
+    # full coverage: every declared query is oracle-compared
+    assert set(qs) - set(os_) == set()
 
 
 @pytest.mark.parametrize("name", FAST_SUBSET)

@@ -49,7 +49,9 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("content_md5", T.StringType()),
-        T.StructField("features", T.ArrayType(T.FloatType())),
+        # doubles, exact dyadic fractions (k/65536): bit-identical in
+        # any engine, so the DuckDB oracle can replay the featurizer
+        T.StructField("features", T.ArrayType(T.DoubleType())),
     ]
 )
 
@@ -78,10 +80,15 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 
 
 def _fake_features(content: bytes) -> list[float]:
-    """Deterministic stand-in for a real image/audio featurizer: 8 floats
-    from the md5 digest, scaled to [0, 1)."""
+    """Deterministic stand-in for a real image/audio featurizer: 8
+    doubles from the md5 digest, scaled to [0, 1). k/65536 is an exact
+    binary fraction — no rounding, so any engine reproduces the value
+    bit-for-bit from the same md5."""
     d = hashlib.md5(content).digest()
-    return [round(int.from_bytes(d[2 * i : 2 * i + 2], "big") / 65536.0, 6) for i in range(FEATURE_DIM)]
+    return [
+        int.from_bytes(d[2 * i : 2 * i + 2], "big") / 65536.0
+        for i in range(FEATURE_DIM)
+    ]
 
 
 def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
