@@ -595,6 +595,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(k).alias("n_with_k"),
         )
 
+    def events_asof_lastchange(spark, sf):
+        """AS-OF JOIN (custom operator — Spark has none): for each
+        event, the latest UPDATE changeset for that user at-or-before
+        the event time ("what row version was visible at time T").
+        Union+window formulation: ONE shuffle keyed by user, linear in
+        |events|+|updates| — never the quadratic range-join plan. The
+        oracle replays it with DuckDB's native ASOF LEFT JOIN."""
+        from warp_pipe_spark.datapipe.temporal import asof_join
+
+        ev = read_table(spark, sf, "events").select("event_id", "user_id", "ts", "value")
+        upd = (
+            _cs(spark, sf)
+            .filter(F.col("action") == "UPDATE")
+            .groupBy("user_id", "ts")  # unique (key, ts): max-id row wins
+            .agg(
+                F.max("id").alias("last_update_id"),
+                F.max_by("value", "id").alias("_uval"),
+            )
+            .withColumn("last_update_cents", F.round(F.col("_uval") * 100, 0).cast("long"))
+        )
+        out = asof_join(
+            ev,
+            upd,
+            key="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            payload_cols=["last_update_id", "last_update_cents"],
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "last_update_id",
+            "last_update_cents",
+        )
+
+    def events_range_join(spark, sf):
+        """Bounded RANGE JOIN (custom operator): events falling inside
+        each UPDATE changeset's preceding 2-hour window, per user.
+        Implemented as a day-bucket equi-join + exact refine — the
+        exchange stays linear instead of the nested-loop a raw
+        inequality join forces."""
+        from warp_pipe_spark.datapipe.temporal import range_join_buckets
+
+        ev = read_table(spark, sf, "events").select(
+            "user_id", F.col("ts").alias("ev_ts"), "value"
+        )
+        upd = (
+            _cs(spark, sf)
+            .filter(F.col("action") == "UPDATE")
+            .select(
+                F.col("id").alias("update_id"),
+                "user_id",
+                (F.col("ts") - F.expr("INTERVAL 2 HOUR")).alias("win_start"),
+                F.col("ts").alias("win_end"),
+            )
+        )
+        joined = range_join_buckets(
+            ev, upd, key="user_id", left_ts="ev_ts",
+            right_start="win_start", right_end="win_end",
+        )
+        return joined.groupBy("update_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(_CENTS("value")).alias("sum_event_cents"),
+        )
+
     def events_heavy_hitters(spark, sf):
         """Top-20 spenders via the skew-safe path: two-stage salted
         aggregation (hot keys spread over 16 sub-groups before the
@@ -617,6 +683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_user_running=events_user_running,
         events_props_json=events_props_json,
         events_heavy_hitters=events_heavy_hitters,
+        events_asof_lastchange=events_asof_lastchange,
+        events_range_join=events_range_join,
     )
 
     # --- text analysis --------------------------------------------------
@@ -1043,6 +1111,36 @@ def oracle_sql() -> dict[str, str]:
            count(*) AS n_events
     FROM events GROUP BY user_id
     ORDER BY total_cents DESC, user_id ASC LIMIT 20
+    """
+
+    o["events_asof_lastchange"] = f"""
+    WITH {CHANGESETS_CTE},
+    upd AS (
+      SELECT user_id, ts,
+             max(id) AS last_update_id,
+             CAST(round(arg_max(value, id) * 100) AS BIGINT) AS last_update_cents
+      FROM changesets WHERE action = 'UPDATE'
+      GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
+           u.last_update_id, u.last_update_cents
+    FROM events e ASOF LEFT JOIN upd u
+      ON e.user_id = u.user_id AND e.ts >= u.ts
+    """
+
+    o["events_range_join"] = f"""
+    WITH {CHANGESETS_CTE},
+    upd AS (
+      SELECT id AS update_id, user_id,
+             ts - INTERVAL 2 HOUR AS win_start, ts AS win_end
+      FROM changesets WHERE action = 'UPDATE'
+    )
+    SELECT u.update_id, count(*) AS n_events,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_event_cents
+    FROM upd u JOIN events e
+      ON e.user_id = u.user_id
+     AND e.ts >= u.win_start AND e.ts <= u.win_end
+    GROUP BY u.update_id
     """
 
     o["events_props_json"] = """

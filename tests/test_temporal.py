@@ -1,0 +1,79 @@
+"""As-of join and bucketed range join: edge semantics on controlled
+fixtures — equal-timestamp matches, no-prior-row nulls, right-side tie
+break, and intervals crossing bucket (midnight) boundaries."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from warp_pipe_spark.datapipe.temporal import asof_join, range_join_buckets
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 1, ts("2024-01-01 10:00:00")),  # before any right row
+            (2, 1, ts("2024-01-01 12:00:00")),  # equal ts -> matches
+            (3, 1, ts("2024-01-01 15:00:00")),  # after both right rows
+            (4, 2, ts("2024-01-01 12:00:00")),  # other key
+        ],
+        "event_id LONG, user_id LONG, ts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 12:00:00"), 10, "a"),
+            (1, ts("2024-01-01 12:00:00"), 11, "b"),  # same ts, higher seq
+            (1, ts("2024-01-01 14:00:00"), 12, "c"),
+            (2, ts("2024-01-01 11:00:00"), 20, "z"),
+        ],
+        "user_id LONG, ts TIMESTAMP, seq LONG, tag STRING",
+    )
+    return left, right
+
+
+def test_asof_semantics(frames):
+    left, right = frames
+    out = {
+        r["event_id"]: (r["seq"], r["tag"])
+        for r in asof_join(
+            left, right, key="user_id", left_ts="ts", right_ts="ts",
+            payload_cols=["seq", "tag"], right_seq="seq",
+        ).collect()
+    }
+    assert out[1] == (None, None)  # nothing at-or-before 10:00
+    assert out[2] == (11, "b")  # equal ts matches; seq tie-break -> b
+    assert out[3] == (12, "c")  # latest prior
+    assert out[4] == (20, "z")  # per-key isolation
+
+
+def test_range_join_crosses_midnight(spark):
+    left = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 23:30:00"), 1.0),  # in window (day 1)
+            (1, ts("2024-01-02 00:30:00"), 2.0),  # in window (day 2)
+            (1, ts("2024-01-02 02:00:00"), 4.0),  # exactly at win_end
+            (1, ts("2024-01-02 02:00:01"), 8.0),  # just outside
+            (2, ts("2024-01-02 00:30:00"), 16.0),  # wrong key
+        ],
+        "user_id LONG, ev_ts TIMESTAMP, value DOUBLE",
+    )
+    right = spark.createDataFrame(
+        [(100, 1, ts("2024-01-01 23:00:00"), ts("2024-01-02 02:00:00"))],
+        "win_id LONG, user_id LONG, win_start TIMESTAMP, win_end TIMESTAMP",
+    )
+    got = (
+        range_join_buckets(
+            left, right, key="user_id", left_ts="ev_ts",
+            right_start="win_start", right_end="win_end",
+        )
+        .groupBy("win_id")
+        .agg(F.sum("value").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert [(r["win_id"], r["s"], r["n"]) for r in got] == [(100, 7.0, 3)]
