@@ -35,6 +35,8 @@ HEADLINE = [
     "events_hourly",
     "events_topk_users",
     "events_user_running",
+    "events_asof_lastchange",
+    "events_range_join",
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_simhash",

@@ -93,3 +93,12 @@ def test_since_id_is_filter_plus_order_only(spark, qs):
     p = plan_of(spark, qs["cs_since_id"](spark, SF))
     assert n_exchanges(p) <= 1, tree_of(p)
     assert "Sort" in tree_of(p)
+
+
+def test_temporal_joins_never_nested_loop(spark, qs):
+    """The whole point of the as-of/range-join formulations: no
+    BroadcastNestedLoopJoin / CartesianProduct anywhere in the plan."""
+    for name in ("events_asof_lastchange", "events_range_join"):
+        p = plan_of(spark, qs[name](spark, SF))
+        assert "BroadcastNestedLoopJoin" not in p, f"{name}:\n{tree_of(p)}"
+        assert "CartesianProduct" not in p, f"{name}:\n{tree_of(p)}"
