@@ -595,6 +595,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(k).alias("n_with_k"),
         )
 
+    def events_rollup(spark, sf):
+        """ROLLUP (grouping sets) over (event_type, day): per-day rows,
+        per-type subtotals, grand total — one Expand + one aggregation
+        in Spark, replayed by DuckDB's ROLLUP. grouping() flags
+        disambiguate NULL data from subtotal rows."""
+        ev = read_table(spark, sf, "events")
+        day = F.date_trunc("day", "ts")
+        return (
+            ev.select(F.col("event_type"), day.alias("day"), _CENTS("value").alias("cents"))
+            .rollup("event_type", "day")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("cents").alias("sum_cents"),
+                F.grouping("event_type").cast("long").alias("g_type"),
+                F.grouping("day").cast("long").alias("g_day"),
+            )
+            .select(
+                "event_type",
+                F.unix_millis("day").alias("day_ms"),
+                "n_events",
+                "sum_cents",
+                "g_type",
+                "g_day",
+            )
+        )
+
+    def events_daily_active(spark, sf):
+        """Exact per-day distinct users + event count: the two-stage
+        distinct aggregation shape (groupBy(day, user) partial, then
+        groupBy(day)) that scales where a naive global distinct
+        wouldn't."""
+        ev = read_table(spark, sf, "events")
+        day = F.date_trunc("day", "ts").alias("day")
+        per_user = ev.groupBy(day, "user_id").agg(F.count("*").alias("n"))
+        return (
+            per_user.groupBy("day")
+            .agg(
+                F.count("*").alias("active_users"),
+                F.sum("n").alias("n_events"),
+            )
+            .select(F.unix_millis("day").alias("day_ms"), "active_users", "n_events")
+        )
+
     def events_asof_lastchange(spark, sf):
         """AS-OF JOIN (custom operator — Spark has none): for each
         event, the latest UPDATE changeset for that user at-or-before
@@ -685,6 +728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_heavy_hitters=events_heavy_hitters,
         events_asof_lastchange=events_asof_lastchange,
         events_range_join=events_range_join,
+        events_rollup=events_rollup,
+        events_daily_active=events_daily_active,
     )
 
     # --- text analysis --------------------------------------------------
@@ -1111,6 +1156,24 @@ def oracle_sql() -> dict[str, str]:
            count(*) AS n_events
     FROM events GROUP BY user_id
     ORDER BY total_cents DESC, user_id ASC LIMIT 20
+    """
+
+    o["events_rollup"] = """
+    SELECT event_type,
+           epoch_ms(date_trunc('day', ts)) AS day_ms,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(CASE WHEN GROUPING(event_type) = 1 THEN 1 ELSE 0 END AS BIGINT) AS g_type,
+           CAST(CASE WHEN GROUPING(date_trunc('day', ts)) = 1 THEN 1 ELSE 0 END AS BIGINT) AS g_day
+    FROM events
+    GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+    """
+
+    o["events_daily_active"] = """
+    SELECT epoch_ms(date_trunc('day', ts)) AS day_ms,
+           count(DISTINCT user_id) AS active_users,
+           count(*) AS n_events
+    FROM events GROUP BY 1
     """
 
     o["events_asof_lastchange"] = f"""
