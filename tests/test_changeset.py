@@ -39,3 +39,46 @@ def test_column_value_first_match_and_missing(spark):
 def test_changeset_schema_shape():
     names = [f.name for f in CHANGESET_SCHEMA.fields]
     assert names == ["id", "kind", "schema", "table", "timestamp", "new_values", "old_values"]
+
+
+def test_to_reference_json_golden(spark):
+    """Exact wire shape of the reference's json.Marshal(Changeset)
+    (changeset.go:37-43 tags; Go zero-time for the LR path)."""
+    from warp_pipe_spark.changeset import to_reference_json
+    from warp_pipe_spark.decoders import decode_wal2json
+
+    msg = (
+        '{"change":[{"id":7,"kind":"INSERT","schema":"public","table":"users",'
+        '"columnnames":["id","name"],"columntypes":["bigint","text"],'
+        '"columnvalues":["1","alice"]}],"nextlsn":"0/DEADBEEF"}'
+    )
+    df = spark.createDataFrame([(msg,)], "message STRING")
+    out = to_reference_json(decode_wal2json(df)).collect()
+    assert [r["json"] for r in out] == [
+        '{"id":7,"kind":"insert","schema":"public","table":"users",'
+        '"timestamp":"0001-01-01T00:00:00Z",'
+        '"new_values":[{"column":"id","value":"1","type":"bigint"},'
+        '{"column":"name","value":"alice","type":"text"}],'
+        '"old_values":null}'
+    ]
+
+
+def test_config_from_env_and_log_level(spark, monkeypatch):
+    """config.go:53-75 parity: WP_ namespace preferred, bare fallback,
+    defaults lr/info; ParseLogLevel rejects unknown levels."""
+    import pytest as _pytest
+
+    from warp_pipe_spark.warp_pipe import WarpPipeConfig, parse_log_level
+
+    monkeypatch.setenv("WP_DB_HOST", "wp-host")
+    monkeypatch.setenv("DB_HOST", "bare-host")  # namespaced wins
+    monkeypatch.setenv("DB_PORT", "6432")  # bare fallback works
+    monkeypatch.setenv("WP_WHITELIST_TABLES", "public.users, pets")
+    cfg = WarpPipeConfig.from_env()
+    assert cfg.db_host == "wp-host"
+    assert cfg.db_port == 6432
+    assert cfg.whitelist_tables == ("public.users", "pets")
+    assert cfg.replication_mode == "lr" and cfg.log_level == "info"
+
+    with _pytest.raises(ValueError, match="invalid log level"):
+        parse_log_level("verbose")

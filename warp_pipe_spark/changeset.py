@@ -90,3 +90,38 @@ def to_json_lines(df) -> "Column | object":
     JSON strings; callers stream/collect/write it.
     """
     return df.select(F.to_json(F.struct(*df.columns)).alias("json"))
+
+
+def to_reference_json(df, timestamp_col: str | None = None):
+    """Wire-compatible `json.Marshal(Changeset)` output: the exact Go
+    field names and order (changeset.go:37-43 json tags — id, kind,
+    schema, table, timestamp, new_values, old_values) with
+    ChangesetColumn as {column, value, type} (changeset.go:78-80).
+
+    Go marshals a zero time.Time as "0001-01-01T00:00:00Z" — emitted
+    when `timestamp_col` is None (the wal2json decode carries no
+    timestamp, matching the reference's LR path). Nulls are kept
+    (`"old_values":null`), as encoding/json does. One divergence,
+    documented: our values are raw strings end-to-end (checksum
+    fidelity, §1.3), so numeric values serialize quoted.
+
+    Expects the normalized array form (decode_wal2json output).
+    Returns a 1-column DataFrame `json`.
+    """
+    ts = (
+        F.date_format(F.col(timestamp_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        if timestamp_col
+        else F.lit("0001-01-01T00:00:00Z")
+    )
+    payload = F.struct(
+        F.col("id").alias("id"),
+        F.col("kind").alias("kind"),
+        F.col("schema").alias("schema"),
+        F.col("table").alias("table"),
+        ts.alias("timestamp"),
+        F.col("new_values").alias("new_values"),
+        F.col("old_values").alias("old_values"),
+    )
+    return df.select(
+        F.to_json(payload, {"ignoreNullFields": "false"}).alias("json")
+    )

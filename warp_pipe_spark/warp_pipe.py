@@ -25,17 +25,82 @@ from warp_pipe_spark.store import ChangesetStore
 from warp_pipe_spark.streaming import changeset_stream
 
 
+LOG_LEVELS = ("debug", "info", "warn", "error", "fatal")
+
+
+def parse_log_level(level: str) -> str:
+    """config.go ParseLogLevel parity: the five logrus levels, error on
+    anything else (config_test.go:81-128)."""
+    if level not in LOG_LEVELS:
+        raise ValueError(f"invalid log level {level!r} (one of {LOG_LEVELS})")
+    return level
+
+
+def _env(name: str, default: str | None = None) -> str | None:
+    """envconfig.Process("wp", ...) lookup order: WP_<NAME> first, bare
+    <NAME> as fallback (config.go:53-69; config_test.go exercises both
+    namespaced and bare forms)."""
+    import os
+
+    v = os.environ.get(f"WP_{name}")
+    if v is None:
+        v = os.environ.get(name)
+    return v if v is not None else default
+
+
 @dataclass
 class WarpPipeConfig:
-    """Mirrors config.go:14-51 (WP_* env config) minus Postgres
-    connection detail, which lives in the source options."""
+    """Mirrors config.go:14-51 (WP_* env config). Postgres connection
+    fields are carried for JDBC sources; the file-based sources ignore
+    them."""
 
     whitelist_tables: Sequence[str] = field(default_factory=tuple)
     ignore_tables: Sequence[str] = field(default_factory=tuple)
+    replication_mode: str = "lr"
+    replication_slot_name: str | None = None
+    start_from_lsn: int | None = None
     start_from_id: int | None = None
     start_from_timestamp: str | None = None
+    log_level: str = "info"
+    db_host: str | None = None
+    db_port: int | None = None
+    db_user: str | None = None
+    db_pass: str | None = None
+    db_name: str | None = None
+    db_schema: str | None = None
     schema_col: str = "schema_name"
     table_col: str = "table_name"
+
+    @classmethod
+    def from_env(cls) -> "WarpPipeConfig":
+        """NewConfigFromEnv parity (config.go:53-75): WP_-namespaced env
+        vars with bare-name fallback; comma-separated table lists;
+        defaults REPLICATION_MODE=lr, LOG_LEVEL=info."""
+
+        def _list(name: str) -> tuple[str, ...]:
+            v = _env(name)
+            return tuple(s.strip() for s in v.split(",") if s.strip()) if v else ()
+
+        def _int(name: str) -> int | None:
+            v = _env(name)
+            return int(v) if v is not None else None
+
+        return cls(
+            whitelist_tables=_list("WHITELIST_TABLES"),
+            ignore_tables=_list("IGNORE_TABLES"),
+            replication_mode=_env("REPLICATION_MODE", "lr"),
+            replication_slot_name=_env("REPLICATION_SLOT_NAME"),
+            start_from_lsn=_int("START_FROM_LSN"),
+            start_from_id=_int("START_FROM_ID"),
+            start_from_timestamp=_env("START_FROM_TIMESTAMP"),
+            log_level=parse_log_level(_env("LOG_LEVEL", "info")),
+            db_host=_env("DB_HOST"),
+            db_port=_int("DB_PORT"),
+            db_user=_env("DB_USER"),
+            db_pass=_env("DB_PASS"),
+            db_name=_env("DB_NAME"),
+            db_schema=_env("DB_SCHEMA"),
+        )
 
 
 class WarpPipe:
