@@ -65,3 +65,27 @@ def test_axon_sequence_report(spark, log):
     state = ax.run_batch(log)
     rep = ax.sequence_report(state, ["pk", "id"])
     assert rep["pk"] == state.agg({"pk": "max"}).collect()[0][0]
+
+
+def test_axon_run_stream_converges_to_batch(spark, log, tmp_path):
+    """§3.3 end-to-end in streaming mode: drop-dir tail -> pipeline ->
+    merge sink; availableNow drain (A8) must converge to run_batch and
+    pass verify against it."""
+    drop = str(tmp_path / "drop")
+    log.coalesce(1).write.mode("append").parquet(drop)
+
+    ax = Axon(spark, pk_cols=["pk"])
+    q = ax.run_stream(
+        drop,
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        schema=log.schema,
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(str(tmp_path / "state"))
+    batch = ax.run_batch(log)
+    verdict = ax.verify(
+        batch, streamed, cols=["table_name", "pk", "user_id", "event_type"]
+    )
+    assert verdict and all(verdict.values())
