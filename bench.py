@@ -25,6 +25,8 @@ HEADLINE = [
     "cs_replay_final_state",
     "cs_checksum",
     "cs_since_id",
+    "cs_checksum_scalable",
+    "cs_pipeline_stages",
     "cs_audit_decode",
     "cs_wal2json_decode",
     "tpch_q1",
@@ -33,19 +35,29 @@ HEADLINE = [
     "tpch_q5",
     "tpch_q6",
     "events_hourly",
+    "events_sessionize",
+    "events_rollup",
+    "events_daily_active",
+    "events_props_json",
+    "events_heavy_hitters",
     "events_topk_users",
     "events_user_running",
     "events_asof_lastchange",
     "events_range_join",
     "dedup_exact",
+    "dedup_minhash_sig",
     "dedup_minhash_pairs",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "docs_clean_corpus",
     "text_quality",
     "text_fingerprints",
+    "text_token_stats",
+    "text_langid",
     "ann_topk",
+    "ann_ivf_topk",
     "ann_lsh_pairs",
+    "multimodal_features",
 ]
 
 
