@@ -33,3 +33,17 @@ def test_catalog_queries_mention_information_schema():
     assert "information_schema.tables" in tables_list_query(["public"])
     q = primary_keys_query(["public", "sales"])
     assert "PRIMARY KEY" in q and "'sales'" in q
+
+
+def test_version_gate_matches_reference():
+    """axon_schema.go:22-50: only 9.x with x<5 is rejected (ON CONFLICT
+    support boundary)."""
+    import pytest as _pytest
+
+    from warp_pipe_spark.jdbc import check_target_version
+
+    for ok in ("9.5", "9.6.24", "10.1", "11", "16.2"):
+        check_target_version(ok)
+    for bad in ("9.4", "9.4.26", "9.0"):
+        with _pytest.raises(ValueError, match="Unsupported Version"):
+            check_target_version(bad)

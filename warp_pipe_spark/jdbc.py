@@ -85,6 +85,18 @@ def poll_microbatch(
 
 # --- DDL text (S10/S11 setup/teardown; shapes per FIXTURES.md §2) ----------
 
+def check_target_version(server_version: str) -> None:
+    """A7 version gate (axon_schema.go:22-50): the MERGE-style upsert
+    needs Postgres ON CONFLICT, introduced in 9.5 — reject `9.x` with
+    x < 5. Callers feed the result of `SHOW server_version` from their
+    JDBC connection; raises ValueError on unsupported targets."""
+    parts = server_version.split(".")
+    major = int(parts[0])
+    minor = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else 0
+    if major == 9 and minor < 5:
+        raise ValueError(f"Target DB Unsupported Version: {server_version}")
+
+
 def setup_ddl(audit_schema: str = "warp_pipe") -> list[str]:
     """DDL a driver-side JDBC connection executes to provision the
     audit log: schema, changesets table, replay indexes. (The

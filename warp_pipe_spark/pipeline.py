@@ -127,16 +127,10 @@ def _run_record_stages(df: DataFrame, stages: list[_Stage]) -> DataFrame:
     def mapper(batches):
         import pandas as pd
 
-        def to_user(rec: dict) -> dict:
-            for c in map_cols:
-                v = rec.get(c)
-                if v is not None and not isinstance(v, dict):
-                    rec[c] = dict(v)
-            return rec
-
-        def from_user(rec: dict) -> dict:
-            # Spark 4's map serializer wants dicts (convert_map calls
-            # .items()); ensure non-dict forms are dicts again.
+        def fix_maps(rec: dict) -> dict:
+            # Arrow hands maps over as tuple lists; user code gets plain
+            # dicts, and Spark 4's map serializer wants dicts back
+            # (convert_map calls .items()).
             for c in map_cols:
                 v = rec.get(c)
                 if v is not None and not isinstance(v, dict):
@@ -145,8 +139,13 @@ def _run_record_stages(df: DataFrame, stages: list[_Stage]) -> DataFrame:
 
         for pdf in batches:
             out_rows = []
-            for raw in pdf.to_dict("records"):
-                rec = to_user(dict(raw))
+            # pdf.to_dict("records") yields dicts we own — mutate them
+            # in place; the single dict(rec) copy below is the pristine
+            # original kept for dead-lettering (a user fn may mutate its
+            # argument and THEN raise).
+            for rec in pdf.to_dict("records"):
+                if map_cols:
+                    fix_maps(rec)
                 err = None
                 cur: dict | None = dict(rec)
                 for name, fn in fns:
@@ -154,12 +153,14 @@ def _run_record_stages(df: DataFrame, stages: list[_Stage]) -> DataFrame:
                         cur = fn(cur)
                     except Exception:
                         err = f"stage {name!r}: {traceback.format_exc(limit=1)}"
-                        cur = dict(rec)  # dead-letter the original record
+                        cur = rec  # dead-letter the original record
                         break
                     if cur is None:
                         break  # dropped
                 if cur is not None:
-                    row = from_user({k: cur.get(k) for k in in_cols})
+                    row = {k: cur.get(k) for k in in_cols}
+                    if map_cols:
+                        fix_maps(row)
                     row[_ERROR_COL] = err
                     out_rows.append(row)
             if out_rows:  # yielding nothing is valid for all-dropped batches
