@@ -847,6 +847,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cos_sim",
         )
 
+    def dedup_embedding_lsh(spark, sf):
+        """The 100 TB near-dup path END-TO-END: hyperplane-LSH bucket
+        candidates (linear) verified by exact cosine (only on
+        candidates, never all-pairs). Complements dedup_embedding
+        (exact all-pairs baseline) — at scale only this shape runs."""
+        from warp_pipe_spark.datapipe.dedup import cosine
+        from warp_pipe_spark.datapipe.similarity import hyperplane_lsh_pairs
+
+        emb = read_table(spark, sf, "embeddings")
+        cand = hyperplane_lsh_pairs(emb)
+        a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+        b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+        sim = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+        return (
+            cand.join(a, "vec_a")
+            .join(b, "vec_b")
+            .select("vec_a", "vec_b", sim.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= 0.4)
+        )
+
     def ann_lsh_pairs(spark, sf):
         """Scale path for embedding near-dup: random-hyperplane LSH
         signatures (deterministic md5-derived planes) banded 4×4 bits;
@@ -856,7 +876,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return hyperplane_lsh_pairs(read_table(spark, sf, "embeddings"))
 
-    q.update(ann_topk=ann_topk, ann_ivf_topk=ann_ivf_topk, ann_lsh_pairs=ann_lsh_pairs)
+    q.update(
+        ann_topk=ann_topk,
+        ann_ivf_topk=ann_ivf_topk,
+        ann_lsh_pairs=ann_lsh_pairs,
+        dedup_embedding_lsh=dedup_embedding_lsh,
+    )
 
     # --- multimodal plumbing (binary/UDF path) ---------------------------
     def multimodal_features(spark, sf):
@@ -1486,6 +1511,25 @@ def oracle_sql() -> dict[str, str]:
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+    """
+
+    o["dedup_embedding_lsh"] = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (SELECT vec_id, CAST({_sig_terms} AS BIGINT) AS sig FROM e),
+    bands AS (
+      SELECT vec_id, g.band, (sig >> (g.band * 4)) & 15 AS key
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) g
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b, {_cos2('x.v', 'y.v')} AS cos_sim
+    FROM cand c
+    JOIN e x ON x.vec_id = c.vec_a
+    JOIN e y ON y.vec_id = c.vec_b
+    WHERE {_cos2('x.v', 'y.v')} >= 0.4
     """
 
     # multimodal: the fake featurizer is pure md5 arithmetic, so even

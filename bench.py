@@ -57,6 +57,7 @@ HEADLINE = [
     "ann_topk",
     "ann_ivf_topk",
     "ann_lsh_pairs",
+    "dedup_embedding_lsh",
     "multimodal_features",
 ]
 
