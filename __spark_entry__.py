@@ -852,14 +852,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         candidates (linear) verified by exact cosine (only on
         candidates, never all-pairs). Complements dedup_embedding
         (exact all-pairs baseline) — at scale only this shape runs."""
-        from warp_pipe_spark.datapipe.dedup import cosine
+        from warp_pipe_spark.datapipe.dedup import cosine_v
         from warp_pipe_spark.datapipe.similarity import hyperplane_lsh_pairs
 
         emb = read_table(spark, sf, "embeddings")
         cand = hyperplane_lsh_pairs(emb)
         a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
         b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-        sim = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+        sim = F.round(cosine_v(F.col("ea"), F.col("eb")), 6)
         return (
             cand.join(a, "vec_a")
             .join(b, "vec_b")

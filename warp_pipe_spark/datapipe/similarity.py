@@ -11,10 +11,12 @@ per-partition partial top-k; the IVF path prunes to probed cells first.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from warp_pipe_spark.datapipe.dedup import cosine
+from warp_pipe_spark.datapipe.dedup import cosine_v
 
 
 def topk_cosine(
@@ -42,7 +44,7 @@ def topk_cosine(
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6))
+        .withColumn("cos_sim", F.round(cosine_v(F.col("q_emb"), F.col("c_emb")), 6))
         .select("query_id", "neighbor_id", "cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -72,34 +74,31 @@ def hyperplane_signatures(
     """Random-hyperplane LSH signature: bit i = sign(<v, r_i>) with r_i
     the deterministic ±1 plane from `plane_sign`. Output (vec_id, sig).
 
-    The planes depend only on (i, d), so they are computed ONCE on the
-    driver and inlined as literal arrays — per-row work is just the
-    n_planes multiply-add folds (left-to-right, bit-identical to the
-    oracle's list_reduce). Deriving the md5s inside the expression cost
-    ~6 interpreted ops per element per plane for values that never
-    change across rows.
+    The planes depend only on (i, d): built ONCE on the driver and
+    closed over by an Arrow-batched pandas UDF that computes all
+    n_planes dots per batch as ONE float64 matmul (V @ R) and packs the
+    sign bits. Sign(dot) is what the oracle's sequential list_reduce
+    fold produces too — float64 matmul vs sequential fold can only
+    disagree within ~1e-12 of zero, and the synthetic embeddings keep
+    |dot| > 1e-5. Replaces n_planes interpreted aggregate/zip_with
+    folds (~2·n_planes·dim lambda invocations per row) with BLAS.
     """
+    from pyspark.sql.functions import pandas_udf
+
     if dim is None:
         dim = embeddings.select(F.size("embedding").alias("d")).first()["d"]
-    dim_planes = []
-    for i in range(n_planes):
-        plane = [plane_sign(i, d) for d in range(dim)]
-        dot = F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.array(*[F.lit(r) for r in plane]),
-                lambda x, r: x.cast("double") * r,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        dim_planes.append(
-            F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
-    sig = dim_planes[0]
-    for p in dim_planes[1:]:
-        sig = sig + p
-    return embeddings.select("vec_id", sig.alias("sig"))
+    planes = np.array(
+        [[plane_sign(i, d) for i in range(n_planes)] for d in range(dim)]
+    )
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("long")
+    def sig_udf(emb: pd.Series) -> pd.Series:
+        v = np.stack([np.asarray(e, dtype=np.float64) for e in emb])
+        bits = (v @ planes) > 0
+        return pd.Series(bits @ weights)
+
+    return embeddings.select("vec_id", sig_udf(F.col("embedding")).alias("sig"))
 
 
 def hyperplane_lsh_pairs(
@@ -159,7 +158,7 @@ def ivf_topk_cosine(
     )
     # nearest centroid per vector (rounded sim, centroid-id tie-break)
     scored = embeddings.crossJoin(F.broadcast(cent)).withColumn(
-        "csim", F.round(cosine(F.col("embedding"), F.col("cent_emb")), 6)
+        "csim", F.round(cosine_v(F.col("embedding"), F.col("cent_emb")), 6)
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id").asc())
     assign = (
@@ -177,7 +176,7 @@ def ivf_topk_cosine(
     cands = probes.join(assign, "cent_id").filter(
         F.col("query_id") != F.col("vec_id")
     )
-    sim = F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
+    sim = F.round(cosine_v(F.col("q_emb"), F.col("embedding")), 6)
     ranked = cands.select(
         "query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("cos_sim")
     ).dropDuplicates(["query_id", "neighbor_id"])
