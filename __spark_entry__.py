@@ -899,6 +899,172 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q.update(multimodal_features=multimodal_features)
+
+    # --- sketches, percentiles, wider TPC-H shapes ----------------------
+    def tpch_q7(spark, sf):
+        """Q7 shape (volume shipping): revenue between every distinct
+        (supplier-nation, customer-nation) pair by ship year. The two
+        nation-tagged dims broadcast; the fact table joins once each —
+        no shuffle of lineitem beyond the final pair/year aggregate."""
+        nation = read_table(spark, sf, "nation")
+        supp = read_table(spark, sf, "supplier")
+        cust = read_table(spark, sf, "customer")
+        orders = read_table(spark, sf, "orders")
+        li = read_table(spark, sf, "lineitem").filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        sn = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey).select(
+            "s_suppkey", F.col("n_name").alias("supp_nation")
+        )
+        cn = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).select(
+            "c_custkey", F.col("n_name").alias("cust_nation")
+        )
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        joined = (
+            li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+            .join(F.broadcast(cn), orders.o_custkey == cn.c_custkey)
+            .filter(F.col("supp_nation") != F.col("cust_nation"))
+        )
+        # per-row cents then BIGINT sum: order-independent, unlike
+        # round(sum(double), 2) which can land on a cent boundary when
+        # the two engines fold partitions in different orders.
+        rev_cents = F.round(rev * 100, 0).cast("long")
+        return joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        ).agg(F.sum(rev_cents).alias("revenue_cents"))
+
+    def tpch_q10(spark, sf):
+        """Q10 shape (returned-item reporting): top-20 customers by
+        returned revenue in a quarter. Deterministic top-k: orderBy
+        (revenue desc, c_custkey) → TakeOrderedAndProject, never a full
+        global sort at scale."""
+        orders = read_table(spark, sf, "orders").filter(
+            (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+        )
+        li = read_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+        cust = read_table(spark, sf, "customer")
+        nation = read_table(spark, sf, "nation")
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        j = (
+            li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        )
+        # per-row cents → BIGINT sum (order-independent), so the top-20
+        # cut can never flip on a float rounding boundary.
+        rev_cents = F.round(rev * 100, 0).cast("long")
+        g = j.groupBy(
+            "c_custkey", "c_name", _CENTS("c_acctbal").alias("acctbal_cents"), "n_name"
+        ).agg(F.sum(rev_cents).alias("revenue_cents"))
+        return g.orderBy(F.col("revenue_cents").desc(), F.col("c_custkey").asc()).limit(20)
+
+    def tpch_q14(spark, sf):
+        """Q14 shape (promotion effect): promo revenue share for one
+        ship month; part broadcast into the fact scan."""
+        li = read_table(spark, sf, "lineitem").filter(
+            (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+        )
+        part = read_table(spark, sf, "part")
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+        return j.agg(
+            F.round(100 * promo / F.sum(rev), 2).alias("promo_pct"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+
+    def tpch_q18(spark, sf):
+        """Q18 shape (large-volume orders): orders whose lineitems sum
+        past a quantity threshold, joined back to customer. The
+        post-aggregate survivor set is tiny → broadcast back into
+        orders (no orders-side shuffle)."""
+        li = read_table(spark, sf, "lineitem")
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("qty"))
+            .filter(F.col("qty") > 300)
+        )
+        orders = read_table(spark, sf, "orders")
+        cust = read_table(spark, sf, "customer")
+        j = orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey).join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+        return j.select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_ms"),
+            _CENTS("o_totalprice").alias("o_totalprice_cents"),
+            F.col("qty").cast("long").alias("sum_qty"),
+        )
+
+    def events_kmv_distinct(spark, sf):
+        """KMV (k-minimum-values) distinct-count sketch over user_id:
+        keep the k=64 smallest 60-bit hashes; estimate = (k-1)·2^60 /
+        kth_hash, or the exact count when fewer than k distinct hashes
+        exist (textbook small-cardinality branch). The k-smallest pass
+        is TakeOrderedAndProject — per-partition heaps merged on the
+        driver, never a global sort; the only shuffle carries distinct
+        8-byte hashes. The novel-sketch row of the §2 extension set."""
+        from warp_pipe_spark.datapipe.text import h60
+
+        k = 64
+        ev = read_table(spark, sf, "events")
+        kmv = (
+            ev.select(h60(F.col("user_id").cast("string")).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+        )
+        agg = kmv.agg(
+            F.count("*").cast("long").alias("k_actual"),
+            F.max("h").alias("kth_hash"),
+        )
+        exact = ev.agg(F.count_distinct("user_id").cast("long").alias("exact_distinct"))
+        est = F.when(
+            F.col("k_actual") < k, F.col("k_actual")
+        ).otherwise(
+            F.floor((F.lit(k) - 1) * F.pow(F.lit(2.0), 60) / F.col("kth_hash")).cast("long")
+        )
+        return agg.crossJoin(exact).select(
+            "k_actual", "kth_hash", est.cast("long").alias("est_distinct"), "exact_distinct"
+        )
+
+    def events_percentiles(spark, sf):
+        """Exact linear-interpolation percentiles (p50/p90/p99) of
+        cents-valued spend per event_type — the sort-based exact
+        quantile shape (percentile agg), grouped so each key's sort is
+        partition-local."""
+        ev = read_table(spark, sf, "events").select(
+            "event_type", _CENTS("value").alias("cents")
+        )
+        return ev.groupBy("event_type").agg(
+            F.expr("percentile(cents, 0.5)").alias("p50"),
+            F.expr("percentile(cents, 0.9)").alias("p90"),
+            F.expr("percentile(cents, 0.99)").alias("p99"),
+            F.count("*").cast("long").alias("n"),
+        )
+
+    def multimodal_frame_sample(spark, sf):
+        """Video frame-sampling plumbing (multimodal.frame_sample):
+        every video row expands to its 1s frame timestamps via a
+        Catalyst sequence-explode — distributed expansion, no driver
+        loop; the frame decode itself is the stubbed step."""
+        from warp_pipe_spark.datapipe.multimodal import frame_sample, media_from_documents
+
+        media = media_from_documents(_docs(spark, sf))
+        return frame_sample(media, every_ms=1000)
+
+    q.update(
+        tpch_q7=tpch_q7,
+        tpch_q10=tpch_q10,
+        tpch_q14=tpch_q14,
+        tpch_q18=tpch_q18,
+        events_kmv_distinct=events_kmv_distinct,
+        events_percentiles=events_percentiles,
+        multimodal_frame_sample=multimodal_frame_sample,
+    )
     return q
 
 
@@ -1547,5 +1713,93 @@ def oracle_sql() -> dict[str, str]:
            md5(text) AS content_md5,
            {_feat}
     FROM documents
+    """
+
+    # --- sketches, percentiles, wider TPC-H shapes ----------------------
+    o["tpch_q7"] = """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           EXTRACT(year FROM l_shipdate)::BIGINT AS l_year,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem, orders, supplier, customer, nation sn, nation cn
+    WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      AND o_custkey = c_custkey
+      AND s_nationkey = sn.n_nationkey AND c_nationkey = cn.n_nationkey
+      AND sn.n_name <> cn.n_name
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """
+
+    o["tpch_q10"] = """
+    SELECT c_custkey, c_name,
+           CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acctbal_cents,
+           n_name,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem, orders, customer, nation
+    WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      AND c_nationkey = n_nationkey
+      AND l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY 1, 2, 3, 4
+    ORDER BY revenue_cents DESC, c_custkey ASC
+    LIMIT 20
+    """
+
+    o["tpch_q14"] = """
+    SELECT round(100 * sum(CASE WHEN p_type = 'PROMO'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_pct,
+           count(*)::BIGINT AS n_items
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """
+
+    o["tpch_q18"] = """
+    SELECT c_custkey, c_name, o_orderkey,
+           epoch_ms(o_orderdate) AS o_orderdate_ms,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS o_totalprice_cents,
+           CAST(b.qty AS BIGINT) AS sum_qty
+    FROM (SELECT l_orderkey, sum(l_quantity) AS qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 300) b
+    JOIN orders ON o_orderkey = b.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """
+
+    o["events_kmv_distinct"] = f"""
+    WITH h AS (SELECT DISTINCT {_H60_SQL.format(x="user_id::VARCHAR")} AS h
+               FROM events),
+    k AS (SELECT h FROM h ORDER BY h LIMIT 64),
+    agg AS (SELECT count(*)::BIGINT AS k_actual, max(h) AS kth_hash FROM k),
+    ex AS (SELECT count(DISTINCT user_id)::BIGINT AS exact_distinct FROM events)
+    SELECT k_actual, kth_hash,
+           CAST(CASE WHEN k_actual < 64 THEN k_actual
+                ELSE floor(63 * pow(2, 60) / kth_hash) END AS BIGINT) AS est_distinct,
+           exact_distinct
+    FROM agg, ex
+    """
+
+    o["events_percentiles"] = """
+    SELECT event_type,
+           quantile_cont(cents, 0.5) AS p50,
+           quantile_cont(cents, 0.9) AS p90,
+           quantile_cont(cents, 0.99) AS p99,
+           count(*)::BIGINT AS n
+    FROM (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+          FROM events)
+    GROUP BY event_type
+    """
+
+    o["multimodal_frame_sample"] = """
+    SELECT doc_id AS media_id,
+           unnest(range(0, doc_id * 40 + 1000 + 1, 1000)) AS frame_ts_ms
+    FROM documents
+    WHERE doc_id % 3 = 2
     """
     return o

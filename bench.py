@@ -34,6 +34,10 @@ HEADLINE = [
     "tpch_q4",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
     "events_hourly",
     "events_sessionize",
     "events_rollup",
@@ -44,6 +48,8 @@ HEADLINE = [
     "events_user_running",
     "events_asof_lastchange",
     "events_range_join",
+    "events_kmv_distinct",
+    "events_percentiles",
     "dedup_exact",
     "dedup_minhash_sig",
     "dedup_minhash_pairs",
@@ -59,6 +65,7 @@ HEADLINE = [
     "ann_lsh_pairs",
     "dedup_embedding_lsh",
     "multimodal_features",
+    "multimodal_frame_sample",
 ]
 
 

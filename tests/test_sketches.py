@@ -1,0 +1,64 @@
+"""KMV distinct-count sketch, exact percentiles, and frame-sampling —
+the round-1 additions to the analytics surface (driver queries
+events_kmv_distinct / events_percentiles / multimodal_frame_sample)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from pyspark.sql import functions as F
+
+
+def test_kmv_small_cardinality_is_exact(spark, sf_dir):
+    # sf0.001 has fewer distinct users than k=64, so the sketch must
+    # fall back to the exact count (textbook KMV small-N branch).
+    row = entrymod.queries()["events_kmv_distinct"](spark, sf_dir).first()
+    assert row.k_actual == row.exact_distinct
+    assert row.est_distinct == row.exact_distinct
+    assert row.kth_hash > 0
+
+
+def test_kmv_estimates_when_saturated(spark, sf_dir):
+    # Force saturation with k << N by replaying the same shape inline
+    # at k=4: the estimate must be within a loose multiplicative band
+    # of the exact count (KMV error ~ 1/sqrt(k); band is generous).
+    from warp_pipe_spark.datapipe.text import h60
+    from warp_pipe_spark.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    k = 4
+    kmv = (
+        ev.select(h60(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    agg = kmv.agg(F.count("*").alias("k_actual"), F.max("h").alias("kth")).first()
+    exact = ev.select("user_id").distinct().count()
+    assert agg.k_actual == k
+    est = (k - 1) * 2.0**60 / agg.kth
+    assert exact / 6 <= est <= exact * 6
+
+
+def test_percentiles_monotonic_and_bounded(spark, sf_dir):
+    rows = entrymod.queries()["events_percentiles"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.p50 <= r.p90 <= r.p99
+        assert r.n > 0
+
+
+def test_frame_sample_counts_match_duration(spark, sf_dir):
+    # duration_ms = doc_id*40 + 1000 at 1s sampling → duration//1000 + 1
+    # frames, first at 0, last at the greatest multiple <= duration.
+    fs = entrymod.queries()["multimodal_frame_sample"](spark, sf_dir)
+    g = fs.groupBy("media_id").agg(
+        F.count("*").alias("n"), F.min("frame_ts_ms").alias("lo"), F.max("frame_ts_ms").alias("hi")
+    )
+    for r in g.collect():
+        dur = r.media_id * 40 + 1000
+        assert r.n == dur // 1000 + 1
+        assert r.lo == 0
+        assert r.hi == (dur // 1000) * 1000
+    # only videos (doc_id % 3 == 2) expand
+    ids = [r.media_id for r in fs.select("media_id").distinct().collect()]
+    assert ids and all(i % 3 == 2 for i in ids)
