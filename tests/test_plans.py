@@ -102,3 +102,28 @@ def test_temporal_joins_never_nested_loop(spark, qs):
         p = plan_of(spark, qs[name](spark, SF))
         assert "BroadcastNestedLoopJoin" not in p, f"{name}:\n{tree_of(p)}"
         assert "CartesianProduct" not in p, f"{name}:\n{tree_of(p)}"
+
+
+def test_new_tpch_shapes_broadcast_only(spark, qs):
+    """q7/q10/q14/q18: every join is a broadcast-hash join (dims and
+    post-agg survivor sets are small by construction) — a SortMergeJoin
+    here would shuffle the lineitem fact table."""
+    for name in ("tpch_q7", "tpch_q10", "tpch_q14", "tpch_q18"):
+        p = plan_of(spark, qs[name](spark, SF))
+        assert "BroadcastHashJoin" in tree_of(p), f"{name}:\n{tree_of(p)}"
+        assert "SortMergeJoin" not in tree_of(p), f"{name}:\n{tree_of(p)}"
+
+
+def test_kmv_uses_take_ordered_not_global_sort(spark, qs):
+    """The k-smallest pass must be TakeOrderedAndProject (per-partition
+    heaps merged on the driver), never a range-partitioned global sort."""
+    p = plan_of(spark, qs["events_kmv_distinct"](spark, SF))
+    assert "TakeOrderedAndProject" in p, tree_of(p)
+    assert "rangepartitioning" not in tree_of(p).lower(), tree_of(p)
+
+
+def test_frame_sample_zero_shuffle(spark, qs):
+    """Sequence-explode expansion is narrow: scan → generate, no
+    exchange anywhere."""
+    p = plan_of(spark, qs["multimodal_frame_sample"](spark, SF))
+    assert n_exchanges(p) == 0, tree_of(p)
