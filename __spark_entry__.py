@@ -1046,6 +1046,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count("*").cast("long").alias("n"),
         )
 
+    def dedup_clusters(spark, sf):
+        """Near-dup cluster assignment: connected components (iterative
+        min-label propagation, lineage cut per round via
+        localCheckpoint) over the MinHash-LSH candidate pairs;
+        cluster_id = min doc_id reachable. The 'keep one per cluster'
+        step of corpus dedup; the oracle replays it as a DuckDB
+        recursive CTE enumerating reachable ids."""
+        from warp_pipe_spark.datapipe.dedup import connected_components, minhash_lsh_pairs
+
+        return connected_components(minhash_lsh_pairs(_docs(spark, sf)))
+
+    def docs_hash_split(spark, sf):
+        """Deterministic train/val split, reported stratified by
+        source: split = 'val' iff h32(doc_id) % 10 == 0. No RNG, no
+        shuffle for the split decision itself — the same doc lands in
+        the same split on any engine, any partitioning, any rerun."""
+        from warp_pipe_spark.datapipe.text import h32
+
+        docs = _docs(spark, sf)
+        split = F.when(
+            h32(F.col("doc_id").cast("string")) % 10 == 0, F.lit("val")
+        ).otherwise(F.lit("train"))
+        return (
+            docs.select("source", split.alias("split"))
+            .groupBy("source", "split")
+            .agg(F.count("*").cast("long").alias("n_docs"))
+        )
+
+    def docs_source_mix(spark, sf):
+        """Corpus-composition stats per source (the mixing report every
+        training-data pipeline ends with): doc counts, token totals,
+        mean length, language spread. One map-side-combined groupBy."""
+        docs = _docs(spark, sf)
+        toks = F.size(F.split("text", " ")).cast("long")
+        return docs.groupBy("source").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(toks).alias("total_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.count_distinct("lang").cast("long").alias("n_langs"),
+        )
+
     def multimodal_frame_sample(spark, sf):
         """Video frame-sampling plumbing (multimodal.frame_sample):
         every video row expands to its 1s frame timestamps via a
@@ -1064,6 +1105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_kmv_distinct=events_kmv_distinct,
         events_percentiles=events_percentiles,
         multimodal_frame_sample=multimodal_frame_sample,
+        dedup_clusters=dedup_clusters,
+        docs_hash_split=docs_hash_split,
+        docs_source_mix=docs_source_mix,
     )
     return q
 
@@ -1794,6 +1838,40 @@ def oracle_sql() -> dict[str, str]:
     FROM (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
           FROM events)
     GROUP BY event_type
+    """
+
+    o["dedup_clusters"] = f"""
+    WITH RECURSIVE {_MINHASH_SIG_CTE},
+    bands AS ({_band_keys}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(node, x) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.x FROM edges e JOIN reach r ON e.b = r.node
+    )
+    SELECT node AS doc_id, min(x) AS cluster_id FROM reach GROUP BY node
+    """
+
+    o["docs_hash_split"] = f"""
+    SELECT source,
+           CASE WHEN {_H32_SQL.format(x="doc_id::VARCHAR")} % 10 = 0
+                THEN 'val' ELSE 'train' END AS split,
+           count(*)::BIGINT AS n_docs
+    FROM documents GROUP BY 1, 2
+    """
+
+    o["docs_source_mix"] = """
+    SELECT source, count(*)::BIGINT AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           round(avg(n_chars), 6) AS avg_chars,
+           count(DISTINCT lang)::BIGINT AS n_langs
+    FROM documents GROUP BY source
     """
 
     o["multimodal_frame_sample"] = """

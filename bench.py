@@ -55,7 +55,10 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_clusters",
     "docs_clean_corpus",
+    "docs_hash_split",
+    "docs_source_mix",
     "text_quality",
     "text_fingerprints",
     "text_token_stats",

@@ -99,3 +99,46 @@ def test_regex_shingles_match_slice_form(spark):
              == F.sort_array(F.array_distinct(ref))).alias("eq")
         ).filter(~F.col("eq"))
         assert bad.count() == 0, f"n={n} mismatch"
+
+
+def test_connected_components_small_graph(spark):
+    from warp_pipe_spark.datapipe.dedup import connected_components
+
+    # two components: {1,2,3,9} via chain, {5,7}; 11-12-13 chain merges late
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (3, 9), (5, 7), (12, 13), (11, 12)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5, 11: 11, 12: 11, 13: 11}
+
+
+def test_clusters_consistent_with_pairs(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    pairs = qs["dedup_minhash_pairs"](spark, sf_dir).collect()
+    clusters = {r.doc_id: r.cluster_id for r in qs["dedup_clusters"](spark, sf_dir).collect()}
+    # every paired doc got a cluster, and both ends share it
+    for p in pairs:
+        assert clusters[p.doc_a] == clusters[p.doc_b]
+    # cluster representative is the min member
+    by_cluster = {}
+    for d, c in clusters.items():
+        by_cluster.setdefault(c, []).append(d)
+    for c, members in by_cluster.items():
+        assert c == min(members)
+
+
+def test_hash_split_partition_of_corpus(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    from warp_pipe_spark.io import read_table
+
+    rows = entrymod.queries()["docs_hash_split"](spark, sf_dir).collect()
+    total = sum(r.n_docs for r in rows)
+    assert total == read_table(spark, sf_dir, "documents").count()
+    assert {r.split for r in rows} <= {"train", "val"}

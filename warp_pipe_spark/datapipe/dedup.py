@@ -238,6 +238,70 @@ def cosine(a: F.Column, b: F.Column) -> F.Column:
     return dot / (na * nb)
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected candidate-pair edge list
+    — the cluster-assignment step of corpus dedup ("keep one doc per
+    near-dup cluster"). Output (doc_id, cluster_id) with cluster_id =
+    min doc_id in the component; only nodes that appear in a pair are
+    returned (singletons are their own trivial cluster).
+
+    Iterative min-label propagation: each round joins labels to edges
+    (one shuffle keyed by node id, map-side min combine), takes the
+    elementwise min with the node's own label, and localCheckpoints so
+    the plan stays O(1) deep instead of growing with iterations. A
+    cheap changed-row probe stops the loop at convergence; rounds
+    needed = graph diameter, which for near-dup clusters (dense blobs
+    of mutually-similar docs) is a few hops. For adversarially long
+    chain graphs swap in the large-star/small-star variant — same
+    interface, same output."""
+    # materialize the edge list ONCE — its lineage is the whole
+    # candidate-generation pipeline (LSH bands etc.) and every loop
+    # round joins against it; without the checkpoint each round would
+    # re-run that pipeline from the scan.
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        updated = (
+            labels.alias("l")
+            .join(nbr_min.alias("p"), F.col("l.node") == F.col("p.src"), "left")
+            .select(
+                F.col("l.node").alias("node"),
+                F.least(
+                    F.col("l.lbl"), F.coalesce(F.col("p.nbr_lbl"), F.col("l.lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
 def cosine_v(a: F.Column, b: F.Column) -> F.Column:
     """Arrow-vectorized cosine: one float64 einsum per batch instead of
     three interpreted aggregate/zip_with folds per row (~6·dim lambda
