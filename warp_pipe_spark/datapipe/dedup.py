@@ -278,25 +278,22 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        # carry a changed flag through the same projection so the
+        # convergence probe is a filter on the materialized frame, not
+        # another join
+        new_lbl = F.least(F.col("l.lbl"), F.coalesce(F.col("p.nbr_lbl"), F.col("l.lbl")))
         updated = (
             labels.alias("l")
             .join(nbr_min.alias("p"), F.col("l.node") == F.col("p.src"), "left")
             .select(
                 F.col("l.node").alias("node"),
-                F.least(
-                    F.col("l.lbl"), F.coalesce(F.col("p.nbr_lbl"), F.col("l.lbl"))
-                ).alias("lbl"),
+                new_lbl.alias("lbl"),
+                (new_lbl < F.col("l.lbl")).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            updated.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.filter("chg").limit(1).count()
+        labels = updated.drop("chg")
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
