@@ -999,6 +999,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("qty").cast("long").alias("sum_qty"),
         )
 
+    def tpch_q13(spark, sf):
+        """Q13 shape (customer order-count distribution): LEFT OUTER
+        join so zero-order customers survive, then a two-level
+        aggregate. Both aggs partial map-side; the histogram is tiny."""
+        cust = read_table(spark, sf, "customer")
+        orders = read_table(spark, sf, "orders")
+        per_cust = (
+            cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("c_count"))
+        )
+        return per_cust.groupBy("c_count").agg(
+            F.count("*").cast("long").alias("custdist")
+        )
+
+    def tpch_q15(spark, sf):
+        """Q15 shape (top supplier): revenue per supplier for a
+        quarter, keep the argmax row(s). The max is a one-row broadcast
+        back into the per-supplier aggregate — no global sort."""
+        li = read_table(spark, sf, "lineitem").filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+        )
+        rev_cents = F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+        ).cast("long")
+        by_supp = li.groupBy("l_suppkey").agg(
+            F.sum(rev_cents).alias("total_rev_cents")
+        )
+        mx = by_supp.agg(F.max("total_rev_cents").alias("mx"))
+        supp = read_table(spark, sf, "supplier")
+        return (
+            by_supp.join(F.broadcast(mx), F.col("total_rev_cents") == F.col("mx"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "total_rev_cents")
+        )
+
     def events_kmv_distinct(spark, sf):
         """KMV (k-minimum-values) distinct-count sketch over user_id:
         keep the k=64 smallest 60-bit hashes; estimate = (k-1)·2^60 /
@@ -1100,7 +1136,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(
         tpch_q7=tpch_q7,
         tpch_q10=tpch_q10,
+        tpch_q13=tpch_q13,
         tpch_q14=tpch_q14,
+        tpch_q15=tpch_q15,
         tpch_q18=tpch_q18,
         events_kmv_distinct=events_kmv_distinct,
         events_percentiles=events_percentiles,
@@ -1814,6 +1852,29 @@ def oracle_sql() -> dict[str, str]:
           HAVING sum(l_quantity) > 300) b
     JOIN orders ON o_orderkey = b.l_orderkey
     JOIN customer ON c_custkey = o_custkey
+    """
+
+    o["tpch_q13"] = """
+    SELECT c_count, count(*)::BIGINT AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+          FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    """
+
+    o["tpch_q15"] = """
+    WITH r AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+                  AS BIGINT) AS total_rev_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev_cents
+    FROM r JOIN supplier ON s_suppkey = l_suppkey
+    WHERE total_rev_cents = (SELECT max(total_rev_cents) FROM r)
     """
 
     o["events_kmv_distinct"] = f"""

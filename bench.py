@@ -36,7 +36,9 @@ HEADLINE = [
     "tpch_q6",
     "tpch_q7",
     "tpch_q10",
+    "tpch_q13",
     "tpch_q14",
+    "tpch_q15",
     "tpch_q18",
     "events_hourly",
     "events_sessionize",
