@@ -1035,6 +1035,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("s_suppkey", "s_name", "total_rev_cents")
         )
 
+    def tpch_q19(spark, sf):
+        """Q19 shape (discounted revenue, disjunctive predicate):
+        brand/size/quantity OR-of-ANDs across the part join. The
+        per-table halves of the disjunction still push into each scan
+        (Catalyst splits them), part broadcasts."""
+        li = read_table(spark, sf, "lineitem")
+        part = read_table(spark, sf, "part")
+        j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        cond = (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size") <= 10)
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 20)
+        ) | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size") <= 20)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 30)
+        )
+        rev_cents = F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+        ).cast("long")
+        return j.filter(cond).agg(
+            F.sum(rev_cents).alias("revenue_cents"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+
+    def events_gaps(spark, sf):
+        """Inter-event gap stats per user (lag window, event-time
+        order): the session-analysis primitive. One shuffle keyed by
+        user; the lag and the aggregate share it."""
+        ev = read_table(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ts_ms = F.unix_millis("ts")
+        gap = ts_ms - F.lag(ts_ms).over(w)
+        return (
+            ev.select("user_id", gap.alias("gap_ms"))
+            .filter(F.col("gap_ms").isNotNull())
+            .groupBy("user_id")
+            .agg(
+                F.count("*").cast("long").alias("n_gaps"),
+                F.sum("gap_ms").alias("total_gap_ms"),
+                F.max("gap_ms").alias("max_gap_ms"),
+            )
+        )
+
     def events_kmv_distinct(spark, sf):
         """KMV (k-minimum-values) distinct-count sketch over user_id:
         keep the k=64 smallest 60-bit hashes; estimate = (k-1)·2^60 /
@@ -1140,6 +1186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tpch_q14=tpch_q14,
         tpch_q15=tpch_q15,
         tpch_q18=tpch_q18,
+        tpch_q19=tpch_q19,
+        events_gaps=events_gaps,
         events_kmv_distinct=events_kmv_distinct,
         events_percentiles=events_percentiles,
         multimodal_frame_sample=multimodal_frame_sample,
@@ -1875,6 +1923,32 @@ def oracle_sql() -> dict[str, str]:
     SELECT s_suppkey, s_name, total_rev_cents
     FROM r JOIN supplier ON s_suppkey = l_suppkey
     WHERE total_rev_cents = (SELECT max(total_rev_cents) FROM r)
+    """
+
+    o["tpch_q19"] = """
+    SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
+           count(*)::BIGINT AS n_items
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND ((p_brand = 'Brand#1' AND p_size <= 10
+            AND l_quantity BETWEEN 1 AND 20)
+        OR (p_brand = 'Brand#2' AND p_size <= 20
+            AND l_quantity BETWEEN 10 AND 30))
+    """
+
+    o["events_gaps"] = """
+    WITH g AS (
+      SELECT user_id,
+             epoch_ms(ts) - lag(epoch_ms(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+      FROM events
+    )
+    SELECT user_id, count(*)::BIGINT AS n_gaps,
+           CAST(sum(gap_ms) AS BIGINT) AS total_gap_ms,
+           max(gap_ms) AS max_gap_ms
+    FROM g WHERE gap_ms IS NOT NULL
+    GROUP BY user_id
     """
 
     o["events_kmv_distinct"] = f"""

@@ -40,6 +40,7 @@ HEADLINE = [
     "tpch_q14",
     "tpch_q15",
     "tpch_q18",
+    "tpch_q19",
     "events_hourly",
     "events_sessionize",
     "events_rollup",
@@ -50,6 +51,7 @@ HEADLINE = [
     "events_user_running",
     "events_asof_lastchange",
     "events_range_join",
+    "events_gaps",
     "events_kmv_distinct",
     "events_percentiles",
     "dedup_exact",

@@ -108,7 +108,7 @@ def test_new_tpch_shapes_broadcast_only(spark, qs):
     """q7/q10/q14/q18: every join is a broadcast-hash join (dims and
     post-agg survivor sets are small by construction) — a SortMergeJoin
     here would shuffle the lineitem fact table."""
-    for name in ("tpch_q7", "tpch_q10", "tpch_q14", "tpch_q15", "tpch_q18"):
+    for name in ("tpch_q7", "tpch_q10", "tpch_q14", "tpch_q15", "tpch_q18", "tpch_q19"):
         p = plan_of(spark, qs[name](spark, SF))
         assert "BroadcastHashJoin" in tree_of(p), f"{name}:\n{tree_of(p)}"
         assert "SortMergeJoin" not in tree_of(p), f"{name}:\n{tree_of(p)}"
