@@ -67,3 +67,38 @@ def test_incremental_restart_resumes_from_checkpoint(spark, dirs):
     sink = _run(spark, drop, state, ckpt)
     got = {(r["pk"], r["val"]) for r in sink.read_state().collect()}
     assert got == {(2, "b2"), (3, "c")}
+
+
+def test_dedup_stream_drops_redeliveries(spark, tmp_path):
+    """At-least-once redelivery (same changeset id in later files) is
+    collapsed to one row inside the watermark horizon."""
+    import datetime as dt
+
+    from warp_pipe_spark.streaming import dedup_stream
+
+    drop = str(tmp_path / "drop_dd")
+    schema = "id LONG, ts TIMESTAMP, action STRING, pk LONG"
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows1 = [(1, t0, "INSERT", 1), (2, t0, "INSERT", 2)]
+    # file 2 redelivers id=2 (restart replay) plus a new id=3
+    rows2 = [(2, t0, "INSERT", 2), (3, t0, "UPDATE", 1)]
+    for rows in (rows1, rows2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(drop)
+
+    from pyspark.sql import types as T
+
+    stream = changeset_stream(spark, drop, schema=T.StructType.fromDDL(schema))
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.id for r in spark.sql("SELECT id FROM dedup_out").collect()}
+    n = spark.sql("SELECT count(*) AS n FROM dedup_out").first().n
+    assert got == {1, 2, 3}
+    assert n == 3
