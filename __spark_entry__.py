@@ -1169,6 +1169,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count_distinct("lang").cast("long").alias("n_langs"),
         )
 
+    def docs_contamination(spark, sf):
+        """Benchmark decontamination: for each eval doc (doc_id < 50),
+        the fraction of its distinct 5-gram shingles that appear
+        anywhere in the training split (doc_id >= 50). The 100 TB
+        shape: both sides reduce to distinct 60-bit shingle hashes, the
+        train side is a semi-join build set — no text ever shuffles."""
+        from warp_pipe_spark.datapipe.text import h60, shingles
+
+        docs = _docs(spark, sf)
+        sh = lambda d: d.select(  # noqa: E731
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(shingles(F.col("text"), 5), lambda s: h60(s))
+                )
+            ).alias("h"),
+        )
+        esh = sh(docs.filter(F.col("doc_id") < 50))
+        tsh = sh(docs.filter(F.col("doc_id") >= 50)).select("h").distinct()
+        base = esh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+        hit = (
+            esh.join(tsh, "h", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_hit"))
+        )
+        n_hit = F.coalesce(F.col("n_hit"), F.lit(0)).cast("long")
+        return base.join(hit, "doc_id", "left").select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            n_hit.alias("n_hit"),
+            F.round(n_hit / F.col("n_shingles"), 6).alias("contamination"),
+        )
+
     def multimodal_frame_sample(spark, sf):
         """Video frame-sampling plumbing (multimodal.frame_sample):
         every video row expands to its 1s frame timestamps via a
@@ -1194,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_clusters=dedup_clusters,
         docs_hash_split=docs_hash_split,
         docs_source_mix=docs_source_mix,
+        docs_contamination=docs_contamination,
     )
     return q
 
@@ -2007,6 +2041,23 @@ def oracle_sql() -> dict[str, str]:
            round(avg(n_chars), 6) AS avg_chars,
            count(DISTINCT lang)::BIGINT AS n_langs
     FROM documents GROUP BY source
+    """
+
+    o["docs_contamination"] = f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    esh AS (SELECT doc_id,
+                   unnest(list_distinct([{_H60_SQL.format(x="s")} FOR s IN {_SH5_SQL}])) AS h
+            FROM tok WHERE doc_id < 50),
+    tsh AS (SELECT DISTINCT
+                   unnest(list_distinct([{_H60_SQL.format(x="s")} FOR s IN {_SH5_SQL}])) AS h
+            FROM tok WHERE doc_id >= 50),
+    base AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM esh GROUP BY doc_id),
+    hit AS (SELECT doc_id, count(*)::BIGINT AS n_hit
+            FROM esh WHERE h IN (SELECT h FROM tsh) GROUP BY doc_id)
+    SELECT b.doc_id, b.n_shingles,
+           coalesce(hit.n_hit, 0)::BIGINT AS n_hit,
+           round(coalesce(hit.n_hit, 0)::DOUBLE / b.n_shingles, 6) AS contamination
+    FROM base b LEFT JOIN hit USING (doc_id)
     """
 
     o["multimodal_frame_sample"] = """

@@ -62,6 +62,7 @@ HEADLINE = [
     "dedup_clusters",
     "docs_clean_corpus",
     "docs_hash_split",
+    "docs_contamination",
     "docs_source_mix",
     "text_quality",
     "text_fingerprints",
