@@ -442,13 +442,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("l_shipdate") <= "1998-09-02"
         )
         disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        # money as per-row cents → BIGINT sums (order-independent;
+        # round(sum(double),2) can flip a cent when the engines fold
+        # partitions differently — tpch_q7 hit exactly that). Quantity
+        # sums are integral doubles, exact at any fold order.
         return (
             li.groupBy("l_returnflag", "l_linestatus")
             .agg(
-                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-                F.round(F.sum(disc), 2).alias("sum_disc_price"),
-                F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+                F.sum("l_quantity").cast("long").alias("sum_qty"),
+                F.sum(_CENTS("l_extendedprice")).alias("sum_base_price_cents"),
+                F.sum(F.round(disc * 100, 0).cast("long")).alias("sum_disc_price_cents"),
+                F.sum(
+                    F.round(disc * (1 + F.col("l_tax")) * 100, 0).cast("long")
+                ).alias("sum_charge_cents"),
                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
                 F.count("*").alias("count_order"),
@@ -507,7 +513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 & (cust.c_nationkey == dims.n_nationkey),
             )
         )
-        return joined.groupBy("n_name").agg(F.round(F.sum(rev), 2).alias("revenue"))
+        rev_cents = F.round(rev * 100, 0).cast("long")
+        return joined.groupBy("n_name").agg(F.sum(rev_cents).alias("revenue_cents"))
 
     def tpch_q4(spark, sf):
         """Q4 shape (EXISTS → left-semi join); predicate adapted to the
@@ -531,10 +538,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
+        rev_cents = F.round(
+            F.col("l_extendedprice") * F.col("l_discount") * 100, 0
+        ).cast("long")
         return li.agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            F.sum(rev_cents).alias("revenue_cents"),
             F.count("*").alias("n_items"),
         )
 
@@ -1394,10 +1402,13 @@ def oracle_sql() -> dict[str, str]:
 
     o["tpch_q1"] = """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS sum_base_price_cents,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+                AS BIGINT) AS sum_disc_price_cents,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0)
+                         AS BIGINT)) AS BIGINT) AS sum_charge_cents,
            round(avg(l_quantity), 4) AS avg_qty,
            round(avg(l_discount), 6) AS avg_disc,
            count(*) AS count_order
@@ -1421,7 +1432,8 @@ def oracle_sql() -> dict[str, str]:
 
     o["tpch_q5"] = """
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+                AS BIGINT) AS revenue_cents
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -1443,7 +1455,8 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["tpch_q6"] = """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100, 0) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
