@@ -127,3 +127,11 @@ def test_frame_sample_zero_shuffle(spark, qs):
     exchange anywhere."""
     p = plan_of(spark, qs["multimodal_frame_sample"](spark, SF))
     assert n_exchanges(p) == 0, tree_of(p)
+
+
+def test_events_gaps_single_shuffle(spark, qs):
+    """The lag window and the per-user aggregate must share ONE
+    user-keyed exchange — a second shuffle would double the I/O of the
+    most common session-analysis primitive."""
+    p = plan_of(spark, qs["events_gaps"](spark, SF))
+    assert n_exchanges(p) == 1, tree_of(p)
