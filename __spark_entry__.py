@@ -297,7 +297,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (
             final.select("table_name", h60)
             .groupBy("table_name")
-            .agg(F.count("h").alias("row_count"), F.sum("h").alias("digest_sum"))
+            .agg(
+                F.count("h").alias("row_count"),
+                # STRING surface: DECIMAL(38,0) vs DuckDB HUGEINT render
+                # identically as digit strings, so the digest is portable
+                # across engines/drivers regardless of decimal normalization.
+                F.sum("h").cast("string").alias("digest_sum"),
+            )
         )
 
     def cs_audit_decode(spark, sf):  # P5 audit decode + P7 map lookup
@@ -472,21 +478,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("l_shipdate") > "1998-01-01"
         )
         rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        joined = li.join(
-            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
-            li.l_orderkey == orders.o_orderkey,
+        # customer and the loosely-filtered orders slice both scale with
+        # SF — no forced broadcast; AQE picks broadcast at small SF and
+        # falls back to shuffle joins at scale instead of OOMing.
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+            cust, orders.o_custkey == cust.c_custkey
         )
+        # per-row cents → BIGINT sum: fold-order independent, so the
+        # top-10 cut can never flip on a float cent boundary.
+        rev_cents = F.round(rev * 100, 0).cast("long")
         return (
             joined.groupBy("l_orderkey", "o_orderdate")
-            .agg(F.round(F.sum(rev), 2).alias("revenue"))
+            .agg(F.sum(rev_cents).alias("revenue_cents"))
             .select(
                 "l_orderkey",
                 F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
                     "o_orderdate_ms"
                 ),
-                "revenue",
+                "revenue_cents",
             )
-            .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+            .orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey").asc())
             .limit(10)
         )
 
@@ -500,15 +511,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         li = read_table(spark, sf, "lineitem")
         rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        # Only region (O(1) rows) gets a forced broadcast; supplier-tagged
+        # dims, the 2-year orders slice, and customer all scale with SF —
+        # AQE decides broadcast-vs-shuffle from runtime sizes.
         dims = (
             nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
             .join(supp, nation.n_nationkey == supp.s_nationkey)
         )
         joined = (
-            li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(dims, li.l_suppkey == dims.s_suppkey)
             .join(
-                F.broadcast(cust),
+                cust,
                 (orders.o_custkey == cust.c_custkey)
                 & (cust.c_nationkey == dims.n_nationkey),
             )
@@ -911,9 +925,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- sketches, percentiles, wider TPC-H shapes ----------------------
     def tpch_q7(spark, sf):
         """Q7 shape (volume shipping): revenue between every distinct
-        (supplier-nation, customer-nation) pair by ship year. The two
-        nation-tagged dims broadcast; the fact table joins once each —
-        no shuffle of lineitem beyond the final pair/year aggregate."""
+        (supplier-nation, customer-nation) pair by ship year. Only the
+        O(1) nation table is broadcast-hinted; supplier/customer/orders
+        scale with SF, so AQE chooses their join strategy from runtime
+        sizes (broadcast at small SF, shuffle at 100 TB)."""
         nation = read_table(spark, sf, "nation")
         supp = read_table(spark, sf, "supplier")
         cust = read_table(spark, sf, "customer")
@@ -929,9 +944,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
         joined = (
-            li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
-            .join(F.broadcast(cn), orders.o_custkey == cn.c_custkey)
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(sn, li.l_suppkey == sn.s_suppkey)
+            .join(cn, orders.o_custkey == cn.c_custkey)
             .filter(F.col("supp_nation") != F.col("cust_nation"))
         )
         # per-row cents then BIGINT sum: order-independent, unlike
@@ -954,9 +969,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cust = read_table(spark, sf, "customer")
         nation = read_table(spark, sf, "nation")
         rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        # one-quarter orders slice is broadcast-safe at any SF fraction of
+        # the year; customer is unfiltered and scales with SF → no hint.
         j = (
             li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
             .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         )
         # per-row cents → BIGINT sum (order-independent), so the top-20
@@ -976,9 +993,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         part = read_table(spark, sf, "part")
         rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
         j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+        # numerator/denominator as per-row cents → BIGINT sums: exact and
+        # fold-order independent; consumers derive the pct ratio. A
+        # round(sum(double)/sum(double)) pct can flip its last digit when
+        # engines fold partitions differently.
+        rev_cents = F.round(rev * 100, 0).cast("long")
+        promo_cents = F.sum(
+            F.when(F.col("p_type") == "PROMO", rev_cents).otherwise(F.lit(0).cast("long"))
+        )
         return j.agg(
-            F.round(100 * promo / F.sum(rev), 2).alias("promo_pct"),
+            promo_cents.alias("promo_cents"),
+            F.sum(rev_cents).alias("total_cents"),
             F.count("*").cast("long").alias("n_items"),
         )
 
@@ -995,8 +1020,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         orders = read_table(spark, sf, "orders")
         cust = read_table(spark, sf, "customer")
+        # `big` is the tiny post-aggregate survivor set → broadcast stays;
+        # customer scales with SF → AQE decides (the orders⋈big result is
+        # itself tiny, so AQE broadcasts THAT side into customer).
         j = orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey).join(
-            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+            cust, orders.o_custkey == cust.c_custkey
         )
         return j.select(
             "c_custkey",
@@ -1037,9 +1065,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         mx = by_supp.agg(F.max("total_rev_cents").alias("mx"))
         supp = read_table(spark, sf, "supplier")
+        # the argmax survivor set is ~1 row; supplier scales with SF —
+        # AQE broadcasts the tiny survivor side into supplier at runtime,
+        # so only the one-row max carries a forced hint.
         return (
             by_supp.join(F.broadcast(mx), F.col("total_rev_cents") == F.col("mx"))
-            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
             .select("s_suppkey", "s_name", "total_rev_cents")
         )
 
@@ -1237,7 +1268,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_source_mix=docs_source_mix,
         docs_contamination=docs_contamination,
     )
-    return q
+
+    # The driver's correctness harness verifies the FIRST 50 dict entries
+    # per round. Front-load (a) queries with no driver row yet and (b)
+    # queries whose implementation changed this round, so every registered
+    # query accumulates a driver-verified row across rounds; long-stable
+    # rows rotate to the back.
+    _verify_first = [
+        # no driver row in round 1 (fell past the 50-entry window)
+        "tpch_q14",
+        "tpch_q15",
+        "tpch_q18",
+        "tpch_q19",
+        "events_gaps",
+        "events_kmv_distinct",
+        "events_percentiles",
+        "multimodal_frame_sample",
+        "dedup_clusters",
+        "docs_hash_split",
+        "docs_source_mix",
+        "docs_contamination",
+        # changed in round 2
+        "cs_checksum_scalable",  # portable STRING digest surface
+        "tpch_q3",  # cents-hardened money + broadcast hints removed
+        "tpch_q5",
+        "tpch_q7",
+        "tpch_q10",
+        "events_hourly",  # cents-hardened
+        "dedup_ngram_jaccard",  # sizes join de-broadcast
+        "docs_clean_corpus",
+    ]
+    ordered = {k: q[k] for k in _verify_first if k in q}
+    ordered.update((k, v) for k, v in q.items() if k not in ordered)
+    return ordered
 
 
 # ---------------------------------------------------------------------------
@@ -1365,7 +1428,7 @@ def oracle_sql() -> dict[str, str]:
       FROM final
     )
     SELECT table_name, count(h) AS row_count,
-           CAST(sum(h) AS DECIMAL(38,0)) AS digest_sum
+           CAST(sum(h) AS VARCHAR) AS digest_sum
     FROM hashed GROUP BY table_name
     """
 
@@ -1419,14 +1482,15 @@ def oracle_sql() -> dict[str, str]:
 
     o["tpch_q3"] = """
     SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+                AS BIGINT) AS revenue_cents
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
       AND c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
       AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY l_orderkey, o_orderdate
-    ORDER BY revenue DESC, l_orderkey ASC
+    ORDER BY revenue_cents DESC, l_orderkey ASC
     LIMIT 10
     """
 
@@ -1468,7 +1532,7 @@ def oracle_sql() -> dict[str, str]:
     o["events_hourly"] = """
     SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS hour_ms,
            count(*) AS n_events,
-           CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
     FROM events GROUP BY 1, 2
     """
 
@@ -1926,10 +1990,11 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["tpch_q14"] = """
-    SELECT round(100 * sum(CASE WHEN p_type = 'PROMO'
-                                THEN l_extendedprice * (1 - l_discount)
-                                ELSE 0.0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_pct,
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS promo_cents,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+                AS BIGINT) AS total_cents,
            count(*)::BIGINT AS n_items
     FROM lineitem, part
     WHERE l_partkey = p_partkey

@@ -67,17 +67,41 @@ def test_tpch_q1_pushdown_and_pruning(spark, qs):
     assert n_exchanges(p) == 1, tree_of(p)
 
 
-def test_tpch_q3_broadcasts_dims(spark, qs):
+def test_tpch_q3_pushdown_and_no_forced_broadcast(spark, qs):
     p = plan_of(spark, qs["tpch_q3"](spark, SF))
-    assert "BroadcastHashJoin" in tree_of(p), tree_of(p)
-    assert "SortMergeJoin" not in tree_of(p), tree_of(p)
     assert re.search(r"PushedFilters: \[.*GreaterThan\(l_shipdate", p), p
-
-
-def test_tpch_q5_broadcasts_dims(spark, qs):
-    p = plan_of(spark, qs["tpch_q5"](spark, SF))
+    # size-based planning still yields broadcast joins at tiny SF even
+    # with zero hints — proving AQE/stats pick the strategy, not us.
     assert "BroadcastHashJoin" in tree_of(p), tree_of(p)
-    assert "SortMergeJoin" not in tree_of(p), tree_of(p)
+
+
+# Forced-broadcast budget per query: hints are allowed ONLY on sides
+# bounded at any SF — O(1) dims (nation, region), part, one-quarter
+# orders slices, and post-aggregate survivor sets. Anything that scales
+# with the fact tables (customer, supplier, orders slices spanning
+# years, per-doc tables) must be left to AQE, which broadcasts small
+# sides at runtime and falls back to shuffle instead of OOMing at 100 TB.
+BROADCAST_HINT_BUDGET = {
+    "tpch_q1": 0,
+    "tpch_q3": 0,  # customer + loosely-filtered orders: AQE decides
+    "tpch_q4": 0,
+    "tpch_q5": 1,  # region only
+    "tpch_q6": 0,
+    "tpch_q7": 2,  # nation ×2 (supp-nation / cust-nation tags)
+    "tpch_q10": 2,  # one-quarter orders + nation
+    "tpch_q13": 0,
+    "tpch_q14": 1,  # part
+    "tpch_q15": 1,  # one-row argmax
+    "tpch_q18": 1,  # post-agg survivor set
+    "tpch_q19": 1,  # part
+}
+
+
+def test_tpch_broadcast_hints_only_on_bounded_sides(spark, qs):
+    for name, budget in BROADCAST_HINT_BUDGET.items():
+        opt = qs[name](spark, SF)._jdf.queryExecution().optimizedPlan().toString()
+        n = opt.count("strategy=broadcast")
+        assert n == budget, f"{name}: {n} broadcast hints, budget {budget}\n{opt}"
 
 
 def test_topk_users_uses_window_group_limit(spark, qs):
@@ -104,14 +128,21 @@ def test_temporal_joins_never_nested_loop(spark, qs):
         assert "CartesianProduct" not in p, f"{name}:\n{tree_of(p)}"
 
 
-def test_new_tpch_shapes_broadcast_only(spark, qs):
-    """q7/q10/q14/q18: every join is a broadcast-hash join (dims and
-    post-agg survivor sets are small by construction) — a SortMergeJoin
-    here would shuffle the lineitem fact table."""
-    for name in ("tpch_q7", "tpch_q10", "tpch_q14", "tpch_q15", "tpch_q18", "tpch_q19"):
+def test_tpch_no_cartesian_anywhere(spark, qs):
+    for name in BROADCAST_HINT_BUDGET:
         p = plan_of(spark, qs[name](spark, SF))
-        assert "BroadcastHashJoin" in tree_of(p), f"{name}:\n{tree_of(p)}"
-        assert "SortMergeJoin" not in tree_of(p), f"{name}:\n{tree_of(p)}"
+        assert "CartesianProduct" not in p, f"{name}:\n{tree_of(p)}"
+        assert "BroadcastNestedLoopJoin" not in p, f"{name}:\n{tree_of(p)}"
+
+
+def test_ngram_jaccard_carries_sizes_no_join(spark, qs):
+    """Union sizes ride the posting lists: the whole pair pipeline is
+    two keyed aggregates (shingle, then pair) with NO join — in
+    particular no broadcast of a per-document sizes table, which would
+    OOM at corpus scale."""
+    p = plan_of(spark, qs["dedup_ngram_jaccard"](spark, SF))
+    assert n_exchanges(p) == 2, tree_of(p)
+    assert "Join" not in tree_of(p), tree_of(p)
 
 
 def test_kmv_uses_take_ordered_not_global_sort(spark, qs):

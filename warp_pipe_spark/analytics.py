@@ -24,7 +24,12 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value") * 100, 0).cast("long").alias("sum_value_cents"),
+            # per-row cents → BIGINT sum: fold-order independent, unlike
+            # round(sum(double)*100) which can flip a cent when partition
+            # fold order differs across engines/runs.
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "sum_value_cents"
+            ),
         )
         .select(
             "event_type",

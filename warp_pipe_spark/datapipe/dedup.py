@@ -19,6 +19,8 @@ Hashes all derive from md5 so the DuckDB oracle replays them exactly
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -168,26 +170,28 @@ def ngram_jaccard_pairs(
     # the exchange carries 8-byte longs instead of ~25-byte text (~3x
     # fewer shuffle bytes at 100 TB). The oracle hashes identically, so
     # results match exactly even in the (negligible) collision case.
-    sh = docs.select(
+    arr = docs.select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.array_distinct(shingles(F.col("text"), n)), lambda s: h60(s)
-            )
-        ).alias("shingle"),
+        F.transform(
+            F.array_distinct(shingles(F.col("text"), n)), lambda s: h60(s)
+        ).alias("sh_arr"),
     )
-    # per-doc distinct-shingle counts straight off the docs scan — no
-    # second explode/shuffle (the explode branch above is scan-heavy).
-    sizes = docs.select(
-        "doc_id",
-        F.size(F.array_distinct(shingles(F.col("text"), n))).alias("n_sh"),
+    # each posting carries the doc's distinct-shingle count alongside the
+    # id (one extra long per shuffle row), so the union sizes ride the
+    # posting lists all the way to the pair aggregate: NO sizes table, no
+    # per-doc join of any kind afterwards. (The previous shape broadcast
+    # a one-row-per-document sizes table — a table that scales with the
+    # corpus is never broadcast-safe.)
+    sh = arr.select(
+        "doc_id", F.size("sh_arr").alias("n_sh"), F.explode("sh_arr").alias("shingle")
     )
     # ONE shuffle keyed by shingle hash, then emit the i<j doc pairs
     # inside each posting list — half the exchanges of the equivalent
-    # self-join (which shuffles the exploded table twice).
+    # self-join (which shuffles the exploded table twice). sort_array on
+    # (doc_id, n_sh) structs orders by doc_id, preserving i<j pairing.
     buckets = (
         sh.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("docs"))
         .filter(F.size("docs") > 1)
     )
     pair_arr = F.flatten(
@@ -195,28 +199,34 @@ def ngram_jaccard_pairs(
             F.col("docs"),
             lambda a, i: F.transform(
                 F.slice(F.col("docs"), i + 2, F.size("docs")),
-                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+                lambda b: F.struct(
+                    a["doc_id"].alias("doc_a"),
+                    a["n_sh"].alias("na"),
+                    b["doc_id"].alias("doc_b"),
+                    b["n_sh"].alias("nb"),
+                ),
             ),
         )
     )
+    # na/nb are functionally dependent on doc_a/doc_b, so folding them
+    # into the grouping key adds no groups.
     inter = (
         buckets.select(F.explode(pair_arr).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .groupBy(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.col("p.na").alias("na"),
+            F.col("p.nb").alias("nb"),
+        )
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    j = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter")),
-                6,
-            ),
-        )
+    j = inter.withColumn(
+        "jaccard",
+        F.round(
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")),
+            6,
+        ),
     )
     return j.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "inter", "jaccard"

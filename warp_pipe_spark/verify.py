@@ -62,7 +62,10 @@ def table_digest_scalable(df: DataFrame, cols: Sequence[str] | None = None) -> D
     h60 = F.conv(F.substring(row_hash(cols), 1, 15), 16, 10).cast("decimal(38,0)")
     return df.select(h60.alias("h")).agg(
         F.count("h").alias("row_count"),
-        F.sum("h").alias("digest_sum"),
+        # STRING surface type: a DECIMAL(38,0) and e.g. DuckDB's HUGEINT
+        # render identically as digit strings, so cross-engine comparisons
+        # never depend on how a consumer normalizes wide decimals.
+        F.sum("h").cast("string").alias("digest_sum"),
     )
 
 

@@ -25,12 +25,13 @@ from warp_pipe_spark.store import ChangesetStore
 from warp_pipe_spark.streaming import changeset_stream
 
 
-LOG_LEVELS = ("debug", "info", "warn", "error", "fatal")
+LOG_LEVELS = ("trace", "debug", "info", "warn", "error", "fatal", "panic")
 
 
 def parse_log_level(level: str) -> str:
-    """config.go ParseLogLevel parity: the five logrus levels, error on
-    anything else (config_test.go:81-128)."""
+    """config.go ParseLogLevel parity: logrus.ParseLevel's full set —
+    trace/debug/info/warn/error/fatal/panic (config_test.go:81-128;
+    logrus's own error message lists all seven)."""
     if level not in LOG_LEVELS:
         raise ValueError(f"invalid log level {level!r} (one of {LOG_LEVELS})")
     return level
