@@ -920,7 +920,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
         )
 
-    q.update(multimodal_features=multimodal_features)
+    def _bmp_sums(feats):
+        """Flatten the integer-valued real-decode features to BIGINTs."""
+        names = ("width", "height", "n_pixels", "sum_r", "sum_g", "sum_b")
+        return feats.select(
+            "media_id",
+            *[F.col("features")[i].cast("long").alias(n) for i, n in enumerate(names)],
+        )
+
+    def multimodal_decode_real(spark, sf):
+        """REAL binary decode, no stub: synthesize 24-bit BMP blobs per
+        doc (multimodal.bmp_media), parse them back with the from-scratch
+        numpy BMP decoder (header offset, stride padding, bottom-up
+        rows), and emit per-channel pixel sums. The oracle replays the
+        sums from the (media_id, x, y) pixel arithmetic — it never sees
+        the bytes, so a decoder bug cannot cancel out."""
+        from warp_pipe_spark.datapipe.multimodal import bmp_media
+
+        feats = decode_media(bmp_media(_docs(spark, sf)), fake=False)
+        return _bmp_sums(feats)
+
+    def multimodal_resize_real(spark, sf):
+        """REAL resize chain: BMP encode → nearest-neighbor resample to
+        fit 8×8 (src = (dst*src_dim)//dst_dim, integer arithmetic) →
+        re-encode → re-decode → pixel sums. Four independent passes over
+        real bytes; the oracle replays the resampling arithmetic in SQL."""
+        from warp_pipe_spark.datapipe.multimodal import bmp_media, resize_media
+
+        media = bmp_media(_docs(spark, sf))
+        resized = resize_media(media, max_width=8, max_height=8, fake=False)
+        return _bmp_sums(decode_media(resized, fake=False))
+
+    q.update(
+        multimodal_features=multimodal_features,
+        multimodal_decode_real=multimodal_decode_real,
+        multimodal_resize_real=multimodal_resize_real,
+    )
 
     # --- sketches, percentiles, wider TPC-H shapes ----------------------
     def tpch_q7(spark, sf):
@@ -1288,6 +1323,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_hash_split",
         "docs_source_mix",
         "docs_contamination",
+        # new in round 2
+        "multimodal_decode_real",
+        "multimodal_resize_real",
         # changed in round 2
         "cs_checksum_scalable",  # portable STRING digest surface
         "tpch_q3",  # cents-hardened money + broadcast hints removed
@@ -1954,6 +1992,53 @@ def oracle_sql() -> dict[str, str]:
            md5(text) AS content_md5,
            {_feat}
     FROM documents
+    """
+
+    # real BMP decode: pixels are integer arithmetic on (media_id, x, y)
+    # (multimodal.synth_pixels), so the oracle replays per-channel sums
+    # from pure SQL — it never parses a byte, making it an independent
+    # check on the whole encode→decode chain.
+    _px_sums = """
+           CAST(count(*) AS BIGINT) AS n_pixels,
+           CAST(sum((7 * media_id + sx + 11 * sy) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((3 * media_id + 5 * sx + sy) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((media_id + 2 * sx + 3 * sy) % 256) AS BIGINT) AS sum_b
+    """
+    o["multimodal_decode_real"] = f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h
+      FROM documents
+    ),
+    xs AS (SELECT media_id, w, h, unnest(range(0, w)) AS sx FROM m),
+    px AS (SELECT media_id, w, h, sx, unnest(range(0, h)) AS sy FROM xs)
+    SELECT media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           {_px_sums}
+    FROM px GROUP BY media_id, w, h
+    """
+
+    # real resize: nearest-neighbor source index is (dst*src_dim)//dst_dim,
+    # target dims via the same least(1, max/w, max/h) float expression the
+    # Spark side evaluates (identical IEEE op sequence → identical dims).
+    o["multimodal_resize_real"] = f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h
+      FROM documents
+    ),
+    t AS (
+      SELECT media_id, w, h,
+             CAST(ceil(w * least(1.0, 8.0 / w, 8.0 / h)) AS INTEGER) AS tw,
+             CAST(ceil(h * least(1.0, 8.0 / w, 8.0 / h)) AS INTEGER) AS th
+      FROM m
+    ),
+    xs AS (SELECT media_id, w, h, tw, th, unnest(range(0, tw)) AS x FROM t),
+    dst AS (SELECT media_id, w, h, tw, th, x, unnest(range(0, th)) AS y FROM xs),
+    px AS (
+      SELECT media_id, tw, th, (x * w) // tw AS sx, (y * h) // th AS sy
+      FROM dst
+    )
+    SELECT media_id, CAST(tw AS BIGINT) AS width, CAST(th AS BIGINT) AS height,
+           {_px_sums}
+    FROM px GROUP BY media_id, tw, th
     """
 
     # --- sketches, percentiles, wider TPC-H shapes ----------------------

@@ -1,11 +1,17 @@
 """Multimodal columns: image/audio/video as opaque `binary` columns with
 typed metadata, processed through Arrow-batched `mapInPandas`.
 
-The decode step is STUBBED (no image/audio libraries in this
-container): `decode_media` raises NotImplementedError unless
-`fake=True`, in which case a deterministic fake decoder (md5-derived
-features) exercises the real Spark plumbing — schema, partitioning, UDF
-signature, Arrow batch shape — end to end.
+Decode paths:
+  - REAL: 24-bit uncompressed BMP (BI_RGB) — a from-scratch numpy
+    encoder/decoder (`bmp_encode`/`bmp_decode`), so
+    `decode_media(fake=False)` and `resize_media(fake=False)` run end
+    to end on real binary images with zero external libraries. The
+    synthetic corpus (`bmp_media`) derives every pixel from integer
+    arithmetic on (media_id, x, y), which makes per-channel pixel sums
+    exactly replayable by a SQL oracle that never touches the bytes.
+  - FAKE: compressed formats (JPEG/PNG/audio/video codecs) need libs
+    absent from this container; `fake=True` runs a deterministic
+    md5-derived featurizer through the identical Arrow plumbing.
 
 Scale design: media bytes never leave the executor as Python objects
 row-at-a-time; they move as Arrow binary batches into a single
@@ -16,6 +22,10 @@ ops (ANN over features) reuse the similarity operators unchanged.
 from __future__ import annotations
 
 import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -79,6 +89,116 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def _bmp_stride(width: int) -> int:
+    """Bytes per BMP pixel row: 3 bytes/px padded up to a 4-byte multiple."""
+    return ((3 * width + 3) // 4) * 4
+
+
+def bmp_encode(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit BI_RGB BMP —
+    BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up BGR rows, each row
+    zero-padded to a 4-byte boundary. Pure numpy, no libraries."""
+    h, w = pixels.shape[:2]
+    stride = _bmp_stride(w)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    # RGB → BGR, image top row last in the file (bottom-up layout)
+    rows[:, : 3 * w] = pixels[::-1, :, ::-1].reshape(h, 3 * w)
+    body = rows.tobytes()
+    header = struct.pack(
+        "<2sIHHI" "IiiHHIIiiII",
+        b"BM",
+        54 + len(body),  # file size
+        0,
+        0,
+        54,  # pixel-data offset
+        40,  # BITMAPINFOHEADER size
+        w,
+        h,  # positive height = bottom-up
+        1,  # planes
+        24,  # bits per pixel
+        0,  # BI_RGB (uncompressed)
+        len(body),
+        2835,
+        2835,  # 72 DPI in px/metre
+        0,
+        0,
+    )
+    return header + body
+
+
+def bmp_decode(data: bytes) -> np.ndarray:
+    """Decode a 24-bit BI_RGB BMP to an (h, w, 3) uint8 RGB array
+    (top-down). Validates the magic, bpp, and compression fields and
+    honors the header's pixel offset, row padding, and bottom-up vs
+    top-down (negative height) row order — a real parser, not a replay
+    of the encoder's assumptions."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP: missing 'BM' magic")
+    (offset,) = struct.unpack_from("<I", data, 10)
+    w, h_signed = struct.unpack_from("<ii", data, 18)
+    (bpp,) = struct.unpack_from("<H", data, 28)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    h = abs(h_signed)
+    stride = _bmp_stride(w)
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=offset)
+    bgr = rows.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+    if h_signed > 0:  # bottom-up: first file row is the bottom image row
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1]  # BGR → RGB
+
+
+def synth_pixels(media_id: int, w: int, h: int) -> np.ndarray:
+    """Deterministic (h, w, 3) RGB test image: every channel is integer
+    arithmetic on (media_id, x, y) mod 256, so any SQL engine can replay
+    aggregate pixel statistics without ever seeing the bytes."""
+    y, x = np.mgrid[0:h, 0:w]
+    r = (7 * media_id + x + 11 * y) % 256
+    g = (3 * media_id + 5 * x + y) % 256
+    b = (media_id + 2 * x + 3 * y) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def bmp_dims(media_id: int) -> tuple[int, int]:
+    """Per-doc synthetic dimensions (4..19 × 4..15) — small but varied,
+    exercising every stride-padding remainder (w mod 4 ∈ {0,1,2,3})."""
+    return media_id % 16 + 4, media_id % 12 + 4
+
+
+def bmp_media(docs: DataFrame) -> DataFrame:
+    """A MEDIA_SCHEMA table whose `content` is REAL binary — 24-bit BMP
+    images synthesized per doc_id — built in one Arrow mapInPandas pass."""
+
+    def mapper(batches):
+        for pdf in batches:
+            contents, metas = [], []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                w, h = bmp_dims(mid)
+                blob = bmp_encode(synth_pixels(mid, w, h))
+                contents.append(blob)
+                metas.append(
+                    {
+                        "n_bytes": len(blob),
+                        "mime": "image/bmp",
+                        "width": w,
+                        "height": h,
+                        "duration_ms": 0,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": "image",
+                    "content": contents,
+                    "meta": metas,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(mapper, schema=MEDIA_SCHEMA)
+
+
 def _fake_features(content: bytes) -> list[float]:
     """Deterministic stand-in for a real image/audio featurizer: 8
     doubles from the md5 digest, scaled to [0, 1). k/65536 is an exact
@@ -91,22 +211,38 @@ def _fake_features(content: bytes) -> list[float]:
     ]
 
 
+def _bmp_features(content: bytes) -> list[float]:
+    """Real decode features: 8 integer-valued doubles (exact in IEEE754
+    below 2^53, so any engine replays them bit-for-bit) —
+    [width, height, n_pixels, sum_r, sum_g, sum_b, stride, n_bytes]."""
+    img = bmp_decode(content)
+    h, w = img.shape[:2]
+    s = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+    return [
+        float(w),
+        float(h),
+        float(w * h),
+        float(s[0]),
+        float(s[1]),
+        float(s[2]),
+        float(_bmp_stride(w)),
+        float(len(content)),
+    ]
+
+
 def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode / feature-extract media content → FEATURES_SCHEMA.
 
-    Real decode requires image/audio libs absent from this container —
-    raises NotImplementedError unless fake=True. The fake path runs the
-    identical mapInPandas plumbing with the deterministic featurizer.
+    fake=False runs the REAL decoder (24-bit BMP via `bmp_decode`; a
+    non-BMP blob raises, as a real decoder should). Compressed formats
+    (JPEG/PNG/audio codecs) would need external libs — fake=True runs
+    the deterministic md5 featurizer through identical plumbing for
+    those. Either way: one Arrow mapInPandas pass, binary batches, no
+    row-at-a-time Python boundary crossings.
     """
-    if not fake:
-        raise NotImplementedError(
-            "real media decode needs PIL/librosa/ffmpeg (not in container); "
-            "call with fake=True for the deterministic test featurizer"
-        )
+    featurize = _bmp_features if not fake else _fake_features
 
     def mapper(batches):
-        import pandas as pd
-
         for pdf in batches:
             out = pd.DataFrame(
                 {
@@ -114,7 +250,7 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
                     "kind": pdf["kind"],
                     "n_bytes": [len(c) for c in pdf["content"]],
                     "content_md5": [hashlib.md5(bytes(c)).hexdigest() for c in pdf["content"]],
-                    "features": [_fake_features(bytes(c)) for c in pdf["content"]],
+                    "features": [featurize(bytes(c)) for c in pdf["content"]],
                 }
             )
             yield out
@@ -125,17 +261,17 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
 def resize_media(
     media: DataFrame, max_width: int = 256, max_height: int = 256, fake: bool = False
 ) -> DataFrame:
-    """Image-resize plumbing: recompute target dimensions (aspect-ratio
-    preserving, JVM-side arithmetic) and push the pixel work through the
-    same Arrow mapInPandas boundary as decode. The pixel transform is
-    the stubbed step (needs PIL); fake=True passes bytes through
-    untouched while exercising the full batch path with the resized
-    metadata — schema out == schema in (MEDIA_SCHEMA)."""
-    if not fake:
-        raise NotImplementedError(
-            "real resize needs PIL (not in container); call with fake=True "
-            "for the metadata-only pass-through"
-        )
+    """Image resize: target dimensions are recomputed JVM-side
+    (aspect-ratio preserving), pixel work goes through the same Arrow
+    mapInPandas boundary as decode. Schema out == schema in
+    (MEDIA_SCHEMA).
+
+    fake=False runs the REAL transform on BMP content: decode →
+    nearest-neighbor resample (src = (dst * src_dim) // dst_dim, pure
+    integer arithmetic, so a SQL oracle can replay the resampled pixel
+    statistics) → re-encode. fake=True passes bytes through untouched
+    (the path for codec formats needing external libs), still
+    exercising the full batch path with the resized metadata."""
     scale = F.least(
         F.lit(1.0),
         F.lit(float(max_width)) / F.col("meta.width"),
@@ -154,9 +290,23 @@ def resize_media(
 
     def mapper(batches):
         for pdf in batches:
-            # stub: real impl decodes pdf["content"], resizes to the
-            # meta dims, re-encodes. Bytes pass through unchanged.
-            yield pdf
+            if fake:
+                # pass-through: codec formats would need external libs
+                yield pdf
+                continue
+            contents, metas = [], []
+            for c, m in zip(pdf["content"], pdf["meta"]):
+                img = bmp_decode(bytes(c))
+                sh, sw = img.shape[:2]
+                tw, th = int(m["width"]), int(m["height"])
+                xs = (np.arange(tw) * sw) // tw
+                ys = (np.arange(th) * sh) // th
+                blob = bmp_encode(img[np.ix_(ys, xs)])
+                contents.append(blob)
+                m = dict(m)
+                m["n_bytes"] = len(blob)
+                metas.append(m)
+            yield pdf.assign(content=contents, meta=metas)
 
     return with_target.mapInPandas(mapper, schema=MEDIA_SCHEMA)
 
