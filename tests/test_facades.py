@@ -83,7 +83,9 @@ def test_axon_run_stream_converges_to_batch(spark, log, tmp_path):
     )
     q.awaitTermination(120)
 
-    streamed = spark.read.parquet(str(tmp_path / "state"))
+    from warp_pipe_spark.streaming import ParquetStateSink
+
+    streamed = ParquetStateSink(spark, str(tmp_path / "state"), pk_cols=["pk"]).read_state()
     batch = ax.run_batch(log)
     verdict = ax.verify(
         batch, streamed, cols=["table_name", "pk", "user_id", "event_type"]

@@ -102,3 +102,95 @@ def test_dedup_stream_drops_redeliveries(spark, tmp_path):
     n = spark.sql("SELECT count(*) AS n FROM dedup_out").first().n
     assert got == {1, 2, 3}
     assert n == 3
+
+
+# --- versioned-pointer sink guarantees --------------------------------
+
+
+MULTI = [
+    (1, "INSERT", "users", 1, "a"),
+    (2, "INSERT", "pets", 1, "rex"),
+    (3, "INSERT", "pets", 2, "ada"),
+]
+USERS_ONLY = [
+    (4, "UPDATE", "users", 1, "a2"),
+]
+
+
+def _mk_sink(spark, tmp_path):
+    return ParquetStateSink(spark, str(tmp_path / "state"), pk_cols=["pk"])
+
+
+def test_sink_untouched_tables_not_rewritten(spark, tmp_path):
+    """Per-batch write cost is O(touched tables): a users-only batch
+    must not rewrite (or even re-version) the pets state files."""
+    import os
+
+    sink = _mk_sink(spark, tmp_path)
+    sink.apply_batch(spark.createDataFrame(MULTI, SCHEMA), batch_id=0)
+    pets_rel = sink._read_pointer()["pets"]
+    pets_dir = os.path.join(sink.state_dir, pets_rel)
+    before = {f: os.path.getmtime(os.path.join(pets_dir, f)) for f in os.listdir(pets_dir)}
+
+    sink.apply_batch(spark.createDataFrame(USERS_ONLY, SCHEMA), batch_id=1)
+
+    assert sink._read_pointer()["pets"] == pets_rel  # same version dir
+    after = {f: os.path.getmtime(os.path.join(pets_dir, f)) for f in os.listdir(pets_dir)}
+    assert after == before  # bytes untouched
+    assert sink._read_pointer()["users"].endswith("v_1")
+    got = {(r["table_name"], r["pk"], r["val"]) for r in sink.read_state().collect()}
+    assert got == {("users", 1, "a2"), ("pets", 1, "rex"), ("pets", 2, "ada")}
+
+
+def test_sink_crash_before_pointer_commit_keeps_old_state(spark, tmp_path):
+    """Version dirs written but pointer NOT swapped (crash window) →
+    readers still see the previous committed state; replaying the batch
+    converges."""
+    sink = _mk_sink(spark, tmp_path)
+    b0 = spark.createDataFrame(MULTI, SCHEMA)
+    sink.apply_batch(b0, batch_id=0)
+
+    b1 = spark.createDataFrame(USERS_ONLY, SCHEMA)
+    # simulate the crash: batch-1 data dirs get written, then the
+    # process dies AT the commit point — the pointer swap never happens
+    real_commit = sink._commit_pointer
+    sink._commit_pointer = lambda *a, **kw: (_ for _ in ()).throw(OSError("crash"))
+    with pytest.raises(OSError):
+        sink.apply_batch(b1, batch_id=1)
+    sink._commit_pointer = real_commit
+
+    got = {(r["pk"], r["val"]) for r in sink.read_state().filter("table_name='users'").collect()}
+    assert got == {(1, "a")}  # pre-crash state, not a torn mix
+
+    # checkpoint replay of the same batch converges (idempotent)
+    sink.apply_batch(b1, batch_id=1)
+    got = {(r["pk"], r["val"]) for r in sink.read_state().filter("table_name='users'").collect()}
+    assert got == {(1, "a2")}
+
+
+def test_sink_corrupt_pointer_raises_not_resets(spark, tmp_path):
+    """A damaged pointer must raise StateCorruptError — never be
+    silently treated as 'no state' (which would reset to the current
+    batch only)."""
+    import pytest as _pytest
+
+    from warp_pipe_spark.streaming import StateCorruptError
+
+    sink = _mk_sink(spark, tmp_path)
+    sink.apply_batch(spark.createDataFrame(MULTI, SCHEMA), batch_id=0)
+
+    with open(sink._pointer_path(), "w") as f:
+        f.write("{not json")
+    with _pytest.raises(StateCorruptError):
+        sink.read_state()
+
+    # missing pointer with data present is also corruption, not fresh
+    import os
+
+    os.remove(sink._pointer_path())
+    with _pytest.raises(StateCorruptError):
+        sink.read_state()
+
+
+def test_sink_fresh_dir_is_none_not_error(spark, tmp_path):
+    assert _mk_sink(spark, tmp_path).read_state() is None
