@@ -423,7 +423,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum(_CENTS("value")).alias("sum_value_cents"),
         )
 
+    def cs_keyset_poll_stream(spark, sf):
+        """S2 live tail end-to-end (notify_listener.go:87-129 parity):
+        a KeysetPoller drains the changeset log in id-ordered keyset
+        micro-batches (limit=4000 → several rounds at sf0.01) through
+        the atomic versioned ParquetStateSink, committing the offset
+        after each sink commit. The converged state must equal the
+        one-shot replay — the oracle IS the replay SQL. On a live
+        Postgres the identical loop runs with jdbc.keyset_fetch (the
+        LIMIT pushes into the database as an indexed range scan)."""
+        import os
+        import tempfile
+
+        from warp_pipe_spark.streaming import (
+            KeysetPoller,
+            ParquetStateSink,
+            dataframe_keyset_fetch,
+        )
+
+        base = tempfile.mkdtemp(prefix="wp_keyset_")
+        sink = ParquetStateSink(spark, os.path.join(base, "state"), pk_cols=["pk"])
+        poller = KeysetPoller(
+            spark,
+            dataframe_keyset_fetch(_cs(spark, sf)),
+            sink,
+            os.path.join(base, "offset.json"),
+            limit=4000,
+        )
+        poller.run_until_drained()
+        return sink.read_state().select(
+            "table_name",
+            "pk",
+            "user_id",
+            "event_type",
+            _CENTS("value").alias("value_cents"),
+            F.col("id").alias("last_id"),
+        )
+
     q.update(
+        cs_keyset_poll_stream=cs_keyset_poll_stream,
         cs_count_stats=cs_count_stats,
         cs_since_id=cs_since_id,
         cs_since_ts=cs_since_ts,
@@ -1326,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 2
         "multimodal_decode_real",
         "multimodal_resize_real",
+        "cs_keyset_poll_stream",
         # changed in round 2
         "cs_checksum_scalable",  # portable STRING digest surface
         "tpch_q3",  # cents-hardened money + broadcast hints removed
@@ -1444,6 +1483,9 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["cs_incremental_merge"] = _REPLAY_SQL
+
+    # keyset poll → sink loop must converge to the one-shot replay
+    o["cs_keyset_poll_stream"] = _REPLAY_SQL
 
     o["cs_checksum_scalable"] = f"""
     WITH {CHANGESETS_CTE},

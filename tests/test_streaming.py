@@ -194,3 +194,97 @@ def test_sink_corrupt_pointer_raises_not_resets(spark, tmp_path):
 
 def test_sink_fresh_dir_is_none_not_error(spark, tmp_path):
     assert _mk_sink(spark, tmp_path).read_state() is None
+
+
+# --- keyset poll loop (S2 tail: JDBC push→poll translation) -----------
+
+
+def test_keyset_poller_drains_in_bounded_rounds(spark, tmp_path):
+    from warp_pipe_spark.streaming import KeysetPoller, parquet_keyset_fetch
+
+    audit = str(tmp_path / "audit")
+    _write(spark, BATCH1 + BATCH2, audit)  # ids 1..5
+    sink = ParquetStateSink(spark, str(tmp_path / "state"), pk_cols=["pk"])
+    poller = KeysetPoller(
+        spark, parquet_keyset_fetch(audit), sink, str(tmp_path / "off.json"), limit=2
+    )
+    n = poller.run_until_drained()
+    assert n == 5 and poller.committed_offset() == 5
+    got = {(r["pk"], r["val"]) for r in sink.read_state().collect()}
+    full = spark.createDataFrame(BATCH1 + BATCH2, SCHEMA)
+    want = {(r["pk"], r["val"]) for r in replay(full, ["pk"]).collect()}
+    assert got == want == {(2, "b2"), (3, "c")}
+
+
+def test_keyset_poller_kill_restart_resumes_from_offset(spark, tmp_path):
+    """Kill the poller mid-stream; a NEW poller instance on the same
+    offset file resumes strictly after the committed id and converges;
+    late-arriving audit files are picked up by later rounds."""
+    from warp_pipe_spark.streaming import KeysetPoller, parquet_keyset_fetch
+
+    audit = str(tmp_path / "audit")
+    _write(spark, BATCH1, audit)  # ids 1,2
+    mk = lambda: KeysetPoller(  # noqa: E731
+        spark,
+        parquet_keyset_fetch(audit),
+        ParquetStateSink(spark, str(tmp_path / "state"), pk_cols=["pk"]),
+        str(tmp_path / "off.json"),
+        limit=1,
+    )
+    a = mk()
+    assert a.poll_once() == 1  # applies id=1 only, then "dies"
+    assert a.committed_offset() == 1
+
+    b = mk()  # restart: fresh instance, durable offset
+    assert b.run_until_drained() == 1  # id=2 only — no re-fetch of id=1
+    _write(spark, BATCH2, audit)  # ids 3..5 arrive later
+    assert b.run_until_drained() == 3
+    got = {(r["pk"], r["val"]) for r in b.sink.read_state().collect()}
+    assert got == {(2, "b2"), (3, "c")}
+
+
+def test_keyset_poller_crash_before_offset_commit_redelivers_once_effect(
+    spark, tmp_path
+):
+    """Crash in the window between sink commit and offset commit: the
+    restarted poller re-fetches the same slice (at-least-once), and the
+    LWW sink absorbs the redelivery — final state identical, offset
+    catches up."""
+    from warp_pipe_spark.streaming import KeysetPoller, parquet_keyset_fetch
+
+    audit = str(tmp_path / "audit")
+    _write(spark, BATCH1 + BATCH2, audit)
+    sink = ParquetStateSink(spark, str(tmp_path / "state"), pk_cols=["pk"])
+    poller = KeysetPoller(
+        spark, parquet_keyset_fetch(audit), sink, str(tmp_path / "off.json"), limit=3
+    )
+    real_commit = poller._commit_offset
+    poller._commit_offset = lambda last_id: (_ for _ in ()).throw(OSError("crash"))
+    with pytest.raises(OSError):
+        poller.poll_once()  # sink applied ids 1..3, offset NOT committed
+    poller._commit_offset = real_commit
+    assert poller.committed_offset() == 0
+
+    assert poller.run_until_drained() == 5  # ids 1..3 redelivered + 4,5
+    assert poller.committed_offset() == 5
+    got = {(r["pk"], r["val"]) for r in sink.read_state().collect()}
+    assert got == {(2, "b2"), (3, "c")}
+
+
+def test_keyset_poller_start_from_id_skips_history(spark, tmp_path):
+    from warp_pipe_spark.streaming import KeysetPoller, parquet_keyset_fetch
+
+    audit = str(tmp_path / "audit")
+    _write(spark, BATCH1 + BATCH2, audit)
+    sink = ParquetStateSink(spark, str(tmp_path / "state"), pk_cols=["pk"])
+    poller = KeysetPoller(
+        spark,
+        parquet_keyset_fetch(audit),
+        sink,
+        str(tmp_path / "off.json"),
+        start_from_id=3,
+        limit=10,
+    )
+    assert poller.run_until_drained() == 2  # ids 4,5 only
+    got = {(r["pk"], r["val"], r["action"]) for r in sink.read_state().collect()}
+    assert got == {(2, "b2", "UPDATE"), (3, "c", "INSERT")}

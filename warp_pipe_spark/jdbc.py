@@ -83,6 +83,23 @@ def poll_microbatch(
     return reader.load()
 
 
+def keyset_fetch(
+    url: str,
+    table: str = AUDIT_TABLE,
+    properties: dict[str, str] | None = None,
+):
+    """Fetch factory for streaming.KeysetPoller backed by a live JDBC
+    audit table: each poll round is one indexed keyset range scan
+    (poll_microbatch), the S2 tail loop of notify_listener.go:87-129."""
+
+    def fetch(spark: SparkSession, last_id: int, limit: int) -> DataFrame:
+        return poll_microbatch(
+            spark, url, last_id, table=table, limit=limit, properties=properties
+        )
+
+    return fetch
+
+
 # --- DDL text (S10/S11 setup/teardown; shapes per FIXTURES.md §2) ----------
 
 def check_target_version(server_version: str) -> None:
