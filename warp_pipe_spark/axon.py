@@ -132,3 +132,26 @@ class Axon:
     def sequence_report(self, state: DataFrame, serial_cols: Sequence[str]) -> dict[str, int]:
         """A5: the setval targets a JDBC sink would emit after apply."""
         return sequence_sync_values(state, serial_cols)
+
+    def sync_sequences(
+        self,
+        state: DataFrame,
+        seq_map,
+        executor,
+        orphan_last_values=None,
+    ) -> list[str]:
+        """A5/A6 execution: emit the setval statement list from applied
+        state (one aggregation per table, not one round-trip per row —
+        axon_schema.go:137-163 collapsed to its fixpoint) and run it
+        against the target via `executor(stmt)`. Returns the statements
+        executed, in order (column sequences first, then orphans)."""
+        from warp_pipe_spark.sequences import (
+            column_setval_statements,
+            execute_sequence_sync,
+            orphan_setval_statements,
+        )
+
+        stmts = column_setval_statements(state, seq_map, table_col=self.table_col)
+        if orphan_last_values:
+            stmts += orphan_setval_statements(orphan_last_values)
+        return execute_sequence_sync(executor, stmts)
