@@ -1251,6 +1251,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return connected_components(minhash_lsh_pairs(_docs(spark, sf)))
 
+    def dedup_clusters_star(spark, sf):
+        """Same clustering via large-star/small-star contraction
+        (Kiveris et al. SoCC'14): O(log²) rounds on ANY graph topology
+        vs min-label's O(diameter) — the variant for chain-shaped
+        overlap graphs. Identical output contract, identical oracle."""
+        from warp_pipe_spark.datapipe.dedup import (
+            connected_components_star,
+            minhash_lsh_pairs,
+        )
+
+        return connected_components_star(minhash_lsh_pairs(_docs(spark, sf)))
+
     def docs_hash_split(spark, sf):
         """Deterministic train/val split, reported stratified by
         source: split = 'val' iff h32(doc_id) % 10 == 0. No RNG, no
@@ -1337,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_percentiles=events_percentiles,
         multimodal_frame_sample=multimodal_frame_sample,
         dedup_clusters=dedup_clusters,
+        dedup_clusters_star=dedup_clusters_star,
         docs_hash_split=docs_hash_split,
         docs_source_mix=docs_source_mix,
         docs_contamination=docs_contamination,
@@ -1365,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_real",
         "multimodal_resize_real",
         "cs_keyset_poll_stream",
+        "dedup_clusters_star",
         # changed in round 2
         "cs_checksum_scalable",  # portable STRING digest surface
         "tpch_q3",  # cents-hardened money + broadcast hints removed
@@ -2231,6 +2245,9 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT node AS doc_id, min(x) AS cluster_id FROM reach GROUP BY node
     """
+
+    # star-contraction CC must produce the identical clustering
+    o["dedup_clusters_star"] = o["dedup_clusters"]
 
     o["docs_hash_split"] = f"""
     SELECT source,

@@ -142,3 +142,77 @@ def test_hash_split_partition_of_corpus(spark, sf_dir):
     total = sum(r.n_docs for r in rows)
     assert total == read_table(spark, sf_dir, "documents").count()
     assert {r.split for r in rows} <= {"train", "val"}
+
+
+def _union_find_clusters(edges):
+    """Pure-Python ground truth: component-min label per node."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_star_cc_matches_union_find_on_mixed_topologies(spark):
+    from warp_pipe_spark.datapipe.dedup import connected_components_star
+
+    # chain + blob + triangle-with-tail + isolated edge, interleaved ids
+    edges = (
+        [(i, i + 1) for i in range(0, 12)]  # chain 0..12
+        + [(20, 21), (20, 22), (21, 22), (22, 23), (21, 23)]  # dense blob
+        + [(30, 31), (31, 32), (30, 32), (32, 40)]  # triangle + tail
+        + [(50, 51)]
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id for r in connected_components_star(pairs).collect()}
+    assert got == _union_find_clusters(edges)
+
+
+def test_star_cc_converges_where_min_label_budget_cannot(spark):
+    """Adversarial chain: diameter 60 — min-label propagation moves the
+    label ONE hop per round, so a 25-round budget provably cannot
+    finish; star contraction collapses the same chain in O(log²)
+    rounds. Same output contract."""
+    from warp_pipe_spark.datapipe.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = [(i, i + 1) for i in range(60)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+    partial = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, max_iter=25).collect()
+    }
+    assert partial[60] != 0  # min-label at 25 rounds: label hasn't crossed
+
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components_star(pairs, max_iter=15).collect()
+    }
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_star_cc_agrees_with_min_label_on_lsh_pairs(spark, sf_dir):
+    from warp_pipe_spark.datapipe.dedup import (
+        connected_components,
+        connected_components_star,
+        minhash_lsh_pairs,
+    )
+    from warp_pipe_spark.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).localCheckpoint()
+    a = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    b = {r.doc_id: r.cluster_id for r in connected_components_star(pairs).collect()}
+    assert a == b

@@ -309,6 +309,95 @@ def connected_components(
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — same interface and output contract as
+    `connected_components` ((doc_id, cluster_id = component-min), nodes
+    appearing in a pair only).
+
+    Why a second variant: min-label propagation needs one round per
+    graph-diameter hop, which is fine for near-dup blobs (diameter ≈ 2)
+    but adversarial for chain-shaped graphs (transcript-like corpora
+    where doc i overlaps only doc i±1: diameter = corpus length).
+    Star contraction converges in O(log²) rounds on ANY topology:
+
+      large-star: every node points its LARGER neighbors at the min of
+        its neighborhood ∪ itself   (per-edge emission off a groupBy
+        min — no collect_list, so a 10^8-degree hub costs one keyed
+        min, not one array)
+      small-star: every node points its smaller-or-equal neighbors and
+        itself at the min of its smaller neighborhood
+
+    Each round is two keyed aggregations + joins on the edge list; the
+    edge list is localCheckpoint-ed per round (O(1) plan depth). At the
+    fixpoint every component is a star centered at its min node, and
+    the edge list IS the label assignment.
+    """
+    edges = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def sym(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    for _ in range(max_iter):
+        s = sym(edges)
+        # large-star: m(u) = min(neighborhood(u) ∪ {u}); (x, m) for x > u
+        mins = s.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("u"), F.col("mn")).alias("m")
+        large = (
+            s.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), m.alias("b"))
+        )
+        # small-star over the large-star output: m⁻(u) = min smaller
+        # neighbor; (x, m⁻) for smaller x ≠ m⁻, plus (u, m⁻)
+        ls = large.select(
+            F.least("a", "b").alias("u2"), F.greatest("a", "b").alias("v2")
+        ).filter(F.col("u2") != F.col("v2"))
+        smaller = ls.select(F.col("v2").alias("u"), F.col("u2").alias("v"))
+        smins = smaller.groupBy("u").agg(F.min("v").alias("mn"))
+        small = (
+            smaller.join(smins, "u")
+            .filter(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("a"), F.col("mn").alias("b"))
+            .union(smins.select(F.col("u").alias("a"), F.col("mn").alias("b")))
+        )
+        new_edges = (
+            small.select(
+                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # fixpoint probe: the canonical edge sets are equal iff neither
+        # side has a leftover (both are distinct sets)
+        if (
+            new_edges.exceptAll(edges).limit(1).count() == 0
+            and edges.exceptAll(new_edges).limit(1).count() == 0
+        ):
+            edges = new_edges
+            break
+        edges = new_edges
+
+    centers = edges.select(F.col("u").alias("doc_id"), F.col("u").alias("cluster_id"))
+    members = edges.select(F.col("v").alias("doc_id"), F.col("u").alias("cluster_id"))
+    return members.union(centers).distinct()
+
+
 def cosine_v(a: F.Column, b: F.Column) -> F.Column:
     """Arrow-vectorized cosine: one float64 einsum per batch instead of
     three interpreted aggregate/zip_with folds per row (~6·dim lambda
