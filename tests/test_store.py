@@ -38,3 +38,41 @@ def test_stats_and_convergence(store):
     assert stats["changeset_count"] > 0
     assert store.is_latest_changeset(stats["max_id"])  # A8
     assert not store.is_latest_changeset(stats["max_id"] - 1)
+
+
+def test_retention_compact_rewrites_storage(spark, tmp_path):
+    """S6 executed: files on disk shrink to the retained horizon —
+    beyond the reference, whose delete exec is `return nil`
+    (changeset_store.go:104-106)."""
+    import os
+
+    from warp_pipe_spark.store import ChangesetStore, retention_compact
+
+    path = str(tmp_path / "cslog")
+    spark.range(1, 101).selectExpr(
+        "id", "timestamp('2024-01-01 00:00:00') + make_interval(0,0,0,0,0,0,id) AS ts"
+    ).write.parquet(path)
+
+    out = retention_compact(spark, path, before_id=40)
+    assert out == {"kept": 61, "deleted": 39}
+    # no swap debris
+    assert not os.path.exists(path + "._compact")
+    assert not os.path.exists(path + "._trash")
+
+    store = ChangesetStore.from_parquet(spark, path)
+    assert store.count() == 61
+    ids = [r["id"] for r in store.since_id(0).collect()]
+    assert ids == list(range(40, 101))
+
+
+def test_retention_compact_requires_exactly_one_horizon(spark, tmp_path):
+    import pytest as _pytest
+
+    from warp_pipe_spark.store import retention_compact
+
+    path = str(tmp_path / "cslog2")
+    spark.range(3).selectExpr("id", "current_timestamp() AS ts").write.parquet(path)
+    with _pytest.raises(ValueError):
+        retention_compact(spark, path)
+    with _pytest.raises(ValueError):
+        retention_compact(spark, path, before_id=1, before_ts="2024-01-01")

@@ -14,6 +14,8 @@ the log (or a Delta DELETE where available).
 from __future__ import annotations
 
 import datetime as _dt
+import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,6 +67,7 @@ class ChangesetStore:
         """S6 DeleteBeforeTimestamp (changeset_store.go:200-207)."""
         return self.df.filter(F.col(self.ts_col) >= F.lit(ts))
 
+
     # -- stats (G1, G2, A8) ------------------------------------------------
 
     def stats(self) -> DataFrame:
@@ -87,3 +90,51 @@ class ChangesetStore:
         """A8 convergence detector (warp_pipe.go:169-190). In streaming,
         `trigger(availableNow=True)` is the native drain-and-stop."""
         return self.max_id() == cid
+
+
+# -- retention, executed at the storage layer -------------------------------
+
+
+def retention_compact(
+    spark: SparkSession,
+    path: str,
+    before_id: int | None = None,
+    before_ts: "_dt.datetime | str | None" = None,
+    id_col: str = "id",
+    ts_col: str = "ts",
+) -> dict[str, int]:
+    """S6 retention EXECUTED against storage, not just viewed: rewrite
+    the parquet changeset store keeping rows at/after the horizon, then
+    swap the rewritten dir in. Goes beyond the reference, whose delete
+    exec is literally `return nil` (changeset_store.go:104-106) — its
+    audit log grows forever.
+
+    Swap discipline: write to `<path>._compact`, move the old dir to
+    `<path>._trash`, rename the new dir in, then drop the trash. This
+    is a single-writer maintenance job (retention is cron-shaped, not
+    concurrent with appends); on a cluster the same statement is a
+    Delta `DELETE WHERE id < h` with ACID semantics and the identical
+    anti-filter plan.
+
+    Returns {"kept": n, "deleted": m}.
+    """
+    if (before_id is None) == (before_ts is None):
+        raise ValueError("exactly one of before_id / before_ts required")
+    df = spark.read.parquet(path)
+    keep = (
+        F.col(id_col) >= F.lit(int(before_id))
+        if before_id is not None
+        else F.col(ts_col) >= F.lit(before_ts)
+    )
+    counts = df.agg(
+        F.count(F.when(keep, 1)).alias("kept"),
+        F.count(F.when(~keep, 1)).alias("deleted"),
+    ).first()
+    tmp, trash = path + "._compact", path + "._trash"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(trash, ignore_errors=True)
+    df.filter(keep).write.mode("overwrite").parquet(tmp)
+    os.rename(path, trash)
+    os.rename(tmp, path)
+    shutil.rmtree(trash)
+    return {"kept": int(counts["kept"]), "deleted": int(counts["deleted"])}
