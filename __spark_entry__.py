@@ -824,11 +824,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_fingerprints(spark, sf):
         return fingerprints(_docs(spark, sf))
 
+    def text_gopher_rules(spark, sf):
+        """Gopher repetition/quality gate (Rae et al. 2021 §A1.1): word
+        bounds, mean word length, top-word dominance, duplicate-2-gram
+        mass — all as exact micro-fractions (integer div), so keep/drop
+        can never flip on a float boundary. Two keyed aggs + one
+        shingle scan; linear at 100 TB."""
+        from warp_pipe_spark.datapipe.text import gopher_rules
+
+        return gopher_rules(_docs(spark, sf))
+
     q.update(
         text_token_stats=text_token_stats,
         text_quality=text_quality,
         text_langid=text_langid,
         text_fingerprints=text_fingerprints,
+        text_gopher_rules=text_gopher_rules,
     )
 
     # --- dedup ----------------------------------------------------------
@@ -1379,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize_real",
         "cs_keyset_poll_stream",
         "dedup_clusters_star",
+        "text_gopher_rules",
         # changed in round 2
         "cs_checksum_scalable",  # portable STRING digest surface
         "tpch_q3",  # cents-hardened money + broadcast hints removed
@@ -1797,6 +1809,44 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, text_md5,
            list_aggregate([{_H60_SQL.format(x='s')} FOR s IN {_SH5_SQL}], 'min') AS minhash_fp
     FROM tok
+    """
+
+    # Gopher rules: micro-fractions via BIGINT integer division (`//`
+    # == Spark `div`), no float anywhere near the keep/drop verdict.
+    # 2-gram list mirrors shingles(text, 2): <2 tokens → whole text.
+    _SH2_SQL = (
+        "[array_to_string(t[i:i+1], ' ') FOR i IN range(1, greatest(len(t)-1, 1)+1)]"
+    )
+    o["text_gopher_rules"] = f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    w AS (SELECT doc_id, unnest(t) AS w FROM tok),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+    per AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_words,
+             CAST(count(*) AS BIGINT) AS n_distinct_words,
+             CAST(max(c) AS BIGINT) AS top_word_count,
+             CAST(sum(c * length(w)) AS BIGINT) AS sum_word_len
+      FROM wc GROUP BY doc_id
+    ),
+    g AS (SELECT doc_id, {_SH2_SQL} AS gs FROM tok),
+    dup AS (
+      SELECT doc_id, len(gs) AS n2, len(gs) - len(list_distinct(gs)) AS d2
+      FROM g
+    ),
+    j AS (
+      SELECT p.doc_id, n_words, n_distinct_words,
+             (sum_word_len * 1000000) // n_words AS mean_word_len_micro,
+             (top_word_count * 1000000) // n_words AS top_word_frac_micro,
+             (d2 * 1000000) // n2 AS dup_2gram_frac_micro
+      FROM per p JOIN dup USING (doc_id)
+    )
+    SELECT *,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_word_len_micro BETWEEN 3000000 AND 10000000
+            AND top_word_frac_micro <= 200000
+            AND dup_2gram_frac_micro <= 150000) AS keep
+    FROM j
     """
 
     o["dedup_exact"] = """

@@ -60,6 +60,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_clusters",
+    "dedup_clusters_star",
     "docs_clean_corpus",
     "docs_hash_split",
     "docs_contamination",
@@ -68,12 +69,15 @@ HEADLINE = [
     "text_fingerprints",
     "text_token_stats",
     "text_langid",
+    "text_gopher_rules",
     "ann_topk",
     "ann_ivf_topk",
     "ann_lsh_pairs",
     "dedup_embedding_lsh",
     "multimodal_features",
     "multimodal_frame_sample",
+    "multimodal_decode_real",
+    "multimodal_resize_real",
 ]
 
 

@@ -109,3 +109,42 @@ def test_replay_idempotent_under_duplicate_delivery(spark, rows):
         for r in replay(log, ["pk"]).collect()
     )
     assert got == want
+
+
+def test_gopher_rules_hand_computed(spark):
+    """Hand-verifiable doc: 4 words, 'x' repeated twice, one dup 2-gram
+    source; micro-fractions are exact integer division."""
+    from warp_pipe_spark.datapipe.text import gopher_rules
+
+    docs = spark.createDataFrame(
+        [(1, "x y x z"), (2, " ".join(["w"] * 60))],
+        "doc_id LONG, text STRING",
+    )
+    got = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+
+    d1 = got[1]  # words: x y x z → 4 words, 3 distinct, top 'x'=2
+    assert d1["n_words"] == 4 and d1["n_distinct_words"] == 3
+    assert d1["mean_word_len_micro"] == 1_000_000  # all 1-char words
+    assert d1["top_word_frac_micro"] == 500_000  # 2/4
+    # 2-grams: [x y, y x, x z] — all distinct
+    assert d1["dup_2gram_frac_micro"] == 0
+    assert not d1["keep"]  # fails min_words and mean_word_len
+
+    d2 = got[2]  # 60 × 'w': passes length gate, fails repetition gates
+    assert d2["n_words"] == 60 and d2["top_word_frac_micro"] == 1_000_000
+    # 59 2-grams, all identical → 58 duplicates
+    assert d2["dup_2gram_frac_micro"] == (58 * 1_000_000) // 59
+    assert not d2["keep"]
+
+
+def test_gopher_rules_keep_on_realistic_doc(spark, sf_dir):
+    """The synthetic corpus is normal prose-shaped: most docs pass."""
+    from warp_pipe_spark.datapipe.text import gopher_rules
+    from warp_pipe_spark.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = gopher_rules(docs)
+    n = out.count()
+    kept = out.filter("keep").count()
+    assert n == docs.count()
+    assert kept > 0  # the gate is a filter, not a wall

@@ -101,6 +101,67 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return docs.select(*sel)
 
 
+def gopher_rules(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wl_micro: int = 3_000_000,
+    max_mean_wl_micro: int = 10_000_000,
+    max_top_word_frac_micro: int = 200_000,
+    max_dup_2gram_frac_micro: int = 150_000,
+) -> DataFrame:
+    """Gopher-style repetition/quality rules (Rae et al. 2021 §A1.1),
+    the standard pre-training corpus gate: word-count bounds, mean word
+    length bounds, single-most-frequent-word dominance, duplicate
+    2-gram mass. All ratios are emitted as exact MICRO-fractions
+    (value·10⁶ by integer division) — pure integer arithmetic, so any
+    engine replays them bit-for-bit and the keep/drop verdict can
+    never flip on a float rounding boundary.
+
+    One explode + two keyed aggregations per doc (word counts fold
+    map-side); the 2-gram mass reuses the shingle extractor. Linear at
+    100 TB, no Python.
+    """
+    toks = _tokens(F.col("text"))
+    words = docs.select("doc_id", F.explode(toks).alias("w"))
+    wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    per = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct_words"),
+        F.max("c").alias("top_word_count"),
+        F.sum(F.col("c") * F.length("w")).alias("sum_word_len"),
+    )
+    g2 = docs.select("doc_id", shingles(F.col("text"), 2).alias("g"))
+    dup2 = g2.select(
+        "doc_id",
+        F.size("g").alias("n_2grams"),
+        (F.size("g") - F.size(F.array_distinct("g"))).alias("dup_2grams"),
+    )
+    m = per.join(dup2, "doc_id")
+    # `div` = exact integer division on BIGINTs (DuckDB `//`) — no
+    # double intermediate, so no precision cliff past 2^53
+    mean_wl = F.expr("(sum_word_len * 1000000) div n_words")
+    top_frac = F.expr("(top_word_count * 1000000) div n_words")
+    dup_frac = F.expr("(dup_2grams * 1000000) div n_2grams")
+    out = m.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        mean_wl.alias("mean_word_len_micro"),
+        top_frac.alias("top_word_frac_micro"),
+        dup_frac.alias("dup_2gram_frac_micro"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len_micro") >= min_mean_wl_micro)
+        & (F.col("mean_word_len_micro") <= max_mean_wl_micro)
+        & (F.col("top_word_frac_micro") <= max_top_word_frac_micro)
+        & (F.col("dup_2gram_frac_micro") <= max_dup_2gram_frac_micro)
+    )
+    return out.withColumn("keep", keep)
+
+
 def h32(col: Column) -> Column:
     """Shared 32-bit string hash: first 8 hex chars of md5 as an int.
     DuckDB replays it as ('0x' || substr(md5(x),1,8))::BIGINT."""
