@@ -918,6 +918,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cos_sim",
         )
 
+    def ann_ivf_indexed(spark, sf):
+        """IVF with a PERSISTED index: vectors written partitioned by
+        cell (build_ivf_index), search probes n_probe cells and reads
+        ONLY those partitions' files (literal cent_id partition filter
+        → unprobed directories never listed). Same output as
+        ann_ivf_topk — the oracle is identical; what changes is the
+        I/O shape, which is the part that matters at 100 TB."""
+        import tempfile
+
+        from warp_pipe_spark.datapipe.similarity import (
+            build_ivf_index,
+            ivf_topk_indexed,
+        )
+
+        emb = read_table(spark, sf, "embeddings")
+        path = tempfile.mkdtemp(prefix="wp_ivf_")
+        build_ivf_index(emb, path, n_centroids=10)
+        out = ivf_topk_indexed(
+            spark, emb.filter(F.col("vec_id") < 10), path, k=5, n_probe=3
+        )
+        return out.select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "cos_sim",
+        )
+
     def dedup_embedding_lsh(spark, sf):
         """The 100 TB near-dup path END-TO-END: hyperplane-LSH bucket
         candidates (linear) verified by exact cosine (only on
@@ -950,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(
         ann_topk=ann_topk,
         ann_ivf_topk=ann_ivf_topk,
+        ann_ivf_indexed=ann_ivf_indexed,
         ann_lsh_pairs=ann_lsh_pairs,
         dedup_embedding_lsh=dedup_embedding_lsh,
     )
@@ -1391,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cs_keyset_poll_stream",
         "dedup_clusters_star",
         "text_gopher_rules",
+        "ann_ivf_indexed",
         # changed in round 2
         "cs_checksum_scalable",  # portable STRING digest surface
         "tpch_q3",  # cents-hardened money + broadcast hints removed
@@ -2036,6 +2065,10 @@ def oracle_sql() -> dict[str, str]:
     SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, cos_sim
     FROM ranked WHERE rnk <= 5
     """
+
+    # the persisted-index search must return the identical top-k; only
+    # the I/O shape differs (partition-pruned cell files)
+    o["ann_ivf_indexed"] = o["ann_ivf_topk"]
 
     # Random-hyperplane LSH: plane(i, d) = +1 if h32(i ':' d) is even
     # else -1 (similarity.hyperplane_signatures); dot folds left-to-right

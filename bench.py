@@ -72,6 +72,7 @@ HEADLINE = [
     "text_gopher_rules",
     "ann_topk",
     "ann_ivf_topk",
+    "ann_ivf_indexed",
     "ann_lsh_pairs",
     "dedup_embedding_lsh",
     "multimodal_features",

@@ -51,3 +51,40 @@ def test_ivf_recall_against_bruteforce(emb):
     # IVF probes 3/10 cells: imperfect recall is expected, zero overlap is a bug
     assert len(exact & approx) > 0
     assert len(approx) == 25
+
+
+def test_ivf_persisted_index_prunes_partitions_and_matches(spark, sf_dir, tmp_path):
+    """The persisted index must (a) return exactly the non-indexed IVF
+    top-k and (b) show a cent_id partition filter on the cells scan —
+    unprobed cell directories are pruned at file-listing time, the
+    property that makes IVF pay off at 100 TB."""
+    import re
+
+    from warp_pipe_spark.datapipe.similarity import (
+        build_ivf_index,
+        ivf_topk_cosine,
+        ivf_topk_indexed,
+    )
+    from warp_pipe_spark.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=10)
+
+    out = ivf_topk_indexed(spark, emb.filter("vec_id < 10"), path, k=5, n_probe=3)
+    want = ivf_topk_cosine(emb, k=5, n_queries=10, n_centroids=10, n_probe=3)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    got_rows = sorted(
+        ((r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"]) for r in out.collect())
+    )
+    want_rows = sorted(
+        ((r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"]) for r in want.collect())
+    )
+    assert got_rows == want_rows and len(got_rows) == 50
+
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln and "cent_id" in ln]
+    assert pf, plan  # cells scan carries the literal cent_id IN (...) filter
+    assert re.search(r"PartitionFilters: \[.*cent_id.* IN \(", pf[0]), pf[0]

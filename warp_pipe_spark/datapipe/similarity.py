@@ -131,6 +131,93 @@ def hyperplane_lsh_pairs(
     return bucket_pairs(bands, ["band", "key"], "vec_id", "vec_a", "vec_b")
 
 
+def _ivf_centroids(embeddings: DataFrame, n_centroids: int, step: int = 50) -> DataFrame:
+    """Deterministic centroids: every `step`-th vec_id, bounded — never
+    a bare limit on an unordered scan, so any engine replays the choice."""
+    return embeddings.filter(
+        (F.col("vec_id") % step == 0) & (F.col("vec_id") < step * n_centroids)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb"))
+
+
+def _ivf_assign(embeddings: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest centroid per vector (rounded sim, centroid-id tie-break):
+    broadcast-join narrow stage + per-vector top-1 window."""
+    scored = embeddings.crossJoin(F.broadcast(cent)).withColumn(
+        "csim", F.round(cosine_v(F.col("embedding"), F.col("cent_emb")), 6)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id").asc())
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+
+
+def build_ivf_index(embeddings: DataFrame, path: str, n_centroids: int = 10) -> None:
+    """Persist an IVF index: `<path>/cells` holds every vector
+    partitioned BY ITS CELL (partitionBy(cent_id)), `<path>/centroids`
+    the centroid vectors. Searching then reads only the probed cells'
+    FILES — IVF's "touch n_probe/n_centroids of the data" realized as
+    parquet partition pruning, the property that matters at 100 TB
+    (the unprobed 70%+ of the corpus is never opened, not merely
+    filtered after a full scan)."""
+    cent = _ivf_centroids(embeddings, n_centroids)
+    cent.write.mode("overwrite").parquet(path + "/centroids")
+    _ivf_assign(embeddings, cent).write.mode("overwrite").partitionBy(
+        "cent_id"
+    ).parquet(path + "/cells")
+
+
+def ivf_topk_indexed(
+    spark,
+    queries: DataFrame,
+    index_path: str,
+    k: int = 5,
+    n_probe: int = 3,
+) -> DataFrame:
+    """Search a persisted IVF index: probe the n_probe nearest cells
+    per query, then exact top-k inside probed cells only.
+
+    The probed cell-id set (n_queries × n_probe ids — planning
+    metadata, not data) is collected and inlined as a LITERAL
+    partition predicate, so the cells scan shows
+    `PartitionFilters: [cent_id IN (...)]` and unprobed directories
+    are never listed. Output (query_id, neighbor_id, rank, cos_sim) —
+    identical to ivf_topk_cosine on the same parameters."""
+    cent = spark.read.parquet(index_path + "/centroids")
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    qscored = q.crossJoin(F.broadcast(cent)).withColumn(
+        "csim", F.round(cosine_v(F.col("q_emb"), F.col("cent_emb")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        qscored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", "q_emb", "cent_id")
+    )
+    probed_cells = sorted({r["cent_id"] for r in probes.select("cent_id").distinct().collect()})
+    cells = spark.read.parquet(index_path + "/cells").filter(
+        F.col("cent_id").isin(probed_cells)
+    )
+    cands = probes.join(cells, "cent_id").filter(F.col("query_id") != F.col("vec_id"))
+    sim = F.round(cosine_v(F.col("q_emb"), F.col("embedding")), 6)
+    ranked = cands.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("cos_sim")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        ranked.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def ivf_topk_cosine(
     embeddings: DataFrame,
     k: int = 5,
@@ -149,23 +236,12 @@ def ivf_topk_cosine(
     Centroid choice is fully deterministic (every `step`-th vec_id,
     bounded, never a bare limit on an unordered scan) so the DuckDB
     oracle can replay the probe decisions exactly."""
-    step = 50
-    cents = embeddings.filter(
-        (F.col("vec_id") % step == 0) & (F.col("vec_id") < step * n_centroids)
-    )
-    cent = cents.select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
-    )
-    # nearest centroid per vector (rounded sim, centroid-id tie-break)
+    cent = _ivf_centroids(embeddings, n_centroids)
     scored = embeddings.crossJoin(F.broadcast(cent)).withColumn(
         "csim", F.round(cosine_v(F.col("embedding"), F.col("cent_emb")), 6)
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id").asc())
-    assign = (
-        scored.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") == 1)
-        .select("vec_id", "embedding", "cent_id")
-    )
+    assign = _ivf_assign(embeddings, cent)
     # queries probe n_probe nearest centroids
     probes = (
         scored.filter(F.col("vec_id") < n_queries)
