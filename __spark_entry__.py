@@ -1279,6 +1279,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count("*").cast("long").alias("n"),
         )
 
+    def docs_token_percentiles(spark, sf):
+        """Corpus telemetry: per-source token-count distribution (exact
+        p50/p90/p99) + total token mass — the sizing report every
+        pre-training data pipeline runs before mixing sources. Grouped
+        percentile = per-key partition-local sort, no global sort."""
+        d = _docs(spark, sf).select(
+            "source", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+        )
+        return d.groupBy("source").agg(
+            F.expr("percentile(n_tok, 0.5)").alias("p50"),
+            F.expr("percentile(n_tok, 0.9)").alias("p90"),
+            F.expr("percentile(n_tok, 0.99)").alias("p99"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+
+    def events_funnel(spark, sf):
+        """Funnel conversion (click → later purchase) per user: the
+        canonical two-step behavioral query. One shuffle keyed by user;
+        both step timestamps come out of a single conditional
+        aggregation (no self-join of events with events); the
+        conversion rate is a micro-fraction by integer division —
+        float-free verdict."""
+        ev = read_table(spark, sf, "events").select(
+            "user_id", "event_type", F.unix_millis("ts").alias("tms")
+        )
+        per_user = ev.groupBy("user_id").agg(
+            F.min(F.when(F.col("event_type") == "click", F.col("tms"))).alias(
+                "first_click_ms"
+            ),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("tms"))).alias(
+                "last_purchase_ms"
+            ),
+        )
+        converted = (
+            F.col("first_click_ms").isNotNull()
+            & F.col("last_purchase_ms").isNotNull()
+            & (F.col("last_purchase_ms") >= F.col("first_click_ms"))
+        )
+        return per_user.agg(
+            F.count("*").alias("n_users"),
+            F.count(F.when(F.col("first_click_ms").isNotNull(), 1)).alias(
+                "n_clicked"
+            ),
+            F.count(F.when(converted, 1)).alias("n_converted"),
+        ).select(
+            "n_users",
+            "n_clicked",
+            "n_converted",
+            F.expr("(n_converted * 1000000) div n_clicked").alias(
+                "conversion_micro"
+            ),
+        )
+
     def dedup_clusters(spark, sf):
         """Near-dup cluster assignment: connected components (iterative
         min-label propagation, lineage cut per round via
@@ -1386,6 +1440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_gaps=events_gaps,
         events_kmv_distinct=events_kmv_distinct,
         events_percentiles=events_percentiles,
+        events_funnel=events_funnel,
+        docs_token_percentiles=docs_token_percentiles,
         multimodal_frame_sample=multimodal_frame_sample,
         dedup_clusters=dedup_clusters,
         dedup_clusters_star=dedup_clusters_star,
@@ -1420,6 +1476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_star",
         "text_gopher_rules",
         "ann_ivf_indexed",
+        "events_funnel",
+        "docs_token_percentiles",
         # changed in round 2
         "cs_checksum_scalable",  # portable STRING digest surface
         "tpch_q3",  # cents-hardened money + broadcast hints removed
@@ -2309,6 +2367,38 @@ def oracle_sql() -> dict[str, str]:
     FROM (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
           FROM events)
     GROUP BY event_type
+    """
+
+    o["docs_token_percentiles"] = """
+    SELECT source,
+           quantile_cont(n_tok, 0.5) AS p50,
+           quantile_cont(n_tok, 0.9) AS p90,
+           quantile_cont(n_tok, 0.99) AS p99,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           count(*)::BIGINT AS n_docs
+    FROM (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents)
+    GROUP BY source
+    """
+
+    o["events_funnel"] = """
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) AS first_click_ms,
+             max(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS last_purchase_ms
+      FROM events GROUP BY user_id
+    ),
+    agg AS (
+      SELECT count(*)::BIGINT AS n_users,
+             count(first_click_ms)::BIGINT AS n_clicked,
+             count(CASE WHEN first_click_ms IS NOT NULL
+                         AND last_purchase_ms >= first_click_ms THEN 1 END)::BIGINT
+               AS n_converted
+      FROM per_user
+    )
+    SELECT n_users, n_clicked, n_converted,
+           (n_converted * 1000000) // n_clicked AS conversion_micro
+    FROM agg
     """
 
     o["dedup_clusters"] = f"""

@@ -54,6 +54,7 @@ HEADLINE = [
     "events_gaps",
     "events_kmv_distinct",
     "events_percentiles",
+    "events_funnel",
     "dedup_exact",
     "dedup_minhash_sig",
     "dedup_minhash_pairs",
@@ -65,6 +66,7 @@ HEADLINE = [
     "docs_hash_split",
     "docs_contamination",
     "docs_source_mix",
+    "docs_token_percentiles",
     "text_quality",
     "text_fingerprints",
     "text_token_stats",
