@@ -62,7 +62,11 @@ def main() -> None:
         schema=log.schema,
     )
     q.awaitTermination(120)
-    streamed = spark.read.parquet(os.path.join(work, "state"))
+    from warp_pipe_spark.streaming import ParquetStateSink
+
+    streamed = ParquetStateSink(
+        spark, os.path.join(work, "state"), pk_cols=["pk"]
+    ).read_state()
     batch = ax.run_batch(log)
     print(f"state: streamed={streamed.count()} rows, batch replay={batch.count()} rows")
 

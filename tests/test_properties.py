@@ -148,3 +148,21 @@ def test_gopher_rules_keep_on_realistic_doc(spark, sf_dir):
     kept = out.filter("keep").count()
     assert n == docs.count()
     assert kept > 0  # the gate is a filter, not a wall
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 16),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_codec_roundtrip_property(w, h, seed):
+    """encode∘decode = identity for ARBITRARY pixel contents and every
+    stride-padding remainder — driver-only, no Spark jobs."""
+    import numpy as np
+
+    from warp_pipe_spark.datapipe.multimodal import bmp_decode, bmp_encode
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (bmp_decode(bmp_encode(img)) == img).all()
