@@ -1028,10 +1028,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         resized = resize_media(media, max_width=8, max_height=8, fake=False)
         return _bmp_sums(decode_media(resized, fake=False))
 
+    def multimodal_audio_real(spark, sf):
+        """REAL audio decode, no stub: PCM WAV blobs synthesized per doc
+        (multimodal.wav_media), parsed back by walking the RIFF chunk
+        list, then integer signal stats (amplitude mass, zero
+        crossings). Oracle replays the stats from the sample arithmetic
+        — never sees a byte."""
+        from warp_pipe_spark.datapipe.multimodal import decode_audio, wav_media
+
+        return decode_audio(wav_media(_docs(spark, sf)))
+
+    def multimodal_video_frames(spark, sf):
+        """REAL video frame extraction: demux a concatenated-BMP stream
+        (each frame self-describing via its header size field), decode
+        every frame, emit per-frame channel sums. Frame f of video v
+        uses pixel seed v·1000+f, so the oracle replays every frame
+        statistic from arithmetic — the whole demux+decode chain is
+        independently checked."""
+        from warp_pipe_spark.datapipe.multimodal import extract_frames, video_media
+
+        return extract_frames(video_media(_docs(spark, sf)))
+
     q.update(
         multimodal_features=multimodal_features,
         multimodal_decode_real=multimodal_decode_real,
         multimodal_resize_real=multimodal_resize_real,
+        multimodal_audio_real=multimodal_audio_real,
+        multimodal_video_frames=multimodal_video_frames,
     )
 
     # --- sketches, percentiles, wider TPC-H shapes ----------------------
@@ -1472,6 +1495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 2
         "multimodal_decode_real",
         "multimodal_resize_real",
+        "multimodal_audio_real",
+        "multimodal_video_frames",
         "cs_keyset_poll_stream",
         "dedup_clusters_star",
         "text_gopher_rules",
@@ -2236,6 +2261,48 @@ def oracle_sql() -> dict[str, str]:
     SELECT media_id, CAST(tw AS BIGINT) AS width, CAST(th AS BIGINT) AS height,
            {_px_sums}
     FROM px GROUP BY media_id, tw, th
+    """
+
+    # real video demux: frame f of video v = BMP with pixel seed
+    # v·1000+f; dims (v%6+2 frames, v%8+4 × v%6+4)
+    o["multimodal_video_frames"] = """
+    WITH m AS (
+      SELECT doc_id AS media_id, doc_id % 6 + 2 AS nf,
+             doc_id % 8 + 4 AS w, doc_id % 6 + 4 AS h
+      FROM documents
+    ),
+    fr AS (SELECT media_id, w, h, unnest(range(0, nf)) AS f FROM m),
+    xs AS (SELECT media_id, w, h, f, media_id * 1000 + f AS seed,
+                  unnest(range(0, w)) AS sx FROM fr),
+    px AS (SELECT media_id, w, h, f, seed, sx, unnest(range(0, h)) AS sy FROM xs)
+    SELECT media_id, CAST(f AS BIGINT) AS frame_idx,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(sum((7 * seed + sx + 11 * sy) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((3 * seed + 5 * sx + sy) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((seed + 2 * sx + 3 * sy) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY media_id, f, w, h
+    """
+
+    # real WAV decode: samples are ((7·id + 13·i) mod 2¹⁶) − 2¹⁵
+    # (multimodal.synth_samples); zero-crossing = adjacent product < 0.
+    o["multimodal_audio_real"] = """
+    WITH m AS (
+      SELECT doc_id AS media_id, doc_id % 500 + 100 AS n FROM documents
+    ),
+    idx AS (SELECT media_id, n, unnest(range(0, n)) AS i FROM m),
+    s AS (
+      SELECT media_id, n, i,
+             ((7 * media_id + 13 * i) % 65536) - 32768 AS v,
+             ((7 * media_id + 13 * (i + 1)) % 65536) - 32768 AS v_next
+      FROM idx
+    )
+    SELECT media_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+           CAST(count(CASE WHEN i < n - 1 AND v * v_next < 0 THEN 1 END) AS BIGINT)
+             AS n_zero_cross
+    FROM s GROUP BY media_id, n
     """
 
     # --- sketches, percentiles, wider TPC-H shapes ----------------------

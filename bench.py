@@ -81,6 +81,8 @@ HEADLINE = [
     "multimodal_frame_sample",
     "multimodal_decode_real",
     "multimodal_resize_real",
+    "multimodal_audio_real",
+    "multimodal_video_frames",
 ]
 
 

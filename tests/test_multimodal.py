@@ -123,3 +123,92 @@ def test_resize_caps_dims_preserving_aspect(spark, media):
         if sw <= 100 and sh <= 100:  # no upscaling
             assert (w, h) == (sw, sh)
         assert bytes(r["content"]) == bytes(src[mid]["content"])  # stub passthrough
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    import struct
+
+    import numpy as np
+
+    from warp_pipe_spark.datapipe.multimodal import (
+        synth_samples,
+        wav_decode,
+        wav_dims,
+        wav_encode,
+    )
+
+    for mid in (0, 1, 13, 499):
+        s = synth_samples(mid, wav_dims(mid))
+        rate, back = wav_decode(wav_encode(s))
+        assert rate == 8000 and (back == s).all()
+    # parser walks chunks: an extra chunk before `data` must be skipped
+    s = synth_samples(7, 10)
+    blob = wav_encode(s)
+    fmt_chunk = blob[12:36]  # 'fmt ' + size + 16 body bytes
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    data_chunk = blob[36:]
+    n = len(blob) - 8 + len(extra)
+    rebuilt = b"RIFF" + struct.pack("<I", n) + b"WAVE" + fmt_chunk + extra + data_chunk
+    rate, back = wav_decode(rebuilt)
+    assert rate == 8000 and (back == s).all()
+
+    with pytest.raises(ValueError, match="not a RIFF"):
+        wav_decode(b"nope")
+
+
+def test_audio_decode_end_to_end(spark, sf_dir):
+    import numpy as np
+
+    from warp_pipe_spark.datapipe.multimodal import (
+        decode_audio,
+        synth_samples,
+        wav_dims,
+        wav_media,
+    )
+    from warp_pipe_spark.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(20)
+    rows = {r["media_id"]: r for r in decode_audio(wav_media(docs)).collect()}
+    assert len(rows) == 20
+    for mid, r in rows.items():
+        v = synth_samples(mid, wav_dims(mid)).astype("int64")
+        assert r["n_samples"] == len(v) and r["sample_rate"] == 8000
+        assert r["sum_abs"] == int(abs(v).sum())
+        assert r["n_zero_cross"] == int(((v[:-1] * v[1:]) < 0).sum())
+
+
+def test_video_demux_and_frame_decode(spark, sf_dir):
+    import numpy as np
+
+    from warp_pipe_spark.datapipe.multimodal import (
+        bmp_encode,
+        extract_frames,
+        split_bmp_stream,
+        synth_pixels,
+        video_dims,
+        video_media,
+    )
+    from warp_pipe_spark.io import read_table
+
+    # demux walks declared sizes, rejects garbage
+    frames = [bmp_encode(synth_pixels(s, 5, 4)) for s in (1, 2, 3)]
+    stream = b"".join(frames)
+    assert split_bmp_stream(stream) == frames
+    with pytest.raises(ValueError, match="magic"):
+        split_bmp_stream(stream + b"XX")
+
+    docs = read_table(spark, sf_dir, "documents").limit(15)
+    out = extract_frames(video_media(docs)).collect()
+    got = {(r["media_id"], r["frame_idx"]): r for r in out}
+    for mid in range(15):
+        nf, w, h = video_dims(mid)
+        assert sum(1 for k in got if k[0] == mid) == nf
+        r = got[(mid, nf - 1)]  # last frame decodes with its own seed
+        img = synth_pixels(mid * 1000 + nf - 1, w, h)
+        s = img.reshape(-1, 3).sum(axis=0)
+        assert (r["width"], r["height"]) == (w, h)
+        assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(int(x) for x in s)
+
+    # every_n subsampling
+    sub = extract_frames(video_media(docs), every_n=2).collect()
+    assert all(r["frame_idx"] % 2 == 0 for r in sub)

@@ -199,6 +199,243 @@ def bmp_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(mapper, schema=MEDIA_SCHEMA)
 
 
+# -- video: BMP-frame stream container, real demux + per-frame decode ----
+
+
+def video_dims(media_id: int) -> tuple[int, int, int]:
+    """(n_frames, width, height) for the synthetic video corpus."""
+    return media_id % 6 + 2, media_id % 8 + 4, media_id % 6 + 4
+
+
+def video_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table whose `content` is a REAL video-like stream:
+    N concatenated BMP frames (each self-describing via its RIFF-style
+    file-size field), frame f's pixels derived from media_id·1000+f —
+    so per-frame statistics replay from pure arithmetic."""
+
+    def mapper(batches):
+        for pdf in batches:
+            contents, metas = [], []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                nf, w, h = video_dims(mid)
+                blob = b"".join(
+                    bmp_encode(synth_pixels(mid * 1000 + f, w, h))
+                    for f in range(nf)
+                )
+                contents.append(blob)
+                metas.append(
+                    {
+                        "n_bytes": len(blob),
+                        "mime": "video/x-bmp-stream",
+                        "width": w,
+                        "height": h,
+                        "duration_ms": nf * 40,  # 25 fps
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": "video",
+                    "content": contents,
+                    "meta": metas,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(mapper, schema=MEDIA_SCHEMA)
+
+
+def split_bmp_stream(data: bytes) -> list[bytes]:
+    """Demux a concatenated-BMP stream by walking each frame's declared
+    file size (bytes 2..6 of its header) — a real container parser, not
+    a fixed-stride assumption."""
+    frames, pos = [], 0
+    while pos < len(data):
+        if data[pos : pos + 2] != b"BM":
+            raise ValueError(f"bad frame magic at offset {pos}")
+        (size,) = struct.unpack_from("<I", data, pos + 2)
+        if size < 54 or pos + size > len(data):
+            raise ValueError(f"bad frame size {size} at offset {pos}")
+        frames.append(data[pos : pos + size])
+        pos += size
+    return frames
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def extract_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL frame extraction: demux the stream, decode every
+    `every_n`-th frame, emit per-frame per-channel pixel sums. The 1→N
+    row fan-out happens inside the Arrow pass (one input row → many
+    output rows), distributed — never on the driver."""
+
+    def mapper(batches):
+        for pdf in batches:
+            out = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                for f, frame in enumerate(split_bmp_stream(bytes(c))):
+                    if f % every_n:
+                        continue
+                    img = bmp_decode(frame)
+                    h, w = img.shape[:2]
+                    s = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                    out.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": f,
+                            "width": w,
+                            "height": h,
+                            "sum_r": int(s[0]),
+                            "sum_g": int(s[1]),
+                            "sum_b": int(s[2]),
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(mapper, schema=VIDEO_FRAME_SCHEMA)
+
+
+# -- audio: 16-bit PCM WAV, same from-scratch discipline as BMP ----------
+
+
+def wav_encode(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode a mono int16 sample array as a canonical 44-byte-header
+    RIFF/WAVE PCM file. Pure numpy/struct, no libraries."""
+    data = samples.astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(data),
+        b"WAVE",
+        b"fmt ",
+        16,  # fmt chunk size
+        1,  # PCM
+        1,  # mono
+        sample_rate,
+        sample_rate * 2,  # byte rate
+        2,  # block align
+        16,  # bits/sample
+        b"data",
+        len(data),
+    )
+    return hdr + data
+
+
+def wav_decode(data: bytes) -> tuple[int, np.ndarray]:
+    """Decode a PCM WAV: returns (sample_rate, int16 samples). Walks
+    the RIFF chunk list (not a fixed 44-byte assumption), validates
+    PCM/16-bit/mono — a real parser."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt != 1 or ch != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV: fmt={fmt} ch={ch} bits={bits}")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, samples
+
+
+def synth_samples(media_id: int, n: int) -> np.ndarray:
+    """Deterministic int16 test signal: s_i = ((7·id + 13·i) mod 2¹⁶) −
+    2¹⁵ — integer arithmetic a SQL oracle replays without the bytes."""
+    i = np.arange(n, dtype=np.int64)
+    return (((7 * media_id + 13 * i) % 65536) - 32768).astype(np.int16)
+
+
+def wav_dims(media_id: int) -> int:
+    """Per-doc synthetic sample count (100..599)."""
+    return media_id % 500 + 100
+
+
+def wav_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table whose `content` is REAL binary audio (PCM
+    WAV synthesized per doc_id), one Arrow mapInPandas pass."""
+
+    def mapper(batches):
+        for pdf in batches:
+            contents, metas = [], []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                n = wav_dims(mid)
+                blob = wav_encode(synth_samples(mid, n))
+                contents.append(blob)
+                metas.append(
+                    {
+                        "n_bytes": len(blob),
+                        "mime": "audio/wav",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": n * 1000 // 8000,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": "audio",
+                    "content": contents,
+                    "meta": metas,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(mapper, schema=MEDIA_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("n_zero_cross", T.LongType()),
+    ]
+)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """REAL audio decode → integer signal statistics (mean-amplitude
+    mass, zero crossings): the featurizer shape a speech/audio corpus
+    pipeline runs before filtering. All-integer outputs — any engine
+    replays them exactly."""
+
+    def mapper(batches):
+        for pdf in batches:
+            out = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                rate, s = wav_decode(bytes(c))
+                v = s.astype(np.int64)
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "n_samples": len(v),
+                        "sample_rate": rate,
+                        "sum_abs": int(np.abs(v).sum()),
+                        "n_zero_cross": int((v[:-1] * v[1:] < 0).sum()),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(mapper, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def _fake_features(content: bytes) -> list[float]:
     """Deterministic stand-in for a real image/audio featurizer: 8
     doubles from the md5 digest, scaled to [0, 1). k/65536 is an exact
