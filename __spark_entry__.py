@@ -1170,6 +1170,107 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("qty").cast("long").alias("sum_qty"),
         )
 
+    def tpch_q8(spark, sf):
+        """Q8 shape (national market share): of the revenue ASIA-region
+        customers spent on PROMO parts per year, the share supplied by
+        NATION_2's suppliers. Share emitted as exact cents numerator/
+        denominator plus a micro-fraction by integer division — the
+        verdict can't flip on a float boundary. Only O(1) dims carry
+        broadcast hints; AQE handles the SF-scaled sides."""
+        region = read_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+        nation = read_table(spark, sf, "nation")
+        cust_nations = nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        ).select(F.col("n_nationkey").alias("cn_key"))
+        cust = read_table(spark, sf, "customer")
+        orders = read_table(spark, sf, "orders").filter(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+        )
+        li = read_table(spark, sf, "lineitem")
+        part = read_table(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+        supp = read_table(spark, sf, "supplier")
+        sn = supp.join(
+            F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+        ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+        j = (
+            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(cust_nations), cust.c_nationkey == F.col("cn_key"), "left_semi")
+            .join(sn, li.l_suppkey == sn.s_suppkey)
+        )
+        rev_cents = F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+        ).cast("long")
+        g = j.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_2", rev_cents).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("nation_cents"),
+            F.sum(rev_cents).alias("total_cents"),
+        )
+        return g.select(
+            "o_year",
+            "nation_cents",
+            "total_cents",
+            F.expr("(nation_cents * 1000000) div total_cents").alias("share_micro"),
+        )
+
+    def tpch_q17(spark, sf):
+        """Q17 shape (small-quantity-order revenue): Brand#1 lineitems
+        whose quantity is below 20% of that part's average. The
+        threshold compare is multiplied through to INTEGER form
+        (5·qty·cnt < sum_qty) — no float ratio anywhere, so the row
+        set is engine-exact. Per-part averages are a partial-agg
+        groupBy; AQE broadcasts the small survivor side."""
+        part = read_table(spark, sf, "part").filter(F.col("p_brand") == "Brand#1")
+        li = read_table(spark, sf, "lineitem")
+        li_b = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+            "l_partkey",
+            F.col("l_quantity").cast("long").alias("qty"),
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("price_cents"),
+        )
+        per_part = li_b.groupBy("l_partkey").agg(
+            F.sum("qty").alias("sum_qty"), F.count("*").alias("cnt")
+        )
+        j = li_b.join(per_part, "l_partkey").filter(
+            F.col("qty") * 5 * F.col("cnt") < F.col("sum_qty")
+        )
+        return j.agg(
+            F.sum("price_cents").alias("small_qty_price_cents"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+
+    def tpch_q22(spark, sf):
+        """Q22 shape (global sales opportunity): customers with
+        above-average positive balance and no orders in the trailing
+        quarter (dormant), per nation. Above-average is multiplied
+        through to integer form (cents·n > total_cents) — no float
+        ratio. Anti-join replaces NOT EXISTS; the quarter's order
+        slice is the anti side, filter pushed to its scan; the
+        one-row global average broadcasts."""
+        cust = read_table(spark, sf, "customer").select(
+            "c_custkey", "c_nationkey", _CENTS("c_acctbal").alias("bal_cents")
+        )
+        pos = cust.filter(F.col("bal_cents") > 0)
+        avg_row = pos.agg(
+            F.sum("bal_cents").alias("total_cents"), F.count("*").alias("n_pos")
+        )
+        recent = read_table(spark, sf, "orders").filter(
+            F.col("o_orderdate") >= "1997-10-01"
+        )
+        rich = pos.crossJoin(F.broadcast(avg_row)).filter(
+            F.col("bal_cents") * F.col("n_pos") > F.col("total_cents")
+        )
+        dormant = rich.join(
+            recent, rich.c_custkey == recent.o_custkey, "left_anti"
+        )
+        return dormant.groupBy(F.col("c_nationkey").cast("long").alias("nationkey")).agg(
+            F.count("*").alias("n_custs"),
+            F.sum("bal_cents").alias("total_bal_cents"),
+        )
+
     def tpch_q13(spark, sf):
         """Q13 shape (customer order-count distribution): LEFT OUTER
         join so zero-order customers survive, then a two-level
@@ -1454,8 +1555,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q.update(
         tpch_q7=tpch_q7,
+        tpch_q8=tpch_q8,
         tpch_q10=tpch_q10,
         tpch_q13=tpch_q13,
+        tpch_q17=tpch_q17,
+        tpch_q22=tpch_q22,
         tpch_q14=tpch_q14,
         tpch_q15=tpch_q15,
         tpch_q18=tpch_q18,
@@ -1503,6 +1607,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_indexed",
         "events_funnel",
         "docs_token_percentiles",
+        "tpch_q8",
+        "tpch_q17",
+        "tpch_q22",
         # changed in round 2
         "cs_checksum_scalable",  # portable STRING digest surface
         "tpch_q3",  # cents-hardened money + broadcast hints removed
@@ -2349,6 +2456,76 @@ def oracle_sql() -> dict[str, str]:
     WHERE l_partkey = p_partkey
       AND l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """
+
+    o["tpch_q8"] = """
+    WITH j AS (
+      SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+             CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+               AS rev_cents,
+             sn.n_name AS supp_nation
+      FROM lineitem, part, orders, customer, supplier,
+           nation cn, nation sn, region
+      WHERE l_partkey = p_partkey AND p_type = 'PROMO'
+        AND l_orderkey = o_orderkey
+        AND o_custkey = c_custkey
+        AND c_nationkey = cn.n_nationkey
+        AND cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        AND l_suppkey = s_suppkey AND s_nationkey = sn.n_nationkey
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ),
+    g AS (
+      SELECT o_year,
+             CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN rev_cents
+                           ELSE 0 END) AS BIGINT) AS nation_cents,
+             CAST(sum(rev_cents) AS BIGINT) AS total_cents
+      FROM j GROUP BY o_year
+    )
+    SELECT o_year, nation_cents, total_cents,
+           (nation_cents * 1000000) // total_cents AS share_micro
+    FROM g
+    """
+
+    o["tpch_q17"] = """
+    WITH li_b AS (
+      SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey AND p_brand = 'Brand#1'
+    ),
+    per_part AS (
+      SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty,
+             count(*)::BIGINT AS cnt
+      FROM li_b GROUP BY l_partkey
+    )
+    SELECT CAST(sum(price_cents) AS BIGINT) AS small_qty_price_cents,
+           count(*)::BIGINT AS n_items
+    FROM li_b JOIN per_part USING (l_partkey)
+    WHERE qty * 5 * cnt < sum_qty
+    """
+
+    o["tpch_q22"] = """
+    WITH pos AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+      WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0
+    ),
+    avg_row AS (
+      SELECT CAST(sum(bal_cents) AS BIGINT) AS total_cents,
+             count(*)::BIGINT AS n_pos
+      FROM pos
+    )
+    SELECT c_nationkey::BIGINT AS nationkey,
+           count(*)::BIGINT AS n_custs,
+           CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents
+    FROM pos, avg_row
+    WHERE bal_cents * n_pos > total_cents
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00')
+    GROUP BY c_nationkey
     """
 
     o["tpch_q18"] = """
