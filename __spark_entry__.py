@@ -1497,6 +1497,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count("*").cast("long").alias("n_docs"))
         )
 
+    def docs_mix_rebalance(spark, sf):
+        """Source-mix rebalancing: downsample every source to a common
+        per-source token budget (the median source's token mass) with a
+        DETERMINISTIC hash threshold — keep doc iff
+        h32(doc_id) mod 10⁶ < rate_micro(source), where rate_micro =
+        min(1, budget/source_tokens) as an exact integer division.
+        Two passes: one groupBy for source masses (broadcast back as a
+        tiny map), one stateless filter — no RNG, no shuffle of the
+        corpus, same keep-set on any engine/partitioning/rerun.
+        Output: per-source before/after doc+token counts + the rate."""
+        from warp_pipe_spark.datapipe.text import h32
+
+        docs = _docs(spark, sf).select(
+            "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+        )
+        masses = docs.groupBy("source").agg(
+            F.sum("n_tok").alias("src_tokens"), F.count("*").alias("src_docs")
+        )
+        budget = masses.agg(
+            F.expr("percentile(src_tokens, 0.5)").cast("long").alias("budget")
+        )
+        rated = masses.crossJoin(F.broadcast(budget)).select(
+            "source",
+            "src_tokens",
+            "src_docs",
+            F.least(
+                F.lit(1_000_000).cast("long"),
+                F.expr("(budget * 1000000) div src_tokens"),
+            ).alias("rate_micro"),
+        )
+        kept = (
+            docs.join(F.broadcast(rated), "source")
+            .filter(h32(F.col("doc_id").cast("string")) % 1_000_000 < F.col("rate_micro"))
+            .groupBy("source")
+            .agg(
+                F.count("*").cast("long").alias("kept_docs"),
+                F.sum("n_tok").alias("kept_tokens"),
+            )
+        )
+        return (
+            rated.join(kept, "source", "left")
+            .select(
+                "source",
+                "src_docs",
+                "src_tokens",
+                "rate_micro",
+                F.coalesce("kept_docs", F.lit(0).cast("long")).alias("kept_docs"),
+                F.coalesce("kept_tokens", F.lit(0).cast("long")).alias("kept_tokens"),
+            )
+        )
+
     def docs_source_mix(spark, sf):
         """Corpus-composition stats per source (the mixing report every
         training-data pipeline ends with): doc counts, token totals,
@@ -1574,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_clusters_star=dedup_clusters_star,
         docs_hash_split=docs_hash_split,
         docs_source_mix=docs_source_mix,
+        docs_mix_rebalance=docs_mix_rebalance,
         docs_contamination=docs_contamination,
     )
 
@@ -1610,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q8",
         "tpch_q17",
         "tpch_q22",
+        "docs_mix_rebalance",
         # changed in round 2
         "cs_checksum_scalable",  # portable STRING digest surface
         "tpch_q3",  # cents-hardened money + broadcast hints removed
@@ -2665,6 +2718,39 @@ def oracle_sql() -> dict[str, str]:
 
     # star-contraction CC must produce the identical clustering
     o["dedup_clusters_star"] = o["dedup_clusters"]
+
+    # mix rebalance: floor() the median explicitly — DuckDB CAST rounds
+    # while Spark CAST truncates (the repo's standing sketch gotcha)
+    o["docs_mix_rebalance"] = f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    m AS (
+      SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_tokens,
+             count(*)::BIGINT AS src_docs
+      FROM d GROUP BY source
+    ),
+    b AS (SELECT CAST(floor(quantile_cont(src_tokens, 0.5)) AS BIGINT) AS budget FROM m),
+    r AS (
+      SELECT source, src_tokens, src_docs,
+             CAST(least(1000000, (budget * 1000000) // src_tokens) AS BIGINT)
+               AS rate_micro
+      FROM m, b
+    ),
+    k AS (
+      SELECT d.source, count(*)::BIGINT AS kept_docs,
+             CAST(sum(n_tok) AS BIGINT) AS kept_tokens
+      FROM d JOIN r USING (source)
+      WHERE {_H32_SQL.format(x="doc_id::VARCHAR")} % 1000000 < rate_micro
+      GROUP BY d.source
+    )
+    SELECT r.source, src_docs, src_tokens, rate_micro,
+           coalesce(kept_docs, 0) AS kept_docs,
+           coalesce(kept_tokens, 0) AS kept_tokens
+    FROM r LEFT JOIN k ON r.source = k.source
+    """
 
     o["docs_hash_split"] = f"""
     SELECT source,

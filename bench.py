@@ -70,6 +70,7 @@ HEADLINE = [
     "docs_contamination",
     "docs_source_mix",
     "docs_token_percentiles",
+    "docs_mix_rebalance",
     "text_quality",
     "text_fingerprints",
     "text_token_stats",

@@ -166,3 +166,18 @@ def test_bmp_codec_roundtrip_property(w, h, seed):
     rng = np.random.RandomState(seed)
     img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
     assert (bmp_decode(bmp_encode(img)) == img).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(n=st.integers(0, 400), seed=st.integers(0, 2**31 - 1))
+def test_wav_codec_roundtrip_property(n, seed):
+    """encode∘decode = identity for arbitrary int16 signals, including
+    empty and odd-length data chunks (RIFF word alignment)."""
+    import numpy as np
+
+    from warp_pipe_spark.datapipe.multimodal import wav_decode, wav_encode
+
+    rng = np.random.RandomState(seed)
+    s = rng.randint(-32768, 32768, size=n, dtype=np.int16)
+    rate, back = wav_decode(wav_encode(s, sample_rate=16000))
+    assert rate == 16000 and (back == s).all()
