@@ -146,6 +146,15 @@ def test_tpch_no_cartesian_anywhere(spark, qs):
             assert "BroadcastNestedLoopJoin" not in p, f"{name}:\n{tree_of(p)}"
 
 
+def test_gopher_rules_carries_2gram_stats_no_join(spark, qs):
+    """The 2-gram mass rides the exploded word rows (two extra longs
+    per shuffle row) instead of joining two doc-count-sized tables —
+    two keyed aggregations, zero joins."""
+    p = plan_of(spark, qs["text_gopher_rules"](spark, SF))
+    assert n_exchanges(p) == 2, tree_of(p)
+    assert "Join" not in tree_of(p), tree_of(p)
+
+
 def test_ngram_jaccard_carries_sizes_no_join(spark, qs):
     """Union sizes ride the posting lists: the whole pair pipeline is
     two keyed aggregates (shingle, then pair) with NO join — in

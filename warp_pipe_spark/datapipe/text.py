@@ -119,25 +119,34 @@ def gopher_rules(
     never flip on a float rounding boundary.
 
     One explode + two keyed aggregations per doc (word counts fold
-    map-side); the 2-gram mass reuses the shingle extractor. Linear at
-    100 TB, no Python.
+    map-side); the 2-gram mass is computed scan-side with array
+    functions and CARRIED THROUGH the exploded rows (two extra longs
+    per shuffle row) — no per-doc join anywhere, the same
+    ride-the-shuffle trick as ngram_jaccard's posting-list sizes. A
+    join of two doc-count-sized tables would be the dominant shuffle
+    at corpus scale. Linear at 100 TB, no Python.
     """
     toks = _tokens(F.col("text"))
-    words = docs.select("doc_id", F.explode(toks).alias("w"))
-    wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
-    per = wc.groupBy("doc_id").agg(
+    g2 = shingles(F.col("text"), 2)
+    words = docs.select(
+        "doc_id",
+        F.size(g2).alias("n_2grams"),
+        (F.size(g2) - F.size(F.array_distinct(g2))).alias("dup_2grams"),
+        F.explode(toks).alias("w"),
+    )
+    wc = words.groupBy("doc_id", "w").agg(
+        F.count("*").alias("c"),
+        F.first("n_2grams").alias("n_2grams"),
+        F.first("dup_2grams").alias("dup_2grams"),
+    )
+    m = wc.groupBy("doc_id").agg(
         F.sum("c").alias("n_words"),
         F.count("*").alias("n_distinct_words"),
         F.max("c").alias("top_word_count"),
         F.sum(F.col("c") * F.length("w")).alias("sum_word_len"),
+        F.first("n_2grams").alias("n_2grams"),
+        F.first("dup_2grams").alias("dup_2grams"),
     )
-    g2 = docs.select("doc_id", shingles(F.col("text"), 2).alias("g"))
-    dup2 = g2.select(
-        "doc_id",
-        F.size("g").alias("n_2grams"),
-        (F.size("g") - F.size(F.array_distinct("g"))).alias("dup_2grams"),
-    )
-    m = per.join(dup2, "doc_id")
     # `div` = exact integer division on BIGINTs (DuckDB `//`) — no
     # double intermediate, so no precision cliff past 2^53
     mean_wl = F.expr("(sum_word_len * 1000000) div n_words")
