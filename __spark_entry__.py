@@ -1457,6 +1457,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
 
+    def events_cohort_retention(spark, sf):
+        """Weekly cohort retention: users grouped by the week of their
+        first event; distinct actives per (cohort_week, weeks_since).
+        One user-keyed window carries the cohort assignment (no
+        events⋈first-event join — the min rides the same shuffle the
+        window needs), then one keyed distinct-count aggregate. Week
+        arithmetic is pure integer epoch-day division."""
+        ev = read_table(spark, sf, "events").select(
+            "user_id", F.unix_date(F.col("ts").cast("date")).alias("eday")
+        )
+        w = Window.partitionBy("user_id")
+        cohorted = ev.withColumn("cday", F.min("eday").over(w)).select(
+            "user_id",
+            F.expr("(cday div 7) * 7").alias("cohort_week_day"),
+            F.expr("(eday div 7) - (cday div 7)").alias("weeks_since"),
+        )
+        return cohorted.groupBy("cohort_week_day", "weeks_since").agg(
+            F.count_distinct("user_id").alias("n_users")
+        )
+
     def dedup_clusters(spark, sf):
         """Near-dup cluster assignment: connected components (iterative
         min-label propagation, lineage cut per round via
@@ -1619,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_kmv_distinct=events_kmv_distinct,
         events_percentiles=events_percentiles,
         events_funnel=events_funnel,
+        events_cohort_retention=events_cohort_retention,
         docs_token_percentiles=docs_token_percentiles,
         multimodal_frame_sample=multimodal_frame_sample,
         dedup_clusters=dedup_clusters,
@@ -1663,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17",
         "tpch_q22",
         "docs_mix_rebalance",
+        "events_cohort_retention",
         # changed in round 2
         "cs_checksum_scalable",  # portable STRING digest surface
         "tpch_q3",  # cents-hardened money + broadcast hints removed
@@ -2676,6 +2698,23 @@ def oracle_sql() -> dict[str, str]:
     FROM (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
           FROM documents)
     GROUP BY source
+    """
+
+    # cohort weeks are integer epoch-day division — Spark unix_date ==
+    # DuckDB (epoch(ts)/86400 floor); events ts has no pre-1970 rows
+    o["events_cohort_retention"] = """
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS eday
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, eday, min(eday) OVER (PARTITION BY user_id) AS cday
+      FROM e
+    )
+    SELECT (cday // 7) * 7 AS cohort_week_day,
+           (eday // 7) - (cday // 7) AS weeks_since,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM c GROUP BY 1, 2
     """
 
     o["events_funnel"] = """

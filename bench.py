@@ -58,6 +58,7 @@ HEADLINE = [
     "events_kmv_distinct",
     "events_percentiles",
     "events_funnel",
+    "events_cohort_retention",
     "dedup_exact",
     "dedup_minhash_sig",
     "dedup_minhash_pairs",

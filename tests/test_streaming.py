@@ -288,3 +288,27 @@ def test_keyset_poller_start_from_id_skips_history(spark, tmp_path):
     assert poller.run_until_drained() == 2  # ids 4,5 only
     got = {(r["pk"], r["val"], r["action"]) for r in sink.read_state().collect()}
     assert got == {(2, "b2", "UPDATE"), (3, "c", "INSERT")}
+
+
+def test_keyset_poller_corrupt_offset_raises_not_restarts(spark, tmp_path):
+    """A damaged offset file must raise StateCorruptError — silently
+    falling back to start_from_id would re-deliver the entire history
+    (correct but a full-backlog replay) without telling anyone."""
+    from warp_pipe_spark.streaming import (
+        KeysetPoller,
+        StateCorruptError,
+        parquet_keyset_fetch,
+    )
+
+    audit = str(tmp_path / "audit")
+    _write(spark, BATCH1, audit)
+    sink = ParquetStateSink(spark, str(tmp_path / "state"), pk_cols=["pk"])
+    poller = KeysetPoller(
+        spark, parquet_keyset_fetch(audit), sink, str(tmp_path / "off.json")
+    )
+    poller.run_until_drained()
+
+    with open(poller.offset_path, "w") as f:
+        f.write("{broken")
+    with pytest.raises(StateCorruptError):
+        poller.poll_once()
