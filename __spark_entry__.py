@@ -423,6 +423,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum(_CENTS("value")).alias("sum_value_cents"),
         )
 
+    def cs_pipeline_deadletter(spark, sf):
+        """The out-of-band error channel (pipeline.go:17-27: a failing
+        stage reports the error and the stream CONTINUES): a record
+        stage that raises for a deterministic subset routes those
+        records to the dead-letter side output with the error text;
+        everything else passes through untouched. Output: per-table
+        ok/dead counts — the oracle replays the failure rule."""
+        from warp_pipe_spark.pipeline import Pipeline
+
+        def unlucky(rec):
+            if rec["pk"] % 13 == 0:
+                raise ValueError("unlucky pk")
+            return rec
+
+        p = Pipeline().add_record_stage("unlucky_13", unlucky)
+        ok, dead = p.run_with_errors(_cs(spark, sf))
+        okc = ok.groupBy("table_name").agg(F.count("*").alias("n_ok"))
+        deadc = dead.groupBy("table_name").agg(F.count("*").alias("n_dead"))
+        z = F.lit(0).cast("long")
+        return okc.join(deadc, "table_name", "full").select(
+            "table_name",
+            F.coalesce("n_ok", z).alias("n_ok"),
+            F.coalesce("n_dead", z).alias("n_dead"),
+        )
+
     def cs_keyset_poll_stream(spark, sf):
         """S2 live tail end-to-end (notify_listener.go:87-129 parity):
         a KeysetPoller drains the changeset log in id-ordered keyset
@@ -476,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cs_audit_decode=cs_audit_decode,
         cs_wal2json_decode=cs_wal2json_decode,
         cs_pipeline_stages=cs_pipeline_stages,
+        cs_pipeline_deadletter=cs_pipeline_deadletter,
         cs_incremental_merge=cs_incremental_merge,
         cs_checksum_scalable=cs_checksum_scalable,
     )
@@ -1271,6 +1297,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("bal_cents").alias("total_bal_cents"),
         )
 
+    def tpch_q9(spark, sf):
+        """Q9 shape (product-type profit by nation × year). The
+        testdata has no partsupp/supplycost, so cost is proxied as
+        60% of retail — kept EXACT: cost_cents = (qty·retail_cents·3)
+        div 5, pure integer arithmetic (qty·retail_cents·6 is always
+        even, so no half-cent boundary exists even in principle).
+        profit = rev_cents − cost_cents, summed per supplier-nation
+        and order year."""
+        part = read_table(spark, sf, "part").filter(F.col("p_type") == "LARGE")
+        li = read_table(spark, sf, "lineitem")
+        orders = read_table(spark, sf, "orders")
+        supp = read_table(spark, sf, "supplier")
+        nation = read_table(spark, sf, "nation")
+        sn = supp.join(
+            F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+        ).select("s_suppkey", F.col("n_name").alias("nation"))
+        j = (
+            li.join(
+                F.broadcast(
+                    part.select("p_partkey", _CENTS("p_retailprice").alias("retail_cents"))
+                ),
+                li.l_partkey == F.col("p_partkey"),
+            )
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(sn, li.l_suppkey == sn.s_suppkey)
+        )
+        rev_cents = F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+        ).cast("long")
+        cost_cents = F.expr(
+            "(CAST(l_quantity AS BIGINT) * retail_cents * 3) div 5"
+        )
+        return j.groupBy(
+            "nation", F.year("o_orderdate").cast("long").alias("o_year")
+        ).agg(F.sum(rev_cents - cost_cents).alias("profit_cents"))
+
     def tpch_q13(spark, sf):
         """Q13 shape (customer order-count distribution): LEFT OUTER
         join so zero-order customers survive, then a two-level
@@ -1627,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(
         tpch_q7=tpch_q7,
         tpch_q8=tpch_q8,
+        tpch_q9=tpch_q9,
         tpch_q10=tpch_q10,
         tpch_q13=tpch_q13,
         tpch_q17=tpch_q17,
@@ -1685,6 +1748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22",
         "docs_mix_rebalance",
         "events_cohort_retention",
+        "tpch_q9",
+        "cs_pipeline_deadletter",
         # changed in round 2
         "cs_checksum_scalable",  # portable STRING digest surface
         "tpch_q3",  # cents-hardened money + broadcast hints removed
@@ -1861,6 +1926,29 @@ def oracle_sql() -> dict[str, str]:
         OR table_name = 'signup')
       AND user_id % 7 <> 0
     GROUP BY 1
+    """
+
+    o["cs_pipeline_deadletter"] = f"""
+    WITH {CHANGESETS_CTE}
+    SELECT table_name,
+           CAST(count(CASE WHEN pk % 13 <> 0 THEN 1 END) AS BIGINT) AS n_ok,
+           CAST(count(CASE WHEN pk % 13 = 0 THEN 1 END) AS BIGINT) AS n_dead
+    FROM changesets GROUP BY table_name
+    """
+
+    o["tpch_q9"] = """
+    SELECT sn.n_name AS nation,
+           EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+           CAST(sum(
+             CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+             - (CAST(l_quantity AS BIGINT)
+                * CAST(round(p_retailprice * 100) AS BIGINT) * 3) // 5
+           ) AS BIGINT) AS profit_cents
+    FROM lineitem, part, orders, supplier, nation sn
+    WHERE l_partkey = p_partkey AND p_type = 'LARGE'
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND s_nationkey = sn.n_nationkey
+    GROUP BY 1, 2
     """
 
     o["tpch_q1"] = """

@@ -27,6 +27,7 @@ HEADLINE = [
     "cs_since_id",
     "cs_checksum_scalable",
     "cs_pipeline_stages",
+    "cs_pipeline_deadletter",
     "cs_audit_decode",
     "cs_wal2json_decode",
     "tpch_q1",
@@ -36,6 +37,7 @@ HEADLINE = [
     "tpch_q6",
     "tpch_q7",
     "tpch_q8",
+    "tpch_q9",
     "tpch_q10",
     "tpch_q13",
     "tpch_q14",

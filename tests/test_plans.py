@@ -89,6 +89,7 @@ BROADCAST_HINT_BUDGET = {
     "tpch_q6": 0,
     "tpch_q7": 2,  # nation ×2 (supp-nation / cust-nation tags)
     "tpch_q8": 4,  # region, part (filtered), nation, nation⋈region keys
+    "tpch_q9": 2,  # part (type-filtered) + nation
     "tpch_q17": 2,  # part (brand-filtered), reused by both li_b branches
     "tpch_q22": 1,  # one-row global average
     "tpch_q10": 2,  # one-quarter orders + nation
