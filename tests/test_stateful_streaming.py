@@ -62,3 +62,82 @@ def test_sessions_emitted_across_microbatches(spark, tmp_path):
     # exactly ONE closed session: user 1's first (2 events, sum 3.0),
     # closed by the event that arrived in the SECOND micro-batch.
     assert rows == {(1, T0, T0 + 5 * MIN, 2, 3.0)}
+
+
+# --- stateful funnel: conversion detected across micro-batches ---------
+
+FSCHEMA = "user_id LONG, ts_ms LONG, event_type STRING"
+
+
+def _fwrite(spark, rows, path):
+    spark.createDataFrame(rows, FSCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _fdrain(spark, drop, ckpt, name, one_file_per_batch=False):
+    from pyspark.sql import types as T
+
+    from warp_pipe_spark.analytics import stateful_funnel
+
+    reader = spark.readStream.schema(T.StructType.fromDDL(FSCHEMA))
+    if one_file_per_batch:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    q = (
+        stateful_funnel(reader.parquet(drop))
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    return {r["user_id"]: r for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+
+def test_funnel_conversion_across_microbatches(spark, tmp_path):
+    """The click arrives in micro-batch 1, the purchase in micro-batch
+    2 (maxFilesPerTrigger=1 forces the split) — the conversion must
+    fire from STATE, not from any same-batch join."""
+    drop, ckpt = str(tmp_path / "drop"), str(tmp_path / "ckpt")
+    _fwrite(
+        spark,
+        [
+            (1, T0, "click"),
+            (2, T0, "purchase"),  # purchase BEFORE any click: no conversion
+            (3, T0, "click"),
+        ],
+        drop,
+    )
+    _fwrite(
+        spark,
+        [
+            (1, T0 + 5 * MIN, "purchase"),  # converts (click was batch 1)
+            (2, T0 + MIN, "click"),  # click after purchase: still pending
+            (1, T0 + 9 * MIN, "purchase"),  # second purchase: must NOT re-emit
+        ],
+        drop,
+    )
+    got = _fdrain(spark, drop, ckpt, "funnel_b", one_file_per_batch=True)
+    assert set(got) == {1}
+    assert got[1]["click_ms"] == T0
+    assert got[1]["purchase_ms"] == T0 + 5 * MIN
+    assert got[1]["gap_ms"] == 5 * MIN
+
+
+def test_funnel_matches_batch_query_semantics(spark, tmp_path):
+    """Streamed conversions == the batch events_funnel rule (first
+    click, any later purchase) on the same rows."""
+    drop, ckpt = str(tmp_path / "dropm"), str(tmp_path / "ckptm")
+    rows = [
+        (10, T0, "view"),
+        (10, T0 + MIN, "click"),
+        (10, T0 + 2 * MIN, "click"),
+        (10, T0 + 3 * MIN, "purchase"),
+        (11, T0, "purchase"),
+        (11, T0 + MIN, "click"),
+        (12, T0, "click"),
+    ]
+    _fwrite(spark, rows, drop)
+    got = _fdrain(spark, drop, ckpt, "funnel_m")
+    assert set(got) == {10}
+    assert got[10]["click_ms"] == T0 + MIN and got[10]["purchase_ms"] == T0 + 3 * MIN

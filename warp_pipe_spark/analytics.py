@@ -14,6 +14,72 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+FUNNEL_OUT_SCHEMA = (
+    "user_id LONG, click_ms LONG, purchase_ms LONG, gap_ms LONG"
+)
+_FUNNEL_STATE_SCHEMA = "first_click LONG"
+
+
+def stateful_funnel(
+    stream: DataFrame,
+    step_a: str = "click",
+    step_b: str = "purchase",
+) -> DataFrame:
+    """Stateful two-step funnel detection over an unbounded stream
+    (§2.8 extension #2): emit one row per user the FIRST time a
+    `step_b` event arrives at/after that user's first `step_a` —
+    conversion detected incrementally, across micro-batches, without
+    ever re-scanning history.
+
+    State per user is a single LONG (first click timestamp; sentinel
+    -1 after conversion fires so redeliveries can't double-emit).
+    Keyed by user (one shuffle); state store grows with |users seen|,
+    not |events| — the incremental twin of the batch `events_funnel`
+    aggregate, and the state discipline (tiny fixed-width state,
+    monotone transitions, at-least-once-safe emission) is the one that
+    holds at 100 TB/day.
+
+    Input needs (user_id LONG, ts_ms LONG, event_type STRING).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdf_iter, state):
+        (user_id,) = key
+        first_click = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts_ms")
+            for t, et in zip(pdf["ts_ms"], pdf["event_type"]):
+                if first_click == -1:
+                    break  # already converted; ignore the rest
+                t = int(t)
+                if et == step_a and first_click is None:
+                    first_click = t
+                elif et == step_b and first_click is not None and t >= first_click:
+                    out.append((user_id, first_click, t, t - first_click))
+                    first_click = -1
+        if first_click is not None:
+            state.update((first_click,))
+        if out:
+            import pandas as pd
+
+            yield pd.DataFrame(
+                out, columns=["user_id", "click_ms", "purchase_ms", "gap_ms"]
+            )
+
+    return (
+        stream.select("user_id", "ts_ms", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=FUNNEL_OUT_SCHEMA,
+            stateStructType=_FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def hourly_rollup(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour counts/sums per event_type.
 
