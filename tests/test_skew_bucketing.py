@@ -98,3 +98,71 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+# --- dataset writer: no small-file explosion ---------------------------
+
+
+def test_write_dataset_one_file_per_partition_dir(spark, tmp_path):
+    """partitionBy after repartition-on-partition-cols: each partition
+    directory gets exactly files_per_partition files, regardless of
+    input task count (the naive write emits tasks x values files)."""
+    import os
+
+    from warp_pipe_spark.io import write_dataset
+
+    df = spark.range(0, 10_000, 1, 16).selectExpr(
+        "id", "CAST(id % 7 AS STRING) AS bucket"
+    )
+    path = str(tmp_path / "ds")
+    write_dataset(df, path, partition_by=["bucket"])
+
+    for b in range(7):
+        d = os.path.join(path, f"bucket={b}")
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, (b, files)
+    assert spark.read.parquet(path).count() == 10_000
+
+
+def test_write_dataset_max_records_splits_skewed_partition(spark, tmp_path):
+    import os
+
+    from warp_pipe_spark.io import write_dataset
+
+    # one hot value with 9k rows, one cold with 1k
+    df = spark.range(0, 10_000, 1, 8).selectExpr(
+        "id", "CASE WHEN id < 9000 THEN 'hot' ELSE 'cold' END AS bucket"
+    )
+    path = str(tmp_path / "ds2")
+    write_dataset(df, path, partition_by=["bucket"], max_records_per_file=2500)
+
+    hot = [f for f in os.listdir(os.path.join(path, "bucket=hot")) if f.endswith(".parquet")]
+    cold = [f for f in os.listdir(os.path.join(path, "bucket=cold")) if f.endswith(".parquet")]
+    assert len(hot) == 4  # 9000 / 2500 → 4 sequential files from one task
+    assert len(cold) == 1
+    assert spark.read.parquet(path).count() == 10_000
+
+
+def test_compact_dataset_reduces_files_and_preserves_rows(spark, tmp_path):
+    import os
+
+    from warp_pipe_spark.io import compact_dataset
+
+    path = str(tmp_path / "messy")
+    # simulate a streaming sink: many small appends per partition
+    for i in range(5):
+        spark.range(i * 100, (i + 1) * 100, 1, 4).selectExpr(
+            "id", "CAST(id % 3 AS STRING) AS bucket"
+        ).write.mode("append").partitionBy("bucket").parquet(path)
+
+    before_rows = spark.read.parquet(path).count()
+    out = compact_dataset(spark, path, target_files=1)
+    assert out["files_before"] > out["files_after"]
+    for b in range(3):
+        d = os.path.join(path, f"bucket={b}")
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows == 500
+    assert not os.path.exists(path + "._compact")
+    assert not os.path.exists(path + "._trash")

@@ -164,6 +164,87 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def write_dataset(
+    df: DataFrame,
+    path: str,
+    partition_by: "tuple[str, ...] | list[str] | None" = None,
+    max_records_per_file: int | None = None,
+    files_per_partition: int = 1,
+) -> None:
+    """Hive-partitioned dataset writer that CANNOT small-file-explode.
+
+    The naive `df.write.partitionBy(k)` emits one file per (task ×
+    partition-value) — with 200 tasks and 1,000 dates that's 200k tiny
+    files, the classic 100 TB lake-rot failure. This writer first
+    repartitions BY THE PARTITION COLUMNS (hash: every partition
+    value's rows land in `files_per_partition` tasks), so each
+    partition directory gets exactly that many files;
+    `maxRecordsPerFile` then caps file size where a single partition
+    value is huge (the skewed-date case) — Spark splits the oversized
+    task output into sequentially-numbered files.
+    """
+    w = df
+    if partition_by:
+        parts = [F.col(c) for c in partition_by]
+        # salt only the task assignment, never the data: N tasks per value
+        w = df.repartition(
+            *(parts + ([F.spark_partition_id() % files_per_partition]
+                       if files_per_partition > 1 else []))
+        ) if files_per_partition > 1 else df.repartition(*parts)
+    writer = w.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def compact_dataset(
+    spark: SparkSession, path: str, target_files: int = 1
+) -> dict[str, int]:
+    """Small-file compaction: rewrite an (optionally Hive-partitioned)
+    parquet dataset down to `target_files` per partition directory —
+    the maintenance job every long-lived streaming sink needs, since
+    each micro-batch appends at least one file per touched partition.
+    Same rewrite-and-swap discipline as store.retention_compact.
+    Returns {"files_before": n, "files_after": m}.
+    """
+    import os
+    import shutil
+
+    def count_files(p: str) -> int:
+        return sum(
+            1
+            for root, _, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    before = count_files(path)
+    df = spark.read.parquet(path)
+    # partition columns are inferred from the directory layout
+    part_cols = [
+        f.name
+        for f in df.schema.fields
+        if any(
+            seg.startswith(f.name + "=")
+            for root, dirs, _ in os.walk(path)
+            for seg in dirs
+        )
+    ]
+    tmp, trash = path + "._compact", path + "._trash"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(trash, ignore_errors=True)
+    if part_cols:
+        write_dataset(df, tmp, partition_by=part_cols, files_per_partition=target_files)
+    else:
+        df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    os.rename(path, trash)
+    os.rename(tmp, path)
+    shutil.rmtree(trash)
+    return {"files_before": before, "files_after": count_files(path)}
+
+
 def changesets_as_audit_log(cs: DataFrame) -> DataFrame:
     """Typed changesets → faithful AUDIT_LOG_SCHEMA form: values as raw
     JSON strings (db/sql.go:14-24; NULL new_values for DELETE, NULL
