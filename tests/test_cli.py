@@ -1,0 +1,70 @@
+"""§3.1 CLI streamer parity: JSON lines on stdout, StartFrom flags,
+whitelist/ignore, setup/teardown DDL subcommands."""
+
+import io
+import json
+
+import pytest
+
+from warp_pipe_spark.__main__ import main
+
+
+def test_setup_and_teardown_print_ddl():
+    buf = io.StringIO()
+    assert main(["setup-db"], out=buf) == 0
+    ddl = buf.getvalue()
+    assert "CREATE SCHEMA IF NOT EXISTS warp_pipe;" in ddl
+    assert "CREATE TABLE IF NOT EXISTS warp_pipe.changesets" in ddl
+
+    buf = io.StringIO()
+    assert main(["teardown-db", "--schema", "wp2"], out=buf) == 0
+    assert buf.getvalue().strip() == "DROP SCHEMA IF EXISTS wp2 CASCADE;"
+
+
+def test_stream_requires_source():
+    assert main([]) == 2
+
+
+@pytest.fixture()
+def audit_dir(spark, tmp_path):
+    rows = [
+        (1, None, "INSERT", "public", "users", 1, '{"id": 1, "name": "bob"}', None),
+        (2, None, "INSERT", "public", "pets", 2, '{"id": 1, "name": "rex"}', None),
+        (3, None, "UPDATE", "public", "users", 1, '{"id": 1, "name": "rob"}', '{"id": 1}'),
+    ]
+    schema = (
+        "id LONG, ts TIMESTAMP, action STRING, schema_name STRING, "
+        "table_name STRING, relid LONG, new_values STRING, old_values STRING"
+    )
+    path = str(tmp_path / "cs")
+    spark.createDataFrame(rows, schema).write.parquet(path)
+    return path
+
+
+def test_stream_emits_json_lines_in_id_order(spark, audit_dir):
+    buf = io.StringIO()
+    assert main(["--source", audit_dir], out=buf) == 0
+    lines = [json.loads(ln) for ln in buf.getvalue().splitlines()]
+    assert [d["id"] for d in lines] == [1, 2, 3]
+    assert lines[0]["kind"] == "insert" and lines[0]["table"] == "users"
+    assert lines[2]["new_values"]["name"] == "rob"
+
+
+def test_stream_start_from_id_and_filters(spark, audit_dir):
+    buf = io.StringIO()
+    assert main(["--source", audit_dir, "--start-from-id", "2"], out=buf) == 0
+    assert [json.loads(ln)["id"] for ln in buf.getvalue().splitlines()] == [2, 3]
+
+    buf = io.StringIO()
+    assert (
+        main(["--source", audit_dir, "-i", "pets"], out=buf) == 0
+    )  # ignore wins over everything, config.go semantics
+    assert [json.loads(ln)["table"] for ln in buf.getvalue().splitlines()] == [
+        "users",
+        "users",
+    ]
+
+
+def test_bad_log_level_rejected(audit_dir):
+    with pytest.raises(ValueError, match="invalid log level"):
+        main(["--source", audit_dir, "-L", "verbose"])

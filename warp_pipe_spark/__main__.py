@@ -1,0 +1,110 @@
+"""`python -m warp_pipe_spark` — the CLI streamer (§3.1 parity).
+
+Mirrors cmd/warp-pipe + internal/cli/warp_pipe.go: stream changesets
+as ONE JSON OBJECT PER LINE on stdout, with the reference's flags —
+start-from-id / start-from-ts, replication-mode, whitelist/ignore
+tables, log-level — plus the setup-db / teardown-db subcommands
+(internal/cli/db.go), which here emit the DDL statement list a
+driver-side connection would execute.
+
+The source is a changeset parquet directory (the audit-log shape this
+repo reads/writes everywhere) instead of a live Postgres socket — the
+sandbox has no Postgres; against a real one the same pipeline runs off
+jdbc.keyset_fetch. Output shape is exactly the reference's
+`json.Marshal(Changeset)` (changeset.go:37-43) via to_reference_json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="warp-pipe-spark",
+        description="Stream changesets from a changeset log as JSON lines.",
+    )
+    p.add_argument("--source", help="changeset parquet dir (audit-log shape)")
+    p.add_argument("-L", "--log-level", default="info")
+    p.add_argument("-M", "--replication-mode", choices=("lr", "audit"), default="lr")
+    p.add_argument("--start-from-id", type=int, default=-1)
+    p.add_argument("--start-from-ts", default=None)
+    p.add_argument("-w", "--whitelist-tables", action="append", default=None)
+    p.add_argument("-i", "--ignore-tables", action="append", default=None)
+    p.add_argument("--limit", type=int, default=None, help="stop after N changesets")
+    sub = p.add_subparsers(dest="command")
+    sp = sub.add_parser("setup-db", help="print the audit-schema DDL (S10)")
+    sp.add_argument("--schema", default="warp_pipe")
+    tp = sub.add_parser("teardown-db", help="print the teardown DDL (S11)")
+    tp.add_argument("--schema", default="warp_pipe")
+    return p
+
+
+def main(argv: list[str] | None = None, out=None) -> int:
+    out = out or sys.stdout
+    args = build_parser().parse_args(argv)
+
+    if args.command == "setup-db":
+        from warp_pipe_spark.jdbc import setup_ddl
+
+        for stmt in setup_ddl(args.schema):
+            print(stmt + ";", file=out)
+        return 0
+    if args.command == "teardown-db":
+        from warp_pipe_spark.jdbc import teardown_ddl
+
+        for stmt in teardown_ddl(args.schema):
+            print(stmt + ";", file=out)
+        return 0
+
+    if not args.source:
+        print("error: --source is required to stream", file=sys.stderr)
+        return 2
+
+    from warp_pipe_spark.changeset import to_reference_json
+    from warp_pipe_spark.filters import ignore_tables, whitelist_tables
+    from warp_pipe_spark.session import get_spark
+    from warp_pipe_spark.store import ChangesetStore
+    from warp_pipe_spark.warp_pipe import parse_log_level
+
+    parse_log_level(args.log_level)  # validate exactly like config.go
+
+    spark = get_spark("warp_pipe_cli")
+    store = ChangesetStore.from_parquet(spark, args.source)
+    cs = store.df
+    if args.start_from_id >= 0:
+        cs = store.since_id(args.start_from_id)
+    elif args.start_from_ts:
+        cs = store.since_timestamp(args.start_from_ts)
+    else:
+        cs = cs.orderBy(store.id_col)
+    if args.whitelist_tables:
+        cs = whitelist_tables(cs, args.whitelist_tables)
+    if args.ignore_tables:
+        cs = ignore_tables(cs, args.ignore_tables)
+    if args.limit:
+        cs = cs.limit(args.limit)
+
+    # typed log → the reference's exact Changeset JSON wire shape
+    from warp_pipe_spark.decoders import decode_audit_values
+
+    if set(("new_values", "old_values", "action")) <= set(cs.columns):
+        dec = decode_audit_values(cs)
+        from pyspark.sql import functions as F
+
+        jsonl = dec.select(
+            F.to_json(
+                F.struct("id", "kind", "schema", "table", "new_values", "old_values")
+            ).alias("json"),
+            "id",
+        ).orderBy("id")
+    else:
+        jsonl = to_reference_json(cs).select("json", cs[store.id_col]).orderBy(store.id_col)
+    for row in jsonl.select("json").toLocalIterator():
+        print(row["json"], file=out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
