@@ -68,3 +68,34 @@ def test_stream_start_from_id_and_filters(spark, audit_dir):
 def test_bad_log_level_rejected(audit_dir):
     with pytest.raises(ValueError, match="invalid log level"):
         main(["--source", audit_dir, "-L", "verbose"])
+
+
+def test_stream_normalized_form_emits_reference_shape(spark, tmp_path):
+    """The non-audit branch (normalized array-form log): must emit the
+    full reference wire shape in id order — this path selects only
+    what to_reference_json projects."""
+    from warp_pipe_spark.decoders import decode_wal2json
+
+    msg = (
+        '{"change":[{"id":2,"kind":"insert","schema":"public","table":"users",'
+        '"columnnames":["id"],"columntypes":["integer"],"columnvalues":["9"]},'
+        '{"id":1,"kind":"insert","schema":"public","table":"pets",'
+        '"columnnames":["id"],"columntypes":["integer"],"columnvalues":["7"]}],'
+        '"nextlsn":"0/AA"}'
+    )
+    path = str(tmp_path / "norm")
+    decode_wal2json(spark.createDataFrame([(msg,)], "message STRING")).write.parquet(path)
+
+    buf = io.StringIO()
+    assert main(["--source", path], out=buf) == 0
+    lines = [json.loads(ln) for ln in buf.getvalue().splitlines()]
+    assert [d["id"] for d in lines] == [1, 2]
+    assert lines[0]["timestamp"] == "0001-01-01T00:00:00Z"
+    assert lines[0]["new_values"] == [{"column": "id", "value": "7", "type": "integer"}]
+
+
+def test_audit_stream_includes_timestamp_field(spark, audit_dir):
+    buf = io.StringIO()
+    assert main(["--source", audit_dir, "--limit", "1"], out=buf) == 0
+    d = json.loads(buf.getvalue().splitlines()[0])
+    assert d["timestamp"] == "0001-01-01T00:00:00Z"  # zero-time for null ts

@@ -216,3 +216,18 @@ def test_star_cc_agrees_with_min_label_on_lsh_pairs(spark, sf_dir):
     a = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
     b = {r.doc_id: r.cluster_id for r in connected_components_star(pairs).collect()}
     assert a == b
+
+
+def test_embedding_all_pairs_guard_refuses_unbounded_input(spark):
+    from pyspark.sql import functions as F
+
+    from warp_pipe_spark.datapipe.dedup import embedding_near_dup_pairs
+
+    df = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="max_rows"):
+        embedding_near_dup_pairs(df, max_rows=10)
+    # bounded input passes through
+    assert embedding_near_dup_pairs(df.limit(3), max_rows=10).count() == 3

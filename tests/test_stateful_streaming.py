@@ -141,3 +141,21 @@ def test_funnel_matches_batch_query_semantics(spark, tmp_path):
     got = _fdrain(spark, drop, ckpt, "funnel_m")
     assert set(got) == {10}
     assert got[10]["click_ms"] == T0 + MIN and got[10]["purchase_ms"] == T0 + 3 * MIN
+
+
+def test_funnel_sorts_across_arrow_chunk_seams(spark, tmp_path):
+    """arrow.maxRecordsPerBatch=1 forces one chunk per row: a purchase
+    row delivered in an earlier chunk than its click must still
+    convert — the group is buffered and sorted ONCE, not per chunk."""
+    drop, ckpt = str(tmp_path / "drop"), str(tmp_path / "ckpt")
+    # file order: purchase first, click second (same micro-batch)
+    _fwrite(spark, [(1, T0 + 5 * MIN, "purchase"), (1, T0, "click")], drop)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        got = _fdrain(spark, drop, ckpt, "funnel_chunks")
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert set(got) == {1}
+    assert got[1]["gap_ms"] == 5 * MIN

@@ -86,22 +86,37 @@ def main(argv: list[str] | None = None, out=None) -> int:
     if args.limit:
         cs = cs.limit(args.limit)
 
-    # typed log → the reference's exact Changeset JSON wire shape
+    # → the reference's exact Changeset JSON wire shape. Both branches
+    # emit the SAME schema (id, kind, schema, table, timestamp,
+    # new_values, old_values; zero-time when no ts exists — Go's
+    # json.Marshal of time.Time zero value). The sort is applied to the
+    # input BEFORE the narrow json projection, which preserves it.
+    from pyspark.sql import functions as F
+
     from warp_pipe_spark.decoders import decode_audit_values
 
-    if set(("new_values", "old_values", "action")) <= set(cs.columns):
+    if {"new_values", "old_values", "action"} <= set(cs.columns):
         dec = decode_audit_values(cs)
-        from pyspark.sql import functions as F
-
-        jsonl = dec.select(
+        ts = F.coalesce(
+            F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+            F.lit("0001-01-01T00:00:00Z"),
+        )
+        jsonl = dec.orderBy("id").select(
             F.to_json(
-                F.struct("id", "kind", "schema", "table", "new_values", "old_values")
-            ).alias("json"),
-            "id",
-        ).orderBy("id")
+                F.struct(
+                    "id",
+                    "kind",
+                    "schema",
+                    "table",
+                    ts.alias("timestamp"),
+                    "new_values",
+                    "old_values",
+                )
+            ).alias("json")
+        )
     else:
-        jsonl = to_reference_json(cs).select("json", cs[store.id_col]).orderBy(store.id_col)
-    for row in jsonl.select("json").toLocalIterator():
+        jsonl = to_reference_json(cs.orderBy(store.id_col))
+    for row in jsonl.toLocalIterator():
         print(row["json"], file=out)
     return 0
 

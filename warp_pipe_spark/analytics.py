@@ -44,11 +44,19 @@ def stateful_funnel(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def fn(key, pdf_iter, state):
+        import pandas as pd
+
         (user_id,) = key
         first_click = state.get[0] if state.exists else None
         out = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("ts_ms")
+        # a group arrives as MULTIPLE Arrow chunks (split at
+        # maxRecordsPerBatch / upstream partition bounds) — sorting each
+        # chunk alone would process events out of time order across the
+        # chunk seam, so buffer the whole group and sort ONCE. Memory is
+        # bounded by one user's rows in one micro-batch.
+        chunks = [pdf for pdf in pdf_iter]
+        pdf = pd.concat(chunks).sort_values("ts_ms") if chunks else None
+        if pdf is not None:
             for t, et in zip(pdf["ts_ms"], pdf["event_type"]):
                 if first_click == -1:
                     break  # already converted; ignore the rest
@@ -61,8 +69,6 @@ def stateful_funnel(
         if first_click is not None:
             state.update((first_click,))
         if out:
-            import pandas as pd
-
             yield pd.DataFrame(
                 out, columns=["user_id", "click_ms", "purchase_ms", "gap_ms"]
             )
@@ -179,9 +185,12 @@ def stateful_sessionize(
             return
         cur = tuple(state.get) if state.exists else None
         closed = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("ts_ms")
-            for t, v in zip(pdf["ts_ms"], pdf["value"]):
+        # buffer + single sort: per-chunk sorting would break event-time
+        # order across the Arrow chunk seam (see stateful_funnel)
+        chunks = [pdf for pdf in pdf_iter]
+        merged = pd.concat(chunks).sort_values("ts_ms") if chunks else None
+        if merged is not None:
+            for t, v in zip(merged["ts_ms"], merged["value"]):
                 t, v = int(t), float(v)
                 if cur is None:
                     cur = (t, t, 1, v)

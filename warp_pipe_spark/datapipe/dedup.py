@@ -392,6 +392,13 @@ def connected_components_star(
             edges = new_edges
             break
         edges = new_edges
+    else:
+        # a non-star edge set would emit intermediate nodes twice with
+        # conflicting labels — fail LOUD, never return corrupt clusters
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iter} rounds; "
+            "raise max_iter (O(log² n) rounds suffice for any graph)"
+        )
 
     centers = edges.select(F.col("u").alias("doc_id"), F.col("u").alias("cluster_id"))
     members = edges.select(F.col("v").alias("doc_id"), F.col("u").alias("cluster_id"))
@@ -420,13 +427,29 @@ def cosine_v(a: F.Column, b: F.Column) -> F.Column:
     return cos_udf(a, b)
 
 
-def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.9, max_rows: int = 200_000
+) -> DataFrame:
     """Embedding-cosine near-duplicates: pairs with cos ≥ threshold.
 
-    This is the exact (all-pairs) variant for bounded inputs; the scale
-    path is `similarity.hyperplane_lsh_pairs` (band-join on sign
-    signatures) with this as the verify step on candidates only.
+    This is the exact (all-pairs) variant for BOUNDED inputs — the
+    O(n²) baseline that verifies the LSH path's recall. The bound is
+    enforced, not advisory: inputs beyond `max_rows` raise instead of
+    launching a quadratic join that would run for weeks at corpus
+    scale. The scale path is `similarity.hyperplane_lsh_pairs`
+    (band-join on sign signatures) with cosine verification on
+    candidates only (`dedup_embedding_lsh`).
     """
+    # bounded probe: limit(max_rows+1) stops scanning once the bound is
+    # exceeded — the rejection of a 10^9-row input must not itself pay
+    # a full-corpus count
+    if embeddings.limit(max_rows + 1).count() > max_rows:
+        raise ValueError(
+            f"all-pairs cosine input exceeds max_rows={max_rows} "
+            f"(O(n²) pairs); use similarity.hyperplane_lsh_pairs + cosine "
+            "verify for corpus-scale inputs, or raise max_rows explicitly "
+            "for a bounded block"
+        )
     v = embeddings.select("vec_id", "embedding")
     a = v.alias("a")
     b = v.alias("b")

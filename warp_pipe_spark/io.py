@@ -176,27 +176,49 @@ def write_dataset(
     The naive `df.write.partitionBy(k)` emits one file per (task ×
     partition-value) — with 200 tasks and 1,000 dates that's 200k tiny
     files, the classic 100 TB lake-rot failure. This writer first
-    repartitions BY THE PARTITION COLUMNS (hash: every partition
-    value's rows land in `files_per_partition` tasks), so each
-    partition directory gets exactly that many files;
-    `maxRecordsPerFile` then caps file size where a single partition
-    value is huge (the skewed-date case) — Spark splits the oversized
-    task output into sequentially-numbered files.
+    repartitions BY THE PARTITION COLUMNS, so with
+    files_per_partition=1 (the default) each partition directory gets
+    EXACTLY one task's output. files_per_partition>1 adds a per-row
+    salt (monotonic row id mod N — covers all N residues whenever a
+    value has ≥N rows, unlike a per-input-partition constant) to
+    spread each value over UP TO N tasks; hash collisions between
+    (value, salt) groups can still merge tasks, so >1 is a
+    parallelism knob, not an exact file count. `maxRecordsPerFile`
+    caps file size where a single partition value is huge (the
+    skewed-date case) — Spark splits the oversized task output into
+    sequentially-numbered files.
     """
     w = df
     if partition_by:
         parts = [F.col(c) for c in partition_by]
-        # salt only the task assignment, never the data: N tasks per value
-        w = df.repartition(
-            *(parts + ([F.spark_partition_id() % files_per_partition]
-                       if files_per_partition > 1 else []))
-        ) if files_per_partition > 1 else df.repartition(*parts)
+        if files_per_partition > 1:
+            salt = F.pmod(F.monotonically_increasing_id(), F.lit(files_per_partition))
+            w = df.repartition(*(parts + [salt]))
+        else:
+            w = df.repartition(*parts)
     writer = w.write.mode("overwrite")
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def recover_swap(path: str) -> bool:
+    """Heal the rewrite-and-swap crash window: if a compaction crashed
+    between `rename(path→trash)` and `rename(tmp→path)`, the dataset
+    still exists in full at `<path>._trash` — restore it. Called at the
+    start of every compaction (and safe to call from any reader that
+    finds `path` missing). Returns True if a recovery happened."""
+    import os
+    import shutil
+
+    trash = path + "._trash"
+    if not os.path.exists(path) and os.path.isdir(trash):
+        os.rename(trash, path)
+        shutil.rmtree(path + "._compact", ignore_errors=True)
+        return True
+    return False
 
 
 def compact_dataset(
@@ -206,11 +228,15 @@ def compact_dataset(
     parquet dataset down to `target_files` per partition directory —
     the maintenance job every long-lived streaming sink needs, since
     each micro-batch appends at least one file per touched partition.
-    Same rewrite-and-swap discipline as store.retention_compact.
+    Same rewrite-and-swap discipline as store.retention_compact; the
+    crash window between the two renames is healed by `recover_swap`
+    (the data always exists in full at either `path` or `._trash`).
     Returns {"files_before": n, "files_after": m}.
     """
     import os
     import shutil
+
+    recover_swap(path)
 
     def count_files(p: str) -> int:
         return sum(

@@ -10,10 +10,10 @@ write-amplification hot spot.
 
 Spark-first restatement: sequence state is a pure function of the
 APPLIED state — `setval` only ever needs the max applied value, so the
-whole sync is ONE aggregation over final state (all serial columns in
-a single pass, catalog.sequence_sync_values) followed by one tiny
-ordered statement list executed against the target. O(tables) round
-trips per convergence point instead of O(rows).
+whole sync is ONE grouped aggregation over final state (every serial
+column of every table in a single groupBy(table) pass) followed by one
+tiny ordered statement list executed against the target. O(tables)
+target round trips per convergence point instead of O(rows).
 
 No live Postgres exists in this container; the discovery SQL builders
 return text (like jdbc.py's DDL builders) and `execute_sequence_sync`
@@ -26,8 +26,7 @@ from __future__ import annotations
 from collections.abc import Callable, Mapping, Sequence
 
 from pyspark.sql import DataFrame
-
-from warp_pipe_spark.catalog import sequence_sync_values
+from pyspark.sql import functions as F
 
 # -- discovery (driver-side SQL text, axon_schema.go:99-128 / :169-196) ----
 
@@ -97,18 +96,29 @@ def column_setval_statements(
     seq_map: Mapping[tuple[str, str], str],
     table_col: str = "table_name",
 ) -> list[str]:
-    """The full column-sequence sync as an ordered statement list: ONE
-    aggregation per table over applied state (max of each serial
-    column), not one round-trip per inserted row."""
-    stmts: list[str] = []
+    """The full column-sequence sync as an ordered statement list from
+    literally ONE aggregation over applied state: a single
+    groupBy(table) computing the max of every serial column anywhere in
+    the map (a serial column absent from some table's rows is just NULL
+    there and drops out). One Spark job for T tables, one target
+    round-trip per statement — never one per inserted row."""
     by_table: dict[str, list[tuple[str, str]]] = {}
     for (table, column), seq in sorted(seq_map.items()):
         by_table.setdefault(table, []).append((column, seq))
+    if not by_table:
+        return []
+    all_cols = sorted({c for cols in by_table.values() for c, _ in cols})
+    rows = state.groupBy(table_col).agg(
+        *[F.max(c).alias(c) for c in all_cols]
+    ).collect()
+    maxima = {r[table_col]: r for r in rows}
+    stmts: list[str] = []
     for table in sorted(by_table):
-        scoped = state.filter(state[table_col] == table)
-        maxima = sequence_sync_values(scoped, [c for c, _ in by_table[table]])
+        row = maxima.get(table)
+        if row is None:
+            continue  # no applied rows for this table → nothing to sync
         for column, seq in by_table[table]:
-            value = maxima.get(column)
+            value = row[column]
             if value is not None:
                 stmts.append(setval_statement(seq, value))
     return stmts

@@ -112,25 +112,33 @@ class WebSocketBroadcastSink:
     def broadcast(self, payload: bytes) -> int:
         """Send one text frame to all clients; returns the number of
         clients reached. Broken connections are dropped (melody's
-        session cleanup)."""
+        session cleanup). Pruning removes exactly the sockets that
+        FAILED — never a snapshot overwrite, so a client that connects
+        mid-send is kept and concurrent broadcasts can't clobber each
+        other's registry updates."""
         frame = ws_text_frame(payload)
-        alive: list[socket.socket] = []
         with self._lock:
             clients = list(self._clients)
+        sent, dead = 0, []
         for c in clients:
             try:
                 c.sendall(frame)
-                alive.append(c)
+                sent += 1
             except OSError:
+                dead.append(c)
                 c.close()
-        with self._lock:
-            self._clients = alive
-        return len(alive)
+        if dead:
+            with self._lock:
+                self._clients = [c for c in self._clients if c not in dead]
+        return sent
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         """foreachBatch hook: each changeset row → one JSON text frame,
-        in id order (per-changeset frames, exactly like the reference's
-        per-change Broadcast loop)."""
+        in id order when an `id` column exists (the reference's ordered
+        per-change Broadcast loop) — collect() alone returns partition
+        order, which is NOT id order on a multi-partition batch."""
+        if "id" in batch.columns:
+            batch = batch.orderBy("id")
         rows = (
             batch.select(F.to_json(F.struct(*batch.columns)).alias("j"))
             .collect()

@@ -112,12 +112,18 @@ def retention_compact(
     Swap discipline: write to `<path>._compact`, move the old dir to
     `<path>._trash`, rename the new dir in, then drop the trash. This
     is a single-writer maintenance job (retention is cron-shaped, not
-    concurrent with appends); on a cluster the same statement is a
-    Delta `DELETE WHERE id < h` with ACID semantics and the identical
+    concurrent with appends); a crash between the two renames leaves
+    the full dataset at `._trash`, and `io.recover_swap` (called on
+    entry) restores it — the data always exists in full at exactly one
+    of the two locations. On a cluster the same statement is a Delta
+    `DELETE WHERE id < h` with ACID semantics and the identical
     anti-filter plan.
 
     Returns {"kept": n, "deleted": m}.
     """
+    from warp_pipe_spark.io import recover_swap
+
+    recover_swap(path)
     if (before_id is None) == (before_ts is None):
         raise ValueError("exactly one of before_id / before_ts required")
     df = spark.read.parquet(path)
