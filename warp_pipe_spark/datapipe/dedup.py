@@ -383,12 +383,21 @@ def connected_components_star(
             .distinct()
             .localCheckpoint()
         )
-        # fixpoint probe: the canonical edge sets are equal iff neither
-        # side has a leftover (both are distinct sets)
-        if (
-            new_edges.exceptAll(edges).limit(1).count() == 0
-            and edges.exceptAll(new_edges).limit(1).count() == 0
-        ):
+        # fixpoint probe: two DISTINCT sets are equal iff their
+        # (count, sum of 60-bit pair hashes) fingerprints match — two
+        # tiny map-side-combined aggregates instead of two exceptAll
+        # shuffles per round (this probe dominated round cost). A
+        # false-equal needs colliding 60-bit sums over equal-size sets:
+        # not a realistic event, and the consequence would be stopping
+        # one round early on an already-star-shaped graph.
+        def _fp(e: DataFrame):
+            h = h60(F.concat_ws("_", F.col("u"), F.col("v")))
+            return e.agg(
+                F.count("*").alias("n"),
+                F.sum(h.cast("decimal(38,0)")).alias("s"),
+            ).first()
+
+        if _fp(new_edges) == _fp(edges):
             edges = new_edges
             break
         edges = new_edges
