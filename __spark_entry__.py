@@ -1562,6 +1562,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return connected_components_star(minhash_lsh_pairs(_docs(spark, sf)))
 
+    def dedup_drop_list(spark, sf):
+        """The action end of near-dup clustering: the DROP list — every
+        clustered doc except its cluster's keeper (min doc_id). This is
+        the artifact a dedup job actually ships (an anti-join input for
+        the corpus rewrite); one filter over the CC output."""
+        from warp_pipe_spark.datapipe.dedup import (
+            connected_components_star,
+            minhash_lsh_pairs,
+        )
+
+        cc = connected_components_star(minhash_lsh_pairs(_docs(spark, sf)))
+        return cc.filter(F.col("doc_id") != F.col("cluster_id")).select(
+            "doc_id", F.col("cluster_id").alias("kept_doc_id")
+        )
+
     def docs_hash_split(spark, sf):
         """Deterministic train/val split, reported stratified by
         source: split = 'val' iff h32(doc_id) % 10 == 0. No RNG, no
@@ -1707,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multimodal_frame_sample=multimodal_frame_sample,
         dedup_clusters=dedup_clusters,
         dedup_clusters_star=dedup_clusters_star,
+        dedup_drop_list=dedup_drop_list,
         docs_hash_split=docs_hash_split,
         docs_source_mix=docs_source_mix,
         docs_mix_rebalance=docs_mix_rebalance,
@@ -1750,6 +1766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_retention",
         "tpch_q9",
         "cs_pipeline_deadletter",
+        "dedup_drop_list",
         # changed in round 2
         "cs_checksum_scalable",  # portable STRING digest surface
         "tpch_q3",  # cents-hardened money + broadcast hints removed
@@ -2845,6 +2862,18 @@ def oracle_sql() -> dict[str, str]:
 
     # star-contraction CC must produce the identical clustering
     o["dedup_clusters_star"] = o["dedup_clusters"]
+
+    # drop list = clustered docs minus keepers, from the same reach CTE
+    o["dedup_drop_list"] = (
+        o["dedup_clusters"].rstrip()
+        .replace(
+            "SELECT node AS doc_id, min(x) AS cluster_id FROM reach GROUP BY node",
+            """
+    , cc AS (SELECT node AS doc_id, min(x) AS cluster_id FROM reach GROUP BY node)
+    SELECT doc_id, cluster_id AS kept_doc_id FROM cc WHERE doc_id <> cluster_id
+    """,
+        )
+    )
 
     # mix rebalance: floor() the median explicitly — DuckDB CAST rounds
     # while Spark CAST truncates (the repo's standing sketch gotcha)

@@ -68,6 +68,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_clusters_star",
+    "dedup_drop_list",
     "docs_clean_corpus",
     "docs_hash_split",
     "docs_contamination",
