@@ -47,3 +47,26 @@ def test_oracle_subset_matches(spark, sf_dir, name):
     assert len(srows) == len(drows)
     assert sorted(sdf.columns) == sorted(rel.columns)
     assert table_hash(srows, sdf.columns) == table_hash(drows, rel.columns)
+
+
+def test_driver_window_holds_all_new_and_changed_queries():
+    """The driver's correctness harness checks only the FIRST 50
+    queries() entries. Every query without a green round-1 driver row
+    (new or changed since) must sit inside that window, or it ships
+    unverified."""
+    import json
+
+    qs = list(entrymod.queries())
+    window = set(qs[:50])
+    with open("/root/repo/CORRECTNESS_r01.json") as f:
+        r01 = json.load(f)
+    r01_green = {
+        k
+        for k, v in r01.items()
+        if v.get("rows_match") and v.get("schema_match") and v.get("hash_match")
+    }
+    unverified_outside = [q for q in qs[50:] if q not in r01_green]
+    assert not unverified_outside, (
+        f"queries with no green driver row are OUTSIDE the 50-entry "
+        f"window: {unverified_outside} — add them to _verify_first"
+    )
