@@ -448,6 +448,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce("n_dead", z).alias("n_dead"),
         )
 
+    def cs_snapshot_diff(spark, sf):
+        """Batch CDC (the trigger-free capture mode): diff the state
+        as-of changeset id 5000 against the final state — one
+        null-safe FULL OUTER join on (table, pk) emitting the
+        INSERT/UPDATE/DELETE log that transforms old into new. The
+        oracle replays the same diff from two ranked-state CTEs."""
+        from warp_pipe_spark.apply import snapshot_diff
+
+        cs = _cs(spark, sf)
+
+        def state(df):
+            return replay(df, ["pk"]).select(
+                "table_name",
+                "pk",
+                "user_id",
+                "event_type",
+                _CENTS("value").alias("value_cents"),
+            )
+
+        old = state(cs.filter(F.col("id") <= 5000))
+        new = state(cs)
+        return snapshot_diff(old, new, ["pk"])
+
     def cs_keyset_poll_stream(spark, sf):
         """S2 live tail end-to-end (notify_listener.go:87-129 parity):
         a KeysetPoller drains the changeset log in id-ordered keyset
@@ -486,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q.update(
+        cs_snapshot_diff=cs_snapshot_diff,
         cs_keyset_poll_stream=cs_keyset_poll_stream,
         cs_count_stats=cs_count_stats,
         cs_since_id=cs_since_id,
@@ -1767,6 +1791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q9",
         "cs_pipeline_deadletter",
         "dedup_drop_list",
+        "cs_snapshot_diff",
         # changed in round 2
         "cs_checksum_scalable",  # portable STRING digest surface
         "tpch_q3",  # cents-hardened money + broadcast hints removed
@@ -1888,6 +1913,37 @@ def oracle_sql() -> dict[str, str]:
 
     # keyset poll → sink loop must converge to the one-shot replay
     o["cs_keyset_poll_stream"] = _REPLAY_SQL
+
+    # snapshot diff: state@5000 vs final state, null-safe compare
+    _STATE_SQL = """
+      SELECT table_name, pk, user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS value_cents
+      FROM (SELECT *, row_number() OVER (PARTITION BY table_name, pk
+                                         ORDER BY id DESC) AS rn
+            FROM changesets {where})
+      WHERE rn = 1 AND action <> 'DELETE'
+    """
+    o["cs_snapshot_diff"] = f"""
+    WITH {CHANGESETS_CTE},
+    s_old AS ({_STATE_SQL.format(where="WHERE id <= 5000")}),
+    s_new AS ({_STATE_SQL.format(where="")}),
+    j AS (
+      SELECT CASE WHEN o.pk IS NULL THEN 'INSERT'
+                  WHEN n.pk IS NULL THEN 'DELETE'
+                  WHEN (o.user_id IS DISTINCT FROM n.user_id
+                        OR o.event_type IS DISTINCT FROM n.event_type
+                        OR o.value_cents IS DISTINCT FROM n.value_cents)
+                  THEN 'UPDATE' END AS action,
+             CASE WHEN n.pk IS NULL THEN o.table_name ELSE n.table_name END AS table_name,
+             CASE WHEN n.pk IS NULL THEN o.pk ELSE n.pk END AS pk,
+             CASE WHEN n.pk IS NULL THEN o.user_id ELSE n.user_id END AS user_id,
+             CASE WHEN n.pk IS NULL THEN o.event_type ELSE n.event_type END AS event_type,
+             CASE WHEN n.pk IS NULL THEN o.value_cents ELSE n.value_cents END AS value_cents
+      FROM s_old o FULL JOIN s_new n
+        ON o.table_name = n.table_name AND o.pk = n.pk
+    )
+    SELECT * FROM j WHERE action IS NOT NULL
+    """
 
     o["cs_checksum_scalable"] = f"""
     WITH {CHANGESETS_CTE},

@@ -28,6 +28,7 @@ HEADLINE = [
     "cs_checksum_scalable",
     "cs_pipeline_stages",
     "cs_pipeline_deadletter",
+    "cs_snapshot_diff",
     "cs_audit_decode",
     "cs_wal2json_decode",
     "tpch_q1",

@@ -124,3 +124,65 @@ def test_out_of_order_merge_needs_tombstones(spark):
         batch = log.filter(F.col("id") % 2 == (k + 1) % 2)
         state = merge_batch(state, batch, ["pk"])
     assert sorted(r["pk"] for r in state.collect()) == [1, 2]
+
+
+def test_snapshot_diff_emits_minimal_change_log(spark):
+    """Batch CDC: INSERT for new keys, DELETE for vanished keys, UPDATE
+    only when a value actually differs — including NULL→value and
+    value→NULL (null-safe compare); identical rows emit nothing."""
+    from warp_pipe_spark.apply import snapshot_diff
+
+    schema = "table_name STRING, pk LONG, val STRING"
+    old = spark.createDataFrame(
+        [
+            ("users", 1, "a"),  # unchanged
+            ("users", 2, "b"),  # value changes
+            ("users", 3, None),  # NULL -> value (must be UPDATE)
+            ("users", 4, "d"),  # deleted
+            ("pets", 1, "rex"),  # same pk, other table: independent
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            ("users", 1, "a"),
+            ("users", 2, "B"),
+            ("users", 3, "c"),
+            ("users", 5, "e"),  # inserted
+            ("pets", 1, None),  # value -> NULL (must be UPDATE)
+        ],
+        schema,
+    )
+    got = {
+        (r["action"], r["table_name"], r["pk"]): r["val"]
+        for r in snapshot_diff(old, new, ["pk"]).collect()
+    }
+    assert got == {
+        ("UPDATE", "users", 2): "B",
+        ("UPDATE", "users", 3): "c",
+        ("DELETE", "users", 4): "d",  # DELETE carries the old values
+        ("INSERT", "users", 5): "e",
+        ("UPDATE", "pets", 1): None,
+    }
+
+
+def test_snapshot_diff_then_merge_converges(spark):
+    """Applying the emitted diff onto the old snapshot must reproduce
+    the new snapshot exactly — diff and apply are inverses."""
+    from warp_pipe_spark.apply import merge_batch, snapshot_diff
+    from pyspark.sql import functions as F
+
+    schema = "table_name STRING, pk LONG, val STRING"
+    old = spark.createDataFrame(
+        [("t", 1, "a"), ("t", 2, "b"), ("t", 3, "c")], schema
+    )
+    new = spark.createDataFrame(
+        [("t", 1, "a"), ("t", 2, "B"), ("t", 4, "d")], schema
+    )
+    diff = snapshot_diff(old, new, ["pk"]).withColumn(
+        "id", F.lit(2)
+    )  # all diff rows are "later" than the snapshot
+    state = old.withColumn("action", F.lit("INSERT")).withColumn("id", F.lit(1))
+    merged = merge_batch(state, diff.select(*state.columns), ["pk"])
+    got = {(r["pk"], r["val"]) for r in merged.collect()}
+    assert got == {(1, "a"), (2, "B"), (4, "d")}

@@ -66,6 +66,66 @@ def replay(
     return folded
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    pk_cols: Sequence[str],
+    table_col: str | None = "table_name",
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Batch CDC — derive the changeset log that transforms snapshot
+    `old` into snapshot `new`: the trigger-free capture mode every
+    initial sync / periodic-full-load deployment needs (the reference
+    only captures via triggers/replication; diffing two snapshots is
+    the standard alternative when neither can be installed).
+
+    One null-safe FULL OUTER join on (table, pk) — a single co-keyed
+    shuffle, linear at any snapshot size:
+      key only in new            → INSERT (new row values)
+      key only in old            → DELETE (old row values)
+      in both, any value differs → UPDATE (new row values)
+      in both, identical         → no row
+    Output: (action, <keys>, <compare_cols>) with IS-DISTINCT-FROM
+    (null-safe) value comparison, so NULL→value and value→NULL edits
+    are real UPDATEs.
+    """
+    keys = ([table_col] if table_col else []) + list(pk_cols)
+    if compare_cols is None:
+        compare_cols = [
+            c for c in new.columns if c in set(old.columns) and c not in keys
+        ]
+    o = old.select(*keys, *compare_cols).alias("o")
+    n = new.select(*keys, *compare_cols).alias("n")
+    cond = None
+    for k in keys:
+        eq = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = eq if cond is None else cond & eq
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"o.{keys[0]}").isNotNull()
+    in_new = F.col(f"n.{keys[0]}").isNotNull()
+    changed = None
+    for c in compare_cols:
+        ne = ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        changed = ne if changed is None else changed | ne
+    action = (
+        F.when(~in_old, F.lit("INSERT"))
+        .when(~in_new, F.lit("DELETE"))
+        .when(changed if changed is not None else F.lit(False), F.lit("UPDATE"))
+    )
+    side = lambda c: F.when(  # noqa: E731
+        F.col("_action") == "DELETE", F.col(f"o.{c}")
+    ).otherwise(F.col(f"n.{c}"))
+    return (
+        j.withColumn("_action", action)
+        .filter(F.col("_action").isNotNull())
+        .select(
+            F.col("_action").alias("action"),
+            *[side(k).alias(k) for k in keys],
+            *[side(c).alias(c) for c in compare_cols],
+        )
+    )
+
+
 def merge_batch(
     target_state: DataFrame | None,
     batch: DataFrame,
