@@ -448,6 +448,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce("n_dead", z).alias("n_dead"),
         )
 
+    def cs_attribute_changes(spark, sf):
+        """Cell-level CDC (changeset.attribute_changes): one row per
+        CHANGED COLUMN — the audit/compliance shape. The audit log is
+        built with true OLD rows (reference triggers capture
+        row_to_json(OLD)): UPDATE old = value−1000, DELETE old = the
+        post-update state. INSERTs emit every column (old NULL),
+        UPDATEs only `value`, DELETEs every column (new NULL). Numeric
+        values normalize to integer-cent strings so no float rendering
+        crosses engines."""
+        from warp_pipe_spark.changeset import attribute_changes
+
+        cs = _cs(spark, sf)
+        old_val = F.when(
+            F.col("action") == "UPDATE", F.col("value") - 1000
+        ).when(F.col("action") == "DELETE", F.col("value") + 1000)
+        new_json = F.when(
+            F.col("action") != "DELETE",
+            F.to_json(F.struct("pk", "user_id", "event_type", "value")),
+        )
+        old_json = F.when(
+            F.col("action") != "INSERT",
+            F.to_json(
+                F.struct("pk", "user_id", "event_type", old_val.alias("value"))
+            ),
+        )
+        audit = cs.select(
+            "id",
+            "ts",
+            "action",
+            "schema_name",
+            "table_name",
+            "relid",
+            new_json.alias("new_values"),
+            old_json.alias("old_values"),
+        )
+        ac = attribute_changes(decode_audit_values(audit))
+        is_val = F.col("column") == F.lit("value")
+
+        def norm(c):
+            return F.when(
+                is_val & F.col(c).isNotNull(),
+                F.round(F.col(c).cast("double") * 100, 0).cast("long").cast("string"),
+            ).otherwise(F.col(c))
+
+        return ac.select(
+            "id",
+            "kind",
+            F.col("table").alias("table_name"),
+            F.col("column").alias("column_name"),
+            norm("old_value").alias("old_value"),
+            norm("new_value").alias("new_value"),
+        )
+
     def cs_snapshot_diff(spark, sf):
         """Batch CDC (the trigger-free capture mode): diff the state
         as-of changeset id 5000 against the final state — one
@@ -509,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q.update(
+        cs_attribute_changes=cs_attribute_changes,
         cs_snapshot_diff=cs_snapshot_diff,
         cs_keyset_poll_stream=cs_keyset_poll_stream,
         cs_count_stats=cs_count_stats,
@@ -1792,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cs_pipeline_deadletter",
         "dedup_drop_list",
         "cs_snapshot_diff",
+        "cs_attribute_changes",
         # changed in round 2
         "cs_checksum_scalable",  # portable STRING digest surface
         "tpch_q3",  # cents-hardened money + broadcast hints removed
@@ -1913,6 +1968,44 @@ def oracle_sql() -> dict[str, str]:
 
     # keyset poll → sink loop must converge to the one-shot replay
     o["cs_keyset_poll_stream"] = _REPLAY_SQL
+
+    # attribute-level diff: 4 column-blocks unioned, null-safe compare;
+    # numeric values as integer-cent strings (no float rendering)
+    o["cs_attribute_changes"] = f"""
+    WITH {CHANGESETS_CTE},
+    base AS (
+      SELECT id, lower(action) AS kind, table_name, action,
+             pk, user_id, event_type, value,
+             CASE WHEN action = 'UPDATE' THEN value - 1000
+                  WHEN action = 'DELETE' THEN value + 1000 END AS old_num
+      FROM changesets
+    ),
+    pairs AS (
+      SELECT id, kind, table_name, 'pk' AS column_name,
+             CASE WHEN action <> 'INSERT' THEN pk::VARCHAR END AS old_value,
+             CASE WHEN action <> 'DELETE' THEN pk::VARCHAR END AS new_value
+      FROM base
+      UNION ALL
+      SELECT id, kind, table_name, 'user_id',
+             CASE WHEN action <> 'INSERT' THEN user_id::VARCHAR END,
+             CASE WHEN action <> 'DELETE' THEN user_id::VARCHAR END
+      FROM base
+      UNION ALL
+      SELECT id, kind, table_name, 'event_type',
+             CASE WHEN action <> 'INSERT' THEN event_type END,
+             CASE WHEN action <> 'DELETE' THEN event_type END
+      FROM base
+      UNION ALL
+      SELECT id, kind, table_name, 'value',
+             CASE WHEN action <> 'INSERT'
+                  THEN CAST(round(old_num * 100) AS BIGINT)::VARCHAR END,
+             CASE WHEN action <> 'DELETE'
+                  THEN CAST(round(value * 100) AS BIGINT)::VARCHAR END
+      FROM base
+    )
+    SELECT id, kind, table_name, column_name, old_value, new_value
+    FROM pairs WHERE old_value IS DISTINCT FROM new_value
+    """
 
     # snapshot diff: state@5000 vs final state, null-safe compare
     _STATE_SQL = """

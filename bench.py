@@ -29,6 +29,7 @@ HEADLINE = [
     "cs_pipeline_stages",
     "cs_pipeline_deadletter",
     "cs_snapshot_diff",
+    "cs_attribute_changes",
     "cs_audit_decode",
     "cs_wal2json_decode",
     "tpch_q1",

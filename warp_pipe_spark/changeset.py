@@ -84,6 +84,38 @@ def column_value(values_col: Column | str, name: str) -> Column:
     return F.when(F.size(matches) > 0, F.element_at(matches, 1)["value"])
 
 
+def attribute_changes(decoded) -> "object":
+    """Cell-level CDC: explode each changeset into one row PER CHANGED
+    COLUMN — (id, kind, table, column, old_value, new_value). The
+    row-level log answers "which rows changed"; this answers "which
+    fields changed to what", the shape audit/compliance consumers and
+    column-conditional triggers need.
+
+    Input: decode_audit_values output (new_values/old_values as
+    MAP<STRING,STRING>). Pure Catalyst — map_keys union + explode +
+    null-safe compare, one narrow stage fused into the decode; INSERTs
+    emit every non-null new column (old side NULL), DELETEs the
+    reverse, UPDATEs only the columns whose value actually differs.
+    """
+    keys = F.array_distinct(
+        F.concat(
+            F.coalesce(F.map_keys("new_values"), F.array()),
+            F.coalesce(F.map_keys("old_values"), F.array()),
+        )
+    )
+    ex = decoded.select(
+        "id", "kind", "table", "new_values", "old_values", F.explode(keys).alias("column")
+    )
+    old_v = F.try_element_at("old_values", F.col("column"))
+    new_v = F.try_element_at("new_values", F.col("column"))
+    return (
+        ex.withColumn("old_value", old_v)
+        .withColumn("new_value", new_v)
+        .filter(~F.col("old_value").eqNullSafe(F.col("new_value")))
+        .select("id", "kind", "table", "column", "old_value", "new_value")
+    )
+
+
 def to_json_lines(df) -> "Column | object":
     """S7 stdout-JSON sink shape: one JSON object per changeset
     (internal/cli/warp_pipe.go:101-114). Returns a 1-column DataFrame of
