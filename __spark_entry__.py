@@ -492,6 +492,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.round(F.col(c).cast("double") * 100, 0).cast("long").cast("string"),
             ).otherwise(F.col(c))
 
+        # re-filter AFTER normalization: two raw doubles that differ in
+        # representation but round to the same cents must not surface
+        # as a no-op change (and the oracle compares normalized values)
         return ac.select(
             "id",
             "kind",
@@ -499,7 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("column").alias("column_name"),
             norm("old_value").alias("old_value"),
             norm("new_value").alias("new_value"),
-        )
+        ).filter(~F.col("old_value").eqNullSafe(F.col("new_value")))
 
     def cs_snapshot_diff(spark, sf):
         """Batch CDC (the trigger-free capture mode): diff the state

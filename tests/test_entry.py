@@ -57,7 +57,6 @@ def test_driver_window_holds_all_new_and_changed_queries():
     import json
 
     qs = list(entrymod.queries())
-    window = set(qs[:50])
     with open("/root/repo/CORRECTNESS_r01.json") as f:
         r01 = json.load(f)
     r01_green = {

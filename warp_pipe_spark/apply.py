@@ -94,15 +94,18 @@ def snapshot_diff(
         compare_cols = [
             c for c in new.columns if c in set(old.columns) and c not in keys
         ]
-    o = old.select(*keys, *compare_cols).alias("o")
-    n = new.select(*keys, *compare_cols).alias("n")
+    # presence markers, NOT key nullability: the join is null-safe, so a
+    # NULL key is a legitimate matchable value — testing keys[0] IS NULL
+    # would misclassify such rows (e.g. an old-only NULL-pk row as INSERT)
+    o = old.select(*keys, *compare_cols).withColumn("_in_old", F.lit(True)).alias("o")
+    n = new.select(*keys, *compare_cols).withColumn("_in_new", F.lit(True)).alias("n")
     cond = None
     for k in keys:
         eq = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
         cond = eq if cond is None else cond & eq
     j = o.join(n, cond, "full_outer")
-    in_old = F.col(f"o.{keys[0]}").isNotNull()
-    in_new = F.col(f"n.{keys[0]}").isNotNull()
+    in_old = F.col("o._in_old").isNotNull()
+    in_new = F.col("n._in_new").isNotNull()
     changed = None
     for c in compare_cols:
         ne = ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))

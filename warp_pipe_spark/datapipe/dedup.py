@@ -309,6 +309,14 @@ def connected_components(
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 
+def _star_fingerprint(e: DataFrame):
+    """(count, 60-bit pair-hash sum) — an order-free set fingerprint."""
+    h = h60(F.concat_ws("_", F.col("u"), F.col("v")))
+    return e.agg(
+        F.count("*").alias("n"), F.sum(h.cast("decimal(38,0)")).alias("s")
+    ).first()
+
+
 def connected_components_star(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -352,6 +360,7 @@ def connected_components_star(
     def sym(e: DataFrame) -> DataFrame:
         return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
+    prev_fp = _star_fingerprint(edges)
     for _ in range(max_iter):
         s = sym(edges)
         # large-star: m(u) = min(neighborhood(u) ∪ {u}); (x, m) for x > u
@@ -384,23 +393,19 @@ def connected_components_star(
             .localCheckpoint()
         )
         # fixpoint probe: two DISTINCT sets are equal iff their
-        # (count, sum of 60-bit pair hashes) fingerprints match — two
-        # tiny map-side-combined aggregates instead of two exceptAll
-        # shuffles per round (this probe dominated round cost). A
-        # false-equal needs colliding 60-bit sums over equal-size sets:
-        # not a realistic event, and the consequence would be stopping
-        # one round early on an already-star-shaped graph.
-        def _fp(e: DataFrame):
-            h = h60(F.concat_ws("_", F.col("u"), F.col("v")))
-            return e.agg(
-                F.count("*").alias("n"),
-                F.sum(h.cast("decimal(38,0)")).alias("s"),
-            ).first()
-
-        if _fp(new_edges) == _fp(edges):
+        # (count, sum of 60-bit pair hashes) fingerprints match — ONE
+        # tiny map-side-combined aggregate per round (the previous
+        # round's fingerprint is cached) instead of two exceptAll
+        # shuffles, which dominated round cost. A false-equal needs
+        # colliding 60-bit sums over equal-size DIFFERING sets
+        # (~2⁻⁶⁰/round); the consequence would be returning a non-star
+        # edge set, i.e. corrupt labels — accepted as negligible
+        # against the per-round exceptAll cost it replaces.
+        new_fp = _star_fingerprint(new_edges)
+        if new_fp == prev_fp:
             edges = new_edges
             break
-        edges = new_edges
+        edges, prev_fp = new_edges, new_fp
     else:
         # a non-star edge set would emit intermediate nodes twice with
         # conflicting labels — fail LOUD, never return corrupt clusters
