@@ -715,6 +715,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return hourly_rollup(read_table(spark, sf, "events"))
 
+    def events_sliding_hourly(spark, sf):
+        """HOPPING window rollup (1-hour window, 15-minute slide): each
+        event contributes to 4 overlapping windows — the smoothing
+        variant of the tumbling rollup, same keyed-aggregation shape
+        (F.window with slideDuration expands rows JVM-side before the
+        partial agg). Oracle replays the expansion as 4 explicit
+        window-start offsets."""
+        ev = read_table(spark, sf, "events")
+        return (
+            ev.groupBy(
+                F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(_CENTS("value")).alias("sum_value_cents"),
+            )
+            .select(
+                "event_type",
+                F.unix_millis(F.col("w.start")).alias("win_start_ms"),
+                "n_events",
+                "sum_value_cents",
+            )
+        )
+
     def events_sessionize(spark, sf):
         from warp_pipe_spark.analytics import sessionize
 
@@ -889,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(
         events_hourly=events_hourly,
         events_sessionize=events_sessionize,
+        events_sliding_hourly=events_sliding_hourly,
         events_topk_users=events_topk_users,
         events_user_running=events_user_running,
         events_props_json=events_props_json,
@@ -1850,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_drop_list",
         "cs_snapshot_diff",
         "cs_attribute_changes",
+        "events_sliding_hourly",
         # changed in round 2
         "cs_checksum_scalable",  # portable STRING digest surface
         "tpch_q3",  # cents-hardened money + broadcast hints removed
@@ -2191,6 +2217,25 @@ def oracle_sql() -> dict[str, str]:
            count(*) AS n_events,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
     FROM events GROUP BY 1, 2
+    """
+
+    # hopping windows: an event at t belongs to the 4 windows starting
+    # at floor-to-15min(t) − {0,15,30,45}min (window start ≤ t < +1h);
+    # Spark's F.window(1h, 15m) generates exactly these.
+    o["events_sliding_hourly"] = """
+    WITH offs AS (SELECT unnest([0, 15, 30, 45]) AS off_min),
+    e AS (
+      SELECT event_type,
+             epoch_ms(date_trunc('minute', ts)
+                      - INTERVAL 1 MINUTE * (EXTRACT(minute FROM ts)::INT % 15)
+                      - INTERVAL 1 MINUTE * off_min) AS win_start_ms,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events, offs
+    )
+    SELECT event_type, win_start_ms,
+           count(*) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS sum_value_cents
+    FROM e GROUP BY 1, 2
     """
 
     o["events_sessionize"] = """

@@ -49,6 +49,7 @@ HEADLINE = [
     "tpch_q19",
     "tpch_q22",
     "events_hourly",
+    "events_sliding_hourly",
     "events_sessionize",
     "events_rollup",
     "events_daily_active",
