@@ -79,3 +79,23 @@ def test_record_stage_order_matters(changesets):
         .add_record_stage("upper", uppercase_table_stage())
     )
     assert p1.run(changesets).count() == 0
+
+
+def test_run_with_errors_single_pass(spark, changesets):
+    # VERDICT r2 item 1: consuming BOTH sides of run_with_errors must
+    # execute each record stage exactly once per record (the mapped
+    # frame is persisted before the ok/dead split).
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(rec):
+        acc.add(1)
+        if rec["id"] == 2:
+            raise ValueError("bad record")
+        return rec
+
+    p = Pipeline().add_record_stage("counting", counting)
+    ok, dead = p.run_with_errors(changesets)
+    assert ok.count() == 1
+    assert dead.count() == 1
+    assert acc.value == 2  # 2 records, one pass each — not 4
+    p.unpersist()

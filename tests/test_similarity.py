@@ -88,3 +88,20 @@ def test_ivf_persisted_index_prunes_partitions_and_matches(spark, sf_dir, tmp_pa
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln and "cent_id" in ln]
     assert pf, plan  # cells scan carries the literal cent_id IN (...) filter
     assert re.search(r"PartitionFilters: \[.*cent_id.* IN \(", pf[0]), pf[0]
+
+
+def test_ivf_indexed_probe_collect_guard(spark, tmp_path):
+    # VERDICT r2 item 6: the probed-cell collect is planning metadata
+    # only while n_queries x n_probe stays bounded; beyond the cap the
+    # call must refuse rather than swell the driver.
+    import pytest as _pytest
+
+    from warp_pipe_spark.datapipe.similarity import build_ivf_index, ivf_topk_indexed
+
+    rows = [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=4)
+    queries = emb.limit(10)
+    with _pytest.raises(ValueError, match="max_probe_collect"):
+        ivf_topk_indexed(spark, queries, path, k=3, n_probe=2, max_probe_collect=5)

@@ -312,3 +312,47 @@ def test_keyset_poller_corrupt_offset_raises_not_restarts(spark, tmp_path):
         f.write("{broken")
     with pytest.raises(StateCorruptError):
         poller.poll_once()
+
+
+# --- pk-hash-bucketed state (VERDICT r2 item 2) -----------------------
+
+
+def test_bucketed_sink_rewrites_only_touched_bucket(spark, tmp_path):
+    """With n_buckets=B, an update to one pk rewrites exactly the one
+    bucket dir that pk hashes into — the single-hot-table workload no
+    longer degenerates to O(table state) per micro-batch."""
+    import os
+
+    B = 8
+    sink = ParquetStateSink(
+        spark, str(tmp_path / "state"), pk_cols=["pk"], n_buckets=B
+    )
+    seed = [(i, "INSERT", "users", i, f"v{i}") for i in range(1, 33)]
+    sink.apply_batch(spark.createDataFrame(seed, SCHEMA), batch_id=0)
+    p0 = sink._read_pointer()
+    assert all("#b" in k for k in p0)
+    assert len(p0) > 1  # 32 pks spread over several buckets
+
+    sink.apply_batch(
+        spark.createDataFrame([(100, "UPDATE", "users", 7, "v7b")], SCHEMA),
+        batch_id=1,
+    )
+    p1 = sink._read_pointer()
+    changed = {k for k in p1 if p1[k] != p0.get(k)}
+    assert len(changed) == 1  # exactly one bucket re-versioned
+    assert p1[changed.pop()].endswith("v_1")
+    # untouched bucket dirs survive byte-identical paths
+    got = {(r["pk"], r["val"]) for r in sink.read_state().collect()}
+    assert got == {(i, f"v{i}") for i in range(1, 33) if i != 7} | {(7, "v7b")}
+
+
+def test_bucketed_sink_layout_is_fixed_at_first_commit(spark, tmp_path):
+    from warp_pipe_spark.streaming import StateCorruptError
+
+    sink = ParquetStateSink(
+        spark, str(tmp_path / "state"), pk_cols=["pk"], n_buckets=4
+    )
+    sink.apply_batch(spark.createDataFrame(MULTI, SCHEMA), batch_id=0)
+    other = ParquetStateSink(spark, str(tmp_path / "state"), pk_cols=["pk"])
+    with pytest.raises(StateCorruptError, match="n_buckets"):
+        other.read_state()

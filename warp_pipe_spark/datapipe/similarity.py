@@ -174,6 +174,7 @@ def ivf_topk_indexed(
     index_path: str,
     k: int = 5,
     n_probe: int = 3,
+    max_probe_collect: int = 100_000,
 ) -> DataFrame:
     """Search a persisted IVF index: probe the n_probe nearest cells
     per query, then exact top-k inside probed cells only.
@@ -183,7 +184,14 @@ def ivf_topk_indexed(
     partition predicate, so the cells scan shows
     `PartitionFilters: [cent_id IN (...)]` and unprobed directories
     are never listed. Output (query_id, neighbor_id, rank, cos_sim) —
-    identical to ivf_topk_cosine on the same parameters."""
+    identical to ivf_topk_cosine on the same parameters.
+
+    The collect is bounded: it raises once n_queries × n_probe exceeds
+    `max_probe_collect` (default 100k — a few MB of ints on the driver).
+    Beyond that the literal-predicate trick stops being planning
+    metadata; use a `probes.join(cells, "cent_id")` plan without the
+    partition-pruning inline (same results, full cell listing) or
+    shard the query batch."""
     cent = spark.read.parquet(index_path + "/centroids")
     q = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -199,6 +207,14 @@ def ivf_topk_indexed(
         .filter(F.col("crank") <= n_probe)
         .select("query_id", "q_emb", "cent_id")
     )
+    n_q = queries.count()
+    if n_q * n_probe > max_probe_collect:
+        raise ValueError(
+            f"ivf_topk_indexed: n_queries ({n_q}) x n_probe ({n_probe}) "
+            f"exceeds max_probe_collect ({max_probe_collect}); shard the "
+            "query batch or probe via a cent_id join without the inlined "
+            "partition predicate"
+        )
     probed_cells = sorted({r["cent_id"] for r in probes.select("cent_id").distinct().collect()})
     cells = spark.read.parquet(index_path + "/cells").filter(
         F.col("cent_id").isin(probed_cells)

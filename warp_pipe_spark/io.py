@@ -41,10 +41,16 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Testdata timestamps are naive parquet TIMESTAMP(MICROS)
+    # (isAdjustedToUTC=false). Spark 4 infers those as TIMESTAMP_NTZ,
+    # which unix_millis()/window() reject. Disabling NTZ inference reads
+    # the stored micros as TIMESTAMP_LTZ epoch values directly — exactly
+    # DuckDB's epoch_ms(naive ts) semantics, independent of session tz.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects;
-        # read nanos as long and convert to a microsecond timestamp
-        # (same truncation DuckDB applies when it emits epoch_ms).
+        # Older testdata generations used TIMESTAMP(NANOS), which Spark 4
+        # rejects; read nanos as long and convert to a microsecond
+        # timestamp (same truncation DuckDB applies for epoch_ms).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":

@@ -54,6 +54,7 @@ class Pipeline:
     """
 
     stages: list[_Stage] = field(default_factory=list)
+    _cached: list[DataFrame] = field(default_factory=list, repr=False)
 
     def add_stage(self, name: str, fn: DataFrameStage) -> "Pipeline":
         """Vectorized stage: fn(DataFrame) -> DataFrame. Preferred."""
@@ -82,13 +83,25 @@ class Pipeline:
     def run_with_errors(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
         """Apply all stages; returns (ok, dead_letter) DataFrames —
         the Spark mapping of the reference's out-of-band error channel
-        (pipeline.go:17-27: errors reported, stream continues)."""
+        (pipeline.go:17-27: errors reported, stream continues).
+
+        The Arrow record pass is persisted before splitting so consuming
+        BOTH sides executes every record stage exactly once per record
+        (not once per side). Call `unpersist()` when done with the pair.
+        """
         out = self._apply(df)
         if _ERROR_COL not in out.columns:
             return out, out.limit(0).withColumn(_ERROR_COL, F.lit(None).cast("string"))
+        out = out.persist()
+        self._cached.append(out)
         ok = out.filter(F.col(_ERROR_COL).isNull()).drop(_ERROR_COL)
         bad = out.filter(F.col(_ERROR_COL).isNotNull())
         return ok, bad
+
+    def unpersist(self) -> None:
+        """Release DataFrames cached by run_with_errors."""
+        while self._cached:
+            self._cached.pop().unpersist()
 
     def _apply(self, df: DataFrame) -> DataFrame:
         i, n = 0, len(self.stages)

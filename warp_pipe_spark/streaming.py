@@ -69,13 +69,24 @@ class ParquetStateSink:
                                          {"users": "tables/users/v_3", ...}}
         state_dir/tables/<t>/v_<batch>  parquet rows for one table
 
+    With `n_buckets=B`, each table's state is further split by
+    `pmod(hash(pk), B)` — pointer keys become "users#b5" and dirs
+    `tables/users/b_5/v_<batch>` — so a micro-batch touching k keys of
+    one hot table reads+rewrites O(k/B of its state), not the whole
+    table. This is axon's per-row upsert (axon_sql.go:77-106) at scale
+    without Delta: bucket count fixes the rewrite granularity the way a
+    MERGE's file-skipping would.
+
     Guarantees:
       - ATOMIC: new table versions are fully written BEFORE the pointer
         is replaced with os.replace (atomic on POSIX); a crash at any
         point leaves the previous pointer valid. No torn state, ever.
-      - INCREMENTAL: only tables present in the micro-batch are read,
-        merged, and rewritten — per-batch cost is O(touched tables'
-        state), not O(all state). Untouched table files are not opened.
+      - INCREMENTAL: only tables (buckets, if bucketed) present in the
+        micro-batch are read, merged, and rewritten — per-batch cost is
+        O(touched state), not O(all state). Untouched files stay closed.
+        Restricting the merge to touched buckets is safe because the
+        bucket is a pure function of the pk: rows outside a touched
+        bucket cannot be affected by any changeset in the batch.
       - IDEMPOTENT: re-running a micro-batch converges to the same
         state (merge_batch is last-writer-wins on (table, pk, id)), so
         checkpoint replay after a crash is safe.
@@ -95,6 +106,7 @@ class ParquetStateSink:
         id_col: str = "id",
         kind_col: str = "action",
         table_col: str = "table_name",
+        n_buckets: int | None = None,
     ):
         self.spark = spark
         self.state_dir = state_dir
@@ -102,6 +114,7 @@ class ParquetStateSink:
         self.id_col = id_col
         self.kind_col = kind_col
         self.table_col = table_col
+        self.n_buckets = n_buckets
 
     # -- pointer ---------------------------------------------------------
 
@@ -123,7 +136,17 @@ class ParquetStateSink:
         try:
             with open(path) as f:
                 meta = json.load(f)
+            committed_buckets = meta.get("n_buckets") or None
+            if committed_buckets != self.n_buckets:
+                raise StateCorruptError(
+                    f"state at {self.state_dir} was committed with "
+                    f"n_buckets={committed_buckets}, sink configured with "
+                    f"n_buckets={self.n_buckets} — bucket layout is fixed "
+                    "at first commit"
+                )
             return dict(meta["tables"])
+        except StateCorruptError:
+            raise
         except (OSError, ValueError, KeyError, TypeError) as e:
             raise StateCorruptError(f"unreadable state pointer {path}: {e}") from e
 
@@ -131,13 +154,25 @@ class ParquetStateSink:
         os.makedirs(self.state_dir, exist_ok=True)
         tmp = self._pointer_path() + f".tmp.{batch_id}"
         with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id, "tables": tables}, f)
+            json.dump(
+                {"batch_id": batch_id, "n_buckets": self.n_buckets, "tables": tables},
+                f,
+            )
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._pointer_path())  # atomic commit point
 
-    def _table_rel(self, table: str, batch_id: int) -> str:
-        return f"tables/{quote(table, safe='')}/v_{batch_id}"
+    def _bucket_col(self):
+        return F.pmod(F.hash(*[F.col(c) for c in self.pk_cols]), F.lit(self.n_buckets))
+
+    def _key(self, table: str, bucket: "int | None") -> str:
+        return table if bucket is None else f"{table}#b{bucket}"
+
+    def _table_rel(self, table: str, batch_id: int, bucket: "int | None" = None) -> str:
+        base = f"tables/{quote(table, safe='')}"
+        if bucket is not None:
+            base += f"/b_{bucket}"
+        return f"{base}/v_{batch_id}"
 
     def _read_tables(self, rels: Sequence[str]) -> DataFrame | None:
         dirs = [os.path.join(self.state_dir, r) for r in rels]
@@ -160,31 +195,46 @@ class ParquetStateSink:
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         pointer = self._read_pointer() or {}
-        touched = sorted(
-            r[0] for r in batch.select(self.table_col).distinct().collect()
-        )
+        if self.n_buckets:
+            touched = sorted(
+                (r[0], int(r[1]))
+                for r in batch.select(
+                    self.table_col, self._bucket_col().alias("_b")
+                )
+                .distinct()
+                .collect()
+            )
+        else:
+            touched = sorted(
+                (r[0], None)
+                for r in batch.select(self.table_col).distinct().collect()
+            )
         if not touched:
             return
-        # read ONLY the touched tables' current state
-        old_rels = {t: pointer[t] for t in touched if t in pointer}
+        keys = [self._key(t, b) for t, b in touched]
+        # read ONLY the touched tables'/buckets' current state
+        old_rels = {k: pointer[k] for k in keys if k in pointer}
         state = self._read_tables(sorted(old_rels.values())) if old_rels else None
         new_state = merge_batch(
             state, batch, self.pk_cols, self.id_col, self.kind_col, self.table_col
         ).persist()
         try:
             new_pointer = dict(pointer)
-            for t in touched:
-                rel = self._table_rel(t, batch_id)
-                new_state.filter(F.col(self.table_col) == t).write.mode(
-                    "overwrite"
-                ).parquet(os.path.join(self.state_dir, rel))
-                new_pointer[t] = rel
+            for (t, b), k in zip(touched, keys):
+                rel = self._table_rel(t, batch_id, b)
+                part = new_state.filter(F.col(self.table_col) == t)
+                if b is not None:
+                    part = part.filter(self._bucket_col() == b)
+                part.write.mode("overwrite").parquet(
+                    os.path.join(self.state_dir, rel)
+                )
+                new_pointer[k] = rel
             self._commit_pointer(new_pointer, batch_id)
         finally:
             new_state.unpersist()
         # superseded versions are garbage after the commit point
-        for t, rel in old_rels.items():
-            if new_pointer.get(t) != rel:
+        for k, rel in old_rels.items():
+            if new_pointer.get(k) != rel:
                 shutil.rmtree(os.path.join(self.state_dir, rel), ignore_errors=True)
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
