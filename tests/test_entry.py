@@ -49,23 +49,46 @@ def test_oracle_subset_matches(spark, sf_dir, name):
     assert table_hash(srows, sdf.columns) == table_hash(drows, rel.columns)
 
 
-def test_driver_window_holds_all_new_and_changed_queries():
+def test_driver_window_holds_all_new_changed_and_stale_queries():
     """The driver's correctness harness checks only the FIRST 50
-    queries() entries. Every query without a green round-1 driver row
-    (new or changed since) must sit inside that window, or it ships
-    unverified."""
+    queries() entries per round. Two invariants (VERDICT r2 item 8):
+      - any query red in the LATEST round must be in the window (a fix
+        that can't re-earn its green row isn't a fix);
+      - any query never green, or whose last green row is two or more
+        rounds old, must be in the window — no query drifts more than
+        two rounds without a driver-verified row."""
+    import glob
     import json
+    import re
+
+    rounds = {}
+    for p in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        n = int(re.search(r"r(\d+)", p).group(1))
+        with open(p) as f:
+            rounds[n] = json.load(f)
+    assert rounds, "no CORRECTNESS files — driver harness not run yet"
+    latest = max(rounds)
+
+    last_green: dict[str, int] = {}
+    for n in sorted(rounds):
+        for k, v in rounds[n].items():
+            if v.get("rows_match") and v.get("schema_match") and v.get("hash_match"):
+                last_green[k] = n
 
     qs = list(entrymod.queries())
-    with open("/root/repo/CORRECTNESS_r01.json") as f:
-        r01 = json.load(f)
-    r01_green = {
-        k
-        for k, v in r01.items()
-        if v.get("rows_match") and v.get("schema_match") and v.get("hash_match")
-    }
-    unverified_outside = [q for q in qs[50:] if q not in r01_green]
-    assert not unverified_outside, (
-        f"queries with no green driver row are OUTSIDE the 50-entry "
-        f"window: {unverified_outside} — add them to _verify_first"
+    window = set(qs[:50])
+    red_latest = [
+        k for k, v in rounds[latest].items() if not v.get("hash_match") and k in qs
+    ]
+    missing_red = [k for k in red_latest if k not in window]
+    assert not missing_red, (
+        f"queries red in round {latest} are OUTSIDE the 50-entry window: "
+        f"{missing_red} — add them to _verify_first"
+    )
+    stale = [q for q in qs if last_green.get(q, 0) <= latest - 2]
+    missing_stale = [q for q in stale if q not in window]
+    assert not missing_stale, (
+        f"queries with no green driver row since round {latest - 2} are "
+        f"OUTSIDE the 50-entry window: {missing_stale} — rotate them into "
+        f"_verify_first"
     )
