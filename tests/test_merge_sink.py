@@ -1,0 +1,121 @@
+"""MERGE-adapter state sink (VERDICT r2 item 7): the Delta/Iceberg
+twin of ParquetStateSink, proven against the in-memory executor —
+same KeysetPoller contract, same replay oracle, pinned MERGE text."""
+
+import pytest
+
+from warp_pipe_spark.apply import replay
+from warp_pipe_spark.merge_sink import (
+    InMemoryMergeExecutor,
+    MergeStateSink,
+    batch_winners,
+    merge_statement,
+)
+
+SCHEMA = "id LONG, action STRING, table_name STRING, pk LONG, val STRING"
+
+LOG = [
+    (1, "INSERT", "users", 1, "a"),
+    (2, "INSERT", "users", 2, "b"),
+    (3, "INSERT", "pets", 1, "rex"),
+    (4, "UPDATE", "users", 2, "b2"),
+    (5, "DELETE", "users", 1, None),
+    (6, "INSERT", "users", 3, "c"),
+    (7, "UPDATE", "pets", 1, "rex2"),
+]
+
+
+def _state(sink):
+    return {
+        (r["table_name"], r["pk"], r["val"]) for r in sink.read_state().collect()
+    }
+
+
+def _oracle(spark, rows):
+    return {
+        (r["table_name"], r["pk"], r["val"])
+        for r in replay(spark.createDataFrame(rows, SCHEMA), ["pk"]).collect()
+    }
+
+
+def test_merge_sink_converges_to_replay_oracle(spark):
+    sink = MergeStateSink(spark, InMemoryMergeExecutor(spark), pk_cols=["pk"])
+    sink.apply_batch(spark.createDataFrame(LOG[:3], SCHEMA), 0)
+    sink.apply_batch(spark.createDataFrame(LOG[3:], SCHEMA), 1)
+    assert _state(sink) == _oracle(spark, LOG)
+    assert _state(sink) == {
+        ("users", 2, "b2"),
+        ("users", 3, "c"),
+        ("pets", 1, "rex2"),
+    }
+
+
+def test_merge_sink_redelivery_is_noop(spark):
+    # at-least-once transport: re-applying a batch must not change state
+    sink = MergeStateSink(spark, InMemoryMergeExecutor(spark), pk_cols=["pk"])
+    sink.apply_batch(spark.createDataFrame(LOG[:5], SCHEMA), 0)
+    before = _state(sink)
+    sink.apply_batch(spark.createDataFrame(LOG[:5], SCHEMA), 0)  # redelivered
+    assert _state(sink) == before == _oracle(spark, LOG[:5])
+
+
+def test_merge_sink_update_before_insert_upserts(spark):
+    # axon_sql.go:92-103: an UPDATE for an absent pk inserts the row
+    sink = MergeStateSink(spark, InMemoryMergeExecutor(spark), pk_cols=["pk"])
+    sink.apply_batch(
+        spark.createDataFrame([(10, "UPDATE", "users", 9, "ghost")], SCHEMA), 0
+    )
+    assert _state(sink) == {("users", 9, "ghost")}
+
+
+def test_merge_sink_drives_keyset_poller(spark, tmp_path):
+    # the same poller drain contract ParquetStateSink satisfies
+    from warp_pipe_spark.streaming import KeysetPoller, parquet_keyset_fetch
+
+    audit = str(tmp_path / "audit")
+    spark.createDataFrame(LOG, SCHEMA).coalesce(1).write.parquet(audit)
+    sink = MergeStateSink(spark, InMemoryMergeExecutor(spark), pk_cols=["pk"])
+    poller = KeysetPoller(
+        spark, parquet_keyset_fetch(audit), sink, str(tmp_path / "off.json"), limit=3
+    )
+    assert poller.run_until_drained() == len(LOG)
+    assert _state(sink) == _oracle(spark, LOG)
+
+
+def test_batch_winners_one_row_per_key_keeps_tombstones(spark):
+    w = batch_winners(spark.createDataFrame(LOG, SCHEMA), ["pk"])
+    rows = {((r["table_name"], r["pk"]), (r["id"], r["action"])) for r in w.collect()}
+    # exactly one row per (table, pk); deletes kept as tombstones
+    assert dict(rows) == {
+        ("users", 1): (5, "DELETE"),
+        ("users", 2): (4, "UPDATE"),
+        ("users", 3): (6, "INSERT"),
+        ("pets", 1): (7, "UPDATE"),
+    }
+
+
+def test_merge_statement_pinned():
+    sql = merge_statement("users", "src", ["pk"], ["val"])
+    assert sql == (
+        "MERGE INTO users t\n"
+        "USING src s\n"
+        "  ON t.pk <=> s.pk\n"
+        "WHEN MATCHED AND s.action IN ('delete', 'DELETE') AND s.id >= t.id"
+        " THEN DELETE\n"
+        "WHEN MATCHED AND s.id > t.id THEN UPDATE SET t.id = s.id, t.val = s.val\n"
+        "WHEN NOT MATCHED AND s.action NOT IN ('delete', 'DELETE')"
+        " THEN INSERT (pk, id, val) VALUES (s.pk, s.id, s.val)"
+    )
+
+
+def test_delta_executor_raises_cleanly_without_library(spark):
+    from warp_pipe_spark.merge_sink import DeltaMergeExecutor
+
+    try:
+        import delta  # noqa: F401
+
+        pytest.skip("delta-spark installed; constructor path not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="delta-spark"):
+        DeltaMergeExecutor(spark, lambda t: f"/tmp/{t}")

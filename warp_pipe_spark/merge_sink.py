@@ -1,0 +1,266 @@
+"""Transactional-MERGE state sink — the Delta/Iceberg-shaped twin of
+ParquetStateSink (A1-A3 at scale).
+
+The reference applies each changeset row-at-a-time: INSERT with
+dup-skip, upsert UPDATE, DELETE-by-PK (axon_sql.go:59-122). On a
+transactional table format the whole micro-batch becomes ONE statement
+per touched table:
+
+    MERGE INTO <target> t
+    USING <batch winners> s
+      ON t.<pk> = s.<pk>
+    WHEN MATCHED AND s.<kind> = 'DELETE' AND s.<id> >= t.<id> THEN DELETE
+    WHEN MATCHED AND s.<id> > t.<id> THEN UPDATE SET ...
+    WHEN NOT MATCHED AND s.<kind> <> 'DELETE' THEN INSERT ...
+
+"batch winners" is the last-writer-wins fold of the micro-batch by
+(table, pk) WITH tombstones kept (apply.replay drop_deletes=False), so
+the MERGE source has exactly one row per key — a MERGE whose source
+contains duplicate keys is rejected or non-deterministic on every
+engine. The id guards make redelivery a no-op (same winners re-merged:
+matched rows carry t.id = s.id, so UPDATE's strict > skips them;
+re-deleted keys simply don't match), upgrading the poller's
+at-least-once transport to exactly-once observable state — the same
+contract ParquetStateSink proves with its versioned pointer.
+
+The sink is adapter-based because this sandbox has no delta-spark:
+`MergeExecutor` is the seam. `DeltaMergeExecutor` drives a real
+DeltaTable merge builder when the library exists; `SqlMergeExecutor`
+emits the portable MERGE INTO text for engines reached over SQL
+(Iceberg/Spark SQL syntax); `InMemoryMergeExecutor` implements the same
+semantics with plain DataFrame ops so the sink contract is testable
+here. tests/test_merge_sink.py runs the KeysetPoller drain/redelivery
+contract against the in-memory executor and pins the emitted SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from warp_pipe_spark.apply import replay
+
+DELETE_KINDS = ("delete", "DELETE")
+
+
+def batch_winners(
+    batch: DataFrame,
+    pk_cols: Sequence[str],
+    id_col: str = "id",
+    kind_col: str = "action",
+    table_col: str = "table_name",
+) -> DataFrame:
+    """LWW fold of one micro-batch to one row per (table, pk), keeping
+    delete tombstones — the conflict-free MERGE source."""
+    return replay(
+        batch,
+        pk_cols,
+        id_col=id_col,
+        kind_col=kind_col,
+        table_col=table_col,
+        drop_deletes=False,
+    )
+
+
+def merge_statement(
+    target: str,
+    source: str,
+    pk_cols: Sequence[str],
+    value_cols: Sequence[str],
+    id_col: str = "id",
+    kind_col: str = "action",
+) -> str:
+    """The portable MERGE INTO text (Spark SQL / Delta / Iceberg
+    dialect) for one table. `value_cols` are the non-pk payload columns
+    to carry into the target (id included automatically so future
+    merges can compare recency)."""
+    on = " AND ".join(f"t.{c} <=> s.{c}" for c in pk_cols)
+    cols = [*pk_cols, id_col, *value_cols]
+    sets = ", ".join(f"t.{c} = s.{c}" for c in cols if c not in pk_cols)
+    ins_cols = ", ".join(cols)
+    ins_vals = ", ".join(f"s.{c}" for c in cols)
+    dk = ", ".join(f"'{k}'" for k in DELETE_KINDS)
+    return (
+        f"MERGE INTO {target} t\n"
+        f"USING {source} s\n"
+        f"  ON {on}\n"
+        f"WHEN MATCHED AND s.{kind_col} IN ({dk}) AND s.{id_col} >= t.{id_col}"
+        f" THEN DELETE\n"
+        f"WHEN MATCHED AND s.{id_col} > t.{id_col} THEN UPDATE SET {sets}\n"
+        f"WHEN NOT MATCHED AND s.{kind_col} NOT IN ({dk})"
+        f" THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )
+
+
+class SqlMergeExecutor:
+    """Registers the winners as a temp view and runs the MERGE text via
+    spark.sql — the path for Iceberg catalogs or any SQL-reachable
+    MERGE engine. Targets must already exist as tables."""
+
+    def __init__(self, spark: SparkSession, target_for=lambda t: t):
+        self.spark = spark
+        self.target_for = target_for
+
+    def merge(
+        self,
+        table: str,
+        winners: DataFrame,
+        pk_cols: Sequence[str],
+        id_col: str,
+        kind_col: str,
+    ) -> None:
+        view = f"_wp_merge_src_{abs(hash(table)) % 10**8}"
+        winners.createOrReplaceTempView(view)
+        value_cols = [
+            c for c in winners.columns if c not in (*pk_cols, id_col, kind_col)
+        ]
+        self.spark.sql(
+            merge_statement(
+                self.target_for(table), view, pk_cols, value_cols, id_col, kind_col
+            )
+        )
+
+
+class DeltaMergeExecutor:
+    """Drives delta-spark's merge builder when the library is present
+    (import is deferred so the module loads in environments without
+    it). path_for maps a table name to its Delta location."""
+
+    def __init__(self, spark: SparkSession, path_for):
+        try:
+            from delta.tables import DeltaTable  # noqa: F401
+        except ImportError as e:  # pragma: no cover - no delta in sandbox
+            raise ImportError(
+                "delta-spark is not installed; use SqlMergeExecutor or "
+                "InMemoryMergeExecutor"
+            ) from e
+        self.spark = spark
+        self.path_for = path_for
+
+    def merge(self, table, winners, pk_cols, id_col, kind_col):  # pragma: no cover
+        from delta.tables import DeltaTable
+
+        tgt = DeltaTable.forPath(self.spark, self.path_for(table))
+        cond = " AND ".join(f"t.{c} <=> s.{c}" for c in pk_cols)
+        dk = ", ".join(f"'{k}'" for k in DELETE_KINDS)
+        (
+            tgt.alias("t")
+            .merge(winners.alias("s"), cond)
+            .whenMatchedDelete(f"s.{kind_col} IN ({dk}) AND s.{id_col} >= t.{id_col}")
+            .whenMatchedUpdateAll(f"s.{id_col} > t.{id_col}")
+            .whenNotMatchedInsertAll(f"s.{kind_col} NOT IN ({dk})")
+            .execute()
+        )
+
+
+class InMemoryMergeExecutor:
+    """Same MERGE semantics as DataFrame ops over a dict of per-table
+    frames — the sandbox test twin. Deliberately NOT implemented via
+    apply.merge_batch: an independent formulation (anti-join keep +
+    stale-match keep + qualifying-source rows) so tests comparing it to
+    the replay oracle check the MERGE conditions, not the oracle against
+    itself."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.tables: dict[str, DataFrame] = {}
+
+    def merge(self, table, winners, pk_cols, id_col, kind_col):
+        pk = list(pk_cols)
+        is_delete = F.col(f"s.{kind_col}").isin(*DELETE_KINDS)
+        old = self.tables.get(table)
+        if old is None:
+            new = winners.filter(~F.col(kind_col).isin(*DELETE_KINDS))
+            self.tables[table] = self.spark.createDataFrame(
+                new.collect(), new.schema
+            )
+            return
+        cols = old.columns
+        o, s = old.alias("t"), winners.alias("s")
+        cond = None
+        for c in pk:
+            eq = F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+            cond = eq if cond is None else cond & eq
+        # WHEN MATCHED ... THEN DELETE / UPDATE: a target row survives
+        # unchanged iff no source row beats it
+        beaten = (is_delete & (F.col(f"s.{id_col}") >= F.col(f"t.{id_col}"))) | (
+            ~is_delete & (F.col(f"s.{id_col}") > F.col(f"t.{id_col}"))
+        )
+        kept_old = (
+            o.join(s.filter(F.lit(True)), cond, "left")
+            .filter(F.col(f"s.{id_col}").isNull() | ~beaten)
+            .select([F.col(f"t.{c}") for c in cols])
+        )
+        # UPDATE winners + NOT MATCHED inserts: qualifying source rows
+        upd = (
+            s.join(o, cond, "inner")
+            .filter(~is_delete & (F.col(f"s.{id_col}") > F.col(f"t.{id_col}")))
+            .select([F.col(f"s.{c}") for c in cols])
+        )
+        ins = (
+            s.join(o, cond, "left_anti")
+            .filter(~F.col(kind_col).isin(*DELETE_KINDS))
+            .select(cols)
+        )
+        new = kept_old.unionByName(upd).unionByName(ins)
+        # materialize so the next merge doesn't re-execute a growing plan
+        self.tables[table] = self.spark.createDataFrame(new.collect(), new.schema)
+
+    def read_state(self) -> DataFrame | None:
+        dfs = list(self.tables.values())
+        if not dfs:
+            return None
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+
+class MergeStateSink:
+    """foreachBatch/KeysetPoller-compatible sink over a MergeExecutor:
+    fold the micro-batch to winners, then one MERGE per touched table.
+    Atomicity and redelivery-idempotence come from the target format's
+    transaction (Delta/Iceberg commit) plus the id-guarded conditions."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        executor,
+        pk_cols: Sequence[str] = ("pk",),
+        id_col: str = "id",
+        kind_col: str = "action",
+        table_col: str = "table_name",
+    ):
+        self.spark = spark
+        self.executor = executor
+        self.pk_cols = list(pk_cols)
+        self.id_col = id_col
+        self.kind_col = kind_col
+        self.table_col = table_col
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        winners = batch_winners(
+            batch, self.pk_cols, self.id_col, self.kind_col, self.table_col
+        ).persist()
+        try:
+            touched = [
+                r[0] for r in winners.select(self.table_col).distinct().collect()
+            ]
+            for t in sorted(touched):
+                self.executor.merge(
+                    t,
+                    winners.filter(F.col(self.table_col) == t),
+                    self.pk_cols,
+                    self.id_col,
+                    self.kind_col,
+                )
+        finally:
+            winners.unpersist()
+
+    def read_state(self) -> DataFrame | None:
+        return self.executor.read_state()
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        self.apply_batch(batch, batch_id)
