@@ -1479,6 +1479,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count("*").cast("long").alias("custdist")
         )
 
+    def tpch_q12(spark, sf):
+        """Q12 shape (shipmode / priority-class split): one
+        orders⋈lineitem equi-join feeding a conditional aggregation —
+        high-priority vs low-priority order counts per class. Adapted
+        to the testdata schema (no l_shipmode/commit/receipt dates):
+        the class column is l_linestatus and the year window rides
+        l_shipdate. The conditional counts are one pass, map-side
+        partial, no second join."""
+        li = read_table(spark, sf, "lineitem").filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        orders = read_table(spark, sf, "orders")
+        high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(
+                F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+                F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+            )
+        )
+
+    def tpch_q21(spark, sf):
+        """Q21 shape (suppliers who kept orders waiting): the
+        EXISTS / NOT-EXISTS pair becomes a left-semi and a left-anti
+        join against the same order's other lines. Lateness adapted to
+        the testdata schema (no commit/receipt dates): a line is LATE
+        iff it shipped ≥60 days after its order date. For
+        fulfilled ('F') orders, count per supplier the late lines
+        where some other supplier contributed a line (semi) but no
+        OTHER supplier was also late (anti) — the sole-blame supplier.
+        All three legs share the l_orderkey shuffle key; the nation
+        dim join stays broadcastable at any SF."""
+        orders = read_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+        li = read_table(spark, sf, "lineitem")
+        supp = read_table(spark, sf, "supplier")
+        nation = read_table(spark, sf, "nation").filter(
+            F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+        )
+        late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+            F.col("l_shipdate") >= F.date_add(F.col("o_orderdate"), 60)
+        )
+        l1 = late.select("l_orderkey", "l_suppkey")
+        others = li.select(
+            F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
+        )
+        late_others = l1.select(
+            F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
+        )
+        with_other = l1.join(
+            others,
+            (F.col("l_orderkey") == F.col("o_ok"))
+            & (F.col("l_suppkey") != F.col("o_sk")),
+            "left_semi",
+        )
+        sole_late = with_other.join(
+            late_others,
+            (F.col("l_orderkey") == F.col("o_ok"))
+            & (F.col("l_suppkey") != F.col("o_sk")),
+            "left_anti",
+        )
+        return (
+            sole_late.join(supp, sole_late.l_suppkey == supp.s_suppkey)
+            .join(
+                F.broadcast(nation), supp.s_nationkey == nation.n_nationkey, "left_semi"
+            )
+            .groupBy("s_name")
+            .agg(F.count("*").cast("long").alias("numwait"))
+        )
+
     def tpch_q15(spark, sf):
         """Q15 shape (top supplier): revenue per supplier for a
         quarter, keep the argmax row(s). The max is a one-row broadcast
@@ -1830,8 +1900,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tpch_q8=tpch_q8,
         tpch_q9=tpch_q9,
         tpch_q10=tpch_q10,
+        tpch_q12=tpch_q12,
         tpch_q13=tpch_q13,
         tpch_q17=tpch_q17,
+        tpch_q21=tpch_q21,
         tpch_q22=tpch_q22,
         tpch_q14=tpch_q14,
         tpch_q15=tpch_q15,
@@ -1865,6 +1937,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel",
         "events_sliding_hourly",
         "events_hourly",
+        # new in round 4
+        "tpch_q12",
+        "tpch_q21",
         # implementation touched in round 4: single-pass dead-letter
         # split, bucketed state sink, IVF probe guard, shared star-CC
         "cs_pipeline_deadletter",
@@ -2903,6 +2978,39 @@ def oracle_sql() -> dict[str, str]:
            count(*)::BIGINT AS n_items
     FROM li_b JOIN per_part USING (l_partkey)
     WHERE qty * 5 * cnt < sum_qty
+    """
+
+    o["tpch_q12"] = """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """
+
+    o["tpch_q21"] = """
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s_name, count(*)::BIGINT AS numwait
+    FROM late l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
     """
 
     o["tpch_q22"] = """

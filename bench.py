@@ -41,12 +41,14 @@ HEADLINE = [
     "tpch_q8",
     "tpch_q9",
     "tpch_q10",
+    "tpch_q12",
     "tpch_q13",
     "tpch_q14",
     "tpch_q15",
     "tpch_q17",
     "tpch_q18",
     "tpch_q19",
+    "tpch_q21",
     "tpch_q22",
     "events_hourly",
     "events_sliding_hourly",

@@ -18,6 +18,8 @@ FAST_SUBSET = [
     "cs_replay_final_state",
     "cs_checksum",
     "tpch_q1",
+    "tpch_q12",
+    "tpch_q21",
     "text_quality",
     "dedup_exact",
 ]

@@ -93,7 +93,9 @@ BROADCAST_HINT_BUDGET = {
     "tpch_q17": 2,  # part (brand-filtered), reused by both li_b branches
     "tpch_q22": 1,  # one-row global average
     "tpch_q10": 2,  # one-quarter orders + nation
+    "tpch_q12": 0,  # orders and a year of lineitem both scale: AQE decides
     "tpch_q13": 0,
+    "tpch_q21": 1,  # three-row nation dim only; all li/orders legs AQE
     "tpch_q14": 1,  # part
     "tpch_q15": 1,  # one-row argmax
     "tpch_q18": 1,  # post-agg survivor set

@@ -1,0 +1,216 @@
+"""Empirical scale probe (VERDICT r2 item 3): run the heavy-tail
+queries at sf0.1 and at an R×-inflated copy, and report wall-clock
+ratios. Plans are already pinned by tests/test_plans.py; this checks
+that no constant-factor surprise (Arrow batch sizing, CC round counts,
+IVF cell skew, pair-explosion) hides behind the small scale factor.
+
+Inflation preserves WORKLOAD SHAPE, not just row count:
+  - documents: each replica's text goes through a per-replica alphabet
+    rotation (translate), so cross-replica docs share NO shingles —
+    near-dup pair density stays ~constant per row and total pairs grow
+    linearly with R. Naively duplicating text would make every doc an
+    R-clique and grow pairs by R², probing a different (adversarial)
+    workload.
+  - embeddings: dimensions rotated (roll) per replica — norms and
+    within-replica geometry preserved, cross-replica cosine
+    decorrelated.
+  - events: ids/users offset per replica; user cardinality scales with
+    data, as it would in production.
+  - orders/lineitem: order keys offset per replica; dims (part,
+    supplier, nation, region, customer) kept fixed — dims grow slower
+    than facts, which is exactly why the dim joins stay broadcastable.
+
+Usage: python tools/scale_probe.py [R] [query ...]
+Writes a markdown table to stdout; paste into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import string
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from warp_pipe_spark.session import get_spark  # noqa: E402
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+PROBE_QUERIES = [
+    # corpus / dedup family (pair-emission + iterative CC)
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_clusters_star",
+    "dedup_clusters",
+    "docs_contamination",
+    "docs_clean_corpus",
+    "text_gopher_rules",
+    # ANN family
+    "ann_topk",
+    "ann_lsh_pairs",
+    "dedup_embedding_lsh",
+    "ann_ivf_topk",
+    # multimodal (Arrow decode paths)
+    "multimodal_decode_real",
+    "multimodal_video_frames",
+    "multimodal_frame_sample",
+    # events + join-heavy relational
+    "events_sessionize",
+    "events_hourly",
+    "cs_replay_final_state",
+    "tpch_q3",
+    "tpch_q18",
+]
+
+
+def _rot_alphabet(i: int) -> tuple[str, str]:
+    lower = string.ascii_lowercase
+    upper = string.ascii_uppercase
+    k = i % 26
+    return (
+        lower + upper,
+        lower[k:] + lower[:k] + upper[k:] + upper[:k],
+    )
+
+
+def build_inflated(spark, out_dir: str, r: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    copy_as_is = ["region", "nation", "part", "supplier", "customer"]
+    for t in copy_as_is:
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            shutil.copy(os.path.join(BASE, f"{t}.parquet"), dst)
+
+    def write(name, df):
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
+    reps = []
+    for i in range(r):
+        src, dst_a = _rot_alphabet(i)
+        reps.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * n_docs)).alias("doc_id"),
+                F.translate(F.col("text"), src, dst_a).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = reps[0]
+    for d in reps[1:]:
+        out = out.unionByName(d)
+    write("documents", out)
+
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    n_emb = emb.agg(F.max("vec_id")).first()[0] + 1
+    reps = []
+    for i in range(r):
+        k = i % dim
+        rolled = F.concat(
+            F.slice("embedding", k + 1, dim - k), F.slice("embedding", 1, k)
+        )
+        cols = [
+            (F.col(c) + F.lit(i * n_emb)).alias(c) if c == "vec_id" else F.col(c)
+            for c in emb.columns
+            if c != "embedding"
+        ]
+        reps.append(emb.select(*cols, rolled.alias("embedding")))
+    out = reps[0]
+    for d in reps[1:]:
+        out = out.unionByName(d)
+    write("embeddings", out)
+
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    n_ev = ev.agg(F.max("event_id")).first()[0] + 1
+    n_us = ev.agg(F.max("user_id")).first()[0] + 1
+    reps = [
+        ev.select(
+            (F.col("event_id") + F.lit(i * n_ev)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(i * n_us)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for i in range(r)
+    ]
+    out = reps[0]
+    for d in reps[1:]:
+        out = out.unionByName(d)
+    write("events", out)
+
+    orders = spark.read.parquet(f"{BASE}/orders.parquet")
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    n_ok = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    reps = [
+        orders.select(
+            (F.col("o_orderkey") + F.lit(i * n_ok)).alias("o_orderkey"),
+            *[c for c in orders.columns if c != "o_orderkey"],
+        )
+        for i in range(r)
+    ]
+    out = reps[0]
+    for d in reps[1:]:
+        out = out.unionByName(d)
+    write("orders", out)
+    reps = [
+        li.select(
+            (F.col("l_orderkey") + F.lit(i * n_ok)).alias("l_orderkey"),
+            *[c for c in li.columns if c != "l_orderkey"],
+        )
+        for i in range(r)
+    ]
+    out = reps[0]
+    for d in reps[1:]:
+        out = out.unionByName(d)
+    write("lineitem", out)
+
+
+def main() -> int:
+    r = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = set(sys.argv[2:])
+    out_dir = f"/tmp/wp_scale_sf{r}x"
+    spark = get_spark("scale_probe")
+    if not os.path.exists(os.path.join(out_dir, "lineitem.parquet")):
+        print(f"building {r}x inflated copy at {out_dir} ...", file=sys.stderr)
+        build_inflated(spark, out_dir, r)
+
+    qs = entrymod.queries()
+    names = [n for n in PROBE_QUERIES if n in qs and (not only or n in only)]
+    print(f"| query | sf0.1 s | {r}x s | ratio | verdict (ideal ≤ {r}) |")
+    print("|---|---|---|---|---|")
+    worst = 0.0
+    for name in names:
+        times = {}
+        for label, d in (("base", BASE), ("big", out_dir)):
+            # two runs, keep the min (JVM/Arrow warm-up washes out)
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, d).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            times[label] = best
+        ratio = times["big"] / times["base"]
+        worst = max(worst, ratio)
+        verdict = "linear-ok" if ratio <= r * 1.3 else "SUPERLINEAR"
+        print(
+            f"| {name} | {times['base']:.2f} | {times['big']:.2f} "
+            f"| {ratio:.1f}x | {verdict} |"
+        )
+        sys.stdout.flush()
+    print(f"\nworst ratio: {worst:.1f}x (R={r})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
