@@ -105,3 +105,33 @@ def test_ivf_indexed_probe_collect_guard(spark, tmp_path):
     queries = emb.limit(10)
     with _pytest.raises(ValueError, match="max_probe_collect"):
         ivf_topk_indexed(spark, queries, path, k=3, n_probe=2, max_probe_collect=5)
+
+
+def test_auto_lsh_params_scale_with_corpus():
+    # buckets grow linearly with rows → expected occupancy stays ≤ target
+    from warp_pipe_spark.datapipe.similarity import auto_lsh_params
+
+    p2k, b = auto_lsh_params(2_000)
+    p20k, _ = auto_lsh_params(20_000)
+    p2m, _ = auto_lsh_params(2_000_000)
+    assert b == 4
+    assert p2k < p20k < p2m  # log growth
+    # 2k rows / target 64 → 5 bits/band; 10x rows adds fair ~3-4 bits
+    assert p2k == 4 * 5 and p20k == 4 * 9
+    # signature stays inside the 60-bit long at any corpus size
+    assert auto_lsh_params(10**18)[0] <= 60
+
+
+def test_lsh_auto_mode_emits_verifiable_pairs(spark):
+    from warp_pipe_spark.datapipe.similarity import hyperplane_lsh_pairs
+
+    rows = [(i, [float((i * 7 + d) % 13) - 6.0 for d in range(8)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    pairs = hyperplane_lsh_pairs(emb, n_planes=None).collect()
+    assert all(r["vec_a"] < r["vec_b"] for r in pairs)
+    # exact duplicates always collide in every band
+    dup = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [1.0] * 8)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    got = hyperplane_lsh_pairs(dup, n_planes=None).collect()
+    assert {(r["vec_a"], r["vec_b"]) for r in got} == {(0, 1)}

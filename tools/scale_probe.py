@@ -54,6 +54,7 @@ PROBE_QUERIES = [
     # ANN family
     "ann_topk",
     "ann_lsh_pairs",
+    "ann_lsh_pairs_auto",
     "dedup_embedding_lsh",
     "ann_ivf_topk",
     # multimodal (Arrow decode paths)
@@ -185,6 +186,16 @@ def main() -> int:
         build_inflated(spark, out_dir, r)
 
     qs = entrymod.queries()
+
+    # the scale-path LSH configuration (auto planes) next to the pinned
+    # oracle configuration, so the probe shows both behaviors
+    def _lsh_auto(spark, d):
+        from warp_pipe_spark.datapipe.similarity import hyperplane_lsh_pairs
+        from warp_pipe_spark.io import read_table
+
+        return hyperplane_lsh_pairs(read_table(spark, d, "embeddings"), n_planes=None)
+
+    qs["ann_lsh_pairs_auto"] = _lsh_auto
     names = [n for n in PROBE_QUERIES if n in qs and (not only or n in only)]
     print(f"| query | sf0.1 s | {r}x s | ratio | verdict (ideal ≤ {r}) |")
     print("|---|---|---|---|---|")
@@ -195,6 +206,9 @@ def main() -> int:
             # two runs, keep the min (JVM/Arrow warm-up washes out)
             best = None
             for _ in range(2):
+                # drop cross-query memos (shared star-CC) so every
+                # timing measures the full computation
+                entrymod._CC_STAR_CACHE.clear()
                 t0 = time.time()
                 qs[name](spark, d).write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0

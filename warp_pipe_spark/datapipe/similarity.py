@@ -101,13 +101,40 @@ def hyperplane_signatures(
     return embeddings.select("vec_id", sig_udf(F.col("embedding")).alias("sig"))
 
 
+def auto_lsh_params(
+    n_rows: int, n_bands: int = 4, target_bucket: int = 64
+) -> tuple[int, int]:
+    """Plane count that keeps expected bucket occupancy ≤ target_bucket:
+    bits/band = ceil(log2(n_rows / target_bucket)), so the number of
+    band buckets grows LINEARLY with the corpus and pairs-per-bucket —
+    the quadratic term — stays bounded. With planes fixed (the naive
+    setup) a 10× corpus means 10× occupancy and ~100× emitted pairs per
+    bucket: measured 45-65× wall-clock at 10× rows in tools/scale_probe
+    before this existed. Capped at 15 bits/band so 4 bands fit the
+    60-bit signature long."""
+    import math
+
+    bits = max(2, math.ceil(math.log2(max(2.0, n_rows / target_bucket))))
+    bits = min(bits, 60 // n_bands)
+    return n_bands * bits, n_bands
+
+
 def hyperplane_lsh_pairs(
-    embeddings: DataFrame, n_planes: int = 16, n_bands: int = 4
+    embeddings: DataFrame, n_planes: int | None = 16, n_bands: int = 4
 ) -> DataFrame:
-    """Scale path for near-dup: band the signature (4 bands × 4 bits),
-    equi-join on (band, band-bits) — candidates share a band. Verify
-    candidates with exact cosine downstream (dedup.embedding_near_dup_pairs
-    semantics on the candidate set only)."""
+    """Scale path for near-dup: band the signature (n_bands bands ×
+    n_planes/n_bands bits), equi-join on (band, band-bits) — candidates
+    share a band. Verify candidates with exact cosine downstream
+    (dedup.embedding_near_dup_pairs semantics on the candidate set
+    only).
+
+    n_planes=None derives (n_planes, n_bands) from the corpus size via
+    auto_lsh_params — the configuration that stays linear as the corpus
+    grows; pass it at any real scale. The default stays a fixed 16 so
+    the oracle-compared queries (and their DuckDB replays) remain
+    deterministic at any test SF."""
+    if n_planes is None:
+        n_planes, n_bands = auto_lsh_params(embeddings.count(), n_bands)
     bits_per_band = n_planes // n_bands
     sig = hyperplane_signatures(embeddings, n_planes)
     bands = sig.select(

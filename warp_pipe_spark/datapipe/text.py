@@ -128,11 +128,20 @@ def gopher_rules(
     """
     toks = _tokens(F.col("text"))
     g2 = shingles(F.col("text"), 2)
-    words = docs.select(
+    # Two selects, deliberately: expressions sharing a select with an
+    # explode() land in a Project ABOVE the Generate and re-evaluate
+    # per exploded row (~n_words× the work — measured 8× wall-clock on
+    # this query). Splitting them forces the shingle stats into a
+    # Project BELOW the Generate: computed once per doc, the two longs
+    # then ride the replicated rows.
+    pre = docs.select(
         "doc_id",
         F.size(g2).alias("n_2grams"),
         (F.size(g2) - F.size(F.array_distinct(g2))).alias("dup_2grams"),
-        F.explode(toks).alias("w"),
+        "text",
+    )
+    words = pre.select(
+        "doc_id", "n_2grams", "dup_2grams", F.explode(toks).alias("w")
     )
     wc = words.groupBy("doc_id", "w").agg(
         F.count("*").alias("c"),
