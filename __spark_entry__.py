@@ -417,6 +417,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             by_name("old_values", "pk").cast("long").alias("old_pk"),
         )
 
+    def cs_debezium_decode(spark, sf):  # S1 via Kafka+Debezium envelope
+        """Typed log → Debezium JSON envelopes ({before, after, source,
+        op, ts_ms} — the shape a Kafka+Debezium deployment of the LR
+        listener delivers) → decode_debezium → typed values recovered
+        from the map-form row images. op mapping c/r→insert, u→update,
+        d→delete; before carries the replica-identity key only, like
+        the reference's oldkeys (lr_listener.go:243-251)."""
+        from warp_pipe_spark.decoders import decode_debezium
+
+        cs = _cs(spark, sf)
+        row_img = F.create_map(
+            F.lit("pk"), F.col("pk").cast("string"),
+            F.lit("user_id"), F.col("user_id").cast("string"),
+            F.lit("event_type"), F.col("event_type"),
+            F.lit("value"), F.col("value").cast("string"),
+        )
+        key_img = F.create_map(F.lit("pk"), F.col("pk").cast("string"))
+        env = cs.select(
+            F.to_json(
+                F.struct(
+                    F.when(F.col("action") != "INSERT", key_img).alias("before"),
+                    F.when(F.col("action") != "DELETE", row_img).alias("after"),
+                    F.struct(
+                        F.lit("postgres").alias("db"),
+                        F.col("schema_name").alias("schema"),
+                        F.col("table_name").alias("table"),
+                        F.col("id").alias("lsn"),
+                        F.col("id").alias("txId"),
+                    ).alias("source"),
+                    F.when(F.col("action") == "INSERT", F.lit("c"))
+                    .when(F.col("action") == "UPDATE", F.lit("u"))
+                    .otherwise(F.lit("d"))
+                    .alias("op"),
+                    F.unix_millis("ts").alias("ts_ms"),
+                )
+            ).alias("value")
+        )
+        dec = decode_debezium(env, "value")
+        return dec.select(
+            "id",
+            "kind",
+            F.col("table").alias("table_name"),
+            F.coalesce(
+                F.element_at("new_values", "pk"), F.element_at("old_values", "pk")
+            )
+            .cast("long")
+            .alias("pk"),
+            F.element_at("new_values", "user_id").cast("long").alias("user_id"),
+            F.round(F.element_at("new_values", "value").cast("double") * 100, 0)
+            .cast("long")
+            .alias("value_cents"),
+            F.element_at("old_values", "pk").cast("long").alias("old_pk"),
+            F.unix_millis("timestamp").alias("ts_ms"),
+        )
+
     def cs_pipeline_stages(spark, sf):  # P1/P9 pipeline contract
         """Reference pipeline_test.go:12-100 shape on the real log: a
         DataFrame stage (whitelist) then two record stages (uppercase
@@ -606,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cs_checksum=cs_checksum,
         cs_audit_decode=cs_audit_decode,
         cs_wal2json_decode=cs_wal2json_decode,
+        cs_debezium_decode=cs_debezium_decode,
         cs_pipeline_stages=cs_pipeline_stages,
         cs_pipeline_deadletter=cs_pipeline_deadletter,
         cs_incremental_merge=cs_incremental_merge,
@@ -1940,6 +1996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4
         "tpch_q12",
         "tpch_q21",
+        "cs_debezium_decode",
         # implementation touched in round 4: single-pass dead-letter
         # split, bucketed state sink, IVF probe guard, shared star-CC
         "cs_pipeline_deadletter",
@@ -2206,6 +2263,18 @@ def oracle_sql() -> dict[str, str]:
            pk, user_id,
            CAST(round(value * 100) AS BIGINT) AS value_cents,
            CASE WHEN action <> 'INSERT' THEN pk END AS old_pk
+    FROM changesets
+    """
+
+    o["cs_debezium_decode"] = f"""
+    WITH {CHANGESETS_CTE}
+    SELECT id, lower(action) AS kind, table_name,
+           pk,
+           CASE WHEN action <> 'DELETE' THEN user_id END AS user_id,
+           CASE WHEN action <> 'DELETE'
+                THEN CAST(round(value * 100) AS BIGINT) END AS value_cents,
+           CASE WHEN action <> 'INSERT' THEN pk END AS old_pk,
+           epoch_ms(ts) AS ts_ms
     FROM changesets
     """
 

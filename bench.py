@@ -32,6 +32,7 @@ HEADLINE = [
     "cs_attribute_changes",
     "cs_audit_decode",
     "cs_wal2json_decode",
+    "cs_debezium_decode",
     "tpch_q1",
     "tpch_q3",
     "tpch_q4",

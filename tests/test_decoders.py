@@ -73,3 +73,89 @@ def test_audit_decode_keeps_nested_json_as_raw_string(spark):
     assert row["new_values"]["id"] == "7"
     assert json.loads(row["new_values"]["profile"]) == {"a": [1, 2]}  # raw JSON survives
     assert row["old_values"] is None
+
+
+# --- Debezium envelope (S1 via Kafka+Debezium) ------------------------
+
+DBZ_INSERT = (
+    '{"before": null, "after": {"id": "7", "name": "alice", '
+    '"tags": "{\\"a\\":1}"}, '
+    '"source": {"db": "postgres", "schema": "public", "table": "users", '
+    '"lsn": 24023128, "txId": 555}, "op": "c", "ts_ms": 1486500577691}'
+)
+DBZ_UPDATE = (
+    '{"before": {"id": "7"}, "after": {"id": "7", "name": "bob"}, '
+    '"source": {"db": "postgres", "schema": "public", "table": "users", '
+    '"lsn": 24023256, "txId": 556}, "op": "u", "ts_ms": 1486500577800}'
+)
+DBZ_DELETE = (
+    '{"before": {"id": "7"}, "after": null, '
+    '"source": {"db": "postgres", "schema": "public", "table": "users", '
+    '"lsn": 24023384, "txId": 557}, "op": "d", "ts_ms": 1486500577900}'
+)
+DBZ_SNAPSHOT = (
+    '{"before": null, "after": {"id": "1", "name": "eve"}, '
+    '"source": {"db": "postgres", "schema": "public", "table": "users", '
+    '"lsn": 24023000, "txId": 550}, "op": "r", "ts_ms": 1486500577000}'
+)
+DBZ_UNKNOWN_OP = (
+    '{"before": null, "after": null, '
+    '"source": {"db": "postgres", "schema": "public", "table": "users", '
+    '"lsn": 24023500, "txId": 558}, "op": "m", "ts_ms": 1486500578000}'
+)
+
+
+def test_debezium_decode_all_ops(spark):
+    from warp_pipe_spark.decoders import decode_debezium
+
+    df = spark.createDataFrame(
+        [(DBZ_INSERT,), (DBZ_UPDATE,), (DBZ_DELETE,), (DBZ_SNAPSHOT,), (DBZ_UNKNOWN_OP,)],
+        "value STRING",
+    )
+    rows = {r["id"]: r for r in decode_debezium(df, "value").collect()}
+    ins = rows[24023128]
+    assert ins["kind"] == "insert" and ins["table"] == "users"
+    assert ins["new_values"]["name"] == "alice"
+    assert ins["old_values"] is None
+    # nested JSON survives as its raw text (P5 passthrough invariant)
+    assert ins["new_values"]["tags"] == '{"a":1}'
+    assert ins["timestamp"].year == 2017
+
+    upd = rows[24023256]
+    assert upd["kind"] == "update"
+    assert upd["old_values"] == {"id": "7"} and upd["new_values"]["name"] == "bob"
+
+    dele = rows[24023384]
+    assert dele["kind"] == "delete"
+    assert dele["new_values"] is None and dele["old_values"] == {"id": "7"}
+
+    assert rows[24023000]["kind"] == "insert"  # snapshot read = insert
+    assert rows[24023500]["kind"] == ""  # unknown op → lenient empty
+
+
+def test_debezium_stream_decodes_drop_dir(spark, tmp_path):
+    from warp_pipe_spark.streaming import debezium_stream
+
+    drop = tmp_path / "topic"
+    drop.mkdir()
+    (drop / "part-0.jsonl").write_text(
+        DBZ_INSERT + "\n" + DBZ_UPDATE + "\n" + DBZ_DELETE + "\n"
+    )
+    out = debezium_stream(spark, str(drop))
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dbz_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["id"], r["kind"]) for r in spark.sql("SELECT * FROM dbz_out").collect()
+    }
+    assert got == {
+        (24023128, "insert"),
+        (24023256, "update"),
+        (24023384, "delete"),
+    }

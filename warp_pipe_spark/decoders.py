@@ -124,3 +124,64 @@ def decode_audit_values(df: DataFrame) -> DataFrame:
         F.from_json("new_values", mt).alias("new_values"),
         F.from_json("old_values", mt).alias("old_values"),
     )
+
+
+# Debezium JSON envelope (schemaless / unwrapped value converter) — the
+# public shape a Kafka+Debezium deployment of the LR capture path (S1,
+# lr_listener.go:92-131) delivers: {before, after, source{...}, op,
+# ts_ms}. Row images are kept as MAP<STRING,STRING> with the same
+# raw-JSON passthrough invariant as the audit decode.
+DEBEZIUM_SCHEMA = T.StructType(
+    [
+        T.StructField("before", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("after", T.MapType(T.StringType(), T.StringType())),
+        T.StructField(
+            "source",
+            T.StructType(
+                [
+                    T.StructField("db", T.StringType()),
+                    T.StructField("schema", T.StringType()),
+                    T.StructField("table", T.StringType()),
+                    T.StructField("lsn", T.LongType()),
+                    T.StructField("txId", T.LongType()),
+                ]
+            ),
+        ),
+        T.StructField("op", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+    ]
+)
+
+
+def decode_debezium(df: DataFrame, message_col: str = "value") -> DataFrame:
+    """Debezium envelope → normalized changeset rows.
+
+    op mapping per the public Debezium contract: c (create) and r
+    (snapshot read) → insert, u → update, d → delete; anything else →
+    '' (the reference's lenient unknown-kind rule, changeset.go:29-31).
+    `source.lsn` becomes the monotone id (the replication-slot LSN is
+    Debezium's ordering key for Postgres), ts_ms the event timestamp.
+    Pure Catalyst — from_json + a CASE — so at 100 TB the decode fuses
+    into the Kafka-scan stage exactly like the wal2json path (P4).
+    """
+    parsed = df.withColumn(
+        "_e", F.from_json(F.col(message_col), DEBEZIUM_SCHEMA)
+    )
+    op = F.col("_e.op")
+    kind = (
+        F.when(op.isin("c", "r"), F.lit("insert"))
+        .when(op == "u", F.lit("update"))
+        .when(op == "d", F.lit("delete"))
+        .otherwise(F.lit(""))
+    )
+    return parsed.select(
+        F.col("_e.source.lsn").alias("id"),
+        kind.alias("kind"),
+        F.col("_e.source.schema").alias("schema"),
+        F.col("_e.source.table").alias("table"),
+        F.timestamp_millis(F.col("_e.ts_ms")).alias("timestamp"),
+        F.col("_e.after").alias("new_values"),
+        F.col("_e.before").alias("old_values"),
+        F.col("_e.op").alias("op"),
+        F.col("_e.source.txId").alias("tx_id"),
+    )

@@ -402,6 +402,19 @@ def wal2json_stream(spark: SparkSession, drop_dir: str) -> DataFrame:
     return decode_wal2json(raw, message_col="value")
 
 
+def debezium_stream(spark: SparkSession, drop_dir: str) -> DataFrame:
+    """S1 via the idiomatic Kafka+Debezium deployment: tail a directory
+    of Debezium-envelope JSONL (the shape `readStream.format("kafka")`
+    + a value cast delivers; a file drop-dir stands in for the topic in
+    this sandbox) and decode to normalized changesets. Swapping the
+    source for real Kafka changes ONE line (the reader format) — the
+    decode plan is identical."""
+    from warp_pipe_spark.decoders import decode_debezium
+
+    raw = spark.readStream.format("text").load(drop_dir)
+    return decode_debezium(raw, message_col="value")
+
+
 def console_json_stream(stream: DataFrame, checkpoint_dir: str) -> StreamingQuery:
     """S7 stdout JSON sink: one JSON object per changeset
     (internal/cli/warp_pipe.go:101-114)."""
