@@ -37,6 +37,7 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
+from warp_pipe_spark.io import read_table  # noqa: E402
 from warp_pipe_spark.session import get_spark  # noqa: E402
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -91,7 +92,8 @@ def build_inflated(spark, out_dir: str, r: int) -> None:
     def write(name, df):
         df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
 
-    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    base_sf = BASE
+    docs = read_table(spark, base_sf, "documents")
     n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
     reps = []
     for i in range(r):
@@ -110,7 +112,7 @@ def build_inflated(spark, out_dir: str, r: int) -> None:
         out = out.unionByName(d)
     write("documents", out)
 
-    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    emb = read_table(spark, base_sf, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     n_emb = emb.agg(F.max("vec_id")).first()[0] + 1
     reps = []
@@ -130,7 +132,7 @@ def build_inflated(spark, out_dir: str, r: int) -> None:
         out = out.unionByName(d)
     write("embeddings", out)
 
-    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    ev = read_table(spark, base_sf, "events")
     n_ev = ev.agg(F.max("event_id")).first()[0] + 1
     n_us = ev.agg(F.max("user_id")).first()[0] + 1
     reps = [
@@ -149,8 +151,8 @@ def build_inflated(spark, out_dir: str, r: int) -> None:
         out = out.unionByName(d)
     write("events", out)
 
-    orders = spark.read.parquet(f"{BASE}/orders.parquet")
-    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    orders = read_table(spark, base_sf, "orders")
+    li = read_table(spark, base_sf, "lineitem")
     n_ok = orders.agg(F.max("o_orderkey")).first()[0] + 1
     reps = [
         orders.select(

@@ -56,6 +56,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division — double division loses ULPs at 1e18 ns
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Spark-WRITTEN parquet carries its own schema in the footer
+    # metadata, which overrides the NTZ-inference conf — a file written
+    # from an NTZ frame stays NTZ however it is read. Cast such columns
+    # to LTZ here (sessions run UTC, warp_pipe_spark.session pins it),
+    # so every consumer sees plain TIMESTAMP whatever wrote the file.
+    ntz = [f.name for f in df.schema.fields if str(f.dataType) == "TimestampNTZType()"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
