@@ -1722,6 +1722,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count("*").cast("long").alias("n"),
         )
 
+    def docs_vocabulary(spark, sf):
+        """Corpus vocabulary head — the tokenizer-training precursor:
+        top-100 words by occurrence count with per-word document
+        frequency. One (word) agg with map-side combine, then a global
+        top-k that Spark rewrites to WindowGroupLimit (partial top-100
+        per partition BEFORE the single-row exchange) — the same shape
+        as events_topk_users, linear at any corpus size."""
+        docs = _docs(spark, sf)
+        tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w")).filter(
+            F.col("w") != ""
+        )
+        per = tok.groupBy("w").agg(
+            F.count("*").cast("long").alias("n_occ"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        )
+        win = Window.orderBy(F.col("n_occ").desc(), F.col("w").asc())
+        return (
+            per.withColumn("rank", F.row_number().over(win).cast("long"))
+            .filter(F.col("rank") <= 100)
+            .select("rank", "w", "n_occ", "n_docs")
+        )
+
     def docs_token_percentiles(spark, sf):
         """Corpus telemetry: per-source token-count distribution (exact
         p50/p90/p99) + total token mass — the sizing report every
@@ -1970,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_percentiles=events_percentiles,
         events_funnel=events_funnel,
         events_cohort_retention=events_cohort_retention,
+        docs_vocabulary=docs_vocabulary,
         docs_token_percentiles=docs_token_percentiles,
         multimodal_frame_sample=multimodal_frame_sample,
         dedup_clusters=dedup_clusters,
@@ -1997,6 +2020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12",
         "tpch_q21",
         "cs_debezium_decode",
+        "docs_vocabulary",
         # implementation touched in round 4: single-pass dead-letter
         # split, bucketed state sink, IVF probe guard, shared star-CC
         "cs_pipeline_deadletter",
@@ -3188,6 +3212,21 @@ def oracle_sql() -> dict[str, str]:
     FROM (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
           FROM events)
     GROUP BY event_type
+    """
+
+    o["docs_vocabulary"] = """
+    WITH per AS (
+      SELECT s AS w, count(*)::BIGINT AS n_occ,
+             count(DISTINCT doc_id)::BIGINT AS n_docs
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS s FROM documents)
+      WHERE s <> ''
+      GROUP BY s
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n_occ DESC, w ASC) AS BIGINT) AS rank,
+           w, n_occ, n_docs
+    FROM per
+    ORDER BY n_occ DESC, w ASC
+    LIMIT 100
     """
 
     o["docs_token_percentiles"] = """

@@ -78,6 +78,7 @@ HEADLINE = [
     "docs_clean_corpus",
     "docs_hash_split",
     "docs_contamination",
+    "docs_vocabulary",
     "docs_source_mix",
     "docs_token_percentiles",
     "docs_mix_rebalance",

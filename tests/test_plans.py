@@ -189,3 +189,11 @@ def test_events_gaps_single_shuffle(spark, qs):
     most common session-analysis primitive."""
     p = plan_of(spark, qs["events_gaps"](spark, SF))
     assert n_exchanges(p) == 1, tree_of(p)
+
+
+def test_docs_vocabulary_topk_never_global_sorts(spark, qs):
+    """The vocabulary head must plan as TakeOrderedAndProject (partial
+    top-100 per partition) — a global Sort of the full vocabulary would
+    shuffle every distinct word to one partition at corpus scale."""
+    p = qs["docs_vocabulary"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p, p
