@@ -181,3 +181,26 @@ def test_wav_codec_roundtrip_property(n, seed):
     s = rng.randint(-32768, 32768, size=n, dtype=np.int16)
     rate, back = wav_decode(wav_encode(s, sample_rate=16000))
     assert rate == 16000 and (back == s).all()
+
+
+@settings(max_examples=10, deadline=None)
+@given(_logs(), st.integers(1, 4))
+def test_merge_sink_any_batch_split_converges_to_replay(spark, rows, n_batches):
+    """MergeStateSink invariant: for ANY partition of an in-order log
+    into micro-batches, the id-guarded MERGE fold converges to the
+    one-shot replay — the same contract ParquetStateSink proves with
+    its pointer, here proven for the MERGE conditions themselves."""
+    from warp_pipe_spark.merge_sink import InMemoryMergeExecutor, MergeStateSink
+
+    schema = "id LONG, action STRING, table_name STRING, pk LONG, val STRING"
+    sink = MergeStateSink(spark, InMemoryMergeExecutor(spark), pk_cols=["pk"])
+    size = max(1, len(rows) // n_batches)
+    for i, start in enumerate(range(0, len(rows), size)):
+        sink.apply_batch(
+            spark.createDataFrame(rows[start : start + size], schema), i
+        )
+    state = sink.read_state()
+    got = sorted(map(tuple, state.collect())) if state is not None else []
+    log = spark.createDataFrame(rows, schema)
+    want = sorted(map(tuple, replay(log, ["pk"]).collect()))
+    assert got == want

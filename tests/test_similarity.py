@@ -135,3 +135,27 @@ def test_lsh_auto_mode_emits_verifiable_pairs(spark):
     )
     got = hyperplane_lsh_pairs(dup, n_planes=None).collect()
     assert {(r["vec_a"], r["vec_b"]) for r in got} == {(0, 1)}
+
+
+def test_auto_ivf_params_sqrt_scaling(spark, tmp_path):
+    from warp_pipe_spark.datapipe.similarity import (
+        auto_ivf_params,
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    assert auto_ivf_params(2_000) == 45  # ceil(sqrt)
+    assert auto_ivf_params(2_000_000) == 1415
+    assert auto_ivf_params(1) == 4  # floor
+
+    # auto-sized index is fully built (codebook not under-filled) and
+    # searches correctly
+    rows = [(i, [float((i * 7 + d) % 13) - 6.0 for d in range(8)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    path = str(tmp_path / "ivf_auto")
+    build_ivf_index(emb, path, n_centroids=None)
+    n_cells = spark.read.parquet(path + "/centroids").count()
+    assert n_cells == 18  # ceil(sqrt(300))
+    out = ivf_topk_indexed(spark, emb.limit(5), path, k=3, n_probe=3)
+    got = out.groupBy("query_id").count().collect()
+    assert all(r["count"] == 3 for r in got)

@@ -180,15 +180,42 @@ def _ivf_assign(embeddings: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def build_ivf_index(embeddings: DataFrame, path: str, n_centroids: int = 10) -> None:
+def auto_ivf_params(n_rows: int) -> int:
+    """Centroid count ≈ √N (the standard IVF sizing): centroid
+    assignment costs N·√N dots and each probed cell holds ≈ √N rows, so
+    BOTH the coarse search and the fine search grow with the square
+    root of the corpus instead of one of them growing linearly. A fixed
+    cell count (the naive setup) keeps the coarse search constant but
+    lets every cell — and the probed fraction's scan cost — grow
+    linearly with N."""
+    import math
+
+    return max(4, math.ceil(math.sqrt(max(1, n_rows))))
+
+
+def build_ivf_index(
+    embeddings: DataFrame, path: str, n_centroids: int | None = 10
+) -> None:
     """Persist an IVF index: `<path>/cells` holds every vector
     partitioned BY ITS CELL (partitionBy(cent_id)), `<path>/centroids`
     the centroid vectors. Searching then reads only the probed cells'
     FILES — IVF's "touch n_probe/n_centroids of the data" realized as
     parquet partition pruning, the property that matters at 100 TB
     (the unprobed 70%+ of the corpus is never opened, not merely
-    filtered after a full scan)."""
-    cent = _ivf_centroids(embeddings, n_centroids)
+    filtered after a full scan).
+
+    n_centroids=None sizes the index as √N via auto_ivf_params — the
+    configuration whose coarse and fine search both grow with √corpus;
+    the oracle-compared query pins 10 for deterministic replay."""
+    if n_centroids is None:
+        n = embeddings.count()
+        n_centroids = auto_ivf_params(n)
+        # spread the deterministic centroid picks across the id range
+        # (the fixed default step=50 would run past max vec_id once
+        # n_centroids > N/50 and silently under-fill the codebook)
+        cent = _ivf_centroids(embeddings, n_centroids, step=max(1, n // n_centroids))
+    else:
+        cent = _ivf_centroids(embeddings, n_centroids)
     cent.write.mode("overwrite").parquet(path + "/centroids")
     _ivf_assign(embeddings, cent).write.mode("overwrite").partitionBy(
         "cent_id"
