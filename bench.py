@@ -4,9 +4,13 @@
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit":
 "sec", "queries": {name: sec}, "sf": ...}.
 
-Each query is executed to completion (count() forces the full plan;
-results are small aggregates/pair-sets, so count ≈ full materialize
-without driver-collect overhead).
+Timing methodology changed in round 4 (the "timing" field records it):
+rounds 1-3 timed .count(), which lets Catalyst PRUNE the aggregate and
+projection expressions that are the query's actual work — a groupBy
+query degenerates to counting groups. Round 4+ writes to the noop sink,
+materializing every output column. Totals are therefore not directly
+comparable across that boundary: the noop numbers are strictly more
+honest (higher for expression-heavy queries), not slower code.
 """
 
 from __future__ import annotations
@@ -132,6 +136,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "timing": "noop-sink write (all output columns "
+                "materialized; rounds 1-3 timed count(), which pruned "
+                "aggregate expressions — not comparable)",
             }
         )
     )
