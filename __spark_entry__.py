@@ -856,6 +856,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum(_CENTS("value")).over(w).alias("running_cents"),
         )
 
+    def events_moving_window(spark, sf):
+        """Trailing 7-day-row moving aggregate per event type: daily
+        revenue folded first (map-side partial), then a ROWS BETWEEN 6
+        PRECEDING frame over the ordered days. The window input is one
+        row per (type, day) — the frame never touches raw events, so
+        the analytic pass costs O(types × days) however large the fact
+        table gets."""
+        ev = read_table(spark, sf, "events")
+        daily = (
+            ev.select(
+                "event_type",
+                F.date_trunc("day", "ts").alias("day"),
+                _CENTS("value").alias("cents"),
+            )
+            .groupBy("event_type", "day")
+            .agg(F.sum("cents").alias("day_cents"), F.count("*").alias("n_events"))
+        )
+        w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+        return daily.select(
+            "event_type",
+            F.unix_millis("day").alias("day_ms"),
+            "day_cents",
+            F.sum("day_cents").over(w).alias("trailing7_cents"),
+            F.sum("n_events").over(w).alias("trailing7_events"),
+        )
+
+    def events_cube(spark, sf):
+        """CUBE grouping sets over (event_type, weekday): all four
+        grouping combinations in ONE Expand + aggregation — the §2.7
+        companion to events_rollup. grouping() flags disambiguate NULL
+        data from subtotal rows."""
+        ev = read_table(spark, sf, "events")
+        return (
+            ev.select(
+                "event_type",
+                F.dayofweek("ts").cast("long").alias("weekday"),
+                _CENTS("value").alias("cents"),
+            )
+            .cube("event_type", "weekday")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("cents").alias("sum_cents"),
+                F.grouping("event_type").cast("long").alias("g_type"),
+                F.grouping("weekday").cast("long").alias("g_wd"),
+            )
+        )
+
     def events_props_json(spark, sf):
         """Schema-on-read over the raw-JSON `props` column (the P5
         passthrough invariant: nested JSON stays text until queried)."""
@@ -997,6 +1044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_sliding_hourly=events_sliding_hourly,
         events_topk_users=events_topk_users,
         events_user_running=events_user_running,
+        events_moving_window=events_moving_window,
+        events_cube=events_cube,
         events_props_json=events_props_json,
         events_heavy_hitters=events_heavy_hitters,
         events_asof_lastchange=events_asof_lastchange,
@@ -2021,6 +2070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21",
         "cs_debezium_decode",
         "docs_vocabulary",
+        "events_moving_window",
+        "events_cube",
         # implementation touched in round 4: single-pass dead-letter
         # split, bucketed state sink, IVF probe guard, shared star-CC
         "cs_pipeline_deadletter",
@@ -2492,6 +2543,33 @@ def oracle_sql() -> dict[str, str]:
            CAST(CASE WHEN GROUPING(date_trunc('day', ts)) = 1 THEN 1 ELSE 0 END AS BIGINT) AS g_day
     FROM events
     GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+    """
+
+    o["events_moving_window"] = """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents,
+             count(*) AS n_events
+      FROM events
+      GROUP BY event_type, date_trunc('day', ts)
+    )
+    SELECT event_type, epoch_ms(day) AS day_ms, day_cents,
+           CAST(sum(day_cents) OVER w AS BIGINT) AS trailing7_cents,
+           CAST(sum(n_events) OVER w AS BIGINT) AS trailing7_events
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """
+
+    o["events_cube"] = """
+    SELECT event_type,
+           CAST(dayofweek(ts) + 1 AS BIGINT) AS weekday,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(CASE WHEN GROUPING(event_type) = 1 THEN 1 ELSE 0 END AS BIGINT) AS g_type,
+           CAST(CASE WHEN GROUPING(dayofweek(ts) + 1) = 1 THEN 1 ELSE 0 END AS BIGINT) AS g_wd
+    FROM events
+    GROUP BY CUBE (event_type, dayofweek(ts) + 1)
     """
 
     o["events_daily_active"] = """

@@ -59,6 +59,8 @@ HEADLINE = [
     "events_sliding_hourly",
     "events_sessionize",
     "events_rollup",
+    "events_cube",
+    "events_moving_window",
     "events_daily_active",
     "events_props_json",
     "events_heavy_hitters",
