@@ -1654,6 +1654,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count("*").cast("long").alias("numwait"))
         )
 
+    def tpch_q20(spark, sf):
+        """Q20 shape (excess-stock suppliers): the correlated nested
+        aggregate becomes two grouped aggregations joined on the group
+        key, then a semi-join back to supplier. Adapted to the testdata
+        schema (no partsupp): a supplier qualifies iff for some
+        name-filtered ('red…', q20's colored-part filter) part its
+        1997 shipped quantity exceeds 30% of
+        that part's total 1997 shipped quantity. Integer-exact
+        threshold: 10·supp_qty > 3·part_qty on quantity sums scaled to
+        integers. The part dim join is broadcastable at any SF; both
+        aggs share the lineitem scan."""
+        part = read_table(spark, sf, "part").filter(F.col("p_name").startswith("red"))
+        li = read_table(spark, sf, "lineitem").filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        li_p = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+            "l_partkey", "l_suppkey", (F.col("l_quantity") * 10).cast("long").alias("q10")
+        )
+        per_sp = li_p.groupBy("l_partkey", "l_suppkey").agg(
+            F.sum("q10").alias("supp_q10")
+        )
+        per_p = li_p.groupBy("l_partkey").agg(F.sum("q10").alias("part_q10"))
+        excess = per_sp.join(per_p, "l_partkey").filter(
+            F.col("supp_q10") * 10 > F.col("part_q10") * 3
+        )
+        supp = read_table(spark, sf, "supplier")
+        return (
+            supp.join(
+                excess.select("l_suppkey").distinct(),
+                supp.s_suppkey == F.col("l_suppkey"),
+                "left_semi",
+            )
+            .select("s_suppkey", "s_name")
+        )
+
     def tpch_q15(spark, sf):
         """Q15 shape (top supplier): revenue per supplier for a
         quarter, keep the argmax row(s). The max is a one-row broadcast
@@ -2029,6 +2064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tpch_q10=tpch_q10,
         tpch_q12=tpch_q12,
         tpch_q13=tpch_q13,
+        tpch_q20=tpch_q20,
         tpch_q17=tpch_q17,
         tpch_q21=tpch_q21,
         tpch_q22=tpch_q22,
@@ -2068,6 +2104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4
         "tpch_q12",
         "tpch_q21",
+        "tpch_q20",
         "cs_debezium_decode",
         "docs_vocabulary",
         "events_moving_window",
@@ -3161,6 +3198,31 @@ def oracle_sql() -> dict[str, str]:
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY l_linestatus
+    """
+
+    o["tpch_q20"] = """
+    WITH li_p AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(l_quantity * 10 AS BIGINT) AS q10
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    ),
+    per_sp AS (
+      SELECT l_partkey, l_suppkey, CAST(sum(q10) AS BIGINT) AS supp_q10
+      FROM li_p GROUP BY l_partkey, l_suppkey
+    ),
+    per_p AS (
+      SELECT l_partkey, CAST(sum(q10) AS BIGINT) AS part_q10
+      FROM li_p GROUP BY l_partkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM per_sp JOIN per_p USING (l_partkey)
+      WHERE supp_q10 * 10 > part_q10 * 3
+    )
     """
 
     o["tpch_q21"] = """

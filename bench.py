@@ -53,6 +53,7 @@ HEADLINE = [
     "tpch_q17",
     "tpch_q18",
     "tpch_q19",
+    "tpch_q20",
     "tpch_q21",
     "tpch_q22",
     "events_hourly",

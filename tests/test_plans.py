@@ -95,6 +95,7 @@ BROADCAST_HINT_BUDGET = {
     "tpch_q10": 2,  # one-quarter orders + nation
     "tpch_q12": 0,  # orders and a year of lineitem both scale: AQE decides
     "tpch_q13": 0,
+    "tpch_q20": 2,  # name-filtered part dim, reused by both agg branches
     "tpch_q21": 1,  # three-row nation dim only; all li/orders legs AQE
     "tpch_q14": 1,  # part
     "tpch_q15": 1,  # one-row argmax
