@@ -64,10 +64,18 @@ PROBE_QUERIES = [
     "multimodal_frame_sample",
     # events + join-heavy relational
     "events_sessionize",
+    "events_moving_window",
+    "events_cube",
     "events_hourly",
     "cs_replay_final_state",
     "tpch_q3",
     "tpch_q18",
+    "tpch_q12",
+    "tpch_q20",
+    "tpch_q21",
+    # round-4 additions
+    "docs_vocabulary",
+    "cs_debezium_decode",
 ]
 
 
