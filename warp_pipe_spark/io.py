@@ -61,7 +61,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # from an NTZ frame stays NTZ however it is read. Cast such columns
     # to LTZ here (sessions run UTC, warp_pipe_spark.session pins it),
     # so every consumer sees plain TIMESTAMP whatever wrote the file.
-    ntz = [f.name for f in df.schema.fields if str(f.dataType) == "TimestampNTZType()"]
+    from pyspark.sql import types as T
+
+    ntz = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)
+    ]
     for c in ntz:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
