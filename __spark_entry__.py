@@ -120,6 +120,9 @@ _SH3_SQL = (
 _SH5_SQL = (
     "[array_to_string(t[i:i+4], ' ') FOR i IN range(1, greatest(len(t)-4, 1)+1)]"
 )
+_SH8_SQL = (
+    "[array_to_string(t[i:i+7], ' ') FOR i IN range(1, greatest(len(t)-7, 1)+1)]"
+)
 _H32_SQL = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
 _H60_SQL = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
@@ -2014,6 +2017,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count_distinct("lang").cast("long").alias("n_langs"),
         )
 
+    def docs_dup_spans(spark, sf):
+        """Exact-substring duplication mass (the Lee et al. 2021
+        dedup-training-data signal at 8-token granularity): per doc,
+        how many of its 8-gram positions repeat in ANOTHER document,
+        as count + exact micro-fraction. Shape: shingle-hash posting
+        lists carry only doc_ids, explode back, re-aggregate per doc —
+        two keyed shuffles over position rows, total rows never exceed
+        the corpus token count, no pair emission, no text shuffle."""
+        from warp_pipe_spark.datapipe.text import h60, shingles
+
+        docs = _docs(spark, sf)
+        sh = docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(shingles(F.col("text"), 8), lambda s: h60(s))
+            ).alias("h"),
+        )
+        per_hash = sh.groupBy("h").agg(
+            F.collect_list("doc_id").alias("docs_list"),
+            F.count_distinct("doc_id").alias("nd"),
+        )
+        back = per_hash.select(
+            F.explode("docs_list").alias("doc_id"), (F.col("nd") > 1).alias("dup")
+        )
+        agg = back.groupBy("doc_id").agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0)).cast("long").alias("dup_spans"),
+        )
+        return agg.select(
+            "doc_id",
+            "n_spans",
+            "dup_spans",
+            F.expr("(dup_spans * 1000000) div n_spans").alias("dup_frac_micro"),
+        )
+
     def docs_contamination(spark, sf):
         """Benchmark decontamination: for each eval doc (doc_id < 50),
         the fraction of its distinct 5-gram shingles that appear
@@ -2087,6 +2125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_source_mix=docs_source_mix,
         docs_mix_rebalance=docs_mix_rebalance,
         docs_contamination=docs_contamination,
+        docs_dup_spans=docs_dup_spans,
     )
 
     # The driver's correctness harness verifies the FIRST 50 dict entries
@@ -2107,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20",
         "cs_debezium_decode",
         "docs_vocabulary",
+        "docs_dup_spans",
         "events_moving_window",
         "events_cube",
         # implementation touched in round 4: single-pass dead-letter
@@ -3498,6 +3538,20 @@ def oracle_sql() -> dict[str, str]:
            round(avg(n_chars), 6) AS avg_chars,
            count(DISTINCT lang)::BIGINT AS n_langs
     FROM documents GROUP BY source
+    """
+
+    o["docs_dup_spans"] = f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest([{_H60_SQL.format(x="s")} FOR s IN {_SH8_SQL}]) AS h
+           FROM tok),
+    per AS (SELECT h, count(DISTINCT doc_id) AS nd FROM sh GROUP BY h)
+    SELECT doc_id, count(*)::BIGINT AS n_spans,
+           count(CASE WHEN nd > 1 THEN 1 END)::BIGINT AS dup_spans,
+           CAST(count(CASE WHEN nd > 1 THEN 1 END) * 1000000 // count(*)
+                AS BIGINT) AS dup_frac_micro
+    FROM sh JOIN per USING (h)
+    GROUP BY doc_id
     """
 
     o["docs_contamination"] = f"""

@@ -86,6 +86,7 @@ HEADLINE = [
     "docs_hash_split",
     "docs_contamination",
     "docs_vocabulary",
+    "docs_dup_spans",
     "docs_source_mix",
     "docs_token_percentiles",
     "docs_mix_rebalance",
