@@ -418,3 +418,28 @@ def test_keyset_poller_tails_while_writer_appends(spark, tmp_path):
         for r in replay(spark.createDataFrame(all_rows, SCHEMA), ["pk"]).collect()
     }
     assert got == want
+
+
+def test_keyset_poller_with_bucketed_sink_converges(spark, tmp_path):
+    """The poller contract holds unchanged over the bucketed sink: the
+    drain converges to batch replay while per-batch writes stay
+    bucket-granular."""
+    from warp_pipe_spark.streaming import KeysetPoller, parquet_keyset_fetch
+
+    audit = str(tmp_path / "audit")
+    rows = [(i, "INSERT", "users", i % 10, f"v{i}") for i in range(1, 41)]
+    _write(spark, rows, audit)
+    sink = ParquetStateSink(
+        spark, str(tmp_path / "state"), pk_cols=["pk"], n_buckets=4
+    )
+    poller = KeysetPoller(
+        spark, parquet_keyset_fetch(audit), sink, str(tmp_path / "off.json"), limit=15
+    )
+    assert poller.run_until_drained() == 40
+    got = {(r["pk"], r["val"]) for r in sink.read_state().collect()}
+    want = {
+        (r["pk"], r["val"])
+        for r in replay(spark.createDataFrame(rows, SCHEMA), ["pk"]).collect()
+    }
+    assert got == want
+    assert all("#b" in k for k in sink._read_pointer())

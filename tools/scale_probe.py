@@ -75,6 +75,7 @@ PROBE_QUERIES = [
     "tpch_q21",
     # round-4 additions
     "docs_vocabulary",
+    "docs_dup_spans",
     "cs_debezium_decode",
 ]
 
