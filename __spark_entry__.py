@@ -2034,13 +2034,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.transform(shingles(F.col("text"), 8), lambda s: h60(s))
             ).alias("h"),
         )
-        per_hash = sh.groupBy("h").agg(
-            F.collect_list("doc_id").alias("docs_list"),
-            F.count_distinct("doc_id").alias("nd"),
+        # nd derives from the collected list (size∘array_distinct), NOT
+        # count_distinct — a distinct aggregate alongside collect_list
+        # plans a second expand/exchange; this keeps the pipeline at
+        # exactly two keyed shuffles (plan-asserted)
+        per_hash = sh.groupBy("h").agg(F.collect_list("doc_id").alias("docs_list"))
+        # dup computed in its own projection BELOW the explode (the
+        # gopher-rules lesson: expressions sharing a select with
+        # explode re-evaluate per exploded row)
+        flagged = per_hash.select(
+            "docs_list", (F.size(F.array_distinct("docs_list")) > 1).alias("dup")
         )
-        back = per_hash.select(
-            F.explode("docs_list").alias("doc_id"), (F.col("nd") > 1).alias("dup")
-        )
+        back = flagged.select(F.explode("docs_list").alias("doc_id"), "dup")
         agg = back.groupBy("doc_id").agg(
             F.count("*").cast("long").alias("n_spans"),
             F.sum(F.when(F.col("dup"), 1).otherwise(0)).cast("long").alias("dup_spans"),

@@ -198,3 +198,38 @@ def test_docs_vocabulary_topk_never_global_sorts(spark, qs):
     shuffle every distinct word to one partition at corpus scale."""
     p = qs["docs_vocabulary"](spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_q12_pushdown_reaches_scan(spark, qs):
+    """The year window must reach the lineitem parquet scan as a pushed
+    filter, and the scan must not read money columns q12 never uses."""
+    p = plan_of(spark, qs["tpch_q12"](spark, SF))
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate", p), p
+    li_schemas = [rs for rs in re.findall(r"ReadSchema: [^\n]*", p) if "l_orderkey" in rs]
+    assert li_schemas and all("l_extendedprice" not in rs for rs in li_schemas)
+
+
+def test_q20_single_scan_shape_no_nested_loop(spark, qs):
+    p = plan_of(spark, qs["tpch_q20"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p, tree_of(p)
+    assert "CartesianProduct" not in p, tree_of(p)
+
+
+def test_moving_window_folds_daily_before_frame(spark, qs):
+    """The trailing frame must run over pre-aggregated daily rows: one
+    agg shuffle, then the window — never a frame over raw events."""
+    p = plan_of(spark, qs["events_moving_window"](spark, SF))
+    t = tree_of(p)
+    agg_pos = t.find("HashAggregate")
+    win_pos = t.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    # tree prints top-down: the Window node appears before (above) the agg
+    assert win_pos < agg_pos, t
+
+
+def test_dup_spans_two_keyed_shuffles_no_join(spark, qs):
+    """Posting lists carry doc_ids only: shingle agg + per-doc agg,
+    zero joins (a join back to documents would shuffle text)."""
+    p = plan_of(spark, qs["docs_dup_spans"](spark, SF))
+    assert "Join" not in tree_of(p), tree_of(p)
+    assert n_exchanges(p) == 2, tree_of(p)
