@@ -79,6 +79,7 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
     "dedup_clusters",
     "dedup_clusters_star",
     "dedup_drop_list",
@@ -99,7 +100,9 @@ HEADLINE = [
     "ann_ivf_topk",
     "ann_ivf_indexed",
     "ann_lsh_pairs",
+    "ann_lsh_pairs_auto",
     "dedup_embedding_lsh",
+    "dedup_embedding_lsh_auto",
     "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_decode_real",
@@ -131,21 +134,48 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
 
+    # ann_ivf_indexed above pays a full index BUILD per run (the
+    # registered query is self-contained for the oracle); split the
+    # two phases so the steady-state probe cost — the number that
+    # matters for a persisted index — is visible (VERDICT r4 item 7).
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from warp_pipe_spark.datapipe.similarity import build_ivf_index, ivf_topk_indexed
+    from warp_pipe_spark.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    ivf_dir = tempfile.mkdtemp(prefix="wp_bench_ivf_")
+    t0 = time.time()
+    build_ivf_index(emb, ivf_dir, n_centroids=10)
+    times["ann_ivf_index_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    ivf_topk_indexed(
+        spark, emb.filter(F.col("vec_id") < 10), ivf_dir, k=5, n_probe=3
+    ).write.format("noop").mode("overwrite").save()
+    times["ann_ivf_probe_only"] = round(time.time() - t0, 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "timing": "noop-sink write (all output columns "
-                "materialized; rounds 1-3 timed count(), which pruned "
-                "aggregate expressions — not comparable)",
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "timing": "noop-sink write, all output columns materialized",
+    }
+    # full artifact into the repo so the driver's stdout-tail window
+    # can never truncate the per-query dict (VERDICT r4 item 3)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"),
+            "w",
+        ) as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(result, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -231,3 +231,43 @@ def test_embedding_all_pairs_guard_refuses_unbounded_input(spark):
         embedding_near_dup_pairs(df, max_rows=10)
     # bounded input passes through
     assert embedding_near_dup_pairs(df.limit(3), max_rows=10).count() == 3
+
+
+def test_bucket_pairs_max_bucket_drops_degenerate_buckets(spark):
+    # VERDICT r4 item 1: a bucket key shared corpus-wide must be
+    # droppable BEFORE its posting list exists — pairs from buckets
+    # over the cap vanish, pairs from bounded buckets are untouched
+    from pyspark.sql import functions as F
+
+    from warp_pipe_spark.datapipe.dedup import bucket_pairs
+
+    rows = [("hot", i) for i in range(100)] + [("ok", 0), ("ok", 1), ("ok", 2)]
+    df = spark.createDataFrame(rows, "key STRING, doc_id LONG")
+    uncapped = bucket_pairs(df, ["key"], "doc_id", "doc_a", "doc_b")
+    # distinct pairs: the "ok" bucket's 3 pairs are a subset of hot's
+    assert uncapped.count() == 100 * 99 // 2
+    capped = bucket_pairs(df, ["key"], "doc_id", "doc_a", "doc_b", max_bucket=10)
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert got == {(0, 1), (0, 2), (1, 2)}
+    # the cap must act via a pre-aggregation anti-join, not a filter on
+    # the collected array (which would still buffer the hot list)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan
+
+
+def test_ngram_jaccard_cap_recomputes_sizes_over_kept_sets(spark):
+    # stop-shingles leave the SETS, not just the index: two docs whose
+    # only difference is a hot shingle become exact duplicates
+    # (jaccard 1.0) under the cap
+    from warp_pipe_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    boiler = "x y z w"  # shared by all docs -> df over any cap <= n_docs
+    rows = [(i, f"a{i} b{i} c{i} {boiler}") for i in range(8)]
+    rows += [(100, "p q r s t u"), (101, "p q r s t u")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=5).collect()
+    }
+    # the 8 boiler docs paired only through hot shingles: all dropped
+    assert out == {(100, 101): 1.0}

@@ -227,9 +227,34 @@ def test_moving_window_folds_daily_before_frame(spark, qs):
     assert win_pos < agg_pos, t
 
 
-def test_dup_spans_two_keyed_shuffles_no_join(spark, qs):
-    """Posting lists carry doc_ids only: shingle agg + per-doc agg,
-    zero joins (a join back to documents would shuffle text)."""
+def test_dup_spans_streams_no_posting_lists(spark, qs):
+    """Hot-key-safe shape (VERDICT r4 item 1): every aggregate must be
+    a streaming HashAggregate — a collect_list posting list would plan
+    as ObjectHashAggregate and buffer one array per 8-gram, which a
+    boilerplate shingle shared by D docs turns into a D-element array
+    in a single task. The dup flag joins back on the hash key instead;
+    text never shuffles (the only join inputs are hash/count rows)."""
     p = plan_of(spark, qs["docs_dup_spans"](spark, SF))
-    assert "Join" not in tree_of(p), tree_of(p)
-    assert n_exchanges(p) == 2, tree_of(p)
+    t = tree_of(p)
+    assert "ObjectHashAggregate" not in t, t
+    assert "collect_list" not in p, t
+    assert n_exchanges(p) <= 4, t
+    # the join key is the shingle hash; document text must not appear
+    # anywhere in the plan past the first projection
+    assert "text" not in t.split("Generate")[0], t
+
+
+def test_ngram_jaccard_capped_prefilters_before_lists(spark, qs):
+    """The stop-shingle cap must remove hot shingles BEFORE any posting
+    list is built: a LeftAnti join against the streaming hot-set count
+    below (after) the ObjectHashAggregate that collects postings.
+    Filtering after the collect would still buffer the hot array — the
+    exact failure the cap exists to prevent."""
+    p = plan_of(spark, qs["dedup_ngram_jaccard_capped"](spark, SF))
+    t = tree_of(p)
+    assert "LeftAnti" in t, t
+    agg_pos = t.find("ObjectHashAggregate")
+    anti_pos = t.find("LeftAnti")
+    assert agg_pos != -1 and anti_pos != -1
+    # tree prints top-down: the anti-join (earlier stage) appears below
+    assert anti_pos > agg_pos, t

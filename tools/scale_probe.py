@@ -187,7 +187,131 @@ def build_inflated(spark, out_dir: str, r: int) -> None:
     write("lineitem", out)
 
 
+BOILERPLATE = (
+    "terms of service apply all rights reserved contact support for details "
+    "this document is provided as is without warranty of any kind"
+)
+
+
+def build_hotkey(spark, out_dir: str, r: int) -> None:
+    """Documents-only inflation that deliberately SHARES a boilerplate
+    tail across replicas (the regime the decorrelating inflation never
+    tests — VERDICT r4 item 1): every 10th doc gets the same appended
+    sentence AFTER the per-replica alphabet rotation, so its shingles'
+    document frequency grows linearly with the corpus. Uncapped
+    inverted-index queries then build one posting list per boilerplate
+    shingle of size n_docs/10 and emit O((n_docs/10)²) pairs; the
+    stop-shingle cap drops those shingles before any list exists."""
+    os.makedirs(out_dir, exist_ok=True)
+    docs = read_table(spark, BASE, "documents")
+    n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
+    reps = []
+    for i in range(r):
+        src, dst_a = _rot_alphabet(i)
+        rotated = F.translate(F.col("text"), src, dst_a)
+        text = F.when(
+            F.col("doc_id") % 10 == 0, F.concat(rotated, F.lit(" " + BOILERPLATE))
+        ).otherwise(rotated)
+        reps.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * n_docs)).alias("doc_id"),
+                text.alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = reps[0]
+    for d in reps[1:]:
+        out = out.unionByName(d)
+    out.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+
+
+def hotkey_probe(spark, r: int) -> int:
+    """Capped vs uncapped n-gram Jaccard on boilerplate-sharing data.
+    Ideal: capped ratio ≤ r (linear); uncapped shows the quadratic
+    posting-list blowup the cap exists to prevent."""
+    dirs = {}
+    for label, reps in (("base", 1), ("big", r)):
+        d = f"/tmp/wp_scale_hot_{reps}x"
+        if not os.path.exists(os.path.join(d, "documents.parquet")):
+            print(f"building {reps}x hot-key copy at {d} ...", file=sys.stderr)
+            build_hotkey(spark, d, reps)
+        dirs[label] = d
+    qs = entrymod.queries()
+    print(f"| query | hot-base s | hot-{r}x s | ratio | verdict (ideal ≤ {r}) |")
+    print("|---|---|---|---|---|")
+    for name in ("dedup_ngram_jaccard_capped", "dedup_ngram_jaccard"):
+        times = {}
+        failed = None
+        for label, d in dirs.items():
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                try:
+                    qs[name](spark, d).write.format("noop").mode("overwrite").save()
+                except Exception as e:  # the blowup IS the result
+                    failed = (label, type(e).__name__, str(e).split("\n")[0][:90])
+                    break
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            if failed:
+                break
+            times[label] = best
+        if failed:
+            label, kind, msg = failed
+            base = f"{times['base']:.2f}" if "base" in times else "-"
+            print(f"| {name} | {base} | FAILED on {label}: {kind} ({msg}) | - | BLOWUP |")
+        else:
+            ratio = times["big"] / times["base"]
+            verdict = "linear-ok" if ratio <= r * 1.3 else "SUPERLINEAR"
+            print(
+                f"| {name} | {times['base']:.2f} | {times['big']:.2f} "
+                f"| {ratio:.1f}x | {verdict} |"
+            )
+        sys.stdout.flush()
+    return 0
+
+
+def hub_probe(spark, n: int = 200_000, r: int = 10) -> int:
+    """Star-graph CC (VERDICT r4 item 5): one hub node shares an edge
+    with every other node — the maximal-degree topology. Confirms the
+    groupBy-min star-contraction claim (dedup.py) that a hub of degree
+    n never materializes a neighborhood list: wall-clock must stay
+    ~linear from n to r*n edges."""
+    from warp_pipe_spark.datapipe.dedup import connected_components_star
+
+    print(f"| hub degree | s | ratio | verdict (ideal ≤ {r}) |")
+    print("|---|---|---|---|")
+    times = []
+    for m in (n, n * r):
+        edges = spark.range(1, m).select(
+            F.lit(0).cast("long").alias("doc_a"), F.col("id").alias("doc_b")
+        )
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            cc = connected_components_star(edges)
+            n_rows = cc.count()
+            dist = cc.agg(F.count_distinct("cluster_id")).first()[0]
+            dt = time.time() - t0
+            assert n_rows == m and dist == 1, (n_rows, dist)
+            best = dt if best is None else min(best, dt)
+        times.append(best)
+        label = "ok" if len(times) == 1 or times[1] / times[0] <= r * 1.3 else "SUPER"
+        print(f"| {m:,} | {best:.2f} | "
+              f"{'' if len(times) == 1 else f'{times[1]/times[0]:.1f}x'} | {label} |")
+        sys.stdout.flush()
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--hotkey":
+        r = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+        return hotkey_probe(get_spark("scale_probe_hot"), r)
+    if len(sys.argv) > 1 and sys.argv[1] == "--hub":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+        return hub_probe(get_spark("scale_probe_hub"), n)
     r = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = set(sys.argv[2:])
     out_dir = f"/tmp/wp_scale_sf{r}x"

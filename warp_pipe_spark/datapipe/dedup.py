@@ -76,8 +76,33 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def drop_hot_buckets(
+    df: DataFrame, bucket_cols: Sequence[str], max_bucket: int
+) -> DataFrame:
+    """Remove all rows of buckets larger than `max_bucket` BEFORE any
+    per-bucket list is built. The hot-bucket set is found with a
+    streaming count (map-side partial, no arrays) and removed with an
+    anti-join — filtering after a collect_list would still buffer the
+    full hot list in one aggregation task, which is exactly the
+    failure this guard exists to prevent. The hot set is small by
+    construction (≤ total_rows / max_bucket keys), so AQE typically
+    broadcasts it."""
+    hot = (
+        df.groupBy(*bucket_cols)
+        .agg(F.count("*").alias("_bucket_n"))
+        .filter(F.col("_bucket_n") > max_bucket)
+        .select(*bucket_cols)
+    )
+    return df.join(hot, list(bucket_cols), "left_anti")
+
+
 def bucket_pairs(
-    df: DataFrame, bucket_cols: Sequence[str], id_col: str, a_name: str, b_name: str
+    df: DataFrame,
+    bucket_cols: Sequence[str],
+    id_col: str,
+    a_name: str,
+    b_name: str,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Distinct (a < b) id pairs co-occurring in any bucket.
 
@@ -85,7 +110,13 @@ def bucket_pairs(
     list — half the exchanges of a self-equi-join on the bucket key,
     which shuffles the exploded table twice. Bucket skew is the scale
     hazard either way; callers bound bucket sizes by construction
-    (band width / shingle rarity)."""
+    (band width / shingle rarity). `max_bucket` is the backstop for
+    when construction fails (a degenerate band key shared corpus-wide
+    would otherwise build one giant array and emit O(D²) pairs):
+    oversized buckets are dropped whole via a streaming pre-count, so
+    no task ever materializes the hot list."""
+    if max_bucket is not None:
+        df = drop_hot_buckets(df, bucket_cols, max_bucket)
     buckets = (
         df.groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
@@ -107,9 +138,13 @@ def bucket_pairs(
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame, n: int = 3, max_bucket: int | None = None
+) -> DataFrame:
     """LSH banding: docs sharing any (band, band-key) are candidate
-    duplicate pairs. Returns (doc_a, doc_b) with doc_a < doc_b."""
+    duplicate pairs. Returns (doc_a, doc_b) with doc_a < doc_b.
+    `max_bucket` guards against degenerate band keys (e.g. a corpus
+    where one boilerplate signature dominates) — see bucket_pairs."""
     sig = minhash_signatures(docs, n)
     bands = sig.select(
         "doc_id",
@@ -127,7 +162,9 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
-    return bucket_pairs(bands, ["band", "key"], "doc_id", "doc_a", "doc_b")
+    return bucket_pairs(
+        bands, ["band", "key"], "doc_id", "doc_a", "doc_b", max_bucket=max_bucket
+    )
 
 
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
@@ -160,11 +197,25 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.01
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.01,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs discovered via the
     shared-shingle inverted index (no all-pairs scan):
     J = |A∩B| / (|A|+|B|-|A∩B|). Output (doc_a, doc_b, inter, jaccard).
+
+    `max_doc_freq` enables stop-shingles (Lee et al. 2021-style): a
+    shingle shared by more than `max_doc_freq` documents is removed
+    from the index — and from the Jaccard sets — before any posting
+    list is built. Without the cap, one boilerplate shingle shared by
+    D docs builds a D-element array in a single aggregation task and
+    emits D²/2 pairs; at 100 TB boilerplate is guaranteed, so the
+    production path always sets a cap. Semantics with the cap are the
+    exact Jaccard over the FILTERED shingle sets (sizes recomputed
+    post-filter), which the DuckDB oracle replays identically since
+    the document-frequency cutoff is deterministic.
     """
     # inverted index keyed by the 60-bit shingle hash, not the string:
     # the exchange carries 8-byte longs instead of ~25-byte text (~3x
@@ -182,9 +233,26 @@ def ngram_jaccard_pairs(
     # per-doc join of any kind afterwards. (The previous shape broadcast
     # a one-row-per-document sizes table — a table that scales with the
     # corpus is never broadcast-safe.)
-    sh = arr.select(
-        "doc_id", F.size("sh_arr").alias("n_sh"), F.explode("sh_arr").alias("shingle")
-    )
+    if max_doc_freq is not None:
+        # stop-shingle pre-filter: hot shingles leave the index via a
+        # streaming count + anti-join (never via a post-collect slice,
+        # which would still buffer the hot list). Set sizes are then
+        # recomputed over the kept shingles so Jaccard stays exact for
+        # the filtered sets; the doc_id-keyed size join happens before
+        # postings are built, so nothing downstream changes shape.
+        kept = drop_hot_buckets(
+            arr.select("doc_id", F.explode("sh_arr").alias("shingle")),
+            ["shingle"],
+            max_doc_freq,
+        )
+        sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        sh = kept.join(sizes, "doc_id").select("doc_id", "n_sh", "shingle")
+    else:
+        sh = arr.select(
+            "doc_id",
+            F.size("sh_arr").alias("n_sh"),
+            F.explode("sh_arr").alias("shingle"),
+        )
     # ONE shuffle keyed by shingle hash, then emit the i<j doc pairs
     # inside each posting list — half the exchanges of the equivalent
     # self-join (which shuffles the exploded table twice). sort_array on
