@@ -340,10 +340,40 @@ def test_bucketed_sink_rewrites_only_touched_bucket(spark, tmp_path):
     p1 = sink._read_pointer()
     changed = {k for k in p1 if p1[k] != p0.get(k)}
     assert len(changed) == 1  # exactly one bucket re-versioned
-    assert p1[changed.pop()].endswith("v_1")
+    assert "/v_1/" in p1[changed.pop()]
     # untouched bucket dirs survive byte-identical paths
     got = {(r["pk"], r["val"]) for r in sink.read_state().collect()}
     assert got == {(i, f"v{i}") for i in range(1, 33) if i != 7} | {(7, "v7b")}
+
+
+def test_bucketed_sink_delete_empties_bucket_cleanly(spark, tmp_path):
+    """Deleting every row in a bucket must leave NO pointer entry for
+    it (a version dir with zero parquet files is unreadable on restart)
+    and the remaining state must read back intact."""
+    B = 4
+    sink = ParquetStateSink(
+        spark, str(tmp_path / "state"), pk_cols=["pk"], n_buckets=B
+    )
+    seed = [(i, "INSERT", "users", i, f"v{i}") for i in range(1, 17)]
+    sink.apply_batch(spark.createDataFrame(seed, SCHEMA), batch_id=0)
+    p0 = sink._read_pointer()
+    # delete every pk that landed in one bucket
+    target_key = sorted(p0)[0]
+    victims = [
+        row["pk"] for row in sink._read_tables([p0[target_key]]).collect()
+    ]
+    assert victims
+    dels = [(100 + j, "DELETE", "users", pk, None) for j, pk in enumerate(victims)]
+    sink.apply_batch(spark.createDataFrame(dels, SCHEMA), batch_id=1)
+    p1 = sink._read_pointer()
+    assert target_key not in p1  # emptied bucket: pointer entry dropped
+    survivors = {(i, f"v{i}") for i in range(1, 17) if i not in victims}
+    assert {(r["pk"], r["val"]) for r in sink.read_state().collect()} == survivors
+    # a fresh sink instance reads the committed state without error
+    re_read = ParquetStateSink(
+        spark, str(tmp_path / "state"), pk_cols=["pk"], n_buckets=B
+    ).read_state()
+    assert {(r["pk"], r["val"]) for r in re_read.collect()} == survivors
 
 
 def test_bucketed_sink_layout_is_fixed_at_first_commit(spark, tmp_path):

@@ -305,7 +305,184 @@ def hub_probe(spark, n: int = 200_000, r: int = 10) -> int:
     return 0
 
 
+def soak_probe(spark, r: int = 10, limit: int = 5_000, n_buckets: int = 32) -> int:
+    """End-to-end streaming soak at R× (VERDICT r4 item 6): tail an
+    R×-inflated changeset log with KeysetPoller → bucketed
+    ParquetStateSink WHILE a concurrent writer appends slices (the
+    round-4 race test at scale), then drain a MergeStateSink over the
+    same log. Both must converge exactly to the batch replay oracle;
+    per-round wall-clock is printed so a drifting per-batch cost (state
+    rewrite growing with total state instead of touched buckets) is
+    visible, not just the end state."""
+    import shutil as _sh
+    import tempfile
+    import threading
+
+    from warp_pipe_spark.apply import replay
+    from warp_pipe_spark.io import derive_changesets
+    from warp_pipe_spark.merge_sink import InMemoryMergeExecutor, MergeStateSink
+    from warp_pipe_spark.streaming import (
+        KeysetPoller,
+        ParquetStateSink,
+        parquet_keyset_fetch,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SOAK_SF", "/root/testdata/sf0.01")
+    cs = derive_changesets(spark, sf_dir)
+    n_ids = cs.agg(F.max("id")).first()[0] + 1
+    n_pks = cs.agg(F.max("pk")).first()[0] + 1
+    reps = [
+        cs.select(
+            (F.col("id") + F.lit(i * n_ids)).alias("id"),
+            "ts",
+            "action",
+            "schema_name",
+            "table_name",
+            "relid",
+            (F.col("pk") + F.lit(i * n_pks)).alias("pk"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        for i in range(r)
+    ]
+    big = reps[0]
+    for d in reps[1:]:
+        big = big.unionByName(d)
+
+    work = tempfile.mkdtemp(prefix="wp_soak_")
+    log_dir = os.path.join(work, "log")
+    audit = os.path.join(work, "audit")
+    os.makedirs(audit, exist_ok=True)
+    # materialize the full log once as n_slices range-ordered single
+    # files (repartitionByRange: part-00000 holds the lowest id range).
+    # The writer drops slices in id order with an ATOMIC rename — the
+    # monotone-append contract a real audit log's sequence-assigned ids
+    # provide; a multi-file slice copied non-atomically can expose a
+    # high id before a lower one and legitimately lose the low id to
+    # the keyset offset (observed: 22999/23000 on the first draft).
+    n_slices = 20
+    big.repartitionByRange(n_slices, "id").write.mode("overwrite").parquet(log_dir)
+    slice_files = sorted(
+        f for f in os.listdir(log_dir) if f.endswith(".parquet")
+    )
+    total_rows = spark.read.parquet(log_dir).count()
+    print(f"soak: {total_rows:,} changesets ({r}x {sf_dir}), "
+          f"{len(slice_files)} slices, limit={limit}, n_buckets={n_buckets}",
+          file=sys.stderr)
+
+    def copy_slice(i: int) -> None:
+        f = slice_files[i]
+        tmp = os.path.join(audit, f".tmp_{f}")
+        _sh.copy(os.path.join(log_dir, f), tmp)
+        os.replace(tmp, os.path.join(audit, f"s{i:03d}.parquet"))
+
+    copy_slice(0)  # seed so the first poll sees data
+    sink = ParquetStateSink(
+        spark, os.path.join(work, "state"), pk_cols=["pk"], n_buckets=n_buckets
+    )
+    poller = KeysetPoller(
+        spark,
+        parquet_keyset_fetch(audit),
+        sink,
+        os.path.join(work, "off.json"),
+        start_from_id=-1,  # the derived log contains id=0; StartFromID
+        # is STRICTLY-after (the keyset contract), so 0 would skip it
+        limit=limit,
+    )
+
+    written = threading.Event()
+    errs: list[BaseException] = []
+
+    def writer():
+        try:
+            for i in range(1, len(slice_files)):
+                copy_slice(i)
+        except BaseException as e:
+            errs.append(e)
+        finally:
+            written.set()
+
+    t = threading.Thread(target=writer)
+    round_times: list[tuple[int, float]] = []
+    applied = 0
+    t0_all = time.time()
+    t.start()
+    while not written.is_set():
+        t0 = time.time()
+        n = poller.poll_once()
+        if n:
+            round_times.append((n, time.time() - t0))
+            applied += n
+    t.join()
+    while True:  # A8 drain after the writer stops
+        t0 = time.time()
+        n = poller.poll_once()
+        if n == 0:
+            break
+        round_times.append((n, time.time() - t0))
+        applied += n
+    wall = time.time() - t0_all
+    assert not errs, errs
+    assert applied == total_rows, (applied, total_rows)
+
+    # convergence: committed state ≡ batch replay over the whole log
+    oracle = replay(spark.read.parquet(log_dir).drop("_slice"), ["pk"])
+    state = sink.read_state().select(*oracle.columns)
+    diff = state.exceptAll(oracle).count() + oracle.exceptAll(state).count()
+    per = [dt for _, dt in round_times]
+    first5 = sum(per[:5]) / min(5, len(per))
+    last5 = sum(per[-5:]) / min(5, len(per))
+    print(f"| sink | rounds | rows | wall s | s/round first5 | last5 | "
+          f"drift | exact |")
+    print("|---|---|---|---|---|---|---|---|")
+    drift = last5 / first5 if first5 else float("inf")
+    print(f"| ParquetStateSink(b={n_buckets}) | {len(round_times)} | "
+          f"{applied:,} | {wall:.1f} | {first5:.2f} | {last5:.2f} | "
+          f"{drift:.2f}x | {'YES' if diff == 0 else f'DIVERGED {diff}'} |")
+    sys.stdout.flush()
+    assert diff == 0, f"state diverged from replay oracle by {diff} rows"
+
+    # MergeStateSink drain over the same (already complete) log — the
+    # transactional-MERGE twin; in-memory executor is the sandbox stand-in
+    msink = MergeStateSink(spark, InMemoryMergeExecutor(spark), pk_cols=["pk"])
+    mpoller = KeysetPoller(
+        spark,
+        parquet_keyset_fetch(audit),
+        msink,
+        os.path.join(work, "moff.json"),
+        start_from_id=-1,
+        limit=limit * 4,  # the in-memory executor is the driver-collect
+        # test twin of a Delta/Iceberg MERGE; fewer, larger rounds keep
+        # the soak about per-MERGE cost, not collect round-trips
+    )
+    mtimes: list[float] = []
+    mapplied = 0
+    t0_all = time.time()
+    while True:
+        t0 = time.time()
+        n = mpoller.poll_once()
+        if n == 0:
+            break
+        mtimes.append(time.time() - t0)
+        mapplied += n
+    mwall = time.time() - t0_all
+    mstate = msink.read_state().select(*oracle.columns)
+    mdiff = mstate.exceptAll(oracle).count() + oracle.exceptAll(mstate).count()
+    mf5 = sum(mtimes[:5]) / min(5, len(mtimes))
+    ml5 = sum(mtimes[-5:]) / min(5, len(mtimes))
+    print(f"| MergeStateSink(in-mem) | {len(mtimes)} | {mapplied:,} | "
+          f"{mwall:.1f} | {mf5:.2f} | {ml5:.2f} | {ml5/mf5:.2f}x | "
+          f"{'YES' if mdiff == 0 else f'DIVERGED {mdiff}'} |")
+    assert mdiff == 0, f"merge state diverged from replay oracle by {mdiff} rows"
+    _sh.rmtree(work, ignore_errors=True)
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--soak":
+        r = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+        return soak_probe(get_spark("scale_probe_soak"), r)
     if len(sys.argv) > 1 and sys.argv[1] == "--hotkey":
         r = int(sys.argv[2]) if len(sys.argv) > 2 else 10
         return hotkey_probe(get_spark("scale_probe_hot"), r)
