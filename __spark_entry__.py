@@ -2163,7 +2163,145 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = media_from_documents(_docs(spark, sf))
         return frame_sample(media, every_ms=1000)
 
+    def docs_pii_scrub(spark, sf):
+        """PII redaction audit (text.pii_scrub): the corpus has no real
+        PII, so the query PLANTS deterministic emails/phones/IPs as a
+        function of doc_id (the same synthesize-then-operate pattern as
+        the cs_* audit-JSON queries — the oracle replays the planting),
+        then runs the real scrub operator. Output: per-doc match counts
+        by category plus the md5 of the scrubbed text, which pins the
+        replacement bytes, not just the counts. Zero shuffles."""
+        from warp_pipe_spark.datapipe.text import pii_scrub
+
+        docs = _docs(spark, sf)
+        d = F.col("doc_id")
+        ds = d.cast("string")
+        email = F.concat(F.lit(" contact user"), ds, F.lit("@example.com"))
+        phone = F.concat(
+            F.lit(" call +1-555-"),
+            F.lpad(F.pmod(d, 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(F.pmod(d * 3, 10000).cast("string"), 4, "0"),
+        )
+        ip = F.concat(
+            F.lit(" from 10."),
+            F.pmod(d, 256).cast("string"),
+            F.lit("."),
+            F.pmod(d * 7, 256).cast("string"),
+            F.lit(".1"),
+        )
+        planted = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(d % 3 == 0, email).otherwise(F.lit("")),
+                F.when(d % 5 == 0, phone).otherwise(F.lit("")),
+                F.when(d % 7 == 0, ip).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        out = pii_scrub(planted)
+        return out.select(
+            "doc_id",
+            F.col("n_email").cast("long").alias("n_email"),
+            F.col("n_phone").cast("long").alias("n_phone"),
+            F.col("n_ipv4").cast("long").alias("n_ipv4"),
+            F.md5("text").alias("scrubbed_md5"),
+        )
+
+    def docs_unigram_lm(spark, sf):
+        """Unigram-LM quality signal (text.unigram_lm): per-doc corpus
+        term-frequency stats — the integer-exact skeleton of
+        CCNet/RedPajama perplexity filtering (docs made of corpus-rare
+        tokens are noise). rare_max_tf=100 marks the corpus's one rare
+        token; sum/min of tf are exact BIGINTs. Explode → vocab agg
+        (map-side combine) → token⋈vocab (AQE broadcasts the tiny
+        vocabulary) → per-doc agg."""
+        from warp_pipe_spark.datapipe.text import unigram_lm
+
+        out = unigram_lm(_docs(spark, sf), rare_max_tf=100)
+        return out.select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("sum_tf").cast("long").alias("sum_tf"),
+            F.col("min_tf").cast("long").alias("min_tf"),
+            F.col("n_rare").cast("long").alias("n_rare"),
+        )
+
+    def events_anomaly_mad(spark, sf):
+        """Robust anomaly detection on the event stream: hourly counts
+        per event_type, flagged where |count − median| > 3·MAD (median
+        absolute deviation — the robust z-score every ops pipeline runs;
+        mean/stddev would let the anomalies poison their own threshold).
+        Medians of integers are half-integral, so everything is carried
+        ×2/×4: med2 = 2·median(count), d2 = |2·count − med2|,
+        mad4 = 2·median(d2); anomaly ⇔ 2·d2 > 3·mad4 — pure integer
+        arithmetic end-to-end, no float near the verdict. Shape: one
+        (type, hour) agg, two tiny per-type percentile aggs broadcast
+        back — the hourly-count table is already small relative to the
+        stream."""
+        # `div` = exact BIGINT floor division (DuckDB `//`); a double
+        # quotient cast to long can land one below an exact-integer
+        # boundary and shift the hour bucket
+        ev = read_table(spark, sf, "events").select(
+            "event_type",
+            F.expr("unix_millis(ts) div 3600000").alias("hour_id"),
+        )
+        hourly = ev.groupBy("event_type", "hour_id").agg(
+            F.count("*").cast("long").alias("n")
+        )
+        med = hourly.groupBy("event_type").agg(
+            F.expr("CAST(2 * percentile(n, 0.5) AS BIGINT)").alias("med2")
+        )
+        dev = hourly.join(F.broadcast(med), "event_type").withColumn(
+            "d2", F.abs(2 * F.col("n") - F.col("med2"))
+        )
+        mad = dev.groupBy("event_type").agg(
+            F.expr("CAST(2 * percentile(d2, 0.5) AS BIGINT)").alias("mad4")
+        )
+        return (
+            dev.join(F.broadcast(mad), "event_type")
+            .select(
+                "event_type",
+                "hour_id",
+                "n",
+                "med2",
+                "mad4",
+                (2 * F.col("d2") > 3 * F.col("mad4")).alias("is_anomaly"),
+            )
+        )
+
+    def events_transitions(spark, sf):
+        """Per-user event-type transition counts (first-order Markov
+        mining — the sequence statistic behind session-flow and
+        next-action models): lag over (user, ts, event_id), then one
+        (from, to) count with an exact per-source micro-fraction.
+        event_id breaks ts ties so the sequence is total-ordered and
+        engine-independent. One user-keyed window shuffle + one small
+        agg."""
+        ev = read_table(spark, sf, "events").select(
+            "user_id", "event_id", "event_type", "ts"
+        )
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        pairs = (
+            ev.withColumn("from_type", F.lag("event_type").over(w))
+            .filter(F.col("from_type").isNotNull())
+            .groupBy("from_type", F.col("event_type").alias("to_type"))
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+        return pairs.select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr(
+                "(n * 1000000) div sum(n) OVER (PARTITION BY from_type)"
+            ).alias("frac_micro"),
+        )
+
     q.update(
+        docs_pii_scrub=docs_pii_scrub,
+        docs_unigram_lm=docs_unigram_lm,
+        events_anomaly_mad=events_anomaly_mad,
+        events_transitions=events_transitions,
         tpch_q7=tpch_q7,
         tpch_q8=tpch_q8,
         tpch_q9=tpch_q9,
@@ -2202,6 +2340,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query accumulates a driver-verified row across rounds; long-stable
     # rows rotate to the back.
     _verify_first = [
+        # new in round 5: PII scrub, unigram-LM stats, MAD anomaly
+        # flags, Markov transitions
+        "docs_pii_scrub",
+        "docs_unigram_lm",
+        "events_anomaly_mad",
+        "events_transitions",
+        # touched in round 5: ParquetStateSink rewrite (one partitionBy
+        # write per table, multi-path state reads, emptied-bucket
+        # pointer drops) — both state-sink-backed queries re-earn green
+        "cs_keyset_poll_stream",
+        "cs_incremental_merge",
         # new in round 5: stop-shingle cap (VERDICT r4 item 1) and
         # auto-parameter LSH (item 2)
         "dedup_ngram_jaccard_capped",
@@ -3593,6 +3742,96 @@ def oracle_sql() -> dict[str, str]:
     SELECT n_users, n_clicked, n_converted,
            (n_converted * 1000000) // n_clicked AS conversion_micro
     FROM agg
+    """
+
+    from warp_pipe_spark.datapipe.text import PII_PATTERNS as _PII
+
+    _plant = """
+    planted AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                  ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                  THEN ' call +1-555-'
+                       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                       || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                  THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                       || CAST((doc_id * 7) % 256 AS VARCHAR) || '.1'
+                  ELSE '' END
+             AS text
+      FROM documents
+    )
+    """
+    _scrub_expr = "text"
+    for _name, (_pat, _repl) in _PII.items():
+        _scrub_expr = f"regexp_replace({_scrub_expr}, '{_pat}', '{_repl}', 'g')"
+    o["docs_pii_scrub"] = f"""
+    WITH {_plant}
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII["email"][0]}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{_PII["phone"][0]}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '{_PII["ipv4"][0]}')) AS BIGINT) AS n_ipv4,
+           md5({_scrub_expr}) AS scrubbed_md5
+    FROM planted
+    """
+
+    o["docs_unigram_lm"] = """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    v AS (SELECT w, count(*)::BIGINT AS tf FROM tok GROUP BY w)
+    SELECT doc_id,
+           count(*)::BIGINT AS n_tokens,
+           CAST(sum(tf) AS BIGINT) AS sum_tf,
+           CAST(min(tf) AS BIGINT) AS min_tf,
+           CAST(sum(CASE WHEN tf <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+    FROM tok JOIN v USING (w)
+    GROUP BY doc_id
+    """
+
+    # 2*median of BIGINTs is an exactly-representable float integer, so
+    # DuckDB's round-on-cast and Spark's truncate-on-cast agree
+    o["events_anomaly_mad"] = """
+    WITH hourly AS (
+      SELECT event_type, epoch_ms(ts) // 3600000 AS hour_id,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, CAST(2 * quantile_cont(n, 0.5) AS BIGINT) AS med2
+      FROM hourly GROUP BY 1
+    ),
+    dev AS (
+      SELECT h.*, med2, abs(2 * n - med2) AS d2
+      FROM hourly h JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, CAST(2 * quantile_cont(d2, 0.5) AS BIGINT) AS mad4
+      FROM dev GROUP BY 1
+    )
+    SELECT event_type, hour_id, n, med2, mad4,
+           (2 * d2 > 3 * mad4) AS is_anomaly
+    FROM dev JOIN mad USING (event_type)
+    """
+
+    o["events_transitions"] = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS from_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT from_type, event_type AS to_type, count(*)::BIGINT AS n
+      FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           (n * 1000000)
+             // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+             AS frac_micro
+    FROM pairs
     """
 
     o["dedup_clusters"] = f"""

@@ -74,6 +74,8 @@ HEADLINE = [
     "events_percentiles",
     "events_funnel",
     "events_cohort_retention",
+    "events_anomaly_mad",
+    "events_transitions",
     "dedup_exact",
     "dedup_minhash_sig",
     "dedup_minhash_pairs",
@@ -96,6 +98,8 @@ HEADLINE = [
     "text_token_stats",
     "text_langid",
     "text_gopher_rules",
+    "docs_pii_scrub",
+    "docs_unigram_lm",
     "ann_topk",
     "ann_ivf_topk",
     "ann_ivf_indexed",

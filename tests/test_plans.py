@@ -53,9 +53,21 @@ def test_minhash_signatures_zero_shuffle(spark, qs):
 
 
 def test_text_ops_zero_shuffle(spark, qs):
-    for name in ("text_quality", "text_langid", "text_fingerprints"):
+    for name in ("text_quality", "text_langid", "text_fingerprints",
+                 "docs_pii_scrub"):
         p = plan_of(spark, qs[name](spark, SF))
         assert n_exchanges(p) == 0, f"{name}:\n{tree_of(p)}"
+
+
+def test_transitions_single_window_shuffle(spark, qs):
+    """events_transitions: one user-keyed exchange feeds the lag
+    window; the pair count and per-source fraction ride small aggs —
+    no second full-data shuffle of the event stream."""
+    p = plan_of(spark, qs["events_transitions"](spark, SF))
+    # window shuffle + two small post-agg exchanges ((from,to) pairs ≤
+    # |type|² rows) — the event-stream-sized data crosses the wire once
+    assert n_exchanges(p) <= 3, tree_of(p)
+    assert "Window" in tree_of(p)
 
 
 def test_tpch_q1_pushdown_and_pruning(spark, qs):

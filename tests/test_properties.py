@@ -137,6 +137,45 @@ def test_gopher_rules_hand_computed(spark):
     assert not d2["keep"]
 
 
+def test_pii_scrub_hand_computed(spark):
+    """Each PII category is counted against the ORIGINAL text and
+    replaced with its placeholder; non-PII text is untouched."""
+    from warp_pipe_spark.datapipe.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b@x.co and c@y.org now"),
+            (2, "call +1-555-123-4567 from 10.0.0.1 ok"),
+            (3, "clean text only"),
+            (4, "dotted 999.999.999.999 stays an ip shape"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert got[1]["n_email"] == 2 and got[1]["n_phone"] == 0
+    assert got[1]["text"] == "mail [EMAIL] and [EMAIL] now"
+    assert got[2]["n_phone"] == 1 and got[2]["n_ipv4"] == 1
+    assert got[2]["text"] == "call [PHONE] from [IP] ok"
+    assert got[3]["text"] == "clean text only"
+    assert (got[3]["n_email"], got[3]["n_phone"], got[3]["n_ipv4"]) == (0, 0, 0)
+    # the pattern is shape-based (1-3 digit groups), not value-validated
+    assert got[4]["n_ipv4"] == 1
+
+
+def test_unigram_lm_hand_computed(spark):
+    """Corpus tf: a=3, b=2, c=1; per-doc sums/mins/rare counts exact."""
+    from warp_pipe_spark.datapipe.text import unigram_lm
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c")], "doc_id LONG, text STRING"
+    )
+    got = {r["doc_id"]: r for r in unigram_lm(docs, rare_max_tf=1).collect()}
+    assert got[1]["n_tokens"] == 3 and got[1]["sum_tf"] == 3 + 3 + 2
+    assert got[1]["min_tf"] == 2 and got[1]["n_rare"] == 0
+    assert got[2]["sum_tf"] == 3 + 2 + 1 and got[2]["min_tf"] == 1
+    assert got[2]["n_rare"] == 1  # 'c' has corpus tf 1
+
+
 def test_gopher_rules_keep_on_realistic_doc(spark, sf_dir):
     """The synthetic corpus is normal prose-shaped: most docs pass."""
     from warp_pipe_spark.datapipe.text import gopher_rules

@@ -180,6 +180,73 @@ def gopher_rules(
     return out.withColumn("keep", keep)
 
 
+# PII patterns, deliberately restricted to syntax RE2 (DuckDB) and
+# java.util.regex (Spark) evaluate identically: character classes,
+# bounded repetition, \b — no backrefs, no lookaround.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "[EMAIL]"),
+    "phone": (r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "[PHONE]"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+}
+
+
+def pii_scrub(
+    docs: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """PII redaction — the compliance gate every pre-training corpus
+    pass runs before anything else (emails/phones/IPs → typed
+    placeholder tokens), with per-category match counts for audit
+    reporting.
+
+    Pure Catalyst regexp_count + chained regexp_replace: one narrow
+    codegen'd map stage over the scan, zero shuffles, linear at 100 TB.
+    Patterns apply in dict order (phone before ipv4 matters if a
+    pattern could match inside another's replacement — the defaults
+    are disjoint)."""
+    pats = patterns or PII_PATTERNS
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, (pat, repl) in pats.items():
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    keep = [c for c in docs.columns if c != text_col]
+    return docs.select(*keep, *counts, scrubbed.alias(text_col))
+
+
+def unigram_lm(docs: DataFrame, rare_max_tf: int = 2) -> DataFrame:
+    """Unigram corpus-frequency statistics per document — the
+    integer-exact core of LM-perplexity-style quality filtering (a doc
+    whose tokens are corpus-rare is boilerplate, OCR noise, or another
+    language; CCNet/RedPajama gate on exactly this signal, via a real
+    LM). Emitted as integers (sum/min of corpus term frequency, count
+    of rare tokens) so the oracle replays bit-for-bit; a production
+    scorer divides sum_tf by n_tokens or swaps in real log-probs
+    downstream of the same join.
+
+    Shape at scale: one explode → groupBy(token) corpus count
+    (map-side combinable), join tokens back on token — AQE broadcasts
+    the vocabulary when it is small and shuffle-joins otherwise —
+    then one groupBy(doc_id). No collects, no Python."""
+    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count("*").alias("tf"))
+    return (
+        toks.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("tf").alias("sum_tf"),
+            F.min("tf").alias("min_tf"),
+            F.sum(
+                F.when(F.col("tf") <= rare_max_tf, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_rare"),
+        )
+    )
+
+
 def h32(col: Column) -> Column:
     """Shared 32-bit string hash: first 8 hex chars of md5 as an int.
     DuckDB replays it as ('0x' || substr(md5(x),1,8))::BIGINT."""
