@@ -1334,6 +1334,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         feats = decode_media(bmp_media(_docs(spark, sf)), fake=False)
         return _bmp_sums(feats)
 
+    def multimodal_phash(spark, sf):
+        """Perceptual average-hash (multimodal.avg_hash) over the REAL
+        BMP decode path: encode synthetic images → decode bytes → 8×8
+        nearest-neighbor gray lattice → above-mean bits packed into two
+        BIGINT halves. The oracle replays every bit from the
+        (media_id, x, y) pixel arithmetic — a decoder or sampling bug
+        cannot cancel out. The image twin of text MinHash: near-dup
+        images share most bits, and dedup joins on the hash."""
+        from warp_pipe_spark.datapipe.multimodal import avg_hash, bmp_media
+
+        return avg_hash(bmp_media(_docs(spark, sf)))
+
     def multimodal_resize_real(spark, sf):
         """REAL resize chain: BMP encode → nearest-neighbor resample to
         fit 8×8 (src = (dst*src_dim)//dst_dim, integer arithmetic) →
@@ -1370,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multimodal_features=multimodal_features,
         multimodal_decode_real=multimodal_decode_real,
         multimodal_resize_real=multimodal_resize_real,
+        multimodal_phash=multimodal_phash,
         multimodal_audio_real=multimodal_audio_real,
         multimodal_video_frames=multimodal_video_frames,
     )
@@ -2227,6 +2240,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_rare").cast("long").alias("n_rare"),
         )
 
+    def docs_bpe_pairs(spark, sf):
+        """BPE merge-pair statistics (text.bpe_pair_counts): top-50
+        adjacent character pairs weighted by word frequency — the
+        highest-count pair is the next BPE merge. The vocabulary fold
+        keeps the explode on distinct-word-sized data; deterministic
+        (n desc, pair asc) tie-break."""
+        from warp_pipe_spark.datapipe.text import bpe_pair_counts
+
+        return bpe_pair_counts(_docs(spark, sf), top_k=50)
+
     def events_anomaly_mad(spark, sf):
         """Robust anomaly detection on the event stream: hourly counts
         per event_type, flagged where |count − median| > 3·MAD (median
@@ -2300,6 +2323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(
         docs_pii_scrub=docs_pii_scrub,
         docs_unigram_lm=docs_unigram_lm,
+        docs_bpe_pairs=docs_bpe_pairs,
         events_anomaly_mad=events_anomaly_mad,
         events_transitions=events_transitions,
         tpch_q7=tpch_q7,
@@ -2344,6 +2368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flags, Markov transitions
         "docs_pii_scrub",
         "docs_unigram_lm",
+        "docs_bpe_pairs",
         "events_anomaly_mad",
         "events_transitions",
         # touched in round 5: ParquetStateSink rewrite (one partitionBy
@@ -2351,6 +2376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pointer drops) — both state-sink-backed queries re-earn green
         "cs_keyset_poll_stream",
         "cs_incremental_merge",
+        "multimodal_phash",
         # new in round 5: stop-shingle cap (VERDICT r4 item 1) and
         # auto-parameter LSH (item 2)
         "dedup_ngram_jaccard_capped",
@@ -3342,6 +3368,37 @@ def oracle_sql() -> dict[str, str]:
            CAST(sum((3 * media_id + 5 * sx + sy) % 256) AS BIGINT) AS sum_g,
            CAST(sum((media_id + 2 * sx + 3 * sy) % 256) AS BIGINT) AS sum_b
     """
+    # average-hash: every bit replayed from the pixel formula; bit
+    # packing via BIGINT shifts (two 32-bit halves keep bit 63 off the
+    # sign). (i*dim)//8 is the same nearest-neighbor lattice the Spark
+    # side samples from the DECODED bytes.
+    o["multimodal_phash"] = """
+    WITH m AS (
+      SELECT doc_id AS media_id, doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h
+      FROM documents
+    ),
+    cj AS (SELECT media_id, w, h, unnest(range(0, 8)) AS jy FROM m),
+    cl AS (SELECT media_id, w, h, jy, unnest(range(0, 8)) AS jx FROM cj),
+    g AS (
+      SELECT media_id, w, h, jy * 8 + jx AS idx,
+             (7 * media_id + (jx * w) // 8 + 11 * ((jy * h) // 8)) % 256
+           + (3 * media_id + 5 * ((jx * w) // 8) + (jy * h) // 8) % 256
+           + (media_id + 2 * ((jx * w) // 8) + 3 * ((jy * h) // 8)) % 256
+             AS gray
+      FROM cl
+    ),
+    s AS (SELECT *, sum(gray) OVER (PARTITION BY media_id) AS tot FROM g)
+    SELECT media_id,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(sum(CASE WHEN idx >= 32 AND 64 * gray > tot
+                         THEN CAST(1 AS BIGINT) << (idx - 32) ELSE 0 END)
+                AS BIGINT) AS hash_hi,
+           CAST(sum(CASE WHEN idx < 32 AND 64 * gray > tot
+                         THEN CAST(1 AS BIGINT) << idx ELSE 0 END)
+                AS BIGINT) AS hash_lo
+    FROM s GROUP BY media_id, w, h
+    """
+
     o["multimodal_decode_real"] = f"""
     WITH m AS (
       SELECT doc_id AS media_id, doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h
@@ -3777,6 +3834,19 @@ def oracle_sql() -> dict[str, str]:
            CAST(len(regexp_extract_all(text, '{_PII["ipv4"][0]}')) AS BIGINT) AS n_ipv4,
            md5({_scrub_expr}) AS scrubbed_md5
     FROM planted
+    """
+
+    o["docs_bpe_pairs"] = """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    wc AS (SELECT w, count(*)::BIGINT AS c FROM tok WHERE w <> '' GROUP BY w),
+    p AS (
+      SELECT c, unnest([substr(w, i, 2) FOR i IN range(1, length(w))]) AS pair
+      FROM wc
+    ),
+    agg AS (SELECT pair, CAST(sum(c) AS BIGINT) AS n FROM p GROUP BY pair)
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS BIGINT) AS rank,
+           pair, n
+    FROM agg ORDER BY n DESC, pair ASC LIMIT 50
     """
 
     o["docs_unigram_lm"] = """

@@ -100,6 +100,7 @@ HEADLINE = [
     "text_gopher_rules",
     "docs_pii_scrub",
     "docs_unigram_lm",
+    "docs_bpe_pairs",
     "ann_topk",
     "ann_ivf_topk",
     "ann_ivf_indexed",
@@ -111,6 +112,7 @@ HEADLINE = [
     "multimodal_frame_sample",
     "multimodal_decode_real",
     "multimodal_resize_real",
+    "multimodal_phash",
     "multimodal_audio_real",
     "multimodal_video_frames",
 ]

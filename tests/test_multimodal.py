@@ -68,6 +68,45 @@ def test_real_decode_end_to_end(bmps):
         assert (f[3], f[4], f[5]) == tuple(float(x) for x in s)
 
 
+def test_avg_hash_matches_direct_computation(bmps):
+    """Every bit of the packed hash equals the formula computed
+    straight from synth_pixels, and a one-pixel-off image lands within
+    a small Hamming distance of the original (the near-dup property
+    the hash exists for)."""
+    from warp_pipe_spark.datapipe.multimodal import avg_hash
+
+    rows = {r["media_id"]: r for r in avg_hash(bmps).collect()}
+    assert len(rows) == 30
+    for mid, r in rows.items():
+        w, h = bmp_dims(mid)
+        gray = synth_pixels(mid, w, h).astype(np.int64).sum(axis=2)
+        ys = (np.arange(8) * h) // 8
+        xs = (np.arange(8) * w) // 8
+        cells = gray[np.ix_(ys, xs)].ravel()
+        tot = int(cells.sum())
+        want = 0
+        for i, c in enumerate(cells):
+            if 64 * int(c) > tot:
+                want |= 1 << i
+        assert (r["hash_hi"], r["hash_lo"]) == (want >> 32, want & 0xFFFFFFFF)
+        assert (r["width"], r["height"]) == (w, h)
+
+    # near-dup property, computed locally with the same cell math
+    img = synth_pixels(7, *bmp_dims(7)).astype(np.int64)
+    tweaked = img.copy()
+    tweaked[0, 0, 0] += 1  # one channel of one pixel
+
+    def local_hash(px):
+        g = px.sum(axis=2)
+        hh, ww = g.shape
+        cs = g[np.ix_((np.arange(8) * hh) // 8, (np.arange(8) * ww) // 8)].ravel()
+        t = int(cs.sum())
+        return sum(1 << i for i, c in enumerate(cs) if 64 * int(c) > t)
+
+    hamming = bin(local_hash(img) ^ local_hash(tweaked)).count("1")
+    assert hamming <= 2
+
+
 def test_real_resize_end_to_end(bmps):
     resized = resize_media(bmps, max_width=8, max_height=8, fake=False)
     out = {r["media_id"]: r for r in resized.collect()}

@@ -210,6 +210,8 @@ def test_docs_vocabulary_topk_never_global_sorts(spark, qs):
     shuffle every distinct word to one partition at corpus scale."""
     p = qs["docs_vocabulary"](spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in p, p
+    p2 = qs["docs_bpe_pairs"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p2, p2
 
 
 def test_q12_pushdown_reaches_scan(spark, qs):

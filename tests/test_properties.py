@@ -176,6 +176,19 @@ def test_unigram_lm_hand_computed(spark):
     assert got[2]["n_rare"] == 1  # 'c' has corpus tf 1
 
 
+def test_bpe_pairs_hand_computed(spark):
+    """'ab ab cd' + 'ab': pair 'ab' has weight 3 (word freq), 'cd' 1;
+    single-char words contribute nothing."""
+    from warp_pipe_spark.datapipe.text import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab cd x"), (2, "ab abc")], "doc_id LONG, text STRING"
+    )
+    got = [(r["rank"], r["pair"], r["n"]) for r in bpe_pair_counts(docs).collect()]
+    # word counts: ab=3, cd=1, x=1, abc=1 → pairs: ab:3+1, bc:1, cd:1
+    assert got == [(1, "ab", 4), (2, "bc", 1), (3, "cd", 1)]
+
+
 def test_gopher_rules_keep_on_realistic_doc(spark, sf_dir):
     """The synthetic corpus is normal prose-shaped: most docs pass."""
     from warp_pipe_spark.datapipe.text import gopher_rules

@@ -77,6 +77,13 @@ PROBE_QUERIES = [
     "docs_vocabulary",
     "docs_dup_spans",
     "cs_debezium_decode",
+    # round-5 additions
+    "docs_pii_scrub",
+    "docs_unigram_lm",
+    "docs_bpe_pairs",
+    "events_anomaly_mad",
+    "events_transitions",
+    "multimodal_phash",
 ]
 
 

@@ -467,6 +467,54 @@ def _bmp_features(content: bytes) -> list[float]:
     ]
 
 
+def avg_hash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash over REAL decoded images — the
+    near-duplicate-image primitive of a multimodal training-data
+    pipeline (images whose hashes differ in few bits are visual dups;
+    downstream dedup joins on the hash exactly like text MinHash
+    bands).
+
+    Definition (all integer arithmetic, so a SQL oracle replays it
+    without seeing a byte): sample the decoded image on a grid×grid
+    nearest-neighbor lattice (src = (i·w)//grid), per-cell gray =
+    r+g+b (0..765), bit_j = [grid²·gray_j > Σ gray] (the
+    cross-multiplied form of gray_j > mean — no division), bits packed
+    row-major into two BIGINT halves (hash_hi = cells 32..63,
+    hash_lo = 0..31; two halves keep bit 63 out of the sign).
+
+    One Arrow mapInPandas pass over binary batches — same plumbing and
+    scale shape as decode_media."""
+
+    def mapper(batches):
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                px = bmp_decode(bytes(blob)).astype(np.int64)
+                h, w = px.shape[:2]
+                gray = px.sum(axis=2)  # r+g+b per pixel
+                ys = (np.arange(grid) * h) // grid
+                xs = (np.arange(grid) * w) // grid
+                cells = gray[np.ix_(ys, xs)].ravel()  # row-major: jy*grid+jx
+                tot = int(cells.sum())
+                val = 0
+                for idx, c in enumerate(cells):
+                    if grid * grid * int(c) > tot:
+                        val |= 1 << idx
+                rows.append(
+                    (int(mid), w, h, val >> 32, val & 0xFFFFFFFF)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "hash_hi", "hash_lo"],
+            )
+
+    return media.mapInPandas(
+        mapper,
+        schema="media_id LONG, width LONG, height LONG, "
+        "hash_hi LONG, hash_lo LONG",
+    )
+
+
 def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode / feature-extract media content → FEATURES_SCHEMA.
 

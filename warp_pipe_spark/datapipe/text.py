@@ -247,6 +247,41 @@ def unigram_lm(docs: DataFrame, rare_max_tf: int = 2) -> DataFrame:
     )
 
 
+def bpe_pair_counts(docs: DataFrame, top_k: int = 50) -> DataFrame:
+    """One iteration of BPE tokenizer training: adjacent character-pair
+    counts weighted by word frequency — the argmax pair is the next
+    merge. Uses the classic BPE trick: pair statistics fold over the
+    DISTINCT-WORD vocabulary (weight = word count), not the corpus, so
+    after the map-side-combinable word count the expensive explode runs
+    on vocabulary-sized data. Top-k lands as WindowGroupLimit (partial
+    per-partition top-k before a single-row exchange), same shape as
+    docs_vocabulary."""
+    tok = docs.select(F.explode(_tokens(F.col("text"))).alias("w")).filter(
+        F.col("w") != ""
+    )
+    wc = tok.groupBy("w").agg(F.count("*").alias("c"))
+    pairs_arr = F.when(
+        F.length("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("w") - 1),
+            lambda i: F.col("w").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    agg = (
+        wc.select("c", F.explode(pairs_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("c").cast("long").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("rank", "pair", "n")
+    )
+
+
 def h32(col: Column) -> Column:
     """Shared 32-bit string hash: first 8 hex chars of md5 as an int.
     DuckDB replays it as ('0x' || substr(md5(x),1,8))::BIGINT."""
