@@ -1601,6 +1601,130 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("bal_cents").alias("total_bal_cents"),
         )
 
+    def _partsupp(spark, sf):
+        """The testdata ships no partsupp table, so the three queries
+        that need one (q2/q11/q16) SYNTHESIZE it deterministically from
+        part × supplier — the same synthesize-then-operate pattern as
+        the cs_* audit-JSON queries; the oracle replays the identical
+        arithmetic (PARTSUPP_CTE). Shape matches dbgen's: 4 suppliers
+        per part, suppkey striped across the supplier space, qty/cost
+        as bounded integer functions of (partkey, i). All money in
+        cents BIGINT per module convention."""
+        part = read_table(spark, sf, "part").select("p_partkey")
+        ns = (
+            read_table(spark, sf, "supplier")
+            .agg(F.count("*").cast("long").alias("nsupp"))
+        )
+        step = F.greatest(F.lit(1).cast("long"), F.expr("nsupp div 4"))
+        return (
+            part.crossJoin(F.broadcast(ns))
+            .select(
+                "p_partkey",
+                "nsupp",
+                F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+            )
+            .select(
+                F.col("p_partkey").alias("ps_partkey"),
+                F.pmod(F.col("p_partkey") + F.col("i") * step, F.col("nsupp"))
+                .cast("long")
+                .alias("ps_suppkey"),
+                (F.pmod(F.col("p_partkey") * 7 + F.col("i") * 13, 9999) + 1)
+                .cast("long")
+                .alias("ps_availqty"),
+                (F.pmod(F.col("p_partkey") * 31 + F.col("i") * 17, 100000) + 100)
+                .cast("long")
+                .alias("ps_supplycost_cents"),
+            )
+        )
+
+    def tpch_q2(spark, sf):
+        """Q2 shape (min-cost supplier per part in a region): EUROPE
+        suppliers via nation⋈region, per-part min supplycost as a
+        grouped agg joined back on (part, cost) — the decorrelated form
+        of the reference's correlated subquery. Adapted to the slimmed
+        part schema: p_brand stands in for p_mfgr, p_type = 'ECONOMY'
+        replaces the '%BRASS' suffix match (types are single words
+        here)."""
+        ps = _partsupp(spark, sf)
+        part = read_table(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
+        supp = read_table(spark, sf, "supplier")
+        nation = read_table(spark, sf, "nation")
+        region = read_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+        eu = (
+            supp.join(nation, supp.s_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+        )
+        cost = ps.join(eu, ps.ps_suppkey == eu.s_suppkey)
+        mins = cost.groupBy("ps_partkey").agg(
+            F.min("ps_supplycost_cents").alias("min_cost")
+        )
+        best = (
+            cost.join(mins, "ps_partkey")
+            .filter(F.col("ps_supplycost_cents") == F.col("min_cost"))
+            .select(
+                "ps_partkey", "ps_supplycost_cents", "s_name", "n_name", "s_acctbal"
+            )
+        )
+        return best.join(part, best.ps_partkey == part.p_partkey).select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "n_name",
+            _CENTS("s_acctbal").alias("s_acctbal_cents"),
+            "ps_supplycost_cents",
+        )
+
+    def tpch_q11(spark, sf):
+        """Q11 shape (important stock per nation): per-part inventory
+        value (supplycost·qty, exact cents·qty BIGINT products) for one
+        nation's suppliers, kept where value exceeds 1/1000 of the
+        national total — the HAVING fraction multiplied through to
+        integer form (value·1000 > total), no float near the cut."""
+        ps = _partsupp(spark, sf)
+        supp = read_table(spark, sf, "supplier")
+        nation = read_table(spark, sf, "nation").filter(
+            F.col("n_name") == "NATION_7"
+        )
+        sn = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        v = (
+            ps.join(sn, ps.ps_suppkey == sn.s_suppkey)
+            .groupBy("ps_partkey")
+            .agg(
+                F.sum(F.col("ps_supplycost_cents") * F.col("ps_availqty"))
+                .cast("long")
+                .alias("part_value")
+            )
+        )
+        tot = v.agg(F.sum("part_value").cast("long").alias("total"))
+        return (
+            v.crossJoin(F.broadcast(tot))
+            .filter(F.col("part_value") * 1000 > F.col("total"))
+            .select("ps_partkey", "part_value")
+        )
+
+    def tpch_q16(spark, sf):
+        """Q16 shape (supplier diversity per part attribute): distinct
+        supplier count per (brand, type, size) for a size/brand slice,
+        excluding flagged suppliers via anti-join (NOT IN decorrelated;
+        negative account balance stands in for the reference's
+        '%Customer%Complaints%' comment match — the slimmed supplier
+        schema has no comment column)."""
+        ps = _partsupp(spark, sf)
+        part = read_table(spark, sf, "part").filter(
+            (F.col("p_brand") != "Brand#2")
+            & F.col("p_size").isin(1, 5, 11, 20, 35, 49)
+        )
+        bad = read_table(spark, sf, "supplier").filter(
+            F.col("s_acctbal") < 0
+        ).select("s_suppkey")
+        return (
+            ps.join(bad, ps.ps_suppkey == bad.s_suppkey, "left_anti")
+            .join(part, ps.ps_partkey == part.p_partkey)
+            .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+            .agg(F.count_distinct("ps_suppkey").cast("long").alias("supplier_cnt"))
+        )
+
     def tpch_q9(spark, sf):
         """Q9 shape (product-type profit by nation × year). The
         testdata has no partsupp/supplycost, so cost is proxied as
@@ -2336,6 +2460,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tpch_q17=tpch_q17,
         tpch_q21=tpch_q21,
         tpch_q22=tpch_q22,
+        tpch_q2=tpch_q2,
+        tpch_q11=tpch_q11,
+        tpch_q16=tpch_q16,
         tpch_q14=tpch_q14,
         tpch_q15=tpch_q15,
         tpch_q18=tpch_q18,
@@ -2371,6 +2498,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bpe_pairs",
         "events_anomaly_mad",
         "events_transitions",
+        "tpch_q2",
+        "tpch_q11",
+        "tpch_q16",
         # touched in round 5: ParquetStateSink rewrite (one partitionBy
         # write per table, multi-path state reads, emptied-bucket
         # pointer drops) — both state-sink-backed queries re-earn green
@@ -3834,6 +3964,69 @@ def oracle_sql() -> dict[str, str]:
            CAST(len(regexp_extract_all(text, '{_PII["ipv4"][0]}')) AS BIGINT) AS n_ipv4,
            md5({_scrub_expr}) AS scrubbed_md5
     FROM planted
+    """
+
+    # partsupp synthesis — the DuckDB twin of _partsupp (q2/q11/q16)
+    _PARTSUPP_CTE = """
+    partsupp AS (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey + i.i * greatest(1, ns.n // 4)) % ns.n AS ps_suppkey,
+             (p_partkey * 7 + i.i * 13) % 9999 + 1 AS ps_availqty,
+             (p_partkey * 31 + i.i * 17) % 100000 + 100 AS ps_supplycost_cents
+      FROM part,
+           (SELECT unnest(range(0, 4)) AS i) i,
+           (SELECT count(*) AS n FROM supplier) ns
+    )
+    """
+
+    o["tpch_q2"] = f"""
+    WITH {_PARTSUPP_CTE},
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    cost AS (
+      SELECT ps.*, eu.s_name, eu.n_name, eu.s_acctbal
+      FROM partsupp ps JOIN eu ON ps_suppkey = s_suppkey
+    ),
+    mins AS (
+      SELECT ps_partkey, min(ps_supplycost_cents) AS min_cost
+      FROM cost GROUP BY 1
+    )
+    SELECT p_partkey, p_brand, s_name, n_name,
+           CAST(round(s_acctbal * 100, 0) AS BIGINT) AS s_acctbal_cents,
+           ps_supplycost_cents
+    FROM cost
+    JOIN mins ON cost.ps_partkey = mins.ps_partkey
+             AND ps_supplycost_cents = min_cost
+    JOIN part ON cost.ps_partkey = p_partkey
+    WHERE p_type = 'ECONOMY'
+    """
+
+    o["tpch_q11"] = f"""
+    WITH {_PARTSUPP_CTE},
+    v AS (
+      SELECT ps_partkey,
+             CAST(sum(ps_supplycost_cents * ps_availqty) AS BIGINT) AS part_value
+      FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY ps_partkey
+    ),
+    t AS (SELECT CAST(sum(part_value) AS BIGINT) AS total FROM v)
+    SELECT ps_partkey, part_value FROM v, t WHERE part_value * 1000 > total
+    """
+
+    o["tpch_q16"] = f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp JOIN part ON ps_partkey = p_partkey
+    WHERE p_brand <> 'Brand#2' AND p_size IN (1, 5, 11, 20, 35, 49)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
     """
 
     o["docs_bpe_pairs"] = """

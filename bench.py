@@ -38,6 +38,7 @@ HEADLINE = [
     "cs_wal2json_decode",
     "cs_debezium_decode",
     "tpch_q1",
+    "tpch_q2",
     "tpch_q3",
     "tpch_q4",
     "tpch_q5",
@@ -46,10 +47,12 @@ HEADLINE = [
     "tpch_q8",
     "tpch_q9",
     "tpch_q10",
+    "tpch_q11",
     "tpch_q12",
     "tpch_q13",
     "tpch_q14",
     "tpch_q15",
+    "tpch_q16",
     "tpch_q17",
     "tpch_q18",
     "tpch_q19",

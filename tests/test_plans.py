@@ -113,6 +113,13 @@ BROADCAST_HINT_BUDGET = {
     "tpch_q15": 1,  # one-row argmax
     "tpch_q18": 1,  # post-agg survivor set
     "tpch_q19": 1,  # part
+    # region + one-row supplier count, each appearing twice: the cost
+    # subtree feeds both the per-part min agg and the join-back
+    "tpch_q2": 4,
+    # (nation dim + supplier count) ×2 — the per-part value subtree
+    # feeds both the global total and the filter — plus the one-row total
+    "tpch_q11": 5,
+    "tpch_q16": 1,  # one-row supplier count (partsupp synth)
 }
 
 
@@ -151,7 +158,14 @@ def test_temporal_joins_never_nested_loop(spark, qs):
 # global scalar like avg-balance): the only correct physical join for a
 # keyless scalar side is a broadcast nested loop, and against one row it
 # is O(n) — allowed here, forbidden everywhere else.
-SCALAR_BNLJ_OK = {"tpch_q22"}
+SCALAR_BNLJ_OK = {
+    "tpch_q22",
+    # partsupp synthesis crossJoins the one-row supplier count; q11
+    # additionally joins the one-row national total
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q16",
+}
 
 
 def test_tpch_no_cartesian_anywhere(spark, qs):
