@@ -1,0 +1,351 @@
+"""S1 live tail: a from-scratch PostgreSQL logical-replication client.
+
+The reference's LR mode (lr_listener.go:92-185) drives pglogrepl:
+create a logical slot, START_REPLICATION with the wal2json plugin,
+consume XLogData frames, answer keepalives with standby status
+updates. This module speaks the same public wire protocol —
+PostgreSQL frontend/backend protocol v3 (startup + simple query) and
+the streaming-replication sub-protocol inside CopyBoth mode
+(XLogData 'w', keepalive 'k', standby status 'r') — using only the
+stdlib socket module, so the slot lifecycle the sandbox could never
+exercise against a live server (lr_listener.go:257-299) is now real
+code with a wire-level fake server driving it in tests
+(tests/test_lr_client.py), the same prove-the-protocol approach as
+the RFC 6455 websocket sink.
+
+Improvement over the reference, by construction: lr_listener.go never
+advances the slot's confirmed LSN (its standby status always reports
+the start position, so every restart replays the whole slot).
+`LRClient.send_standby_status` reports the caller's flushed LSN, and
+`tail_to_drop_dir` confirms only after the batch file is durably
+renamed — restart replays AT MOST the unconfirmed tail, which the
+downstream watermarked dedup / LWW merge absorbs (streaming.py).
+
+Auth scope: `trust` (AuthenticationOk) only — the sandbox has no
+server at all; SCRAM would be dead code a test can't reach.
+
+Data path: frames land as JSONL files in a drop dir consumed by
+`streaming.wal2json_stream` (each file ≈ one micro-batch), or
+directly via the generator for embedding in a KeysetPoller-style
+loop. Decode stays in Catalyst either way.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import struct
+import time
+from dataclasses import dataclass
+
+# epoch difference: Postgres timestamps count microseconds from
+# 2000-01-01, Unix from 1970-01-01
+_PG_EPOCH_OFFSET_US = 946_684_800 * 1_000_000
+
+
+def _pg_now_us() -> int:
+    return int(time.time() * 1_000_000) - _PG_EPOCH_OFFSET_US
+
+
+def lsn_str(lsn: int) -> str:
+    """int → the XXX/XXX textual form Postgres uses (e.g. '0/15D68C8')."""
+    return f"{lsn >> 32:X}/{lsn & 0xFFFFFFFF:X}"
+
+
+def lsn_int(text: str) -> int:
+    hi, lo = text.split("/")
+    return (int(hi, 16) << 32) | int(lo, 16)
+
+
+@dataclass
+class XLogData:
+    wal_start: int
+    wal_end: int
+    server_ts_us: int
+    payload: bytes
+
+
+@dataclass
+class Keepalive:
+    wal_end: int
+    server_ts_us: int
+    reply_requested: bool
+
+
+class ProtocolError(RuntimeError):
+    pass
+
+
+class _Conn:
+    """Minimal v3-protocol framing: every backend message after startup
+    is (type byte, int32 length-including-itself, body)."""
+
+    def __init__(self, sock: socket.socket):
+        self.sock = sock
+
+    def _recv_exact(self, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            if not chunk:
+                raise ProtocolError("connection closed mid-message")
+            buf += chunk
+        return buf
+
+    def read_message(self) -> tuple[bytes, bytes]:
+        t = self._recv_exact(1)
+        (ln,) = struct.unpack("!i", self._recv_exact(4))
+        return t, self._recv_exact(ln - 4)
+
+    def send(self, type_byte: bytes, body: bytes) -> None:
+        self.sock.sendall(type_byte + struct.pack("!i", len(body) + 4) + body)
+
+    def send_startup(self, params: dict[str, str]) -> None:
+        body = struct.pack("!i", 196608)  # protocol 3.0
+        for k, v in params.items():
+            body += k.encode() + b"\x00" + v.encode() + b"\x00"
+        body += b"\x00"
+        self.sock.sendall(struct.pack("!i", len(body) + 4) + body)
+
+
+class LRClient:
+    """Logical-replication session against one database.
+
+    Usage:
+        c = LRClient(host, port, dbname="db", user="u", slot="wp_slot")
+        c.connect()
+        c.create_slot()                  # once; no-op if exists
+        for msg in c.start(start_lsn=0):
+            ...consume XLogData.payload (wal2json documents)...
+            c.send_standby_status(flush_lsn=msg.wal_end)
+    """
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        dbname: str,
+        user: str,
+        slot: str,
+        plugin: str = "wal2json",
+        status_interval_s: float = 10.0,
+    ):
+        self.host = host
+        self.port = port
+        self.dbname = dbname
+        self.user = user
+        self.slot = slot
+        self.plugin = plugin
+        self.status_interval_s = status_interval_s
+        self._conn: _Conn | None = None
+        self._last_status = 0.0
+        self.flushed_lsn = 0
+
+    # -- session ---------------------------------------------------------
+
+    def connect(self) -> None:
+        sock = socket.create_connection((self.host, self.port))
+        sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        self._conn = _Conn(sock)
+        # replication=database switches the backend into walsender mode
+        # with logical decoding available (public protocol contract)
+        self._conn.send_startup(
+            {"user": self.user, "database": self.dbname, "replication": "database"}
+        )
+        while True:
+            t, body = self._conn.read_message()
+            if t == b"R":
+                (code,) = struct.unpack("!i", body[:4])
+                if code != 0:
+                    raise ProtocolError(
+                        f"server requested auth method {code}; only trust "
+                        "(AuthenticationOk) is supported"
+                    )
+            elif t == b"Z":  # ReadyForQuery
+                return
+            elif t == b"E":
+                raise ProtocolError(f"startup error: {_error_text(body)}")
+            # 'S' ParameterStatus / 'K' BackendKeyData: informational
+
+    def close(self) -> None:
+        if self._conn:
+            try:
+                self._conn.send(b"X", b"")  # Terminate
+                self._conn.sock.close()
+            except OSError:
+                pass
+            self._conn = None
+
+    # -- simple queries (IDENTIFY_SYSTEM, slot DDL) ----------------------
+
+    def _simple_query(self, sql: str) -> list[tuple[str | None, ...]]:
+        """Run one walsender command, return DataRow tuples (text mode)."""
+        assert self._conn, "connect() first"
+        self._conn.send(b"Q", sql.encode() + b"\x00")
+        rows: list[tuple[str | None, ...]] = []
+        err: str | None = None
+        while True:
+            t, body = self._conn.read_message()
+            if t == b"D":
+                (nf,) = struct.unpack("!h", body[:2])
+                off, vals = 2, []
+                for _ in range(nf):
+                    (fl,) = struct.unpack("!i", body[off : off + 4])
+                    off += 4
+                    if fl == -1:
+                        vals.append(None)
+                    else:
+                        vals.append(body[off : off + fl].decode())
+                        off += fl
+                rows.append(tuple(vals))
+            elif t == b"E":
+                err = _error_text(body)
+            elif t == b"Z":
+                if err is not None:
+                    raise ProtocolError(err)
+                return rows
+            # 'T' RowDescription / 'C' CommandComplete: shape metadata
+
+    def identify_system(self) -> dict[str, str | None]:
+        rows = self._simple_query("IDENTIFY_SYSTEM")
+        if not rows:
+            raise ProtocolError("IDENTIFY_SYSTEM returned no rows")
+        sysid, tli, xlogpos, dbname = rows[0][:4]
+        return {"systemid": sysid, "timeline": tli, "xlogpos": xlogpos, "dbname": dbname}
+
+    def create_slot(self, if_not_exists: bool = True) -> int | None:
+        """CREATE_REPLICATION_SLOT ... LOGICAL <plugin>; returns the
+        slot's consistent-point LSN (None if it already existed and
+        if_not_exists)."""
+        try:
+            rows = self._simple_query(
+                f"CREATE_REPLICATION_SLOT {self.slot} LOGICAL {self.plugin}"
+            )
+        except ProtocolError as e:
+            if if_not_exists and "already exists" in str(e):
+                return None
+            raise
+        return lsn_int(rows[0][1]) if rows and rows[0][1] else None
+
+    def drop_slot(self) -> None:
+        self._simple_query(f"DROP_REPLICATION_SLOT {self.slot}")
+
+    # -- replication stream ----------------------------------------------
+
+    def start(self, start_lsn: int = 0):
+        """START_REPLICATION: yields XLogData (and Keepalive when the
+        server requests a reply — already answered internally). Ends
+        when the server sends CopyDone or closes."""
+        assert self._conn, "connect() first"
+        self.flushed_lsn = start_lsn
+        self._conn.send(
+            b"Q",
+            f"START_REPLICATION SLOT {self.slot} LOGICAL {lsn_str(start_lsn)}".encode()
+            + b"\x00",
+        )
+        t, body = self._conn.read_message()
+        if t == b"E":
+            raise ProtocolError(f"START_REPLICATION refused: {_error_text(body)}")
+        if t != b"W":  # CopyBothResponse
+            raise ProtocolError(f"expected CopyBothResponse, got {t!r}")
+        while True:
+            t, body = self._conn.read_message()
+            if t == b"c":  # CopyDone — server-initiated clean end
+                self._conn.send(b"c", b"")
+                return
+            if t == b"E":
+                raise ProtocolError(f"stream error: {_error_text(body)}")
+            if t != b"d":  # only CopyData carries stream content
+                continue
+            kind, rest = body[:1], body[1:]
+            if kind == b"w":
+                ws, we, ts = struct.unpack("!qqq", rest[:24])
+                msg = XLogData(ws, we, ts, rest[24:])
+                yield msg
+            elif kind == b"k":
+                we, ts, reply = struct.unpack("!qqB", rest[:17])
+                if reply:
+                    self.send_standby_status(self.flushed_lsn)
+                yield Keepalive(we, ts, bool(reply))
+            self._maybe_send_status()
+
+    def send_standby_status(self, flush_lsn: int, reply_requested: bool = False) -> None:
+        """Standby status update ('r'): written/flushed/applied LSNs.
+        Reporting the true flushed LSN is what lets the server advance
+        (and eventually recycle) the slot — the at-most-unconfirmed-tail
+        restart contract."""
+        assert self._conn, "connect() first"
+        self.flushed_lsn = max(self.flushed_lsn, flush_lsn)
+        body = b"r" + struct.pack(
+            "!qqqqB",
+            self.flushed_lsn,
+            self.flushed_lsn,
+            self.flushed_lsn,
+            _pg_now_us(),
+            1 if reply_requested else 0,
+        )
+        self._conn.send(b"d", body)
+        self._last_status = time.time()
+
+    def _maybe_send_status(self) -> None:
+        if time.time() - self._last_status >= self.status_interval_s:
+            self.send_standby_status(self.flushed_lsn)
+
+
+def _error_text(body: bytes) -> str:
+    parts = []
+    for field in body.split(b"\x00"):
+        if len(field) > 1 and field[:1] in (b"S", b"M", b"C"):
+            parts.append(field[1:].decode(errors="replace"))
+    return ": ".join(parts) or body.decode(errors="replace")
+
+
+def tail_to_drop_dir(
+    client: LRClient,
+    drop_dir: str,
+    start_lsn: int = 0,
+    batch_rows: int = 1000,
+    max_messages: int | None = None,
+) -> int:
+    """Bridge the socket stream into the Structured Streaming source
+    contract: buffer XLogData payloads, write each batch as one JSONL
+    file (atomic rename, so `wal2json_stream`'s file source never sees
+    a torn file), and confirm the batch's end LSN ONLY after the rename
+    — crash-redelivery is bounded by one batch and absorbed by the
+    idempotent downstream. Returns messages consumed (for tests /
+    bounded drains)."""
+    os.makedirs(drop_dir, exist_ok=True)
+    buf: list[bytes] = []
+    hi_lsn = start_lsn
+    n_seen = 0
+    seq = 0
+
+    def flush() -> None:
+        nonlocal seq
+        if not buf:
+            return
+        tmp = os.path.join(drop_dir, f".tmp_{hi_lsn:016x}_{seq}")
+        with open(tmp, "wb") as f:
+            f.write(b"\n".join(buf) + b"\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(drop_dir, f"lr_{hi_lsn:016x}_{seq}.jsonl"))
+        seq += 1
+        buf.clear()
+        client.send_standby_status(hi_lsn)
+
+    try:
+        for msg in client.start(start_lsn):
+            if isinstance(msg, XLogData):
+                buf.append(msg.payload)
+                hi_lsn = max(hi_lsn, msg.wal_end)
+                n_seen += 1
+                if len(buf) >= batch_rows:
+                    flush()
+                if max_messages is not None and n_seen >= max_messages:
+                    break
+        flush()
+    finally:
+        if buf:
+            flush()
+    return n_seen
