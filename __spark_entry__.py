@@ -1986,6 +1986,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "k_actual", "kth_hash", est.cast("long").alias("est_distinct"), "exact_distinct"
         )
 
+    def events_hll_registers(spark, sf):
+        """HyperLogLog sketch REGISTERS over user_id (p=6 → 64
+        buckets): bucket = top 6 bits of the 60-bit hash, register =
+        max over the bucket of (leading-zero count of the remaining 54
+        bits + 1). The registers ARE the sketch — integer-exact,
+        mergeable by pairwise max across partitions/days/tables (the
+        property that makes HLL the cardinality sketch for
+        pre-aggregation at 100 TB); the float harmonic-mean estimate is
+        a trivial driver-side epilogue deliberately left out of the
+        oracle-compared surface (no transcendental math near the hash
+        compare). Leading zeros via 55 − length(bin(w)) — bin() trims
+        identically on both engines; one map-side-combinable max agg."""
+        from warp_pipe_spark.datapipe.text import h60
+
+        mask = (1 << 54) - 1
+        ev = read_table(spark, sf, "events").select(
+            h60(F.col("user_id").cast("string")).alias("h")
+        )
+        w = F.col("h").bitwiseAND(F.lit(mask))
+        rho = F.when(w == 0, F.lit(55)).otherwise(
+            F.lit(55) - F.length(F.expr(f"bin(h & {mask})"))
+        )
+        return (
+            ev.select(
+                F.shiftright("h", 54).cast("long").alias("bucket"),
+                rho.cast("long").alias("rho"),
+            )
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("register"))
+        )
+
     def events_percentiles(spark, sf):
         """Exact linear-interpolation percentiles (p50/p90/p99) of
         cents-valued spend per event_type — the sort-based exact
@@ -2469,6 +2500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tpch_q19=tpch_q19,
         events_gaps=events_gaps,
         events_kmv_distinct=events_kmv_distinct,
+        events_hll_registers=events_hll_registers,
         events_percentiles=events_percentiles,
         events_funnel=events_funnel,
         events_cohort_retention=events_cohort_retention,
@@ -2498,6 +2530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bpe_pairs",
         "events_anomaly_mad",
         "events_transitions",
+        "events_hll_registers",
         "tpch_q2",
         "tpch_q11",
         "tpch_q16",
@@ -4077,6 +4110,21 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_type, hour_id, n, med2, mad4,
            (2 * d2 > 3 * mad4) AS is_anomaly
     FROM dev JOIN mad USING (event_type)
+    """
+
+    o["events_hll_registers"] = """
+    WITH h AS (
+      SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events
+    ),
+    r AS (
+      SELECT h // 18014398509481984 AS bucket,
+             CASE WHEN (h % 18014398509481984) = 0 THEN 55
+                  ELSE 55 - length(bin(h % 18014398509481984)) END AS rho
+      FROM h
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(max(rho) AS BIGINT) AS register
+    FROM r GROUP BY bucket
     """
 
     o["events_transitions"] = """

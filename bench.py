@@ -74,6 +74,7 @@ HEADLINE = [
     "events_range_join",
     "events_gaps",
     "events_kmv_distinct",
+    "events_hll_registers",
     "events_percentiles",
     "events_funnel",
     "events_cohort_retention",
