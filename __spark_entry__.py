@@ -2017,6 +2017,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.max("rho").alias("register"))
         )
 
+    def events_cms_registers(spark, sf):
+        """Count-Min sketch registers over event_type (depth 4 ×
+        width 64): counter[d][j] = count of rows whose salted hash
+        lands in column j for row d. The counters are the sketch —
+        integer-exact, mergeable by ADDITION across
+        partitions/days/streams (the frequency-estimation twin of the
+        HLL registers' merge-by-max); point estimate = min over the
+        d rows, a driver-side epilogue. One explode(d salts) + one
+        map-side-combinable count agg — the explode multiplies rows
+        by depth, not by data width, so the shape is linear at any
+        stream size."""
+        from warp_pipe_spark.datapipe.text import h60
+
+        depth, width = 4, 64
+        ev = read_table(spark, sf, "events").select("event_type")
+        salted = ev.select(
+            "event_type", F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d")
+        )
+        col_j = F.pmod(
+            h60(F.concat(F.col("d").cast("string"), F.lit("|"), F.col("event_type"))),
+            F.lit(width),
+        )
+        return (
+            salted.select(F.col("d").cast("long").alias("d"), col_j.cast("long").alias("j"))
+            .groupBy("d", "j")
+            .agg(F.count("*").alias("counter"))
+        )
+
     def events_percentiles(spark, sf):
         """Exact linear-interpolation percentiles (p50/p90/p99) of
         cents-valued spend per event_type — the sort-based exact
@@ -2501,6 +2529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_gaps=events_gaps,
         events_kmv_distinct=events_kmv_distinct,
         events_hll_registers=events_hll_registers,
+        events_cms_registers=events_cms_registers,
         events_percentiles=events_percentiles,
         events_funnel=events_funnel,
         events_cohort_retention=events_cohort_retention,
@@ -2531,6 +2560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_mad",
         "events_transitions",
         "events_hll_registers",
+        "events_cms_registers",
         "tpch_q2",
         "tpch_q11",
         "tpch_q16",
@@ -4110,6 +4140,17 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_type, hour_id, n, med2, mad4,
            (2 * d2 > 3 * mad4) AS is_anomaly
     FROM dev JOIN mad USING (event_type)
+    """
+
+    o["events_cms_registers"] = """
+    WITH salted AS (
+      SELECT event_type, unnest(range(0, 4)) AS d FROM events
+    )
+    SELECT CAST(d AS BIGINT) AS d,
+           CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || '|' || event_type),
+                                1, 15))::BIGINT % 64 AS BIGINT) AS j,
+           count(*)::BIGINT AS counter
+    FROM salted GROUP BY 1, 2
     """
 
     o["events_hll_registers"] = """

@@ -75,6 +75,7 @@ HEADLINE = [
     "events_gaps",
     "events_kmv_distinct",
     "events_hll_registers",
+    "events_cms_registers",
     "events_percentiles",
     "events_funnel",
     "events_cohort_retention",

@@ -106,3 +106,55 @@ def test_hll_registers_merge_by_max(spark, sf_dir):
         import math
         raw = m * math.log(m / (m - nz))
     assert 0.5 * exact <= raw <= 2.0 * exact, (raw, exact)
+
+
+def test_cms_registers_merge_by_add_and_point_estimate(spark, sf_dir):
+    """CMS invariants: split counters sum to the union's counters
+    (merge-by-ADD), and the point estimate min_d(counter[d][h_d(x)])
+    upper-bounds and here EQUALS the true count (5 distinct types over
+    4x64 cells → no collisions expected; >= always holds)."""
+    from warp_pipe_spark.io import read_table
+
+    qs = entrymod.queries()
+
+    def regs(pred):
+        import __spark_entry__ as e
+        from warp_pipe_spark.datapipe.text import h60
+
+        ev = read_table(spark, sf_dir, "events").filter(pred).select("event_type")
+        salted = ev.select(
+            "event_type",
+            F.explode(F.array(*[F.lit(d) for d in range(4)])).alias("d"),
+        )
+        col_j = F.pmod(
+            h60(F.concat(F.col("d").cast("string"), F.lit("|"), F.col("event_type"))),
+            F.lit(64),
+        )
+        out = (
+            salted.select(F.col("d").alias("d"), col_j.alias("j"))
+            .groupBy("d", "j")
+            .agg(F.count("*").alias("counter"))
+        )
+        return {(r["d"], r["j"]): r["counter"] for r in out.collect()}
+
+    whole = {(r["d"], r["j"]): r["counter"]
+             for r in qs["events_cms_registers"](spark, sf_dir).collect()}
+    merged = {}
+    for part in (regs("event_id % 2 = 0"), regs("event_id % 2 = 1")):
+        for k, v in part.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == whole
+
+    # point estimate per event_type vs true counts
+    from warp_pipe_spark.datapipe.text import h60 as _h60
+    ev = read_table(spark, sf_dir, "events")
+    true = {r["event_type"]: r["n"] for r in
+            ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    import hashlib
+    for et, n in true.items():
+        est = min(
+            whole.get((d, int(hashlib.md5(f"{d}|{et}".encode()).hexdigest()[:15], 16) % 64), 0)
+            for d in range(4)
+        )
+        assert est >= n
+        assert est == n  # no collisions at this cardinality
