@@ -593,6 +593,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             norm("new_value").alias("new_value"),
         ).filter(~F.col("old_value").eqNullSafe(F.col("new_value")))
 
+    def cs_scd2_intervals(spark, sf):
+        """SCD2 reconstruction from the changeset log: every
+        INSERT/UPDATE becomes a version row with a validity interval
+        [valid_from, valid_to) — valid_to is the NEXT change's
+        timestamp for the key (a DELETE terminates the last version
+        without creating one), NULL marks the current version. The
+        temporal-table view every warehouse builds from CDC; one
+        window shuffle keyed by (table, pk), ts in epoch-ms BIGINT,
+        money in cents."""
+        cs = _cs(spark, sf)
+        w = Window.partitionBy("table_name", "pk").orderBy("id")
+        timeline = cs.select(
+            "id",
+            "table_name",
+            "pk",
+            "action",
+            _CENTS("value").alias("value_cents"),
+            F.unix_millis("ts").alias("valid_from_ms"),
+        ).withColumn("valid_to_ms", F.lead("valid_from_ms").over(w))
+        return timeline.filter(F.col("action") != "DELETE").select(
+            "table_name",
+            "pk",
+            "id",
+            "value_cents",
+            "valid_from_ms",
+            "valid_to_ms",
+            F.col("valid_to_ms").isNull().alias("is_current"),
+        )
+
     def cs_snapshot_diff(spark, sf):
         """Batch CDC (the trigger-free capture mode): diff the state
         as-of changeset id 5000 against the final state — one
@@ -656,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(
         cs_attribute_changes=cs_attribute_changes,
         cs_snapshot_diff=cs_snapshot_diff,
+        cs_scd2_intervals=cs_scd2_intervals,
         cs_keyset_poll_stream=cs_keyset_poll_stream,
         cs_count_stats=cs_count_stats,
         cs_since_id=cs_since_id,
@@ -2569,6 +2599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pointer drops) — both state-sink-backed queries re-earn green
         "cs_keyset_poll_stream",
         "cs_incremental_merge",
+        "cs_scd2_intervals",
         "multimodal_phash",
         # new in round 5: stop-shingle cap (VERDICT r4 item 1) and
         # auto-parameter LSH (item 2)
@@ -2789,6 +2820,21 @@ def oracle_sql() -> dict[str, str]:
             FROM changesets {where})
       WHERE rn = 1 AND action <> 'DELETE'
     """
+    o["cs_scd2_intervals"] = f"""
+    WITH {CHANGESETS_CTE},
+    t AS (
+      SELECT id, table_name, pk, action,
+             CAST(round(value * 100, 0) AS BIGINT) AS value_cents,
+             epoch_ms(ts) AS valid_from_ms,
+             lead(epoch_ms(ts)) OVER (PARTITION BY table_name, pk ORDER BY id)
+               AS valid_to_ms
+      FROM changesets
+    )
+    SELECT table_name, pk, id, value_cents, valid_from_ms, valid_to_ms,
+           valid_to_ms IS NULL AS is_current
+    FROM t WHERE action <> 'DELETE'
+    """
+
     o["cs_snapshot_diff"] = f"""
     WITH {CHANGESETS_CTE},
     s_old AS ({_STATE_SQL.format(where="WHERE id <= 5000")}),

@@ -33,6 +33,7 @@ HEADLINE = [
     "cs_pipeline_stages",
     "cs_pipeline_deadletter",
     "cs_snapshot_diff",
+    "cs_scd2_intervals",
     "cs_attribute_changes",
     "cs_audit_decode",
     "cs_wal2json_decode",

@@ -186,3 +186,27 @@ def test_snapshot_diff_then_merge_converges(spark):
     merged = merge_batch(state, diff.select(*state.columns), ["pk"])
     got = {(r["pk"], r["val"]) for r in merged.collect()}
     assert got == {(1, "a"), (2, "B"), (4, "d")}
+
+
+def test_scd2_intervals_hand_computed(spark, sf_dir):
+    """pk with INSERT→UPDATE→DELETE: two versions, the update's
+    interval closed by the delete's ts, no version row for the
+    delete itself, update's is_current False."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    out = entrymod.queries()["cs_scd2_intervals"](spark, sf_dir)
+    # derive_changesets: pk % 20 == 0 → INSERT@pk*10, UPDATE@+5, DELETE@+7
+    pk = 20
+    rows = sorted(
+        ((r["id"], r["valid_to_ms"] is None, r["is_current"])
+         for r in out.filter(F.col("pk") == pk).collect())
+    )
+    assert len(rows) == 2  # insert + update; delete emits no version
+    (ins_id, ins_open, ins_cur), (upd_id, upd_open, upd_cur) = rows
+    assert ins_id == pk * 10 and upd_id == pk * 10 + 5
+    assert not ins_open and not ins_cur  # closed by the update
+    assert not upd_open and not upd_cur  # closed by the delete
+    # a never-updated pk has exactly one open current version
+    one = [r for r in out.filter(F.col("pk") == 1).collect()]
+    assert len(one) == 1 and one[0]["is_current"]
