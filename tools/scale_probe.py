@@ -515,6 +515,12 @@ def main() -> int:
         return hyperplane_lsh_pairs(read_table(spark, d, "embeddings"), n_planes=None)
 
     qs["ann_lsh_pairs_auto"] = _lsh_auto
+    # deliberately-pinned configurations kept ONLY for oracle
+    # determinism (fixed plane count regardless of corpus size); their
+    # _auto twins are the scale path and measure linear. Excluded from
+    # the worst-ratio verdict so a by-design fixture doesn't read as an
+    # open hazard.
+    pinned_fixtures = {"ann_lsh_pairs", "dedup_embedding_lsh"}
     names = [n for n in PROBE_QUERIES if n in qs and (not only or n in only)]
     print(f"| query | sf0.1 s | {r}x s | ratio | verdict (ideal ≤ {r}) |")
     print("|---|---|---|---|---|")
@@ -534,14 +540,17 @@ def main() -> int:
                 best = dt if best is None else min(best, dt)
             times[label] = best
         ratio = times["big"] / times["base"]
-        worst = max(worst, ratio)
-        verdict = "linear-ok" if ratio <= r * 1.3 else "SUPERLINEAR"
+        if name in pinned_fixtures:
+            verdict = "quadratic-by-design (determinism fixture; use _auto)"
+        else:
+            worst = max(worst, ratio)
+            verdict = "linear-ok" if ratio <= r * 1.3 else "SUPERLINEAR"
         print(
             f"| {name} | {times['base']:.2f} | {times['big']:.2f} "
             f"| {ratio:.1f}x | {verdict} |"
         )
         sys.stdout.flush()
-    print(f"\nworst ratio: {worst:.1f}x (R={r})")
+    print(f"\nworst non-fixture ratio: {worst:.1f}x (R={r})")
     return 0
 
 
