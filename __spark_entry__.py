@@ -2576,12 +2576,100 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_dup_spans=docs_dup_spans,
     )
 
+    # --- round 5: retrieval, clustering, sampling -----------------------
+
+    def docs_bm25(spark, sf):
+        """Okapi BM25 of a fixed 3-term query over documents: query-term
+        filter INSIDE the token array before explode, corpus stats as
+        broadcast one-row/|terms|-row aggregates, global top-k as
+        TakeOrderedAndProject."""
+        from warp_pipe_spark.datapipe.retrieval import bm25_topk
+
+        return bm25_topk(_docs(spark, sf), ["spark", "query", "window"], top_k=20)
+
+    def docs_tfidf_topterms(spark, sf):
+        """Per-document top-3 TF-IDF terms (WindowGroupLimit rank, df
+        broadcast back onto the (doc, term) tf agg)."""
+        from warp_pipe_spark.datapipe.retrieval import tfidf_top_terms
+
+        return tfidf_top_terms(_docs(spark, sf), top_k=3)
+
+    def emb_kmeans(spark, sf):
+        """Deterministic Lloyd k-means (k=8, 2 rounds, init = 8 smallest
+        vec_ids): centroids stay a k-row broadcast DataFrame, update is
+        posexplode→groupBy(cluster, dim) avg — linear in N·dim/iter."""
+        from warp_pipe_spark.datapipe.clustering import kmeans_assign
+
+        return kmeans_assign(read_table(spark, sf, "embeddings"), k=8, iters=2)
+
+    def emb_semdedup(spark, sf):
+        """SemDeDup (Abbas et al. 2023): k-means partition then exact
+        cosine pairs ONLY within clusters — bounds the quadratic term by
+        the largest cluster instead of N (the scale path embedding
+        near-dedup needs when LSH recall is not enough)."""
+        from warp_pipe_spark.datapipe.clustering import semdedup_pairs
+
+        return semdedup_pairs(
+            read_table(spark, sf, "embeddings"), k=8, iters=2, threshold=0.4
+        )
+
+    def events_pagerank(spark, sf):
+        """Weighted PageRank (d=0.85, 5 rounds, uniform dangling mass)
+        over the event-type transition graph: the join-agg loop that
+        scales to web graphs, on edges mined with one user-keyed lag
+        window + one count agg."""
+        from warp_pipe_spark.datapipe.clustering import pagerank
+
+        ev = read_table(spark, sf, "events").select("user_id", "event_id", "event_type", "ts")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        edges = (
+            ev.withColumn("src", F.lag("event_type").over(w))
+            .filter(F.col("src").isNotNull())
+            .groupBy("src", F.col("event_type").alias("dst"))
+            .agg(F.count("*").cast("double").alias("weight"))
+        )
+        return pagerank(edges, damping=0.85, iters=5)
+
+    def docs_stratified_sample(spark, sf):
+        """Exact-count stratified sample: ceil(0.2·n_s) docs per source,
+        picked by md5(doc_id) rank — one stratum-keyed Window exchange
+        computing count and rank together."""
+        from warp_pipe_spark.datapipe.sampling import stratified_sample
+
+        return stratified_sample(_docs(spark, sf), "source", "doc_id", fraction=0.2)
+
+    def docs_weighted_sample(spark, sf):
+        """Hash-priority weighted sample (integer-rational A-Res cousin:
+        key = md5-uniform / weight, no pow/ln): global top-50 via
+        per-partition heaps, weight = n_chars."""
+        from warp_pipe_spark.datapipe.sampling import weighted_priority_sample
+
+        return weighted_priority_sample(_docs(spark, sf), "n_chars", "doc_id", top_k=50)
+
+    q.update(
+        docs_bm25=docs_bm25,
+        docs_tfidf_topterms=docs_tfidf_topterms,
+        emb_kmeans=emb_kmeans,
+        emb_semdedup=emb_semdedup,
+        events_pagerank=events_pagerank,
+        docs_stratified_sample=docs_stratified_sample,
+        docs_weighted_sample=docs_weighted_sample,
+    )
+
     # The driver's correctness harness verifies the FIRST 50 dict entries
     # per round. Front-load (a) queries with no driver row yet and (b)
     # queries whose implementation changed this round, so every registered
     # query accumulates a driver-verified row across rounds; long-stable
     # rows rotate to the back.
     _verify_first = [
+        # new in round 5 (second batch): retrieval, clustering, sampling
+        "docs_bm25",
+        "docs_tfidf_topterms",
+        "emb_kmeans",
+        "emb_semdedup",
+        "events_pagerank",
+        "docs_stratified_sample",
+        "docs_weighted_sample",
         # new in round 5: PII scrub, unigram-LM stats, MAD anomaly
         # flags, Markov transitions
         "docs_pii_scrub",
@@ -4350,5 +4438,161 @@ def oracle_sql() -> dict[str, str]:
            unnest(range(0, doc_id * 40 + 1000 + 1, 1000)) AS frame_ts_ms
     FROM documents
     WHERE doc_id % 3 = 2
+    """
+
+    # --- round 5 second batch: retrieval, clustering, sampling ----------
+
+    # Float literals are embedded as repr() of the exact Python double
+    # the Spark expression uses and CAST from string, so DuckDB's
+    # DECIMAL literal typing can't silently change the arithmetic.
+    def _dlit(x: float) -> str:
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    _k1, _b = 1.2, 0.75
+    o["docs_bm25"] = f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    dl AS (SELECT doc_id, len(t)::BIGINT AS dl, t FROM tok),
+    st AS (SELECT avg(dl) AS avgdl, count(*)::BIGINT AS n_docs FROM dl),
+    hits AS (SELECT doc_id, dl,
+                    unnest(list_filter(t, x -> x IN ('spark','query','window'))) AS term
+             FROM dl),
+    tf AS (SELECT doc_id, dl, term, count(*)::BIGINT AS tf FROM hits GROUP BY 1, 2, 3),
+    dfr AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    per AS (
+      SELECT tf.doc_id,
+             ln({_dlit(1.0)} + (CAST(st.n_docs - dfr.df AS DOUBLE) + {_dlit(0.5)})
+                               / (CAST(dfr.df AS DOUBLE) + {_dlit(0.5)}))
+             * ((tf.tf * {_dlit(1.0 + _k1)})
+                / (tf.tf + {_dlit(_k1)} * ({_dlit(1.0 - _b)}
+                                           + {_dlit(_b)} * tf.dl / st.avgdl))) AS ts
+      FROM tf JOIN dfr USING (term) CROSS JOIN st
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_terms_hit, round(sum(ts), 6) AS score
+    FROM per GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
+
+    o["docs_tfidf_topterms"] = """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+    dfr AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    sc AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+             round(tf.tf * ln(nd.n_docs / dfr.df), 6) AS tfidf
+      FROM tf JOIN dfr USING (term) CROSS JOIN nd
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term ASC) AS rnk
+          FROM sc)
+    SELECT doc_id, term, tf, df, tfidf, rnk::BIGINT AS rank FROM r WHERE rnk <= 3
+    """
+
+    # Deterministic Lloyd k-means, 2 unrolled iterations: init = the 8
+    # smallest vec_ids; squared-L2 folded left-to-right (list_reduce
+    # mirrors Spark's F.aggregate fold); distances and centroid means
+    # rounded to 6 dp each round so IEEE sum-order noise can't compound.
+    def _sqd(e: str, c: str) -> str:
+        return (
+            f"list_reduce([({e}.v[i]-{c}.cv[i])*({e}.v[i]-{c}.cv[i]) "
+            f"FOR i IN range(1, len({e}.v)+1)], (acc, x) -> acc + x)"
+        )
+
+    _km_iters = []
+    for it in range(2):
+        cprev = f"c{it}"
+        _km_iters.append(f"""
+    a{it} AS (SELECT e.vec_id, e.v, {cprev}.cid,
+                     round({_sqd('e', cprev)}, 6) AS dist
+              FROM e CROSS JOIN {cprev}),
+    r{it} AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY dist, cid) AS rn
+              FROM a{it}),
+    s{it} AS (SELECT vec_id, v, cid AS cluster FROM r{it} WHERE rn = 1),
+    x{it} AS (SELECT cluster, unnest(range(1, len(v)+1)) AS i, v FROM s{it}),
+    m{it} AS (SELECT cluster, i, round(avg(v[i]), 6) AS m
+              FROM x{it} GROUP BY cluster, i),
+    c{it + 1} AS (SELECT cluster AS cid, list(m ORDER BY i) AS cv
+                  FROM m{it} GROUP BY cluster)""")
+
+    _KMEANS_CTE = (
+        """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),"""
+        + ",".join(_km_iters)
+        + f""",
+    af AS (SELECT e.vec_id, e.v, c2.cid, round({_sqd('e', 'c2')}, 6) AS dist
+           FROM e CROSS JOIN c2),
+    rf AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dist, cid) AS rn
+           FROM af),
+    fin AS (SELECT vec_id, v, cid AS cluster, dist FROM rf WHERE rn = 1)"""
+    )
+
+    o["emb_kmeans"] = f"""
+    WITH {_KMEANS_CTE}
+    SELECT vec_id, cluster, dist FROM fin
+    """
+
+    o["emb_semdedup"] = f"""
+    WITH {_KMEANS_CTE}
+    SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS_SQL} AS cos_sim
+    FROM fin a JOIN fin b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.4
+    """
+
+    # Weighted PageRank, 5 unrolled iterations (d=0.85, uniform
+    # dangling mass), ranks rounded to 8 dp per round.
+    _pr_iters = []
+    for it in range(5):
+        _pr_iters.append(f""",
+    d{it} AS (SELECT coalesce(sum(pr), {_dlit(0.0)}) AS dmass
+              FROM pr{it} WHERE node NOT IN (SELECT src FROM outw)),
+    g{it} AS (SELECT t.dst AS node, sum(p.pr * t.p) AS c
+              FROM pr{it} p JOIN trans t ON t.src = p.node GROUP BY t.dst),
+    pr{it + 1} AS (
+      SELECT n.node,
+             round({_dlit(1.0 - 0.85)} / nn.n
+                   + {_dlit(0.85)} * (coalesce(g.c, {_dlit(0.0)}) + d.dmass / nn.n),
+                   8) AS pr
+      FROM nodes n CROSS JOIN nn CROSS JOIN d{it} d
+      LEFT JOIN g{it} g ON g.node = n.node
+    )""")
+
+    o["events_pagerank"] = f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+      FROM events
+    ),
+    edges AS (SELECT src, event_type AS dst, count(*)::DOUBLE AS weight
+              FROM seq WHERE src IS NOT NULL GROUP BY 1, 2),
+    outw AS (SELECT src, sum(weight) AS ow FROM edges GROUP BY src),
+    trans AS (SELECT e.src, e.dst, e.weight / o.ow AS p
+              FROM edges e JOIN outw o ON o.src = e.src),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    pr0 AS (SELECT node, round({_dlit(1.0)} / nn.n, 8) AS pr
+            FROM nodes CROSS JOIN nn){"".join(_pr_iters)}
+    SELECT node, pr FROM pr5
+    """
+
+    o["docs_stratified_sample"] = """
+    SELECT source AS stratum, doc_id, rn::BIGINT AS pick_rank, cnt AS stratum_size
+    FROM (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS cnt
+      FROM documents
+    )
+    WHERE rn <= ceil(CAST('0.2' AS DOUBLE) * cnt)
+    """
+
+    o["docs_weighted_sample"] = f"""
+    SELECT doc_id AS id, n_chars AS weight,
+           {_H60_SQL.format(x="doc_id::VARCHAR")}::DOUBLE / n_chars AS priority
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY priority ASC, doc_id ASC LIMIT 50
     """
     return o

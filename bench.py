@@ -121,6 +121,13 @@ HEADLINE = [
     "multimodal_phash",
     "multimodal_audio_real",
     "multimodal_video_frames",
+    "docs_bm25",
+    "docs_tfidf_topterms",
+    "emb_kmeans",
+    "emb_semdedup",
+    "events_pagerank",
+    "docs_stratified_sample",
+    "docs_weighted_sample",
 ]
 
 

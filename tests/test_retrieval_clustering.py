@@ -1,0 +1,181 @@
+"""BM25 / TF-IDF retrieval, deterministic k-means + SemDeDup,
+PageRank, and deterministic sampling — semantics on hand-checkable
+fixtures."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from warp_pipe_spark.datapipe.clustering import (
+    kmeans_assign,
+    pagerank,
+    semdedup_pairs,
+)
+from warp_pipe_spark.datapipe.retrieval import bm25_topk, tfidf_top_terms
+from warp_pipe_spark.datapipe.sampling import (
+    stratified_sample,
+    weighted_priority_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "spark query engine", "a"),
+        (2, "spark spark spark shuffle", "a"),
+        (3, "query planner rules", "b"),
+        (4, "totally unrelated words here", "b"),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+
+
+# --- BM25 ------------------------------------------------------------
+
+
+def test_bm25_scores_and_ranking(docs):
+    out = bm25_topk(docs, ["spark", "query"], top_k=10).collect()
+    got = {r["doc_id"]: r for r in out}
+    # doc 4 shares no query terms -> absent
+    assert set(got) == {1, 2, 3}
+    # doc 1 hits both terms, docs 2/3 hit one each
+    assert got[1]["n_terms_hit"] == 2
+    assert got[2]["n_terms_hit"] == 1
+    # hand-check doc 3's single-term score:
+    # N=4 docs, df(query)=2, dl=3, avgdl=(3+4+3+4)/4=3.5, tf=1
+    idf = math.log(1 + (4 - 2 + 0.5) / (2 + 0.5))
+    tfp = (1 * 2.2) / (1 + 1.2 * (1 - 0.75 + 0.75 * 3 / 3.5))
+    assert got[3]["score"] == pytest.approx(round(idf * tfp, 6), abs=1e-6)
+    # ranking is by score desc
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_repeated_term_saturates(docs):
+    # BM25's tf saturation: doc 2 (tf=3) scores more than doc 1's
+    # spark-term contribution but less than 3x it.
+    out = {r["doc_id"]: r["score"] for r in bm25_topk(docs, ["spark"]).collect()}
+    assert out[2] > out[1]
+    assert out[2] < 3 * out[1]
+
+
+# --- TF-IDF ----------------------------------------------------------
+
+
+def test_tfidf_top_terms_ranks_distinctive_terms(docs):
+    out = tfidf_top_terms(docs, top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert all(len(v) <= 2 for v in by_doc.values())
+    # doc 2: 'spark' tf=3 df=2 -> 3*ln(2); 'shuffle' tf=1 df=1 -> ln(4)
+    top2 = sorted(by_doc[2], key=lambda r: r["rank"])
+    assert top2[0]["term"] == "spark"
+    assert top2[0]["tfidf"] == pytest.approx(3 * math.log(2), abs=1e-6)
+    assert top2[1]["term"] == "shuffle"
+    # ranks are 1..k within each doc
+    assert [r["rank"] for r in top2] == [1, 2]
+
+
+# --- k-means / SemDeDup ---------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    # two tight groups far apart; ids 0/1 seed the two init centroids
+    rows = [
+        (0, [0.0, 0.1]),
+        (1, [10.0, 10.0]),
+        (2, [0.1, 0.0]),
+        (3, [10.1, 9.9]),
+        (4, [0.05, 0.05]),
+        (5, [9.9, 10.1]),
+    ]
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+
+def test_kmeans_separates_two_blobs(embs):
+    out = {r["vec_id"]: r["cluster"] for r in kmeans_assign(embs, k=2, iters=2).collect()}
+    assert out[0] == out[2] == out[4]
+    assert out[1] == out[3] == out[5]
+    assert out[0] != out[1]
+
+
+def test_kmeans_is_deterministic(embs):
+    a = sorted(map(tuple, kmeans_assign(embs, k=2, iters=2).collect()))
+    b = sorted(map(tuple, kmeans_assign(embs, k=2, iters=2).collect()))
+    assert a == b
+
+
+def test_semdedup_only_intra_cluster_pairs(embs):
+    pairs = semdedup_pairs(embs, k=2, iters=2, threshold=0.9).collect()
+    assert pairs  # the tight blobs produce near-dup pairs
+    clusters = {r["vec_id"]: r["cluster"] for r in kmeans_assign(embs, k=2, iters=2).collect()}
+    for r in pairs:
+        assert r["vec_a"] < r["vec_b"]
+        assert clusters[r["vec_a"]] == clusters[r["vec_b"]] == r["cluster"]
+        assert r["cos_sim"] >= 0.9
+
+
+# --- PageRank --------------------------------------------------------
+
+
+def test_pagerank_sums_to_one_and_favors_sink(spark):
+    # a -> b, a -> c, b -> c, c -> a (cycle, no dangling)
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("a", "c", 1.0), ("b", "c", 1.0), ("c", "a", 1.0)],
+        "src STRING, dst STRING, weight DOUBLE",
+    )
+    out = {r["node"]: r["pr"] for r in pagerank(edges, iters=10).collect()}
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-5)
+    # c receives from both a and b -> highest rank
+    assert out["c"] > out["a"] > out["b"]
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    # b has no out-edges; without dangling handling total mass decays
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0)], "src STRING, dst STRING, weight DOUBLE"
+    )
+    out = {r["node"]: r["pr"] for r in pagerank(edges, iters=20).collect()}
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-4)
+    assert out["b"] > out["a"]
+
+
+def test_pagerank_weights_shift_rank(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 9.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "a", 1.0)],
+        "src STRING, dst STRING, weight DOUBLE",
+    )
+    out = {r["node"]: r["pr"] for r in pagerank(edges, iters=10).collect()}
+    assert out["b"] > out["c"]
+
+
+# --- sampling --------------------------------------------------------
+
+
+def test_stratified_sample_exact_counts(docs):
+    out = stratified_sample(docs, fraction=0.5).collect()
+    by_stratum = {}
+    for r in out:
+        by_stratum.setdefault(r["stratum"], []).append(r)
+    # each source has 2 docs -> ceil(0.5*2) = 1 kept
+    assert {k: len(v) for k, v in by_stratum.items()} == {"a": 1, "b": 1}
+    assert all(r["stratum_size"] == 2 for r in out)
+
+
+def test_stratified_sample_deterministic(docs):
+    a = sorted(map(tuple, stratified_sample(docs, fraction=0.5).collect()))
+    b = sorted(map(tuple, stratified_sample(docs, fraction=0.5).collect()))
+    assert a == b
+
+
+def test_weighted_priority_sample_prefers_heavy(spark):
+    rows = [(i, 1.0 if i else 1e9) for i in range(200)]
+    df = spark.createDataFrame(rows, "id LONG, w DOUBLE")
+    out = weighted_priority_sample(df, "w", "id", top_k=5).collect()
+    # the one enormous weight is always selected
+    assert 0 in {r["id"] for r in out}
+    # zero/negative weights are excluded, priorities ascend
+    pr = [r["priority"] for r in out]
+    assert pr == sorted(pr)

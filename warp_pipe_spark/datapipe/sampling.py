@@ -1,0 +1,95 @@
+"""Deterministic corpus sampling: exact-count stratified sampling and
+hash-priority weighted sampling.
+
+Training-data pipelines sample constantly (ablation subsets, mixture
+tuning, eval holdouts) and the two properties that matter at 100 TB are
+determinism (same corpus → same sample, no RNG state to ship) and
+avoiding a global sort. Both ops key every decision off md5(doc_id) so
+any engine — and any rerun — reproduces the same sample.
+
+Two shapes, two scale profiles:
+  * `stratified_sample` takes EXACTLY ceil(f·n_s) docs per stratum —
+    that requires a per-stratum ranking, i.e. one shuffle keyed by
+    stratum and a WindowGroupLimit-style rank. Correct but pays a
+    per-stratum sort; a stratum holding half the corpus makes that
+    window the bottleneck.
+  * the hash-threshold path (docs_hash_split / mix_rebalance in
+    __spark_entry__) is the approximate variant — a pure map-side
+    filter (keep if hash < f·2^60), zero shuffles, binomial count
+    jitter. At scale you use the threshold path unless the contract is
+    an exact row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_rank(col) -> F.Column:
+    """Deterministic per-row priority: md5 of the id's decimal string.
+    Hex md5 compares identically as a string in every engine."""
+    return F.md5(F.col(col).cast("string"))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    fraction: float = 0.2,
+) -> DataFrame:
+    """Exact-count stratified sample: per stratum, rank docs by
+    md5(doc_id) and keep the first ceil(fraction * stratum_size).
+    Returns (stratum, doc_id, pick_rank, stratum_size).
+
+    One shuffle keyed by stratum: the count and the rank ride the same
+    partitioning (window count(*) + row_number over the same partition
+    spec — Catalyst computes both in a single Window exchange)."""
+    w = Window.partitionBy(stratum_col)
+    wo = w.orderBy(_hash_rank(id_col).asc(), F.col(id_col).asc())
+    return (
+        docs.select(
+            F.col(stratum_col).alias("stratum"),
+            F.col(id_col).alias("doc_id"),
+            F.row_number().over(wo).cast("long").alias("pick_rank"),
+            F.count("*").over(w).alias("stratum_size"),
+        )
+        .filter(
+            F.col("pick_rank") <= F.ceil(F.lit(fraction) * F.col("stratum_size"))
+        )
+    )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    top_k: int = 50,
+) -> DataFrame:
+    """Hash-priority weighted sample: key = hash_u(id) / weight, keep
+    the global top_k smallest keys — rows with larger weight get
+    proportionally smaller keys, so selection probability rises with
+    weight (the integer-rational cousin of Efraimidis-Spirakis A-Res,
+    chosen over u^(1/w) because it needs no pow/ln and replays exactly
+    in any engine). hash_u is the first 15 hex digits of md5 as a
+    60-bit uniform integer.
+
+    Global top-k = TakeOrderedAndProject (per-partition heaps, no full
+    sort). Returns (id, weight, priority)."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
+        "double"
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(weight_col).alias("weight"),
+            # no rounding: priority ~ 2^60/weight is far above the 6-dp
+            # range where round() is meaningful on doubles, and the
+            # division of identical operands is already bit-exact in
+            # every IEEE engine
+            (h / F.col(weight_col)).alias("priority"),
+        )
+        .filter(F.col("weight") > 0)
+        .orderBy(F.col("priority").asc(), F.col("id").asc())
+        .limit(top_k)
+    )
