@@ -2613,6 +2613,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             read_table(spark, sf, "embeddings"), k=8, iters=2, threshold=0.4
         )
 
+    def emb_semdedup_auto(spark, sf):
+        """The scale-safe SemDeDup configuration: k = ceil(N/64) holds
+        expected cluster size — and intra-cluster pair cost per row —
+        constant as the corpus grows (the pinned-k emb_semdedup is the
+        determinism fixture; it measured 10.4x at 10x rows, this one
+        stays linear). k is a deterministic function of count(*), so
+        the DuckDB oracle derives the same k and replays exactly."""
+        from warp_pipe_spark.datapipe.clustering import semdedup_pairs
+
+        return semdedup_pairs(
+            read_table(spark, sf, "embeddings"), k=None, iters=2, threshold=0.4
+        )
+
     def events_pagerank(spark, sf):
         """Weighted PageRank (d=0.85, 5 rounds, uniform dangling mass)
         over the event-type transition graph: the join-agg loop that
@@ -2651,6 +2664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_tfidf_topterms=docs_tfidf_topterms,
         emb_kmeans=emb_kmeans,
         emb_semdedup=emb_semdedup,
+        emb_semdedup_auto=emb_semdedup_auto,
         events_pagerank=events_pagerank,
         docs_stratified_sample=docs_stratified_sample,
         docs_weighted_sample=docs_weighted_sample,
@@ -2667,6 +2681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_tfidf_topterms",
         "emb_kmeans",
         "emb_semdedup",
+        "emb_semdedup_auto",
         "events_pagerank",
         "docs_stratified_sample",
         "docs_weighted_sample",
@@ -4515,17 +4530,29 @@ def oracle_sql() -> dict[str, str]:
     c{it + 1} AS (SELECT cluster AS cid, list(m ORDER BY i) AS cv
                   FROM m{it} GROUP BY cluster)""")
 
-    _KMEANS_CTE = (
-        """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),"""
-        + ",".join(_km_iters)
-        + f""",
+    def _kmeans_cte(c0_sql: str) -> str:
+        return (
+            f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {c0_sql},"""
+            + ",".join(_km_iters)
+            + f""",
     af AS (SELECT e.vec_id, e.v, c2.cid, round({_sqd('e', 'c2')}, 6) AS dist
            FROM e CROSS JOIN c2),
     rf AS (SELECT *, row_number() OVER (PARTITION BY vec_id
                                         ORDER BY dist, cid) AS rn
            FROM af),
     fin AS (SELECT vec_id, v, cid AS cluster, dist FROM rf WHERE rn = 1)"""
+        )
+
+    _KMEANS_CTE = _kmeans_cte(
+        "c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8)"
+    )
+    # auto-k twin: k = max(1, ceil(N/64)) derived from count(*) exactly
+    # as clustering.auto_kmeans_k does, so the replay is exact at any SF
+    _KMEANS_AUTO_CTE = _kmeans_cte(
+        """kk AS (SELECT CAST(greatest(1, ceil(count(*) / 64.0)) AS BIGINT) AS k
+             FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM e CROSS JOIN kk WHERE vec_id < kk.k)"""
     )
 
     o["emb_kmeans"] = f"""
@@ -4535,6 +4562,13 @@ def oracle_sql() -> dict[str, str]:
 
     o["emb_semdedup"] = f"""
     WITH {_KMEANS_CTE}
+    SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS_SQL} AS cos_sim
+    FROM fin a JOIN fin b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.4
+    """
+
+    o["emb_semdedup_auto"] = f"""
+    WITH {_KMEANS_AUTO_CTE}
     SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS_SQL} AS cos_sim
     FROM fin a JOIN fin b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
     WHERE {_COS_SQL} >= 0.4

@@ -125,6 +125,7 @@ HEADLINE = [
     "docs_tfidf_topterms",
     "emb_kmeans",
     "emb_semdedup",
+    "emb_semdedup_auto",
     "events_pagerank",
     "docs_stratified_sample",
     "docs_weighted_sample",

@@ -286,3 +286,54 @@ def test_ngram_jaccard_capped_prefilters_before_lists(spark, qs):
     assert agg_pos != -1 and anti_pos != -1
     # tree prints top-down: the anti-join (earlier stage) appears below
     assert anti_pos > agg_pos, t
+
+
+def test_bm25_broadcasts_stats_and_take_ordered(spark, qs):
+    """BM25's corpus stats (df per query term, one-row avgdl/N) must
+    join by broadcast — shuffling the (doc, term) tf agg against a
+    3-row df table would be an unforced wide exchange — and the global
+    top-k must plan as TakeOrderedAndProject, not a full Sort."""
+    df = qs["docs_bm25"](spark, SF)
+    p = plan_of(spark, df)
+    t = tree_of(p)
+    assert "BroadcastHashJoin" in t, t
+    assert "SortMergeJoin" not in t, t
+    ex = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in ex, ex
+
+
+def test_tfidf_rank_uses_window_group_limit(spark, qs):
+    """The per-doc top-3 rank must push a map-side group-limit below
+    the doc_id exchange (WindowGroupLimit) — otherwise every (doc,
+    term) posting row rides the window shuffle at corpus scale."""
+    p = plan_of(spark, qs["docs_tfidf_topterms"](spark, SF))
+    t = tree_of(p)
+    assert "WindowGroupLimit" in t, t
+    assert "BroadcastHashJoin" in t, t
+
+
+def test_kmeans_centroids_broadcast_never_shuffle_vectors_wide(spark, qs):
+    """Every k-means assignment must join vectors × centroids by
+    broadcast (k rows): a SortMergeJoin here would shuffle the full
+    vector corpus once per iteration."""
+    p = plan_of(spark, qs["emb_kmeans"](spark, SF))
+    t = tree_of(p)
+    assert "SortMergeJoin" not in t, t
+    assert "BroadcastNestedLoopJoin" in t or "BroadcastHashJoin" in t, t
+
+
+def test_stratified_sample_single_window_exchange(spark, qs):
+    """Count and rank must ride ONE stratum-keyed exchange (same
+    partition spec -> one Window exchange), not two."""
+    p = plan_of(spark, qs["docs_stratified_sample"](spark, SF))
+    assert n_exchanges(p) == 1, tree_of(p)
+
+
+def test_weighted_sample_take_ordered_no_global_sort(spark, qs):
+    ex = (
+        qs["docs_weighted_sample"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in ex, ex

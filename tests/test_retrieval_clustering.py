@@ -179,3 +179,31 @@ def test_weighted_priority_sample_prefers_heavy(spark):
     # zero/negative weights are excluded, priorities ascend
     pr = [r["priority"] for r in out]
     assert pr == sorted(pr)
+
+
+def test_vectorized_assign_matches_fold_assign(spark):
+    """The Arrow einsum assignment (used when k > 16) must produce the
+    identical (cluster, dist) contract as the zip_with fold reference:
+    6-dp rounded distances, ties to the smaller cid."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from warp_pipe_spark.datapipe.clustering import _assign, _assign_vec
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    # an exact duplicate of a centroid vector exercises the dist=0
+    # cancellation clamp (-0.0 must not appear)
+    rows[30] = (30, rows[3][1])
+    vecs = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>"
+    ).select("vec_id", F.col("embedding").alias("v"))
+    cent = vecs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    a = {r["vec_id"]: (r["cluster"], r["dist"]) for r in _assign(vecs, cent).collect()}
+    b = {r["vec_id"]: (r["cluster"], r["dist"]) for r in _assign_vec(vecs, cent).collect()}
+    assert a == b
+    assert b[30] == (3, 0.0)
+    assert str(b[30][1]) == "0.0"  # not -0.0

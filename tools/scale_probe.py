@@ -84,6 +84,15 @@ PROBE_QUERIES = [
     "events_anomaly_mad",
     "events_transitions",
     "multimodal_phash",
+    # round-5 second batch: retrieval / clustering / sampling
+    "docs_bm25",
+    "docs_tfidf_topterms",
+    "emb_kmeans",
+    "emb_semdedup",
+    "emb_semdedup_auto",
+    "events_pagerank",
+    "docs_stratified_sample",
+    "docs_weighted_sample",
 ]
 
 
@@ -520,7 +529,9 @@ def main() -> int:
     # _auto twins are the scale path and measure linear. Excluded from
     # the worst-ratio verdict so a by-design fixture doesn't read as an
     # open hazard.
-    pinned_fixtures = {"ann_lsh_pairs", "dedup_embedding_lsh"}
+    # emb_semdedup pins k=8 for oracle determinism; cluster sizes grow
+    # with N so its pair stage is quadratic-by-design (use _auto)
+    pinned_fixtures = {"ann_lsh_pairs", "dedup_embedding_lsh", "emb_semdedup"}
     names = [n for n in PROBE_QUERIES if n in qs and (not only or n in only)]
     print(f"| query | sf0.1 s | {r}x s | ratio | verdict (ideal ≤ {r}) |")
     print("|---|---|---|---|---|")
