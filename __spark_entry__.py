@@ -2659,7 +2659,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return weighted_priority_sample(_docs(spark, sf), "n_chars", "doc_id", top_k=50)
 
+    def dedup_minhash_indexed(spark, sf):
+        """Ingest-time dedup against a PERSISTED incremental LSH index
+        (dedup_index): build over the 90% existing corpus, append the
+        10% new batch (work ∝ batch — blind parquet append into band
+        partitions), then candidate-match the batch with one
+        (band, key) join. Same banding as dedup_minhash_pairs, so the
+        oracle is the full-corpus band self-join restricted to batch
+        queries — what changes is that the corpus pass is amortized
+        instead of repeated per ingest."""
+        import tempfile
+
+        from warp_pipe_spark.datapipe.dedup_index import (
+            build_minhash_index,
+            query_minhash_index,
+            update_minhash_index,
+        )
+
+        docs = _docs(spark, sf)
+        path = tempfile.mkdtemp(prefix="wp_mhidx_")
+        batch = docs.filter(F.col("doc_id") % 10 == 7)
+        build_minhash_index(docs.filter(F.col("doc_id") % 10 != 7), path)
+        update_minhash_index(batch, path)
+        return query_minhash_index(spark, batch, path)
+
+    def events_value_hist(spark, sf):
+        """Equi-width histogram REGISTERS of value per event_type
+        (width 25, 20 bins clamped) — the quantile member of the
+        mergeable-sketch family (KMV/HLL cardinality, CMS frequency):
+        registers merge by ADDING counts bin-wise across partitions /
+        days / tables, and any quantile is read off the cumulative
+        register sum. One map-side-partial groupBy, integer-exact."""
+        ev = read_table(spark, sf, "events")
+        bin_ = F.least(
+            F.greatest(F.floor(F.col("value") / 25).cast("long"), F.lit(0)),
+            F.lit(19),
+        )
+        return (
+            ev.groupBy("event_type", bin_.alias("bin"))
+            .agg(F.count("*").alias("n"))
+        )
+
     q.update(
+        dedup_minhash_indexed=dedup_minhash_indexed,
+        events_value_hist=events_value_hist,
         docs_bm25=docs_bm25,
         docs_tfidf_topterms=docs_tfidf_topterms,
         emb_kmeans=emb_kmeans,
@@ -2676,7 +2719,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query accumulates a driver-verified row across rounds; long-stable
     # rows rotate to the back.
     _verify_first = [
-        # new in round 5 (second batch): retrieval, clustering, sampling
+        # new in round 5 (second batch): retrieval, clustering, sampling,
+        # incremental LSH index, histogram registers
+        "dedup_minhash_indexed",
+        "events_value_hist",
         "docs_bm25",
         "docs_tfidf_topterms",
         "emb_kmeans",
@@ -4620,6 +4666,22 @@ def oracle_sql() -> dict[str, str]:
       FROM documents
     )
     WHERE rn <= ceil(CAST('0.2' AS DOUBLE) * cnt)
+    """
+
+    o["dedup_minhash_indexed"] = f"""
+    WITH {_MINHASH_SIG_CTE},
+    bands AS ({_band_keys})
+    SELECT DISTINCT q.doc_id AS query_id, m.doc_id AS match_id
+    FROM bands q JOIN bands m
+      ON q.band = m.band AND q.bkey = m.bkey
+     AND q.doc_id % 10 = 7 AND m.doc_id <> q.doc_id
+    """
+
+    o["events_value_hist"] = """
+    SELECT event_type,
+           least(greatest(CAST(floor(value / 25) AS BIGINT), 0), 19) AS bin,
+           count(*)::BIGINT AS n
+    FROM events GROUP BY 1, 2
     """
 
     o["docs_weighted_sample"] = f"""

@@ -129,6 +129,8 @@ HEADLINE = [
     "events_pagerank",
     "docs_stratified_sample",
     "docs_weighted_sample",
+    "dedup_minhash_indexed",
+    "events_value_hist",
 ]
 
 

@@ -271,3 +271,48 @@ def test_ngram_jaccard_cap_recomputes_sizes_over_kept_sets(spark):
     }
     # the 8 boiler docs paired only through hot shingles: all dropped
     assert out == {(100, 101): 1.0}
+
+
+def test_incremental_index_matches_batch_lsh(spark, docs, tmp_path):
+    """build(corpus) + update(batch) + query(batch) must surface the
+    same candidate relationships as the one-shot batch banding."""
+    import pyspark.sql.functions as F
+
+    from warp_pipe_spark.datapipe.dedup import minhash_lsh_pairs
+    from warp_pipe_spark.datapipe.dedup_index import (
+        build_minhash_index,
+        query_minhash_index,
+        update_minhash_index,
+    )
+
+    path = str(tmp_path / "mhidx")
+    corpus = docs.filter(F.col("doc_id") <= 1)
+    batch = docs.filter(F.col("doc_id") >= 2)
+    build_minhash_index(corpus, path)
+    update_minhash_index(batch, path)
+    got = {
+        (r["query_id"], r["match_id"])
+        for r in query_minhash_index(spark, batch, path).collect()
+    }
+    expect = set()
+    for r in minhash_lsh_pairs(docs).collect():
+        if r["doc_a"] >= 2:
+            expect.add((r["doc_a"], r["doc_b"]))
+        if r["doc_b"] >= 2:
+            expect.add((r["doc_b"], r["doc_a"]))
+    assert got == expect
+    assert (2, 1) in got  # doc 2 is an exact dup of corpus doc 1
+
+
+def test_incremental_index_max_bucket_drops_hot(spark, docs, tmp_path):
+    from warp_pipe_spark.datapipe.dedup_index import (
+        build_minhash_index,
+        query_minhash_index,
+    )
+
+    path = str(tmp_path / "mhidx2")
+    build_minhash_index(docs, path)
+    # every bucket has <= 3 members (docs 1,2,3 share bands); cap at 1
+    # removes them all
+    got = query_minhash_index(spark, docs, path, max_bucket=1).collect()
+    assert got == []

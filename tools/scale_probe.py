@@ -93,6 +93,8 @@ PROBE_QUERIES = [
     "events_pagerank",
     "docs_stratified_sample",
     "docs_weighted_sample",
+    "dedup_minhash_indexed",
+    "events_value_hist",
 ]
 
 

@@ -138,15 +138,14 @@ def bucket_pairs(
     )
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame, n: int = 3, max_bucket: int | None = None
-) -> DataFrame:
-    """LSH banding: docs sharing any (band, band-key) are candidate
-    duplicate pairs. Returns (doc_a, doc_b) with doc_a < doc_b.
-    `max_bucket` guards against degenerate band keys (e.g. a corpus
-    where one boilerplate signature dominates) — see bucket_pairs."""
+def band_rows(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, band, key) LSH banding rows: the minhash signature cut
+    into N_BANDS 2-row bands, each band's values concatenated into a
+    string key. The shared primitive behind in-memory pair emission
+    (minhash_lsh_pairs) and the persisted incremental index
+    (dedup_index.build_minhash_index)."""
     sig = minhash_signatures(docs, n)
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -162,8 +161,22 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, n: int = 3, max_bucket: int | None = None
+) -> DataFrame:
+    """LSH banding: docs sharing any (band, band-key) are candidate
+    duplicate pairs. Returns (doc_a, doc_b) with doc_a < doc_b.
+    `max_bucket` guards against degenerate band keys (e.g. a corpus
+    where one boilerplate signature dominates) — see bucket_pairs."""
     return bucket_pairs(
-        bands, ["band", "key"], "doc_id", "doc_a", "doc_b", max_bucket=max_bucket
+        band_rows(docs, n),
+        ["band", "key"],
+        "doc_id",
+        "doc_a",
+        "doc_b",
+        max_bucket=max_bucket,
     )
 
 

@@ -1,0 +1,89 @@
+"""Persisted, incrementally-maintained MinHash-LSH index.
+
+The batch dedup operators (dedup.minhash_lsh_pairs) recompute
+signatures for the WHOLE corpus every run. At 100 TB the corpus is
+append-mostly: each ingest batch is a sliver of the total, and
+re-sharding a petabyte of postings to dedup a gigabyte of new
+documents is the wrong plan. This module keeps the banding rows
+(doc_id, band, key) in a parquet index partitioned by band:
+
+  * build once over the existing corpus (one signature pass — the same
+    linear cost the batch operator pays once);
+  * `update` appends ONLY the new batch's banding rows (work ∝ batch,
+    not corpus — parquet append into band partitions, no read-back,
+    no compaction barrier);
+  * `query` joins the batch's banding rows against the index on
+    (band, key). The shuffle is keyed by bucket and sized by the
+    BATCH's bucket membership; AQE broadcasts the batch side when it
+    is small. Only buckets the batch touches contribute join output.
+
+This mirrors the IVF persisted index (similarity.build_ivf_index) for
+the text-near-dup modality: amortize the corpus-wide pass, pay
+per-batch cost at ingest. The same `max_doc_freq`-style hygiene
+applies: a degenerate band key shared corpus-wide makes its posting
+list a hot join key — `query` takes `max_bucket` and drops oversized
+index buckets with a streaming pre-count (never materializing them),
+exactly like dedup.drop_hot_buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from warp_pipe_spark.datapipe.dedup import band_rows
+
+
+def build_minhash_index(docs: DataFrame, path: str, n: int = 3) -> None:
+    """Write the corpus banding rows partitioned by band (8 fixed
+    partitions; within each, files accumulate per append batch)."""
+    band_rows(docs, n).write.mode("overwrite").partitionBy("band").parquet(
+        path + "/bands"
+    )
+
+
+def update_minhash_index(new_docs: DataFrame, path: str, n: int = 3) -> None:
+    """Append one ingest batch's banding rows. Cost ∝ |batch|: one
+    signature pass over the new docs, blind append into the band
+    partitions — the existing index is never read or rewritten."""
+    band_rows(new_docs, n).write.mode("append").partitionBy("band").parquet(
+        path + "/bands"
+    )
+
+
+def query_minhash_index(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    n: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup matches for `batch` against everything
+    indexed so far (including the batch itself if it was `update`d):
+    (query_id, match_id) distinct pairs, match_id != query_id.
+
+    One equi-join on (band, key): the index side streams, the batch
+    side is typically broadcast by AQE. `max_bucket` drops index
+    buckets larger than the cap via a streaming count before the join
+    (boilerplate band keys are noise for near-dup anyway — the same
+    stop-shingle argument as dedup.ngram_jaccard_pairs)."""
+    idx = spark.read.parquet(path + "/bands").select(
+        "band", "key", F.col("doc_id").alias("match_id")
+    )
+    if max_bucket is not None:
+        hot = (
+            idx.groupBy("band", "key")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("band", "key")
+        )
+        idx = idx.join(hot, ["band", "key"], "left_anti")
+    qb = band_rows(batch, n).select(
+        "band", "key", F.col("doc_id").alias("query_id")
+    )
+    return (
+        qb.join(idx, ["band", "key"])
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select("query_id", "match_id")
+        .distinct()
+    )
