@@ -316,3 +316,42 @@ def test_incremental_index_max_bucket_drops_hot(spark, docs, tmp_path):
     # removes them all
     got = query_minhash_index(spark, docs, path, max_bucket=1).collect()
     assert got == []
+
+
+def test_ingest_dedup_sink_streams_batches(spark, tmp_path):
+    """Three micro-batches through the foreachBatch sink: every pair
+    the one-shot batch LSH finds must be surfaced by the time its later
+    doc's batch lands; replaying a batch must not change the result."""
+    import pyspark.sql.functions as F
+
+    from warp_pipe_spark.datapipe.dedup import minhash_lsh_pairs
+    from warp_pipe_spark.datapipe.dedup_index import IngestDedupSink
+
+    rows = [
+        (1, BASE),
+        (2, "something about planners and optimizers entirely"),
+        (3, BASE),          # dup of batch-0 doc
+        (4, NEAR),
+        (5, BASE),          # dup of docs 1 and 3
+        (6, OTHER),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    sink = IngestDedupSink(
+        spark, str(tmp_path / "idx"), str(tmp_path / "out")
+    )
+    for bid, lo in enumerate([1, 3, 5]):
+        sink(docs.filter(F.col("doc_id").isin(lo, lo + 1)), bid)
+    got = {
+        (r["query_id"], r["match_id"]) for r in sink.candidates().collect()
+    }
+    # later-doc direction of every batch-LSH pair must be present
+    for r in minhash_lsh_pairs(docs).collect():
+        assert (r["doc_b"], r["doc_a"]) in got
+    assert (3, 1) in got and (5, 1) in got and (5, 3) in got
+    # replaying batch 1 is a no-op (marker skips append, output rewrite)
+    before = got
+    sink(docs.filter(F.col("doc_id").isin(3, 4)), 1)
+    after = {
+        (r["query_id"], r["match_id"]) for r in sink.candidates().collect()
+    }
+    assert after == before

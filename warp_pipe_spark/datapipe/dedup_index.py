@@ -28,6 +28,8 @@ exactly like dedup.drop_hot_buckets.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -36,19 +38,23 @@ from warp_pipe_spark.datapipe.dedup import band_rows
 
 def build_minhash_index(docs: DataFrame, path: str, n: int = 3) -> None:
     """Write the corpus banding rows partitioned by band (8 fixed
-    partitions; within each, files accumulate per append batch)."""
-    band_rows(docs, n).write.mode("overwrite").partitionBy("band").parquet(
-        path + "/bands"
-    )
+    partitions; within each, files accumulate per append batch). The
+    base corpus is tagged ingest_batch = -1; appends tag their batch id
+    so queries can pin an as-of-batch view (replay determinism)."""
+    band_rows(docs, n).withColumn(
+        "ingest_batch", F.lit(-1).cast("long")
+    ).write.mode("overwrite").partitionBy("band").parquet(path + "/bands")
 
 
-def update_minhash_index(new_docs: DataFrame, path: str, n: int = 3) -> None:
+def update_minhash_index(
+    new_docs: DataFrame, path: str, n: int = 3, ingest_batch: int = -1
+) -> None:
     """Append one ingest batch's banding rows. Cost ∝ |batch|: one
     signature pass over the new docs, blind append into the band
     partitions — the existing index is never read or rewritten."""
-    band_rows(new_docs, n).write.mode("append").partitionBy("band").parquet(
-        path + "/bands"
-    )
+    band_rows(new_docs, n).withColumn(
+        "ingest_batch", F.lit(ingest_batch).cast("long")
+    ).write.mode("append").partitionBy("band").parquet(path + "/bands")
 
 
 def query_minhash_index(
@@ -57,19 +63,24 @@ def query_minhash_index(
     path: str,
     n: int = 3,
     max_bucket: int | None = None,
+    max_ingest_batch: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup matches for `batch` against everything
     indexed so far (including the batch itself if it was `update`d):
     (query_id, match_id) distinct pairs, match_id != query_id.
+    `max_ingest_batch` pins an as-of-batch view of the index (rows
+    appended by later batches are excluded) — what makes a replayed
+    micro-batch produce byte-identical output.
 
     One equi-join on (band, key): the index side streams, the batch
     side is typically broadcast by AQE. `max_bucket` drops index
     buckets larger than the cap via a streaming count before the join
     (boilerplate band keys are noise for near-dup anyway — the same
     stop-shingle argument as dedup.ngram_jaccard_pairs)."""
-    idx = spark.read.parquet(path + "/bands").select(
-        "band", "key", F.col("doc_id").alias("match_id")
-    )
+    idx = spark.read.parquet(path + "/bands")
+    if max_ingest_batch is not None:
+        idx = idx.filter(F.col("ingest_batch") <= max_ingest_batch)
+    idx = idx.select("band", "key", F.col("doc_id").alias("match_id"))
     if max_bucket is not None:
         hot = (
             idx.groupBy("band", "key")
@@ -87,3 +98,72 @@ def query_minhash_index(
         .select("query_id", "match_id")
         .distinct()
     )
+
+
+class IngestDedupSink:
+    """foreachBatch target for STREAMING document ingest: maintain the
+    incremental index and emit each micro-batch's candidate near-dup
+    pairs. The streaming twin of the CDC apply sinks — content
+    (near-dup) dedup, where streaming.dedup_stream handles identity
+    (redelivery) dedup.
+
+    Per batch: append the batch's banding rows tagged with the batch
+    id (update-then-query, so every cross-batch pair surfaces exactly
+    when its LATER document arrives, and batch-internal pairs surface
+    in both directions within their batch), then write the batch's
+    candidates — computed against the as-of-this-batch index view —
+    to `out_dir/batch_<id>`. Idempotent under Structured Streaming's
+    at-least-once foreachBatch contract: the as-of view makes a
+    replayed query byte-identical even after later batches landed, a
+    marker per batch_id skips the index append on replay (a crash
+    between append and marker merely duplicates one batch's postings,
+    which the distinct query absorbs), and the candidate output is
+    overwritten per batch_id, never appended."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        out_dir: str,
+        n: int = 3,
+        max_bucket: int | None = None,
+    ) -> None:
+        self.spark = spark
+        self.index_dir = index_dir
+        self.out_dir = out_dir
+        self.n = n
+        self.max_bucket = max_bucket
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.index_dir, "_ingested", f"batch_{batch_id}")
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        marker = self._marker(batch_id)
+        if not os.path.exists(marker):
+            update_minhash_index(
+                batch, self.index_dir, self.n, ingest_batch=batch_id
+            )
+            os.makedirs(os.path.dirname(marker), exist_ok=True)
+            with open(marker, "w") as f:
+                f.write("")
+        query_minhash_index(
+            self.spark,
+            batch,
+            self.index_dir,
+            self.n,
+            self.max_bucket,
+            max_ingest_batch=batch_id,
+        ).write.mode("overwrite").parquet(
+            os.path.join(self.out_dir, f"batch_{batch_id}")
+        )
+
+    def candidates(self) -> DataFrame | None:
+        """All candidate pairs surfaced so far (one multi-path scan)."""
+        dirs = [
+            os.path.join(self.out_dir, d)
+            for d in sorted(os.listdir(self.out_dir))
+            if d.startswith("batch_")
+        ]
+        if not dirs:
+            return None
+        return self.spark.read.parquet(*dirs).distinct()
