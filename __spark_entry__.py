@@ -2700,9 +2700,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count("*").alias("n"))
         )
 
+    def docs_pack_chunks(spark, sf):
+        """Deterministic sequence packing (concat-then-chunk, 512-token
+        chunks, 8 hash shards): each doc learns which training chunks
+        it spans. The prefix sum runs per shard — one window exchange,
+        n_shards-way parallel — instead of the sequential global-stream
+        trap; integer-exact so the layout replays in any engine."""
+        from warp_pipe_spark.datapipe.sampling import pack_chunks
+
+        return pack_chunks(_docs(spark, sf), chunk_tokens=512, n_shards=8)
+
     q.update(
         dedup_minhash_indexed=dedup_minhash_indexed,
         events_value_hist=events_value_hist,
+        docs_pack_chunks=docs_pack_chunks,
         docs_bm25=docs_bm25,
         docs_tfidf_topterms=docs_tfidf_topterms,
         emb_kmeans=emb_kmeans,
@@ -2723,6 +2734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental LSH index, histogram registers
         "dedup_minhash_indexed",
         "events_value_hist",
+        "docs_pack_chunks",
         "docs_bm25",
         "docs_tfidf_topterms",
         "emb_kmeans",
@@ -4682,6 +4694,26 @@ def oracle_sql() -> dict[str, str]:
            least(greatest(CAST(floor(value / 25) AS BIGINT), 0), 19) AS bin,
            count(*)::BIGINT AS n
     FROM events GROUP BY 1, 2
+    """
+
+    o["docs_pack_chunks"] = f"""
+    WITH t AS (
+      SELECT doc_id,
+             md5(doc_id::VARCHAR) AS h,
+             {_H60_SQL.format(x="doc_id::VARCHAR")} % 8 AS shard,
+             len(string_split(text, ' '))::BIGINT AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id) AS tok_end
+      FROM t
+    )
+    SELECT doc_id, shard, n_tokens,
+           tok_end - n_tokens AS tok_start,
+           (tok_end - n_tokens) // 512 AS chunk_first,
+           (tok_end - 1) // 512 AS chunk_last
+    FROM c
     """
 
     o["docs_weighted_sample"] = f"""

@@ -131,6 +131,7 @@ HEADLINE = [
     "docs_weighted_sample",
     "dedup_minhash_indexed",
     "events_value_hist",
+    "docs_pack_chunks",
 ]
 
 

@@ -207,3 +207,37 @@ def test_vectorized_assign_matches_fold_assign(spark):
     assert a == b
     assert b[30] == (3, 0.0)
     assert str(b[30][1]) == "0.0"  # not -0.0
+
+
+def test_pack_chunks_layout_invariants(spark):
+    """Packing invariants: within each shard the token stream is
+    contiguous (sorted tok_starts meet tok_ends exactly), chunk spans
+    cover each doc's tokens, and straddling is consistent."""
+    from warp_pipe_spark.datapipe.sampling import pack_chunks
+
+    rows = [(i, " ".join(["w"] * (7 + i % 13))) for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = pack_chunks(docs, chunk_tokens=16, n_shards=4).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for rows_ in by_shard.values():
+        rows_.sort(key=lambda r: r["tok_start"])
+        pos = 0
+        for r in rows_:
+            assert r["tok_start"] == pos  # contiguous stream, no gaps
+            pos += r["n_tokens"]
+            assert r["chunk_first"] == r["tok_start"] // 16
+            assert r["chunk_last"] == (r["tok_start"] + r["n_tokens"] - 1) // 16
+            assert r["chunk_first"] <= r["chunk_last"]
+
+
+def test_pack_chunks_deterministic(spark):
+    from warp_pipe_spark.datapipe.sampling import pack_chunks
+
+    rows = [(i, " ".join(["w"] * (3 + i % 5))) for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    a = sorted(map(tuple, pack_chunks(docs).collect()))
+    b = sorted(map(tuple, pack_chunks(docs).collect()))
+    assert a == b

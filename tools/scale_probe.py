@@ -95,6 +95,7 @@ PROBE_QUERIES = [
     "docs_weighted_sample",
     "dedup_minhash_indexed",
     "events_value_hist",
+    "docs_pack_chunks",
 ]
 
 

@@ -60,6 +60,51 @@ def stratified_sample(
     )
 
 
+def pack_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic sequence packing — the concat-then-chunk layout
+    step between a curated corpus and a pretraining data loader: the
+    token stream is cut into fixed `chunk_tokens` chunks and each
+    document learns which chunks it spans. GPT-style packing with
+    document straddling; integer-exact, so any engine replays the
+    layout bit-for-bit.
+
+    A single global token stream would make the cumulative sum one
+    sequential window — the classic non-parallelizable prefix-sum trap.
+    Instead docs are sharded by md5(id) (each shard is an independent
+    token stream, the way each data-loader worker owns its shard) and
+    ordered by hash within the shard: ONE window exchange keyed by
+    shard, n_shards-way parallel, linear at any corpus size with
+    n_shards sized to the cluster.
+
+    Returns (doc_id, shard, n_tokens, tok_start, chunk_first,
+    chunk_last) with tok_start the document's offset in its shard's
+    stream."""
+    h = F.md5(F.col(id_col).cast("string"))
+    h60 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        h.alias("h"),
+        F.pmod(h60, F.lit(n_shards)).alias("shard"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        base.withColumn("tok_end", F.sum("n_tokens").over(w))
+        .withColumn("tok_start", F.col("tok_end") - F.col("n_tokens"))
+        .withColumn("chunk_first", F.expr(f"tok_start div {chunk_tokens}"))
+        .withColumn("chunk_last", F.expr(f"(tok_end - 1) div {chunk_tokens}"))
+        .select(
+            "doc_id", "shard", "n_tokens", "tok_start", "chunk_first", "chunk_last"
+        )
+    )
+
+
 def weighted_priority_sample(
     df: DataFrame,
     weight_col: str,
