@@ -2710,10 +2710,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return pack_chunks(_docs(spark, sf), chunk_tokens=512, n_shards=8)
 
+    def docs_lm_logppl(spark, sf):
+        """Laplace-smoothed unigram log-perplexity per doc — the real
+        float filter score (CCNet-style) on top of docs_unigram_lm's
+        integer skeleton; one ln per distinct token, rounded to 6 dp."""
+        from warp_pipe_spark.datapipe.text import unigram_logppl
+
+        return unigram_logppl(_docs(spark, sf))
+
     q.update(
         dedup_minhash_indexed=dedup_minhash_indexed,
         events_value_hist=events_value_hist,
         docs_pack_chunks=docs_pack_chunks,
+        docs_lm_logppl=docs_lm_logppl,
         docs_bm25=docs_bm25,
         docs_tfidf_topterms=docs_tfidf_topterms,
         emb_kmeans=emb_kmeans,
@@ -2735,6 +2744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_indexed",
         "events_value_hist",
         "docs_pack_chunks",
+        "docs_lm_logppl",
         "docs_bm25",
         "docs_tfidf_topterms",
         "emb_kmeans",
@@ -4694,6 +4704,18 @@ def oracle_sql() -> dict[str, str]:
            least(greatest(CAST(floor(value / 25) AS BIGINT), 0), 19) AS bin,
            count(*)::BIGINT AS n
     FROM events GROUP BY 1, 2
+    """
+
+    o["docs_lm_logppl"] = """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    vocab AS (SELECT w, count(*)::BIGINT AS tf FROM toks GROUP BY w),
+    totals AS (SELECT sum(tf)::BIGINT AS v_tokens, count(*)::BIGINT AS t_types
+               FROM vocab)
+    SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+           round(-sum(ln((v.tf + CAST('1.0' AS DOUBLE))
+                         / (tt.v_tokens + tt.t_types))) / count(*), 6) AS logppl
+    FROM toks t JOIN vocab v USING (w) CROSS JOIN totals tt
+    GROUP BY t.doc_id
     """
 
     o["docs_pack_chunks"] = f"""

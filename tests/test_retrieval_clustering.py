@@ -241,3 +241,24 @@ def test_pack_chunks_deterministic(spark):
     a = sorted(map(tuple, pack_chunks(docs).collect()))
     b = sorted(map(tuple, pack_chunks(docs).collect()))
     assert a == b
+
+
+def test_unigram_logppl_orders_rare_docs_higher(spark):
+    """A doc of corpus-rare tokens must score higher log-perplexity
+    than one of corpus-common tokens; values match the hand formula."""
+    import math
+
+    from warp_pipe_spark.datapipe.text import unigram_logppl
+
+    rows = [
+        (1, "common common common"),
+        (2, "common common common"),
+        (3, "rare words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in unigram_logppl(docs).collect()}
+    assert out[3]["logppl"] > out[1]["logppl"]
+    # corpus: V=9 tokens, T=4 types; doc1 tokens all tf=6
+    expect = round(-math.log((6 + 1.0) / (9 + 4)), 6)
+    assert out[1]["logppl"] == pytest.approx(expect, abs=1e-6)
+    assert out[1]["n_tokens"] == 3

@@ -247,6 +247,44 @@ def unigram_lm(docs: DataFrame, rare_max_tf: int = 2) -> DataFrame:
     )
 
 
+def unigram_logppl(docs: DataFrame) -> DataFrame:
+    """Laplace-smoothed unigram log-perplexity per document — the real
+    float score on top of unigram_lm's integer skeleton (CCNet/
+    RedPajama gate on exactly this, via a KenLM model; the unigram
+    version is the self-contained analog):
+
+        lp(w)  = ln((tf(w) + 1) / (V + T))   V = corpus tokens,
+                                             T = vocabulary size
+        logppl = -mean over doc tokens of lp(w),  rounded to 6 dp
+
+    Higher = more corpus-surprising = boilerplate/noise candidate.
+    This module's no-transcendentals rule has one deliberate exception
+    here (and in retrieval.py's BM25): a single ln per distinct token,
+    with the result rounded to 6 dp — both engines' libm ln agree far
+    inside that margin (empirically oracle-checked at two SFs).
+
+    Shape: explode → vocab agg (map-side partial) → AQE-broadcast join
+    back → one groupBy(doc_id). The V/T scalars ride a one-row
+    broadcast. Returns (doc_id, n_tokens, logppl)."""
+    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count("*").alias("tf"))
+    totals = vocab.agg(
+        F.sum("tf").alias("v_tokens"), F.count("*").alias("t_types")
+    )
+    lp = F.log(
+        (F.col("tf") + F.lit(1.0)) / (F.col("v_tokens") + F.col("t_types"))
+    )
+    return (
+        toks.join(vocab, "w")
+        .join(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(-F.sum(lp) / F.count("*"), 6).alias("logppl"),
+        )
+    )
+
+
 def bpe_pair_counts(docs: DataFrame, top_k: int = 50) -> DataFrame:
     """One iteration of BPE tokenizer training: adjacent character-pair
     counts weighted by word frequency — the argmax pair is the next
