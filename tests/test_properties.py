@@ -256,3 +256,59 @@ def test_merge_sink_any_batch_split_converges_to_replay(spark, rows, n_batches):
     log = spark.createDataFrame(rows, schema)
     want = sorted(map(tuple, replay(log, ["pk"]).collect()))
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.integers(1, 40), min_size=1, max_size=30),
+    st.integers(2, 30),
+    st.integers(1, 4),
+)
+def test_pack_chunks_partitions_the_stream_for_any_corpus(
+    spark, token_counts, chunk_tokens, n_shards
+):
+    """For ANY doc-length distribution, packing must tile each shard's
+    token stream exactly: starts are contiguous per shard, chunk spans
+    are the integer-division images of the token span."""
+    from warp_pipe_spark.datapipe.sampling import pack_chunks
+
+    rows = [(i, " ".join(["w"] * c)) for i, c in enumerate(token_counts)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = pack_chunks(docs, chunk_tokens=chunk_tokens, n_shards=n_shards).collect()
+    assert len(out) == len(rows)
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rows_ in by_shard.values():
+        rows_.sort(key=lambda r: r["tok_start"])
+        pos = 0
+        for r in rows_:
+            assert r["tok_start"] == pos
+            pos += r["n_tokens"]
+            assert r["chunk_first"] == r["tok_start"] // chunk_tokens
+            assert r["chunk_last"] == (r["tok_start"] + r["n_tokens"] - 1) // chunk_tokens
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=40),
+    st.floats(0.05, 1.0),
+)
+def test_stratified_sample_exact_ceil_for_any_strata(spark, strata, fraction):
+    """Exactly ceil(fraction * n_s) rows per stratum, for ANY stratum
+    size distribution and fraction."""
+    import math
+
+    from warp_pipe_spark.datapipe.sampling import stratified_sample
+
+    rows = [(i, f"text {i}", s) for i, (s) in enumerate(strata)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    out = stratified_sample(docs, "source", "doc_id", fraction=fraction).collect()
+    want = {}
+    for s in strata:
+        want[s] = want.get(s, 0) + 1
+    got = {}
+    for r in out:
+        got[r["stratum"]] = got.get(r["stratum"], 0) + 1
+        assert r["stratum_size"] == want[r["stratum"]]
+    assert got == {s: math.ceil(fraction * n) for s, n in want.items()}
