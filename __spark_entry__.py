@@ -2028,23 +2028,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         oracle-compared surface (no transcendental math near the hash
         compare). Leading zeros via 55 − length(bin(w)) — bin() trims
         identically on both engines; one map-side-combinable max agg."""
-        from warp_pipe_spark.datapipe.text import h60
+        from warp_pipe_spark.analytics import hll_registers
 
-        mask = (1 << 54) - 1
-        ev = read_table(spark, sf, "events").select(
-            h60(F.col("user_id").cast("string")).alias("h")
-        )
-        w = F.col("h").bitwiseAND(F.lit(mask))
-        rho = F.when(w == 0, F.lit(55)).otherwise(
-            F.lit(55) - F.length(F.expr(f"bin(h & {mask})"))
-        )
-        return (
-            ev.select(
-                F.shiftright("h", 54).cast("long").alias("bucket"),
-                rho.cast("long").alias("rho"),
-            )
-            .groupBy("bucket")
-            .agg(F.max("rho").alias("register"))
+        return hll_registers(
+            read_table(spark, sf, "events").select("user_id"), "user_id", p=6
         )
 
     def events_cms_registers(spark, sf):
@@ -2060,19 +2047,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stream size."""
         from warp_pipe_spark.datapipe.text import h60
 
-        depth, width = 4, 64
-        ev = read_table(spark, sf, "events").select("event_type")
-        salted = ev.select(
-            "event_type", F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d")
-        )
-        col_j = F.pmod(
-            h60(F.concat(F.col("d").cast("string"), F.lit("|"), F.col("event_type"))),
-            F.lit(width),
-        )
-        return (
-            salted.select(F.col("d").cast("long").alias("d"), col_j.cast("long").alias("j"))
-            .groupBy("d", "j")
-            .agg(F.count("*").alias("counter"))
+        from warp_pipe_spark.analytics import cms_registers
+
+        return cms_registers(
+            read_table(spark, sf, "events").select("event_type"),
+            "event_type",
+            depth=4,
+            width=64,
         )
 
     def events_percentiles(spark, sf):

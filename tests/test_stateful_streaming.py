@@ -159,3 +159,57 @@ def test_funnel_sorts_across_arrow_chunk_seams(spark, tmp_path):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     assert set(got) == {1}
     assert got[1]["gap_ms"] == 5 * MIN
+
+
+def test_sketch_registers_stream_equals_batch(spark, tmp_path):
+    """hll_registers / cms_registers are batch/streaming-agnostic: the
+    SAME helper on a file stream (3 micro-batches, complete mode) must
+    drain to exactly the batch result — the registers' merge property
+    (max / add) IS Structured Streaming's incremental agg state."""
+    from pyspark.sql import types as T
+
+    from warp_pipe_spark.analytics import cms_registers, hll_registers
+
+    schema = "user_id LONG, event_type STRING"
+    rows = [(i % 37, ["click", "view", "purchase"][i % 3]) for i in range(300)]
+    drop = str(tmp_path / "sketch_drop")
+    for b in range(3):
+        spark.createDataFrame(rows[b * 100 : (b + 1) * 100], schema).coalesce(
+            1
+        ).write.mode("append").parquet(drop)
+
+    batch_df = spark.read.parquet(drop)
+    want_hll = {
+        (r["bucket"], r["register"]) for r in hll_registers(batch_df).collect()
+    }
+    want_cms = {
+        (r["d"], r["j"], r["counter"]) for r in cms_registers(batch_df).collect()
+    }
+
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    stream = (
+        spark.readStream.schema(T.StructType.fromDDL(schema))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    for name, fn in (("hll_sketch_q", hll_registers), ("cms_sketch_q", cms_registers)):
+        (
+            fn(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    got_hll = {
+        (r["bucket"], r["register"])
+        for r in spark.sql("SELECT * FROM hll_sketch_q").collect()
+    }
+    got_cms = {
+        (r["d"], r["j"], r["counter"])
+        for r in spark.sql("SELECT * FROM cms_sketch_q").collect()
+    }
+    assert got_hll == want_hll
+    assert got_cms == want_cms

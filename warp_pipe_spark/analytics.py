@@ -236,3 +236,53 @@ def streaming_hourly(stream: DataFrame, watermark: str = "2 hours") -> DataFrame
             "n_events",
         )
     )
+
+
+def hll_registers(df: DataFrame, value_col: str = "user_id", p: int = 6) -> DataFrame:
+    """HyperLogLog sketch registers over `value_col` (2^p buckets):
+    bucket = top p bits of the 60-bit hash, register = max rho of the
+    remaining bits. Pure narrow ops + one max agg — the SAME plan runs
+    on a batch OR a streaming DataFrame (registers merge by max, so
+    Structured Streaming's incremental agg state IS the sketch; drain
+    with outputMode complete/update). Returns (bucket, register)."""
+    from warp_pipe_spark.datapipe.text import h60
+
+    low_bits = 60 - p
+    mask = (1 << low_bits) - 1
+    rho = F.when(F.expr(f"(h & {mask})") == 0, F.lit(low_bits + 1)).otherwise(
+        F.lit(low_bits + 1) - F.length(F.expr(f"bin(h & {mask})"))
+    )
+    return (
+        df.select(h60(F.col(value_col).cast("string")).alias("h"))
+        .select(
+            F.shiftright("h", low_bits).cast("long").alias("bucket"),
+            rho.cast("long").alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+
+
+def cms_registers(
+    df: DataFrame, key_col: str = "event_type", depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Count-Min sketch counters over `key_col` (depth × width): one
+    salt-explode + one count agg, merge by ADD — like hll_registers,
+    batch/streaming-agnostic (streaming agg state accumulates the
+    counters incrementally). Returns (d, j, counter)."""
+    from warp_pipe_spark.datapipe.text import h60
+
+    salted = df.select(
+        key_col, F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d")
+    )
+    col_j = F.pmod(
+        h60(F.concat(F.col("d").cast("string"), F.lit("|"), F.col(key_col))),
+        F.lit(width),
+    )
+    return (
+        salted.select(
+            F.col("d").cast("long").alias("d"), col_j.cast("long").alias("j")
+        )
+        .groupBy("d", "j")
+        .agg(F.count("*").alias("counter"))
+    )
