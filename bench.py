@@ -180,6 +180,28 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
     times["ann_ivf_probe_only"] = round(time.time() - t0, 3)
 
+    # same split for the incremental MinHash index: the registered
+    # query pays build+update+query per run for oracle comparability;
+    # steady-state ingest pays only update+query.
+    from warp_pipe_spark.datapipe.dedup_index import (
+        build_minhash_index,
+        query_minhash_index,
+        update_minhash_index,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    mh_dir = tempfile.mkdtemp(prefix="wp_bench_mhidx_")
+    t0 = time.time()
+    build_minhash_index(docs.filter(F.col("doc_id") % 10 != 7), mh_dir)
+    times["mhidx_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    update_minhash_index(batch, mh_dir)
+    query_minhash_index(spark, batch, mh_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    times["mhidx_ingest_batch"] = round(time.time() - t0, 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "headline_queries_total_sec",

@@ -325,6 +325,48 @@ def hub_probe(spark, n: int = 200_000, r: int = 10) -> int:
     return 0
 
 
+def pagerank_probe(spark, n: int = 200_000, r: int = 10) -> int:
+    """Big-graph PageRank: the registered events_pagerank runs on a
+    tiny transition graph, so this confirms the generic join-agg loop
+    (clustering.pagerank) on a rank vector of n and r*n nodes — a
+    ring graph (every node one out-edge) plus n/1000 hub spokes for
+    degree skew. Wall-clock must stay ~linear in nodes; iterations
+    fixed at 5 so the comparison isolates the per-iteration join/agg
+    cost."""
+    from warp_pipe_spark.datapipe.clustering import pagerank
+
+    print(f"| nodes | s | ratio | verdict (ideal ≤ {r}) |")
+    print("|---|---|---|---|")
+    times = []
+    for m in (n, n * r):
+        ring = spark.range(m).select(
+            F.col("id").alias("src"),
+            ((F.col("id") + 1) % m).alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+        spokes = spark.range(0, m, 1000).select(
+            F.col("id").alias("src"),
+            F.lit(0).cast("long").alias("dst"),
+            F.lit(5.0).alias("weight"),
+        )
+        edges = ring.unionByName(spokes)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            pr = pagerank(edges, iters=5)
+            total = pr.agg(F.sum("pr")).first()[0]
+            n_rows = pr.count()
+            dt = time.time() - t0
+            assert n_rows == m and abs(total - 1.0) < 1e-3, (n_rows, total)
+            best = dt if best is None else min(best, dt)
+        times.append(best)
+        label = "ok" if len(times) == 1 or times[1] / times[0] <= r * 1.3 else "SUPER"
+        print(f"| {m:,} | {best:.2f} | "
+              f"{'' if len(times) == 1 else f'{times[1]/times[0]:.1f}x'} | {label} |")
+        sys.stdout.flush()
+    return 0
+
+
 def soak_probe(spark, r: int = 10, limit: int = 5_000, n_buckets: int = 32) -> int:
     """End-to-end streaming soak at R× (VERDICT r4 item 6): tail an
     R×-inflated changeset log with KeysetPoller → bucketed
@@ -509,6 +551,9 @@ def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--hub":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
         return hub_probe(get_spark("scale_probe_hub"), n)
+    if len(sys.argv) > 1 and sys.argv[1] == "--pagerank":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+        return pagerank_probe(get_spark("scale_probe_pagerank"), n)
     r = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = set(sys.argv[2:])
     out_dir = f"/tmp/wp_scale_sf{r}x"
