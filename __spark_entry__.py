@@ -2691,6 +2691,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return pack_chunks(_docs(spark, sf), chunk_tokens=512, n_shards=8)
 
+    def dedup_containment(spark, sf):
+        """Asymmetric n-gram containment pairs (inter/|A| per
+        direction) off the same capped inverted index as Jaccard — the
+        decontamination/quote signal a symmetric measure misses (small
+        doc fully inside a big one: J≈0, containment=1)."""
+        from warp_pipe_spark.datapipe.dedup import ngram_containment_pairs
+
+        return ngram_containment_pairs(
+            _docs(spark, sf), n=3, threshold=0.5, max_doc_freq=100
+        )
+
+    def docs_hash_embed(spark, sf):
+        """Signed feature hashing (8 dims, integer-exact): the
+        model-free text→vector bridge into the cosine/LSH/IVF/k-means
+        stack; SimHash's shuffle shape, zero float contracts."""
+        from warp_pipe_spark.datapipe.text import hash_embed
+
+        return hash_embed(_docs(spark, sf), dims=8)
+
     def docs_lm_logppl(spark, sf):
         """Laplace-smoothed unigram log-perplexity per doc — the real
         float filter score (CCNet-style) on top of docs_unigram_lm's
@@ -2704,6 +2723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_value_hist=events_value_hist,
         docs_pack_chunks=docs_pack_chunks,
         docs_lm_logppl=docs_lm_logppl,
+        dedup_containment=dedup_containment,
+        docs_hash_embed=docs_hash_embed,
         docs_bm25=docs_bm25,
         docs_tfidf_topterms=docs_tfidf_topterms,
         emb_kmeans=emb_kmeans,
@@ -2726,6 +2747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_hist",
         "docs_pack_chunks",
         "docs_lm_logppl",
+        "dedup_containment",
+        "docs_hash_embed",
         "docs_bm25",
         "docs_tfidf_topterms",
         "emb_kmeans",
@@ -4685,6 +4708,41 @@ def oracle_sql() -> dict[str, str]:
            least(greatest(CAST(floor(value / 25) AS BIGINT), 0), 19) AS bin,
            count(*)::BIGINT AS n
     FROM events GROUP BY 1, 2
+    """
+
+    o["dedup_containment"] = f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh0 AS (SELECT doc_id, unnest(list_distinct({_SH3_SQL})) AS s0 FROM tok),
+    sh_all AS (SELECT doc_id, {_H60_SQL.format(x='s0')} AS s FROM sh0),
+    hot AS (SELECT s FROM sh_all GROUP BY s HAVING count(*) > 100),
+    sh AS (SELECT * FROM sh_all WHERE s NOT IN (SELECT s FROM hot)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, inter,
+           round(inter::DOUBLE / sa.n_sh, 6) AS cont_a_in_b,
+           round(inter::DOUBLE / sb.n_sh, 6) AS cont_b_in_a
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(inter::DOUBLE / sa.n_sh, 6) >= 0.5
+       OR round(inter::DOUBLE / sb.n_sh, 6) >= 0.5
+    """
+
+    _he_cols = ",\n           ".join(
+        f"CAST(sum(CASE WHEN (h // {1 << k}) % 2 = 1 THEN c ELSE -c END) AS BIGINT) AS f{k}"
+        for k in range(8)
+    )
+    o["docs_hash_embed"] = f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    cnt AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+    hashed AS (SELECT doc_id, c, {_H60_SQL.format(x='w')} AS h FROM cnt)
+    SELECT doc_id,
+           {_he_cols}
+    FROM hashed GROUP BY doc_id
     """
 
     o["docs_lm_logppl"] = """

@@ -133,6 +133,8 @@ HEADLINE = [
     "events_value_hist",
     "docs_pack_chunks",
     "docs_lm_logppl",
+    "dedup_containment",
+    "docs_hash_embed",
 ]
 
 

@@ -355,3 +355,41 @@ def test_ingest_dedup_sink_streams_batches(spark, tmp_path):
         (r["query_id"], r["match_id"]) for r in sink.candidates().collect()
     }
     assert after == before
+
+
+def test_containment_catches_embedded_doc(spark):
+    """A small doc fully embedded in a big one must show containment
+    1.0 in the small->big direction even though Jaccard is tiny."""
+    from warp_pipe_spark.datapipe.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    big = " ".join(f"tok{i}" for i in range(300)) + " " + BASE
+    rows = [(1, big), (2, BASE), (3, OTHER)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    cont = {
+        (r["doc_a"], r["doc_b"]): (r["cont_a_in_b"], r["cont_b_in_a"])
+        for r in ngram_containment_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in cont
+    a_in_b, b_in_a = cont[(1, 2)]
+    assert b_in_a == 1.0          # BASE (doc 2) fully inside doc 1
+    assert a_in_b < 0.1           # doc 1 mostly NOT in doc 2
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0001).collect()
+    }
+    assert jac[(1, 2)] < 0.1      # symmetric measure misses it
+
+
+def test_hash_embed_integer_exact_and_discriminative(spark):
+    from warp_pipe_spark.datapipe.text import hash_embed
+
+    rows = [(1, BASE), (2, BASE), (3, OTHER)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: tuple(r[f"f{k}"] for k in range(8)) for r in hash_embed(docs).collect()}
+    assert out[1] == out[2]       # identical text -> identical vector
+    assert out[1] != out[3]
+    # signed sums of integer tf: total magnitude bounded by token count
+    assert all(abs(v) <= len(BASE.split()) for v in out[1])

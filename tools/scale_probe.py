@@ -97,6 +97,8 @@ PROBE_QUERIES = [
     "events_value_hist",
     "docs_pack_chunks",
     "docs_lm_logppl",
+    "dedup_containment",
+    "docs_hash_embed",
 ]
 
 

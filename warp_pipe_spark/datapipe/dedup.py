@@ -209,15 +209,15 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     return bitsums.select("doc_id", assembled.alias("simhash"))
 
 
-def ngram_jaccard_pairs(
+def _shingle_pair_counts(
     docs: DataFrame,
     n: int = 3,
-    threshold: float = 0.01,
     max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs discovered via the
-    shared-shingle inverted index (no all-pairs scan):
-    J = |A∩B| / (|A|+|B|-|A∩B|). Output (doc_a, doc_b, inter, jaccard).
+    """Shared core of the set-similarity family: distinct-shingle
+    intersection counts per candidate pair off the inverted index.
+    Returns (doc_a, doc_b, na, nb, inter) — Jaccard and containment
+    are one projection away.
 
     `max_doc_freq` enables stop-shingles (Lee et al. 2021-style): a
     shingle shared by more than `max_doc_freq` documents is removed
@@ -301,6 +301,20 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("inter"))
     )
+    return inter
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.01,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over inverted-index candidate pairs:
+    J = |A∩B| / (|A|+|B|-|A∩B|). Output (doc_a, doc_b, inter,
+    jaccard). See _shingle_pair_counts for the index shape and the
+    stop-shingle cap semantics."""
+    inter = _shingle_pair_counts(docs, n, max_doc_freq)
     j = inter.withColumn(
         "jaccard",
         F.round(
@@ -311,6 +325,38 @@ def ngram_jaccard_pairs(
     )
     return j.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "inter", "jaccard"
+    )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC set containment over the same inverted index:
+    c(A⊂B) = |A∩B| / |A| — the decontamination/quote-detection signal
+    Jaccard misses (a 50-shingle doc fully embedded in a 5000-shingle
+    doc has J ≈ 0.01 but containment 1.0; Lee et al.'s eval-overlap
+    audits and FineWeb-style decontamination gate on exactly this).
+    Emits pairs where EITHER direction clears `threshold`:
+    (doc_a, doc_b, inter, cont_a_in_b, cont_b_in_a). Identical plan
+    shape and stop-shingle cap as ngram_jaccard_pairs — one extra
+    projection, no new shuffle."""
+    inter = _shingle_pair_counts(docs, n, max_doc_freq)
+    c = inter.select(
+        "doc_a",
+        "doc_b",
+        "inter",
+        F.round(F.col("inter").cast("double") / F.col("na"), 6).alias(
+            "cont_a_in_b"
+        ),
+        F.round(F.col("inter").cast("double") / F.col("nb"), 6).alias(
+            "cont_b_in_a"
+        ),
+    )
+    return c.filter(
+        (F.col("cont_a_in_b") >= threshold) | (F.col("cont_b_in_a") >= threshold)
     )
 
 

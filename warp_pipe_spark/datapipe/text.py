@@ -247,6 +247,36 @@ def unigram_lm(docs: DataFrame, rare_max_tf: int = 2) -> DataFrame:
     )
 
 
+def hash_embed(docs: DataFrame, dims: int = 8) -> DataFrame:
+    """Hashing-trick text featurizer (signed feature hashing, Weinberger
+    et al. 2009): an integer-exact `dims`-dimensional vector per doc,
+    f_k = Σ_tokens sign_k(w) · tf(w), where sign_k(w) = ±1 from bit k
+    of the token's 60-bit hash. The model-free text→vector bridge: its
+    output feeds the same cosine/LSH/IVF/k-means machinery the
+    `embeddings` table does, so a corpus without precomputed embeddings
+    still gets the full similarity stack. All-integer sums → the oracle
+    replays bit-for-bit with no float rounding contract at all.
+
+    Shape: explode → (doc, token) tf agg → ONE groupBy(doc) computing
+    all `dims` signed sums as parallel aggregates (the SimHash shuffle
+    shape: exchange rows = distinct (doc, token) pairs, never ×dims).
+    Returns (doc_id, f0..f{dims-1}) as LONGs."""
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("w"))
+    cnt = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    cnt = cnt.withColumn("h", h60(F.col("w")))
+    aggs = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(h, {k}) & 1) = 1"), F.col("c")).otherwise(
+                -F.col("c")
+            )
+        )
+        .cast("long")
+        .alias(f"f{k}")
+        for k in range(dims)
+    ]
+    return cnt.groupBy("doc_id").agg(*aggs)
+
+
 def unigram_logppl(docs: DataFrame) -> DataFrame:
     """Laplace-smoothed unigram log-perplexity per document — the real
     float score on top of unigram_lm's integer skeleton (CCNet/
