@@ -2710,6 +2710,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return hash_embed(_docs(spark, sf), dims=8)
 
+    def docs_text_ann(spark, sf):
+        """The text→vector→ANN bridge END-TO-END with no model and no
+        precomputed embeddings table: hash_embed's integer vectors fed
+        straight into the broadcast-query top-k cosine machinery
+        (10 query docs, k=5). Demonstrates that a corpus arriving as
+        raw text gets the full similarity stack."""
+        from warp_pipe_spark.datapipe.similarity import topk_cosine
+        from warp_pipe_spark.datapipe.text import hash_embed
+
+        emb = (
+            hash_embed(_docs(spark, sf), dims=8)
+            # zero vectors (all signed sums cancel) have undefined
+            # cosine; excluded on BOTH sides, same predicate as the
+            # oracle
+            .filter(F.greatest(*[F.abs(F.col(f"f{k}")) for k in range(8)]) > 0)
+            .select(
+                F.col("doc_id").alias("vec_id"),
+                F.array(*[F.col(f"f{k}").cast("double") for k in range(8)]).alias(
+                    "embedding"
+                ),
+            )
+        )
+        return topk_cosine(emb, k=5, n_queries=10).select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "cos_sim",
+        )
+
     def docs_lm_logppl(spark, sf):
         """Laplace-smoothed unigram log-perplexity per doc — the real
         float filter score (CCNet-style) on top of docs_unigram_lm's
@@ -2725,6 +2754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_lm_logppl=docs_lm_logppl,
         dedup_containment=dedup_containment,
         docs_hash_embed=docs_hash_embed,
+        docs_text_ann=docs_text_ann,
         docs_bm25=docs_bm25,
         docs_tfidf_topterms=docs_tfidf_topterms,
         emb_kmeans=emb_kmeans,
@@ -2749,6 +2779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lm_logppl",
         "dedup_containment",
         "docs_hash_embed",
+        "docs_text_ann",
         "docs_bm25",
         "docs_tfidf_topterms",
         "emb_kmeans",
@@ -4743,6 +4774,31 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id,
            {_he_cols}
     FROM hashed GROUP BY doc_id
+    """
+
+    _he_abs = ", ".join(f"abs(f{k})" for k in range(8))
+    _he_vec = ", ".join(f"f{k}" for k in range(8))
+    o["docs_text_ann"] = f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    cnt AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+    hashed AS (SELECT doc_id, c, {_H60_SQL.format(x='w')} AS h FROM cnt),
+    he AS (SELECT doc_id,
+           {_he_cols}
+           FROM hashed GROUP BY doc_id),
+    e AS (SELECT doc_id AS vec_id, [{_he_vec}]::DOUBLE[] AS v
+          FROM he WHERE greatest({_he_abs}) > 0),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS_SQL} AS cos_sim
+      FROM e a JOIN e b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, cos_sim
+    FROM ranked WHERE rnk <= 5
     """
 
     o["docs_lm_logppl"] = """

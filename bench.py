@@ -135,6 +135,7 @@ HEADLINE = [
     "docs_lm_logppl",
     "dedup_containment",
     "docs_hash_embed",
+    "docs_text_ann",
 ]
 
 

@@ -99,6 +99,7 @@ PROBE_QUERIES = [
     "docs_lm_logppl",
     "dedup_containment",
     "docs_hash_embed",
+    "docs_text_ann",
 ]
 
 
