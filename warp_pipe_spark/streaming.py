@@ -98,6 +98,7 @@ class ParquetStateSink:
     """
 
     POINTER = "_POINTER.json"
+    POINTER_LOG = "_POINTER_LOG.jsonl"
 
     def __init__(
         self,
@@ -108,6 +109,7 @@ class ParquetStateSink:
         kind_col: str = "action",
         table_col: str = "table_name",
         n_buckets: int | None = None,
+        retain_history: bool = False,
     ):
         if n_buckets is not None and n_buckets < 1:
             # 0 would round-trip through the pointer as falsy and collide
@@ -120,6 +122,11 @@ class ParquetStateSink:
         self.kind_col = kind_col
         self.table_col = table_col
         self.n_buckets = n_buckets
+        # retain_history=True: superseded version dirs are KEPT and every
+        # committed pointer is appended to a log, enabling
+        # read_state_asof(batch_id) time travel (Delta-style). Storage
+        # then grows with change volume until externally vacuumed.
+        self.retain_history = retain_history
 
     # -- pointer ---------------------------------------------------------
 
@@ -280,10 +287,44 @@ class ParquetStateSink:
             self._commit_pointer(new_pointer, batch_id)
         finally:
             new_state.unpersist()
+        if self.retain_history:
+            # history entry AFTER the commit point: a crash between the
+            # two leaves the newest commit missing from the log (asof
+            # falls back one batch) but never logs an uncommitted
+            # pointer. Current state is always read_state(), log-free.
+            with open(os.path.join(self.state_dir, self.POINTER_LOG), "a") as f:
+                json.dump({"batch_id": batch_id, "tables": new_pointer}, f)
+                f.write("\n")
+                f.flush()
+                os.fsync(f.fileno())
+            return
         # superseded versions are garbage after the commit point
         for k, rel in old_rels.items():
             if new_pointer.get(k) != rel:
                 shutil.rmtree(os.path.join(self.state_dir, rel), ignore_errors=True)
+
+    def read_state_asof(self, batch_id: int) -> "DataFrame | None":
+        """Time travel: full state as of the LAST commit with
+        batch_id <= `batch_id` (None if no commit that old). Requires
+        retain_history=True — each history entry is a complete pointer
+        (untouched tables keep their old version rels), so as-of reads
+        are one multi-path scan, same cost shape as read_state()."""
+        if not self.retain_history:
+            raise ValueError("read_state_asof requires retain_history=True")
+        log = os.path.join(self.state_dir, self.POINTER_LOG)
+        if not os.path.exists(log):
+            return None
+        chosen = None
+        with open(log) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                entry = json.loads(line)
+                if entry["batch_id"] <= batch_id:
+                    chosen = entry
+        if chosen is None or not chosen["tables"]:
+            return None
+        return self._read_tables(sorted(chosen["tables"].values()))
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         self.apply_batch(batch, batch_id)
