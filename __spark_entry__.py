@@ -2710,6 +2710,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return hash_embed(_docs(spark, sf), dims=8)
 
+    def cs_state_asof(spark, sf):
+        """TIME TRAVEL, oracle-compared: the changeset log applied in
+        three id-ordered tercile batches through the retain_history
+        sink, then read_state_asof(1) — the state as of the first two
+        batches. The oracle is the replay restricted to
+        id <= (2·max_id) div 3: history entries are complete pointers,
+        so the as-of read is one multi-path scan of the v_0/v_1 dirs
+        the default sink would have deleted."""
+        import os
+        import tempfile
+
+        from warp_pipe_spark.streaming import ParquetStateSink
+
+        cs = _cs(spark, sf)
+        max_id = cs.agg(F.max("id")).first()[0]
+        cut1, cut2 = max_id // 3, (2 * max_id) // 3
+        base = tempfile.mkdtemp(prefix="wp_asof_")
+        sink = ParquetStateSink(
+            spark, os.path.join(base, "state"), pk_cols=["pk"], retain_history=True
+        )
+        sink.apply_batch(cs.filter(F.col("id") <= cut1), batch_id=0)
+        sink.apply_batch(
+            cs.filter((F.col("id") > cut1) & (F.col("id") <= cut2)), batch_id=1
+        )
+        sink.apply_batch(cs.filter(F.col("id") > cut2), batch_id=2)
+        return sink.read_state_asof(1).select(
+            "table_name",
+            "pk",
+            "user_id",
+            "event_type",
+            _CENTS("value").alias("value_cents"),
+            F.col("id").alias("last_id"),
+        )
+
     def docs_text_ann(spark, sf):
         """The text→vector→ANN bridge END-TO-END with no model and no
         precomputed embeddings table: hash_embed's integer vectors fed
@@ -2755,6 +2789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_containment=dedup_containment,
         docs_hash_embed=docs_hash_embed,
         docs_text_ann=docs_text_ann,
+        cs_state_asof=cs_state_asof,
         docs_bm25=docs_bm25,
         docs_tfidf_topterms=docs_tfidf_topterms,
         emb_kmeans=emb_kmeans,
@@ -2780,6 +2815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment",
         "docs_hash_embed",
         "docs_text_ann",
+        "cs_state_asof",
         "docs_bm25",
         "docs_tfidf_topterms",
         "emb_kmeans",
@@ -4799,6 +4835,20 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, cos_sim
     FROM ranked WHERE rnk <= 5
+    """
+
+    o["cs_state_asof"] = f"""
+    WITH {CHANGESETS_CTE},
+    cut AS (SELECT (2 * max(id)) // 3 AS c FROM changesets),
+    kept AS (SELECT cs.* FROM changesets cs CROSS JOIN cut WHERE cs.id <= cut.c),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY table_name, pk ORDER BY id DESC) AS rn
+      FROM kept
+    )
+    SELECT table_name, pk, user_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_cents,
+           id AS last_id
+    FROM ranked WHERE rn = 1 AND action <> 'DELETE'
     """
 
     o["docs_lm_logppl"] = """

@@ -136,6 +136,7 @@ HEADLINE = [
     "dedup_containment",
     "docs_hash_embed",
     "docs_text_ann",
+    "cs_state_asof",
 ]
 
 

@@ -100,6 +100,7 @@ PROBE_QUERIES = [
     "dedup_containment",
     "docs_hash_embed",
     "docs_text_ann",
+    "cs_state_asof",
 ]
 
 
