@@ -167,3 +167,38 @@ def test_auto_ivf_params_sqrt_scaling(spark, tmp_path):
     out = ivf_topk_indexed(spark, emb.limit(5), path, k=3, n_probe=3)
     got = out.groupBy("query_id").count().collect()
     assert all(r["count"] == 3 for r in got)
+
+
+def test_ivf_incremental_update_matches_full_build(spark, tmp_path):
+    """build(90%) + update(10%) must search identically to build(100%)
+    with the same codebook: the incremental index reaches the same
+    cells, so probed-cell top-k results are identical."""
+    from pyspark.sql import functions as F
+
+    from warp_pipe_spark.datapipe.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+        update_ivf_index,
+    )
+    from warp_pipe_spark.io import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    full_dir = str(tmp_path / "ivf_full")
+    incr_dir = str(tmp_path / "ivf_incr")
+    build_ivf_index(emb, full_dir, n_centroids=5)
+    # incremental: build WITHOUT the batch, then append it. Centroids
+    # (every 50th vec_id) all fall outside the held-out batch, so both
+    # indexes share the identical codebook.
+    batch = emb.filter(F.col("vec_id") % 10 == 7)
+    build_ivf_index(emb.filter(F.col("vec_id") % 10 != 7), incr_dir, n_centroids=5)
+    update_ivf_index(batch, incr_dir)
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    a = sorted(map(tuple, ivf_topk_indexed(spark, queries, full_dir, k=5).collect()))
+    b = sorted(map(tuple, ivf_topk_indexed(spark, queries, incr_dir, k=5).collect()))
+    assert a == b and a
+    # the appended vectors are really searchable: a held-out vector
+    # queried against the incremental index finds sane neighbors
+    probe_q = batch.limit(1)
+    got = ivf_topk_indexed(spark, probe_q, incr_dir, k=3).collect()
+    assert len(got) == 3

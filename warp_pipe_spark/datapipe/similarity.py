@@ -222,6 +222,21 @@ def build_ivf_index(
     ).parquet(path + "/cells")
 
 
+def update_ivf_index(new_embeddings: DataFrame, path: str) -> None:
+    """Append an ingest batch to a persisted IVF index: assign each new
+    vector to its nearest EXISTING centroid and append into that cell's
+    partition dir. Cost ∝ |batch|·k dots + one partitioned append — the
+    corpus is never re-read (the IVF twin of
+    dedup_index.update_minhash_index). Centroids stay fixed; after
+    heavy drift (cells ballooning past the √N balance), rebuild with
+    build_ivf_index — the standard IVF maintenance tradeoff."""
+    spark = new_embeddings.sparkSession
+    cent = spark.read.parquet(path + "/centroids")
+    _ivf_assign(new_embeddings, cent).write.mode("append").partitionBy(
+        "cent_id"
+    ).parquet(path + "/cells")
+
+
 def ivf_topk_indexed(
     spark,
     queries: DataFrame,
