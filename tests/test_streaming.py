@@ -523,3 +523,37 @@ def test_sink_default_still_garbage_collects(spark, tmp_path):
     assert not os.path.exists(v0)
     with _pytest.raises(ValueError):
         sink.read_state_asof(0)
+
+
+def test_sink_vacuum_history_bounds_storage(spark, tmp_path):
+    """vacuum_history(keep_last=2): older as-of reads disappear, newer
+    ones survive, shared (untouched-table) version dirs are preserved,
+    and the current state is untouched."""
+    import os
+
+    sink = ParquetStateSink(
+        spark, str(tmp_path / "state"), pk_cols=["pk"], retain_history=True
+    )
+    sink.apply_batch(spark.createDataFrame(BATCH1, SCHEMA), batch_id=0)
+    sink.apply_batch(spark.createDataFrame(BATCH2, SCHEMA), batch_id=1)
+    sink.apply_batch(
+        spark.createDataFrame([(6, "INSERT", "users", 4, "d")], SCHEMA), batch_id=2
+    )
+    v0 = os.path.join(sink.state_dir, "tables/users/v_0")
+    assert os.path.isdir(v0)
+
+    n = sink.vacuum_history(keep_last=2)
+    assert n == 1 and not os.path.exists(v0)
+    # asof(0) now resolves to nothing older than the kept window
+    assert sink.read_state_asof(0) is None
+    assert {(r["pk"], r["val"]) for r in sink.read_state_asof(1).collect()} == {
+        (2, "b2"),
+        (3, "c"),
+    }
+    assert {(r["pk"], r["val"]) for r in sink.read_state().collect()} == {
+        (2, "b2"),
+        (3, "c"),
+        (4, "d"),
+    }
+    # idempotent: nothing more to drop
+    assert sink.vacuum_history(keep_last=2) == 0

@@ -303,6 +303,42 @@ class ParquetStateSink:
             if new_pointer.get(k) != rel:
                 shutil.rmtree(os.path.join(self.state_dir, rel), ignore_errors=True)
 
+    def vacuum_history(self, keep_last: int = 10) -> int:
+        """Bound time-travel storage (the VACUUM to retain_history's
+        time travel): keep only the newest `keep_last` history entries,
+        delete version dirs referenced EXCLUSIVELY by dropped entries
+        (a dir shared with any surviving entry — an untouched table's
+        version — stays), and rewrite the log atomically. Returns the
+        number of dirs deleted. The current pointer is always safe: its
+        rels appear in the newest entry."""
+        if not self.retain_history:
+            raise ValueError("vacuum_history requires retain_history=True")
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        log = os.path.join(self.state_dir, self.POINTER_LOG)
+        if not os.path.exists(log):
+            return 0
+        with open(log) as f:
+            entries = [json.loads(x) for x in f if x.strip()]
+        if len(entries) <= keep_last:
+            return 0
+        dropped, kept = entries[:-keep_last], entries[-keep_last:]
+        live = {rel for e in kept for rel in e["tables"].values()}
+        dead = {
+            rel for e in dropped for rel in e["tables"].values()
+        } - live
+        for rel in sorted(dead):
+            shutil.rmtree(os.path.join(self.state_dir, rel), ignore_errors=True)
+        tmp = log + ".tmp"
+        with open(tmp, "w") as f:
+            for e in kept:
+                json.dump(e, f)
+                f.write("\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, log)
+        return len(dead)
+
     def read_state_asof(self, batch_id: int) -> "DataFrame | None":
         """Time travel: full state as of the LAST commit with
         batch_id <= `batch_id` (None if no commit that old). Requires
