@@ -99,3 +99,42 @@ def test_audit_stream_includes_timestamp_field(spark, audit_dir):
     assert main(["--source", audit_dir, "--limit", "1"], out=buf) == 0
     d = json.loads(buf.getvalue().splitlines()[0])
     assert d["timestamp"] == "0001-01-01T00:00:00Z"  # zero-time for null ts
+
+
+def test_cli_corpus_clean_and_pack(spark, tmp_path, capsys):
+    """The corpus subcommands run the dedup core / packing layout from
+    the shell and write parquet."""
+    import io
+
+    from warp_pipe_spark.__main__ import main
+
+    docs_dir = str(tmp_path / "docs")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base),                      # exact dup of 1 -> dropped
+        (3, "completely different words live here with no overlap"),
+    ]
+    spark.createDataFrame(rows, "doc_id LONG, text STRING").write.mode(
+        "overwrite"
+    ).parquet(docs_dir)
+
+    out_clean = str(tmp_path / "clean")
+    buf = io.StringIO()
+    rc = main(["corpus-clean", "--docs", docs_dir, "--out", out_clean], out=buf)
+    assert rc == 0 and "kept 2 of 3" in buf.getvalue()
+    kept = {r["doc_id"] for r in spark.read.parquet(out_clean).collect()}
+    assert kept == {1, 3}
+
+    out_pack = str(tmp_path / "pack")
+    buf = io.StringIO()
+    rc = main(
+        ["corpus-pack", "--docs", docs_dir, "--out", out_pack, "--chunk-tokens", "4"],
+        out=buf,
+    )
+    assert rc == 0
+    packed = spark.read.parquet(out_pack)
+    assert packed.count() == 3
+    assert set(packed.columns) == {
+        "doc_id", "shard", "n_tokens", "tok_start", "chunk_first", "chunk_last"
+    }

@@ -38,6 +38,21 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--schema", default="warp_pipe")
     tp = sub.add_parser("teardown-db", help="print the teardown DDL (S11)")
     tp.add_argument("--schema", default="warp_pipe")
+    cc = sub.add_parser(
+        "corpus-clean",
+        help="exact + near-dup dedup a documents parquet dir (keepers out)",
+    )
+    cc.add_argument("--docs", required=True, help="documents parquet dir/file")
+    cc.add_argument("--out", required=True, help="output parquet dir")
+    cc.add_argument("--max-bucket", type=int, default=1000)
+    cp = sub.add_parser(
+        "corpus-pack",
+        help="write the chunk-packing layout for a documents parquet dir",
+    )
+    cp.add_argument("--docs", required=True)
+    cp.add_argument("--out", required=True)
+    cp.add_argument("--chunk-tokens", type=int, default=512)
+    cp.add_argument("--shards", type=int, default=8)
     return p
 
 
@@ -56,6 +71,45 @@ def main(argv: list[str] | None = None, out=None) -> int:
 
         for stmt in teardown_ddl(args.schema):
             print(stmt + ";", file=out)
+        return 0
+    if args.command == "corpus-clean":
+        # keepers = exact-dup group representatives minus near-dup
+        # cluster non-representatives (the docs_clean_corpus dedup
+        # core, operable from the shell)
+        from pyspark.sql import functions as F
+
+        from warp_pipe_spark.datapipe.dedup import (
+            connected_components_star,
+            exact_dedup,
+            minhash_lsh_pairs,
+        )
+        from warp_pipe_spark.session import get_spark
+
+        spark = get_spark("warp_pipe_corpus")
+        docs = spark.read.parquet(args.docs)
+        keepers = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+        pairs = minhash_lsh_pairs(docs, max_bucket=args.max_bucket)
+        clusters = connected_components_star(pairs)
+        drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+            "doc_id"
+        )
+        kept = docs.join(keepers, "doc_id", "left_semi").join(
+            drop, "doc_id", "left_anti"
+        )
+        kept.write.mode("overwrite").parquet(args.out)
+        n_in, n_out = docs.count(), spark.read.parquet(args.out).count()
+        print(f"kept {n_out} of {n_in} documents -> {args.out}", file=out)
+        return 0
+    if args.command == "corpus-pack":
+        from warp_pipe_spark.datapipe.sampling import pack_chunks
+        from warp_pipe_spark.session import get_spark
+
+        spark = get_spark("warp_pipe_corpus")
+        docs = spark.read.parquet(args.docs)
+        pack_chunks(
+            docs, chunk_tokens=args.chunk_tokens, n_shards=args.shards
+        ).write.mode("overwrite").parquet(args.out)
+        print(f"packed layout -> {args.out}", file=out)
         return 0
 
     if not args.source:
