@@ -2744,6 +2744,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("id").alias("last_id"),
         )
 
+    def events_kmv_setops(spark, sf):
+        """Theta-sketch-style SET OPERATIONS on KMV sketches: user sets
+        of two event slices (event_id parity), k=64 smallest distinct
+        hashes each, union sketch = k smallest of the merged sets with
+        threshold θ = its kth hash, intersection register = |A∩B
+        below θ|. All-integer registers (the float Jaccard/cardinality
+        estimates are driver epilogues, like HLL's harmonic mean) —
+        the set-algebra property that lets pre-aggregated per-day
+        sketches answer cross-day overlap without rescanning raw data.
+        Every k-smallest pass is TakeOrderedAndProject."""
+        from warp_pipe_spark.datapipe.text import h60
+
+        k = 64
+        ev = read_table(spark, sf, "events")
+
+        def kmv(side):
+            return (
+                ev.filter(F.col("event_id") % 2 == side)
+                .select(h60(F.col("user_id").cast("string")).alias("h"))
+                .distinct()
+                .orderBy("h")
+                .limit(k)
+            )
+
+        ha, hb = kmv(0), kmv(1)
+        union_kmv = ha.union(hb).distinct().orderBy("h").limit(k)
+        theta = union_kmv.agg(
+            F.max("h").alias("theta"), F.count("*").cast("long").alias("k_union")
+        )
+        inter = (
+            ha.join(hb, "h")
+            .join(F.broadcast(theta))
+            .filter(F.col("h") <= F.col("theta"))
+            .agg(F.count("*").cast("long").alias("n_inter"))
+        )
+        sizes = ha.agg(F.count("*").cast("long").alias("k_a")).join(
+            hb.agg(F.count("*").cast("long").alias("k_b"))
+        )
+        return theta.join(inter).join(sizes).select(
+            "k_union", "theta", "n_inter", "k_a", "k_b"
+        )
+
     def docs_text_ann(spark, sf):
         """The text→vector→ANN bridge END-TO-END with no model and no
         precomputed embeddings table: hash_embed's integer vectors fed
@@ -2790,6 +2832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_hash_embed=docs_hash_embed,
         docs_text_ann=docs_text_ann,
         cs_state_asof=cs_state_asof,
+        events_kmv_setops=events_kmv_setops,
         docs_bm25=docs_bm25,
         docs_tfidf_topterms=docs_tfidf_topterms,
         emb_kmeans=emb_kmeans,
@@ -2816,6 +2859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_hash_embed",
         "docs_text_ann",
         "cs_state_asof",
+        "events_kmv_setops",
         "docs_bm25",
         "docs_tfidf_topterms",
         "emb_kmeans",
@@ -4849,6 +4893,26 @@ def oracle_sql() -> dict[str, str]:
            CAST(round(value * 100) AS BIGINT) AS value_cents,
            id AS last_id
     FROM ranked WHERE rn = 1 AND action <> 'DELETE'
+    """
+
+    o["events_kmv_setops"] = f"""
+    WITH ha AS (
+      SELECT DISTINCT {_H60_SQL.format(x="user_id::VARCHAR")} AS h
+      FROM events WHERE event_id % 2 = 0 ORDER BY h LIMIT 64
+    ),
+    hb AS (
+      SELECT DISTINCT {_H60_SQL.format(x="user_id::VARCHAR")} AS h
+      FROM events WHERE event_id % 2 = 1 ORDER BY h LIMIT 64
+    ),
+    u AS (SELECT DISTINCT h FROM (SELECT h FROM ha UNION ALL SELECT h FROM hb)
+          ORDER BY h LIMIT 64),
+    th AS (SELECT max(h) AS theta, count(*)::BIGINT AS k_union FROM u),
+    i AS (SELECT count(*)::BIGINT AS n_inter
+          FROM ha JOIN hb USING (h) CROSS JOIN th WHERE h <= th.theta),
+    sz AS (SELECT (SELECT count(*)::BIGINT FROM ha) AS k_a,
+                  (SELECT count(*)::BIGINT FROM hb) AS k_b)
+    SELECT th.k_union, th.theta, i.n_inter, sz.k_a, sz.k_b
+    FROM th CROSS JOIN i CROSS JOIN sz
     """
 
     o["docs_lm_logppl"] = """

@@ -137,6 +137,7 @@ HEADLINE = [
     "docs_hash_embed",
     "docs_text_ann",
     "cs_state_asof",
+    "events_kmv_setops",
 ]
 
 

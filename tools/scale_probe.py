@@ -101,6 +101,7 @@ PROBE_QUERIES = [
     "docs_hash_embed",
     "docs_text_ann",
     "cs_state_asof",
+    "events_kmv_setops",
 ]
 
 
