@@ -665,12 +665,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         base = tempfile.mkdtemp(prefix="wp_keyset_")
         sink = ParquetStateSink(spark, os.path.join(base, "state"), pk_cols=["pk"])
+        cs = _cs(spark, sf)
+        # scale-aware batch size: ~8 poll rounds at ANY SF (still
+        # multi-round, so offset commit/resume is exercised), instead
+        # of a fixed 4000 whose round count — and with it the
+        # rounds × state-rewrite cost — grows linearly with the log.
+        # The limit never changes results (the oracle is the replay),
+        # only the micro-batch boundaries.
+        n_total = cs.count()
         poller = KeysetPoller(
             spark,
-            dataframe_keyset_fetch(_cs(spark, sf)),
+            dataframe_keyset_fetch(cs),
             sink,
             os.path.join(base, "offset.json"),
-            limit=4000,
+            limit=max(4000, -(-n_total // 8)),
         )
         poller.run_until_drained()
         return sink.read_state().select(

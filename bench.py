@@ -138,6 +138,20 @@ HEADLINE = [
     "docs_text_ann",
     "cs_state_asof",
     "events_kmv_setops",
+    # complete coverage: every remaining registered query (cheap CDC
+    # primitives + the small-N exact embedding pairs), so BENCH_SELF
+    # times the FULL registry
+    "cs_keyset_poll_stream",
+    "cs_incremental_merge",
+    "cs_count_stats",
+    "cs_kind_normalize",
+    "cs_point_lookup",
+    "cs_replay_dedup",
+    "cs_retention",
+    "cs_since_ts",
+    "cs_whitelist_ignore",
+    "cs_pk_collect",
+    "dedup_embedding",
 ]
 
 

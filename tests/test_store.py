@@ -100,3 +100,38 @@ def test_retention_compact_recovers_from_crash_window(spark, tmp_path):
     out = retention_compact(spark, path, before_id=20)
     assert out == {"kept": 31, "deleted": 19}
     assert spark.read.parquet(path).count() == 31
+
+
+def test_changeset_log_roundtrips_every_format(spark, sf_dir, tmp_path):
+    """The audit-log shape must survive parquet/ORC/CSV/JSONL
+    round-trips byte-identically — including NULL payload sides and
+    JSON-object payload columns inside CSV quoting."""
+    from warp_pipe_spark.io import (
+        changesets_as_audit_log,
+        derive_changesets,
+        read_changeset_log,
+    )
+
+    audit = changesets_as_audit_log(derive_changesets(spark, sf_dir)).limit(200)
+    want = sorted(map(tuple, audit.collect()))
+    for fmt, writer in [
+        ("parquet", lambda df, p: df.write.parquet(p)),
+        ("orc", lambda df, p: df.write.orc(p)),
+        (
+            "csv",
+            lambda df, p: df.write.option("header", "true")
+            .option("escape", '"')
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .csv(p),
+        ),
+        (
+            "jsonl",
+            lambda df, p: df.write.option(
+                "timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).json(p),
+        ),
+    ]:
+        path = str(tmp_path / f"log_{fmt}")
+        writer(audit, path)
+        got = sorted(map(tuple, read_changeset_log(spark, path, fmt).collect()))
+        assert got == want, f"{fmt} round-trip diverged"

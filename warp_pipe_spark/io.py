@@ -304,3 +304,41 @@ def changesets_as_audit_log(cs: DataFrame) -> DataFrame:
         F.when(F.col("action") != "DELETE", row_json).alias("new_values"),
         F.when(F.col("action") != "INSERT", row_json).alias("old_values"),
     )
+
+
+AUDIT_LOG_DDL = (
+    "id LONG, ts TIMESTAMP, action STRING, schema_name STRING, "
+    "table_name STRING, relid LONG, new_values STRING, old_values STRING"
+)
+
+
+def read_changeset_log(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Source-format flexibility for the audit-log shape (db/sql.go:
+    14-24): the same changeset pipeline ingests parquet (native), ORC,
+    CSV (header row, quoted/escaped JSON payload columns — the shape a
+    warehouse audit export produces), or JSONL. The schema is ALWAYS
+    explicit — no inference job (an extra full scan at 100 TB) and no
+    type drift between files; a column-set mismatch fails loudly at
+    read, not as silent nulls mid-pipeline."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromDDL(AUDIT_LOG_DDL)
+    if fmt == "parquet":
+        return spark.read.schema(schema).parquet(path)
+    if fmt == "orc":
+        return spark.read.schema(schema).orc(path)
+    if fmt == "csv":
+        return (
+            spark.read.schema(schema)
+            .option("header", "true")
+            .option("escape", '"')
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+            .csv(path)
+        )
+    if fmt in ("json", "jsonl"):
+        return (
+            spark.read.schema(schema)
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+            .json(path)
+        )
+    raise ValueError(f"unsupported changeset log format: {fmt}")
