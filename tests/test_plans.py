@@ -305,11 +305,13 @@ def test_bm25_broadcasts_stats_and_take_ordered(spark, qs):
 def test_tfidf_rank_uses_window_group_limit(spark, qs):
     """The per-doc top-3 rank must push a map-side group-limit below
     the doc_id exchange (WindowGroupLimit) — otherwise every (doc,
-    term) posting row rides the window shuffle at corpus scale."""
+    term) posting row rides the window shuffle at corpus scale. The df
+    join carries NO broadcast hint (the vocabulary grows with the
+    corpus; AQE picks broadcast only while it is small), so the join
+    strategy is deliberately unpinned here."""
     p = plan_of(spark, qs["docs_tfidf_topterms"](spark, SF))
     t = tree_of(p)
     assert "WindowGroupLimit" in t, t
-    assert "BroadcastHashJoin" in t, t
 
 
 def test_kmeans_centroids_broadcast_never_shuffle_vectors_wide(spark, qs):

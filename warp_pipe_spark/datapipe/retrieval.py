@@ -92,10 +92,15 @@ def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
     alphabetically — the cheap document descriptor used for topic
     clustering and stratified corpus sampling.
 
-    One explode → (doc, term) tf agg → term df agg (tiny, broadcast
-    back) → per-doc rank. The rank window partitions by doc_id with a
-    row_number()<=k filter, which Spark executes as WindowGroupLimit
-    (per-partition top-k heap, no full sort of the posting set).
+    One explode → (doc, term) tf agg → term df agg joined back → per-doc
+    rank. The df join is deliberately NOT hint-broadcast: the
+    vocabulary scales with the corpus (a table that grows with the
+    data is never broadcast-safe) — AQE broadcasts it while it is
+    small and shuffle-joins on the term key at scale, where both sides
+    already carry term-keyed partitioning from their aggregates. The
+    rank window partitions by doc_id with a row_number()<=k filter,
+    which Spark executes as WindowGroupLimit (per-partition top-k
+    heap, no full sort of the posting set).
     Returns (doc_id, term, tf, df, tfidf, rank).
     """
     toks = docs.select(
@@ -108,7 +113,7 @@ def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
         F.col("tfidf").desc(), F.col("term").asc()
     )
     return (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .join(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
