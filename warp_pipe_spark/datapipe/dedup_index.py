@@ -81,6 +81,17 @@ def query_minhash_index(
     if max_ingest_batch is not None:
         idx = idx.filter(F.col("ingest_batch") <= max_ingest_batch)
     idx = idx.select("band", "key", F.col("doc_id").alias("match_id"))
+    qb = band_rows(batch, n).select(
+        "band", "key", F.col("doc_id").alias("query_id")
+    )
+    # prune the index to buckets the BATCH touches before anything
+    # else: the hot-bucket count and the match join then scan
+    # |touched buckets| index rows, not the whole corpus index — the
+    # semi-join's build side is the batch's distinct keys (small,
+    # AQE-broadcast), so this is a map-side filter over the index scan
+    idx = idx.join(
+        qb.select("band", "key").distinct(), ["band", "key"], "left_semi"
+    )
     if max_bucket is not None:
         hot = (
             idx.groupBy("band", "key")
@@ -89,9 +100,6 @@ def query_minhash_index(
             .select("band", "key")
         )
         idx = idx.join(hot, ["band", "key"], "left_anti")
-    qb = band_rows(batch, n).select(
-        "band", "key", F.col("doc_id").alias("query_id")
-    )
     return (
         qb.join(idx, ["band", "key"])
         .filter(F.col("match_id") != F.col("query_id"))
