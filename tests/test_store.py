@@ -135,3 +135,20 @@ def test_changeset_log_roundtrips_every_format(spark, sf_dir, tmp_path):
         writer(audit, path)
         got = sorted(map(tuple, read_changeset_log(spark, path, fmt).collect()))
         assert got == want, f"{fmt} round-trip diverged"
+
+
+def test_changeset_log_failfast_on_malformed(spark, tmp_path):
+    """A malformed CSV row must raise at read, never flow through as a
+    silently null-filled changeset."""
+    import pytest as _pytest
+
+    from warp_pipe_spark.io import read_changeset_log
+
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "log.csv").write_text(
+        "id,ts,action,schema_name,table_name,relid,new_values,old_values\n"
+        'not_a_number,2024-01-01 00:00:00,INSERT,public,users,1,"{}",\n'
+    )
+    with _pytest.raises(Exception):
+        read_changeset_log(spark, str(p), "csv").collect()

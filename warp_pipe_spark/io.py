@@ -333,12 +333,15 @@ def read_changeset_log(spark: SparkSession, path: str, fmt: str = "parquet") -> 
             .option("header", "true")
             .option("escape", '"')
             .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+            .option("mode", "FAILFAST")  # malformed row = loud error,
+            # not a silent null-filled changeset mid-pipeline
             .csv(path)
         )
     if fmt in ("json", "jsonl"):
         return (
             spark.read.schema(schema)
             .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+            .option("mode", "FAILFAST")
             .json(path)
         )
     raise ValueError(f"unsupported changeset log format: {fmt}")
