@@ -262,3 +262,40 @@ def test_unigram_logppl_orders_rare_docs_higher(spark):
     expect = round(-math.log((6 + 1.0) / (9 + 4)), 6)
     assert out[1]["logppl"] == pytest.approx(expect, abs=1e-6)
     assert out[1]["n_tokens"] == 3
+
+
+# --- adversarial edges ----------------------------------------------
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    edges = spark.createDataFrame([], "src STRING, dst STRING, weight DOUBLE")
+    assert pagerank(edges, iters=3).collect() == []
+
+
+def test_bm25_no_matching_terms_returns_empty(docs):
+    assert bm25_topk(docs, ["zzzmissing"], top_k=5).collect() == []
+
+
+def test_kmeans_more_centroids_than_vectors(spark):
+    emb = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [1.0, 0.0])], "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    out = {r["vec_id"]: r["cluster"] for r in kmeans_assign(emb, k=10, iters=2).collect()}
+    assert out == {0: 0, 1: 1}  # every vector is its own centroid
+
+
+def test_pack_chunks_empty_and_single_doc(spark):
+    from warp_pipe_spark.datapipe.sampling import pack_chunks
+
+    empty = spark.createDataFrame([], "doc_id LONG, text STRING")
+    assert pack_chunks(empty).collect() == []
+    one = spark.createDataFrame([(7, "a b c")], "doc_id LONG, text STRING")
+    r = pack_chunks(one, chunk_tokens=2).collect()[0]
+    assert (r["tok_start"], r["n_tokens"], r["chunk_first"], r["chunk_last"]) == (0, 3, 0, 1)
+
+
+def test_stratified_sample_empty(spark):
+    from warp_pipe_spark.datapipe.sampling import stratified_sample
+
+    empty = spark.createDataFrame([], "doc_id LONG, text STRING, source STRING")
+    assert stratified_sample(empty).collect() == []

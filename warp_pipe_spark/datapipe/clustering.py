@@ -222,6 +222,9 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     n = nodes.count()
+    if n == 0:
+        # empty graph: no nodes to rank (avoids the 1/n teleport term)
+        return nodes.select("node", F.lit(0.0).alias("pr"))
     out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
     # edge transition probability, fixed across iterations
     trans = edges.join(out_w, "src").select(
