@@ -2823,6 +2823,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cos_sim",
         )
 
+    def docs_chunk_texts(spark, sf):
+        """Materialized training chunks: pack_chunks' layout realized
+        as (shard, chunk_id, n_tokens, md5(chunk text)) — one
+        (shard, chunk)-keyed shuffle whose groups are bounded at
+        chunk_tokens by construction."""
+        from warp_pipe_spark.datapipe.sampling import chunk_texts
+
+        return chunk_texts(_docs(spark, sf), chunk_tokens=512, n_shards=8)
+
     def docs_lm_logppl(spark, sf):
         """Laplace-smoothed unigram log-perplexity per doc — the real
         float filter score (CCNet-style) on top of docs_unigram_lm's
@@ -2835,6 +2844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_minhash_indexed=dedup_minhash_indexed,
         events_value_hist=events_value_hist,
         docs_pack_chunks=docs_pack_chunks,
+        docs_chunk_texts=docs_chunk_texts,
         docs_lm_logppl=docs_lm_logppl,
         dedup_containment=dedup_containment,
         docs_hash_embed=docs_hash_embed,
@@ -2862,6 +2872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_indexed",
         "events_value_hist",
         "docs_pack_chunks",
+        "docs_chunk_texts",
         "docs_lm_logppl",
         "dedup_containment",
         "docs_hash_embed",
@@ -4921,6 +4932,38 @@ def oracle_sql() -> dict[str, str]:
                   (SELECT count(*)::BIGINT FROM hb) AS k_b)
     SELECT th.k_union, th.theta, i.n_inter, sz.k_a, sz.k_b
     FROM th CROSS JOIN i CROSS JOIN sz
+    """
+
+    o["docs_chunk_texts"] = f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             md5(doc_id::VARCHAR) AS h,
+             {_H60_SQL.format(x="doc_id::VARCHAR")} % 8 AS shard,
+             len(string_split(text, ' '))::BIGINT AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, text, shard,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id)
+               - n_tokens AS tok_start
+      FROM t
+    ),
+    exploded AS (
+      SELECT shard, tok_start,
+             unnest(string_split(text, ' ')) AS tok,
+             unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+      FROM c
+    ),
+    placed AS (
+      SELECT shard,
+             tok_start + i - 1 AS pos,
+             (tok_start + i - 1) // 512 AS chunk_id,
+             tok
+      FROM exploded
+    )
+    SELECT shard, chunk_id, count(*)::BIGINT AS n_tokens,
+           md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+    FROM placed GROUP BY shard, chunk_id
     """
 
     o["docs_lm_logppl"] = """

@@ -132,6 +132,7 @@ HEADLINE = [
     "dedup_minhash_indexed",
     "events_value_hist",
     "docs_pack_chunks",
+    "docs_chunk_texts",
     "docs_lm_logppl",
     "dedup_containment",
     "docs_hash_embed",

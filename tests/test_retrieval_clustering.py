@@ -299,3 +299,33 @@ def test_stratified_sample_empty(spark):
 
     empty = spark.createDataFrame([], "doc_id LONG, text STRING, source STRING")
     assert stratified_sample(empty).collect() == []
+
+
+def test_chunk_texts_reassembles_exact_chunks(spark):
+    """Chunk digests must equal md5 of the hand-reconstructed chunk
+    strings from the layout."""
+    import hashlib
+
+    from warp_pipe_spark.datapipe.sampling import chunk_texts, pack_chunks
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(5 + i % 4))) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    layout = pack_chunks(docs, chunk_tokens=8, n_shards=2).collect()
+    texts = dict(rows)
+    # rebuild each shard's token stream in layout order
+    streams = {}
+    for r in sorted(layout, key=lambda r: (r["shard"], r["tok_start"])):
+        streams.setdefault(r["shard"], []).extend(texts[r["doc_id"]].split(" "))
+    want = {}
+    for shard, stream in streams.items():
+        for c in range((len(stream) + 7) // 8):
+            chunk = stream[c * 8 : (c + 1) * 8]
+            want[(shard, c)] = (
+                len(chunk),
+                hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+            )
+    got = {
+        (r["shard"], r["chunk_id"]): (r["n_tokens"], r["chunk_md5"])
+        for r in chunk_texts(docs, chunk_tokens=8, n_shards=2).collect()
+    }
+    assert got == want

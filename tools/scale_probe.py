@@ -96,6 +96,7 @@ PROBE_QUERIES = [
     "dedup_minhash_indexed",
     "events_value_hist",
     "docs_pack_chunks",
+    "docs_chunk_texts",
     "docs_lm_logppl",
     "dedup_containment",
     "docs_hash_embed",

@@ -105,6 +105,57 @@ def pack_chunks(
     )
 
 
+def chunk_texts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    n_shards: int = 8,
+) -> DataFrame:
+    """MATERIALIZE the training chunks pack_chunks lays out: every
+    token lands at its global position in its shard's stream, chunks
+    are the position-div-C groups, and each chunk's text is
+    reassembled in order. Returns (shard, chunk_id, n_tokens,
+    chunk_md5) — the digest stands in for the chunk payload so the
+    result stays compact and oracle-comparable; a writer selects the
+    joined text instead of its md5.
+
+    Shape at scale: pack_chunks' per-shard window (one exchange), then
+    posexplode to token rows and ONE shuffle keyed by (shard,
+    chunk_id). Every aggregation group is ≤ chunk_tokens rows BY
+    CONSTRUCTION — the collect_list that is banned on unbounded keys
+    (posting lists, neighborhoods) is safe here because the chunk size
+    bounds it; sort_array restores token order without a sort node."""
+    layout = pack_chunks(docs, id_col, text_col, chunk_tokens, n_shards)
+    toks = layout.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        "doc_id",
+    ).select(
+        "shard",
+        "tok_start",
+        F.posexplode(F.split(F.col("text"), " ")).alias("i", "tok"),
+    )
+    pos = (F.col("tok_start") + F.col("i")).alias("pos")
+    placed = toks.select(
+        "shard", pos, F.expr(f"(tok_start + i) div {chunk_tokens}").alias("chunk_id"), "tok"
+    )
+    return (
+        placed.groupBy("shard", "chunk_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_md5"),
+        )
+    )
+
+
 def weighted_priority_sample(
     df: DataFrame,
     weight_col: str,
