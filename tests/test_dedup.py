@@ -393,3 +393,36 @@ def test_hash_embed_integer_exact_and_discriminative(spark):
     assert out[1] != out[3]
     # signed sums of integer tf: total magnitude bounded by token count
     assert all(abs(v) <= len(BASE.split()) for v in out[1])
+
+
+def test_ingest_dedup_sink_crash_after_marker_recovers(spark, tmp_path):
+    """Crash window between index append+marker and the output write:
+    replaying the batch must regenerate the identical candidate output
+    without double-appending the index."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from warp_pipe_spark.datapipe.dedup_index import IngestDedupSink
+
+    rows = [(1, BASE), (2, BASE), (3, NEAR), (4, OTHER)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    sink = IngestDedupSink(spark, str(tmp_path / "idx"), str(tmp_path / "out"))
+    sink(docs.filter(F.col("doc_id") <= 2), 0)
+    b1 = docs.filter(F.col("doc_id") >= 3)
+    sink(b1, 1)
+    want = sorted(map(tuple, sink.candidates().collect()))
+    n_band_files = sum(
+        len(fs) for _, _, fs in os.walk(str(tmp_path / "idx" / "bands"))
+    )
+    # simulate the crash: batch 1's output vanishes, marker survives
+    shutil.rmtree(str(tmp_path / "out" / "batch_1"))
+    sink(b1, 1)  # foreachBatch redelivery
+    got = sorted(map(tuple, sink.candidates().collect()))
+    assert got == want
+    # no double append happened
+    n_after = sum(
+        len(fs) for _, _, fs in os.walk(str(tmp_path / "idx" / "bands"))
+    )
+    assert n_after == n_band_files
