@@ -339,3 +339,12 @@ def test_weighted_sample_take_ordered_no_global_sort(spark, qs):
         .toString()
     )
     assert "TakeOrderedAndProject" in ex, ex
+
+
+def test_chunk_texts_two_exchanges_no_sort_node(spark, qs):
+    """Chunk materialization = the packing window exchange + ONE
+    (shard, chunk) agg exchange; token order is restored by sort_array
+    inside the aggregate, so no extra Sort-for-order node rides the
+    token shuffle."""
+    p = plan_of(spark, qs["docs_chunk_texts"](spark, SF))
+    assert n_exchanges(p) <= 2, tree_of(p)
