@@ -2840,12 +2840,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return unigram_logppl(_docs(spark, sf))
 
+    def docs_quality_model(spark, sf):
+        """Model-based quality filtering (the GPT-3/LLaMA fasttext-
+        classifier step) as classifier APPLICATION: a linear model over
+        hashed token features, integer weights, summed doc-locally in
+        one aggregate fold — zero shuffles, pure map stage at 100 TB.
+        See text.quality_model_score for the weight contract."""
+        from warp_pipe_spark.datapipe.text import quality_model_score
+
+        return quality_model_score(_docs(spark, sf))
+
+    def docs_cluster_keep_best(spark, sf):
+        """Quality-aware near-dup resolution: instead of dedup_drop_list's
+        keep-min-id policy, keep the HIGHEST-QUALITY doc per cluster
+        (classifier score, doc_id tiebreak) — what production dedup
+        actually ships when a quality model exists (e.g. FineWeb keeps
+        the best-scoring near-dup, not an arbitrary one). Composition:
+        the memoized star-CC clustering joined to the zero-shuffle
+        model scores, then ONE groupBy(cluster) taking a lexicographic
+        struct max — no collect_list, so a corpus-sized cluster costs
+        a keyed max, not an array."""
+        from warp_pipe_spark.datapipe.text import quality_model_score
+
+        cc = _cc_star_shared(spark, sf)
+        scores = quality_model_score(_docs(spark, sf))
+        j = cc.join(scores, "doc_id")
+        best = F.max(
+            F.struct(F.col("score_sum").alias("s"), F.col("doc_id").alias("d"))
+        )
+        return j.groupBy("cluster_id").agg(
+            best["d"].alias("best_doc_id"),
+            best["s"].alias("best_score"),
+            F.count("*").cast("long").alias("cluster_size"),
+        )
+
     q.update(
         dedup_minhash_indexed=dedup_minhash_indexed,
         events_value_hist=events_value_hist,
         docs_pack_chunks=docs_pack_chunks,
         docs_chunk_texts=docs_chunk_texts,
         docs_lm_logppl=docs_lm_logppl,
+        docs_quality_model=docs_quality_model,
+        docs_cluster_keep_best=docs_cluster_keep_best,
         dedup_containment=dedup_containment,
         docs_hash_embed=docs_hash_embed,
         docs_text_ann=docs_text_ann,
@@ -2867,6 +2903,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query accumulates a driver-verified row across rounds; long-stable
     # rows rotate to the back.
     _verify_first = [
+        # new in round 5 (third batch): quality-classifier application
+        # and quality-aware cluster resolution
+        "docs_quality_model",
+        "docs_cluster_keep_best",
         # new in round 5 (second batch): retrieval, clustering, sampling,
         # incremental LSH index, histogram registers
         "dedup_minhash_indexed",
@@ -4566,6 +4606,46 @@ def oracle_sql() -> dict[str, str]:
             """
     , cc AS (SELECT node AS doc_id, min(x) AS cluster_id FROM reach GROUP BY node)
     SELECT doc_id, cluster_id AS kept_doc_id FROM cc WHERE doc_id <> cluster_id
+    """,
+        )
+    )
+
+    # hashed-linear quality model: integer weight per token bucket,
+    # w[b] = ((b+1)·2654435761) mod 1000001 − 500000 over h32(tok)%4096
+    _qm_weight = (
+        "((((('0x' || substr(md5(t), 1, 8))::BIGINT % 4096) + 1)"
+        " * 2654435761) % 1000001 - 500000)"
+    )
+    o["docs_quality_model"] = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           sum({_qm_weight})::BIGINT AS score_sum,
+           (sum({_qm_weight}) > 0) AS keep
+    FROM tok GROUP BY doc_id
+    """
+
+    # keep-best resolution: same reach CTE as the clustering, joined to
+    # the model scores, lexicographic (score, doc_id) max per cluster
+    o["docs_cluster_keep_best"] = (
+        o["dedup_clusters"].rstrip()
+        .replace(
+            "SELECT node AS doc_id, min(x) AS cluster_id FROM reach GROUP BY node",
+            f"""
+    , cc AS (SELECT node AS doc_id, min(x) AS cluster_id FROM reach GROUP BY node)
+    , scores AS (
+        SELECT doc_id, sum({_qm_weight})::BIGINT AS score_sum
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        GROUP BY doc_id
+    )
+    , j AS (SELECT cc.cluster_id, cc.doc_id, s.score_sum
+            FROM cc JOIN scores s ON cc.doc_id = s.doc_id)
+    , b AS (SELECT cluster_id, max(ROW(score_sum, doc_id)) AS m,
+                   count(*)::BIGINT AS cluster_size
+            FROM j GROUP BY cluster_id)
+    SELECT cluster_id, m[2] AS best_doc_id, m[1] AS best_score, cluster_size
+    FROM b
     """,
         )
     )

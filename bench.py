@@ -139,6 +139,8 @@ HEADLINE = [
     "docs_text_ann",
     "cs_state_asof",
     "events_kmv_setops",
+    "docs_quality_model",
+    "docs_cluster_keep_best",
     # complete coverage: every remaining registered query (cheap CDC
     # primitives + the small-N exact embedding pairs), so BENCH_SELF
     # times the FULL registry

@@ -426,3 +426,52 @@ def test_ingest_dedup_sink_crash_after_marker_recovers(spark, tmp_path):
         len(fs) for _, _, fs in os.walk(str(tmp_path / "idx" / "bands"))
     )
     assert n_after == n_band_files
+
+
+def test_quality_model_score_exact_and_sign(spark):
+    """Pinned weight contract: w[b] = ((b+1)*2654435761) % 1000001 -
+    500000 over h32(token) % 4096, summed per doc; keep = score > 0.
+    Computed independently in Python md5 below — a Spark-side formula
+    drift breaks both the oracle and this pin."""
+    import hashlib
+
+    from warp_pipe_spark.datapipe.text import quality_model_score
+
+    rows = [(1, "key agg row"), (2, "scan"), (3, "key key")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: r.asDict() for r in quality_model_score(docs).collect()}
+
+    def w(tok: str) -> int:
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 4096
+        return ((b + 1) * 2654435761) % 1000001 - 500000
+
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        s = sum(w(t) for t in toks)
+        assert got[doc_id]["n_tokens"] == len(toks)
+        assert got[doc_id]["score_sum"] == s, (doc_id, got[doc_id], s)
+        assert got[doc_id]["keep"] == (s > 0)
+
+
+def test_cluster_keep_best_prefers_score_then_doc_id(spark):
+    """The lexicographic (score, doc_id) struct-max: higher score wins;
+    equal scores break to the LARGER doc_id (pinned so the oracle's
+    max(ROW(...)) replays it)."""
+    from pyspark.sql import functions as F
+
+    cc = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)],
+        "doc_id LONG, cluster_id LONG",
+    )
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (7, -5), (9, -5)],
+        "doc_id LONG, score_sum LONG",
+    )
+    best = F.max(F.struct(F.col("score_sum").alias("s"), F.col("doc_id").alias("d")))
+    out = (
+        cc.join(scores, "doc_id")
+        .groupBy("cluster_id")
+        .agg(best["d"].alias("best_doc_id"), best["s"].alias("best_score"))
+    )
+    got = {r.cluster_id: (r.best_doc_id, r.best_score) for r in out.collect()}
+    assert got == {1: (3, 50), 7: (9, -5)}

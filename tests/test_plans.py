@@ -348,3 +348,19 @@ def test_chunk_texts_two_exchanges_no_sort_node(spark, qs):
     token shuffle."""
     p = plan_of(spark, qs["docs_chunk_texts"](spark, SF))
     assert n_exchanges(p) <= 2, tree_of(p)
+
+
+def test_quality_model_zero_shuffle_and_pruned_scan(spark, qs):
+    """The classifier application must stay a pure map stage: the
+    weight-lookup fold runs doc-locally (zero Exchange) and the scan
+    reads only (doc_id, text)."""
+    p = plan_of(spark, qs["docs_quality_model"](spark, SF))
+    assert n_exchanges(p) == 0, tree_of(p)
+    assert "n_chars" not in p and "lang" not in p.split("ReadSchema")[1][:200], p
+
+
+def test_cluster_keep_best_no_collect_list(spark, qs):
+    """Keep-best resolution is a keyed struct-max — a corpus-sized
+    cluster must cost a max, never an array materialization."""
+    p = plan_of(spark, qs["docs_cluster_keep_best"](spark, SF))
+    assert "collect_list" not in p, p

@@ -315,6 +315,42 @@ def unigram_logppl(docs: DataFrame) -> DataFrame:
     )
 
 
+def quality_model_score(docs: DataFrame, dims: int = 4096) -> DataFrame:
+    """Model-based quality filtering — the fasttext-classifier step of
+    GPT-3/LLaMA-style pipelines (Brown et al. 2020 §A; RedPajama's
+    fasttext quality gate) — as pure classifier APPLICATION at scale:
+    a linear model over hashing-trick token features,
+
+        score(doc) = Σ_tokens w[h32(tok) mod dims]
+
+    The weight table here is a deterministic integer LCG over the
+    bucket index (w[b] = ((b+1)·2654435761) mod 1000001 − 500000, so
+    w ∈ [−500000, 500000]) — a stand-in for trained weights with the
+    identical execution shape: in production the weight array is a
+    broadcast numpy vector inside the same fold. Integer weights keep
+    the whole path exact (no float summation contract), and `keep` is
+    the sign test a real sigmoid threshold reduces to.
+
+    Shape: ZERO shuffles — tokenize, hash, weight-lookup and sum all
+    happen doc-locally in one `aggregate` fold over the token array
+    (the minhash_signatures shape), so at 100 TB this is a pure map
+    stage, embarrassingly parallel over input splits. Returns
+    (doc_id, n_tokens, score_sum, keep)."""
+    toks = _tokens(F.col("text"))
+    weight = lambda t: (  # noqa: E731
+        ((h32(t) % F.lit(dims)) + F.lit(1)) * F.lit(2654435761)
+    ) % F.lit(1000001) - F.lit(500000)
+    score = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + weight(t)
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        score.alias("score_sum"),
+        (score > 0).alias("keep"),
+    )
+
+
 def bpe_pair_counts(docs: DataFrame, top_k: int = 50) -> DataFrame:
     """One iteration of BPE tokenizer training: adjacent character-pair
     counts weighted by word frequency — the argmax pair is the next
