@@ -103,6 +103,9 @@ PROBE_QUERIES = [
     "docs_text_ann",
     "cs_state_asof",
     "events_kmv_setops",
+    # round-5 third batch: quality classifier + keep-best resolution
+    "docs_quality_model",
+    "docs_cluster_keep_best",
 ]
 
 
