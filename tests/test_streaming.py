@@ -557,3 +557,45 @@ def test_sink_vacuum_history_bounds_storage(spark, tmp_path):
     }
     # idempotent: nothing more to drop
     assert sink.vacuum_history(keep_last=2) == 0
+
+
+def test_sink_additive_schema_evolution_new_column(spark, tmp_path):
+    """A source-side ALTER TABLE ADD COLUMN mid-stream: batch 1 lacks
+    `email`, batch 2 carries it. The sink must merge (pre-evolution
+    rows read NULL), the mixed-version multi-path read must surface
+    the new column (mergeSchema), and a fresh sink over the same dir
+    must see the evolved state after restart."""
+    sink = _mk_sink(spark, tmp_path)
+    sink.apply_batch(spark.createDataFrame(BATCH1, SCHEMA), batch_id=0)
+    evolved = spark.createDataFrame(
+        [(10, "INSERT", "users", 5, "e", "e@x.com")],
+        SCHEMA + ", email STRING",
+    )
+    sink.apply_batch(evolved, batch_id=1)
+
+    got = {
+        (r["pk"], r["val"], r["email"]) for r in sink.read_state().collect()
+    }
+    assert got == {(1, "a", None), (2, "b", None), (5, "e", "e@x.com")}
+
+    # restart: a fresh sink instance reads the same evolved state
+    sink2 = _mk_sink(spark, tmp_path)
+    assert {
+        (r["pk"], r["email"]) for r in sink2.read_state().collect()
+    } == {(1, None), (2, None), (5, "e@x.com")}
+
+
+def test_sink_schema_evolution_dropped_column_keeps_state_data(spark, tmp_path):
+    """The reverse direction: a batch that no longer carries `val`
+    must not silently drop the column from state — old rows keep their
+    values, the new row reads NULL, and an UPDATE from the narrow
+    schema nulls only ITS row (its version is the LWW winner)."""
+    sink = _mk_sink(spark, tmp_path)
+    sink.apply_batch(spark.createDataFrame(BATCH1, SCHEMA), batch_id=0)
+    narrow = spark.createDataFrame(
+        [(11, "INSERT", "users", 6), (12, "UPDATE", "users", 2)],
+        "id LONG, action STRING, table_name STRING, pk LONG",
+    )
+    sink.apply_batch(narrow, batch_id=1)
+    got = {(r["pk"], r["val"]) for r in sink.read_state().collect()}
+    assert got == {(1, "a"), (2, None), (6, None)}

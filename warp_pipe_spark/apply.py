@@ -155,10 +155,20 @@ def merge_batch(
     partitioning of the log into batches (strictly stronger than the
     reference's ordered-stream assumption); filter the delete rows out
     when publishing the final state.
+
+    ADDITIVE SCHEMA EVOLUTION: the two sides are aligned by NAME with
+    missing columns null-filled (a source-side ALTER TABLE ADD COLUMN
+    mid-stream is routine in CDC). A column new in the batch reads as
+    NULL on pre-evolution state rows; a column the batch no longer
+    carries is KEPT, NULL on new rows — state data is never silently
+    dropped. The LWW fold then resolves per-PK: the winning version's
+    value (possibly NULL, if that version predates the column) is the
+    correct as-of value. Same-name/different-type conflicts still fail
+    loudly in unionByName — type changes need an explicit migration,
+    not a silent cast.
     """
     drop = not keep_tombstones
     if target_state is None:
         return replay(batch, pk_cols, id_col, kind_col, table_col, drop_deletes=drop)
-    cols = batch.columns
-    unioned = target_state.select(*cols).unionByName(batch.select(*cols))
+    unioned = target_state.unionByName(batch, allowMissingColumns=True)
     return replay(unioned, pk_cols, id_col, kind_col, table_col, drop_deletes=drop)

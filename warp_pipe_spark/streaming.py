@@ -204,7 +204,12 @@ class ParquetStateSink:
             return None
         dirs = [os.path.join(self.state_dir, r) for r in rels]
         try:
-            return self.spark.read.parquet(*dirs)
+            # mergeSchema: version dirs written before a source-side
+            # ALTER TABLE ADD COLUMN lack the new column; the merged
+            # read null-fills them instead of silently adopting
+            # whichever dir's footer lists first (merge_batch carries
+            # the same additive-evolution contract on the write side)
+            return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
         except Exception as e:
             raise StateCorruptError(
                 f"pointer references unreadable state dirs {dirs}: {e}"
