@@ -2874,6 +2874,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count("*").cast("long").alias("cluster_size"),
         )
 
+    def docs_quality_gate(spark, sf):
+        """Batch twin of the streaming CorpusQualityGateSink: the
+        combined per-document accept/reject verdict (Gopher rules AND
+        classifier score) with the audit reason string. Per-doc only —
+        no corpus stats — which is exactly what makes the streaming
+        fold equal the batch computation (pinned in tests/test_ingest)."""
+        from warp_pipe_spark.datapipe.ingest import quality_gate
+
+        return quality_gate(_docs(spark, sf))
+
     q.update(
         dedup_minhash_indexed=dedup_minhash_indexed,
         events_value_hist=events_value_hist,
@@ -2882,6 +2892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_lm_logppl=docs_lm_logppl,
         docs_quality_model=docs_quality_model,
         docs_cluster_keep_best=docs_cluster_keep_best,
+        docs_quality_gate=docs_quality_gate,
         dedup_containment=dedup_containment,
         docs_hash_embed=docs_hash_embed,
         docs_text_ann=docs_text_ann,
@@ -2903,10 +2914,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query accumulates a driver-verified row across rounds; long-stable
     # rows rotate to the back.
     _verify_first = [
-        # new in round 5 (third batch): quality-classifier application
-        # and quality-aware cluster resolution
+        # new in round 5 (third batch): quality-classifier application,
+        # quality-aware cluster resolution, streaming gate batch twin
         "docs_quality_model",
         "docs_cluster_keep_best",
+        "docs_quality_gate",
         # new in round 5 (second batch): retrieval, clustering, sampling,
         # incremental LSH index, histogram registers
         "dedup_minhash_indexed",
@@ -4624,6 +4636,44 @@ def oracle_sql() -> dict[str, str]:
            sum({_qm_weight})::BIGINT AS score_sum,
            (sum({_qm_weight}) > 0) AS keep
     FROM tok GROUP BY doc_id
+    """
+
+    # combined gate: the gopher-rules keep (same CTE skeleton as
+    # text_gopher_rules, thresholds inlined) AND the model-score keep,
+    # with the comma-joined failed-gate audit string (concat_ws skips
+    # NULL args identically in both engines)
+    o["docs_quality_gate"] = f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    w AS (SELECT doc_id, unnest(t) AS w FROM tok),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+    per AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_words,
+             CAST(max(c) AS BIGINT) AS top_word_count,
+             CAST(sum(c * length(w)) AS BIGINT) AS sum_word_len
+      FROM wc GROUP BY doc_id
+    ),
+    g AS (SELECT doc_id, [array_to_string(t[i:i+1], ' ') FOR i IN range(1, greatest(len(t)-1, 1)+1)] AS gs FROM tok),
+    dup AS (SELECT doc_id, len(gs) AS n2, len(gs) - len(list_distinct(gs)) AS d2 FROM g),
+    gk AS (
+      SELECT p.doc_id,
+             (n_words BETWEEN 50 AND 100000
+              AND (sum_word_len * 1000000) // n_words BETWEEN 3000000 AND 10000000
+              AND (top_word_count * 1000000) // n_words <= 200000
+              AND (d2 * 1000000) // n2 <= 150000) AS gopher_keep
+      FROM per p JOIN dup USING (doc_id)
+    ),
+    mk AS (
+      SELECT doc_id, (sum({_qm_weight}) > 0) AS model_keep
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      GROUP BY doc_id
+    )
+    SELECT gk.doc_id, gopher_keep, model_keep,
+           (gopher_keep AND model_keep) AS keep,
+           concat_ws(',', CASE WHEN NOT gopher_keep THEN 'gopher' END,
+                          CASE WHEN NOT model_keep THEN 'model' END)
+             AS reject_reason
+    FROM gk JOIN mk ON gk.doc_id = mk.doc_id
     """
 
     # keep-best resolution: same reach CTE as the clustering, joined to

@@ -141,6 +141,7 @@ HEADLINE = [
     "events_kmv_setops",
     "docs_quality_model",
     "docs_cluster_keep_best",
+    "docs_quality_gate",
     # complete coverage: every remaining registered query (cheap CDC
     # primitives + the small-N exact embedding pairs), so BENCH_SELF
     # times the FULL registry

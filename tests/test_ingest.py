@@ -1,0 +1,80 @@
+"""CorpusQualityGateSink: the streaming document-quality gate must
+fold to exactly the batch computation (the gate is per-doc, no corpus
+state), stay idempotent under foreachBatch redelivery, and route the
+audit reasons correctly."""
+
+import pyspark.sql.functions as F
+
+from warp_pipe_spark.datapipe.ingest import CorpusQualityGateSink, quality_gate
+from warp_pipe_spark.datapipe.text import pii_scrub
+from warp_pipe_spark.io import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return read_table(spark, SF, "documents").select("doc_id", "text")
+
+
+def test_streaming_gate_converges_to_batch(spark, tmp_path):
+    """Three micro-batches through the sink == one batch gate + scrub
+    over the union, row for row (accept and reject sides both)."""
+    docs = _docs(spark)
+    sink = CorpusQualityGateSink(spark, str(tmp_path / "gate"))
+    for i in range(3):
+        sink(docs.filter(F.col("doc_id") % 3 == i), i)
+
+    want_gate = quality_gate(docs)
+    want_accept = {
+        tuple(r)
+        for r in pii_scrub(
+            docs.join(want_gate.filter("keep").select("doc_id"), "doc_id", "left_semi")
+        ).collect()
+    }
+    got_accept = {tuple(r) for r in sink.accepted().collect()}
+    assert got_accept == want_accept
+    assert len(got_accept) > 0
+
+    want_reject = {
+        (r["doc_id"], r["reject_reason"])
+        for r in want_gate.filter(~F.col("keep")).collect()
+    }
+    got_reject = {tuple(r) for r in sink.rejected().collect()}
+    assert got_reject == want_reject
+    # accept + reject partition the corpus
+    assert len(got_accept) + len(got_reject) == docs.count()
+
+
+def test_streaming_gate_redelivery_idempotent(spark, tmp_path):
+    """At-least-once foreachBatch: redelivering a batch (even after a
+    later batch landed) rewrites its dirs to the identical content."""
+    docs = _docs(spark)
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    sink = CorpusQualityGateSink(spark, str(tmp_path / "gate"))
+    sink(b0, 0)
+    sink(b1, 1)
+    want = {tuple(r) for r in sink.accepted().collect()}
+    sink(b0, 0)  # redelivery
+    got = {tuple(r) for r in sink.accepted().collect()}
+    assert got == want
+
+
+def test_gate_reject_reasons_are_audit_strings(spark):
+    """Every reject names at least one failed gate; keeps carry ''."""
+    out = quality_gate(_docs(spark))
+    bad = out.filter(
+        (~F.col("keep")) & (F.col("reject_reason") == "")
+    ).count()
+    ok = out.filter(F.col("keep") & (F.col("reject_reason") != "")).count()
+    assert bad == 0 and ok == 0
+    reasons = {
+        r["reject_reason"]
+        for r in out.filter(~F.col("keep")).select("reject_reason").distinct().collect()
+    }
+    assert reasons <= {"gopher", "model", "gopher,model"}
+
+
+def test_empty_sink_reads_none(spark, tmp_path):
+    sink = CorpusQualityGateSink(spark, str(tmp_path / "nothing"))
+    assert sink.accepted() is None and sink.rejected() is None

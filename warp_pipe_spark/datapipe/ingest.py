@@ -1,0 +1,111 @@
+"""Streaming corpus ingest: the document-quality gate as a foreachBatch
+sink — the text-cleaning twin of IngestDedupSink (content near-dup) and
+the CDC apply sinks (row identity).
+
+A pre-training data pipeline runs its per-document gates (repetition /
+quality rules, classifier score, PII redaction) at INGEST time, not as
+a batch afterthought — rejecting early is what keeps the 100 TB corpus
+from being written twice. Every gate here is deliberately per-document
+(no corpus-level statistics), which is what makes the streaming fold
+EXACT: the accepted set after N micro-batches equals the batch
+computation over the union of those batches, row for row — pinned by
+the convergence test in tests/test_dedup.py and oracle-compared via the
+`docs_quality_gate` batch twin.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from warp_pipe_spark.datapipe.text import (
+    gopher_rules,
+    pii_scrub,
+    quality_model_score,
+)
+
+
+def quality_gate(docs: DataFrame) -> DataFrame:
+    """Per-document accept/reject verdict combining the Gopher
+    repetition/quality rules and the hashed-linear classifier score:
+    (doc_id, gopher_keep, model_keep, keep, reject_reason) with
+    reject_reason the comma-joined failed gate names ('' when kept).
+
+    Both inputs are per-doc computations (gopher: one explode + two
+    keyed aggs; model: zero-shuffle fold), joined on doc_id — no
+    corpus-level state, so the verdict for a document is identical
+    whether it arrives in a micro-batch or a full-corpus scan."""
+    g = gopher_rules(docs).select("doc_id", F.col("keep").alias("gopher_keep"))
+    m = quality_model_score(docs).select(
+        "doc_id", F.col("keep").alias("model_keep")
+    )
+    j = g.join(m, "doc_id")
+    reason = F.concat_ws(
+        ",",
+        F.when(~F.col("gopher_keep"), F.lit("gopher")),
+        F.when(~F.col("model_keep"), F.lit("model")),
+    )
+    return j.select(
+        "doc_id",
+        "gopher_keep",
+        "model_keep",
+        (F.col("gopher_keep") & F.col("model_keep")).alias("keep"),
+        reason.alias("reject_reason"),
+    )
+
+
+class CorpusQualityGateSink:
+    """foreachBatch target: gate each micro-batch of raw documents,
+    PII-scrub the survivors, and route accept/reject to parquet.
+
+    Layout: `base_dir/accept/batch_<id>` holds the scrubbed accepted
+    docs (full doc schema + per-category PII counts), and
+    `base_dir/reject/batch_<id>` holds (doc_id, reject_reason) for
+    audit. Both are OVERWRITTEN per batch_id — under Structured
+    Streaming's at-least-once foreachBatch contract a redelivered
+    batch rewrites its own dirs byte-identically (the gate is
+    deterministic and per-doc), so the sink is idempotent with no
+    marker file needed.
+
+    Scale shape: gate + scrub are the per-doc map/agg stages of their
+    underlying operators — per-batch cost is O(batch), no state reads,
+    no corpus joins. At 100 TB of ingest this is the shape that keeps
+    up: the only shuffle is gopher's word aggregation inside each
+    micro-batch."""
+
+    def __init__(self, spark: SparkSession, base_dir: str) -> None:
+        self.spark = spark
+        self.accept_dir = os.path.join(base_dir, "accept")
+        self.reject_dir = os.path.join(base_dir, "reject")
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        gate = quality_gate(batch)
+        accepted = batch.join(
+            gate.filter("keep").select("doc_id"), "doc_id", "left_semi"
+        )
+        pii_scrub(accepted).write.mode("overwrite").parquet(
+            os.path.join(self.accept_dir, f"batch_{batch_id}")
+        )
+        gate.filter(~F.col("keep")).select("doc_id", "reject_reason").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self.reject_dir, f"batch_{batch_id}"))
+
+    def _read(self, root: str) -> DataFrame | None:
+        dirs = [
+            os.path.join(root, d)
+            for d in sorted(os.listdir(root))
+            if d.startswith("batch_")
+        ] if os.path.isdir(root) else []
+        if not dirs:
+            return None
+        return self.spark.read.parquet(*dirs)
+
+    def accepted(self) -> DataFrame | None:
+        """All accepted (scrubbed) docs across committed batches."""
+        return self._read(self.accept_dir)
+
+    def rejected(self) -> DataFrame | None:
+        """All rejected (doc_id, reject_reason) across batches."""
+        return self._read(self.reject_dir)
