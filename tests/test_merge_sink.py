@@ -224,3 +224,112 @@ def test_delta_executor_builder_chain_recorded(spark, monkeypatch):
         ),
         ("execute",),
     ]
+
+
+class _RecordingEvolveSpark(_RecordingSqlSpark):
+    """Recorder with a catalog: .table() serves the target's current
+    columns so the executor can diff schemas."""
+
+    def __init__(self, target_columns):
+        super().__init__()
+        self._cols = list(target_columns)
+
+    def table(self, name):
+        cols = self._cols
+
+        class _T:
+            columns = cols
+
+        return _T()
+
+
+def test_sql_executor_evolves_target_schema(spark):
+    """A winners frame carrying a payload column the target lacks must
+    emit ALTER TABLE ADD COLUMNS (typed from the winners schema)
+    BEFORE the MERGE, and the MERGE must then write the column."""
+    from warp_pipe_spark.merge_sink import SqlMergeExecutor
+
+    rec = _RecordingEvolveSpark(["pk", "id", "val"])
+    sink = MergeStateSink(
+        spark, SqlMergeExecutor(rec, evolve_schema=True), pk_cols=["pk"]
+    )
+    evolved = spark.createDataFrame(
+        [(1, "INSERT", "users", 1, "a", "e@x.com")], SCHEMA + ", email STRING"
+    )
+    sink.apply_batch(evolved, 0)
+    alter, merge = rec.stmts
+    assert alter == "ALTER TABLE users ADD COLUMNS (email string)"
+    assert "t.email = s.email" in merge
+    assert "INSERT (pk, id, val, email)" in merge
+
+
+def test_sql_executor_no_alter_when_schema_matches(spark):
+    from warp_pipe_spark.merge_sink import SqlMergeExecutor
+
+    rec = _RecordingEvolveSpark(["pk", "id", "val"])
+    sink = MergeStateSink(
+        spark, SqlMergeExecutor(rec, evolve_schema=True), pk_cols=["pk"]
+    )
+    sink.apply_batch(spark.createDataFrame(LOG[:2], SCHEMA), 0)
+    assert len(rec.stmts) == 1 and rec.stmts[0].startswith("MERGE INTO")
+
+
+def test_sql_executor_default_does_not_touch_catalog(spark):
+    # evolution is opt-in: the default path must never call .table()
+    # (the plain _RecordingSqlSpark has no table() — an evolution probe
+    # would AttributeError)
+    from warp_pipe_spark.merge_sink import SqlMergeExecutor
+
+    rec = _RecordingSqlSpark()
+    sink = MergeStateSink(spark, SqlMergeExecutor(rec), pk_cols=["pk"])
+    sink.apply_batch(spark.createDataFrame(LOG[:2], SCHEMA), 0)
+    assert len(rec.stmts) == 1
+
+
+def test_inmemory_executor_additive_schema_evolution(spark):
+    """The test twin carries the same additive contract as the real
+    executors: a later batch adding `email` evolves the state (old
+    rows NULL); an UPDATE from the narrow old schema still applies."""
+    sink = MergeStateSink(spark, InMemoryMergeExecutor(spark), pk_cols=["pk"])
+    sink.apply_batch(spark.createDataFrame(LOG[:2], SCHEMA), 0)
+    evolved = spark.createDataFrame(
+        [
+            (10, "INSERT", "users", 5, "e", "e@x.com"),
+            (11, "UPDATE", "users", 2, "b9", "b@x.com"),
+        ],
+        SCHEMA + ", email STRING",
+    )
+    sink.apply_batch(evolved, 1)
+    got = {
+        (r["pk"], r["val"], r["email"]) for r in sink.read_state().collect()
+    }
+    assert got == {
+        (1, "a", None),
+        (2, "b9", "b@x.com"),
+        (5, "e", "e@x.com"),
+    }
+
+
+def test_delta_executor_evolve_sets_automerge_conf(spark, monkeypatch):
+    import sys
+    import types
+
+    from warp_pipe_spark.merge_sink import DeltaMergeExecutor
+
+    _FakeDeltaTable.calls = []
+    fake_tables = types.ModuleType("delta.tables")
+    fake_tables.DeltaTable = _FakeDeltaTable
+    fake_delta = types.ModuleType("delta")
+    fake_delta.tables = fake_tables
+    monkeypatch.setitem(sys.modules, "delta", fake_delta)
+    monkeypatch.setitem(sys.modules, "delta.tables", fake_tables)
+
+    key = "spark.databricks.delta.schema.autoMerge.enabled"
+    ex = DeltaMergeExecutor(spark, lambda t: f"/data/{t}", evolve_schema=True)
+    sink = MergeStateSink(spark, ex, pk_cols=["pk"])
+    try:
+        sink.apply_batch(spark.createDataFrame(LOG[:2], SCHEMA), 0)
+        assert spark.conf.get(key) == "true"
+        assert ("execute",) in _FakeDeltaTable.calls
+    finally:
+        spark.conf.unset(key)

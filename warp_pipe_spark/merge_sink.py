@@ -116,17 +116,27 @@ class SqlMergeExecutor:
     spark.sql — the path for Iceberg catalogs or any SQL-reachable
     MERGE engine. Targets must already exist as tables. The routing
     column (`table_col`) and the kind column are excluded from
-    UPDATE SET / INSERT — per-entity targets carry entity state only."""
+    UPDATE SET / INSERT — per-entity targets carry entity state only.
+
+    evolve_schema=True turns a mid-stream source-side ALTER TABLE ADD
+    COLUMN into the matching target DDL: payload columns the target
+    lacks are added (`ALTER TABLE ... ADD COLUMNS (...)`, types from
+    the winners' schema) BEFORE the MERGE, which then writes them;
+    pre-evolution target rows read NULL — the same additive contract
+    as apply.merge_batch/ParquetStateSink. Off by default: unexpected
+    schema drift should fail loudly unless evolution is opted into."""
 
     def __init__(
         self,
         spark: SparkSession,
         target_for=lambda t: t,
         table_col: str = "table_name",
+        evolve_schema: bool = False,
     ):
         self.spark = spark
         self.target_for = target_for
         self.table_col = table_col
+        self.evolve_schema = evolve_schema
 
     def merge(
         self,
@@ -141,9 +151,22 @@ class SqlMergeExecutor:
         value_cols = payload_cols(
             winners.columns, pk_cols, id_col, kind_col, self.table_col
         )
+        target = self.target_for(table)
+        if self.evolve_schema:
+            have = set(self.spark.table(target).columns)
+            need = [
+                f
+                for f in winners.schema.fields
+                if f.name in value_cols and f.name not in have
+            ]
+            if need:
+                ddl = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}" for f in need
+                )
+                self.spark.sql(f"ALTER TABLE {target} ADD COLUMNS ({ddl})")
         self.spark.sql(
             merge_statement(
-                self.target_for(table), view, pk_cols, value_cols, id_col, kind_col
+                target, view, pk_cols, value_cols, id_col, kind_col
             )
         )
 
@@ -160,7 +183,13 @@ class DeltaMergeExecutor:
     sequence with a recorded-call fake so the contract is enforced even
     without delta-spark installed."""
 
-    def __init__(self, spark: SparkSession, path_for, table_col: str = "table_name"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path_for,
+        table_col: str = "table_name",
+        evolve_schema: bool = False,
+    ):
         try:
             from delta.tables import DeltaTable  # noqa: F401
         except ImportError as e:  # pragma: no cover - no delta in sandbox
@@ -171,10 +200,18 @@ class DeltaMergeExecutor:
         self.spark = spark
         self.path_for = path_for
         self.table_col = table_col
+        self.evolve_schema = evolve_schema
 
     def merge(self, table, winners, pk_cols, id_col, kind_col):
         from delta.tables import DeltaTable
 
+        if self.evolve_schema:
+            # Delta's documented evolution switch: merge adds source
+            # columns missing from the target (additive only), the
+            # exact contract SqlMergeExecutor implements via ALTER
+            self.spark.conf.set(
+                "spark.databricks.delta.schema.autoMerge.enabled", "true"
+            )
         tgt = DeltaTable.forPath(self.spark, self.path_for(table))
         cond = " AND ".join(f"t.{c} <=> s.{c}" for c in pk_cols)
         dk = ", ".join(f"'{k}'" for k in DELETE_KINDS)
@@ -215,7 +252,6 @@ class InMemoryMergeExecutor:
                 new.collect(), new.schema
             )
             return
-        cols = old.columns
         o, s = old.alias("t"), winners.alias("s")
         cond = None
         for c in pk:
@@ -229,20 +265,26 @@ class InMemoryMergeExecutor:
         kept_old = (
             o.join(s.filter(F.lit(True)), cond, "left")
             .filter(F.col(f"s.{id_col}").isNull() | ~beaten)
-            .select([F.col(f"t.{c}") for c in cols])
+            .select([F.col(f"t.{c}") for c in old.columns])
         )
         # UPDATE winners + NOT MATCHED inserts: qualifying source rows
         upd = (
             s.join(o, cond, "inner")
             .filter(~is_delete & (F.col(f"s.{id_col}") > F.col(f"t.{id_col}")))
-            .select([F.col(f"s.{c}") for c in cols])
+            .select([F.col(f"s.{c}") for c in winners.columns])
         )
         ins = (
             s.join(o, cond, "left_anti")
             .filter(~F.col(kind_col).isin(*DELETE_KINDS))
-            .select(cols)
+            .select(winners.columns)
         )
-        new = kept_old.unionByName(upd).unionByName(ins)
+        # name-aligned union with null fill: the in-memory twin carries
+        # the same additive schema-evolution contract as the real
+        # executors (SqlMergeExecutor ALTER-before-MERGE, Delta
+        # autoMerge) and apply.merge_batch
+        new = kept_old.unionByName(upd, allowMissingColumns=True).unionByName(
+            ins, allowMissingColumns=True
+        )
         # materialize so the next merge doesn't re-execute a growing plan
         self.tables[table] = self.spark.createDataFrame(new.collect(), new.schema)
 
