@@ -106,6 +106,7 @@ PROBE_QUERIES = [
     # round-5 third batch: quality classifier + keep-best resolution
     "docs_quality_model",
     "docs_cluster_keep_best",
+    "docs_quality_gate",
 ]
 
 
