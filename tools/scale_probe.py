@@ -377,6 +377,43 @@ def pagerank_probe(spark, n: int = 200_000, r: int = 10) -> int:
     return 0
 
 
+def gate_soak(spark, r: int = 10, n_batches: int = 8) -> int:
+    """Streaming quality-gate soak at R×: the R×-inflated documents
+    table through CorpusQualityGateSink in micro-batches, timing each.
+    Verifies the partition invariant (accept + reject == corpus) and
+    reports per-batch wall — the number that shows per-batch cost is
+    O(batch), independent of how many batches already landed (no state
+    reads in the gate path)."""
+    import tempfile
+
+    from warp_pipe_spark.datapipe.ingest import CorpusQualityGateSink
+
+    out_dir = f"/tmp/wp_scale_sf{r}x"
+    if not os.path.exists(os.path.join(out_dir, "documents.parquet")):
+        print(f"building {r}x inflated copy at {out_dir} ...", file=sys.stderr)
+        build_inflated(spark, out_dir, r)
+    docs = read_table(spark, out_dir, "documents").select("doc_id", "text")
+    total = docs.count()
+    sink = CorpusQualityGateSink(spark, tempfile.mkdtemp(prefix="wp_gatesoak_"))
+    print(f"gate soak: {total:,} docs ({r}x), {n_batches} batches")
+    print("| batch | rows | s |")
+    print("|---|---|---|")
+    t0_all = time.time()
+    for i in range(n_batches):
+        b = docs.filter(F.col("doc_id") % n_batches == i)
+        t0 = time.time()
+        sink(b, i)
+        print(f"| {i} | {b.count():,} | {time.time() - t0:.2f} |")
+        sys.stdout.flush()
+    wall = time.time() - t0_all
+    n_acc = sink.accepted().count()
+    n_rej = sink.rejected().count()
+    assert n_acc + n_rej == total, (n_acc, n_rej, total)
+    print(f"\ntotal {wall:.1f}s, {total / wall:,.0f} docs/s on local[32]; "
+          f"accepted {n_acc:,} / rejected {n_rej:,} (partition exact)")
+    return 0
+
+
 def soak_probe(spark, r: int = 10, limit: int = 5_000, n_buckets: int = 32) -> int:
     """End-to-end streaming soak at R× (VERDICT r4 item 6): tail an
     R×-inflated changeset log with KeysetPoller → bucketed
@@ -555,6 +592,9 @@ def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--soak":
         r = int(sys.argv[2]) if len(sys.argv) > 2 else 10
         return soak_probe(get_spark("scale_probe_soak"), r)
+    if len(sys.argv) > 1 and sys.argv[1] == "--gatesoak":
+        r = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+        return gate_soak(get_spark("scale_probe_gatesoak"), r)
     if len(sys.argv) > 1 and sys.argv[1] == "--hotkey":
         r = int(sys.argv[2]) if len(sys.argv) > 2 else 10
         return hotkey_probe(get_spark("scale_probe_hot"), r)
