@@ -2874,6 +2874,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count("*").cast("long").alias("cluster_size"),
         )
 
+    def docs_chunk_overlap(spark, sf):
+        """Sliding-window chunk materialization (RAG-style 512/384
+        overlap): same layout + bounded-group shape as docs_chunk_texts,
+        constant ×2 token fan-out. See sampling.chunk_texts_overlap."""
+        from warp_pipe_spark.datapipe.sampling import chunk_texts_overlap
+
+        return chunk_texts_overlap(
+            _docs(spark, sf), chunk_tokens=512, stride=384, n_shards=8
+        )
+
     def docs_quality_gate(spark, sf):
         """Batch twin of the streaming CorpusQualityGateSink: the
         combined per-document accept/reject verdict (Gopher rules AND
@@ -2893,6 +2903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_quality_model=docs_quality_model,
         docs_cluster_keep_best=docs_cluster_keep_best,
         docs_quality_gate=docs_quality_gate,
+        docs_chunk_overlap=docs_chunk_overlap,
         dedup_containment=dedup_containment,
         docs_hash_embed=docs_hash_embed,
         docs_text_ann=docs_text_ann,
@@ -2919,6 +2930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_model",
         "docs_cluster_keep_best",
         "docs_quality_gate",
+        "docs_chunk_overlap",
         # new in round 5 (second batch): retrieval, clustering, sampling,
         # incremental LSH index, histogram registers
         "dedup_minhash_indexed",
@@ -5095,6 +5107,35 @@ def oracle_sql() -> dict[str, str]:
            md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
     FROM placed GROUP BY shard, chunk_id
     """
+
+    # sliding windows: token at pos p belongs to windows k·384 ≤ p <
+    # k·384 + 512; range() is half-open so hi = p//384 + 1. The CASE
+    # guards the negative-numerator floor/trunc mismatch exactly as
+    # the Spark side does.
+    o["docs_chunk_overlap"] = (
+        o["docs_chunk_texts"]
+        .replace(
+            """    placed AS (
+      SELECT shard,
+             tok_start + i - 1 AS pos,
+             (tok_start + i - 1) // 512 AS chunk_id,
+             tok
+      FROM exploded
+    )""",
+            """    placed0 AS (
+      SELECT shard, tok_start + i - 1 AS pos, tok FROM exploded
+    ),
+    placed AS (
+      SELECT shard, pos, tok,
+             unnest(range(
+               CAST(CASE WHEN pos < 512 THEN 0
+                         ELSE (pos - 512) // 384 + 1 END AS BIGINT),
+               CAST(pos // 384 + 1 AS BIGINT)
+             )) AS chunk_id
+      FROM placed0
+    )""",
+        )
+    )
 
     o["docs_lm_logppl"] = """
     WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -364,3 +364,10 @@ def test_cluster_keep_best_no_collect_list(spark, qs):
     cluster must cost a max, never an array materialization."""
     p = plan_of(spark, qs["docs_cluster_keep_best"](spark, SF))
     assert "collect_list" not in p, p
+
+
+def test_chunk_overlap_same_two_exchange_shape(spark, qs):
+    """Sliding windows must not add shuffles over the disjoint
+    variant: layout window exchange + one (shard, chunk) agg."""
+    p = plan_of(spark, qs["docs_chunk_overlap"](spark, SF))
+    assert n_exchanges(p) <= 2, tree_of(p)

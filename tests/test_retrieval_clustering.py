@@ -329,3 +329,45 @@ def test_chunk_texts_reassembles_exact_chunks(spark):
         for r in chunk_texts(docs, chunk_tokens=8, n_shards=2).collect()
     }
     assert got == want
+
+
+def test_chunk_texts_overlap_reassembles_sliding_windows(spark):
+    """Sliding-window digests must equal md5 of the hand-reconstructed
+    [k*stride, k*stride+chunk) slices of each shard's stream — pinning
+    both the membership formula (incl. the pos < chunk guard) and the
+    in-window token order."""
+    import hashlib
+
+    from warp_pipe_spark.datapipe.sampling import chunk_texts_overlap, pack_chunks
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(5 + i % 4))) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    chunk, stride = 8, 5
+    layout = pack_chunks(docs, chunk_tokens=chunk, n_shards=2).collect()
+    texts = dict(rows)
+    streams = {}
+    for r in sorted(layout, key=lambda r: (r["shard"], r["tok_start"])):
+        streams.setdefault(r["shard"], []).extend(texts[r["doc_id"]].split(" "))
+    want = {}
+    for shard, stream in streams.items():
+        k = 0
+        while k * stride < len(stream):
+            win = stream[k * stride : k * stride + chunk]
+            want[(shard, k)] = (
+                len(win),
+                hashlib.md5(" ".join(win).encode()).hexdigest(),
+            )
+            k += 1
+    got = {
+        (r["shard"], r["chunk_id"]): (r["n_tokens"], r["chunk_md5"])
+        for r in chunk_texts_overlap(
+            docs, chunk_tokens=chunk, stride=stride, n_shards=2
+        ).collect()
+    }
+    assert got == want
+    # overlap sanity: full adjacent windows share chunk - stride tokens
+    for shard, stream in streams.items():
+        if len(stream) >= chunk + stride:
+            a = stream[0:chunk]
+            b = stream[stride : stride + chunk]
+            assert a[stride:] == b[: chunk - stride]

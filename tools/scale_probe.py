@@ -107,6 +107,7 @@ PROBE_QUERIES = [
     "docs_quality_model",
     "docs_cluster_keep_best",
     "docs_quality_gate",
+    "docs_chunk_overlap",
 ]
 
 

@@ -156,6 +156,75 @@ def chunk_texts(
     )
 
 
+def chunk_texts_overlap(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    stride: int = 384,
+    n_shards: int = 8,
+) -> DataFrame:
+    """SLIDING-window chunk materialization — the retrieval-indexing
+    twin of chunk_texts: windows start every `stride` tokens and span
+    `chunk_tokens`, so consecutive chunks overlap by chunk_tokens −
+    stride (the standard RAG chunking that keeps a passage's context
+    from being cut at an arbitrary boundary). Same per-shard stream
+    layout as pack_chunks; token at stream position p belongs to
+    windows k with k·stride ≤ p < k·stride + chunk_tokens, i.e.
+    max(0, ⌊(p−chunk)/stride⌋+1) ≤ k ≤ ⌊p/stride⌋ — at most
+    ⌈chunk/stride⌉ memberships per token, so the explode fans out by
+    a small CONSTANT (2 at the 512/384 default), and every (shard,
+    window) aggregation group is ≤ chunk_tokens rows by construction.
+    One window exchange + one (shard, chunk)-keyed shuffle, identical
+    to the disjoint variant. Returns (shard, chunk_id, n_tokens,
+    chunk_md5)."""
+    layout = pack_chunks(docs, id_col, text_col, chunk_tokens, n_shards)
+    toks = layout.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        "doc_id",
+    ).select(
+        "shard",
+        "tok_start",
+        F.posexplode(F.split(F.col("text"), " ")).alias("i", "tok"),
+    )
+    # pos < chunk guards the negative-numerator case: integer div
+    # truncates toward zero while the membership bound needs floor, so
+    # the k_lo formula is only applied where pos - chunk >= 0
+    placed = toks.select(
+        "shard",
+        (F.col("tok_start") + F.col("i")).alias("pos"),
+        "tok",
+    ).select(
+        "shard",
+        "pos",
+        F.explode(
+            F.sequence(
+                F.expr(
+                    f"CASE WHEN pos < {chunk_tokens} THEN 0L "
+                    f"ELSE (pos - {chunk_tokens}) div {stride} + 1 END"
+                ),
+                F.expr(f"pos div {stride}"),
+            )
+        ).alias("chunk_id"),
+        "tok",
+    )
+    return (
+        placed.groupBy("shard", "chunk_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_md5"),
+        )
+    )
+
+
 def weighted_priority_sample(
     df: DataFrame,
     weight_col: str,
