@@ -2874,6 +2874,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count("*").cast("long").alias("cluster_size"),
         )
 
+    def events_attribution(spark, sf):
+        """Click→purchase attribution via the watermarked INTERVAL
+        stream-stream join (analytics.attribution_join) run in its
+        batch-twin form: every same-user (click, purchase) pair with
+        the purchase ≤30 min after the click. The streaming run of the
+        SAME function is pinned equal in tests/test_stateful_streaming;
+        state there is bounded by watermark + interval eviction."""
+        from warp_pipe_spark.analytics import attribution_join
+
+        ev = read_table(spark, sf, "events")
+        j = attribution_join(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "purchase"),
+            within_minutes=30,
+        )
+        return j.select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            F.unix_millis("click_ts").alias("click_ms"),
+            F.unix_millis("purchase_ts").alias("purchase_ms"),
+            "lag_ms",
+        )
+
     def docs_chunk_overlap(spark, sf):
         """Sliding-window chunk materialization (RAG-style 512/384
         overlap): same layout + bounded-group shape as docs_chunk_texts,
@@ -2904,6 +2928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_cluster_keep_best=docs_cluster_keep_best,
         docs_quality_gate=docs_quality_gate,
         docs_chunk_overlap=docs_chunk_overlap,
+        events_attribution=events_attribution,
         dedup_containment=dedup_containment,
         docs_hash_embed=docs_hash_embed,
         docs_text_ann=docs_text_ann,
@@ -2931,6 +2956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_cluster_keep_best",
         "docs_quality_gate",
         "docs_chunk_overlap",
+        "events_attribution",
         # new in round 5 (second batch): retrieval, clustering, sampling,
         # incremental LSH index, histogram registers
         "dedup_minhash_indexed",
@@ -5136,6 +5162,23 @@ def oracle_sql() -> dict[str, str]:
     )""",
         )
     )
+
+    o["events_attribution"] = """
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, ts AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, click_id, purchase_id,
+           epoch_ms(cts) AS click_ms, epoch_ms(pts) AS purchase_ms,
+           (epoch_ms(pts) - epoch_ms(cts)) AS lag_ms
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND pts >= cts AND pts <= cts + INTERVAL 30 MINUTE
+    """
 
     o["docs_lm_logppl"] = """
     WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -143,6 +143,7 @@ HEADLINE = [
     "docs_cluster_keep_best",
     "docs_quality_gate",
     "docs_chunk_overlap",
+    "events_attribution",
     # complete coverage: every remaining registered query (cheap CDC
     # primitives + the small-N exact embedding pairs), so BENCH_SELF
     # times the FULL registry

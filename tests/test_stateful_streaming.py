@@ -213,3 +213,79 @@ def test_sketch_registers_stream_equals_batch(spark, tmp_path):
     }
     assert got_hll == want_hll
     assert got_cms == want_cms
+
+
+ASCHEMA = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING"
+
+
+def _ts(ms):
+    import datetime
+
+    return datetime.datetime.fromtimestamp(ms / 1000, datetime.timezone.utc)
+
+
+def test_attribution_stream_stream_join_matches_batch(spark, tmp_path):
+    """The watermarked interval stream-stream join: clicks and
+    purchases arrive on SEPARATE streams split across micro-batches;
+    the drained inner-join output must equal the batch twin (the same
+    function on static frames) — including a cross-batch match and
+    excluding a pair outside the 30-minute window."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from warp_pipe_spark.analytics import attribution_join
+
+    clicks = [
+        (1, _ts(T0), 10, "click"),
+        (2, _ts(T0 + 40 * MIN), 10, "click"),  # second click window
+        (3, _ts(T0), 20, "click"),
+    ]
+    purchases = [
+        (4, _ts(T0 + 5 * MIN), 10, "purchase"),   # matches click 1
+        (5, _ts(T0 + 45 * MIN), 10, "purchase"),  # matches click 2 ONLY (45>30 from c1)
+        (6, _ts(T0 + 31 * MIN), 20, "purchase"),  # outside window: no match
+    ]
+    cdrop, pdrop = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    ckpt = str(tmp_path / "ckpt")
+    # split each side across two files -> cross-micro-batch matches
+    for rows, path in ((clicks[:2], cdrop), (clicks[2:], cdrop),
+                       (purchases[:1], pdrop), (purchases[1:], pdrop)):
+        spark.createDataFrame(rows, ASCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    cs = (
+        spark.readStream.schema(T.StructType.fromDDL(ASCHEMA))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cdrop)
+    )
+    ps = (
+        spark.readStream.schema(T.StructType.fromDDL(ASCHEMA))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pdrop)
+    )
+    q = (
+        attribution_join(cs, ps, within_minutes=30)
+        .writeStream.format("memory")
+        .queryName("attr_join")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r["click_id"], r["purchase_id"], r["lag_ms"])
+        for r in spark.sql("SELECT * FROM attr_join").collect()
+    }
+
+    want = {
+        (r["click_id"], r["purchase_id"], r["lag_ms"])
+        for r in attribution_join(
+            spark.createDataFrame(clicks, ASCHEMA),
+            spark.createDataFrame(purchases, ASCHEMA),
+            within_minutes=30,
+        ).collect()
+    }
+    assert got == want == {(1, 4, 5 * MIN), (2, 5, 5 * MIN)}
