@@ -371,3 +371,11 @@ def test_chunk_overlap_same_two_exchange_shape(spark, qs):
     variant: layout window exchange + one (shard, chunk) agg."""
     p = plan_of(spark, qs["docs_chunk_overlap"](spark, SF))
     assert n_exchanges(p) <= 2, tree_of(p)
+
+
+def test_attribution_join_hash_join_not_nested_loop(spark, qs):
+    """The interval join carries the user_id equi-key, so it must plan
+    as a hash/sort-merge join with the time bound as a post-filter —
+    never a nested loop."""
+    p = plan_of(spark, qs["events_attribution"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
