@@ -78,3 +78,26 @@ def test_gate_reject_reasons_are_audit_strings(spark):
 def test_empty_sink_reads_none(spark, tmp_path):
     sink = CorpusQualityGateSink(spark, str(tmp_path / "nothing"))
     assert sink.accepted() is None and sink.rejected() is None
+
+
+def test_half_written_batch_dir_invisible_until_redelivered(spark, tmp_path):
+    """Crash mid-write: a batch dir without Spark's _SUCCESS marker
+    must not be read (no partial output surfaces); redelivering the
+    batch restores it."""
+    import os
+    import shutil
+
+    docs = _docs(spark)
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    sink = CorpusQualityGateSink(spark, str(tmp_path / "gate"))
+    sink(b0, 0)
+    sink(b1, 1)
+    want = {tuple(r) for r in sink.accepted().collect()}
+    # simulate the crash: batch 1's accept dir loses its commit marker
+    os.remove(os.path.join(sink.accept_dir, "batch_1", "_SUCCESS"))
+    partial = {tuple(r) for r in sink.accepted().collect()}
+    assert partial < want  # batch 1's rows gone, batch 0 intact
+    shutil.rmtree(os.path.join(sink.accept_dir, "batch_1"))
+    sink(b1, 1)  # foreachBatch redelivery
+    assert {tuple(r) for r in sink.accepted().collect()} == want

@@ -93,10 +93,14 @@ class CorpusQualityGateSink:
         ).parquet(os.path.join(self.reject_dir, f"batch_{batch_id}"))
 
     def _read(self, root: str) -> DataFrame | None:
+        # only COMMITTED batch dirs: Spark writes _SUCCESS at job
+        # commit, so a dir a crash left half-written (no marker) is
+        # invisible to readers and simply rewritten on redelivery
         dirs = [
             os.path.join(root, d)
             for d in sorted(os.listdir(root))
             if d.startswith("batch_")
+            and os.path.exists(os.path.join(root, d, "_SUCCESS"))
         ] if os.path.isdir(root) else []
         if not dirs:
             return None
