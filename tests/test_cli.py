@@ -138,3 +138,35 @@ def test_cli_corpus_clean_and_pack(spark, tmp_path, capsys):
     assert set(packed.columns) == {
         "doc_id", "shard", "n_tokens", "tok_start", "chunk_first", "chunk_last"
     }
+
+
+def test_cli_quality_gate(spark, tmp_path):
+    """quality-gate routes a documents dir through the combined gate:
+    accepted docs are PII-scrubbed, rejects carry audit reasons."""
+    import io
+
+    from warp_pipe_spark.__main__ import main
+
+    docs_dir = str(tmp_path / "docs")
+    # 60 distinct words -> passes gopher's n_words >= 50; short doc fails
+    long_text = " ".join(f"tok{i}ab" for i in range(60))
+    rows = [(1, long_text + " mail me at bob@example.com ok"), (2, "too short")]
+    spark.createDataFrame(rows, "doc_id LONG, text STRING").write.mode(
+        "overwrite"
+    ).parquet(docs_dir)
+
+    out = str(tmp_path / "gated")
+    buf = io.StringIO()
+    rc = main(["quality-gate", "--docs", docs_dir, "--out", out], out=buf)
+    assert rc == 0
+    msg = buf.getvalue()
+    assert "-> " + out in msg and "accepted" in msg
+    rej = {
+        (r["doc_id"], r["reject_reason"])
+        for r in spark.read.parquet(out + "/reject/batch_0").collect()
+    }
+    assert any(d == 2 and "gopher" in rr for d, rr in rej)
+    acc = spark.read.parquet(out + "/accept/batch_0")
+    if acc.count():  # accepted docs are scrubbed
+        texts = [r["text"] for r in acc.collect()]
+        assert all("bob@example.com" not in t for t in texts)

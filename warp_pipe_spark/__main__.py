@@ -53,6 +53,13 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--out", required=True)
     cp.add_argument("--chunk-tokens", type=int, default=512)
     cp.add_argument("--shards", type=int, default=8)
+    qg = sub.add_parser(
+        "quality-gate",
+        help="gate a documents parquet dir: accept (PII-scrubbed) / "
+        "reject (audit reasons) parquet out",
+    )
+    qg.add_argument("--docs", required=True)
+    qg.add_argument("--out", required=True, help="base dir (accept/ + reject/)")
     return p
 
 
@@ -110,6 +117,21 @@ def main(argv: list[str] | None = None, out=None) -> int:
             docs, chunk_tokens=args.chunk_tokens, n_shards=args.shards
         ).write.mode("overwrite").parquet(args.out)
         print(f"packed layout -> {args.out}", file=out)
+        return 0
+    if args.command == "quality-gate":
+        from warp_pipe_spark.datapipe.ingest import CorpusQualityGateSink
+        from warp_pipe_spark.session import get_spark
+
+        spark = get_spark("warp_pipe_corpus")
+        docs = spark.read.parquet(args.docs)
+        sink = CorpusQualityGateSink(spark, args.out)
+        sink(docs, 0)
+        n_acc = sink.accepted().count()
+        rej = sink.rejected()
+        n_rej = rej.count() if rej is not None else 0
+        print(
+            f"accepted {n_acc} / rejected {n_rej} -> {args.out}", file=out
+        )
         return 0
 
     if not args.source:
