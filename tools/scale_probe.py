@@ -108,6 +108,7 @@ PROBE_QUERIES = [
     "docs_cluster_keep_best",
     "docs_quality_gate",
     "docs_chunk_overlap",
+    "events_attribution",
 ]
 
 
