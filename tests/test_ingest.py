@@ -101,3 +101,25 @@ def test_half_written_batch_dir_invisible_until_redelivered(spark, tmp_path):
     shutil.rmtree(os.path.join(sink.accept_dir, "batch_1"))
     sink(b1, 1)  # foreachBatch redelivery
     assert {tuple(r) for r in sink.accepted().collect()} == want
+
+
+def test_compact_shrinks_files_preserves_rows(spark, tmp_path):
+    """Per-batch compaction: file counts drop to 1 per committed dir,
+    accepted()/rejected() results are byte-identical, and the commit
+    markers survive so the dirs stay readable."""
+    import os
+
+    docs = _docs(spark)
+    sink = CorpusQualityGateSink(spark, str(tmp_path / "gate"))
+    for i in range(2):
+        sink(docs.filter(F.col("doc_id") % 2 == i).repartition(4), i)
+    want_acc = {tuple(r) for r in sink.accepted().collect()}
+    want_rej = {tuple(r) for r in sink.rejected().collect()}
+    r = sink.compact()
+    assert r["files_after"] < r["files_before"]
+    assert {tuple(x) for x in sink.accepted().collect()} == want_acc
+    assert {tuple(x) for x in sink.rejected().collect()} == want_rej
+    for root in (sink.accept_dir, sink.reject_dir):
+        for d in os.listdir(root):
+            if d.startswith("batch_"):
+                assert os.path.exists(os.path.join(root, d, "_SUCCESS")), d

@@ -312,3 +312,29 @@ def test_stratified_sample_exact_ceil_for_any_strata(spark, strata, fraction):
         got[r["stratum"]] = got.get(r["stratum"], 0) + 1
         assert r["stratum_size"] == want[r["stratum"]]
     assert got == {s: math.ceil(fraction * n) for s, n in want.items()}
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_texts, min_size=1, max_size=6))
+def test_quality_model_score_matches_python_replay(spark, texts):
+    """The zero-shuffle fold must equal an independent md5-based Python
+    replay of the weight contract for ARBITRARY text (including runs
+    of whitespace, empties, newlines — the splitter's edge cases)."""
+    import hashlib
+
+    from warp_pipe_spark.datapipe.text import quality_model_score
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["score_sum"], r["keep"])
+           for r in quality_model_score(df).collect()}
+
+    def w(tok: str) -> int:
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 4096
+        return ((b + 1) * 2654435761) % 1000001 - 500000
+
+    for i, t in enumerate(texts):
+        toks = t.split(" ")  # exact F.split semantics incl. empties
+        s = sum(w(x) for x in toks)
+        assert got[i] == (len(toks), s, s > 0), (t, got[i])

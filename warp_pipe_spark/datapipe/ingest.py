@@ -113,3 +113,28 @@ class CorpusQualityGateSink:
     def rejected(self) -> DataFrame | None:
         """All rejected (doc_id, reject_reason) across batches."""
         return self._read(self.reject_dir)
+
+    def compact(self, target_files: int = 1) -> dict[str, int]:
+        """Small-file maintenance: rewrite each COMMITTED batch dir down
+        to `target_files` parquet files (a micro-batch on local[32]
+        writes up to 32). Compaction stays WITHIN batch dirs on
+        purpose — merging across batches would let a redelivered batch
+        reintroduce rows a merge already absorbed; per-dir rewrites
+        leave the redelivery contract untouched and inherit
+        io.compact_dataset's rewrite-and-swap crash recovery. Returns
+        total {"files_before", "files_after"}."""
+        from warp_pipe_spark.io import compact_dataset
+
+        totals = {"files_before": 0, "files_after": 0}
+        for root in (self.accept_dir, self.reject_dir):
+            if not os.path.isdir(root):
+                continue
+            for d in sorted(os.listdir(root)):
+                full = os.path.join(root, d)
+                if d.startswith("batch_") and os.path.exists(
+                    os.path.join(full, "_SUCCESS")
+                ):
+                    r = compact_dataset(self.spark, full, target_files)
+                    totals["files_before"] += r["files_before"]
+                    totals["files_after"] += r["files_after"]
+        return totals
