@@ -371,3 +371,24 @@ def test_chunk_texts_overlap_reassembles_sliding_windows(spark):
             a = stream[0:chunk]
             b = stream[stride : stride + chunk]
             assert a[stride:] == b[: chunk - stride]
+
+
+def test_chunk_overlap_degenerates_to_disjoint_at_full_stride(spark):
+    """stride == chunk_tokens makes the sliding windows disjoint —
+    the output must equal chunk_texts exactly (membership formula
+    correctness at the boundary)."""
+    from warp_pipe_spark.datapipe.sampling import chunk_texts, chunk_texts_overlap
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(5 + i % 4))) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    a = {
+        (r["shard"], r["chunk_id"]): (r["n_tokens"], r["chunk_md5"])
+        for r in chunk_texts(docs, chunk_tokens=8, n_shards=2).collect()
+    }
+    b = {
+        (r["shard"], r["chunk_id"]): (r["n_tokens"], r["chunk_md5"])
+        for r in chunk_texts_overlap(
+            docs, chunk_tokens=8, stride=8, n_shards=2
+        ).collect()
+    }
+    assert a == b
