@@ -58,8 +58,16 @@ def main() -> None:
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     surviving = surviving.join(losers, "doc_id", "left_anti")
 
-    # quality gate
-    surviving = surviving.filter(F.col("quality_score") >= 0.6)
+    # quality gate (heuristic score + the hashed-linear classifier)
+    from warp_pipe_spark.datapipe.text import pii_scrub, quality_model_score
+
+    model_keep = quality_model_score(docs).filter("keep").select("doc_id")
+    surviving = surviving.filter(F.col("quality_score") >= 0.6).join(
+        model_keep, "doc_id", "left_semi"
+    )
+
+    # PII scrub the survivors before anything is written
+    surviving = pii_scrub(surviving)
 
     # 5. deterministic split
     split = F.when(h32(F.col("doc_id").cast("string")) % 10 == 0, "val").otherwise(
@@ -83,8 +91,16 @@ def main() -> None:
     for r in report.collect():
         print(f"  {r.source:<12} {r.split:<6} n={r.n_docs:<6} avg_quality={r.avg_quality}")
 
+    # 7. materialize retrieval chunks (sliding 512/384) from the kept set
+    from warp_pipe_spark.datapipe.sampling import chunk_texts_overlap
+
+    n_chunks = chunk_texts_overlap(
+        final.select("doc_id", "text"), chunk_tokens=512, stride=384, n_shards=4
+    ).count()
+    print(f"retrieval chunks (512/384 sliding): {n_chunks}")
+
     got = {r.split for r in final.select("split").distinct().collect()}
-    assert got <= {"train", "val"} and n1 > 0
+    assert got <= {"train", "val"} and n1 > 0 and n_chunks > 0
     print("corpus pipeline demo OK")
 
 
