@@ -2898,6 +2898,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lag_ms",
         )
 
+    def events_attribution_last(spark, sf):
+        """LAST-TOUCH attribution: each purchase credited to its most
+        recent qualifying click only (the standard marketing model; the
+        all-pairs join is the audit view). One keyed max over the
+        interval join's output — lexicographic (click_ts, click_id)
+        struct max for deterministic ties."""
+        from warp_pipe_spark.analytics import attribution_join
+
+        ev = read_table(spark, sf, "events")
+        j = attribution_join(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "purchase"),
+            within_minutes=30,
+        )
+        best = F.max(
+            F.struct(
+                F.unix_millis("click_ts").alias("cms"),
+                F.col("click_id").alias("cid"),
+            )
+        )
+        return j.groupBy("user_id", "purchase_id").agg(
+            best["cid"].alias("click_id"),
+            best["cms"].alias("click_ms"),
+            F.max(F.unix_millis("purchase_ts")).alias("purchase_ms"),
+            F.count("*").cast("long").alias("n_candidate_clicks"),
+        )
+
     def docs_chunk_overlap(spark, sf):
         """Sliding-window chunk materialization (RAG-style 512/384
         overlap): same layout + bounded-group shape as docs_chunk_texts,
@@ -2929,6 +2956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_quality_gate=docs_quality_gate,
         docs_chunk_overlap=docs_chunk_overlap,
         events_attribution=events_attribution,
+        events_attribution_last=events_attribution_last,
         dedup_containment=dedup_containment,
         docs_hash_embed=docs_hash_embed,
         docs_text_ann=docs_text_ann,
@@ -2957,6 +2985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_gate",
         "docs_chunk_overlap",
         "events_attribution",
+        "events_attribution_last",
         # new in round 5 (second batch): retrieval, clustering, sampling,
         # incremental LSH index, histogram registers
         "dedup_minhash_indexed",
@@ -5178,6 +5207,34 @@ def oracle_sql() -> dict[str, str]:
     FROM c JOIN p
       ON c.user_id = p.user_id
      AND pts >= cts AND pts <= cts + INTERVAL 30 MINUTE
+    """
+
+    # last-touch: lexicographic (click_ts, click_id) max per purchase
+    o["events_attribution_last"] = """
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, ts AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT c.user_id, click_id, purchase_id,
+             epoch_ms(cts) AS cms, epoch_ms(pts) AS pms
+      FROM c JOIN p
+        ON c.user_id = p.user_id
+       AND pts >= cts AND pts <= cts + INTERVAL 30 MINUTE
+    ),
+    b AS (
+      SELECT user_id, purchase_id, max(ROW(cms, click_id)) AS m,
+             max(pms) AS purchase_ms,
+             count(*)::BIGINT AS n_candidate_clicks
+      FROM j GROUP BY user_id, purchase_id
+    )
+    SELECT user_id, purchase_id, m[2] AS click_id, m[1] AS click_ms,
+           purchase_ms, n_candidate_clicks
+    FROM b
     """
 
     o["docs_lm_logppl"] = """

@@ -144,6 +144,7 @@ HEADLINE = [
     "docs_quality_gate",
     "docs_chunk_overlap",
     "events_attribution",
+    "events_attribution_last",
     # complete coverage: every remaining registered query (cheap CDC
     # primitives + the small-N exact embedding pairs), so BENCH_SELF
     # times the FULL registry
