@@ -109,6 +109,7 @@ PROBE_QUERIES = [
     "docs_quality_gate",
     "docs_chunk_overlap",
     "events_attribution",
+    "events_attribution_last",
 ]
 
 
