@@ -2925,6 +2925,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count("*").cast("long").alias("n_candidate_clicks"),
         )
 
+    def events_attribution_last_asof(spark, sf):
+        """The SCALE PATH for last-touch attribution: the interval-join
+        variants materialize clicks×purchases per (user, window) — for
+        a bot user with 10⁴ of each inside the window that is 10⁸
+        pairs. This shape is the as-of union+window trick instead
+        (temporal.asof_join): ONE shuffle keyed by user, a running
+        last-click carried down the event timeline, then the 30-min
+        bound as a filter — cost linear in events for ANY key skew.
+        Output = events_attribution_last minus the audit count (the
+        count is the one thing that inherently needs the pair set);
+        identical rows pinned by sharing its oracle shape."""
+        from warp_pipe_spark.datapipe.temporal import asof_join
+
+        ev = read_table(spark, sf, "events")
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+        )
+        j = asof_join(
+            purchases,
+            clicks,
+            key="user_id",
+            left_ts="pts",
+            right_ts="cts",
+            payload_cols=["click_id", "cts"],
+            right_seq="click_id",
+        )
+        return (
+            j.filter(
+                F.col("click_id").isNotNull()
+                & (
+                    F.unix_millis("pts") - F.unix_millis("cts")
+                    <= 30 * 60 * 1000
+                )
+            )
+            .select(
+                "user_id",
+                "purchase_id",
+                "click_id",
+                F.unix_millis("cts").alias("click_ms"),
+                F.unix_millis("pts").alias("purchase_ms"),
+            )
+        )
+
     def docs_chunk_overlap(spark, sf):
         """Sliding-window chunk materialization (RAG-style 512/384
         overlap): same layout + bounded-group shape as docs_chunk_texts,
@@ -2957,6 +3003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_chunk_overlap=docs_chunk_overlap,
         events_attribution=events_attribution,
         events_attribution_last=events_attribution_last,
+        events_attribution_last_asof=events_attribution_last_asof,
         dedup_containment=dedup_containment,
         docs_hash_embed=docs_hash_embed,
         docs_text_ann=docs_text_ann,
@@ -2986,6 +3033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_chunk_overlap",
         "events_attribution",
         "events_attribution_last",
+        "events_attribution_last_asof",
         # new in round 5 (second batch): retrieval, clustering, sampling,
         # incremental LSH index, histogram registers
         "dedup_minhash_indexed",
@@ -5236,6 +5284,16 @@ def oracle_sql() -> dict[str, str]:
            purchase_ms, n_candidate_clicks
     FROM b
     """
+
+    # the as-of scale path must produce the identical last-touch rows;
+    # its oracle is the join-based one minus the audit count
+    o["events_attribution_last_asof"] = o["events_attribution_last"].replace(
+        "max(pms) AS purchase_ms,\n             count(*)::BIGINT AS n_candidate_clicks",
+        "max(pms) AS purchase_ms",
+    ).replace(
+        "purchase_ms, n_candidate_clicks\n    FROM b",
+        "purchase_ms\n    FROM b",
+    )
 
     o["docs_lm_logppl"] = """
     WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

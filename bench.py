@@ -145,6 +145,7 @@ HEADLINE = [
     "docs_chunk_overlap",
     "events_attribution",
     "events_attribution_last",
+    "events_attribution_last_asof",
     # complete coverage: every remaining registered query (cheap CDC
     # primitives + the small-N exact embedding pairs), so BENCH_SELF
     # times the FULL registry

@@ -379,3 +379,11 @@ def test_attribution_join_hash_join_not_nested_loop(spark, qs):
     never a nested loop."""
     p = plan_of(spark, qs["events_attribution"](spark, SF))
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+
+
+def test_attribution_asof_single_exchange_no_join(spark, qs):
+    """The scale path for last-touch: union + ONE user-keyed window,
+    no join node anywhere — pair-count per hot user never exists."""
+    p = plan_of(spark, qs["events_attribution_last_asof"](spark, SF))
+    assert n_exchanges(p) == 1, tree_of(p)
+    assert "Join" not in tree_of(p), tree_of(p)

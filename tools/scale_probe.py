@@ -110,6 +110,7 @@ PROBE_QUERIES = [
     "docs_chunk_overlap",
     "events_attribution",
     "events_attribution_last",
+    "events_attribution_last_asof",
 ]
 
 
@@ -380,6 +381,75 @@ def pagerank_probe(spark, n: int = 200_000, r: int = 10) -> int:
     return 0
 
 
+def hotuser_probe(spark, n: int = 2000) -> int:
+    """Bot-user attribution skew: ONE user with n clicks and n
+    purchases all inside one 30-min window. The interval-join
+    last-touch variant materializes ~n² candidate pairs for that key;
+    the as-of union+window variant is linear for any skew. Both must
+    return identical rows (n attributions)."""
+    import tempfile
+
+    qs = entrymod.queries()
+    print("| n | join s | asof s | join ratio | asof ratio |")
+    print("|---|---|---|---|---|")
+    prev = {}
+    for m in (n, 2 * n):
+        d = tempfile.mkdtemp(prefix=f"wp_hotuser_{m}_")
+        t0_ms = 1_700_000_000_000
+        step = 1_700_000 // m  # all events inside ~28 min
+        ids = spark.range(m)
+        clicks = ids.select(
+            F.col("id").alias("event_id"),
+            F.timestamp_millis(F.lit(t0_ms) + F.col("id") * step).alias("ts"),
+            F.lit(0).alias("user_id"),
+            F.lit("click").alias("event_type"),
+        )
+        purchases = ids.select(
+            (F.col("id") + m).alias("event_id"),
+            F.timestamp_millis(
+                F.lit(t0_ms) + F.col("id") * step + step // 2
+            ).alias("ts"),
+            F.lit(0).alias("user_id"),
+            F.lit("purchase").alias("event_type"),
+        )
+        clicks.unionByName(purchases).write.mode("overwrite").parquet(
+            os.path.join(d, "events.parquet")
+        )
+        times = {}
+        rows = {}
+        for name in ("events_attribution_last", "events_attribution_last_asof"):
+            best = None
+            for _ in range(2):  # two runs, keep min (warm-up washes out)
+                t0 = time.time()
+                rows[name] = qs[name](spark, d).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            times[name] = best
+        assert rows["events_attribution_last"] == rows[
+            "events_attribution_last_asof"
+        ] == m, rows
+        jr = (
+            f"{times['events_attribution_last'] / prev['j']:.1f}x"
+            if prev
+            else ""
+        )
+        ar = (
+            f"{times['events_attribution_last_asof'] / prev['a']:.1f}x"
+            if prev
+            else ""
+        )
+        print(
+            f"| {m:,} | {times['events_attribution_last']:.2f} "
+            f"| {times['events_attribution_last_asof']:.2f} | {jr} | {ar} |"
+        )
+        sys.stdout.flush()
+        prev = {
+            "j": times["events_attribution_last"],
+            "a": times["events_attribution_last_asof"],
+        }
+    return 0
+
+
 def gate_soak(spark, r: int = 10, n_batches: int = 8) -> int:
     """Streaming quality-gate soak at R×: the R×-inflated documents
     table through CorpusQualityGateSink in micro-batches, timing each.
@@ -595,6 +665,9 @@ def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--soak":
         r = int(sys.argv[2]) if len(sys.argv) > 2 else 10
         return soak_probe(get_spark("scale_probe_soak"), r)
+    if len(sys.argv) > 1 and sys.argv[1] == "--hotuser":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+        return hotuser_probe(get_spark("scale_probe_hotuser"), n)
     if len(sys.argv) > 1 and sys.argv[1] == "--gatesoak":
         r = int(sys.argv[2]) if len(sys.argv) > 2 else 10
         return gate_soak(get_spark("scale_probe_gatesoak"), r)
