@@ -77,3 +77,40 @@ def test_range_join_crosses_midnight(spark):
         .collect()
     )
     assert [(r["win_id"], r["s"], r["n"]) for r in got] == [(100, 7.0, 3)]
+
+
+def test_last_touch_variants_agree_on_click_ts_ties(spark):
+    """Two clicks at the IDENTICAL timestamp before one purchase: the
+    join variant's max(ROW(ts, id)) and the as-of variant's right_seq
+    tie-break must both pick the higher click_id — pinned so the two
+    registered attribution paths can never diverge on ties."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from warp_pipe_spark.datapipe.temporal import asof_join
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    clicks = spark.createDataFrame(
+        [(1, t0, 7), (2, t0, 7)],
+        "click_id LONG, cts TIMESTAMP, user_id LONG",
+    )
+    purchases = spark.createDataFrame(
+        [(9, datetime.datetime(2024, 1, 1, 12, 10), 7)],
+        "purchase_id LONG, pts TIMESTAMP, user_id LONG",
+    )
+    # as-of path
+    a = asof_join(
+        purchases, clicks, key="user_id", left_ts="pts", right_ts="cts",
+        payload_cols=["click_id", "cts"], right_seq="click_id",
+    ).collect()
+    assert [(r["purchase_id"], r["click_id"]) for r in a] == [(9, 2)]
+    # join path (the events_attribution_last aggregation shape)
+    j = clicks.join(purchases, "user_id").filter(
+        (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    best = F.max(F.struct(F.unix_millis("cts").alias("cms"),
+                          F.col("click_id").alias("cid")))
+    b = j.groupBy("purchase_id").agg(best["cid"].alias("click_id")).collect()
+    assert [(r["purchase_id"], r["click_id"]) for r in b] == [(9, 2)]
