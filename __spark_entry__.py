@@ -2101,6 +2101,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("rank", "w", "n_occ", "n_docs")
         )
 
+    def docs_vocab_coverage(spark, sf):
+        """Tokenizer-coverage report: per-doc OOV rate against the
+        top-20 corpus vocabulary — the check every pipeline runs before
+        committing to a tokenizer (high OOV = wrong language, noise, or
+        a vocab too small). The vocab side is FIXED-SIZE by
+        construction (top-k via WindowGroupLimit), so the token join is
+        a broadcast at any corpus scale — AQE picks it; no hint needed.
+        Integer-exact micro fractions."""
+        docs = _docs(spark, sf)
+        tok = docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("w")
+        ).filter(F.col("w") != "")
+        per = tok.groupBy("w").agg(F.count("*").alias("n_occ"))
+        win = Window.orderBy(F.col("n_occ").desc(), F.col("w").asc())
+        vocab = (
+            per.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= 20)
+            .select("w", F.lit(1).alias("in_vocab"))
+        )
+        j = tok.join(vocab, "w", "left")
+        return (
+            j.groupBy("doc_id")
+            .agg(
+                F.count("*").cast("long").alias("n_tokens"),
+                F.sum(
+                    F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+                ).cast("long").alias("n_oov"),
+            )
+            .select(
+                "doc_id",
+                "n_tokens",
+                "n_oov",
+                F.expr("(n_oov * 1000000) div n_tokens").alias("oov_micro"),
+            )
+        )
+
     def docs_token_percentiles(spark, sf):
         """Corpus telemetry: per-source token-count distribution (exact
         p50/p90/p99) + total token mass — the sizing report every
@@ -2553,6 +2589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_funnel=events_funnel,
         events_cohort_retention=events_cohort_retention,
         docs_vocabulary=docs_vocabulary,
+        docs_vocab_coverage=docs_vocab_coverage,
         docs_token_percentiles=docs_token_percentiles,
         multimodal_frame_sample=multimodal_frame_sample,
         dedup_clusters=dedup_clusters,
@@ -3034,6 +3071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution",
         "events_attribution_last",
         "events_attribution_last_asof",
+        "docs_vocab_coverage",
         # new in round 5 (second batch): retrieval, clustering, sampling,
         # incremental LSH index, histogram registers
         "dedup_minhash_indexed",
@@ -5283,6 +5321,24 @@ def oracle_sql() -> dict[str, str]:
     SELECT user_id, purchase_id, m[2] AS click_id, m[1] AS click_ms,
            purchase_ms, n_candidate_clicks
     FROM b
+    """
+
+    o["docs_vocab_coverage"] = """
+    WITH tok AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      ) WHERE w <> ''
+    ),
+    per AS (SELECT w, count(*) AS n_occ FROM tok GROUP BY w),
+    vocab AS (SELECT w FROM per ORDER BY n_occ DESC, w ASC LIMIT 20),
+    j AS (
+      SELECT t.doc_id, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tok t LEFT JOIN vocab v ON t.w = v.w
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           sum(oov)::BIGINT AS n_oov,
+           ((sum(oov) * 1000000) // count(*))::BIGINT AS oov_micro
+    FROM j GROUP BY doc_id
     """
 
     # the as-of scale path must produce the identical last-touch rows;

@@ -95,6 +95,7 @@ HEADLINE = [
     "docs_hash_split",
     "docs_contamination",
     "docs_vocabulary",
+    "docs_vocab_coverage",
     "docs_dup_spans",
     "docs_source_mix",
     "docs_token_percentiles",

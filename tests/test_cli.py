@@ -170,3 +170,42 @@ def test_cli_quality_gate(spark, tmp_path):
     if acc.count():  # accepted docs are scrubbed
         texts = [r["text"] for r in acc.collect()]
         assert all("bob@example.com" not in t for t in texts)
+
+
+def test_cli_corpus_clean_keep_best(spark, tmp_path):
+    """--keep-best keeps the argmax-classifier-scored doc per near-dup
+    cluster (not the min id); the kept doc must match the score argmax
+    computed independently here."""
+    import hashlib
+    import io
+
+    from warp_pipe_spark.__main__ import main
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [
+        (1, base + "tailone"),
+        (2, base + "tailtwo"),  # near-dup of 1 (shares nearly all shingles)
+        (3, "completely different content with no shared shingles at all"),
+    ]
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id LONG, text STRING").write.mode(
+        "overwrite"
+    ).parquet(docs_dir)
+    out = str(tmp_path / "clean")
+    buf = io.StringIO()
+    rc = main(
+        ["corpus-clean", "--docs", docs_dir, "--out", out, "--keep-best"],
+        out=buf,
+    )
+    assert rc == 0
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+    def score(text):
+        def w(tok):
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 4096
+            return ((b + 1) * 2654435761) % 1000001 - 500000
+        return sum(w(t) for t in text.split(" "))
+
+    s1, s2 = score(rows[0][1]), score(rows[1][1])
+    best = 1 if (s1, 1) > (s2, 2) else 2
+    assert kept == {best, 3}, (kept, s1, s2)

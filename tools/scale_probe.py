@@ -111,6 +111,7 @@ PROBE_QUERIES = [
     "events_attribution",
     "events_attribution_last",
     "events_attribution_last_asof",
+    "docs_vocab_coverage",
 ]
 
 

@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
     cc.add_argument("--docs", required=True, help="documents parquet dir/file")
     cc.add_argument("--out", required=True, help="output parquet dir")
     cc.add_argument("--max-bucket", type=int, default=1000)
+    cc.add_argument(
+        "--keep-best",
+        action="store_true",
+        help="keep the highest classifier-scored doc per near-dup "
+        "cluster instead of the min doc_id",
+    )
     cp = sub.add_parser(
         "corpus-pack",
         help="write the chunk-packing layout for a documents parquet dir",
@@ -97,9 +103,26 @@ def main(argv: list[str] | None = None, out=None) -> int:
         keepers = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
         pairs = minhash_lsh_pairs(docs, max_bucket=args.max_bucket)
         clusters = connected_components_star(pairs)
-        drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
-            "doc_id"
-        )
+        if args.keep_best:
+            # quality-aware resolution: keep the argmax-scored doc per
+            # cluster (docs_cluster_keep_best semantics)
+            from warp_pipe_spark.datapipe.text import quality_model_score
+
+            scores = quality_model_score(docs).select("doc_id", "score_sum")
+            j = clusters.join(scores, "doc_id")
+            best = F.max(
+                F.struct(F.col("score_sum").alias("s"), F.col("doc_id").alias("d"))
+            )
+            kept_per_cluster = j.groupBy("cluster_id").agg(
+                best["d"].alias("doc_id")
+            )
+            drop = clusters.join(
+                kept_per_cluster.select("doc_id"), "doc_id", "left_anti"
+            ).select("doc_id")
+        else:
+            drop = clusters.filter(
+                F.col("doc_id") != F.col("cluster_id")
+            ).select("doc_id")
         kept = docs.join(keepers, "doc_id", "left_semi").join(
             drop, "doc_id", "left_anti"
         )
