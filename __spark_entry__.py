@@ -1405,6 +1405,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return decode_audio(wav_media(_docs(spark, sf)))
 
+    def multimodal_audio_frames(spark, sf):
+        """Frame-level audio featurization from the real WAV bytes:
+        disjoint 128-sample frames, per-frame integer energy (Σv²) and
+        amplitude mass — the spectrogram-precursor framing step. See
+        multimodal.audio_frame_features."""
+        from warp_pipe_spark.datapipe.multimodal import (
+            audio_frame_features,
+            wav_media,
+        )
+
+        return audio_frame_features(wav_media(_docs(spark, sf)), frame=128)
+
     def multimodal_video_frames(spark, sf):
         """REAL video frame extraction: demux a concatenated-BMP stream
         (each frame self-describing via its header size field), decode
@@ -1422,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multimodal_resize_real=multimodal_resize_real,
         multimodal_phash=multimodal_phash,
         multimodal_audio_real=multimodal_audio_real,
+        multimodal_audio_frames=multimodal_audio_frames,
         multimodal_video_frames=multimodal_video_frames,
     )
 
@@ -3072,6 +3085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution_last",
         "events_attribution_last_asof",
         "docs_vocab_coverage",
+        "multimodal_audio_frames",
         # new in round 5 (second batch): retrieval, clustering, sampling,
         # incremental LSH index, histogram registers
         "dedup_minhash_indexed",
@@ -4228,6 +4242,23 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # --- sketches, percentiles, wider TPC-H shapes ----------------------
+    o["multimodal_audio_frames"] = """
+    WITH m AS (
+      SELECT doc_id AS media_id, doc_id % 500 + 100 AS n FROM documents
+    ),
+    idx AS (SELECT media_id, n, unnest(range(0, n)) AS i FROM m),
+    s AS (
+      SELECT media_id, CAST(i // 128 AS BIGINT) AS frame_id,
+             ((7 * media_id + 13 * i) % 65536) - 32768 AS v
+      FROM idx
+    )
+    SELECT media_id, frame_id,
+           count(*)::BIGINT AS n_in_frame,
+           CAST(sum(v * v) AS BIGINT) AS energy,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs
+    FROM s GROUP BY media_id, frame_id
+    """
+
     o["tpch_q7"] = """
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            EXTRACT(year FROM l_shipdate)::BIGINT AS l_year,

@@ -121,6 +121,7 @@ HEADLINE = [
     "multimodal_resize_real",
     "multimodal_phash",
     "multimodal_audio_real",
+    "multimodal_audio_frames",
     "multimodal_video_frames",
     "docs_bm25",
     "docs_tfidf_topterms",

@@ -251,3 +251,33 @@ def test_video_demux_and_frame_decode(spark, sf_dir):
     # every_n subsampling
     sub = extract_frames(video_media(docs), every_n=2).collect()
     assert all(r["frame_idx"] % 2 == 0 for r in sub)
+
+
+def test_audio_frame_features_partition_the_signal(spark):
+    """Frames must partition the clip exactly: per-frame counts sum to
+    n_samples, per-frame energy/abs-mass sum to the whole-clip values
+    computed independently from the synth arithmetic, and only the
+    last frame may be short."""
+    import numpy as np
+
+    from warp_pipe_spark.datapipe.multimodal import (
+        audio_frame_features,
+        synth_samples,
+        wav_dims,
+        wav_media,
+    )
+
+    docs = spark.createDataFrame([(3,), (7,)], "doc_id LONG")
+    rows = audio_frame_features(wav_media(docs), frame=100).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, rs in by_media.items():
+        n = wav_dims(mid)
+        v = synth_samples(mid, n).astype(np.int64)
+        rs = sorted(rs, key=lambda r: r["frame_id"])
+        assert sum(r["n_in_frame"] for r in rs) == n
+        assert sum(r["energy"] for r in rs) == int((v * v).sum())
+        assert sum(r["sum_abs"] for r in rs) == int(np.abs(v).sum())
+        assert all(r["n_in_frame"] == 100 for r in rs[:-1])
+        assert [r["frame_id"] for r in rs] == list(range(len(rs)))

@@ -112,6 +112,7 @@ PROBE_QUERIES = [
     "events_attribution_last",
     "events_attribution_last_asof",
     "docs_vocab_coverage",
+    "multimodal_audio_frames",
 ]
 
 
