@@ -1417,6 +1417,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return audio_frame_features(wav_media(_docs(spark, sf)), frame=128)
 
+    def multimodal_image_tiles(spark, sf):
+        """ViT-style patchification on the real BMP bytes: 4×4 tiles
+        with partial edge patches, per-tile integer channel sums. See
+        multimodal.image_tile_features."""
+        from warp_pipe_spark.datapipe.multimodal import (
+            bmp_media,
+            image_tile_features,
+        )
+
+        return image_tile_features(bmp_media(_docs(spark, sf)), tile=4)
+
     def multimodal_video_frames(spark, sf):
         """REAL video frame extraction: demux a concatenated-BMP stream
         (each frame self-describing via its header size field), decode
@@ -1435,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multimodal_phash=multimodal_phash,
         multimodal_audio_real=multimodal_audio_real,
         multimodal_audio_frames=multimodal_audio_frames,
+        multimodal_image_tiles=multimodal_image_tiles,
         multimodal_video_frames=multimodal_video_frames,
     )
 
@@ -3086,6 +3098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution_last_asof",
         "docs_vocab_coverage",
         "multimodal_audio_frames",
+        "multimodal_image_tiles",
         # new in round 5 (second batch): retrieval, clustering, sampling,
         # incremental LSH index, histogram registers
         "dedup_minhash_indexed",
@@ -4257,6 +4270,23 @@ def oracle_sql() -> dict[str, str]:
            CAST(sum(v * v) AS BIGINT) AS energy,
            CAST(sum(abs(v)) AS BIGINT) AS sum_abs
     FROM s GROUP BY media_id, frame_id
+    """
+
+    o["multimodal_image_tiles"] = """
+    WITH m AS (
+      SELECT doc_id AS media_id, doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h
+      FROM documents
+    ),
+    xs AS (SELECT media_id, w, h, unnest(range(0, w)) AS sx FROM m),
+    px AS (SELECT media_id, sx, unnest(range(0, h)) AS sy FROM xs)
+    SELECT media_id,
+           CAST(sx // 4 AS BIGINT) AS tile_x,
+           CAST(sy // 4 AS BIGINT) AS tile_y,
+           count(*)::BIGINT AS n_px,
+           CAST(sum((7 * media_id + sx + 11 * sy) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((3 * media_id + 5 * sx + sy) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((media_id + 2 * sx + 3 * sy) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY media_id, sx // 4, sy // 4
     """
 
     o["tpch_q7"] = """

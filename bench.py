@@ -122,6 +122,7 @@ HEADLINE = [
     "multimodal_phash",
     "multimodal_audio_real",
     "multimodal_audio_frames",
+    "multimodal_image_tiles",
     "multimodal_video_frames",
     "docs_bm25",
     "docs_tfidf_topterms",

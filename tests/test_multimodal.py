@@ -281,3 +281,31 @@ def test_audio_frame_features_partition_the_signal(spark):
         assert sum(r["sum_abs"] for r in rs) == int(np.abs(v).sum())
         assert all(r["n_in_frame"] == 100 for r in rs[:-1])
         assert [r["frame_id"] for r in rs] == list(range(len(rs)))
+
+
+def test_image_tile_features_partition_the_image(spark):
+    """Tiles must partition each image exactly: per-tile pixel counts
+    sum to w·h and per-channel sums to the whole-image sums computed
+    independently from the synth arithmetic; ragged edges keep partial
+    tiles."""
+    import numpy as np
+
+    from warp_pipe_spark.datapipe.multimodal import (
+        bmp_dims,
+        bmp_media,
+        image_tile_features,
+        synth_pixels,
+    )
+
+    docs = spark.createDataFrame([(5,), (10,)], "doc_id LONG")
+    rows = image_tile_features(bmp_media(docs), tile=4).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, rs in by_media.items():
+        w, h = bmp_dims(mid)
+        px = synth_pixels(mid, w, h).astype(np.int64)
+        assert sum(r["n_px"] for r in rs) == w * h
+        for ci, col in enumerate(("sum_r", "sum_g", "sum_b")):
+            assert sum(r[col] for r in rs) == int(px[..., ci].sum())
+        assert len(rs) == -(-w // 4) * -(-h // 4)  # ceil(w/4)*ceil(h/4)

@@ -113,6 +113,7 @@ PROBE_QUERIES = [
     "events_attribution_last_asof",
     "docs_vocab_coverage",
     "multimodal_audio_frames",
+    "multimodal_image_tiles",
 ]
 
 

@@ -479,6 +479,53 @@ def audio_frame_features(media: DataFrame, frame: int = 128) -> DataFrame:
     return media.mapInPandas(mapper, schema=AUDIO_FRAME_SCHEMA)
 
 
+IMAGE_TILE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("tile_x", T.LongType()),
+        T.StructField("tile_y", T.LongType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def image_tile_features(media: DataFrame, tile: int = 4) -> DataFrame:
+    """ViT-style patchification from real BMP bytes: the decoded image
+    cut into `tile`×`tile` patches (ragged right/bottom edges keep
+    their partial patches), per patch the integer channel sums — the
+    exact statistics a patch-embedding/normalization stage consumes.
+    Fan-out is ⌈w/t⌉·⌈h/t⌉ rows per image (bounded by image size);
+    same Arrow mapInPandas shape as decode_media. All-integer — the
+    oracle replays the synthetic pixel arithmetic, never the bytes."""
+
+    def mapper(batches):
+        for pdf in batches:
+            out = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                px = bmp_decode(bytes(c)).astype(np.int64)
+                h, w, _ = px.shape
+                for ty in range(0, h, tile):
+                    for tx in range(0, w, tile):
+                        p = px[ty : ty + tile, tx : tx + tile]
+                        out.append(
+                            {
+                                "media_id": int(mid),
+                                "tile_x": tx // tile,
+                                "tile_y": ty // tile,
+                                "n_px": p.shape[0] * p.shape[1],
+                                "sum_r": int(p[..., 0].sum()),
+                                "sum_g": int(p[..., 1].sum()),
+                                "sum_b": int(p[..., 2].sum()),
+                            }
+                        )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(mapper, schema=IMAGE_TILE_SCHEMA)
+
+
 def _fake_features(content: bytes) -> list[float]:
     """Deterministic stand-in for a real image/audio featurizer: 8
     doubles from the md5 digest, scaled to [0, 1). k/65536 is an exact
