@@ -1428,6 +1428,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return image_tile_features(bmp_media(_docs(spark, sf)), tile=4)
 
+    def multimodal_video_diffs(spark, sf):
+        """Shot-boundary signal from the real video stream: per
+        consecutive frame pair the absolute per-channel pixel diff —
+        what a scene-cut detector thresholds. See
+        multimodal.video_frame_diffs."""
+        from warp_pipe_spark.datapipe.multimodal import (
+            video_frame_diffs,
+            video_media,
+        )
+
+        return video_frame_diffs(video_media(_docs(spark, sf)))
+
     def multimodal_video_frames(spark, sf):
         """REAL video frame extraction: demux a concatenated-BMP stream
         (each frame self-describing via its header size field), decode
@@ -1447,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multimodal_audio_real=multimodal_audio_real,
         multimodal_audio_frames=multimodal_audio_frames,
         multimodal_image_tiles=multimodal_image_tiles,
+        multimodal_video_diffs=multimodal_video_diffs,
         multimodal_video_frames=multimodal_video_frames,
     )
 
@@ -3099,6 +3112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_vocab_coverage",
         "multimodal_audio_frames",
         "multimodal_image_tiles",
+        "multimodal_video_diffs",
         # new in round 5 (second batch): retrieval, clustering, sampling,
         # incremental LSH index, histogram registers
         "dedup_minhash_indexed",
@@ -4287,6 +4301,28 @@ def oracle_sql() -> dict[str, str]:
            CAST(sum((3 * media_id + 5 * sx + sy) % 256) AS BIGINT) AS sum_g,
            CAST(sum((media_id + 2 * sx + 3 * sy) % 256) AS BIGINT) AS sum_b
     FROM px GROUP BY media_id, sx // 4, sy // 4
+    """
+
+    o["multimodal_video_diffs"] = """
+    WITH m AS (
+      SELECT doc_id AS media_id, doc_id % 6 + 2 AS nf,
+             doc_id % 8 + 4 AS w, doc_id % 6 + 4 AS h
+      FROM documents
+    ),
+    fr AS (SELECT media_id, w, h, unnest(range(1, nf)) AS f FROM m),
+    xs AS (SELECT media_id, w, h, f,
+                  media_id * 1000 + f - 1 AS s0, media_id * 1000 + f AS s1,
+                  unnest(range(0, w)) AS sx FROM fr),
+    px AS (SELECT media_id, f, s0, s1, sx, unnest(range(0, h)) AS sy FROM xs)
+    SELECT media_id, CAST(f AS BIGINT) AS frame_idx,
+           count(*)::BIGINT AS n_px,
+           CAST(sum(abs(((7 * s1 + sx + 11 * sy) % 256)
+                      - ((7 * s0 + sx + 11 * sy) % 256))) AS BIGINT) AS diff_r,
+           CAST(sum(abs(((3 * s1 + 5 * sx + sy) % 256)
+                      - ((3 * s0 + 5 * sx + sy) % 256))) AS BIGINT) AS diff_g,
+           CAST(sum(abs(((s1 + 2 * sx + 3 * sy) % 256)
+                      - ((s0 + 2 * sx + 3 * sy) % 256))) AS BIGINT) AS diff_b
+    FROM px GROUP BY media_id, f
     """
 
     o["tpch_q7"] = """

@@ -123,6 +123,7 @@ HEADLINE = [
     "multimodal_audio_real",
     "multimodal_audio_frames",
     "multimodal_image_tiles",
+    "multimodal_video_diffs",
     "multimodal_video_frames",
     "docs_bm25",
     "docs_tfidf_topterms",

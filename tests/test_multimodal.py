@@ -309,3 +309,37 @@ def test_image_tile_features_partition_the_image(spark):
         for ci, col in enumerate(("sum_r", "sum_g", "sum_b")):
             assert sum(r[col] for r in rs) == int(px[..., ci].sum())
         assert len(rs) == -(-w // 4) * -(-h // 4)  # ceil(w/4)*ceil(h/4)
+
+
+def test_video_frame_diffs_match_numpy_replay(spark):
+    """Per-pair channel diffs must equal the numpy replay of the
+    synthetic frame arithmetic, with exactly n_frames-1 rows per
+    video."""
+    import numpy as np
+
+    from warp_pipe_spark.datapipe.multimodal import (
+        synth_pixels,
+        video_dims,
+        video_frame_diffs,
+        video_media,
+    )
+
+    docs = spark.createDataFrame([(4,), (9,)], "doc_id LONG")
+    rows = video_frame_diffs(video_media(docs)).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, rs in by_media.items():
+        nf, w, h = video_dims(mid)
+        assert len(rs) == nf - 1
+        for r in sorted(rs, key=lambda r: r["frame_idx"]):
+            f = r["frame_idx"]
+            a = synth_pixels(mid * 1000 + f - 1, w, h).astype(np.int64)
+            b = synth_pixels(mid * 1000 + f, w, h).astype(np.int64)
+            d = np.abs(b - a)
+            assert (r["n_px"], r["diff_r"], r["diff_g"], r["diff_b"]) == (
+                w * h,
+                int(d[..., 0].sum()),
+                int(d[..., 1].sum()),
+                int(d[..., 2].sum()),
+            )

@@ -114,6 +114,7 @@ PROBE_QUERIES = [
     "docs_vocab_coverage",
     "multimodal_audio_frames",
     "multimodal_image_tiles",
+    "multimodal_video_diffs",
 ]
 
 

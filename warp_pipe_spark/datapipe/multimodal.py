@@ -526,6 +526,52 @@ def image_tile_features(media: DataFrame, tile: int = 4) -> DataFrame:
     return media.mapInPandas(mapper, schema=IMAGE_TILE_SCHEMA)
 
 
+VIDEO_DIFF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("diff_r", T.LongType()),
+        T.StructField("diff_g", T.LongType()),
+        T.StructField("diff_b", T.LongType()),
+    ]
+)
+
+
+def video_frame_diffs(media: DataFrame) -> DataFrame:
+    """Scene-change statistics from the real video byte stream: per
+    consecutive frame pair, the absolute pixel difference summed per
+    channel — the signal a shot-boundary detector thresholds and a
+    frame-sampling policy uses to keep only frames that changed. One
+    row per (frame f-1, f) pair, integer-exact; same Arrow mapInPandas
+    shape as extract_frames, linear in total video bytes."""
+
+    def mapper(batches):
+        for pdf in batches:
+            out = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                frames = [
+                    bmp_decode(b).astype(np.int64)
+                    for b in split_bmp_stream(bytes(c))
+                ]
+                for f in range(1, len(frames)):
+                    d = np.abs(frames[f] - frames[f - 1])
+                    h, w, _ = d.shape
+                    out.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": f,
+                            "n_px": h * w,
+                            "diff_r": int(d[..., 0].sum()),
+                            "diff_g": int(d[..., 1].sum()),
+                            "diff_b": int(d[..., 2].sum()),
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(mapper, schema=VIDEO_DIFF_SCHEMA)
+
+
 def _fake_features(content: bytes) -> list[float]:
     """Deterministic stand-in for a real image/audio featurizer: 8
     doubles from the md5 digest, scaled to [0, 1). k/65536 is an exact
