@@ -2677,6 +2677,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             read_table(spark, sf, "embeddings"), k=8, iters=2, threshold=0.4
         )
 
+    def emb_pq_codes(spark, sf):
+        """Product-quantization encoding (Jégou et al. 2011) — the
+        memory-compression half of IVF-PQ: 64-dim vectors → 4 subspace
+        codes + quantization error. Deterministic codebook stand-in
+        with the trained-codebook execution shape; see
+        similarity.pq_codes."""
+        from warp_pipe_spark.datapipe.similarity import pq_codes
+
+        return pq_codes(
+            read_table(spark, sf, "embeddings"), dim=64, m=4, k=4
+        )
+
     def emb_semdedup_auto(spark, sf):
         """The scale-safe SemDeDup configuration: k = ceil(N/64) holds
         expected cluster size — and intra-cluster pair cost per row —
@@ -3089,6 +3101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb_kmeans=emb_kmeans,
         emb_semdedup=emb_semdedup,
         emb_semdedup_auto=emb_semdedup_auto,
+        emb_pq_codes=emb_pq_codes,
         events_pagerank=events_pagerank,
         docs_stratified_sample=docs_stratified_sample,
         docs_weighted_sample=docs_weighted_sample,
@@ -3113,6 +3126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_frames",
         "multimodal_image_tiles",
         "multimodal_video_diffs",
+        "emb_pq_codes",
         # new in round 5 (second batch): retrieval, clustering, sampling,
         # incremental LSH index, histogram registers
         "dedup_minhash_indexed",
@@ -4301,6 +4315,36 @@ def oracle_sql() -> dict[str, str]:
            CAST(sum((3 * media_id + 5 * sx + sy) % 256) AS BIGINT) AS sum_g,
            CAST(sum((media_id + 2 * sx + 3 * sy) % 256) AS BIGINT) AS sum_b
     FROM px GROUP BY media_id, sx // 4, sy // 4
+    """
+
+    # PQ: per-subspace sequential-fold distances (the kmeans list_reduce
+    # contract), min(ROW(dist, code)) argmin per subspace
+    _pq_m, _pq_sub = 4, 16
+    _pq_d = ",\n".join(
+        f"           round(list_reduce([(e.v[i]-cb.cv[i])*(e.v[i]-cb.cv[i])"
+        f" FOR i IN range({j * _pq_sub + 1}, {j * _pq_sub + _pq_sub + 1})],"
+        f" (acc, x) -> acc + x), 6) AS d{j}"
+        for j in range(_pq_m)
+    )
+    _pq_mins = ", ".join(
+        f"min(ROW(d{j}, code)) AS m{j}" for j in range(_pq_m)
+    )
+    _pq_out = ", ".join(f"m{j}[2] AS code_{j}" for j in range(_pq_m))
+    _pq_err = " + ".join(f"m{j}[1]" for j in range(_pq_m))
+    o["emb_pq_codes"] = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+             embedding::DOUBLE[] AS cv
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4)
+    ),
+    sc AS (
+      SELECT e.vec_id, cb.code,
+{_pq_d}
+      FROM e CROSS JOIN cb
+    ),
+    b AS (SELECT vec_id, {_pq_mins} FROM sc GROUP BY vec_id)
+    SELECT vec_id, {_pq_out}, round({_pq_err}, 6) AS qerr FROM b
     """
 
     o["multimodal_video_diffs"] = """

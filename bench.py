@@ -130,6 +130,7 @@ HEADLINE = [
     "emb_kmeans",
     "emb_semdedup",
     "emb_semdedup_auto",
+    "emb_pq_codes",
     "events_pagerank",
     "docs_stratified_sample",
     "docs_weighted_sample",

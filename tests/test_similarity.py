@@ -202,3 +202,36 @@ def test_ivf_incremental_update_matches_full_build(spark, tmp_path):
     probe_q = batch.limit(1)
     got = ivf_topk_indexed(spark, probe_q, incr_dir, k=3).collect()
     assert len(got) == 3
+
+
+def test_pq_codes_roundtrip_properties(spark):
+    """PQ invariants: codebook vectors quantize to themselves with
+    zero error; every code is in [0, k); qerr is non-negative and
+    equals the sum of per-subspace errors recomputed in numpy."""
+    import numpy as np
+
+    from warp_pipe_spark.datapipe.similarity import pq_codes
+    from warp_pipe_spark.io import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = {r["vec_id"]: r for r in pq_codes(emb, dim=64, m=4, k=4).collect()}
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.filter("vec_id < 40").collect()
+    }
+    cb = [vecs[i] for i in range(4)]
+    for vid in range(4):
+        r = rows[vid]
+        assert [r[f"code_{j}"] for j in range(4)] == [vid] * 4
+        assert r["qerr"] == 0.0
+    for vid, v in vecs.items():
+        r = rows[vid]
+        total = 0.0
+        for j in range(4):
+            s = slice(j * 16, (j + 1) * 16)
+            dists = [round(((v[s] - c[s]) ** 2).sum(), 6) for c in cb]
+            best = min(range(4), key=lambda i: (dists[i], i))
+            assert r[f"code_{j}"] == best, (vid, j)
+            total += dists[best]
+        assert abs(r["qerr"] - round(total, 6)) < 1e-9
+        assert all(0 <= r[f"code_{j}"] < 4 for j in range(4))

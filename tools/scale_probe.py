@@ -115,6 +115,7 @@ PROBE_QUERIES = [
     "multimodal_audio_frames",
     "multimodal_image_tiles",
     "multimodal_video_diffs",
+    "emb_pq_codes",
 ]
 
 

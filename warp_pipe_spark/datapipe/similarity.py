@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from warp_pipe_spark.datapipe.dedup import cosine_v
+from warp_pipe_spark.datapipe.dedup import _cast_double, cosine_v
 
 
 def topk_cosine(
@@ -156,6 +156,67 @@ def hyperplane_lsh_pairs(
     from warp_pipe_spark.datapipe.dedup import bucket_pairs
 
     return bucket_pairs(bands, ["band", "key"], "vec_id", "vec_a", "vec_b")
+
+
+def pq_codes(
+    embeddings: DataFrame, dim: int = 64, m: int = 4, k: int = 4
+) -> DataFrame:
+    """Product-quantization encoding (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011) — the
+    memory side of IVF-PQ: each vector is cut into `m` subspaces and
+    each subvector replaced by the id of its nearest codebook entry,
+    compressing dim×float64 down to m codes. The codebook here is the
+    deterministic stand-in (subvectors of the k lowest-id embeddings)
+    with the IDENTICAL execution shape a k-means-trained codebook
+    drops into: an m·k-row broadcast, per-row folded subspace
+    distances, ONE groupBy(vec_id) computing all m argmins as parallel
+    struct-min aggregates. Shuffle rows = N·k with k fixed — linear at
+    any corpus size. Rounded distances + code tie-break keep the
+    argmin engine-independent (the kmeans contract). Returns
+    (vec_id, code_0..code_{m-1}, qerr) with qerr the summed
+    subspace quantization error."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sub = dim // m
+    cb = (
+        embeddings.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (
+                F.row_number().over(Window.orderBy("vec_id")) - 1
+            ).alias("code"),
+            _cast_double(F.col("embedding")).alias("cv"),
+        )
+    )
+    v = _cast_double(F.col("embedding"))
+    dists = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.slice(v, j * sub + 1, sub),
+                    F.slice(F.col("cv"), j * sub + 1, sub),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias(f"d{j}")
+        for j in range(m)
+    ]
+    scored = embeddings.join(F.broadcast(cb)).select("vec_id", "code", *dists)
+    mins = [
+        F.min(F.struct(F.col(f"d{j}"), F.col("code"))).alias(f"m{j}")
+        for j in range(m)
+    ]
+    agg = scored.groupBy("vec_id").agg(*mins)
+    return agg.select(
+        "vec_id",
+        *[F.col(f"m{j}.code").alias(f"code_{j}") for j in range(m)],
+        F.round(
+            sum(F.col(f"m{j}.d{j}") for j in range(m)), 6
+        ).alias("qerr"),
+    )
 
 
 def _ivf_centroids(embeddings: DataFrame, n_centroids: int, step: int = 50) -> DataFrame:
