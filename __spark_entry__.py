@@ -2689,6 +2689,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             read_table(spark, sf, "embeddings"), dim=64, m=4, k=4
         )
 
+    def emb_pq_adc_topk(spark, sf):
+        """ADC search over the PQ codes (the search half of IVF-PQ):
+        per-query lookup table of subspace distances, candidates scored
+        by m table lookups — the scan never touches the raw vectors.
+        See similarity.pq_adc_topk."""
+        from warp_pipe_spark.datapipe.similarity import pq_adc_topk
+
+        return pq_adc_topk(read_table(spark, sf, "embeddings"))
+
     def emb_semdedup_auto(spark, sf):
         """The scale-safe SemDeDup configuration: k = ceil(N/64) holds
         expected cluster size — and intra-cluster pair cost per row —
@@ -3102,6 +3111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb_semdedup=emb_semdedup,
         emb_semdedup_auto=emb_semdedup_auto,
         emb_pq_codes=emb_pq_codes,
+        emb_pq_adc_topk=emb_pq_adc_topk,
         events_pagerank=events_pagerank,
         docs_stratified_sample=docs_stratified_sample,
         docs_weighted_sample=docs_weighted_sample,
@@ -3127,6 +3137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_tiles",
         "multimodal_video_diffs",
         "emb_pq_codes",
+        "emb_pq_adc_topk",
         # new in round 5 (second batch): retrieval, clustering, sampling,
         # incremental LSH index, histogram registers
         "dedup_minhash_indexed",
@@ -4345,6 +4356,53 @@ def oracle_sql() -> dict[str, str]:
     ),
     b AS (SELECT vec_id, {_pq_mins} FROM sc GROUP BY vec_id)
     SELECT vec_id, {_pq_out}, round({_pq_err}, 6) AS qerr FROM b
+    """
+
+    # ADC: per-query subspace lookup table, candidates = m lookups
+    # summed; same rounding contract (each d rounded 6dp, sum rounded)
+    _adc_lut = ",\n".join(
+        f"           round(list_reduce([(q.qv[i]-cb.cv[i])*(q.qv[i]-cb.cv[i])"
+        f" FOR i IN range({j * _pq_sub + 1}, {j * _pq_sub + _pq_sub + 1})],"
+        f" (acc, x) -> acc + x), 6) AS d{j}"
+        for j in range(_pq_m)
+    )
+    o["emb_pq_adc_topk"] = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+             embedding::DOUBLE[] AS cv
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4)
+    ),
+    sc AS (
+      SELECT e.vec_id, cb.code,
+{_pq_d}
+      FROM e CROSS JOIN cb
+    ),
+    b AS (SELECT vec_id, {_pq_mins} FROM sc GROUP BY vec_id),
+    codes AS (SELECT vec_id, {", ".join(f"m{j}[2] AS c{j}" for j in range(_pq_m))} FROM b),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    lut AS (
+      SELECT q.query_id, cb.code,
+{_adc_lut}
+      FROM q CROSS JOIN cb
+    ),
+    adc AS (
+      SELECT l0.query_id, codes.vec_id,
+             round(l0.d0 + l1.d1 + l2.d2 + l3.d3, 6) AS adc_dist
+      FROM codes
+      JOIN lut l0 ON l0.code = codes.c0
+      JOIN lut l1 ON l1.code = codes.c1 AND l1.query_id = l0.query_id
+      JOIN lut l2 ON l2.code = codes.c2 AND l2.query_id = l0.query_id
+      JOIN lut l3 ON l3.code = codes.c3 AND l3.query_id = l0.query_id
+      WHERE codes.vec_id <> l0.query_id
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, vec_id) AS rank
+      FROM adc
+    )
+    SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, adc_dist
+    FROM r WHERE rank <= 5
     """
 
     o["multimodal_video_diffs"] = """

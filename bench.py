@@ -131,6 +131,7 @@ HEADLINE = [
     "emb_semdedup",
     "emb_semdedup_auto",
     "emb_pq_codes",
+    "emb_pq_adc_topk",
     "events_pagerank",
     "docs_stratified_sample",
     "docs_weighted_sample",

@@ -235,3 +235,23 @@ def test_pq_codes_roundtrip_properties(spark):
             total += dists[best]
         assert abs(r["qerr"] - round(total, 6)) < 1e-9
         assert all(0 <= r[f"code_{j}"] < 4 for j in range(4))
+
+
+def test_pq_adc_topk_rank_contract(spark):
+    """ADC output contract: ranks are exactly 1..k per query, distances
+    non-decreasing in rank, and the query row is excluded."""
+    from warp_pipe_spark.datapipe.similarity import pq_adc_topk
+    from warp_pipe_spark.io import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = pq_adc_topk(emb, k=5, n_queries=3).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5]
+        dists = [r["adc_dist"] for r in rs]
+        assert dists == sorted(dists)
+        assert all(r["vec_id"] != qid for r in rs)

@@ -116,6 +116,7 @@ PROBE_QUERIES = [
     "multimodal_image_tiles",
     "multimodal_video_diffs",
     "emb_pq_codes",
+    "emb_pq_adc_topk",
 ]
 
 

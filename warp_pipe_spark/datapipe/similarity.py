@@ -219,6 +219,90 @@ def pq_codes(
     )
 
 
+def pq_adc_topk(
+    embeddings: DataFrame,
+    dim: int = 64,
+    m: int = 4,
+    k_cb: int = 4,
+    k: int = 5,
+    n_queries: int = 5,
+) -> DataFrame:
+    """Asymmetric Distance Computation over PQ codes (Jégou et al.
+    2011 §IV) — the search half of IVF-PQ: approximate top-k where the
+    DATABASE side is only its m codes; the full query vector meets the
+    codebook once in a per-query lookup table of m·k_cb subspace
+    distances, and each candidate's distance is m table lookups summed.
+
+    Shapes: the lookup table is Q·m·k_cb rows (tiny, broadcast); codes
+    unpivot to N·m rows, join the broadcast table, ONE groupBy
+    (query, vec) sums the lookups, per-query top-k lands as
+    WindowGroupLimit. Linear in N for fixed Q — and the scan never
+    touches the raw vectors, which is the point: at 100 TB the float
+    embeddings stay cold while search runs on the 32× smaller codes.
+    Returns (query_id, vec_id, rank, adc_dist); ties break by vec_id,
+    the query row itself is excluded."""
+    sub = dim // m
+    codes = pq_codes(embeddings, dim, m, k_cb)
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        _cast_double(F.col("embedding")).alias("qv"),
+    )
+    cb = (
+        embeddings.orderBy("vec_id")
+        .limit(k_cb)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("code"),
+            _cast_double(F.col("embedding")).alias("cv"),
+        )
+    )
+    lut = q.crossJoin(cb).select(
+        "query_id",
+        "code",
+        *[
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.slice(F.col("qv"), j * sub + 1, sub),
+                        F.slice(F.col("cv"), j * sub + 1, sub),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias(f"d{j}")
+            for j in range(m)
+        ],
+    )
+    unpiv = codes.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"code_{j}") for j in range(m)])
+        ).alias("j", "code"),
+    )
+    joined = unpiv.join(F.broadcast(lut), "code").select(
+        "query_id",
+        "vec_id",
+        # pick subspace j's distance column for this row's j
+        F.element_at(
+            F.array(*[F.col(f"d{jj}") for jj in range(m)]), F.col("j") + 1
+        ).alias("d"),
+    )
+    summed = (
+        joined.filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        summed.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "adc_dist")
+    )
+
+
 def _ivf_centroids(embeddings: DataFrame, n_centroids: int, step: int = 50) -> DataFrame:
     """Deterministic centroids: every `step`-th vec_id, bounded — never
     a bare limit on an unordered scan, so any engine replays the choice."""
