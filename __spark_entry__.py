@@ -2698,6 +2698,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return pq_adc_topk(read_table(spark, sf, "embeddings"))
 
+    def dedup_lsh_eval(spark, sf):
+        """Dedup QUALITY evaluation — the measurement a production
+        dedup team runs before trusting an approximation: MinHash-LSH
+        candidate pairs scored against exact n-gram-Jaccard ground
+        truth (J ≥ 0.5), reported as one row of counts +
+        recall/precision micro-fractions. Composes the two existing
+        pair pipelines plus one pair-keyed semi-join; at 100 TB this
+        runs on a SAMPLE partition (both inputs accept any docs
+        frame), which is exactly how recall is audited in practice."""
+        from warp_pipe_spark.datapipe.dedup import (
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        docs = _docs(spark, sf)
+        truth = ngram_jaccard_pairs(docs, threshold=0.5).select(
+            "doc_a", "doc_b"
+        )
+        cand = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+        hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+        t = truth.agg(F.count("*").cast("long").alias("n_truth"))
+        c = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+        h = hit.agg(F.count("*").cast("long").alias("n_hit"))
+        micro = lambda num, den: F.when(  # noqa: E731
+            F.col(den) > 0, F.expr(f"({num} * 1000000) div {den}")
+        )
+        return (
+            t.crossJoin(c)
+            .crossJoin(h)
+            .select(
+                "n_truth",
+                "n_candidates",
+                "n_hit",
+                micro("n_hit", "n_truth").alias("recall_micro"),
+                micro("n_hit", "n_candidates").alias("precision_micro"),
+            )
+        )
+
     def emb_semdedup_auto(spark, sf):
         """The scale-safe SemDeDup configuration: k = ceil(N/64) holds
         expected cluster size — and intra-cluster pair cost per row —
@@ -3112,6 +3150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb_semdedup_auto=emb_semdedup_auto,
         emb_pq_codes=emb_pq_codes,
         emb_pq_adc_topk=emb_pq_adc_topk,
+        dedup_lsh_eval=dedup_lsh_eval,
         events_pagerank=events_pagerank,
         docs_stratified_sample=docs_stratified_sample,
         docs_weighted_sample=docs_weighted_sample,
@@ -3138,6 +3177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_diffs",
         "emb_pq_codes",
         "emb_pq_adc_topk",
+        "dedup_lsh_eval",
         # new in round 5 (second batch): retrieval, clustering, sampling,
         # incremental LSH index, histogram registers
         "dedup_minhash_indexed",
@@ -5588,5 +5628,32 @@ def oracle_sql() -> dict[str, str]:
     FROM documents
     WHERE n_chars > 0
     ORDER BY priority ASC, doc_id ASC LIMIT 50
+    """
+
+    # LSH quality eval: the two pair oracles wrapped as CTEs (truth at
+    # J >= 0.5), counts + micro-fraction recall/precision
+    _truth_sql = o["dedup_ngram_jaccard"].replace(">= 0.01", ">= 0.5")
+    o["dedup_lsh_eval"] = f"""
+    WITH truth AS (
+      SELECT doc_a, doc_b FROM ({_truth_sql})
+    ),
+    cand AS (
+      SELECT doc_a, doc_b FROM ({o["dedup_minhash_pairs"]})
+    ),
+    stats AS (
+      SELECT
+        (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+        (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+        (SELECT count(*) FROM truth t
+          WHERE EXISTS (SELECT 1 FROM cand c
+                        WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+        )::BIGINT AS n_hit
+    )
+    SELECT n_truth, n_candidates, n_hit,
+           CASE WHEN n_truth > 0
+                THEN (n_hit * 1000000) // n_truth END AS recall_micro,
+           CASE WHEN n_candidates > 0
+                THEN (n_hit * 1000000) // n_candidates END AS precision_micro
+    FROM stats
     """
     return o

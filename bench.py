@@ -132,6 +132,7 @@ HEADLINE = [
     "emb_semdedup_auto",
     "emb_pq_codes",
     "emb_pq_adc_topk",
+    "dedup_lsh_eval",
     "events_pagerank",
     "docs_stratified_sample",
     "docs_weighted_sample",

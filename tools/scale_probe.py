@@ -117,6 +117,7 @@ PROBE_QUERIES = [
     "multimodal_video_diffs",
     "emb_pq_codes",
     "emb_pq_adc_topk",
+    "dedup_lsh_eval",
 ]
 
 
