@@ -2974,6 +2974,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return unigram_logppl(_docs(spark, sf))
 
+    def docs_bigram_ppl(spark, sf):
+        """Laplace bigram log-perplexity per doc — word-order-aware
+        quality signal one step up from docs_lm_logppl. See
+        text.bigram_logppl."""
+        from warp_pipe_spark.datapipe.text import bigram_logppl
+
+        return bigram_logppl(_docs(spark, sf))
+
     def docs_quality_model(spark, sf):
         """Model-based quality filtering (the GPT-3/LLaMA fasttext-
         classifier step) as classifier APPLICATION: a linear model over
@@ -3134,6 +3142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_quality_model=docs_quality_model,
         docs_cluster_keep_best=docs_cluster_keep_best,
         docs_quality_gate=docs_quality_gate,
+        docs_bigram_ppl=docs_bigram_ppl,
         docs_chunk_overlap=docs_chunk_overlap,
         events_attribution=events_attribution,
         events_attribution_last=events_attribution_last,
@@ -3178,6 +3187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_codes",
         "emb_pq_adc_topk",
         "dedup_lsh_eval",
+        "docs_bigram_ppl",
         # new in round 5 (second batch): retrieval, clustering, sampling,
         # incremental LSH index, histogram registers
         "dedup_minhash_indexed",
@@ -5589,6 +5599,26 @@ def oracle_sql() -> dict[str, str]:
         "purchase_ms, n_candidate_clicks\n    FROM b",
         "purchase_ms\n    FROM b",
     )
+
+    o["docs_bigram_ppl"] = """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bgr AS (
+      SELECT doc_id,
+             unnest([array_to_string(t[i:i+1], ' ')
+                     FOR i IN range(1, greatest(len(t)-1, 1)+1)]) AS bg
+      FROM tok
+    ),
+    bgw AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bgr),
+    bgc AS (SELECT bg, count(*) AS cbg FROM bgw GROUP BY bg),
+    wrd AS (SELECT unnest(t) AS w FROM tok),
+    uni AS (SELECT w, count(*) AS cw FROM wrd GROUP BY w),
+    tt AS (SELECT count(*) AS t_types FROM uni)
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           round(-sum(ln((cbg + 1.0) / (cw + t_types))) / count(*), 6)
+             AS logppl
+    FROM bgw JOIN bgc USING (bg) JOIN uni ON bgw.w1 = uni.w CROSS JOIN tt
+    GROUP BY doc_id
+    """
 
     o["docs_lm_logppl"] = """
     WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

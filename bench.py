@@ -141,6 +141,7 @@ HEADLINE = [
     "docs_pack_chunks",
     "docs_chunk_texts",
     "docs_lm_logppl",
+    "docs_bigram_ppl",
     "dedup_containment",
     "docs_hash_embed",
     "docs_text_ann",

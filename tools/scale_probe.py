@@ -118,6 +118,7 @@ PROBE_QUERIES = [
     "emb_pq_codes",
     "emb_pq_adc_topk",
     "dedup_lsh_eval",
+    "docs_bigram_ppl",
 ]
 
 

@@ -315,6 +315,44 @@ def unigram_logppl(docs: DataFrame) -> DataFrame:
     )
 
 
+def bigram_logppl(docs: DataFrame) -> DataFrame:
+    """Laplace-smoothed BIGRAM log-perplexity per document — one
+    conditioning step up from unigram_logppl (a KenLM-style filter's
+    self-contained analog; word-order violations that a unigram model
+    cannot see spike this score):
+
+        lp(w₁w₂) = ln((C(w₁w₂) + 1) / (C(w₁) + T))   T = unigram types
+        logppl   = −mean over doc bigrams of lp, rounded to 6 dp
+
+    Shape: one explode per n-gram order → two corpus count aggs
+    (map-side partial) → join the doc's bigram rows to both counts
+    (the bigram's conditioning word rides the row as substring_index,
+    no re-tokenize) → one groupBy(doc). The T scalar is a one-row
+    broadcast. Same single-ln-per-distinct-term transcendental
+    exception as unigram_logppl. Returns (doc_id, n_bigrams,
+    logppl)."""
+    bg = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), 2)).alias("bg")
+    ).withColumn("w1", F.substring_index("bg", " ", 1))
+    bgc = bg.groupBy("bg").agg(F.count("*").alias("cbg"))
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("w"))
+    uni = toks.groupBy("w").agg(F.count("*").alias("cw"))
+    totals = uni.agg(F.count("*").alias("t_types"))
+    lp = F.log(
+        (F.col("cbg") + F.lit(1.0)) / (F.col("cw") + F.col("t_types"))
+    )
+    return (
+        bg.join(bgc, "bg")
+        .join(uni, F.col("w1") == F.col("w"))
+        .join(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(-F.sum(lp) / F.count("*"), 6).alias("logppl"),
+        )
+    )
+
+
 def quality_model_score(docs: DataFrame, dims: int = 4096) -> DataFrame:
     """Model-based quality filtering — the fasttext-classifier step of
     GPT-3/LLaMA-style pipelines (Brown et al. 2020 §A; RedPajama's
