@@ -2698,6 +2698,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return pq_adc_topk(read_table(spark, sf, "embeddings"))
 
+    def ann_ivf_pq_topk(spark, sf):
+        """FULL IVF-PQ: coarse-quantizer cell pruning + ADC scoring
+        over PQ codes — the deployed billion-vector search shape (cold
+        float vectors, hot m-byte codes). See similarity.ivf_pq_topk."""
+        from warp_pipe_spark.datapipe.similarity import ivf_pq_topk
+
+        return ivf_pq_topk(read_table(spark, sf, "embeddings"))
+
     def dedup_lsh_eval(spark, sf):
         """Dedup QUALITY evaluation — the measurement a production
         dedup team runs before trusting an approximation: MinHash-LSH
@@ -3160,6 +3168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb_pq_codes=emb_pq_codes,
         emb_pq_adc_topk=emb_pq_adc_topk,
         dedup_lsh_eval=dedup_lsh_eval,
+        ann_ivf_pq_topk=ann_ivf_pq_topk,
         events_pagerank=events_pagerank,
         docs_stratified_sample=docs_stratified_sample,
         docs_weighted_sample=docs_weighted_sample,
@@ -3188,6 +3197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_adc_topk",
         "dedup_lsh_eval",
         "docs_bigram_ppl",
+        "ann_ivf_pq_topk",
         # new in round 5 (second batch): retrieval, clustering, sampling,
         # incremental LSH index, histogram registers
         "dedup_minhash_indexed",
@@ -4452,6 +4462,79 @@ def oracle_sql() -> dict[str, str]:
       FROM adc
     )
     SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, adc_dist
+    FROM r WHERE rank <= 5
+    """
+
+    # full IVF-PQ: the IVF candidate CTEs + the ADC lookup CTEs
+    _cos = (
+        "round((list_reduce([a.v[i] * c.cv[i] FOR i IN range(1, len(a.v)+1)],"
+        " (acc, x) -> acc + x)) / (sqrt(list_reduce([a.v[i] * a.v[i] FOR i IN"
+        " range(1, len(a.v)+1)], (acc, x) -> acc + x)) *"
+        " sqrt(list_reduce([c.cv[i] * c.cv[i] FOR i IN range(1, len(c.cv)+1)],"
+        " (acc, x) -> acc + x))), 6)"
+    )
+    o["ann_ivf_pq_topk"] = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
+             WHERE vec_id % 50 = 0 AND vec_id < 500),
+    cscored AS (
+      SELECT a.vec_id, c.cent_id, {_cos} AS csim
+      FROM e a CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cent_id ASC) AS rn
+        FROM cscored) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cent_id ASC) AS rn
+        FROM cscored WHERE vec_id < 10) WHERE rn <= 3
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, t.vec_id
+      FROM probes p JOIN assign t ON t.cent_id = p.cent_id
+      WHERE t.vec_id <> p.query_id
+    ),
+    cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+             embedding::DOUBLE[] AS cv
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4)
+    ),
+    sc AS (
+      SELECT e.vec_id, cb.code,
+{_pq_d}
+      FROM e CROSS JOIN cb
+    ),
+    b AS (SELECT vec_id, {_pq_mins} FROM sc GROUP BY vec_id),
+    codes AS (SELECT vec_id, {", ".join(f"m{j}[2] AS c{j}" for j in range(_pq_m))} FROM b),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    lut AS (
+      SELECT q.query_id, cb.code,
+{_adc_lut}
+      FROM q CROSS JOIN cb
+    ),
+    adc AS (
+      SELECT c.query_id, c.vec_id,
+             round(l0.d0 + l1.d1 + l2.d2 + l3.d3, 6) AS adc_dist
+      FROM cand c
+      JOIN codes ON codes.vec_id = c.vec_id
+      JOIN lut l0 ON l0.code = codes.c0 AND l0.query_id = c.query_id
+      JOIN lut l1 ON l1.code = codes.c1 AND l1.query_id = c.query_id
+      JOIN lut l2 ON l2.code = codes.c2 AND l2.query_id = c.query_id
+      JOIN lut l3 ON l3.code = codes.c3 AND l3.query_id = c.query_id
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, vec_id) AS rank
+      FROM adc
+    )
+    SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+           adc_dist
     FROM r WHERE rank <= 5
     """
 

@@ -133,6 +133,7 @@ HEADLINE = [
     "emb_pq_codes",
     "emb_pq_adc_topk",
     "dedup_lsh_eval",
+    "ann_ivf_pq_topk",
     "events_pagerank",
     "docs_stratified_sample",
     "docs_weighted_sample",

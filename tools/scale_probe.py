@@ -119,6 +119,7 @@ PROBE_QUERIES = [
     "emb_pq_adc_topk",
     "dedup_lsh_eval",
     "docs_bigram_ppl",
+    "ann_ivf_pq_topk",
 ]
 
 

@@ -303,6 +303,116 @@ def pq_adc_topk(
     )
 
 
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    dim: int = 64,
+    m: int = 4,
+    k_cb: int = 4,
+    k: int = 5,
+    n_queries: int = 10,
+    n_centroids: int = 10,
+    n_probe: int = 3,
+) -> DataFrame:
+    """FULL IVF-PQ (Jégou et al. 2011) — the composition both halves
+    exist for: the IVF coarse quantizer prunes the candidate set to
+    the n_probe nearest cells (touching n_probe/n_centroids of the
+    corpus) and ADC scores those candidates from their PQ codes alone
+    (never re-reading the raw vectors). This is the memory-AND-compute
+    shape billion-vector search actually deploys: cold float vectors,
+    hot m-byte codes, per-query work ∝ probed-cell population × m
+    lookups. Deterministic centroids and codebook keep every decision
+    oracle-replayable. Returns (query_id, neighbor_id, rank,
+    adc_dist) — rank by ascending quantized distance, vec_id
+    tie-break, query row excluded."""
+    sub = dim // m
+    cent = _ivf_centroids(embeddings, n_centroids)
+    scored = embeddings.crossJoin(F.broadcast(cent)).withColumn(
+        "csim", F.round(cosine_v(F.col("embedding"), F.col("cent_emb")), 6)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cent_id").asc()
+    )
+    assign = _ivf_assign(embeddings, cent).select("vec_id", "cent_id")
+    probes = (
+        scored.filter(F.col("vec_id") < n_queries)
+        .withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= n_probe)
+        .select(F.col("vec_id").alias("query_id"), "cent_id")
+    )
+    cand = (
+        probes.join(assign, "cent_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    codes = pq_codes(embeddings, dim, m, k_cb)
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        _cast_double(F.col("embedding")).alias("qv"),
+    )
+    cb = (
+        embeddings.orderBy("vec_id")
+        .limit(k_cb)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("code"),
+            _cast_double(F.col("embedding")).alias("cv"),
+        )
+    )
+    lut = q.crossJoin(cb).select(
+        "query_id",
+        "code",
+        *[
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.slice(F.col("qv"), j * sub + 1, sub),
+                        F.slice(F.col("cv"), j * sub + 1, sub),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias(f"d{j}")
+            for j in range(m)
+        ],
+    )
+    unpiv = codes.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"code_{j}") for j in range(m)])
+        ).alias("j", "code"),
+    )
+    # candidate-restricted: only probed-cell members reach the lookup
+    joined = (
+        cand.join(unpiv, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "code"])
+        .select(
+            "query_id",
+            "vec_id",
+            F.element_at(
+                F.array(*[F.col(f"d{jj}") for jj in range(m)]), F.col("j") + 1
+            ).alias("d"),
+        )
+    )
+    summed = joined.groupBy("query_id", "vec_id").agg(
+        F.round(F.sum("d"), 6).alias("adc_dist")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        summed.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            "adc_dist",
+        )
+    )
+
+
 def _ivf_centroids(embeddings: DataFrame, n_centroids: int, step: int = 50) -> DataFrame:
     """Deterministic centroids: every `step`-th vec_id, bounded — never
     a bare limit on an unordered scan, so any engine replays the choice."""
