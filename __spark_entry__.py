@@ -2706,6 +2706,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ivf_pq_topk(read_table(spark, sf, "embeddings"))
 
+    def ann_recall_eval(spark, sf):
+        """ANN QUALITY measurement — recall@5 of the two approximate
+        search paths (IVF exact-rerank, full IVF-PQ) against exact
+        brute-force top-5, one integer-exact row. The number that
+        decides n_probe/codebook sizing in production; at 100 TB it
+        runs on a query sample exactly like this. Composition of three
+        existing searches + two pair semi-joins."""
+        from warp_pipe_spark.datapipe.similarity import (
+            ivf_pq_topk,
+            ivf_topk_cosine,
+            topk_cosine,
+        )
+
+        emb = read_table(spark, sf, "embeddings")
+        truth = topk_cosine(emb, k=5, n_queries=10).select(
+            "query_id", "neighbor_id"
+        )
+        ivf = ivf_topk_cosine(emb, k=5, n_queries=10).select(
+            "query_id", "neighbor_id"
+        )
+        ivfpq = ivf_pq_topk(emb, k=5, n_queries=10).select(
+            "query_id", "neighbor_id"
+        )
+        keys = ["query_id", "neighbor_id"]
+        t = truth.agg(F.count("*").cast("long").alias("n_truth"))
+        h1 = truth.join(ivf, keys, "left_semi").agg(
+            F.count("*").cast("long").alias("ivf_hit")
+        )
+        h2 = truth.join(ivfpq, keys, "left_semi").agg(
+            F.count("*").cast("long").alias("ivfpq_hit")
+        )
+        return (
+            t.crossJoin(h1)
+            .crossJoin(h2)
+            .select(
+                "n_truth",
+                "ivf_hit",
+                "ivfpq_hit",
+                F.expr("(ivf_hit * 1000000) div n_truth").alias(
+                    "ivf_recall_micro"
+                ),
+                F.expr("(ivfpq_hit * 1000000) div n_truth").alias(
+                    "ivfpq_recall_micro"
+                ),
+            )
+        )
+
     def dedup_lsh_eval(spark, sf):
         """Dedup QUALITY evaluation — the measurement a production
         dedup team runs before trusting an approximation: MinHash-LSH
@@ -3169,6 +3216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb_pq_adc_topk=emb_pq_adc_topk,
         dedup_lsh_eval=dedup_lsh_eval,
         ann_ivf_pq_topk=ann_ivf_pq_topk,
+        ann_recall_eval=ann_recall_eval,
         events_pagerank=events_pagerank,
         docs_stratified_sample=docs_stratified_sample,
         docs_weighted_sample=docs_weighted_sample,
@@ -3198,6 +3246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_eval",
         "docs_bigram_ppl",
         "ann_ivf_pq_topk",
+        "ann_recall_eval",
         # new in round 5 (second batch): retrieval, clustering, sampling,
         # incremental LSH index, histogram registers
         "dedup_minhash_indexed",
@@ -5741,6 +5790,37 @@ def oracle_sql() -> dict[str, str]:
     FROM documents
     WHERE n_chars > 0
     ORDER BY priority ASC, doc_id ASC LIMIT 50
+    """
+
+    # ANN recall eval: the three search oracles wrapped as CTEs
+    o["ann_recall_eval"] = f"""
+    WITH truth AS (
+      SELECT query_id, neighbor_id FROM ({o["ann_topk"]})
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM ({o["ann_ivf_topk"]})
+    ),
+    ivfpq AS (
+      SELECT query_id, neighbor_id FROM ({o["ann_ivf_pq_topk"]})
+    ),
+    stats AS (
+      SELECT
+        (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+        (SELECT count(*) FROM truth t
+          WHERE EXISTS (SELECT 1 FROM ivf a
+                        WHERE a.query_id = t.query_id
+                          AND a.neighbor_id = t.neighbor_id)
+        )::BIGINT AS ivf_hit,
+        (SELECT count(*) FROM truth t
+          WHERE EXISTS (SELECT 1 FROM ivfpq a
+                        WHERE a.query_id = t.query_id
+                          AND a.neighbor_id = t.neighbor_id)
+        )::BIGINT AS ivfpq_hit
+    )
+    SELECT n_truth, ivf_hit, ivfpq_hit,
+           (ivf_hit * 1000000) // n_truth AS ivf_recall_micro,
+           (ivfpq_hit * 1000000) // n_truth AS ivfpq_recall_micro
+    FROM stats
     """
 
     # LSH quality eval: the two pair oracles wrapped as CTEs (truth at

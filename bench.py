@@ -134,6 +134,7 @@ HEADLINE = [
     "emb_pq_adc_topk",
     "dedup_lsh_eval",
     "ann_ivf_pq_topk",
+    "ann_recall_eval",
     "events_pagerank",
     "docs_stratified_sample",
     "docs_weighted_sample",

@@ -120,6 +120,7 @@ PROBE_QUERIES = [
     "dedup_lsh_eval",
     "docs_bigram_ppl",
     "ann_ivf_pq_topk",
+    "ann_recall_eval",
 ]
 
 
