@@ -2729,6 +2729,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ivfpq = ivf_pq_topk(emb, k=5, n_queries=10).select(
             "query_id", "neighbor_id"
         )
+        # same search, 16-entry codebook: the recall-vs-memory knob
+        ivfpq16 = ivf_pq_topk(emb, k_cb=16, k=5, n_queries=10).select(
+            "query_id", "neighbor_id"
+        )
         keys = ["query_id", "neighbor_id"]
         t = truth.agg(F.count("*").cast("long").alias("n_truth"))
         h1 = truth.join(ivf, keys, "left_semi").agg(
@@ -2737,18 +2741,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         h2 = truth.join(ivfpq, keys, "left_semi").agg(
             F.count("*").cast("long").alias("ivfpq_hit")
         )
+        h3 = truth.join(ivfpq16, keys, "left_semi").agg(
+            F.count("*").cast("long").alias("ivfpq16_hit")
+        )
         return (
             t.crossJoin(h1)
             .crossJoin(h2)
+            .crossJoin(h3)
             .select(
                 "n_truth",
                 "ivf_hit",
                 "ivfpq_hit",
+                "ivfpq16_hit",
                 F.expr("(ivf_hit * 1000000) div n_truth").alias(
                     "ivf_recall_micro"
                 ),
                 F.expr("(ivfpq_hit * 1000000) div n_truth").alias(
                     "ivfpq_recall_micro"
+                ),
+                F.expr("(ivfpq16_hit * 1000000) div n_truth").alias(
+                    "ivfpq16_recall_micro"
                 ),
             )
         )
@@ -5803,6 +5815,10 @@ def oracle_sql() -> dict[str, str]:
     ivfpq AS (
       SELECT query_id, neighbor_id FROM ({o["ann_ivf_pq_topk"]})
     ),
+    ivfpq16 AS (
+      SELECT query_id, neighbor_id
+      FROM ({o["ann_ivf_pq_topk"].replace("LIMIT 4", "LIMIT 16")})
+    ),
     stats AS (
       SELECT
         (SELECT count(*) FROM truth)::BIGINT AS n_truth,
@@ -5815,11 +5831,17 @@ def oracle_sql() -> dict[str, str]:
           WHERE EXISTS (SELECT 1 FROM ivfpq a
                         WHERE a.query_id = t.query_id
                           AND a.neighbor_id = t.neighbor_id)
-        )::BIGINT AS ivfpq_hit
+        )::BIGINT AS ivfpq_hit,
+        (SELECT count(*) FROM truth t
+          WHERE EXISTS (SELECT 1 FROM ivfpq16 a
+                        WHERE a.query_id = t.query_id
+                          AND a.neighbor_id = t.neighbor_id)
+        )::BIGINT AS ivfpq16_hit
     )
-    SELECT n_truth, ivf_hit, ivfpq_hit,
+    SELECT n_truth, ivf_hit, ivfpq_hit, ivfpq16_hit,
            (ivf_hit * 1000000) // n_truth AS ivf_recall_micro,
-           (ivfpq_hit * 1000000) // n_truth AS ivfpq_recall_micro
+           (ivfpq_hit * 1000000) // n_truth AS ivfpq_recall_micro,
+           (ivfpq16_hit * 1000000) // n_truth AS ivfpq16_recall_micro
     FROM stats
     """
 
