@@ -338,3 +338,46 @@ def test_quality_model_score_matches_python_replay(spark, texts):
         toks = t.split(" ")  # exact F.split semantics incl. empties
         s = sum(w(x) for x in toks)
         assert got[i] == (len(toks), s, s > 0), (t, got[i])
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.integers(2, 10),   # chunk_tokens
+    st.integers(1, 10),   # stride (may exceed chunk: gaps are invalid,
+                          # so clamp below)
+)
+def test_chunk_overlap_membership_invariants(spark, chunk, stride):
+    """For ANY (chunk, stride <= chunk): every stream position is
+    covered by ceil-bounded window counts, total window-token mass
+    equals sum over positions of their membership counts, and
+    stride == chunk degenerates to a partition of the stream."""
+    stride = min(stride, chunk)
+    from warp_pipe_spark.datapipe.sampling import chunk_texts_overlap, pack_chunks
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(3 + i % 5))) for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = chunk_texts_overlap(
+        docs, chunk_tokens=chunk, stride=stride, n_shards=2
+    ).collect()
+    layout = pack_chunks(docs, chunk_tokens=chunk, n_shards=2).collect()
+    stream_len = {}
+    for r in layout:
+        stream_len[r["shard"]] = max(
+            stream_len.get(r["shard"], 0), r["tok_start"] + r["n_tokens"]
+        )
+    # expected total mass: for each position p, #windows k with
+    # k*stride <= p < k*stride + chunk and k >= 0
+    for shard, n in stream_len.items():
+        want_mass = 0
+        for p in range(n):
+            k_hi = p // stride
+            k_lo = 0 if p < chunk else (p - chunk) // stride + 1
+            want_mass += k_hi - k_lo + 1
+        got_rows = [r for r in out if r["shard"] == shard]
+        assert sum(r["n_tokens"] for r in got_rows) == want_mass, (
+            shard, chunk, stride
+        )
+        # first window exists iff the stream is non-empty
+        assert any(r["chunk_id"] == 0 for r in got_rows) == (n > 0)
+        if stride == chunk:
+            assert sum(r["n_tokens"] for r in got_rows) == n
