@@ -343,3 +343,25 @@ def test_video_frame_diffs_match_numpy_replay(spark):
                 int(d[..., 1].sum()),
                 int(d[..., 2].sum()),
             )
+
+
+def test_decoders_fail_loud_on_malformed_bytes():
+    """Corrupt media bytes must raise immediately with a diagnostic —
+    never return garbage pixels/samples (a silent mis-decode poisons
+    every stat downstream)."""
+    import pytest
+
+    from warp_pipe_spark.datapipe.multimodal import (
+        bmp_decode,
+        split_bmp_stream,
+        wav_decode,
+    )
+
+    with pytest.raises(ValueError, match="BM"):
+        bmp_decode(b"garbage")
+    with pytest.raises(ValueError, match="RIFF"):
+        wav_decode(b"garbage")
+    with pytest.raises(ValueError):
+        bmp_decode(b"")
+    with pytest.raises(ValueError):
+        split_bmp_stream(b"BMxx")  # truncated header

@@ -253,6 +253,8 @@ def split_bmp_stream(data: bytes) -> list[bytes]:
     while pos < len(data):
         if data[pos : pos + 2] != b"BM":
             raise ValueError(f"bad frame magic at offset {pos}")
+        if pos + 6 > len(data):
+            raise ValueError(f"truncated frame header at offset {pos}")
         (size,) = struct.unpack_from("<I", data, pos + 2)
         if size < 54 or pos + size > len(data):
             raise ValueError(f"bad frame size {size} at offset {pos}")
