@@ -123,3 +123,20 @@ def test_compact_shrinks_files_preserves_rows(spark, tmp_path):
         for d in os.listdir(root):
             if d.startswith("batch_"):
                 assert os.path.exists(os.path.join(root, d, "_SUCCESS")), d
+
+
+def test_null_text_doc_is_rejected_not_dropped(spark, tmp_path):
+    """A NULL-text doc must land in reject with a reason — never
+    silently vanish from the accept/reject partition (the explode
+    inside the gopher rules would drop it without the coalesce)."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, "some words here")],
+        "doc_id LONG, text STRING",
+    )
+    sink = CorpusQualityGateSink(spark, str(tmp_path / "gate"))
+    sink(docs, 0)
+    acc = sink.accepted()
+    rej = {(r["doc_id"], r["reject_reason"]) for r in sink.rejected().collect()}
+    n_acc = acc.count() if acc is not None else 0
+    assert n_acc + len(rej) == 2
+    assert any(d == 1 and "gopher" in rr for d, rr in rej)

@@ -36,7 +36,14 @@ def quality_gate(docs: DataFrame) -> DataFrame:
     Both inputs are per-doc computations (gopher: one explode + two
     keyed aggs; model: zero-shuffle fold), joined on doc_id — no
     corpus-level state, so the verdict for a document is identical
-    whether it arrives in a micro-batch or a full-corpus scan."""
+    whether it arrives in a micro-batch or a full-corpus scan.
+
+    NULL text is coalesced to '' up front: without it the explode
+    inside gopher DROPS the row and the doc silently leaves the
+    accept/reject partition (neither routed nor counted). Empty text
+    then fails the min-words rule and lands in reject with a reason —
+    every input doc is accounted for, for ANY input."""
+    docs = docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
     g = gopher_rules(docs).select("doc_id", F.col("keep").alias("gopher_keep"))
     m = quality_model_score(docs).select(
         "doc_id", F.col("keep").alias("model_keep")
