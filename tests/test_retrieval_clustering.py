@@ -392,3 +392,13 @@ def test_chunk_overlap_degenerates_to_disjoint_at_full_stride(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_chunk_overlap_rejects_gapped_stride(spark):
+    import pytest
+
+    from warp_pipe_spark.datapipe.sampling import chunk_texts_overlap
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError, match="GAPS"):
+        chunk_texts_overlap(docs, chunk_tokens=4, stride=5)

@@ -178,6 +178,12 @@ def chunk_texts_overlap(
     One window exchange + one (shard, chunk)-keyed shuffle, identical
     to the disjoint variant. Returns (shard, chunk_id, n_tokens,
     chunk_md5)."""
+    if stride > chunk_tokens:
+        raise ValueError(
+            f"stride={stride} > chunk_tokens={chunk_tokens} would leave "
+            "GAPS between windows (tokens silently absent from every "
+            "chunk); use stride <= chunk_tokens (== for disjoint chunks)"
+        )
     layout = pack_chunks(docs, id_col, text_col, chunk_tokens, n_shards)
     toks = layout.join(
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
