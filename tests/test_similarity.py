@@ -255,3 +255,16 @@ def test_pq_adc_topk_rank_contract(spark):
         dists = [r["adc_dist"] for r in rs]
         assert dists == sorted(dists)
         assert all(r["vec_id"] != qid for r in rs)
+
+
+def test_pq_codes_rejects_dim_mismatch_loudly(spark):
+    """A wrong `dim` must fail at runtime, not silently slice short
+    subvectors into wrong distances."""
+    import pytest
+
+    from warp_pipe_spark.datapipe.similarity import pq_codes
+    from warp_pipe_spark.io import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="expected dim=32"):
+        pq_codes(emb, dim=32, m=4)

@@ -178,6 +178,14 @@ def pq_codes(
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     sub = dim // m
+    # guard: a dim mismatch would silently slice short subvectors into
+    # wrong distances — probe the actual width once (one bounded
+    # first() job, the hyperplane_signatures precedent) and fail loud
+    row = embeddings.select(F.size("embedding").alias("d")).first()
+    if row is not None and row["d"] != dim:
+        raise ValueError(
+            f"pq_codes: expected dim={dim}, embeddings carry {row['d']}"
+        )
     cb = (
         embeddings.orderBy("vec_id")
         .limit(k)
