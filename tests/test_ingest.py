@@ -140,3 +140,45 @@ def test_null_text_doc_is_rejected_not_dropped(spark, tmp_path):
     n_acc = acc.count() if acc is not None else 0
     assert n_acc + len(rej) == 2
     assert any(d == 1 and "gopher" in rr for d, rr in rej)
+
+
+def test_gate_sink_under_structured_streaming(spark, tmp_path):
+    """The sink driven by a REAL readStream/foreachBatch/availableNow
+    pipeline (not direct calls): drained output must equal the batch
+    gate over the same files."""
+    from pyspark.sql import types as T
+
+    docs = _docs(spark).limit(60)
+    drop = str(tmp_path / "drop")
+    ckpt = str(tmp_path / "ckpt")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(drop)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(drop)
+
+    sink = CorpusQualityGateSink(spark, str(tmp_path / "gate"))
+    stream = (
+        spark.readStream.schema(
+            T.StructType.fromDDL("doc_id LONG, text STRING")
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    want_keep = {
+        r["doc_id"]
+        for r in quality_gate(docs).filter("keep").collect()
+    }
+    got_keep = {r["doc_id"] for r in sink.accepted().collect()}
+    assert got_keep == want_keep
+    n_rej = sink.rejected().count()
+    assert len(got_keep) + n_rej == docs.count()
