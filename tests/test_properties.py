@@ -381,3 +381,33 @@ def test_chunk_overlap_membership_invariants(spark, chunk, stride):
         assert any(r["chunk_id"] == 0 for r in got_rows) == (n > 0)
         if stride == chunk:
             assert sum(r["n_tokens"] for r in got_rows) == n
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(0, 3), min_size=12, max_size=12))
+def test_gate_sink_converges_for_any_batch_split(spark, tmp_path_factory, split):
+    """The streaming gate must equal the batch gate for ANY partition
+    of the corpus into micro-batches (per-doc gates have no cross-doc
+    state to get wrong, and this pins that property under
+    hypothesis-chosen splits)."""
+    from warp_pipe_spark.datapipe.ingest import CorpusQualityGateSink, quality_gate
+
+    rows = [
+        (i, " ".join(f"w{i}_{j}ab" for j in range(40 + 15 * (i % 3))))
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    base = tmp_path_factory.mktemp("gate_any_split")
+    sink = CorpusQualityGateSink(spark, str(base))
+    import pyspark.sql.functions as F
+
+    assign = {i: b for i, b in enumerate(split)}
+    for b in sorted(set(split)):
+        ids = [i for i, bb in assign.items() if bb == b]
+        sink(docs.filter(F.col("doc_id").isin(ids)), b)
+    want = {
+        r["doc_id"] for r in quality_gate(docs).filter("keep").collect()
+    }
+    acc = sink.accepted()
+    got = {r["doc_id"] for r in acc.collect()} if acc is not None else set()
+    assert got == want
