@@ -182,3 +182,19 @@ def test_gate_sink_under_structured_streaming(spark, tmp_path):
     assert got_keep == want_keep
     n_rej = sink.rejected().count()
     assert len(got_keep) + n_rej == docs.count()
+
+
+def test_redelivery_after_compaction_stays_correct(spark, tmp_path):
+    """foreachBatch may redeliver a batch AFTER maintenance compacted
+    its dir; the overwrite rewrites it (uncompacted again — fine) and
+    results must be unchanged."""
+    docs = _docs(spark)
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    sink = CorpusQualityGateSink(spark, str(tmp_path / "gate"))
+    sink(b0.repartition(4), 0)
+    sink(b1.repartition(4), 1)
+    want = {tuple(r) for r in sink.accepted().collect()}
+    sink.compact()
+    sink(b0.repartition(4), 0)  # redelivery post-compaction
+    assert {tuple(r) for r in sink.accepted().collect()} == want
