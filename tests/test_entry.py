@@ -51,6 +51,35 @@ def test_oracle_subset_matches(spark, sf_dir, name):
     assert table_hash(srows, sdf.columns) == table_hash(drows, rel.columns)
 
 
+def test_oracle_types_never_widen(sf_dir):
+    """Every oracle result column must be one of {BIGINT, VARCHAR,
+    DOUBLE, TIMESTAMP, BOOLEAN}. DuckDB silently widens window/agg
+    SUM() to HUGEINT and decimal-literal arithmetic to DECIMAL; both
+    render differently under the driver's cell normalizer than the
+    Spark side's LONG/DOUBLE, turning a value-identical result into a
+    hash mismatch (VERDICT r5 item 1: docs_pack_chunks /
+    docs_chunk_texts were red for exactly this). Pin the whole
+    registry so no future registration reintroduces it."""
+    allowed = {"BIGINT", "VARCHAR", "DOUBLE", "TIMESTAMP", "BOOLEAN"}
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    offenders = {}
+    for name, sql in entrymod.oracle_sql().items():
+        rel = con.sql(sql)
+        bad = [
+            (c, str(ty))
+            for c, ty in zip(rel.columns, rel.types)
+            if str(ty) not in allowed
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"oracle columns outside {sorted(allowed)} — cast them "
+        f"(::BIGINT / ::DOUBLE) in the oracle SQL: {offenders}"
+    )
+
+
 def test_driver_window_holds_all_new_changed_and_stale_queries():
     """The driver's correctness harness checks only the FIRST 50
     queries() entries per round. Two invariants (VERDICT r2 item 8):

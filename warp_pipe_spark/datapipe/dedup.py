@@ -304,16 +304,31 @@ def _shingle_pair_counts(
     return inter
 
 
+#: Default stop-shingle cap for the pair family. A shingle shared by
+#: more than this many documents is boilerplate, not signal — and each
+#: one costs O(doc_freq²) candidate pairs, which at 100 TB turns a
+#: single hot shingle into a JVM-OOM (measured: the uncapped index is
+#: 26–39× at the 100× probe and OOMs on the hot-key probe; SCALE.md).
+#: Callers that need the EXACT uncapped measure (offline recall eval,
+#: oracle ground truth) opt out explicitly with ``max_doc_freq=None``.
+DEFAULT_MAX_DOC_FREQ = 1000
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.01,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
     """Exact n-gram Jaccard over inverted-index candidate pairs:
     J = |A∩B| / (|A|+|B|-|A∩B|). Output (doc_a, doc_b, inter,
     jaccard). See _shingle_pair_counts for the index shape and the
-    stop-shingle cap semantics."""
+    stop-shingle cap semantics.
+
+    The default cap (DEFAULT_MAX_DOC_FREQ) makes the production path
+    boilerplate-safe out of the box; pass ``max_doc_freq=None`` for
+    the exact uncapped measure (eval ground truth only — it is
+    quadratic in the hottest shingle's document frequency)."""
     inter = _shingle_pair_counts(docs, n, max_doc_freq)
     j = inter.withColumn(
         "jaccard",
@@ -332,7 +347,7 @@ def ngram_containment_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
     """ASYMMETRIC set containment over the same inverted index:
     c(A⊂B) = |A∩B| / |A| — the decontamination/quote-detection signal
