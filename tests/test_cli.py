@@ -209,3 +209,51 @@ def test_cli_corpus_clean_keep_best(spark, tmp_path):
     s1, s2 = score(rows[0][1]), score(rows[1][1])
     best = 1 if (s1, 1) > (s2, 2) else 2
     assert kept == {best, 3}, (kept, s1, s2)
+
+
+def test_cli_keep_best_with_exact_dups_inside_cluster(spark, tmp_path):
+    """Exact duplicates score identically, so an argmax over ALL
+    cluster members tie-breaks to a doc_id that exact_dedup did NOT
+    keep — the keepers semi-join then deletes the cluster winner while
+    the drop list holds every other member, wiping the whole cluster.
+    The argmax must run over exact-dedup keepers only, tie-breaking to
+    the MIN doc_id (the representative exact_dedup keeps)."""
+    import io
+
+    from warp_pipe_spark.__main__ import main
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [
+        (1, base + "tailone"),
+        (2, base + "tailone"),  # exact dup of 1 (identical text/score)
+        (3, base + "tailtwo"),  # near-dup: same cluster, distinct text
+        (4, "completely different content with no shared shingles at all"),
+    ]
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id LONG, text STRING").write.mode(
+        "overwrite"
+    ).parquet(docs_dir)
+    out = str(tmp_path / "clean")
+    buf = io.StringIO()
+    rc = main(
+        ["corpus-clean", "--docs", docs_dir, "--out", out, "--keep-best"],
+        out=buf,
+    )
+    assert rc == 0
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+    def score(text):
+        import hashlib
+
+        def w(tok):
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 4096
+            return ((b + 1) * 2654435761) % 1000001 - 500000
+
+        return sum(w(t) for t in text.split(" "))
+
+    # keepers in the cluster are {1, 3} (2's text equals 1's, and
+    # exact_dedup keeps the min id); the winner is the best-scored
+    # keeper — never doc 2, and never the empty set
+    s1, s3 = score(rows[0][1]), score(rows[2][1])
+    best = 1 if (s1, -1) > (s3, -3) else 3
+    assert kept == {best, 4}, (kept, s1, s3)

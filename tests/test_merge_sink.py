@@ -310,26 +310,74 @@ def test_inmemory_executor_additive_schema_evolution(spark):
     }
 
 
-def test_delta_executor_evolve_sets_automerge_conf(spark, monkeypatch):
+def test_inmemory_executor_narrowing_update_preserves_target_cols(spark):
+    """The narrowing direction of the additive contract: an UPDATE
+    arriving from the OLD (narrow) schema must preserve the target
+    row's values for columns the winners lack — MERGE's UPDATE SET
+    only touches the source's value columns, so a null-fill here would
+    diverge from SqlMergeExecutor."""
+    sink = MergeStateSink(spark, InMemoryMergeExecutor(spark), pk_cols=["pk"])
+    wide = spark.createDataFrame(
+        [(10, "INSERT", "users", 5, "e", "e@x.com")],
+        SCHEMA + ", email STRING",
+    )
+    sink.apply_batch(wide, 0)
+    narrow = spark.createDataFrame(
+        [(11, "UPDATE", "users", 5, "e2")], SCHEMA
+    )
+    sink.apply_batch(narrow, 1)
+    got = {
+        (r["pk"], r["val"], r["email"]) for r in sink.read_state().collect()
+    }
+    # val updated from the narrow source; email kept from the target,
+    # NOT nulled
+    assert got == {(5, "e2", "e@x.com")}
+
+
+def test_delta_executor_evolve_sets_automerge_conf_scoped(spark, monkeypatch):
+    """evolve_schema=True enables Delta's autoMerge conf ONLY for the
+    duration of the merge: the session-global switch must be visible at
+    execute() time and restored afterwards, so evolution never leaks
+    into other Delta merges on the shared session (including executors
+    constructed with evolve_schema=False)."""
     import sys
     import types
 
     from warp_pipe_spark.merge_sink import DeltaMergeExecutor
 
+    key = "spark.databricks.delta.schema.autoMerge.enabled"
+    seen_at_execute = []
+
+    class _ConfProbeBuilder(_FakeMergeBuilder):
+        def execute(self):
+            seen_at_execute.append(spark.conf.get(key, None))
+            super().execute()
+
+    class _ConfProbeDeltaTable(_FakeDeltaTable):
+        def merge(self, src, cond):
+            _FakeDeltaTable.calls.append(("merge", cond))
+            return _ConfProbeBuilder(_FakeDeltaTable.calls)
+
     _FakeDeltaTable.calls = []
     fake_tables = types.ModuleType("delta.tables")
-    fake_tables.DeltaTable = _FakeDeltaTable
+    fake_tables.DeltaTable = _ConfProbeDeltaTable
     fake_delta = types.ModuleType("delta")
     fake_delta.tables = fake_tables
     monkeypatch.setitem(sys.modules, "delta", fake_delta)
     monkeypatch.setitem(sys.modules, "delta.tables", fake_tables)
 
-    key = "spark.databricks.delta.schema.autoMerge.enabled"
+    assert spark.conf.get(key, None) is None
     ex = DeltaMergeExecutor(spark, lambda t: f"/data/{t}", evolve_schema=True)
     sink = MergeStateSink(spark, ex, pk_cols=["pk"])
+    sink.apply_batch(spark.createDataFrame(LOG[:2], SCHEMA), 0)
+    assert seen_at_execute == ["true"]  # enabled while merging...
+    assert spark.conf.get(key, None) is None  # ...and restored after
+
+    # a pre-existing explicit value is restored, not clobbered
+    spark.conf.set(key, "false")
     try:
-        sink.apply_batch(spark.createDataFrame(LOG[:2], SCHEMA), 0)
-        assert spark.conf.get(key) == "true"
-        assert ("execute",) in _FakeDeltaTable.calls
+        sink.apply_batch(spark.createDataFrame(LOG[:2], SCHEMA), 1)
+        assert seen_at_execute[-1] == "true"
+        assert spark.conf.get(key) == "false"
     finally:
         spark.conf.unset(key)

@@ -105,16 +105,28 @@ def main(argv: list[str] | None = None, out=None) -> int:
         clusters = connected_components_star(pairs)
         if args.keep_best:
             # quality-aware resolution: keep the argmax-scored doc per
-            # cluster (docs_cluster_keep_best semantics)
+            # cluster (docs_cluster_keep_best semantics). The argmax is
+            # taken over exact-dedup KEEPERS only: exact duplicates
+            # score identically, so an unrestricted argmax can elect a
+            # non-keeper copy that the keepers semi-join below then
+            # deletes — wiping the whole cluster. Ties among distinct
+            # keepers break to the MIN doc_id (matching exact_dedup's
+            # representative choice), via max(struct(score, -doc_id)).
             from warp_pipe_spark.datapipe.text import quality_model_score
 
             scores = quality_model_score(docs).select("doc_id", "score_sum")
-            j = clusters.join(scores, "doc_id")
+            j = (
+                clusters.join(keepers, "doc_id", "left_semi")
+                .join(scores, "doc_id")
+            )
             best = F.max(
-                F.struct(F.col("score_sum").alias("s"), F.col("doc_id").alias("d"))
+                F.struct(
+                    F.col("score_sum").alias("s"),
+                    (-F.col("doc_id")).alias("nd"),
+                )
             )
             kept_per_cluster = j.groupBy("cluster_id").agg(
-                best["d"].alias("doc_id")
+                (-best["nd"]).alias("doc_id")
             )
             drop = clusters.join(
                 kept_per_cluster.select("doc_id"), "doc_id", "left_anti"

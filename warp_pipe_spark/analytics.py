@@ -259,7 +259,7 @@ def attribution_join(
     the streaming result is verified.
 
     Returns (user_id, click_id, purchase_id, click_ts, purchase_ts,
-    lag_sec)."""
+    lag_ms)."""
     c = clicks.withWatermark("ts", watermark).select(
         F.col("user_id").alias("c_user"),
         F.col("event_id").alias("click_id"),

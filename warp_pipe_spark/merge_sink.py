@@ -202,32 +202,47 @@ class DeltaMergeExecutor:
         self.table_col = table_col
         self.evolve_schema = evolve_schema
 
+    _AUTOMERGE_KEY = "spark.databricks.delta.schema.autoMerge.enabled"
+
     def merge(self, table, winners, pk_cols, id_col, kind_col):
         from delta.tables import DeltaTable
 
+        prev = None
         if self.evolve_schema:
             # Delta's documented evolution switch: merge adds source
             # columns missing from the target (additive only), the
-            # exact contract SqlMergeExecutor implements via ALTER
-            self.spark.conf.set(
-                "spark.databricks.delta.schema.autoMerge.enabled", "true"
+            # exact contract SqlMergeExecutor implements via ALTER.
+            # The conf is session-global, so save/restore around the
+            # merge — otherwise evolution leaks into every other Delta
+            # merge on the session, including executors constructed
+            # with evolve_schema=False.
+            prev = self.spark.conf.get(self._AUTOMERGE_KEY, None)
+            self.spark.conf.set(self._AUTOMERGE_KEY, "true")
+        try:
+            tgt = DeltaTable.forPath(self.spark, self.path_for(table))
+            cond = " AND ".join(f"t.{c} <=> s.{c}" for c in pk_cols)
+            dk = ", ".join(f"'{k}'" for k in DELETE_KINDS)
+            value_cols = payload_cols(
+                winners.columns, pk_cols, id_col, kind_col, self.table_col
             )
-        tgt = DeltaTable.forPath(self.spark, self.path_for(table))
-        cond = " AND ".join(f"t.{c} <=> s.{c}" for c in pk_cols)
-        dk = ", ".join(f"'{k}'" for k in DELETE_KINDS)
-        value_cols = payload_cols(
-            winners.columns, pk_cols, id_col, kind_col, self.table_col
-        )
-        upd = {c: f"s.{c}" for c in (id_col, *value_cols)}
-        ins = {c: f"s.{c}" for c in (*pk_cols, id_col, *value_cols)}
-        (
-            tgt.alias("t")
-            .merge(winners.alias("s"), cond)
-            .whenMatchedDelete(f"s.{kind_col} IN ({dk}) AND s.{id_col} >= t.{id_col}")
-            .whenMatchedUpdate(f"s.{id_col} > t.{id_col}", upd)
-            .whenNotMatchedInsert(f"s.{kind_col} NOT IN ({dk})", ins)
-            .execute()
-        )
+            upd = {c: f"s.{c}" for c in (id_col, *value_cols)}
+            ins = {c: f"s.{c}" for c in (*pk_cols, id_col, *value_cols)}
+            (
+                tgt.alias("t")
+                .merge(winners.alias("s"), cond)
+                .whenMatchedDelete(
+                    f"s.{kind_col} IN ({dk}) AND s.{id_col} >= t.{id_col}"
+                )
+                .whenMatchedUpdate(f"s.{id_col} > t.{id_col}", upd)
+                .whenNotMatchedInsert(f"s.{kind_col} NOT IN ({dk})", ins)
+                .execute()
+            )
+        finally:
+            if self.evolve_schema:
+                if prev is None:
+                    self.spark.conf.unset(self._AUTOMERGE_KEY)
+                else:
+                    self.spark.conf.set(self._AUTOMERGE_KEY, prev)
 
 
 class InMemoryMergeExecutor:
@@ -267,11 +282,22 @@ class InMemoryMergeExecutor:
             .filter(F.col(f"s.{id_col}").isNull() | ~beaten)
             .select([F.col(f"t.{c}") for c in old.columns])
         )
-        # UPDATE winners + NOT MATCHED inserts: qualifying source rows
+        # UPDATE winners + NOT MATCHED inserts: qualifying source rows.
+        # Columns the target has but the winners lack keep the TARGET
+        # row's old value — MERGE's UPDATE SET only touches the source's
+        # value columns (a null-fill here would diverge from
+        # SqlMergeExecutor in the narrowing direction).
         upd = (
             s.join(o, cond, "inner")
             .filter(~is_delete & (F.col(f"s.{id_col}") > F.col(f"t.{id_col}")))
-            .select([F.col(f"s.{c}") for c in winners.columns])
+            .select(
+                [F.col(f"s.{c}") for c in winners.columns]
+                + [
+                    F.col(f"t.{c}").alias(c)
+                    for c in old.columns
+                    if c not in winners.columns
+                ]
+            )
         )
         ins = (
             s.join(o, cond, "left_anti")
