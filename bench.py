@@ -92,6 +92,7 @@ HEADLINE = [
     "dedup_clusters_star",
     "dedup_drop_list",
     "docs_clean_corpus",
+    "docs_clean_corpus_capped",
     "docs_hash_split",
     "docs_contamination",
     "docs_vocabulary",
@@ -238,6 +239,41 @@ def main() -> None:
         "overwrite"
     ).save()
     times["mhidx_ingest_batch"] = round(time.time() - t0, 3)
+
+    # keyset-poll split (VERDICT r5 item 6): the registered
+    # cs_keyset_poll_stream is a full drain-from-empty soak, opaque as
+    # one number. Time each poll→sink→offset round separately: the sum
+    # is the drain (setup) cost, the LAST applied round is a
+    # steady-state micro-batch onto already-populated state — the
+    # per-round cost a long-lived tail actually pays.
+    from warp_pipe_spark.streaming import (
+        KeysetPoller,
+        ParquetStateSink,
+        dataframe_keyset_fetch,
+    )
+
+    cs = entrymod._cs(spark, sf_dir)
+    n_total = cs.count()
+    ks_base = tempfile.mkdtemp(prefix="wp_bench_keyset_")
+    ks_sink = ParquetStateSink(
+        spark, os.path.join(ks_base, "state"), pk_cols=["pk"]
+    )
+    poller = KeysetPoller(
+        spark,
+        dataframe_keyset_fetch(cs),
+        ks_sink,
+        os.path.join(ks_base, "offset.json"),
+        limit=max(4000, -(-n_total // 8)),
+    )
+    per_round: list[float] = []
+    while True:
+        r0 = time.time()
+        applied = poller.poll_once()
+        if applied == 0:
+            break
+        per_round.append(time.time() - r0)
+    times["keyset_poll_drain"] = round(sum(per_round), 3)
+    times["keyset_poll_steady_batch"] = round(per_round[-1], 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {

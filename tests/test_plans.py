@@ -288,6 +288,20 @@ def test_ngram_jaccard_capped_prefilters_before_lists(spark, qs):
     assert anti_pos > agg_pos, t
 
 
+def test_clean_corpus_capped_prefilters_before_lists(spark, qs):
+    """The production cleaning composite's near-dup stage must carry
+    the same cap shape: the hot-shingle LeftAnti below (before) the
+    posting-list ObjectHashAggregate — proving the composite inherits
+    the boilerplate guard, not just the standalone pair query."""
+    p = plan_of(spark, qs["docs_clean_corpus_capped"](spark, SF))
+    t = tree_of(p)
+    assert "LeftAnti" in t, t
+    agg_pos = t.find("ObjectHashAggregate")
+    anti_pos = t.rfind("LeftAnti")
+    assert agg_pos != -1 and anti_pos != -1
+    assert anti_pos > agg_pos, t
+
+
 def test_bm25_broadcasts_stats_and_take_ordered(spark, qs):
     """BM25's corpus stats (df per query term, one-row avgdl/N) must
     join by broadcast — shuffling the (doc, term) tf agg against a

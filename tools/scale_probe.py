@@ -51,6 +51,7 @@ PROBE_QUERIES = [
     "dedup_clusters",
     "docs_contamination",
     "docs_clean_corpus",
+    "docs_clean_corpus_capped",
     "text_gopher_rules",
     # ANN family
     "ann_topk",
@@ -345,6 +346,53 @@ def hub_probe(spark, n: int = 200_000, r: int = 10) -> int:
         label = "ok" if len(times) == 1 or times[1] / times[0] <= r * 1.3 else "SUPER"
         print(f"| {m:,} | {best:.2f} | "
               f"{'' if len(times) == 1 else f'{times[1]/times[0]:.1f}x'} | {label} |")
+        sys.stdout.flush()
+    return 0
+
+
+def capsweep_probe(spark, r: int = 100) -> int:
+    """Cap-sensitivity of the stop-shingle constant (VERDICT r5 item
+    7): the capped inverted index does up to cap²/2 pair work per
+    near-cap shingle, so the cap is a recall-vs-constant dial. Run the
+    Jaccard pair stage on the R×-inflated documents at caps 5/20/100
+    (plus uncapped pair count at base scale as the recall denominator)
+    and report wall-clock + surviving pair count per cap. The table
+    turns 'cap-tunable' from prose into numbers."""
+    from warp_pipe_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    out_dir = f"/tmp/wp_scale_sf{r}x"
+    if not os.path.exists(os.path.join(out_dir, "lineitem.parquet")):
+        print(f"building {r}x inflated copy at {out_dir} ...", file=sys.stderr)
+        build_inflated(spark, out_dir, r)
+    docs_big = read_table(spark, out_dir, "documents")
+    docs_base = read_table(spark, BASE, "documents")
+    # recall denominator: exact uncapped pairs at BASE scale (the
+    # uncapped run is not feasible at Rx — that's the point)
+    n_exact_base = ngram_jaccard_pairs(
+        docs_base, threshold=0.01, max_doc_freq=None
+    ).count()
+    print(f"uncapped exact pairs at sf0.1 (recall denominator): {n_exact_base:,}")
+    print(f"| cap | {r}x wall s | {r}x pairs | sf0.1 pairs | sf0.1 recall vs exact |")
+    print("|---|---|---|---|---|")
+    for cap in (5, 20, 100):
+        n_base = ngram_jaccard_pairs(
+            docs_base, threshold=0.01, max_doc_freq=cap
+        ).count()
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            ngram_jaccard_pairs(
+                docs_big, threshold=0.01, max_doc_freq=cap
+            ).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        n_big = ngram_jaccard_pairs(
+            docs_big, threshold=0.01, max_doc_freq=cap
+        ).count()
+        recall = n_base / n_exact_base if n_exact_base else float("nan")
+        print(
+            f"| {cap} | {best:.2f} | {n_big:,} | {n_base:,} | {recall:.3f} |"
+        )
         sys.stdout.flush()
     return 0
 
@@ -690,6 +738,9 @@ def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--pagerank":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
         return pagerank_probe(get_spark("scale_probe_pagerank"), n)
+    if len(sys.argv) > 1 and sys.argv[1] == "--capsweep":
+        r = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+        return capsweep_probe(get_spark("scale_probe_capsweep"), r)
     r = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = set(sys.argv[2:])
     out_dir = f"/tmp/wp_scale_sf{r}x"
