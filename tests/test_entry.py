@@ -51,6 +51,22 @@ def test_oracle_subset_matches(spark, sf_dir, name):
     assert table_hash(srows, sdf.columns) == table_hash(drows, rel.columns)
 
 
+def test_capped_composite_identical_without_boilerplate(spark, sf_dir):
+    """The stop-shingle cap must be pure protection, not a semantics
+    change, on a corpus without boilerplate: on the synthetic testdata
+    (no shingle reaches doc_freq 5 among near-dup candidates) the
+    capped production composite and its uncapped eval twin must emit
+    identical rows. Divergence here would mean the cap is dropping
+    signal shingles, not boilerplate."""
+    qs = entrymod.queries()
+    a = {tuple(r) for r in qs["docs_clean_corpus"](spark, sf_dir).collect()}
+    b = {
+        tuple(r)
+        for r in qs["docs_clean_corpus_capped"](spark, sf_dir).collect()
+    }
+    assert a == b and len(a) > 0
+
+
 def test_oracle_types_never_widen(sf_dir):
     """Every oracle result column must be one of {BIGINT, VARCHAR,
     DOUBLE, TIMESTAMP, BOOLEAN}. DuckDB silently widens window/agg
