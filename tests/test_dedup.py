@@ -475,3 +475,95 @@ def test_cluster_keep_best_prefers_score_then_doc_id(spark):
     )
     got = {r.cluster_id: (r.best_doc_id, r.best_score) for r in out.collect()}
     assert got == {1: (3, 50), 7: (9, -5)}
+
+
+def test_prefix_jaccard_identical_to_uncapped_on_testdata(spark, sf_dir):
+    """jaccard_pairs_prefix must be RESULT-IDENTICAL to the uncapped
+    exact index at the same threshold on the real documents table —
+    prefix filtering is a candidate-pruning strategy, never a
+    semantics change (AllPairs completeness + exact verification)."""
+    from warp_pipe_spark.datapipe.dedup import jaccard_pairs_prefix
+    from warp_pipe_spark.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    for t in (0.5, 0.8):
+        exact = {
+            tuple(r)
+            for r in ngram_jaccard_pairs(
+                docs, threshold=t, max_doc_freq=None
+            ).collect()
+        }
+        pref = {
+            tuple(r) for r in jaccard_pairs_prefix(docs, threshold=t).collect()
+        }
+        assert pref == exact, (t, len(pref), len(exact))
+
+
+def test_prefix_jaccard_boilerplate_never_enters_index(spark):
+    """The adversarial corpus for the uncapped index: every doc shares
+    a long boilerplate tail (hot shingles with doc_freq = N) plus a
+    distinct head. Prefix filtering must (a) return exactly the
+    brute-force pairs and (b) keep the hot tail shingles OUT of the
+    posting index — their doc_freq sorts them last, past every prefix."""
+    from pyspark.sql import functions as F
+
+    from warp_pipe_spark.datapipe.dedup import jaccard_pairs_prefix
+
+    tail = "common boilerplate footer shared by every document"
+    t = 0.8  # prefix ≈ 20% of each doc — shorter than the unique head
+    heads = [
+        " ".join(f"w{i}x{j}" for j in range(30)) for i in range(4)
+    ]
+    heads.append(heads[0])  # doc 5 = exact dup of doc 1
+    rows = [(i + 1, h + " " + tail) for i, h in enumerate(heads)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs_prefix(docs, threshold=t).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, threshold=t, max_doc_freq=None
+        ).collect()
+    }
+    assert got == want
+    assert got[(1, 5)] == 1.0  # exact dup pair found through the prefix
+
+    # every shingle of doc_freq == N (the boilerplate tail) is absent
+    # from all prefixes: at t=0.8 each prefix holds ~20% of a doc's
+    # shingles, all drawn from its unique head (doc_freq 1 or 2) —
+    # the corpus-wide hot tail sorts last and never enters the index
+    from warp_pipe_spark.datapipe.text import h60, shingles
+
+    arr = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(shingles(F.col("text"), 3), lambda s: h60(s))
+            )
+        ).alias("s"),
+    )
+    hot = (
+        arr.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") == len(heads))
+    )
+    # reconstruct the prefixes exactly as the implementation does
+    from pyspark.sql.window import Window
+
+    freq = arr.groupBy("s").agg(F.count("*").alias("df"))
+    sz = arr.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    ranked = (
+        arr.join(freq, "s")
+        .join(sz, "doc_id")
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s")),
+        )
+    )
+    plen = F.col("n_sh") - F.ceil(F.col("n_sh") * t - 1e-9) + 1
+    prefix = ranked.filter(F.col("rnk") <= plen)
+    leaked = prefix.join(hot, "s", "left_semi").count()
+    assert leaked == 0

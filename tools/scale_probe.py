@@ -350,6 +350,84 @@ def hub_probe(spark, n: int = 200_000, r: int = 10) -> int:
     return 0
 
 
+def prefix_probe(spark, r: int = 100) -> int:
+    """Prefix-filtered exact Jaccard (jaccard_pairs_prefix — AllPairs
+    candidate pruning, exact verification) vs the uncapped full index
+    at the dedup_lsh_eval ground-truth configuration (threshold 0.5).
+    Two regimes:
+      1. the decorrelated R× corpus — measures the constant the eval
+         harness pays today (the 48.6× entry in SCALE.md);
+      2. the 10× hot-key corpus (shared boilerplate tail) — the regime
+         where the uncapped index OOMs; the prefix index must survive
+         because hot shingles sort LAST in the (doc_freq, hash) order
+         and never enter a prefix when rarer shingles fill it."""
+    from warp_pipe_spark.datapipe.dedup import (
+        jaccard_pairs_prefix,
+        ngram_jaccard_pairs,
+    )
+
+    out_dir = f"/tmp/wp_scale_sf{r}x"
+    if not os.path.exists(os.path.join(out_dir, "lineitem.parquet")):
+        print(f"building {r}x inflated copy at {out_dir} ...", file=sys.stderr)
+        build_inflated(spark, out_dir, r)
+    hot_dir = "/tmp/wp_scale_hot_10x"
+    if not os.path.exists(os.path.join(hot_dir, "documents.parquet")):
+        print(f"building 10x hot-key copy at {hot_dir} ...", file=sys.stderr)
+        build_hotkey(spark, hot_dir, 10)
+
+    def _uncapped(d):
+        return ngram_jaccard_pairs(
+            read_table(spark, d, "documents"), threshold=0.5, max_doc_freq=None
+        )
+
+    def _prefix(d):
+        return jaccard_pairs_prefix(
+            read_table(spark, d, "documents"), threshold=0.5
+        )
+
+    # the uncapped hot-key cell OOM-kills the executor JVM (that IS its
+    # result) and takes the local session with it — run it LAST so every
+    # other cell gets a live session
+    cells = [
+        ("prefix_filtered", _prefix, "sf0.1", BASE, 1),
+        ("prefix_filtered", _prefix, f"{r}x-decorrelated", out_dir, r),
+        ("prefix_filtered", _prefix, "hot-10x", hot_dir, 10),
+        ("uncapped_full_index", _uncapped, "sf0.1", BASE, 1),
+        ("uncapped_full_index", _uncapped, f"{r}x-decorrelated", out_dir, r),
+        ("uncapped_full_index", _uncapped, "hot-10x", hot_dir, 10),
+    ]
+    print("| impl | corpus | wall s | ratio vs sf0.1 | verdict |")
+    print("|---|---|---|---|---|")
+    base_t: dict[str, float] = {}
+    for name, make, label, d, ideal in cells:
+        best, failed = None, None
+        for _ in range(2):
+            t0 = time.time()
+            try:
+                make(d).write.format("noop").mode("overwrite").save()
+            except Exception as e:  # the blowup IS the result
+                failed = f"{type(e).__name__} ({str(e).split(chr(10))[0][:70]})"
+                break
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        if failed:
+            print(f"| {name} | {label} | FAILED: {failed} | - | BLOWUP |")
+            sys.stdout.flush()
+            continue
+        if label == "sf0.1":
+            base_t[name] = best
+        b = base_t.get(name)
+        ratio = "" if b is None else f"{best / b:.1f}x"
+        verdict = (
+            "-"
+            if b is None or best == b
+            else ("linear-ok" if best / b <= ideal * 1.3 else "SUPERLINEAR")
+        )
+        print(f"| {name} | {label} | {best:.2f} | {ratio} | {verdict} |")
+        sys.stdout.flush()
+    return 0
+
+
 def capsweep_probe(spark, r: int = 100) -> int:
     """Cap-sensitivity of the stop-shingle constant (VERDICT r5 item
     7): the capped inverted index does up to cap²/2 pair work per
@@ -741,6 +819,9 @@ def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--capsweep":
         r = int(sys.argv[2]) if len(sys.argv) > 2 else 100
         return capsweep_probe(get_spark("scale_probe_capsweep"), r)
+    if len(sys.argv) > 1 and sys.argv[1] == "--prefixprobe":
+        r = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+        return prefix_probe(get_spark("scale_probe_prefix"), r)
     r = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = set(sys.argv[2:])
     out_dir = f"/tmp/wp_scale_sf{r}x"

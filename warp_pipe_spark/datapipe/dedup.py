@@ -375,6 +375,106 @@ def ngram_containment_pairs(
     )
 
 
+def jaccard_pairs_prefix(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs at high thresholds via prefix
+    filtering (AllPairs — Bayardo, Ma & Srikant, WWW 2007; the prefix
+    principle behind PPJoin, Xiao et al., WWW 2008): result-identical
+    to ``ngram_jaccard_pairs(threshold=t, max_doc_freq=None)``, but the
+    inverted index holds only each document's PREFIX — its
+    ``|X| - ceil(t*|X|) + 1`` globally rarest shingles under one
+    corpus-wide (doc_freq, hash) total order.
+
+    Completeness: J(A,B) >= t forces |A∩B| >= ceil(t*max(|A|,|B|)) =: α
+    (because J <= |smaller|/|larger|, so |A| >= t*|B| and the
+    intersection bound I >= t*(|A|+|B|)/(1+t) >= t*max follows), and
+    two sets sharing α elements under a common total order must collide
+    within their first ``|X| - α + 1`` elements (if the prefixes were
+    disjoint, every shared element would sit in one side's (α-1)-long
+    suffix). The stored prefixes are at least that long, so every
+    qualifying pair surfaces as a candidate; candidates are then
+    verified with the exact intersection (``array_intersect`` over the
+    full hashed-shingle arrays), so there are no false positives.
+
+    Why this is the scale shape for the EVAL/ground-truth side (which
+    must stay uncapped): hot boilerplate shingles have the highest
+    doc_freq, sort LAST in the canonical order, and therefore never
+    enter any prefix — the posting-list blowup the stop-shingle cap
+    guards against cannot occur here, with ZERO recall loss. The cost
+    moves to verification, which is O(candidates × doc length) — small
+    at high thresholds. Intended for t >= 0.5; at low thresholds the
+    prefix approaches the whole document and degenerates (correctly)
+    to the full index, where the capped path is the right tool.
+
+    Shuffles: posting explode + doc-frequency agg, one per-doc rank
+    window, the prefix self-join, and the two doc_id equi-joins that
+    carry the full arrays to surviving candidates only."""
+    from pyspark.sql.window import Window
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    arr = docs.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(shingles(F.col("text"), n)), lambda s: h60(s)
+        ).alias("sh_arr"),
+    ).withColumn("n_sh", F.size("sh_arr").cast("long"))
+    ex = arr.select("doc_id", "n_sh", F.explode("sh_arr").alias("s"))
+    freq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    # canonical total order: ascending corpus doc_freq, hash tiebreak —
+    # identical for every document, which the completeness proof needs
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    ranked = ex.join(freq, "s").withColumn("rnk", F.row_number().over(w))
+    # the 1e-9 guards float noise in t*|X| at exact integers: ceil may
+    # only err DOWNWARD, which lengthens the prefix (always safe)
+    plen = F.col("n_sh") - F.ceil(F.col("n_sh") * threshold - 1e-9) + 1
+    prefix = ranked.filter(F.col("rnk") <= plen).select("doc_id", "n_sh", "s")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size pruning (J >= t forces t*|B| <= |A| and vice versa);
+            # epsilon so integer-exact boundaries never drop to float noise
+            & (F.col("a.n_sh") + 1e-6 >= F.col("b.n_sh") * threshold)
+            & (F.col("b.n_sh") + 1e-6 >= F.col("a.n_sh") * threshold),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    va = arr.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh_arr").alias("arr_a"),
+        F.col("n_sh").alias("na"),
+    )
+    vb = arr.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh_arr").alias("arr_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    return (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn(
+            "inter", F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
 def _cast_double(vec: F.Column) -> F.Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
