@@ -1184,12 +1184,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             read_table(spark, sf, "embeddings"), threshold=0.4
         )
 
-    def docs_clean_corpus(spark, sf):
+    def _clean_corpus(spark, sf, max_doc_freq):
         """End-to-end training-data cleaning pass: keep the canonical
         copy of each exact-duplicate group, drop near-duplicates
         (n-gram Jaccard ≥ 0.6, higher doc_id loses), require quality
         ≥ 0.6, and attach the predicted language. One composed plan:
-        two semi/anti joins + the quality/langid map stages."""
+        two semi/anti joins + the quality/langid map stages. The two
+        registered twins differ ONLY in `max_doc_freq` for the
+        near-dup stage — sharing this body is what keeps them from
+        silently diverging on any future composition change."""
         docs = _docs(spark, sf)
         qual = quality_scores(docs).select(
             "doc_id", "quality_score", F.col("n_tokens").cast("long").alias("n_tokens")
@@ -1197,10 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lid = lang_id(docs).select("doc_id", "pred_lang")
         keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
         near = (
-            # uncapped by explicit opt-out: this registered form is the
-            # eval/ground-truth twin whose oracle has no stop-shingle
-            # CTE; the production configuration is docs_clean_corpus_capped.
-            ngram_jaccard_pairs(docs, threshold=0.6, max_doc_freq=None)
+            ngram_jaccard_pairs(docs, threshold=0.6, max_doc_freq=max_doc_freq)
             .select(F.col("doc_b").alias("doc_id"))
             .distinct()
         )
@@ -1213,6 +1213,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .filter(F.col("quality_score") >= 0.6)
         )
 
+    def docs_clean_corpus(spark, sf):
+        # uncapped by explicit opt-out: this registered form is the
+        # eval/ground-truth twin whose oracle has no stop-shingle CTE;
+        # the production configuration is docs_clean_corpus_capped.
+        return _clean_corpus(spark, sf, max_doc_freq=None)
+
     def docs_clean_corpus_capped(spark, sf):
         """The production cleaning pass at 100 TB (VERDICT r5 items
         4–5): identical composition to docs_clean_corpus but the
@@ -1223,25 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         or build a D-element aggregation buffer. This is the
         configuration a boilerplate-heavy corpus actually runs; the
         uncapped twin above stays registered as eval ground truth."""
-        docs = _docs(spark, sf)
-        qual = quality_scores(docs).select(
-            "doc_id", "quality_score", F.col("n_tokens").cast("long").alias("n_tokens")
-        )
-        lid = lang_id(docs).select("doc_id", "pred_lang")
-        keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
-        near = (
-            ngram_jaccard_pairs(docs, threshold=0.6, max_doc_freq=5)
-            .select(F.col("doc_b").alias("doc_id"))
-            .distinct()
-        )
-        return (
-            docs.select("doc_id", "lang")
-            .join(qual, "doc_id")
-            .join(lid, "doc_id")
-            .join(keep, "doc_id", "left_semi")
-            .join(near, "doc_id", "left_anti")
-            .filter(F.col("quality_score") >= 0.6)
-        )
+        return _clean_corpus(spark, sf, max_doc_freq=5)
 
     q.update(
         dedup_exact=dedup_exact_q,

@@ -196,6 +196,14 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
 
+    # Instrumentation splits live in a SEPARATE dict: several re-time
+    # work a registered headline query above already paid for (e.g. the
+    # keyset soak, the IVF build inside ann_ivf_indexed), so folding
+    # them into the headline total would double-count and break
+    # round-over-round comparability of `value`. They are emitted under
+    # "aux" in the result JSON instead.
+    aux: dict[str, float] = {}
+
     # ann_ivf_indexed above pays a full index BUILD per run (the
     # registered query is self-contained for the oracle); split the
     # two phases so the steady-state probe cost — the number that
@@ -211,12 +219,12 @@ def main() -> None:
     ivf_dir = tempfile.mkdtemp(prefix="wp_bench_ivf_")
     t0 = time.time()
     build_ivf_index(emb, ivf_dir, n_centroids=10)
-    times["ann_ivf_index_build"] = round(time.time() - t0, 3)
+    aux["ann_ivf_index_build"] = round(time.time() - t0, 3)
     t0 = time.time()
     ivf_topk_indexed(
         spark, emb.filter(F.col("vec_id") < 10), ivf_dir, k=5, n_probe=3
     ).write.format("noop").mode("overwrite").save()
-    times["ann_ivf_probe_only"] = round(time.time() - t0, 3)
+    aux["ann_ivf_probe_only"] = round(time.time() - t0, 3)
 
     # same split for the incremental MinHash index: the registered
     # query pays build+update+query per run for oracle comparability;
@@ -232,20 +240,23 @@ def main() -> None:
     mh_dir = tempfile.mkdtemp(prefix="wp_bench_mhidx_")
     t0 = time.time()
     build_minhash_index(docs.filter(F.col("doc_id") % 10 != 7), mh_dir)
-    times["mhidx_build"] = round(time.time() - t0, 3)
+    aux["mhidx_build"] = round(time.time() - t0, 3)
     t0 = time.time()
     update_minhash_index(batch, mh_dir)
     query_minhash_index(spark, batch, mh_dir).write.format("noop").mode(
         "overwrite"
     ).save()
-    times["mhidx_ingest_batch"] = round(time.time() - t0, 3)
+    aux["mhidx_ingest_batch"] = round(time.time() - t0, 3)
 
     # keyset-poll split (VERDICT r5 item 6): the registered
     # cs_keyset_poll_stream is a full drain-from-empty soak, opaque as
     # one number. Time each poll→sink→offset round separately: the sum
-    # is the drain (setup) cost, the LAST applied round is a
-    # steady-state micro-batch onto already-populated state — the
-    # per-round cost a long-lived tail actually pays.
+    # of all-but-the-last rounds is the drain (setup) cost; the LAST
+    # applied round is a steady-state micro-batch onto
+    # already-populated state — the per-round cost a long-lived tail
+    # actually pays. The two entries partition the soak (no round is
+    # counted twice), and the steady label is only emitted when at
+    # least one setup round preceded it.
     from warp_pipe_spark.streaming import (
         KeysetPoller,
         ParquetStateSink,
@@ -272,8 +283,10 @@ def main() -> None:
         if applied == 0:
             break
         per_round.append(time.time() - r0)
-    times["keyset_poll_drain"] = round(sum(per_round), 3)
-    times["keyset_poll_steady_batch"] = round(per_round[-1], 3)
+    if per_round:
+        aux["keyset_poll_drain"] = round(sum(per_round[:-1]), 3)
+    if len(per_round) >= 2:
+        aux["keyset_poll_steady_batch"] = round(per_round[-1], 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -281,6 +294,7 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "aux": aux,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "timing": "noop-sink write, all output columns materialized",
     }

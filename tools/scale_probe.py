@@ -445,17 +445,31 @@ def capsweep_probe(spark, r: int = 100) -> int:
     docs_big = read_table(spark, out_dir, "documents")
     docs_base = read_table(spark, BASE, "documents")
     # recall denominator: exact uncapped pairs at BASE scale (the
-    # uncapped run is not feasible at Rx — that's the point)
-    n_exact_base = ngram_jaccard_pairs(
-        docs_base, threshold=0.01, max_doc_freq=None
-    ).count()
+    # uncapped run is not feasible at Rx — that's the point). True
+    # recall is |capped ∩ exact| / |exact| over the (doc_a, doc_b)
+    # keys — NOT a count ratio: the cap removes hot shingles from both
+    # sets before Jaccard, which can ADD pairs the exact measure
+    # rejects (shared-rare-shingle docs whose union was dominated by
+    # boilerplate), so a count ratio can overstate recall or exceed 1.
+    # Capped-only additions are reported in their own column.
+    exact_base = (
+        ngram_jaccard_pairs(docs_base, threshold=0.01, max_doc_freq=None)
+        .select("doc_a", "doc_b")
+        .cache()
+    )
+    n_exact_base = exact_base.count()
     print(f"uncapped exact pairs at sf0.1 (recall denominator): {n_exact_base:,}")
-    print(f"| cap | {r}x wall s | {r}x pairs | sf0.1 pairs | sf0.1 recall vs exact |")
-    print("|---|---|---|---|---|")
+    print(
+        f"| cap | {r}x wall s | {r}x pairs | sf0.1 pairs | sf0.1 recall "
+        f"(∩/exact) | sf0.1 capped-only |"
+    )
+    print("|---|---|---|---|---|---|")
     for cap in (5, 20, 100):
-        n_base = ngram_jaccard_pairs(
+        capped_base = ngram_jaccard_pairs(
             docs_base, threshold=0.01, max_doc_freq=cap
-        ).count()
+        ).select("doc_a", "doc_b").cache()
+        n_base = capped_base.count()
+        n_hit = capped_base.join(exact_base, ["doc_a", "doc_b"], "left_semi").count()
         best = None
         for _ in range(2):
             t0 = time.time()
@@ -467,11 +481,14 @@ def capsweep_probe(spark, r: int = 100) -> int:
         n_big = ngram_jaccard_pairs(
             docs_big, threshold=0.01, max_doc_freq=cap
         ).count()
-        recall = n_base / n_exact_base if n_exact_base else float("nan")
+        recall = n_hit / n_exact_base if n_exact_base else float("nan")
         print(
-            f"| {cap} | {best:.2f} | {n_big:,} | {n_base:,} | {recall:.3f} |"
+            f"| {cap} | {best:.2f} | {n_big:,} | {n_base:,} | {recall:.3f} "
+            f"| {n_base - n_hit:,} |"
         )
+        capped_base.unpersist()
         sys.stdout.flush()
+    exact_base.unpersist()
     return 0
 
 

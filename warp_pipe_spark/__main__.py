@@ -105,13 +105,19 @@ def main(argv: list[str] | None = None, out=None) -> int:
         clusters = connected_components_star(pairs)
         if args.keep_best:
             # quality-aware resolution: keep the argmax-scored doc per
-            # cluster (docs_cluster_keep_best semantics). The argmax is
-            # taken over exact-dedup KEEPERS only: exact duplicates
-            # score identically, so an unrestricted argmax can elect a
-            # non-keeper copy that the keepers semi-join below then
-            # deletes — wiping the whole cluster. Ties among distinct
-            # keepers break to the MIN doc_id (matching exact_dedup's
-            # representative choice), via max(struct(score, -doc_id)).
+            # cluster. The argmax is taken over exact-dedup KEEPERS
+            # only: exact duplicates score identically, so an
+            # unrestricted argmax can elect a non-keeper copy that the
+            # keepers semi-join below then deletes — wiping the whole
+            # cluster. Ties among distinct keepers break to the MIN
+            # doc_id (matching exact_dedup's representative choice),
+            # via max(struct(score, -doc_id)). NOTE: this deliberately
+            # diverges from the registered docs_cluster_keep_best
+            # query, which has no keeper restriction and tie-breaks to
+            # the MAX doc_id — that query ranks ALL cluster members as
+            # a standalone scoring report, while this path must pick a
+            # survivor consistent with the exact-dedup stage it runs
+            # behind.
             from warp_pipe_spark.datapipe.text import quality_model_score
 
             scores = quality_model_score(docs).select("doc_id", "score_sum")

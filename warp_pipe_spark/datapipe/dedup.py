@@ -209,6 +209,22 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     return bitsums.select("doc_id", assembled.alias("simhash"))
 
 
+def _hashed_shingle_arrays(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, sh_arr): the distinct n-gram shingles of `text`, each
+    mapped through the 60-bit hash, distinct-BEFORE-hash. Both exact
+    set-similarity paths (`_shingle_pair_counts` inverted index and
+    `jaccard_pairs_prefix` AllPairs) build their sets through this one
+    expression — their result-identical contract depends on the two
+    sides hashing byte-equivalent arrays, so the construction must not
+    be duplicated."""
+    return docs.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(shingles(F.col("text"), n)), lambda s: h60(s)
+        ).alias("sh_arr"),
+    )
+
+
 def _shingle_pair_counts(
     docs: DataFrame,
     n: int = 3,
@@ -234,12 +250,7 @@ def _shingle_pair_counts(
     # the exchange carries 8-byte longs instead of ~25-byte text (~3x
     # fewer shuffle bytes at 100 TB). The oracle hashes identically, so
     # results match exactly even in the (negligible) collision case.
-    arr = docs.select(
-        "doc_id",
-        F.transform(
-            F.array_distinct(shingles(F.col("text"), n)), lambda s: h60(s)
-        ).alias("sh_arr"),
-    )
+    arr = _hashed_shingle_arrays(docs, n)
     # each posting carries the doc's distinct-shingle count alongside the
     # id (one extra long per shuffle row), so the union sizes ride the
     # posting lists all the way to the pair aggregate: NO sizes table, no
@@ -414,12 +425,16 @@ def jaccard_pairs_prefix(
 
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    arr = docs.select(
-        "doc_id",
-        F.transform(
-            F.array_distinct(shingles(F.col("text"), n)), lambda s: h60(s)
-        ).alias("sh_arr"),
-    ).withColumn("n_sh", F.size("sh_arr").cast("long"))
+    arr = _hashed_shingle_arrays(docs, n).withColumn(
+        "n_sh", F.size("sh_arr").cast("long")
+    )
+    # The final filter (matching ngram_jaccard_pairs exactly) passes
+    # round(J, 6) >= t, so a pair with TRUE Jaccard in [t - 5e-7, t)
+    # still belongs in the result. All pruning bounds are therefore
+    # derived from t_eff = t - 1e-6 — strictly below anything that can
+    # round up to t — so candidate generation is complete for every
+    # pair the verification step would keep, not just for true-J >= t.
+    t_eff = max(threshold - 1e-6, 1e-12)
     ex = arr.select("doc_id", "n_sh", F.explode("sh_arr").alias("s"))
     freq = ex.groupBy("s").agg(F.count("*").alias("df"))
     # canonical total order: ascending corpus doc_freq, hash tiebreak —
@@ -428,7 +443,7 @@ def jaccard_pairs_prefix(
     ranked = ex.join(freq, "s").withColumn("rnk", F.row_number().over(w))
     # the 1e-9 guards float noise in t*|X| at exact integers: ceil may
     # only err DOWNWARD, which lengthens the prefix (always safe)
-    plen = F.col("n_sh") - F.ceil(F.col("n_sh") * threshold - 1e-9) + 1
+    plen = F.col("n_sh") - F.ceil(F.col("n_sh") * t_eff - 1e-9) + 1
     prefix = ranked.filter(F.col("rnk") <= plen).select("doc_id", "n_sh", "s")
     cand = (
         prefix.alias("a")
@@ -436,10 +451,11 @@ def jaccard_pairs_prefix(
             prefix.alias("b"),
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # size pruning (J >= t forces t*|B| <= |A| and vice versa);
-            # epsilon so integer-exact boundaries never drop to float noise
-            & (F.col("a.n_sh") + 1e-6 >= F.col("b.n_sh") * threshold)
-            & (F.col("b.n_sh") + 1e-6 >= F.col("a.n_sh") * threshold),
+            # size pruning (J >= t_eff forces t_eff*|B| <= |A| and vice
+            # versa); epsilon so integer-exact boundaries never drop to
+            # float noise
+            & (F.col("a.n_sh") + 1e-6 >= F.col("b.n_sh") * t_eff)
+            & (F.col("b.n_sh") + 1e-6 >= F.col("a.n_sh") * t_eff),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
