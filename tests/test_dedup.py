@@ -567,3 +567,34 @@ def test_prefix_jaccard_boilerplate_never_enters_index(spark):
     prefix = ranked.filter(F.col("rnk") <= plen)
     leaked = prefix.join(hot, "s", "left_semi").count()
     assert leaked == 0
+
+
+def test_prefix_jaccard_keeps_pairs_that_round_up_to_threshold(spark):
+    """Round-boundary completeness: the final filter (shared with
+    ngram_jaccard_pairs) passes round(J, 6) >= t, so a pair whose TRUE
+    Jaccard is just below t but rounds up to it belongs in the result.
+    Pruning bounds derived from true-J >= t would drop such a pair
+    before verification — the bounds must come from t - 1e-6.
+
+    Concrete instance: A = {abc, bcd}, B = {abc, bcd, cde} → J = 2/3,
+    round(J, 6) = 0.666667 > J. Any threshold in (2/3, 0.666667]
+    keeps the pair in the uncapped index; bounds derived from t would
+    shrink B's prefix to its single rarest shingle (cde, doc_freq 1),
+    disjoint from A's single-element prefix — candidate lost."""
+    from warp_pipe_spark.datapipe.dedup import jaccard_pairs_prefix
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d e")], "doc_id LONG, text STRING"
+    )
+    t = 0.6666669  # strictly above 2/3, at/below round(2/3, 6)
+    want = {
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            docs, threshold=t, max_doc_freq=None
+        ).collect()
+    }
+    got = {
+        tuple(r) for r in jaccard_pairs_prefix(docs, threshold=t).collect()
+    }
+    assert want == {(1, 2, 2, 0.666667)}  # the uncapped measure keeps it
+    assert got == want
