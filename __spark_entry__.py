@@ -3262,111 +3262,108 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_weighted_sample=docs_weighted_sample,
     )
 
-    # The driver's correctness harness verifies the FIRST 50 dict entries
-    # per round. Front-load (a) queries with no driver row yet and (b)
-    # queries whose implementation changed this round, so every registered
-    # query accumulates a driver-verified row across rounds; long-stable
-    # rows rotate to the back.
-    _verify_first = [
-        # ROUND 6 WINDOW — 44 mandatory + 6 chosen = exactly 50.
-        #
-        # (a) the round-6 registration (never driver-checked; the
-        # auto-front-load below also catches it)
-        "docs_clean_corpus_capped",
-        # (b) red in round 5 — the HUGEINT oracle-type fix
-        # (VERDICT r5 item 1) must re-earn its first green row
-        "docs_pack_chunks",
-        "docs_chunk_texts",
-        # (c) oracle text changed this round (DECIMAL->DOUBLE /
-        # HUGEINT->BIGINT casts): the committed green rows no longer
-        # correspond to the current oracle strings, so re-earn now
-        # (docs_clean_corpus is also r03-stale; docs_chunk_overlap
-        # inherits the chunk_texts CTE edit)
+    # The driver's correctness harness verifies the FIRST 50 dict
+    # entries per round, so the ordering below IS the round's
+    # verification window. It is computed, not hand-maintained
+    # (VERDICT r5's capacity math: at 142 queries against a 50/round
+    # window the registry is near steady-state rotation capacity — a
+    # static list rewritten by hand each round is exactly the thing
+    # that drifts):
+    #   1. queries with NO green driver row in any recorded round
+    #      (new registrations and still-red fixes) come first;
+    #   2. then _CHANGED_THIS_ROUND — queries whose implementation or
+    #      oracle string was edited this round, so their committed
+    #      green rows no longer describe the current code;
+    #   3. then everything else, LEAST-RECENTLY-GREEN first, so the
+    #      <=2-rounds-stale invariant (test_entry.py) maintains itself
+    #      at steady state.
+    # Ties and the no-CORRECTNESS-files case degrade to registration
+    # order. A builder touching a query only appends its name to
+    # _CHANGED_THIS_ROUND (and empties the list at the next round
+    # boundary); the rotation does the rest.
+    _CHANGED_THIS_ROUND = [
+        # round 6: oracle text changed (DECIMAL->DOUBLE /
+        # HUGEINT->BIGINT casts) — the committed green rows predate
+        # the current oracle strings
         "text_quality",
         "docs_chunk_overlap",
         "docs_clean_corpus",
-        # (d) implementation touched in round 5 but never re-earned a
-        # driver row (the r05 window was consumed by registrations) —
-        # also touched THIS round: dedup_ngram_jaccard now opts out of
-        # the new DEFAULT_MAX_DOC_FREQ cap explicitly
+        # round 6: now opts out of DEFAULT_MAX_DOC_FREQ explicitly;
+        # also touched in round 5 without a driver re-earn
         "dedup_ngram_jaccard",
+        # touched in round 5; the r05 window was consumed by that
+        # round's 50 registrations, so they re-earn now
         "cs_keyset_poll_stream",
         "cs_incremental_merge",
         "docs_dup_spans",
         "tpch_q21",
-        # (e) last green row is round 3 — the ≤2-rounds-stale invariant
-        # (test_entry.py) requires all of these in the window
-        "cs_attribute_changes",
-        "cs_checksum_scalable",
-        "cs_count_stats",
-        "cs_kind_normalize",
-        "cs_point_lookup",
-        "cs_replay_dedup",
-        "cs_replay_final_state",
-        "cs_retention",
-        "cs_since_id",
-        "cs_since_ts",
-        "cs_snapshot_diff",
-        "cs_whitelist_ignore",
-        "dedup_clusters",
-        "docs_contamination",
-        "docs_hash_split",
-        "docs_mix_rebalance",
-        "docs_source_mix",
-        "docs_token_percentiles",
-        "events_cohort_retention",
-        "events_kmv_distinct",
-        "events_percentiles",
-        "multimodal_audio_real",
-        "multimodal_decode_real",
-        "multimodal_frame_sample",
-        "multimodal_resize_real",
-        "multimodal_video_frames",
-        "text_gopher_rules",
-        "tpch_q3",
-        "tpch_q5",
-        "tpch_q7",
-        "tpch_q8",
-        "tpch_q9",
-        "tpch_q10",
-        "tpch_q14",
-        "tpch_q15",
-        "tpch_q17",
-        "tpch_q18",
-        "tpch_q19",
-        "tpch_q22",
     ]
-    # Data-driven front-load: queries with NO green driver row in any
-    # recorded round come first (in _verify_first's relative order,
-    # then registration order), ahead of the explicitly-listed
-    # changed/stale entries. A static list alone goes stale the moment
-    # a new registration lands behind position 50; this recomputation
-    # keeps the 50-entry driver window aligned with reality on every
-    # import. Missing/unreadable CORRECTNESS files degrade to the
-    # static order.
+
     import glob as _glob
     import json as _json
     import os as _os
+    import re as _re
 
-    checked: set[str] = set()
+    last_green: dict[str, int] = {}
+    any_rounds = False
     for path in _glob.glob(
         _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                       "CORRECTNESS_r*.json")
     ):
+        m = _re.search(r"r(\d+)", _os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path) as f:
-                checked |= set(_json.load(f))
+                rows = _json.load(f)
         except (OSError, ValueError):
-            pass
-    rank = {k: i for i, k in enumerate(_verify_first)}
-    never = sorted(
-        (k for k in q if checked and k not in checked),
-        key=lambda k: (rank.get(k, len(rank)), list(q).index(k)),
-    )
-    ordered = {k: q[k] for k in never}
-    ordered.update((k, q[k]) for k in _verify_first if k in q and k not in ordered)
-    ordered.update((k, v) for k, v in q.items() if k not in ordered)
-    return ordered
+            continue
+        any_rounds = True
+        for k, v in rows.items():
+            if (
+                isinstance(v, dict)
+                and v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match")
+                and rnd > last_green.get(k, -1)
+            ):
+                last_green[k] = rnd
+    if not any_rounds:
+        return q
+    return {
+        k: q[k]
+        for k in _lru_window_order(list(q), last_green, _CHANGED_THIS_ROUND)
+    }
+
+
+def _lru_window_order(
+    names: list[str],
+    last_green: dict[str, int],
+    changed: list[str],
+) -> list[str]:
+    """The driver-window rotation policy, standalone so tests can pin
+    it against synthetic histories: never-green first (registration
+    order), then `changed` (its own order), then least-recently-green
+    (registration-order ties)."""
+    reg = {k: i for i, k in enumerate(names)}
+    changed_rank = {k: i for i, k in enumerate(changed)}
+
+    def _order(k: str):
+        if k not in last_green:
+            bucket = 0
+        elif k in changed_rank:
+            bucket = 1
+        else:
+            bucket = 2
+        return (
+            bucket,
+            changed_rank.get(k, len(changed_rank)),
+            last_green.get(k, -1),
+            reg[k],
+        )
+
+    return sorted(names, key=_order)
 
 
 # ---------------------------------------------------------------------------

@@ -139,3 +139,21 @@ def test_driver_window_holds_all_new_changed_and_stale_queries():
         f"OUTSIDE the 50-entry window: {missing_stale} — rotate them into "
         f"_verify_first"
     )
+
+
+def test_lru_rotation_policy_on_synthetic_history():
+    """Pin the computed driver-window rotation (round 6 replaced the
+    hand-rewritten _verify_first list): never-green queries lead in
+    registration order, explicitly-changed queries follow in their
+    declared order, and the rest rotate least-recently-green-first so
+    the <=2-rounds-stale invariant maintains itself at capacity."""
+    from __spark_entry__ import _lru_window_order
+
+    names = ["a", "b", "c", "d", "e", "f"]
+    last_green = {"a": 5, "b": 3, "d": 4, "e": 3, "f": 5}
+    out = _lru_window_order(names, last_green, changed=["f", "d"])
+    # c: never green -> first. f then d: changed, declared order.
+    # b/e tie at round 3 -> registration order; a at 5 last.
+    assert out == ["c", "f", "d", "b", "e", "a"]
+    # no history at all: pure registration order within each bucket
+    assert _lru_window_order(names, {}, []) == names
