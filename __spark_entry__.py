@@ -3269,8 +3269,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window the registry is near steady-state rotation capacity — a
     # static list rewritten by hand each round is exactly the thing
     # that drifts):
-    #   1. queries with NO green driver row in any recorded round
-    #      (new registrations and still-red fixes) come first;
+    #   1. queries with no green driver row in any recorded round
+    #      (new registrations, still-red fixes) or whose LATEST
+    #      recorded row is red (regressions) come first — a regression
+    #      re-enters the window with no manual edit;
     #   2. then _CHANGED_THIS_ROUND — queries whose implementation or
     #      oracle string was edited this round, so their committed
     #      green rows no longer describe the current code;
@@ -3297,6 +3299,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cs_incremental_merge",
         "docs_dup_spans",
         "tpch_q21",
+        # DEFERRED to round 7 (window full at 50: 44 mandatory + the
+        # 6 round-5-touched re-earns above): dedup_lsh_eval gained an
+        # explicit max_doc_freq=None that pins the pre-round-6 default
+        # — result-identical by construction, so its r05 green row
+        # still describes the current results; it re-earns in round 7
+        # together with the queued prefix-Jaccard ground-truth swap.
     ]
 
     import glob as _glob
@@ -3305,6 +3313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import re as _re
 
     last_green: dict[str, int] = {}
+    last_red: dict[str, int] = {}
     any_rounds = False
     for path in _glob.glob(
         _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
@@ -3319,21 +3328,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 rows = _json.load(f)
         except (OSError, ValueError):
             continue
+        if not isinstance(rows, dict):
+            # a truncated or legacy artifact must degrade to "skipped",
+            # never crash every queries() import site
+            continue
         any_rounds = True
         for k, v in rows.items():
+            if not isinstance(v, dict):
+                continue
             if (
-                isinstance(v, dict)
-                and v.get("rows_match")
+                v.get("rows_match")
                 and v.get("schema_match")
                 and v.get("hash_match")
-                and rnd > last_green.get(k, -1)
             ):
-                last_green[k] = rnd
+                if rnd > last_green.get(k, -1):
+                    last_green[k] = rnd
+            elif rnd > last_red.get(k, -1):
+                last_red[k] = rnd
     if not any_rounds:
         return q
     return {
         k: q[k]
-        for k in _lru_window_order(list(q), last_green, _CHANGED_THIS_ROUND)
+        for k in _lru_window_order(
+            list(q), last_green, _CHANGED_THIS_ROUND, last_red
+        )
     }
 
 
@@ -3341,16 +3359,22 @@ def _lru_window_order(
     names: list[str],
     last_green: dict[str, int],
     changed: list[str],
+    last_red: dict[str, int] | None = None,
 ) -> list[str]:
     """The driver-window rotation policy, standalone so tests can pin
-    it against synthetic histories: never-green first (registration
-    order), then `changed` (its own order), then least-recently-green
-    (registration-order ties)."""
+    it against synthetic histories: queries needing a green row most
+    urgently first — never-green OR regressed (latest recorded row is
+    red, newer than any green), in registration order; then `changed`
+    (its own order); then least-recently-green (registration-order
+    ties). Regressions front-load automatically: a query green in
+    round N but red in round N+1 re-enters the window without anyone
+    editing _CHANGED_THIS_ROUND."""
     reg = {k: i for i, k in enumerate(names)}
     changed_rank = {k: i for i, k in enumerate(changed)}
+    last_red = last_red or {}
 
     def _order(k: str):
-        if k not in last_green:
+        if k not in last_green or last_red.get(k, -1) > last_green[k]:
             bucket = 0
         elif k in changed_rank:
             bucket = 1
@@ -3358,8 +3382,8 @@ def _lru_window_order(
             bucket = 2
         return (
             bucket,
-            changed_rank.get(k, len(changed_rank)),
-            last_green.get(k, -1),
+            changed_rank.get(k, len(changed_rank)) if bucket == 1 else 0,
+            last_green.get(k, -1) if bucket == 2 else 0,
             reg[k],
         )
 

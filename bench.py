@@ -250,13 +250,14 @@ def main() -> None:
 
     # keyset-poll split (VERDICT r5 item 6): the registered
     # cs_keyset_poll_stream is a full drain-from-empty soak, opaque as
-    # one number. Time each poll→sink→offset round separately: the sum
-    # of all-but-the-last rounds is the drain (setup) cost; the LAST
-    # applied round is a steady-state micro-batch onto
-    # already-populated state — the per-round cost a long-lived tail
-    # actually pays. The two entries partition the soak (no round is
-    # counted twice), and the steady label is only emitted when at
-    # least one setup round preceded it.
+    # one number. Time each poll→sink→offset round separately: the
+    # last FULL-sized applied round after at least one prior round is
+    # the steady-state micro-batch onto already-populated state — the
+    # per-round cost a long-lived tail actually pays; every other
+    # round (including the n-mod-limit remainder) is drain. The two
+    # entries partition the soak (no round counted twice, none
+    # dropped); a soak that drains in a single round reports wholly as
+    # drain with no misleading steady entry.
     from warp_pipe_spark.streaming import (
         KeysetPoller,
         ParquetStateSink,
@@ -276,17 +277,27 @@ def main() -> None:
         os.path.join(ks_base, "offset.json"),
         limit=max(4000, -(-n_total // 8)),
     )
-    per_round: list[float] = []
+    per_round: list[tuple[float, int]] = []
     while True:
         r0 = time.time()
         applied = poller.poll_once()
         if applied == 0:
             break
-        per_round.append(time.time() - r0)
-    if per_round:
-        aux["keyset_poll_drain"] = round(sum(per_round[:-1]), 3)
-    if len(per_round) >= 2:
-        aux["keyset_poll_steady_batch"] = round(per_round[-1], 3)
+        per_round.append((time.time() - r0, applied))
+    # The steady entry must be a FULL batch onto populated state: the
+    # last round is usually the n-mod-limit remainder, so pick the
+    # last full-sized applied round instead; everything else is drain.
+    # A single-round drain (tiny SF) reports the whole soak as drain
+    # and emits no misleading steady entry.
+    full = [i for i, (_, n) in enumerate(per_round) if i > 0 and n == poller.limit]
+    if full:
+        steady_i = full[-1]
+        aux["keyset_poll_steady_batch"] = round(per_round[steady_i][0], 3)
+        aux["keyset_poll_drain"] = round(
+            sum(t for i, (t, _) in enumerate(per_round) if i != steady_i), 3
+        )
+    elif per_round:
+        aux["keyset_poll_drain"] = round(sum(t for t, _ in per_round), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {

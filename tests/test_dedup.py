@@ -563,7 +563,11 @@ def test_prefix_jaccard_boilerplate_never_enters_index(spark):
             F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s")),
         )
     )
-    plen = F.col("n_sh") - F.ceil(F.col("n_sh") * t - 1e-9) + 1
+    # t_eff mirrors jaccard_pairs_prefix: pruning bounds derive from
+    # t - 1e-6 so the reconstruction covers the implementation's
+    # (possibly one-longer) prefix, not a strict subset of it
+    t_eff = t - 1e-6
+    plen = F.col("n_sh") - F.ceil(F.col("n_sh") * t_eff - 1e-9) + 1
     prefix = ranked.filter(F.col("rnk") <= plen)
     leaked = prefix.join(hot, "s", "left_semi").count()
     assert leaked == 0

@@ -2,6 +2,8 @@
 consistent, and a fast subset hash-matches the DuckDB oracle at
 sf0.001 (the full sweep lives in tools/oracle_check.py)."""
 
+import glob
+import os
 import sys
 
 import duckdb
@@ -157,3 +159,49 @@ def test_lru_rotation_policy_on_synthetic_history():
     assert out == ["c", "f", "d", "b", "e", "a"]
     # no history at all: pure registration order within each bucket
     assert _lru_window_order(names, {}, []) == names
+
+    # a REGRESSION (green in an earlier round, red in a later one)
+    # front-loads with the never-green bucket, no manual changed-list
+    # edit required: 'a' was green r5 but its latest row (r6) is red
+    out = _lru_window_order(
+        names, last_green, changed=["f", "d"], last_red={"a": 6}
+    )
+    assert out == ["a", "c", "f", "d", "b", "e"]
+    # a red row OLDER than the latest green is history, not a
+    # regression — ordering unchanged
+    out = _lru_window_order(
+        names, last_green, changed=["f", "d"], last_red={"a": 4}
+    )
+    assert out == ["c", "f", "d", "b", "e", "a"]
+    # changed-rank is confined to the changed bucket: a never-green
+    # query listed in `changed` must NOT jump ahead of earlier
+    # never-green registrations (docstring's registration-order
+    # contract for bucket 0)
+    out = _lru_window_order(["a", "b"], {}, changed=["b"])
+    assert out == ["a", "b"]
+
+
+def test_rotation_tolerates_malformed_correctness_artifact(tmp_path):
+    """A truncated or legacy CORRECTNESS_r*.json whose top level is a
+    JSON list (not a dict) must degrade to 'skipped' — one malformed
+    artifact must not crash every queries() import site."""
+    import shutil
+
+    import __spark_entry__ as entrymod
+
+    repo = os.path.dirname(os.path.abspath(entrymod.__file__))
+    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        shutil.copy(p, tmp_path / os.path.basename(p))
+    (tmp_path / "CORRECTNESS_r99.json").write_text('["q1", "q2"]')
+    shutil.copy(os.path.join(repo, "__spark_entry__.py"), tmp_path)
+    import subprocess
+    import sys
+
+    env = dict(os.environ, PYTHONPATH=repo)
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import __spark_entry__ as e; names = list(e.queries()); "
+         "assert len(names) > 100, names"],
+        cwd=tmp_path, capture_output=True, text=True, timeout=120, env=env,
+    )
+    assert r.returncode == 0, r.stderr
