@@ -32,6 +32,7 @@ from warp_pipe_spark.datapipe.dedup import (
     MINHASH_P,
     embedding_near_dup_pairs,
     exact_dedup,
+    jaccard_pairs_prefix,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -1199,11 +1200,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         lid = lang_id(docs).select("doc_id", "pred_lang")
         keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
-        near = (
-            ngram_jaccard_pairs(docs, threshold=0.6, max_doc_freq=max_doc_freq)
-            .select(F.col("doc_b").alias("doc_id"))
-            .distinct()
-        )
+        if max_doc_freq is None:
+            # uncapped semantics via AllPairs prefix filtering:
+            # result-identical to ngram_jaccard_pairs(max_doc_freq=None)
+            # (pinned at two SFs + an adversarial boilerplate fixture in
+            # test_dedup), equal-cost at bench SF, but hot shingles
+            # never enter the posting index — the uncapped composite no
+            # longer OOMs on a boilerplate-heavy corpus at scale
+            pairs = jaccard_pairs_prefix(docs, threshold=0.6)
+        else:
+            pairs = ngram_jaccard_pairs(
+                docs, threshold=0.6, max_doc_freq=max_doc_freq
+            )
+        near = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
         return (
             docs.select("doc_id", "lang")
             .join(qual, "doc_id")
@@ -1214,9 +1223,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def docs_clean_corpus(spark, sf):
-        # uncapped by explicit opt-out: this registered form is the
-        # eval/ground-truth twin whose oracle has no stop-shingle CTE;
-        # the production configuration is docs_clean_corpus_capped.
+        # uncapped SEMANTICS (eval/ground-truth twin, oracle has no
+        # stop-shingle CTE) through the prefix-filtered engine — exact
+        # results, scale-safe; docs_clean_corpus_capped remains the
+        # recall-trading production configuration.
         return _clean_corpus(spark, sf, max_doc_freq=None)
 
     def docs_clean_corpus_capped(spark, sf):
