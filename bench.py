@@ -174,6 +174,29 @@ HEADLINE = [
 ]
 
 
+def split_keyset_rounds(
+    per_round: list[tuple[float, int]], limit: int
+) -> dict[str, float]:
+    """Partition the keyset-poll soak's per-round (seconds, rows)
+    timings into drain vs one steady-state micro-batch. The steady
+    entry is the last FULL-sized applied round that had at least one
+    predecessor (populated state); the n-mod-limit remainder and every
+    setup round are drain. Invariants (pinned in tests/test_bench.py):
+    the two entries sum to the whole soak, and a single-round drain
+    emits no steady entry rather than a misleading 0.0."""
+    aux: dict[str, float] = {}
+    full = [i for i, (_, n) in enumerate(per_round) if i > 0 and n == limit]
+    if full:
+        steady_i = full[-1]
+        aux["keyset_poll_steady_batch"] = round(per_round[steady_i][0], 3)
+        aux["keyset_poll_drain"] = round(
+            sum(t for i, (t, _) in enumerate(per_round) if i != steady_i), 3
+        )
+    elif per_round:
+        aux["keyset_poll_drain"] = round(sum(t for t, _ in per_round), 3)
+    return aux
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("warp_pipe_bench")
@@ -284,20 +307,7 @@ def main() -> None:
         if applied == 0:
             break
         per_round.append((time.time() - r0, applied))
-    # The steady entry must be a FULL batch onto populated state: the
-    # last round is usually the n-mod-limit remainder, so pick the
-    # last full-sized applied round instead; everything else is drain.
-    # A single-round drain (tiny SF) reports the whole soak as drain
-    # and emits no misleading steady entry.
-    full = [i for i, (_, n) in enumerate(per_round) if i > 0 and n == poller.limit]
-    if full:
-        steady_i = full[-1]
-        aux["keyset_poll_steady_batch"] = round(per_round[steady_i][0], 3)
-        aux["keyset_poll_drain"] = round(
-            sum(t for i, (t, _) in enumerate(per_round) if i != steady_i), 3
-        )
-    elif per_round:
-        aux["keyset_poll_drain"] = round(sum(t for t, _ in per_round), 3)
+    aux.update(split_keyset_rounds(per_round, poller.limit))
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {

@@ -1,0 +1,55 @@
+"""Pins for bench.py's artifact-shaping logic (no Spark needed)."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from bench import split_keyset_rounds
+
+
+def _total(aux):
+    return round(
+        aux.get("keyset_poll_drain", 0.0)
+        + aux.get("keyset_poll_steady_batch", 0.0),
+        3,
+    )
+
+
+def test_steady_is_last_full_round_not_the_remainder():
+    # 3 full rounds + an n-mod-limit remainder: steady = round index 2
+    # (the last FULL one), drain = everything else including the
+    # remainder; together they partition the soak.
+    per_round = [(2.0, 100), (1.0, 100), (0.9, 100), (0.2, 37)]
+    aux = split_keyset_rounds(per_round, limit=100)
+    assert aux["keyset_poll_steady_batch"] == 0.9
+    assert aux["keyset_poll_drain"] == round(2.0 + 1.0 + 0.2, 3)
+    assert _total(aux) == round(sum(t for t, _ in per_round), 3)
+
+
+def test_single_round_drain_emits_no_steady_entry():
+    # tiny SF: everything drains in one poll — the whole soak is
+    # drain, and no misleading 0.0/steady entry appears.
+    aux = split_keyset_rounds([(3.4, 1149)], limit=4000)
+    assert aux == {"keyset_poll_drain": 3.4}
+
+
+def test_first_round_never_counts_as_steady_even_if_full():
+    # a full-sized FIRST round ran against empty state — that is
+    # drain; with no later full round there is no steady entry.
+    aux = split_keyset_rounds([(1.5, 100), (0.1, 20)], limit=100)
+    assert "keyset_poll_steady_batch" not in aux
+    assert aux["keyset_poll_drain"] == 1.6
+
+
+def test_exact_multiple_backlog_uses_final_full_round():
+    # backlog divides evenly: the last applied round is full-sized and
+    # state-populated — it IS the steady batch.
+    per_round = [(2.0, 100), (1.1, 100), (1.0, 100)]
+    aux = split_keyset_rounds(per_round, limit=100)
+    assert aux["keyset_poll_steady_batch"] == 1.0
+    assert aux["keyset_poll_drain"] == 3.1
+    assert _total(aux) == round(sum(t for t, _ in per_round), 3)
+
+
+def test_empty_soak_emits_nothing():
+    assert split_keyset_rounds([], limit=100) == {}
