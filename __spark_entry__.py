@@ -3290,32 +3290,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      <=2-rounds-stale invariant (test_entry.py) maintains itself
     #      at steady state.
     # Ties and the no-CORRECTNESS-files case degrade to registration
-    # order. A builder touching a query only appends its name to
-    # _CHANGED_THIS_ROUND (and empties the list at the next round
-    # boundary); the rotation does the rest.
-    _CHANGED_THIS_ROUND = [
+    # order. A builder touching a query adds `name: round` here, where
+    # round = the round being built (latest recorded round + 1). An
+    # entry is ACTIVE exactly while its tag equals that value: it
+    # AUTO-EXPIRES when its round's CORRECTNESS file lands (the
+    # re-earned green row then speaks for itself — no manual
+    # round-boundary reset to forget), stays active if the driver
+    # skips a round's file, and a FUTURE tag queues dormant until its
+    # round opens (used when the current window is full).
+    _CHANGED_THIS_ROUND = {
         # round 6: oracle text changed (DECIMAL->DOUBLE /
         # HUGEINT->BIGINT casts) — the committed green rows predate
         # the current oracle strings
-        "text_quality",
-        "docs_chunk_overlap",
-        "docs_clean_corpus",
+        "text_quality": 6,
+        "docs_chunk_overlap": 6,
+        # round 6: near-dup stage swapped to the result-identical
+        # prefix-filtered engine (oracle unchanged) on top of the
+        # oracle DECIMAL->DOUBLE cast
+        "docs_clean_corpus": 6,
         # round 6: now opts out of DEFAULT_MAX_DOC_FREQ explicitly;
         # also touched in round 5 without a driver re-earn
-        "dedup_ngram_jaccard",
+        "dedup_ngram_jaccard": 6,
         # touched in round 5; the r05 window was consumed by that
         # round's 50 registrations, so they re-earn now
-        "cs_keyset_poll_stream",
-        "cs_incremental_merge",
-        "docs_dup_spans",
-        "tpch_q21",
-        # DEFERRED to round 7 (window full at 50: 44 mandatory + the
-        # 6 round-5-touched re-earns above): dedup_lsh_eval gained an
-        # explicit max_doc_freq=None that pins the pre-round-6 default
-        # — result-identical by construction, so its r05 green row
-        # still describes the current results; it re-earns in round 7
-        # together with the queued prefix-Jaccard ground-truth swap.
-    ]
+        "cs_keyset_poll_stream": 6,
+        "cs_incremental_merge": 6,
+        "docs_dup_spans": 6,
+        "tpch_q21": 6,
+        # QUEUED for round 7 (the round-6 window is full at 50: 44
+        # mandatory + the 6 round-5-touched re-earns above):
+        # dedup_lsh_eval gained an explicit max_doc_freq=None pinning
+        # the pre-round-6 default — result-identical by construction,
+        # so its r05 green row still describes current results; its
+        # round-7 tag activates it the moment CORRECTNESS_r06 lands,
+        # alongside the queued prefix-Jaccard ground-truth swap.
+        "dedup_lsh_eval": 7,
+    }
 
     import glob as _glob
     import json as _json
@@ -3325,6 +3335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     last_green: dict[str, int] = {}
     last_red: dict[str, int] = {}
     any_rounds = False
+    latest_recorded = -1
     for path in _glob.glob(
         _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                       "CORRECTNESS_r*.json")
@@ -3343,6 +3354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # never crash every queries() import site
             continue
         any_rounds = True
+        latest_recorded = max(latest_recorded, rnd)
         for k, v in rows.items():
             if not isinstance(v, dict):
                 continue
@@ -3357,12 +3369,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 last_red[k] = rnd
     if not any_rounds:
         return q
+    active_changed = _active_changed(_CHANGED_THIS_ROUND, latest_recorded)
     return {
         k: q[k]
-        for k in _lru_window_order(
-            list(q), last_green, _CHANGED_THIS_ROUND, last_red
-        )
+        for k in _lru_window_order(list(q), last_green, active_changed, last_red)
     }
+
+
+def _active_changed(changed: dict[str, int], latest_recorded: int) -> list[str]:
+    """Resolve the changed-map to the currently-active list: an entry
+    tagged R is active exactly while R == latest_recorded + 1 (the
+    round being built). Earlier tags have expired — their round's
+    CORRECTNESS file landed, so the re-earned row speaks for itself;
+    later tags queue dormant until their round opens. Declared order
+    is preserved (dict insertion order)."""
+    return [n for n, rd in changed.items() if rd == latest_recorded + 1]
 
 
 def _lru_window_order(

@@ -181,6 +181,28 @@ def test_lru_rotation_policy_on_synthetic_history():
     assert out == ["a", "b"]
 
 
+def test_changed_map_activates_only_for_the_round_being_built():
+    """The changed-map self-maintains across round boundaries: a tag
+    equal to latest_recorded+1 is active (that round is being built),
+    an older tag has expired (its CORRECTNESS file landed), and a
+    future tag queues dormant until its round opens. A skipped driver
+    round leaves latest_recorded unchanged, so that round's entries
+    stay active instead of silently dropping."""
+    from __spark_entry__ import _active_changed
+
+    m = {"x": 6, "y": 6, "z": 7}
+    # building round 6 (latest recorded = 5): round-6 tags active,
+    # the queued round-7 tag dormant
+    assert _active_changed(m, 5) == ["x", "y"]
+    # CORRECTNESS_r06 landed: round-6 tags expire, round-7 activates
+    assert _active_changed(m, 6) == ["z"]
+    # everything recorded: nothing active
+    assert _active_changed(m, 7) == []
+    # driver skipped the round-6 file: round-6 tags stay active
+    assert _active_changed(m, 5) == ["x", "y"]
+    assert _active_changed({}, 5) == []
+
+
 def test_rotation_tolerates_malformed_correctness_artifact(tmp_path):
     """A truncated or legacy CORRECTNESS_r*.json whose top level is a
     JSON list (not a dict) must degrade to 'skipped' — one malformed
