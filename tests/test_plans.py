@@ -302,7 +302,17 @@ def test_clean_corpus_capped_prefilters_before_lists(spark, qs):
     assert anti_pos > agg_pos, t
 
 
-def test_bm25_broadcasts_stats_and_take_ordered(spark, qs):
+def test_clean_corpus_uncapped_rides_prefix_index(spark, qs):
+    """The uncapped (ground-truth-semantics) composite's near-dup
+    stage must plan as the AllPairs prefix index, not the full posting
+    index: a per-doc rank Window (the corpus-wide doc_freq order that
+    keeps hot shingles out of every prefix) feeding array_intersect
+    verification. The full-index path has neither node — this pins
+    that the round-6 engine swap is actually in the composed plan."""
+    p = plan_of(spark, qs["docs_clean_corpus"](spark, SF))
+    t = tree_of(p)
+    assert "Window" in t, t
+    assert "array_intersect" in p, p[:4000]
     """BM25's corpus stats (df per query term, one-row avgdl/N) must
     join by broadcast — shuffling the (doc, term) tf agg against a
     3-row df table would be an unforced wide exchange — and the global
