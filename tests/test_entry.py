@@ -132,14 +132,14 @@ def test_driver_window_holds_all_new_changed_and_stale_queries():
     missing_red = [k for k in red_latest if k not in window]
     assert not missing_red, (
         f"queries red in round {latest} are OUTSIDE the 50-entry window: "
-        f"{missing_red} — add them to _verify_first"
+        f"{missing_red} — the computed rotation should have front-loaded them"
     )
     stale = [q for q in qs if last_green.get(q, 0) <= latest - 2]
     missing_stale = [q for q in stale if q not in window]
     assert not missing_stale, (
         f"queries with no green driver row since round {latest - 2} are "
-        f"OUTSIDE the 50-entry window: {missing_stale} — rotate them into "
-        f"_verify_first"
+        f"OUTSIDE the 50-entry window: {missing_stale} — the computed "
+        f"rotation should have front-loaded them"
     )
 
 
