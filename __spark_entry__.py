@@ -3325,6 +3325,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-7 tag activates it the moment CORRECTNESS_r06 lands,
         # alongside the queued prefix-Jaccard ground-truth swap.
         "dedup_lsh_eval": 7,
+        # round-6 crash-path review fixes touched their modules
+        # (dedup_index.py: count-distinct bucket cap + shared banding
+        # rows; streaming.py: first-batch pointer + null-row skip) with
+        # result-identical driver output; window full at 50, so they
+        # re-earn in round 7 (45 mandatory + 3 queued = 48 of 50).
+        "dedup_minhash_indexed": 7,
+        "cs_state_asof": 7,
     }
 
     import glob as _glob

@@ -318,6 +318,97 @@ def test_incremental_index_max_bucket_drops_hot(spark, docs, tmp_path):
     assert got == []
 
 
+def test_index_rebuild_clears_replay_markers(spark, tmp_path):
+    """A rebuilt index must not inherit the previous generation's
+    `_ingested` replay markers: a streaming run restarted with a fresh
+    checkpoint reuses batch ids from 0, and a stale marker would
+    silently skip the new run's index appends — every cross-batch pair
+    involving those docs lost with no error."""
+    import pyspark.sql.functions as F
+
+    from warp_pipe_spark.datapipe.dedup_index import (
+        IngestDedupSink,
+        build_minhash_index,
+    )
+
+    rows = [(1, BASE), (2, BASE), (3, NEAR), (4, OTHER)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    sink = IngestDedupSink(spark, idx, out)
+    sink(docs.filter(F.col("doc_id") <= 2), 0)  # leaves marker batch_0
+
+    # new generation: rebuild base index over doc 1 only, restart the
+    # stream with a fresh checkpoint — batch id 0 recurs with NEW docs
+    build_minhash_index(docs.filter(F.col("doc_id") == 1), idx)
+    import shutil
+
+    shutil.rmtree(out)
+    sink2 = IngestDedupSink(spark, idx, out)
+    sink2(docs.filter(F.col("doc_id") == 2), 0)
+    got = {tuple(r) for r in sink2.candidates().collect()}
+    # doc 2's banding rows MUST have been appended: its exact-dup pair
+    # against base doc 1 surfaces; with a stale marker this is empty
+    assert (2, 1) in got
+
+
+def test_index_bucket_cap_counts_distinct_docs_after_replay(spark, tmp_path):
+    """The documented append-then-crash replay window duplicates one
+    batch's postings in the index forever. The max_bucket cap must
+    count DISTINCT bucket membership: a raw row count would see 2x the
+    true size and silently drop a legitimate bucket — real candidate
+    pairs lost in every future query."""
+    import pyspark.sql.functions as F
+
+    from warp_pipe_spark.datapipe.dedup_index import (
+        build_minhash_index,
+        query_minhash_index,
+        update_minhash_index,
+    )
+
+    rows = [(1, BASE), (2, BASE), (3, NEAR), (4, OTHER)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    path = str(tmp_path / "mhidx3")
+    build_minhash_index(docs.filter(F.col("doc_id") <= 2), path)
+    b1 = docs.filter(F.col("doc_id") >= 3)
+    update_minhash_index(b1, path, ingest_batch=1)
+    update_minhash_index(b1, path, ingest_batch=1)  # crash replay
+    want = {
+        tuple(r)
+        for r in query_minhash_index(spark, docs, path).collect()
+    }
+    # cap = true max bucket size (4 docs): nothing is over it, so the
+    # capped query must equal the uncapped one despite the duplicated
+    # postings doubling raw counts in batch-1's buckets
+    got = {
+        tuple(r)
+        for r in query_minhash_index(spark, docs, path, max_bucket=4).collect()
+    }
+    assert got == want and (2, 1) in got
+
+
+def test_ingest_dedup_sink_candidates_guards(spark, tmp_path):
+    """candidates() on a fresh sink (no out_dir yet) is None, and an
+    uncommitted batch dir (no _SUCCESS: a crash mid-candidate-write)
+    is invisible rather than a scan error."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from warp_pipe_spark.datapipe.dedup_index import IngestDedupSink
+
+    sink = IngestDedupSink(spark, str(tmp_path / "idx"), str(tmp_path / "out"))
+    assert sink.candidates() is None
+
+    rows = [(1, BASE), (2, BASE)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    sink(docs, 0)
+    want = {tuple(r) for r in sink.candidates().collect()}
+    # crash mid-write of batch 1: dir exists, no commit marker
+    half = os.path.join(str(tmp_path / "out"), "batch_1")
+    os.makedirs(half)
+    assert {tuple(r) for r in sink.candidates().collect()} == want
+
+
 def test_ingest_dedup_sink_streams_batches(spark, tmp_path):
     """Three micro-batches through the foreachBatch sink: every pair
     the one-shot batch LSH finds must be surfaced by the time its later

@@ -196,6 +196,54 @@ def test_sink_fresh_dir_is_none_not_error(spark, tmp_path):
     assert _mk_sink(spark, tmp_path).read_state() is None
 
 
+def test_sink_crash_during_first_batch_recovers_on_replay(spark, tmp_path):
+    """Dying INSIDE the very first micro-batch (version dirs written,
+    the batch's pointer never committed) must leave a recoverable sink:
+    an empty pointer is committed before any data dir exists, so a
+    restart sees valid empty state — not data-without-pointer, which
+    _read_pointer rightly treats as corruption and which would wedge
+    every redelivery behind StateCorruptError forever."""
+    sink = _mk_sink(spark, tmp_path)
+    b0 = spark.createDataFrame(MULTI, SCHEMA)
+    real_commit = sink._commit_pointer
+
+    def crash_on_batch_commit(tables, batch_id):
+        if tables:  # let the pre-write empty commit through
+            raise OSError("crash at first batch's commit point")
+        real_commit(tables, batch_id)
+
+    sink._commit_pointer = crash_on_batch_commit
+    with pytest.raises(OSError):
+        sink.apply_batch(b0, batch_id=0)
+    sink._commit_pointer = real_commit
+
+    # restart: state reads as empty (not corrupt), replay converges
+    assert sink.read_state() is None
+    sink.apply_batch(b0, batch_id=0)
+    got = {(r["table_name"], r["pk"], r["val"]) for r in sink.read_state().collect()}
+    assert got == {("users", 1, "a"), ("pets", 1, "rex"), ("pets", 2, "ada")}
+
+
+def test_sink_null_table_rows_skipped_not_poison_pill(spark, tmp_path):
+    """Decoders emit null-struct rows for malformed input lines; a
+    NULL table_name row cannot be applied to any table. It must be
+    skipped (dead-lettering is the pipeline stage's job), not crash
+    the batch — an unhandled TypeError here becomes a poison-pill
+    batch that fails identically on every at-least-once redelivery."""
+    sink = _mk_sink(spark, tmp_path)
+    rows = MULTI + [(9, "INSERT", None, 9, "ghost")]
+    sink.apply_batch(spark.createDataFrame(rows, SCHEMA), batch_id=0)
+    got = {(r["table_name"], r["pk"], r["val"]) for r in sink.read_state().collect()}
+    assert got == {("users", 1, "a"), ("pets", 1, "rex"), ("pets", 2, "ada")}
+
+    # a batch that is ONLY unroutable rows is a clean no-op
+    sink.apply_batch(
+        spark.createDataFrame([(10, "INSERT", None, 10, "x")], SCHEMA),
+        batch_id=1,
+    )
+    assert sink.read_state().count() == 3
+
+
 # --- keyset poll loop (S2 tail: JDBC push→poll translation) -----------
 
 

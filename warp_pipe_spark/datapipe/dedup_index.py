@@ -29,6 +29,8 @@ exactly like dedup.drop_hot_buckets.
 from __future__ import annotations
 
 import os
+import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,19 +42,34 @@ def build_minhash_index(docs: DataFrame, path: str, n: int = 3) -> None:
     """Write the corpus banding rows partitioned by band (8 fixed
     partitions; within each, files accumulate per append batch). The
     base corpus is tagged ingest_batch = -1; appends tag their batch id
-    so queries can pin an as-of-batch view (replay determinism)."""
+    so queries can pin an as-of-batch view (replay determinism).
+
+    A (re)build also clears the `_ingested` replay markers: they
+    describe appends to the PREVIOUS index generation, and a streaming
+    run restarted with a fresh checkpoint reuses batch ids from 0 — a
+    stale marker would silently skip the new run's index appends, and
+    every cross-batch pair involving those documents would be missing
+    with no error anywhere."""
     band_rows(docs, n).withColumn(
         "ingest_batch", F.lit(-1).cast("long")
     ).write.mode("overwrite").partitionBy("band").parquet(path + "/bands")
+    shutil.rmtree(os.path.join(path, "_ingested"), ignore_errors=True)
 
 
 def update_minhash_index(
-    new_docs: DataFrame, path: str, n: int = 3, ingest_batch: int = -1
+    new_docs: DataFrame,
+    path: str,
+    n: int = 3,
+    ingest_batch: int = -1,
+    rows: DataFrame | None = None,
 ) -> None:
     """Append one ingest batch's banding rows. Cost ∝ |batch|: one
     signature pass over the new docs, blind append into the band
-    partitions — the existing index is never read or rewritten."""
-    band_rows(new_docs, n).withColumn(
+    partitions — the existing index is never read or rewritten.
+    `rows` passes precomputed band_rows(new_docs, n) (e.g. a persisted
+    copy shared with the query side) so the signature fold is not
+    recomputed."""
+    (rows if rows is not None else band_rows(new_docs, n)).withColumn(
         "ingest_batch", F.lit(ingest_batch).cast("long")
     ).write.mode("append").partitionBy("band").parquet(path + "/bands")
 
@@ -64,13 +81,18 @@ def query_minhash_index(
     n: int = 3,
     max_bucket: int | None = None,
     max_ingest_batch: int | None = None,
+    rows: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup matches for `batch` against everything
     indexed so far (including the batch itself if it was `update`d):
     (query_id, match_id) distinct pairs, match_id != query_id.
     `max_ingest_batch` pins an as-of-batch view of the index (rows
     appended by later batches are excluded) — what makes a replayed
-    micro-batch produce byte-identical output.
+    micro-batch produce byte-identical output. `rows` passes
+    precomputed band_rows(batch, n) (ideally persisted: the query plan
+    uses the batch side twice — semi-join prune + final join — and a
+    caller like IngestDedupSink shares the same rows with the index
+    append, collapsing three signature folds into one).
 
     One equi-join on (band, key): the index side streams, the batch
     side is typically broadcast by AQE. `max_bucket` drops index
@@ -81,7 +103,7 @@ def query_minhash_index(
     if max_ingest_batch is not None:
         idx = idx.filter(F.col("ingest_batch") <= max_ingest_batch)
     idx = idx.select("band", "key", F.col("doc_id").alias("match_id"))
-    qb = band_rows(batch, n).select(
+    qb = (rows if rows is not None else band_rows(batch, n)).select(
         "band", "key", F.col("doc_id").alias("query_id")
     )
     # prune the index to buckets the BATCH touches before anything
@@ -93,9 +115,15 @@ def query_minhash_index(
         qb.select("band", "key").distinct(), ["band", "key"], "left_semi"
     )
     if max_bucket is not None:
+        # bucket size = DISTINCT docs per (band, key): an append-then-
+        # crash replay leaves duplicated postings in the index forever
+        # (the documented redelivery window), and a plain count would
+        # see up to 2x the true size — silently dropping a legitimate
+        # bucket in every future query. The final pair distinct absorbs
+        # duplicate join output; the CAP must count true membership.
         hot = (
             idx.groupBy("band", "key")
-            .agg(F.count("*").alias("_n"))
+            .agg(F.count_distinct("match_id").alias("_n"))
             .filter(F.col("_n") > max_bucket)
             .select("band", "key")
         )
@@ -125,8 +153,10 @@ class IngestDedupSink:
     replayed query byte-identical even after later batches landed, a
     marker per batch_id skips the index append on replay (a crash
     between append and marker merely duplicates one batch's postings,
-    which the distinct query absorbs), and the candidate output is
-    overwritten per batch_id, never appended."""
+    which the pair distinct absorbs and the count-distinct bucket cap
+    ignores), and the candidate output is overwritten per batch_id,
+    never appended. Markers are cleared by build_minhash_index, so a
+    rebuilt index never skips appends for reused batch ids."""
 
     def __init__(
         self,
@@ -146,31 +176,50 @@ class IngestDedupSink:
         return os.path.join(self.index_dir, "_ingested", f"batch_{batch_id}")
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
-        marker = self._marker(batch_id)
-        if not os.path.exists(marker):
-            update_minhash_index(
-                batch, self.index_dir, self.n, ingest_batch=batch_id
+        # ONE persisted signature pass per micro-batch: without it the
+        # banding fold runs three times (index append + the query
+        # plan's two uses of the batch side)
+        rows = band_rows(batch, self.n).persist()
+        try:
+            marker = self._marker(batch_id)
+            if not os.path.exists(marker):
+                update_minhash_index(
+                    batch,
+                    self.index_dir,
+                    self.n,
+                    ingest_batch=batch_id,
+                    rows=rows,
+                )
+                os.makedirs(os.path.dirname(marker), exist_ok=True)
+                with open(marker, "w") as f:
+                    f.write("")
+            query_minhash_index(
+                self.spark,
+                batch,
+                self.index_dir,
+                self.n,
+                self.max_bucket,
+                max_ingest_batch=batch_id,
+                rows=rows,
+            ).write.mode("overwrite").parquet(
+                os.path.join(self.out_dir, f"batch_{batch_id}")
             )
-            os.makedirs(os.path.dirname(marker), exist_ok=True)
-            with open(marker, "w") as f:
-                f.write("")
-        query_minhash_index(
-            self.spark,
-            batch,
-            self.index_dir,
-            self.n,
-            self.max_bucket,
-            max_ingest_batch=batch_id,
-        ).write.mode("overwrite").parquet(
-            os.path.join(self.out_dir, f"batch_{batch_id}")
-        )
+        finally:
+            rows.unpersist()
 
     def candidates(self) -> DataFrame | None:
-        """All candidate pairs surfaced so far (one multi-path scan)."""
+        """All candidate pairs surfaced so far (one multi-path scan).
+        Committed dirs only: the name must be exactly `batch_<id>` and
+        carry Spark's _SUCCESS job-commit marker, so a dir a crash left
+        half-written (or a compaction sidecar) is invisible rather than
+        a scan error; a missing out_dir reads as no candidates yet."""
+        if not os.path.isdir(self.out_dir):
+            return None
         dirs = [
             os.path.join(self.out_dir, d)
             for d in sorted(os.listdir(self.out_dir))
-            if d.startswith("batch_")
+            if re.fullmatch(r"batch_\d+", d)
+            and os.path.exists(os.path.join(self.out_dir, d, "_SUCCESS"))
         ]
         if not dirs:
             return None

@@ -88,27 +88,62 @@ class CorpusQualityGateSink:
         self.reject_dir = os.path.join(base_dir, "reject")
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
-        gate = quality_gate(batch)
-        accepted = batch.join(
-            gate.filter("keep").select("doc_id"), "doc_id", "left_semi"
-        )
-        pii_scrub(accepted).write.mode("overwrite").parquet(
-            os.path.join(self.accept_dir, f"batch_{batch_id}")
-        )
-        gate.filter(~F.col("keep")).select("doc_id", "reject_reason").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(self.reject_dir, f"batch_{batch_id}"))
+        # persist both inputs for the two write jobs: without it the
+        # accept write materializes the full gate plan (gopher explode
+        # + two keyed aggs + model fold) and the reject write then
+        # re-executes the identical plan from a re-read of the source —
+        # the batch's dominant shuffle paid twice (same discipline as
+        # ParquetStateSink.apply_batch / KeysetPoller.poll_once)
+        batch = batch.persist()
+        gate = quality_gate(batch).persist()
+        try:
+            accepted = batch.join(
+                gate.filter("keep").select("doc_id"), "doc_id", "left_semi"
+            )
+            pii_scrub(accepted).write.mode("overwrite").parquet(
+                os.path.join(self.accept_dir, f"batch_{batch_id}")
+            )
+            gate.filter(~F.col("keep")).select(
+                "doc_id", "reject_reason"
+            ).write.mode("overwrite").parquet(
+                os.path.join(self.reject_dir, f"batch_{batch_id}")
+            )
+        finally:
+            gate.unpersist()
+            batch.unpersist()
+
+    @staticmethod
+    def _committed_batch_dirs(root: str) -> list[str]:
+        """COMMITTED batch dirs only, after healing crashed compaction
+        swaps. The name must be exactly `batch_<id>` — a bare
+        startswith would also match io.compact_dataset's sidecar dirs
+        (`batch_N._compact`, `batch_N._trash`, both of which contain a
+        _SUCCESS from their own write job) and double-count the batch.
+        A swap that crashed between its two renames leaves only
+        `batch_N._trash`; recover_swap restores the real dir before
+        listing, so no committed batch is ever invisible or counted
+        twice."""
+        import re as _re
+
+        from warp_pipe_spark.io import recover_swap
+
+        if not os.path.isdir(root):
+            return []
+        for d in os.listdir(root):
+            if d.endswith("._trash"):
+                recover_swap(os.path.join(root, d[: -len("._trash")]))
+        return [
+            os.path.join(root, d)
+            for d in sorted(os.listdir(root))
+            if _re.fullmatch(r"batch_\d+", d)
+            and os.path.exists(os.path.join(root, d, "_SUCCESS"))
+        ]
 
     def _read(self, root: str) -> DataFrame | None:
         # only COMMITTED batch dirs: Spark writes _SUCCESS at job
         # commit, so a dir a crash left half-written (no marker) is
         # invisible to readers and simply rewritten on redelivery
-        dirs = [
-            os.path.join(root, d)
-            for d in sorted(os.listdir(root))
-            if d.startswith("batch_")
-            and os.path.exists(os.path.join(root, d, "_SUCCESS"))
-        ] if os.path.isdir(root) else []
+        dirs = self._committed_batch_dirs(root)
         if not dirs:
             return None
         return self.spark.read.parquet(*dirs)
@@ -134,14 +169,11 @@ class CorpusQualityGateSink:
 
         totals = {"files_before": 0, "files_after": 0}
         for root in (self.accept_dir, self.reject_dir):
-            if not os.path.isdir(root):
-                continue
-            for d in sorted(os.listdir(root)):
-                full = os.path.join(root, d)
-                if d.startswith("batch_") and os.path.exists(
-                    os.path.join(full, "_SUCCESS")
-                ):
-                    r = compact_dataset(self.spark, full, target_files)
-                    totals["files_before"] += r["files_before"]
-                    totals["files_after"] += r["files_after"]
+            # _committed_batch_dirs heals crashed swaps first, so a
+            # batch whose previous compaction died mid-rename is
+            # restored and re-compacted rather than skipped forever
+            for full in self._committed_batch_dirs(root):
+                r = compact_dataset(self.spark, full, target_files)
+                totals["files_before"] += r["files_before"]
+                totals["files_after"] += r["files_after"]
         return totals

@@ -225,7 +225,23 @@ class ParquetStateSink:
         return self._read_tables(sorted(pointer.values()))
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
-        pointer = self._read_pointer() or {}
+        pointer = self._read_pointer()
+        if pointer is None:
+            # commit an EMPTY pointer before the first version dirs are
+            # written: a crash mid-first-batch then leaves (valid empty
+            # pointer + orphan version dirs) instead of (data under
+            # tables/ with no pointer), which _read_pointer must treat
+            # as corruption — without this, dying inside the very first
+            # micro-batch wedges every restart behind StateCorruptError
+            self._commit_pointer({}, batch_id=-1)
+            pointer = {}
+        # rows whose routing key is NULL (decoders emit null-struct rows
+        # for malformed input lines) cannot be applied to any table —
+        # they would poison-pill the batch forever under at-least-once
+        # redelivery (sorted()/quote() TypeError on every retry). The
+        # pipeline's dead-letter stage is where such rows are surfaced;
+        # the sink's contract is to apply the applicable rows.
+        batch = batch.filter(F.col(self.table_col).isNotNull())
         if self.n_buckets:
             touched = sorted(
                 (r[0], int(r[1]))
@@ -261,7 +277,7 @@ class ParquetStateSink:
                 by_table.setdefault(t, []).append(b)
             for t in sorted(by_table):
                 part = new_state.filter(F.col(self.table_col) == t)
-                vdir = f"tables/{quote(t, safe='')}/v_{batch_id}"
+                vdir = self._table_rel(t, batch_id)
                 out = os.path.join(self.state_dir, vdir)
                 if self.n_buckets:
                     bs = by_table[t]
