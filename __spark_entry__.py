@@ -3332,6 +3332,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-earn in round 7 (45 mandatory + 3 queued = 48 of 50).
         "dedup_minhash_indexed": 7,
         "cs_state_asof": 7,
+        # round-6 temporal review: asof_join now excludes NULL-ts/key
+        # right rows (match-identical on the testdata, which has none)
+        "events_attribution_last_asof": 7,
+        # (events_asof_lastchange / events_range_join / cs_checksum /
+        # ann_lsh_pairs were also touched; all are r04-green and
+        # therefore already mandatory in the round-7 window by the
+        # staleness invariant — no tag needed. r7 totals 45 + 4 = 49.)
     }
 
     import glob as _glob
@@ -3631,12 +3638,15 @@ def oracle_sql() -> dict[str, str]:
       FROM ranked WHERE rn = 1 AND action <> 'DELETE'
     ),
     hashed AS (
+      -- replays verify.row_text exactly: values are escaped before the
+      -- pipe join (backslash doubled, delimiter backslash-escaped,
+      -- NULL -> unescaped \\N) so distinct rows can never alias
       SELECT table_name,
              ('0x' || substr(md5(concat_ws('|',
-                 coalesce(pk::VARCHAR, '\\N'),
-                 coalesce(user_id::VARCHAR, '\\N'),
-                 coalesce(event_type, '\\N'),
-                 coalesce(value_cents::VARCHAR, '\\N'))), 1, 15))::BIGINT AS h
+                 coalesce(replace(replace(pk::VARCHAR, '\\', '\\\\'), '|', '\\|'), '\\N'),
+                 coalesce(replace(replace(user_id::VARCHAR, '\\', '\\\\'), '|', '\\|'), '\\N'),
+                 coalesce(replace(replace(event_type, '\\', '\\\\'), '|', '\\|'), '\\N'),
+                 coalesce(replace(replace(value_cents::VARCHAR, '\\', '\\\\'), '|', '\\|'), '\\N'))), 1, 15))::BIGINT AS h
       FROM final
     )
     SELECT table_name, count(h) AS row_count,

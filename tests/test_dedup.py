@@ -693,3 +693,18 @@ def test_prefix_jaccard_keeps_pairs_that_round_up_to_threshold(spark):
     }
     assert want == {(1, 2, 2, 0.666667)}  # the uncapped measure keeps it
     assert got == want
+
+
+def test_chunk_overlap_rejects_nonpositive_stride(spark):
+    """stride=0 under non-ANSI semantics turns 'pos div 0' into NULL
+    and explode(sequence(lo, NULL)) silently drops every row — must be
+    a ValueError, not an empty result."""
+    import pytest as _pytest
+
+    from warp_pipe_spark.datapipe.sampling import chunk_texts_overlap
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id LONG, text STRING")
+    with _pytest.raises(ValueError, match="positive"):
+        chunk_texts_overlap(docs, stride=0)
+    with _pytest.raises(ValueError, match="positive"):
+        chunk_texts_overlap(docs, stride=-3)

@@ -268,3 +268,23 @@ def test_pq_codes_rejects_dim_mismatch_loudly(spark):
     emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
     with pytest.raises(ValueError, match="expected dim=32"):
         pq_codes(emb, dim=32, m=4)
+
+
+def test_lsh_rejects_non_divisible_planes_and_empty_corpus(spark):
+    """Fail-loud guards: truncated n_planes // n_bands would silently
+    compute sign bits no band reads (weaker bucketing than configured);
+    an empty corpus with dim unset crashed on first()[...] instead of
+    raising a clear error."""
+    import pytest as _pytest
+
+    from warp_pipe_spark.datapipe.similarity import (
+        hyperplane_lsh_pairs,
+        hyperplane_signatures,
+    )
+
+    df = spark.createDataFrame([(1, [0.1, 0.2])], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    with _pytest.raises(ValueError, match="divisible"):
+        hyperplane_lsh_pairs(df, n_planes=20, n_bands=3)
+    empty = df.filter("vec_id < 0")
+    with _pytest.raises(ValueError, match="empty"):
+        hyperplane_signatures(empty, n_planes=8)

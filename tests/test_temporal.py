@@ -114,3 +114,49 @@ def test_last_touch_variants_agree_on_click_ts_ties(spark):
                           F.col("click_id").alias("cid")))
     b = j.groupBy("purchase_id").agg(best["cid"].alias("click_id")).collect()
     assert [(r["purchase_id"], r["click_id"]) for r in b] == [(9, 2)]
+
+
+def test_asof_null_right_rows_never_match(spark):
+    """A right row with NULL ts sorts first ascending and would become
+    the 'latest prior row' for left rows with no real predecessor; a
+    NULL key groups with NULL-key left rows under partitionBy although
+    a join never equates NULLs. Neither may produce a match — DuckDB's
+    ASOF JOIN (the replay oracle) yields none for either."""
+    left = spark.createDataFrame(
+        [(1, 1, ts("2024-01-01 10:00:00")), (2, None, ts("2024-01-01 10:00:00"))],
+        "event_id LONG, user_id LONG, ts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 99, "ghost"), (None, ts("2024-01-01 09:00:00"), 88, "nullkey")],
+        "user_id LONG, rts TIMESTAMP, v LONG, tag STRING",
+    )
+    out = asof_join(left, right, "user_id", "ts", "rts", ["v", "tag"]).collect()
+    by_id = {r["event_id"]: (r["v"], r["tag"]) for r in out}
+    # key 1's only right row has NULL ts -> no prior row -> NULL payload
+    assert by_id[1] == (None, None)
+    # NULL-key left row must not match the NULL-key right row
+    assert by_id[2] == (None, None)
+
+
+def test_range_join_buckets_survive_dst_transition(spark):
+    """Calendar-day buckets, not 86400s steps: in a DST session
+    timezone a fixed-seconds sequence lands one hour off the truncated
+    midnights after spring-forward, the equi-join keys never meet, and
+    an in-interval match silently disappears."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        left = spark.createDataFrame(
+            [(1, 1, ts("2026-03-09 12:00:00"))],  # day after spring-forward
+            "event_id LONG, key LONG, ts TIMESTAMP",
+        )
+        right = spark.createDataFrame(
+            [(1, ts("2026-03-07 00:30:00"), ts("2026-03-10 23:00:00"), "w")],
+            "key LONG, start TIMESTAMP, stop TIMESTAMP, tag STRING",
+        )
+        got = range_join_buckets(
+            left, right, "key", "ts", "start", "stop"
+        ).collect()
+        assert len(got) == 1 and got[0]["tag"] == "w"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

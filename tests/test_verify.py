@@ -53,3 +53,22 @@ def test_scalable_digest_is_one_row(t):
     assert len(row) == 1 and row[0]["row_count"] == 3
     row2 = table_digest(t).collect()[0]
     assert len(row2["digest"]) == 32
+
+
+def test_digest_distinguishes_delimiter_aliased_rows(spark):
+    """Values are escaped before the pipe join: without it
+    ('a|b','c') and ('a','b|c') render the same canonical text and a
+    literal backslash-N string aliases NULL — verify_tables would
+    report convergence for tables that differ."""
+    a = spark.createDataFrame([("a|b", "c")], "x STRING, y STRING")
+    b = spark.createDataFrame([("a", "b|c")], "x STRING, y STRING")
+    assert not verify_tables(a, b, scalable=True)
+    assert not verify_tables(a, b, scalable=False)
+
+    lit = spark.createDataFrame([("\\N",)], "x STRING")
+    nul = spark.createDataFrame([(None,)], "x STRING")
+    assert not verify_tables(lit, nul, scalable=True)
+
+    # escaping is a rendering detail only: equal tables still converge
+    assert verify_tables(a, a.select("x", "y"), scalable=True)
+    assert verify_tables(lit, lit.select("x"), scalable=False)

@@ -39,7 +39,13 @@ def stratified_sample(
     fraction: float = 0.2,
 ) -> DataFrame:
     """Exact-count stratified sample: per stratum, rank docs by
-    md5(doc_id) and keep the first ceil(fraction * stratum_size).
+    md5(doc_id) and keep the first ceil(fraction * stratum_size), with
+    BOTH the product and the ceil computed in IEEE-double arithmetic —
+    the oracle replays it with an explicit CAST AS DOUBLE so the two
+    engines agree bit-for-bit. (Note the double product can sit one ulp
+    above an exact integer — e.g. 0.2*30 → 6.000000000000001, ceil 7 —
+    so the cut can exceed the rational-arithmetic ceil by one row;
+    deterministic and engine-identical, but not decimal-exact.)
     Returns (stratum, doc_id, pick_rank, stratum_size).
 
     One shuffle keyed by stratum: the count and the rank ride the same
@@ -184,6 +190,11 @@ def chunk_texts_overlap(
             "GAPS between windows (tokens silently absent from every "
             "chunk); use stride <= chunk_tokens (== for disjoint chunks)"
         )
+    if stride <= 0:
+        # without this, 'pos div 0' is NULL under non-ANSI semantics and
+        # explode(sequence(lo, NULL)) silently drops every row — an
+        # empty result with no diagnostic instead of an error
+        raise ValueError(f"stride must be positive, got {stride}")
     layout = pack_chunks(docs, id_col, text_col, chunk_tokens, n_shards)
     toks = layout.join(
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),

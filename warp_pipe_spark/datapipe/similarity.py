@@ -86,7 +86,13 @@ def hyperplane_signatures(
     from pyspark.sql.functions import pandas_udf
 
     if dim is None:
-        dim = embeddings.select(F.size("embedding").alias("d")).first()["d"]
+        row = embeddings.select(F.size("embedding").alias("d")).first()
+        if row is None:
+            raise ValueError(
+                "cannot infer embedding dim from an empty DataFrame — "
+                "pass dim explicitly"
+            )
+        dim = row["d"]
     planes = np.array(
         [[plane_sign(i, d) for i in range(n_planes)] for d in range(dim)]
     )
@@ -135,6 +141,15 @@ def hyperplane_lsh_pairs(
     deterministic at any test SF."""
     if n_planes is None:
         n_planes, n_bands = auto_lsh_params(embeddings.count(), n_bands)
+    if n_planes % n_bands != 0:
+        # fail loud: truncated division would silently compute (and pay
+        # for) the top n_planes % n_bands sign bits without any band
+        # ever reading them — the caller gets weaker bucketing than the
+        # n_planes they configured, with no error (pq_codes makes the
+        # same divisibility demand of dim % m)
+        raise ValueError(
+            f"n_planes ({n_planes}) must be divisible by n_bands ({n_bands})"
+        )
     bits_per_band = n_planes // n_bands
     sig = hyperplane_signatures(embeddings, n_planes)
     bands = sig.select(

@@ -49,6 +49,14 @@ def asof_join(
     """
     lcols = left.columns
     seq = F.col(right_seq) if right_seq else F.lit(0)
+    # Rows that cannot participate in an as-of match under SQL/DuckDB
+    # ASOF semantics must not leak matches: a NULL right_ts sorts FIRST
+    # ascending and would become the "latest prior row" for left rows
+    # that have no real predecessor, and NULL keys group together under
+    # partitionBy although a join would never equate them. Drop them
+    # from the right side; NULL-key/NULL-ts left rows keep NULL
+    # payloads by construction (nothing precedes them).
+    right = right.filter(F.col(right_ts).isNotNull() & F.col(key).isNotNull())
     r = right.select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
@@ -97,23 +105,26 @@ def range_join_buckets(
     land (broadcast or shuffle by (key, bucket)) instead of the
     nested-loop a bare inequality join forces.
     """
-    b = F.unix_timestamp(F.date_trunc("day", F.col(right_start))) if bucket == "1 day" else None
-    if b is None:
+    if bucket != "1 day":
         raise ValueError("only '1 day' buckets are implemented")
-    day = 86400
 
+    # Buckets are CALENDAR days, not fixed 86400s steps: sequence over
+    # timestamps with an INTERVAL step lands on the same midnights
+    # date_trunc('day') produces in ANY session timezone. Stepping unix
+    # seconds drifts one hour off the truncated left-side buckets at a
+    # DST transition (a 23/25-hour day), silently dropping matches.
     r = right.withColumn(
         "_bucket",
         F.explode(
             F.sequence(
-                F.unix_timestamp(F.date_trunc("day", F.col(right_start))),
-                F.unix_timestamp(F.date_trunc("day", F.col(right_end))),
-                F.lit(day),
+                F.date_trunc("day", F.col(right_start)),
+                F.date_trunc("day", F.col(right_end)),
+                F.expr("INTERVAL 1 DAY"),
             )
         ),
     )
     l = left.withColumn(  # noqa: E741
-        "_bucket", F.unix_timestamp(F.date_trunc("day", F.col(left_ts)))
+        "_bucket", F.date_trunc("day", F.col(left_ts))
     )
     joined = l.join(r, [key, "_bucket"]).filter(
         (F.col(left_ts) >= F.col(right_start)) & (F.col(left_ts) <= F.col(right_end))

@@ -31,8 +31,27 @@ from pyspark.sql import functions as F
 
 def row_text(cols: Sequence[str]) -> F.Column:
     """Canonical row rendering ≈ `CAST((t.*) AS TEXT)` (axon.go:242-249):
-    pipe-joined string casts with a NULL sentinel."""
-    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\\N")) for c in cols]
+    pipe-joined string casts with a NULL sentinel.
+
+    Values are ESCAPED before joining (backslash doubled, then the pipe
+    delimiter backslash-escaped, NULL → unescaped `\\N`): without it,
+    rows ('a|b','c') and ('a','b|c') render identically and a literal
+    backslash-N value aliases NULL — distinct tables could digest equal
+    and verify_tables would report a false convergence. Postgres's
+    `CAST((t.*) AS TEXT)` escapes its delimiters for the same reason.
+    DuckDB replay of the same rendering:
+    coalesce(replace(replace(c::VARCHAR,'\\','\\\\'),'|','\\|'),'\\N')."""
+    parts = [
+        F.coalesce(
+            F.replace(
+                F.replace(F.col(c).cast("string"), F.lit("\\"), F.lit("\\\\")),
+                F.lit("|"),
+                F.lit("\\|"),
+            ),
+            F.lit("\\N"),
+        )
+        for c in cols
+    ]
     return F.concat_ws("|", *parts)
 
 
