@@ -3339,6 +3339,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ann_lsh_pairs were also touched; all are r04-green and
         # therefore already mandatory in the round-7 window by the
         # staleness invariant — no tag needed. r7 totals 45 + 4 = 49.)
+        # round-6 clustering/text review (all r05-green, hence r8-
+        # mandatory by staleness anyway — the tags just document WHY
+        # their code strings changed): kmeans init is now the k
+        # SMALLEST vec_ids via ordered LIMIT in code AND oracle
+        # (identical on 0-based dense testdata ids), the vectorized
+        # path rounds HALF_UP like F.round, semdedup skips the
+        # vector re-join; pii counts follow the replace chain in code
+        # AND oracle; bigram_logppl excludes <2-token docs in code AND
+        # oracle (testdata min doc length is 10 tokens). All verified
+        # green at sf0.001/0.01/0.1 this round.
+        "emb_kmeans": 8,
+        "emb_semdedup": 8,
+        "emb_semdedup_auto": 8,
+        "docs_pii_scrub": 8,
+        "docs_bigram_ppl": 8,
     }
 
     import glob as _glob
@@ -5057,15 +5072,25 @@ def oracle_sql() -> dict[str, str]:
       FROM documents
     )
     """
+    # counts replay pii_scrub's CHAINED audit: each category is counted
+    # on the text with all PRIOR categories already replaced (what the
+    # replace chain actually redacts), not on the original — on the
+    # original, a pattern consumed by an earlier replacement would still
+    # be counted, and sum(n_*) would exceed the placeholders present
+    _count_src = "text"
+    _pii_counts = []
     _scrub_expr = "text"
     for _name, (_pat, _repl) in _PII.items():
+        _pii_counts.append(
+            f"CAST(len(regexp_extract_all({_scrub_expr}, '{_pat}')) AS BIGINT)"
+            f" AS n_{_name}"
+        )
         _scrub_expr = f"regexp_replace({_scrub_expr}, '{_pat}', '{_repl}', 'g')"
+    _pii_counts_sql = ",\n           ".join(_pii_counts)
     o["docs_pii_scrub"] = f"""
     WITH {_plant}
     SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '{_PII["email"][0]}')) AS BIGINT) AS n_email,
-           CAST(len(regexp_extract_all(text, '{_PII["phone"][0]}')) AS BIGINT) AS n_phone,
-           CAST(len(regexp_extract_all(text, '{_PII["ipv4"][0]}')) AS BIGINT) AS n_ipv4,
+           {_pii_counts_sql},
            md5({_scrub_expr}) AS scrubbed_md5
     FROM planted
     """
@@ -5514,15 +5539,20 @@ def oracle_sql() -> dict[str, str]:
     fin AS (SELECT vec_id, v, cid AS cluster, dist FROM rf WHERE rn = 1)"""
         )
 
+    # init = the k SMALLEST vec_ids (ordered LIMIT), matching
+    # clustering.kmeans_assign — `vec_id < k` would be wrong for any
+    # non-dense/non-zero-based id space (identical on this testdata,
+    # where vec_ids are 0-based dense)
     _KMEANS_CTE = _kmeans_cte(
-        "c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8)"
+        "c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8)"
     )
     # auto-k twin: k = max(1, ceil(N/64)) derived from count(*) exactly
     # as clustering.auto_kmeans_k does, so the replay is exact at any SF
     _KMEANS_AUTO_CTE = _kmeans_cte(
         """kk AS (SELECT CAST(greatest(1, ceil(count(*) / 64.0)) AS BIGINT) AS k
              FROM embeddings),
-    c0 AS (SELECT vec_id AS cid, v AS cv FROM e CROSS JOIN kk WHERE vec_id < kk.k)"""
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM e CROSS JOIN kk
+           ORDER BY vec_id LIMIT (SELECT k FROM kk))"""
     )
 
     o["emb_kmeans"] = f"""
@@ -5846,7 +5876,11 @@ def oracle_sql() -> dict[str, str]:
                      FOR i IN range(1, greatest(len(t)-1, 1)+1)]) AS bg
       FROM tok
     ),
-    bgw AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bgr),
+    -- a <2-token doc's fallback pseudo-"bigram" has no space: it is
+    -- excluded from scoring AND from the corpus bigram table (matching
+    -- datapipe.text.bigram_logppl)
+    bgw AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bgr
+            WHERE contains(bg, ' ')),
     bgc AS (SELECT bg, count(*) AS cbg FROM bgw GROUP BY bg),
     wrd AS (SELECT unnest(t) AS w FROM tok),
     uni AS (SELECT w, count(*) AS cw FROM wrd GROUP BY w),

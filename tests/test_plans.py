@@ -411,3 +411,27 @@ def test_attribution_asof_single_exchange_no_join(spark, qs):
     p = plan_of(spark, qs["events_attribution_last_asof"](spark, SF))
     assert n_exchanges(p) == 1, tree_of(p)
     assert "Join" not in tree_of(p), tree_of(p)
+
+
+def test_pii_counts_follow_the_replace_chain(spark):
+    """Each PII category is counted on the text with prior categories
+    already replaced: the ipv4 inside an address the email pattern
+    consumes must NOT be counted (no [IP] placeholder exists for it),
+    and sum(n_*) must equal the placeholders in the scrubbed output."""
+    from warp_pipe_spark.datapipe.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [(1, "contact user@1.2.3.4.com"), (2, "from 10.1.2.3 now")],
+        "doc_id LONG, text STRING",
+    )
+    got = {r["doc_id"]: r.asDict() for r in pii_scrub(docs).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_ipv4"] == 0
+    assert "[EMAIL]" in got[1]["text"] and "[IP]" not in got[1]["text"]
+    assert got[2]["n_ipv4"] == 1 and "[IP]" in got[2]["text"]
+
+    # an explicitly-empty patterns dict scrubs nothing (only None
+    # selects the defaults)
+    untouched = pii_scrub(docs, patterns={}).collect()
+    assert {r["text"] for r in untouched} == {
+        "contact user@1.2.3.4.com", "from 10.1.2.3 now",
+    }

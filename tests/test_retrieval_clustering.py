@@ -402,3 +402,52 @@ def test_chunk_overlap_rejects_gapped_stride(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id LONG, text STRING")
     with pytest.raises(ValueError, match="GAPS"):
         chunk_texts_overlap(docs, chunk_tokens=4, stride=5)
+
+
+def test_kmeans_init_is_k_smallest_ids_not_id_lt_k(spark):
+    """Init must be the k SMALLEST vec_ids, not `vec_id < k`: on a
+    1-based (or hashed/offset) id space the latter silently yields
+    fewer or zero centroids — semdedup then finds nothing with no
+    error anywhere."""
+    import numpy as np
+
+    from warp_pipe_spark.datapipe.clustering import kmeans_assign
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (100 + i, [float(x) for x in rng.randn(4)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = kmeans_assign(emb, k=4, iters=1).collect()
+    assert len(out) == 40
+    assert len({r["cluster"] for r in out}) > 1  # real centroids, not 0
+
+    # id-shifted corpus must cluster identically (init is rank-based)
+    shifted = spark.createDataFrame(
+        [(vid + 1_000_000, v) for vid, v in rows],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    a = sorted((r["vec_id"] - 100, r["cluster"]) for r in out)
+    b = sorted(
+        (r["vec_id"] - 1_000_100, r["cluster"])
+        for r in kmeans_assign(shifted, k=4, iters=1).collect()
+    )
+    # cluster LABELS are centroid ids (differ by the shift); compare the
+    # induced partitions instead
+    def parts(pairs):
+        by = {}
+        for vid, c in pairs:
+            by.setdefault(c, set()).add(vid)
+        return sorted(map(frozenset, by.values()), key=min)
+
+    assert parts(a) == parts(b)
+
+
+def test_kmeans_vectorized_path_empty_corpus_fails_loud(spark):
+    import pytest as _pytest
+
+    from warp_pipe_spark.datapipe.clustering import kmeans_assign
+
+    empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    with _pytest.raises(ValueError, match="empty"):
+        kmeans_assign(empty, k=32, iters=1)

@@ -289,3 +289,69 @@ def test_attribution_stream_stream_join_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want == {(1, 4, 5 * MIN), (2, 5, 5 * MIN)}
+
+
+def test_funnel_late_click_revises_first_click(spark, tmp_path):
+    """A step_a arriving LATE (earlier event time, later micro-batch)
+    must revise the user's true first click: user 1's purchase at
+    t+60 follows the late click at t+50 — a first-seen-wins state
+    would drop the conversion (purchase < stale first_click) and a
+    later purchase would report an inflated gap."""
+    drop, ckpt = str(tmp_path / "d"), str(tmp_path / "c")
+    _fwrite(spark, [(1, T0 + 100, "click"), (2, T0 + 100, "click")], drop)
+    time.sleep(1.1)  # file mtime order = micro-batch order
+    _fwrite(
+        spark,
+        [(1, T0 + 50, "click"), (1, T0 + 60, "purchase"),
+         (2, T0 + 150, "purchase")],
+        drop,
+    )
+    got = _fdrain(spark, drop, ckpt, "late_click_out", one_file_per_batch=True)
+    # user 1 converts on the TRUE first click (t+50), gap 10
+    assert (got[1]["click_ms"], got[1]["purchase_ms"], got[1]["gap_ms"]) == (
+        T0 + 50, T0 + 60, 10,
+    )
+    # user 2's in-order conversion: gap 50 against its only click
+    assert got[2]["gap_ms"] == 50
+
+
+def test_sessionize_late_event_widens_not_corrupts(spark, tmp_path):
+    """An event LATE across the micro-batch seam (event time before the
+    open session's last-seen) must widen the session, never move
+    last-seen backwards — that emits end_ms < start_ms and mis-splits
+    the next gap test."""
+    from pyspark.sql import types as T
+
+    drop, ckpt = str(tmp_path / "sd"), str(tmp_path / "sc")
+    _write(spark, [(1, T0 + 10 * MIN, 1.0)], drop)
+    time.sleep(1.1)
+    # batch 2: a LATE event 10 min before the seen one, then a closer
+    # 35 min after the TRUE last-seen (T0+10min): gap 35 > 30 closes it
+    _write(spark, [(1, T0, 2.0), (1, T0 + 45 * MIN, 4.0)], drop)
+
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    stream = (
+        spark.readStream.schema(T.StructType.fromDDL(SCHEMA))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    q = (
+        stateful_sessionize(stream, gap_minutes=30, use_timeout=False)
+        .writeStream.format("memory")
+        .queryName("late_sessions_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    rows = {
+        (r["user_id"], r["start_ms"], r["end_ms"], r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM late_sessions_out").collect()
+    }
+    # ONE closed session spanning [T0, T0+10min] with both early events;
+    # end >= start always, and the late event did not reset the gap base
+    assert rows == {(1, T0, T0 + 10 * MIN, 2, 3.0)}

@@ -61,7 +61,12 @@ def stateful_funnel(
                 if first_click == -1:
                     break  # already converted; ignore the rest
                 t = int(t)
-                if et == step_a and first_click is None:
+                if et == step_a and (first_click is None or t < first_click):
+                    # min, not first-seen: a LATE step_a arriving in a
+                    # later micro-batch must revise the user's true
+                    # first click, or a same-batch step_b after it is
+                    # wrongly dropped and later conversions report an
+                    # inflated gap_ms
                     first_click = t
                 elif et == step_b and first_click is not None and t >= first_click:
                     out.append((user_id, first_click, t, t - first_click))
@@ -198,7 +203,18 @@ def stateful_sessionize(
                     closed.append((user_id, *cur))
                     cur = (t, t, 1, v)
                 else:
-                    cur = (cur[0], t, cur[2] + 1, cur[3] + v)
+                    # min/max, not (start, t): an event LATE across the
+                    # micro-batch seam (t < last) must widen the open
+                    # session, never move `last` backwards — that emits
+                    # end_ms < start_ms and mis-splits the next event's
+                    # gap test. Absent a watermark, merging late events
+                    # into the open session is the documented policy.
+                    cur = (
+                        min(cur[0], t),
+                        max(cur[1], t),
+                        cur[2] + 1,
+                        cur[3] + v,
+                    )
         state.update(cur)
         if use_timeout:
             state.setTimeoutDuration(gap_ms)

@@ -74,6 +74,11 @@ def _assign_vec(vecs: DataFrame, cent: DataFrame) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     rows = sorted(cent.collect(), key=lambda r: r["cid"])
+    if not rows:
+        raise ValueError(
+            "no centroids — empty embeddings input to the vectorized "
+            "assignment path"
+        )
     cids = np.array([r["cid"] for r in rows], dtype=np.int64)
     C = np.array([list(r["cv"]) for r in rows], dtype=np.float64)
     cn = (C * C).sum(axis=1)
@@ -84,7 +89,13 @@ def _assign_vec(vecs: DataFrame, cent: DataFrame) -> DataFrame:
         cids_, C_, cn_ = bc.value
         V = np.stack([np.asarray(x, dtype=np.float64) for x in emb])
         D = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C_.T) + cn_[None, :]
-        D = np.round(np.maximum(D, 0.0), 6)
+        # HALF_UP like Spark's F.round / the oracle's round(), NOT
+        # np.round's half-to-even: distances are >= 0 after the clamp,
+        # so floor(x*1e6 + 0.5) is HALF_UP exactly (tie divergence vs
+        # BigDecimal confined to values whose float64*1e6 scaling is
+        # itself inexact at the boundary — same class as the summation
+        # association the docstring already scopes)
+        D = np.floor(np.maximum(D, 0.0) * 1e6 + 0.5) / 1e6
         j = np.argmin(D, axis=1)
         return pd.DataFrame(
             {"cluster": cids_[j], "dist": D[np.arange(len(j)), j]}
@@ -115,11 +126,19 @@ def auto_kmeans_k(n_rows: int, target_cluster_size: int = 64) -> int:
 
 
 def kmeans_assign(
-    embeddings: DataFrame, k: int | None = 8, iters: int = 2
+    embeddings: DataFrame,
+    k: int | None = 8,
+    iters: int = 2,
+    keep_vector: bool = False,
 ) -> DataFrame:
     """Deterministic Lloyd k-means over `embeddings(vec_id, embedding)`:
-    init = the k smallest vec_ids, `iters` assign/update rounds, then a
-    final assignment. Returns (vec_id, cluster, dist).
+    init = the k smallest vec_ids (an ordered LIMIT k, correct for ANY
+    id space — `vec_id < k` would silently yield fewer or zero
+    centroids on ids that are hashes, offsets, or 1-based), `iters`
+    assign/update rounds, then a final assignment. Returns
+    (vec_id, cluster, dist); keep_vector=True appends the double-cast
+    vector column `v` so callers like semdedup_pairs avoid re-joining
+    the full corpus just to recover it.
 
     Scale: per iteration one broadcast join (k rows) + one
     groupBy(vec_id) + one posexplode→groupBy(cluster, dim) avg over
@@ -132,8 +151,10 @@ def kmeans_assign(
     if k is None:
         k = auto_kmeans_k(embeddings.count())
     assign = _assign if k <= _VEC_ASSIGN_MIN_K else _assign_vec
-    cent = vecs.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    cent = (
+        vecs.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
     )
     for _ in range(iters):
         assigned = assign(vecs, cent)
@@ -153,7 +174,8 @@ def kmeans_assign(
             .select(F.col("cluster").alias("cid"), "cv")
             .localCheckpoint(eager=False)
         )
-    return assign(vecs, cent).select("vec_id", "cluster", "dist")
+    out_cols = ["vec_id", "cluster", "dist"] + (["v"] if keep_vector else [])
+    return assign(vecs, cent).select(*out_cols)
 
 
 def semdedup_pairs(
@@ -171,12 +193,9 @@ def semdedup_pairs(
     it (auto-sizing like auto_ivf_params applies). A pathological hot
     cluster is visible in the cluster-size histogram before paying the
     join."""
-    vecs = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    assigned = kmeans_assign(embeddings, k=k, iters=iters).join(
-        vecs, "vec_id"
-    )
+    # keep_vector avoids a full-corpus re-join on vec_id solely to
+    # recover the vector column the final assignment already carried
+    assigned = kmeans_assign(embeddings, k=k, iters=iters, keep_vector=True)
     a = assigned.select(
         "cluster", F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
     )

@@ -86,7 +86,14 @@ def quality_scores(docs: DataFrame) -> DataFrame:
 
 def lang_id(docs: DataFrame) -> DataFrame:
     """Marker-lexicon language ID: per-language token-count scores,
-    argmax with deterministic priority-order tie-break (CASE chain)."""
+    argmax with deterministic priority-order tie-break (CASE chain).
+
+    Convention (deliberate, matching fasttext-style classifiers that
+    always emit a label): a doc matching NO markers scores 0 for every
+    language and the tie-break assigns the first lexicon language
+    ('en') with score_en = 0. Consumers that need an unknown bucket
+    gate on the score columns (pred_lang = 'en' AND score_en = 0 ⇔ no
+    evidence); the oracle replays the identical convention."""
     toks = _tokens(F.col("text"))
     scores = {lang: _marker_score(toks, m) for lang, m in LANG_MARKERS.items()}
     langs = list(LANG_MARKERS)
@@ -202,16 +209,19 @@ def pii_scrub(
 
     Pure Catalyst regexp_count + chained regexp_replace: one narrow
     codegen'd map stage over the scan, zero shuffles, linear at 100 TB.
-    Patterns apply in dict order (phone before ipv4 matters if a
-    pattern could match inside another's replacement — the defaults
-    are disjoint)."""
-    pats = patterns or PII_PATTERNS
+    Patterns apply in dict order, and each category is COUNTED on the
+    text with all prior categories already replaced — exactly what its
+    own replace then redacts — so sum(n_*) always equals the
+    placeholders present in the output. (Counting on the original
+    would tally matches an earlier pattern consumed, e.g. the ipv4
+    inside 'user@1.2.3.4.com' that the email replace already removed.)
+    An explicitly-empty patterns dict means scrub nothing; only None
+    selects the defaults."""
+    pats = PII_PATTERNS if patterns is None else patterns
     scrubbed = F.col(text_col)
     counts = []
     for name, (pat, repl) in pats.items():
-        counts.append(
-            F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
-        )
+        counts.append(F.regexp_count(scrubbed, F.lit(pat)).alias(f"n_{name}"))
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     keep = [c for c in docs.columns if c != text_col]
     return docs.select(*keep, *counts, scrubbed.alias(text_col))
@@ -331,9 +341,18 @@ def bigram_logppl(docs: DataFrame) -> DataFrame:
     broadcast. Same single-ln-per-distinct-term transcendental
     exception as unigram_logppl. Returns (doc_id, n_bigrams,
     logppl)."""
-    bg = docs.select(
-        "doc_id", F.explode(shingles(F.col("text"), 2)).alias("bg")
-    ).withColumn("w1", F.substring_index("bg", " ", 1))
+    bg = (
+        docs.select(
+            "doc_id", F.explode(shingles(F.col("text"), 2)).alias("bg")
+        )
+        # shingles' <n-token fallback emits the whole text; for a
+        # 1-token doc that pseudo-"bigram" (no space) would get a
+        # meaningless perplexity scored against itself AND inflate the
+        # corpus bigram table for every short doc sharing the text.
+        # A doc with no real bigram emits no row.
+        .filter(F.instr(F.col("bg"), " ") > 0)
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+    )
     bgc = bg.groupBy("bg").agg(F.count("*").alias("cbg"))
     toks = docs.select(F.explode(_tokens(F.col("text"))).alias("w"))
     uni = toks.groupBy("w").agg(F.count("*").alias("cw"))
