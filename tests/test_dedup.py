@@ -190,11 +190,11 @@ def test_star_cc_converges_where_min_label_budget_cannot(spark):
     edges = [(i, i + 1) for i in range(60)]
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
 
-    partial = {
-        r.doc_id: r.cluster_id
-        for r in connected_components(pairs, max_iter=25).collect()
-    }
-    assert partial[60] != 0  # min-label at 25 rounds: label hasn't crossed
+    # min-label at 25 rounds: the label provably cannot cross the
+    # 60-hop chain — it must fail LOUD, never return a component split
+    # across several cluster_ids (downstream dedup would keep dups)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=25).collect()
 
     got = {
         r.doc_id: r.cluster_id

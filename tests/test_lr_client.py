@@ -112,7 +112,11 @@ class FakeWalsender:
                     self._send_rows(c, [])
                 elif sql.startswith("START_REPLICATION"):
                     self._stream(c)
-                    return
+                    # keep serving: a synchronized client can run
+                    # further walsender commands on this connection
+                    # (drop_slot / identify_system after a drained
+                    # stream) — exactly what goes wrong if the client
+                    # leaves the post-CopyDone C/Z tail unread
         except BaseException as e:  # surfaced in the test thread
             self.errors.append(e)
 
@@ -134,7 +138,16 @@ class FakeWalsender:
         lsn = 0x15D68C8
         for i, p in enumerate(self.payloads):
             start, lsn = lsn, lsn + len(p)
-            c.sendall(_msg(b"d", b"w" + struct.pack("!qqq", start, lsn, 0) + p))
+            # second int64 is ServerWALEnd — the server's CURRENT WAL
+            # head, deliberately far AHEAD of the delivered message, as
+            # on a busy real server. A client that confirms it (instead
+            # of start+len(payload)) over-advances the slot and loses
+            # undelivered transactions on restart; the assertion below
+            # catches exactly that.
+            server_head = lsn + 0x100000
+            c.sendall(
+                _msg(b"d", b"w" + struct.pack("!qqq", start, server_head, 0) + p)
+            )
             if (i + 1) % self.keepalive_every == 0:
                 # reply-requested keepalive → client must answer 'r'
                 c.sendall(_msg(b"d", b"k" + struct.pack("!qqB", lsn, 0, 1)))
@@ -152,6 +165,12 @@ class FakeWalsender:
                 break
             assert t == b"d" and body[:1] == b"r", (t, body[:1])
             self.standby_lsns.append(struct.unpack("!q", body[9:17])[0])
+        self.max_delivered_lsn = lsn
+        # a real walsender ends CopyBoth with CommandComplete +
+        # ReadyForQuery; the client must drain both or its next simple
+        # query on this connection reads stale responses
+        c.sendall(_msg(b"C", b"COPY 0\x00"))
+        c.sendall(_msg(b"Z", b"I"))
 
 
 WAL2JSON_DOCS = [
@@ -194,9 +213,19 @@ def test_full_session_streams_and_confirms():
     for msg in c.start(0):
         if isinstance(msg, XLogData):
             got.append(msg.payload)
-            c.send_standby_status(msg.wal_end)
+            # the usage-contract rule: confirm the RECEIVED message's
+            # end, never ServerWALEnd (msg.wal_end, which the fake
+            # deliberately places far ahead)
+            c.send_standby_status(msg.wal_start + len(msg.payload))
         elif isinstance(msg, Keepalive):
             kas += 1
+    # the connection must still be SYNCHRONIZED after the stream ends:
+    # without draining the post-CopyDone CommandComplete/ReadyForQuery
+    # tail, this query would consume the stream's stale responses
+    ident2 = c.identify_system()
+    assert ident2["xlogpos"] == "0/15D68C8"
+    c.drop_slot()
+    assert srv.dropped_slots == ["wp_slot"]
     c.close()
     srv.thread.join(5)
     assert not srv.errors, srv.errors
@@ -206,6 +235,10 @@ def test_full_session_streams_and_confirms():
     # (the reference never advances; lr_listener.go:125-127)
     assert srv.standby_lsns == sorted(srv.standby_lsns)
     assert srv.standby_lsns[-1] > 0
+    # and NEVER past what was actually delivered: confirming
+    # ServerWALEnd would advance the slot over undelivered
+    # transactions (permanent loss on restart)
+    assert max(srv.standby_lsns) <= srv.max_delivered_lsn
 
 
 def test_auth_other_than_trust_is_refused():
@@ -244,6 +277,8 @@ def test_tail_to_drop_dir_feeds_wal2json_stream(spark, tmp_path):
     assert n == len(WAL2JSON_DOCS)
     # every batch confirmation landed after its file rename
     assert srv.standby_lsns and srv.standby_lsns == sorted(srv.standby_lsns)
+    # confirmations are bounded by DELIVERED wal, not the server head
+    assert max(srv.standby_lsns) <= srv.max_delivered_lsn
 
     out = (
         wal2json_stream(spark, drop)

@@ -365,3 +365,15 @@ def test_decoders_fail_loud_on_malformed_bytes():
         bmp_decode(b"")
     with pytest.raises(ValueError):
         split_bmp_stream(b"BMxx")  # truncated header
+
+
+def test_media_n_bytes_is_byte_length_not_char_length(spark):
+    """n_bytes must equal len(content) for non-ASCII text too: char
+    length diverges on any multi-byte UTF-8 character."""
+    from warp_pipe_spark.datapipe.multimodal import media_from_documents
+
+    docs = spark.createDataFrame(
+        [(1, "café déjà vu"), (2, "plain ascii")], "doc_id LONG, text STRING"
+    )
+    for r in media_from_documents(docs).collect():
+        assert r["meta"]["n_bytes"] == len(r["content"]), r

@@ -152,3 +152,28 @@ def test_changeset_log_failfast_on_malformed(spark, tmp_path):
     )
     with _pytest.raises(Exception):
         read_changeset_log(spark, str(p), "csv").collect()
+
+
+def test_audit_log_update_carries_true_pre_image(spark, sf_dir):
+    """A synthesized UPDATE's old_values must be the PRE-image (the
+    previous version by (table, pk) id order), not a copy of the
+    post-change row — otherwise per-column diff logic downstream only
+    ever sees degenerate zero-change updates."""
+    import json
+
+    from warp_pipe_spark.io import changesets_as_audit_log, derive_changesets
+
+    audit = changesets_as_audit_log(derive_changesets(spark, sf_dir))
+    upd = audit.filter("action = 'UPDATE'").limit(20).collect()
+    assert upd
+    for r in upd:
+        old, new = json.loads(r["old_values"]), json.loads(r["new_values"])
+        # the fixture's UPDATE adds 1000 to value: old != new, same pk
+        assert old["pk"] == new["pk"]
+        assert abs(new["value"] - old["value"] - 1000.0) < 1e-9, (old, new)
+    dele = audit.filter("action = 'DELETE'").limit(5).collect()
+    for r in dele:
+        assert r["new_values"] is None and r["old_values"] is not None
+    ins = audit.filter("action = 'INSERT'").limit(5).collect()
+    for r in ins:
+        assert r["old_values"] is None and r["new_values"] is not None

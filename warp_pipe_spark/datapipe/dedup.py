@@ -564,6 +564,17 @@ def connected_components(
         labels = updated.drop("chg")
         if changed == 0:
             break
+    else:
+        # fail LOUD like connected_components_star: returning the
+        # partial labels would hand downstream "keep one per cluster"
+        # dedup a component split across several cluster_ids — silently
+        # keeping duplicate documents. Rounds needed = graph diameter;
+        # a chain longer than max_iter wants the star variant.
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_iter} "
+            "rounds (graph diameter exceeds the budget) — raise "
+            "max_iter or use connected_components_star"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 

@@ -80,7 +80,11 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         kind.alias("kind"),
         content.alias("content"),
         F.struct(
-            F.length(F.col("text")).cast("long").alias("n_bytes"),
+            # BYTE length of the encoded content (F.length on binary),
+            # not the character length of the text: they diverge on any
+            # non-ASCII character, breaking the n_bytes == len(content)
+            # invariant (the oracle already uses octet_length)
+            F.length(content).cast("long").alias("n_bytes"),
             F.concat(F.lit("application/x-fake-"), kind).alias("mime"),
             (F.col("doc_id") % 640 + 1).cast("int").alias("width"),
             (F.col("doc_id") % 480 + 1).cast("int").alias("height"),

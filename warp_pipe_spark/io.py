@@ -51,8 +51,19 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Older testdata generations used TIMESTAMP(NANOS), which Spark 4
         # rejects; read nanos as long and convert to a microsecond
         # timestamp (same truncation DuckDB applies for epoch_ms).
+        # Scoped to THIS read (schema conversion happens at read();
+        # execution after the restore is verified safe): left session-
+        # global, every later parquet read would silently get bigint
+        # nanos columns — without this fixup — instead of Spark 4's
+        # loud rejection, order-dependent on whether events loaded first.
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        finally:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division — double division loses ULPs at 1e18 ns
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -197,11 +208,14 @@ def write_dataset(
     repartitions BY THE PARTITION COLUMNS, so with
     files_per_partition=1 (the default) each partition directory gets
     EXACTLY one task's output. files_per_partition>1 adds a per-row
-    salt (monotonic row id mod N — covers all N residues whenever a
-    value has ≥N rows, unlike a per-input-partition constant) to
-    spread each value over UP TO N tasks; hash collisions between
-    (value, salt) groups can still merge tasks, so >1 is a
-    parallelism knob, not an exact file count. `maxRecordsPerFile`
+    salt — a DETERMINISTIC hash of the whole row mod N, never
+    monotonically_increasing_id: a nondeterministic shuffle key is the
+    SPARK-23207 correctness hole, where a fetch-failure recompute
+    re-keys rows differently and the output silently drops/duplicates
+    rows. Identical rows share a salt (they cannot be told apart
+    anyway); hash collisions between (value, salt) groups can still
+    merge tasks, so >1 is a parallelism knob, not an exact file
+    count. `maxRecordsPerFile`
     caps file size where a single partition value is huge (the
     skewed-date case) — Spark splits the oversized task output into
     sequentially-numbered files.
@@ -210,7 +224,10 @@ def write_dataset(
     if partition_by:
         parts = [F.col(c) for c in partition_by]
         if files_per_partition > 1:
-            salt = F.pmod(F.monotonically_increasing_id(), F.lit(files_per_partition))
+            salt = F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]),
+                F.lit(files_per_partition),
+            )
             w = df.repartition(*(parts + [salt]))
         else:
             w = df.repartition(*parts)
@@ -292,8 +309,22 @@ def compact_dataset(
 def changesets_as_audit_log(cs: DataFrame) -> DataFrame:
     """Typed changesets → faithful AUDIT_LOG_SCHEMA form: values as raw
     JSON strings (db/sql.go:14-24; NULL new_values for DELETE, NULL
-    old_values for INSERT, db/sql.go:72-110)."""
+    old_values for INSERT, db/sql.go:72-110).
+
+    old_values is the PRE-IMAGE — the row's previous version by
+    (table, pk) id order (one window shuffle), the way a real audit
+    trigger records it — not a copy of the post-change row. Without
+    it, every synthesized UPDATE has old == new and per-column diff
+    logic downstream is only ever exercised with degenerate input. An
+    UPDATE/DELETE with no recorded prior version falls back to its own
+    values (matching the previous NULL-ness contract: has_old depends
+    only on the action)."""
+    from pyspark.sql.window import Window
+
     row_json = F.to_json(F.struct("pk", "user_id", "event_type", "value"))
+    prev_json = F.lag(row_json).over(
+        Window.partitionBy("table_name", "pk").orderBy("id")
+    )
     return cs.select(
         "id",
         "ts",
@@ -302,7 +333,9 @@ def changesets_as_audit_log(cs: DataFrame) -> DataFrame:
         "table_name",
         "relid",
         F.when(F.col("action") != "DELETE", row_json).alias("new_values"),
-        F.when(F.col("action") != "INSERT", row_json).alias("old_values"),
+        F.when(
+            F.col("action") != "INSERT", F.coalesce(prev_json, row_json)
+        ).alias("old_values"),
     )
 
 

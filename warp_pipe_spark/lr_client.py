@@ -117,7 +117,9 @@ class LRClient:
         c.create_slot()                  # once; no-op if exists
         for msg in c.start(start_lsn=0):
             ...consume XLogData.payload (wal2json documents)...
-            c.send_standby_status(flush_lsn=msg.wal_end)
+            c.send_standby_status(flush_lsn=msg.wal_start + len(msg.payload))
+            # (never msg.wal_end: that is ServerWALEnd — confirming it
+            # skips undelivered transactions after a restart)
     """
 
     def __init__(
@@ -252,6 +254,19 @@ class LRClient:
             t, body = self._conn.read_message()
             if t == b"c":  # CopyDone — server-initiated clean end
                 self._conn.send(b"c", b"")
+                # a real walsender follows with CommandComplete ('C')
+                # and ReadyForQuery ('Z'); leaving them buffered would
+                # desynchronize the NEXT simple query on this
+                # connection (drop_slot after a drained stream would
+                # consume this stream's stale responses). Drain to 'Z';
+                # a peer that just closes (abrupt exit) ends as cleanly.
+                try:
+                    while True:
+                        t2, _ = self._conn.read_message()
+                        if t2 == b"Z":
+                            break
+                except (ProtocolError, OSError):
+                    pass
                 return
             if t == b"E":
                 raise ProtocolError(f"stream error: {_error_text(body)}")
@@ -320,7 +335,7 @@ def tail_to_drop_dir(
     n_seen = 0
     seq = 0
 
-    def flush() -> None:
+    def flush(confirm: bool = True) -> None:
         nonlocal seq
         if not buf:
             return
@@ -332,13 +347,21 @@ def tail_to_drop_dir(
         os.replace(tmp, os.path.join(drop_dir, f"lr_{hi_lsn:016x}_{seq}.jsonl"))
         seq += 1
         buf.clear()
-        client.send_standby_status(hi_lsn)
+        if confirm:
+            client.send_standby_status(hi_lsn)
 
     try:
         for msg in client.start(start_lsn):
             if isinstance(msg, XLogData):
                 buf.append(msg.payload)
-                hi_lsn = max(hi_lsn, msg.wal_end)
+                # confirm the end of the RECEIVED message (wal_start +
+                # payload length), never XLogData.wal_end: that field is
+                # ServerWALEnd — the server's current WAL head, which
+                # can be far past what this client has been sent.
+                # Confirming it advances the slot's confirmed_flush_lsn
+                # over transactions never delivered; a restart then
+                # skips them forever (permanent data loss).
+                hi_lsn = max(hi_lsn, msg.wal_start + len(msg.payload))
                 n_seen += 1
                 if len(buf) >= batch_rows:
                     flush()
@@ -347,5 +370,10 @@ def tail_to_drop_dir(
         flush()
     finally:
         if buf:
-            flush()
+            # after a stream error the socket may be dead: the batch
+            # FILE is what must not be lost — write it, but skip the
+            # status send (a BrokenPipeError here would mask the real
+            # ProtocolError). The unconfirmed LSN just means bounded
+            # redelivery next session, absorbed downstream.
+            flush(confirm=False)
     return n_seen
