@@ -210,3 +210,17 @@ def test_scd2_intervals_hand_computed(spark, sf_dir):
     # a never-updated pk has exactly one open current version
     one = [r for r in out.filter(F.col("pk") == 1).collect()]
     assert len(one) == 1 and one[0]["is_current"]
+
+
+def test_replay_null_kind_row_is_not_a_delete(spark):
+    """~isin evaluates to NULL (not True) for a NULL kind: a winning
+    row with NULL action must survive drop_deletes, not vanish from
+    final state as if it were a tombstone."""
+    from warp_pipe_spark.apply import replay
+
+    df = spark.createDataFrame(
+        [(1, None, "t", 1, "a"), (2, "insert", "t", 2, "b")],
+        "id LONG, action STRING, table_name STRING, pk LONG, val STRING",
+    )
+    got = {(r["pk"], r["val"]) for r in replay(df, ["pk"]).collect()}
+    assert got == {(1, "a"), (2, "b")}

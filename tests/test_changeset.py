@@ -82,3 +82,29 @@ def test_config_from_env_and_log_level(spark, monkeypatch):
 
     with _pytest.raises(ValueError, match="invalid log level"):
         parse_log_level("verbose")
+
+
+def test_reference_json_timestamp_is_utc_in_any_session_tz(spark):
+    """The 'Z' suffix claims UTC: the rendered wall clock must be the
+    UTC one even on a non-UTC session (date_format renders the SESSION
+    zone — a naive format emits an instant hours off)."""
+    import datetime as dt
+
+    from warp_pipe_spark.changeset import to_reference_json
+
+    df = spark.createDataFrame(
+        [(1, "insert", "public", "t", dt.datetime(2024, 6, 1, 12, 0, 0),
+          [{"column": "pk", "value": "1", "type": "bigint"}], None)],
+        "id LONG, kind STRING, schema STRING, table STRING, ts TIMESTAMP, "
+        "new_values ARRAY<STRUCT<column:STRING,value:STRING,type:STRING>>, "
+        "old_values ARRAY<STRUCT<column:STRING,value:STRING,type:STRING>>",
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        # the stored instant is 2024-06-01T12:00:00 UTC (created above
+        # under the UTC session); re-render under New York local time
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        out = to_reference_json(df, timestamp_col="ts").collect()[0]["json"]
+        assert '"timestamp":"2024-06-01T12:00:00Z"' in out, out
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

@@ -159,3 +159,21 @@ def test_debezium_stream_decodes_drop_dir(spark, tmp_path):
         (24023256, "update"),
         (24023384, "delete"),
     }
+
+
+def test_wal2json_undecodable_complement(spark):
+    """Corrupt CDC input must be routable to a dead letter, not a
+    silent gap: decode emits nothing for an unparseable document, and
+    wal2json_undecodable returns exactly those raw rows."""
+    from warp_pipe_spark.decoders import decode_wal2json, wal2json_undecodable
+
+    good = (
+        '{"change":[{"id":1,"kind":"insert","schema":"public","table":"t",'
+        '"columnnames":["pk"],"columntypes":["bigint"],"columnvalues":["1"],'
+        '"oldkeys":null}],"nextlsn":"0/1"}'
+    )
+    rows = [(1, good), (2, '{"change": [truncated'), (3, '{"foo": 42}')]
+    df = spark.createDataFrame(rows, "line LONG, message STRING")
+    assert decode_wal2json(df, "message").count() == 1
+    bad = {r["line"] for r in wal2json_undecodable(df, "message").collect()}
+    assert bad == {2, 3}

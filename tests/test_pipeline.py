@@ -99,3 +99,95 @@ def test_run_with_errors_single_pass(spark, changesets):
     assert dead.count() == 1
     assert acc.value == 2  # 2 records, one pass each — not 4
     p.unpersist()
+
+
+def test_record_stages_separated_by_dataframe_stage(changesets):
+    """Record stages split by a DataFrame stage form TWO fused groups;
+    the second group must not append a second _wp_error column
+    (ambiguous reference crash), must leave group-1 dead-letters
+    untouched, and must not re-process them."""
+    from pyspark.sql import functions as F
+
+    def fail_on_2(rec):
+        if rec["id"] == 2:
+            raise ValueError("boom")
+        return rec
+
+    def lower_table(rec):
+        rec["table"] = rec["table"].lower()
+        return rec
+
+    p = (
+        Pipeline()
+        .add_record_stage("fail2", fail_on_2)
+        .add_stage("up", lambda df: df.withColumn("table", F.upper("table")))
+        .add_record_stage("lower", lower_table)
+    )
+    good, bad = p.run_with_errors(changesets)
+    try:
+        ok = {r["id"]: r["table"] for r in good.collect()}
+        errs = {r["id"]: (r["_wp_error"], r["table"]) for r in bad.collect()}
+        assert ok == {1: "users"}  # survived all three stages
+        # the dead-letter kept group 1's error and SKIPPED group 2:
+        # the DataFrame stage uppercased every row, and lower_table
+        # would have lowercased it back had the row been re-processed
+        assert 2 in errs and "fail2" in errs[2][0]
+        assert errs[2][1] == "USERS"
+    finally:
+        p.unpersist()
+
+
+def test_null_numeric_reaches_record_stage_as_none(spark):
+    """pandas renders a NULL long as float('nan'); user code is
+    promised plain Python values — `rec[c] is None` must be the NULL
+    test, and non-null longs must stay ints."""
+    def probe(rec):
+        # encode what user code observed into an output column:
+        # -1 = saw Python None (correct NULL), -2 = saw NaN/other,
+        # id*100 + relid = saw a plain int (correct non-NULL)
+        if rec["relid"] is None:
+            rec["id"] = -1
+        elif isinstance(rec["relid"], int):
+            rec["id"] = rec["id"] * 100 + rec["relid"]
+        else:
+            rec["id"] = -2
+        return rec
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 7)], "id LONG, relid LONG"
+    )
+    got = {
+        r["id"]
+        for r in Pipeline().add_record_stage("probe", probe).run(df).collect()
+    }
+    assert got == {-1, 207}
+
+
+def test_dead_letter_keeps_pristine_nested_values(spark):
+    """A stage that mutates a nested map IN PLACE and then a later
+    stage that raises: the dead-lettered record must carry the
+    PRE-pipeline values, not the half-transformed ones."""
+
+    def redact_in_place(rec):
+        rec["new_values"]["password"] = "REDACTED"
+        return rec
+
+    def always_fail(rec):
+        raise RuntimeError("later stage fails")
+
+    df = spark.createDataFrame(
+        [(1, {"password": "hunter2"})],
+        "id LONG, new_values MAP<STRING,STRING>",
+    )
+    p = (
+        Pipeline()
+        .add_record_stage("redact", redact_in_place)
+        .add_record_stage("fail", always_fail)
+    )
+    good, bad = p.run_with_errors(df)
+    try:
+        assert good.count() == 0
+        row = bad.collect()[0]
+        assert row["new_values"]["password"] == "hunter2"  # pristine
+    finally:
+        p.unpersist()

@@ -177,3 +177,25 @@ def test_audit_log_update_carries_true_pre_image(spark, sf_dir):
     ins = audit.filter("action = 'INSERT'").limit(5).collect()
     for r in ins:
         assert r["old_values"] is None and r["new_values"] is not None
+
+
+def test_retention_compact_keeps_and_counts_null_ts_rows(spark, tmp_path):
+    """A row whose retention column is NULL cannot be proven old: it
+    must be KEPT and counted — a bare `ts >= lit` predicate is NULL
+    for it, destroying the row while counting it in neither 'kept'
+    nor 'deleted' (unaccounted data loss from a maintenance job)."""
+    import datetime as dt
+
+    from warp_pipe_spark.store import retention_compact
+
+    path = str(tmp_path / "log")
+    rows = [
+        (1, dt.datetime(2024, 1, 1)),
+        (2, None),
+        (3, dt.datetime(2024, 12, 1)),
+    ]
+    spark.createDataFrame(rows, "id LONG, ts TIMESTAMP").write.parquet(path)
+    out = retention_compact(spark, path, before_ts="2024-06-01")
+    assert out == {"kept": 2, "deleted": 1}
+    left = {r["id"] for r in spark.read.parquet(path).collect()}
+    assert left == {2, 3}

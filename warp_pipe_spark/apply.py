@@ -62,7 +62,12 @@ def replay(
         .drop("_rn")
     )
     if drop_deletes:
-        folded = folded.filter(~F.col(kind_col).isin(*delete_kinds))
+        # NULL-safe: ~isin evaluates to NULL (not True) for a NULL kind
+        # (the audit schema allows it), which would silently drop the
+        # row from final state as if it were a delete tombstone
+        folded = folded.filter(
+            F.col(kind_col).isNull() | ~F.col(kind_col).isin(*delete_kinds)
+        )
     return folded
 
 

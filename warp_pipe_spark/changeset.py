@@ -140,8 +140,18 @@ def to_reference_json(df, timestamp_col: str | None = None):
     Expects the normalized array form (decode_wal2json output).
     Returns a 1-column DataFrame `json`.
     """
+    # render the UTC wall clock regardless of session timezone: the
+    # hardcoded 'Z' claims UTC, but date_format renders the SESSION
+    # zone — on a non-UTC session that emits a wrong instant (e.g.
+    # America/New_York shows 08:00Z for a 12:00 UTC value). The
+    # to_utc_timestamp(col, current_timezone()) shift makes the
+    # session-zone rendering show the UTC clock; identity on the UTC
+    # sessions get_spark() pins.
     ts = (
-        F.date_format(F.col(timestamp_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        F.date_format(
+            F.to_utc_timestamp(F.col(timestamp_col), F.current_timezone()),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'",
+        )
         if timestamp_col
         else F.lit("0001-01-01T00:00:00Z")
     )

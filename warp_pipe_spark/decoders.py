@@ -77,6 +77,13 @@ def decode_wal2json(df: DataFrame, message_col: str = "message") -> DataFrame:
     Input: any DataFrame with a string column of wal2json documents.
     Output: normalized changeset rows
     (id, kind, schema, table, timestamp?, new_values, old_values, nextlsn).
+
+    Corrupt input: from_json yields NULL for an unparseable document
+    and the explode then emits NO rows for it — decode is permissive
+    by design (Spark's from_json PERMISSIVE mode). A pipeline that must
+    account for every input line dead-letters the complement FIRST via
+    `wal2json_undecodable` (below); silently losing corrupt CDC input
+    is not acceptable at the ingest boundary.
     """
     parsed = df.withColumn("_msg", F.from_json(F.col(message_col), WAL2JSON_SCHEMA))
     ch = parsed.select(
@@ -101,6 +108,22 @@ def decode_wal2json(df: DataFrame, message_col: str = "message") -> DataFrame:
             ),
         ).alias("old_values"),
         F.col("nextlsn"),
+    )
+
+
+def wal2json_undecodable(df: DataFrame, message_col: str = "message") -> DataFrame:
+    """The dead-letter complement of decode_wal2json: raw input rows
+    whose document does NOT parse against WAL2JSON_SCHEMA (from_json →
+    NULL). decode_wal2json's explode silently emits nothing for these;
+    an ingest pipeline writes this frame to its dead-letter sink so a
+    truncated/garbled CDC message is an auditable event, not a silent
+    gap in replay state. Flags malformed JSON (from_json → NULL) AND
+    structurally-foreign JSON (no `change` array — valid JSON that is
+    not a wal2json document). Zero-shuffle map-side filter."""
+    parsed = F.from_json(F.col(message_col), WAL2JSON_SCHEMA)
+    return df.filter(
+        F.col(message_col).isNotNull()
+        & (parsed.isNull() | parsed["change"].isNull())
     )
 
 

@@ -259,7 +259,14 @@ class InMemoryMergeExecutor:
 
     def merge(self, table, winners, pk_cols, id_col, kind_col):
         pk = list(pk_cols)
-        is_delete = F.col(f"s.{kind_col}").isin(*DELETE_KINDS)
+        # NULL kind ⇒ NOT a delete, exactly like the SQL MERGE's
+        # `kind IN (…)` branch (NULL skips the DELETE arm but the
+        # UPDATE arm tests only the ids): without the coalesce, the
+        # NULL propagates through `~beaten` and drops the TARGET row
+        # from kept_old — a divergence between the executors
+        is_delete = F.coalesce(
+            F.col(f"s.{kind_col}").isin(*DELETE_KINDS), F.lit(False)
+        )
         old = self.tables.get(table)
         if old is None:
             new = winners.filter(~F.col(kind_col).isin(*DELETE_KINDS))

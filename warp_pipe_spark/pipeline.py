@@ -128,14 +128,22 @@ def _run_record_stages(df: DataFrame, stages: list[_Stage]) -> DataFrame:
     unlike the reference's dynamic Changeset). Complex-typed columns are
     JSON-round-tripped so user code sees plain Python values.
     """
+    # a record-stage group may follow an earlier group (record stages
+    # separated by a DataFrame stage): the frame then ALREADY carries
+    # _wp_error. Build the schema from the data fields only and append
+    # exactly one error column — appending a second one makes every
+    # downstream F.col('_wp_error') reference AMBIGUOUS — and thread
+    # prior dead-letters through untouched (they must not be
+    # re-processed by later stages or have their error overwritten).
+    data_fields = [f for f in df.schema.fields if f.name != _ERROR_COL]
     out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(_ERROR_COL, T.StringType())]
+        data_fields + [T.StructField(_ERROR_COL, T.StringType())]
     )
     fns = [(s.name, s.fn) for s in stages]
-    in_cols = [f.name for f in df.schema.fields]
+    in_cols = [f.name for f in data_fields]
     # Arrow maps cross the boundary as lists of (k, v) tuples; user code
     # gets/returns plain dicts (the reference's Changeset ergonomics).
-    map_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.MapType)]
+    map_cols = [f.name for f in data_fields if isinstance(f.dataType, T.MapType)]
 
     def mapper(batches):
         import pandas as pd
@@ -150,17 +158,37 @@ def _run_record_stages(df: DataFrame, stages: list[_Stage]) -> DataFrame:
                     rec[c] = dict(v)
             return rec
 
+        def pristine(rec: dict) -> dict:
+            # one-level-deep copy: a user fn mutating a nested map IN
+            # PLACE and then raising must not corrupt the dead-lettered
+            # original (a shallow dict(rec) shares the nested dicts)
+            return {
+                k: dict(v) if isinstance(v, dict) else v
+                for k, v in rec.items()
+            }
+
         for pdf in batches:
+            # pandas renders NULL numerics as float('nan') (a NULL long
+            # column arrives as float64): user code is promised plain
+            # Python values with None for NULL — `is None` checks and
+            # int arithmetic must work
+            pdf = pdf.astype(object).where(pdf.notna(), None)
             out_rows = []
             # pdf.to_dict("records") yields dicts we own — mutate them
-            # in place; the single dict(rec) copy below is the pristine
-            # original kept for dead-lettering (a user fn may mutate its
-            # argument and THEN raise).
+            # in place; pristine(rec) below is the original kept for
+            # dead-lettering (a user fn may mutate its argument and
+            # THEN raise).
             for rec in pdf.to_dict("records"):
+                prior_err = rec.pop(_ERROR_COL, None)
                 if map_cols:
                     fix_maps(rec)
+                if prior_err is not None:
+                    # already dead-lettered by an earlier group
+                    rec[_ERROR_COL] = prior_err
+                    out_rows.append(rec)
+                    continue
                 err = None
-                cur: dict | None = dict(rec)
+                cur: dict | None = pristine(rec)
                 for name, fn in fns:
                     try:
                         cur = fn(cur)

@@ -61,7 +61,8 @@ class WebSocketBroadcastSink:
         self._srv = socket.create_server((host, port))
         self.host, self.port = self._srv.getsockname()[:2]
         self._clients: list[socket.socket] = []
-        self._lock = threading.Lock()
+        self._lock = threading.Lock()  # registry
+        self._send_lock = threading.Lock()  # frame writes
         self._closed = False
         self._acceptor = threading.Thread(target=self._accept_loop, daemon=True)
         self._acceptor.start()
@@ -115,18 +116,23 @@ class WebSocketBroadcastSink:
         session cleanup). Pruning removes exactly the sockets that
         FAILED — never a snapshot overwrite, so a client that connects
         mid-send is kept and concurrent broadcasts can't clobber each
-        other's registry updates."""
+        other's registry updates. Frame WRITES are serialized by a
+        dedicated send lock: sendall releases the GIL between partial
+        writes of a large frame, so two concurrent broadcasts would
+        otherwise interleave bytes inside one client's frame and
+        permanently desync its parser."""
         frame = ws_text_frame(payload)
         with self._lock:
             clients = list(self._clients)
         sent, dead = 0, []
-        for c in clients:
-            try:
-                c.sendall(frame)
-                sent += 1
-            except OSError:
-                dead.append(c)
-                c.close()
+        with self._send_lock:
+            for c in clients:
+                try:
+                    c.sendall(frame)
+                    sent += 1
+                except OSError:
+                    dead.append(c)
+                    c.close()
         if dead:
             with self._lock:
                 self._clients = [c for c in self._clients if c not in dead]
@@ -215,5 +221,9 @@ def ws_handshake(host: str, port: int) -> socket.socket:
 
 
 def json_lines(df: DataFrame) -> DataFrame:
-    """S7 helper shared by console/socket sinks: one JSON doc per row."""
-    return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    """S7 helper shared by console/socket sinks: one JSON doc per row —
+    the same serialization rule as changeset.to_json_lines (delegated,
+    so the two sinks can never silently diverge), aliased 'value'."""
+    from warp_pipe_spark.changeset import to_json_lines
+
+    return to_json_lines(df).withColumnRenamed("json", "value")

@@ -82,7 +82,10 @@ class ChangesetStore:
     def count(self) -> int:
         return self.df.count()
 
-    def max_id(self) -> int:
+    def max_id(self) -> "int | None":
+        """Highest changeset id, or None on an EMPTY log — callers doing
+        resume arithmetic must handle the no-changesets case explicitly
+        (the previous `-> int` annotation hid a None return)."""
         row = self.df.agg(F.max(self.id_col).alias("m")).collect()[0]
         return row["m"]
 
@@ -127,11 +130,14 @@ def retention_compact(
     if (before_id is None) == (before_ts is None):
         raise ValueError("exactly one of before_id / before_ts required")
     df = spark.read.parquet(path)
-    keep = (
-        F.col(id_col) >= F.lit(int(before_id))
-        if before_id is not None
-        else F.col(ts_col) >= F.lit(before_ts)
-    )
+    # NULL-safe keep: a row whose retention column is NULL cannot be
+    # proven old — it must be KEPT and counted. A bare `col >= lit`
+    # is NULL for it, which would destroy the row in the rewrite while
+    # counting it in NEITHER 'kept' nor 'deleted' (silent, unaccounted
+    # data loss from a maintenance job).
+    col = F.col(id_col) if before_id is not None else F.col(ts_col)
+    bound = F.lit(int(before_id)) if before_id is not None else F.lit(before_ts)
+    keep = col.isNull() | (col >= bound)
     counts = df.agg(
         F.count(F.when(keep, 1)).alias("kept"),
         F.count(F.when(~keep, 1)).alias("deleted"),
