@@ -42,3 +42,41 @@ def test_sequence_sync_values(spark):
     df = spark.createDataFrame([(1, 10), (5, 2)], ["id", "other"])
     assert sequence_sync_values(df, ["id"]) == {"id": 5}
     assert sequence_sync_values(df, []) == {}
+
+
+def test_primary_keys_split_by_schema(spark):
+    """Two schemas each holding `users` with DIFFERENT PKs must not
+    merge into one bogus composite key."""
+    from warp_pipe_spark.catalog import primary_keys
+
+    rows = [
+        ("public", "users", "id", 1),
+        ("audit", "users", "audit_id", 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "table_schema STRING, table_name STRING, column_name STRING, "
+        "ordinal_position LONG",
+    )
+    got = {
+        (r["table_schema"], r["table_name"]): list(r["pk_columns"])
+        for r in primary_keys(df).collect()
+    }
+    assert got == {
+        ("public", "users"): ["id"],
+        ("audit", "users"): ["audit_id"],
+    }
+
+
+def test_sequence_sync_values_casts_strings_and_drops_null(spark):
+    """Map-form decoded state keeps values as strings: max('10','9')
+    is '9' lexicographically — the sync must cast first. NULL maxes
+    (no rows) drop out instead of becoming None entries, and columns
+    absent from the frame are skipped, not an analysis error."""
+    from warp_pipe_spark.catalog import sequence_sync_values
+
+    df = spark.createDataFrame(
+        [("10", None), ("9", None)], "id STRING, empty_col LONG"
+    )
+    got = sequence_sync_values(df, ["id", "empty_col", "missing_col"])
+    assert got == {"id": 10}

@@ -47,3 +47,47 @@ def test_version_gate_matches_reference():
     for bad in ("9.4", "9.4.26", "9.0"):
         with _pytest.raises(ValueError, match="Unsupported Version"):
             check_target_version(bad)
+
+
+def test_pk_query_joins_on_table_name_too():
+    """Constraint names are unique per TABLE, not per schema: without
+    tc.table_name = kcu.table_name, table a's PRIMARY KEY row
+    cross-matches a same-named constraint on table b and the PK map
+    corrupts replay's fold key."""
+    from warp_pipe_spark.jdbc import primary_keys_query
+
+    q = primary_keys_query(["public"])
+    assert "tc.table_name = kcu.table_name" in q
+    assert "kcu.table_schema" in q  # schema surfaces for multi-schema PKs
+
+
+def test_keyset_query_limit_zero_and_none():
+    from warp_pipe_spark.jdbc import keyset_query
+
+    assert keyset_query("t", 5, limit=0).endswith("LIMIT 0")
+    assert "LIMIT" not in keyset_query("t", 5, limit=None)
+
+
+def test_audit_reader_requires_upper_bound():
+    """JDBC bounds are stride-only: a defaulted (lower, lower+1) range
+    silently collapses the backfill to one task streaming the whole
+    table — the exact failure the partitioned reader replaces."""
+    import pytest as _pytest
+
+    from warp_pipe_spark.jdbc import audit_reader
+
+    with _pytest.raises(ValueError, match="upper_id"):
+        audit_reader(None, "jdbc:postgresql://example/db")
+
+
+def test_version_gate_prerelease_strings():
+    from warp_pipe_spark.jdbc import check_target_version
+
+    check_target_version("9.5beta1")  # 9.5 prerelease is supported
+    check_target_version("10beta1")  # leading digit run parses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Unsupported"):
+        check_target_version("9.4.26")
+    with _pytest.raises(ValueError, match="unparseable"):
+        check_target_version("devel")

@@ -113,3 +113,22 @@ def test_setval_statement_shape_matches_reference_call():
         "SELECT setval('a', 1, true)",
         "SELECT setval('b', 2, true)",
     ]
+
+
+def test_column_setvals_skip_undiscovered_state_columns(spark):
+    """A discovered serial column whose table never applied a changeset
+    is absent from the wide state schema: the sync must skip it, not
+    abort every other table's setval with UNRESOLVED_COLUMN. String
+    state casts before max (lexicographic '9' > '10' would
+    under-advance the sequence)."""
+    from warp_pipe_spark.sequences import column_setval_statements
+
+    state = spark.createDataFrame(
+        [("users", "10"), ("users", "9")], "table_name STRING, id STRING"
+    )
+    seq_map = {
+        ("users", "id"): "users_id_seq",
+        ("orders", "order_num"): "orders_order_num_seq",  # absent column
+    }
+    stmts = column_setval_statements(state, seq_map)
+    assert stmts == ["SELECT setval('users_id_seq', 10, true)"]

@@ -17,7 +17,6 @@ the reference's per-row round-trips.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,7 +25,6 @@ from warp_pipe_spark.apply import replay
 from warp_pipe_spark.catalog import sequence_sync_values
 from warp_pipe_spark.pipeline import Pipeline
 from warp_pipe_spark.streaming import ParquetStateSink, apply_stream, changeset_stream
-from warp_pipe_spark.verify import table_digest, table_digest_scalable
 
 
 class Axon:
@@ -99,7 +97,6 @@ class Axon:
         cols = list(cols or source_state.columns)
         if self.table_col not in cols:
             cols = [self.table_col] + cols
-        digest = table_digest_scalable if scalable else table_digest
 
         def per_table(df: DataFrame) -> dict[str, tuple]:
             value_cols = [c for c in cols if c != self.table_col]

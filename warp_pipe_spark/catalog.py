@@ -47,13 +47,22 @@ def primary_keys(constraints: DataFrame) -> DataFrame:
     """A4/G4: PK columns per table from a key-usage catalog
     (axon_schema.go:67-77's LEFT JOIN + string_agg GROUP BY).
 
-    Input columns: (table_name, column_name, ordinal_position).
-    Output: (table_name, pk_columns ARRAY<STRING> in ordinal order).
-    `collect_list` inside `sort_array` over (position, name) structs
-    keeps ordinal order without a global sort.
+    Input columns: (table_name, column_name, ordinal_position) plus
+    table_schema when discovery spans multiple schemas — grouping
+    includes it whenever present, because two schemas can each hold a
+    `users` with DIFFERENT primary keys; a table-name-only group would
+    merge them into a bogus composite PK that replay would silently
+    fold on. Output: (…, table_name, pk_columns ARRAY<STRING> in
+    ordinal order). `collect_list` inside `sort_array` over
+    (position, name) structs keeps ordinal order without a global sort.
     """
+    keys = (
+        ["table_schema", "table_name"]
+        if "table_schema" in constraints.columns
+        else ["table_name"]
+    )
     return (
-        constraints.groupBy("table_name")
+        constraints.groupBy(*keys)
         .agg(
             F.transform(
                 F.sort_array(
@@ -80,5 +89,16 @@ def sequence_sync_values(df: DataFrame, serial_cols: Sequence[str]) -> dict[str,
     noted in BASELINE.md)."""
     if not serial_cols:
         return {}
-    row = df.agg(*[F.max(c).alias(c) for c in serial_cols]).collect()[0]
-    return {c: row[c] for c in serial_cols}
+    # cast before max: map-form decoded state keeps values as STRINGS,
+    # and a lexicographic max('10','9') = '9' would under-advance the
+    # sequence into duplicate-key violations on the next insert. Only
+    # columns present in the frame participate (a serial column whose
+    # table never applied a row has no state to advance); NULL maxes
+    # (zero rows) are dropped rather than emitted as None.
+    present = [c for c in serial_cols if c in df.columns]
+    if not present:
+        return {}
+    row = df.agg(
+        *[F.max(F.col(c).cast("bigint")).alias(c) for c in present]
+    ).collect()[0]
+    return {c: int(row[c]) for c in present if row[c] is not None}

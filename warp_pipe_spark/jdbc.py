@@ -38,14 +38,27 @@ def audit_reader(
 ):
     """Partitioned JDBC reader over the audit log (S3 backfill path).
 
-    Returns the configured DataFrameReader; .load() connects."""
+    Returns the configured DataFrameReader; .load() connects.
+
+    upper_id is REQUIRED for a parallel backfill: JDBC bounds set the
+    partition STRIDE only (they never filter rows), so a degenerate
+    (lower, lower+1) range would collapse the read to one task quietly
+    streaming the whole table — the exact failure this partitioned
+    reader exists to replace. Callers read `SELECT max(id)` first (one
+    indexed lookup) and pass it; upper_id=None raises."""
+    if upper_id is None:
+        raise ValueError(
+            "upper_id is required: JDBC partition bounds are stride-only "
+            "(never a row filter) — fetch SELECT max(id) first, or the "
+            "backfill silently degenerates to a single partition"
+        )
     reader = (
         spark.read.format("jdbc")
         .option("url", url)
         .option("dbtable", table)
         .option("partitionColumn", "id")
         .option("lowerBound", str(lower_id))
-        .option("upperBound", str(upper_id if upper_id is not None else lower_id + 1))
+        .option("upperBound", str(upper_id))
         .option("numPartitions", str(num_partitions))
     )
     for k, v in (properties or {}).items():
@@ -55,11 +68,25 @@ def audit_reader(
 
 def keyset_query(table: str, last_id: int, limit: int | None = None) -> str:
     """One keyset poll (S2 tail): strictly-after `last_id`, id order.
-    Indexed range scan — no OFFSET, no skipped rows under concurrent
-    writes (the reference's pagination race, changeset_store.go:128-149,
-    cannot happen on a keyset cursor)."""
+    Indexed range scan — no OFFSET, so the reference's pagination race
+    (changeset_store.go:128-149, rows shifting between OFFSET pages)
+    cannot happen.
+
+    Concurrent-writer caveat (inherent to ANY id-keyset tail, ours and
+    the reference's alike): BIGSERIAL ids are assigned at nextval time,
+    not commit time, so a still-uncommitted row with a LOWER id than an
+    already-committed one becomes visible only after the offset has
+    passed it — and is then permanently skipped. Mitigations: poll with
+    a safety horizon (confirm only ids older than the oldest in-flight
+    transaction), or use the gap-free logical-replication tail
+    (lr_client.py), which orders by commit LSN. The LR path is this
+    repo's recommended live tail; the keyset poll is the
+    Spark-has-no-LISTEN/NOTIFY fallback.
+
+    limit=0 is honored as LIMIT 0 (a zero-row poll), never as
+    'unbounded'."""
     q = f"SELECT * FROM {table} WHERE id > {int(last_id)} ORDER BY id"
-    if limit:
+    if limit is not None:
         q += f" LIMIT {int(limit)}"
     return q
 
@@ -107,9 +134,20 @@ def check_target_version(server_version: str) -> None:
     needs Postgres ON CONFLICT, introduced in 9.5 — reject `9.x` with
     x < 5. Callers feed the result of `SHOW server_version` from their
     JDBC connection; raises ValueError on unsupported targets."""
+    import re as _re
+
+    def _lead_int(txt: str) -> int:
+        m = _re.match(r"\d+", txt)
+        if not m:
+            raise ValueError(f"unparseable server_version: {server_version!r}")
+        return int(m.group())
+
+    # leading digit runs: '9.5beta1' is 9.5 (supported), '10beta1' is
+    # 10 — a bare int() would crash on the suffix, and mapping a
+    # suffixed minor to 0 would wrongly reject a 9.5 prerelease
     parts = server_version.split(".")
-    major = int(parts[0])
-    minor = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else 0
+    major = _lead_int(parts[0])
+    minor = _lead_int(parts[1]) if len(parts) > 1 else 0
     if major == 9 and minor < 5:
         raise ValueError(f"Target DB Unsupported Version: {server_version}")
 
@@ -159,11 +197,16 @@ def primary_keys_query(schemas: Sequence[str]) -> str:
     """A4/G4 PK discovery feed for catalog.primary_keys()."""
     in_list = ", ".join(f"'{s}'" for s in schemas)
     return (
-        "SELECT kcu.table_name, kcu.column_name, kcu.ordinal_position "
+        "SELECT kcu.table_schema, kcu.table_name, kcu.column_name, "
+        "kcu.ordinal_position "
         "FROM information_schema.table_constraints tc "
         "JOIN information_schema.key_column_usage kcu "
         "  ON tc.constraint_name = kcu.constraint_name "
         " AND tc.table_schema = kcu.table_schema "
+        # constraint names are unique per TABLE, not per schema: without
+        # this, table a's PRIMARY KEY row cross-matches table b's
+        # same-named UNIQUE constraint columns and the PK map corrupts
+        " AND tc.table_name = kcu.table_name "
         "WHERE tc.constraint_type = 'PRIMARY KEY' "
         f"  AND tc.table_schema IN ({in_list})"
     )

@@ -107,9 +107,20 @@ def column_setval_statements(
         by_table.setdefault(table, []).append((column, seq))
     if not by_table:
         return []
-    all_cols = sorted({c for cols in by_table.values() for c, _ in cols})
+    # only columns the state FRAME carries: a discovered serial column
+    # whose table never applied a changeset is absent from the wide
+    # schema, and referencing it would abort the whole sync with
+    # UNRESOLVED_COLUMN instead of the per-table skip below. Cast
+    # before max — map-form decoded state keeps values as STRINGS and
+    # a lexicographic max('10','9') = '9' under-advances the sequence
+    # into duplicate-key violations.
+    all_cols = sorted(
+        {c for cols in by_table.values() for c, _ in cols} & set(state.columns)
+    )
+    if not all_cols:
+        return []
     rows = state.groupBy(table_col).agg(
-        *[F.max(c).alias(c) for c in all_cols]
+        *[F.max(F.col(c).cast("bigint")).alias(c) for c in all_cols]
     ).collect()
     maxima = {r[table_col]: r for r in rows}
     stmts: list[str] = []
@@ -118,6 +129,8 @@ def column_setval_statements(
         if row is None:
             continue  # no applied rows for this table → nothing to sync
         for column, seq in by_table[table]:
+            if column not in all_cols:
+                continue  # column absent from state → nothing to sync
             value = row[column]
             if value is not None:
                 stmts.append(setval_statement(seq, value))
