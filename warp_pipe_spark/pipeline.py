@@ -171,8 +171,13 @@ def _run_record_stages(df: DataFrame, stages: list[_Stage]) -> DataFrame:
             # pandas renders NULL numerics as float('nan') (a NULL long
             # column arrives as float64): user code is promised plain
             # Python values with None for NULL — `is None` checks and
-            # int arithmetic must work
-            pdf = pdf.astype(object).where(pdf.notna(), None)
+            # int arithmetic must work. Only columns that actually
+            # carry nulls pay the object conversion (isna().any() is a
+            # cheap vectorized scan; all-null-free batches skip it).
+            null_cols = [c for c in pdf.columns if pdf[c].isna().any()]
+            if null_cols:
+                sub = pdf[null_cols].astype(object)
+                pdf[null_cols] = sub.where(sub.notna(), None)
             out_rows = []
             # pdf.to_dict("records") yields dicts we own — mutate them
             # in place; pristine(rec) below is the original kept for
