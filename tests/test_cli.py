@@ -257,3 +257,38 @@ def test_cli_keep_best_with_exact_dups_inside_cluster(spark, tmp_path):
     s1, s3 = score(rows[0][1]), score(rows[2][1])
     best = 1 if (s1, -1) > (s3, -3) else 3
     assert kept == {best, 4}, (kept, s1, s3)
+
+
+def test_stream_filters_work_on_decoded_shape(spark, tmp_path):
+    """-w/-i and --limit must address the DECODED shape's column names
+    (schema/table), not the audit names (schema_name/table_name) —
+    before the shape-aware fix these flags crashed with an unresolved
+    column on exactly the sources the else-branch exists for."""
+    from warp_pipe_spark.decoders import decode_wal2json
+
+    msg = (
+        '{"change":[{"id":1,"kind":"insert","schema":"public","table":"pets",'
+        '"columnnames":["id"],"columntypes":["integer"],"columnvalues":["7"]},'
+        '{"id":2,"kind":"insert","schema":"public","table":"users",'
+        '"columnnames":["id"],"columntypes":["integer"],"columnvalues":["9"]}],'
+        '"nextlsn":"0/AA"}'
+    )
+    path = str(tmp_path / "norm2")
+    decode_wal2json(
+        spark.createDataFrame([(msg,)], "message STRING")
+    ).write.parquet(path)
+
+    buf = io.StringIO()
+    assert main(["--source", path, "-i", "pets"], out=buf) == 0
+    lines = [json.loads(ln) for ln in buf.getvalue().splitlines()]
+    assert [d["table"] for d in lines] == ["users"]
+
+    # --limit 0 means zero rows, not 'no limit'
+    buf = io.StringIO()
+    assert main(["--source", path, "--limit", "0"], out=buf) == 0
+    assert buf.getvalue() == ""
+
+    # explicit -M forces the branch on an ambiguous source
+    buf = io.StringIO()
+    assert main(["--source", path, "-M", "lr"], out=buf) == 0
+    assert len(buf.getvalue().splitlines()) == 2

@@ -103,8 +103,9 @@ def test_merge_statement_pinned():
         "WHEN MATCHED AND s.action IN ('delete', 'DELETE') AND s.id >= t.id"
         " THEN DELETE\n"
         "WHEN MATCHED AND s.id > t.id THEN UPDATE SET t.id = s.id, t.val = s.val\n"
-        "WHEN NOT MATCHED AND s.action NOT IN ('delete', 'DELETE')"
-        " THEN INSERT (pk, id, val) VALUES (s.pk, s.id, s.val)"
+        "WHEN NOT MATCHED AND (s.action IS NULL OR s.action"
+        " NOT IN ('delete', 'DELETE')) THEN INSERT (pk, id, val)"
+        " VALUES (s.pk, s.id, s.val)"
     )
 
 
@@ -126,6 +127,14 @@ class _RecordingSqlSpark:
 
     def __init__(self):
         self.stmts = []
+        self.dropped_views = []
+        rec = self
+
+        class _Catalog:
+            def dropTempView(self, name):
+                rec.dropped_views.append(name)
+
+        self.catalog = _Catalog()
 
     def sql(self, stmt):
         self.stmts.append(stmt)
@@ -219,7 +228,7 @@ def test_delta_executor_builder_chain_recorded(spark, monkeypatch):
         ("whenMatchedUpdate", "s.id > t.id", {"id": "s.id", "val": "s.val"}),
         (
             "whenNotMatchedInsert",
-            "s.action NOT IN ('delete', 'DELETE')",
+            "s.action IS NULL OR s.action NOT IN ('delete', 'DELETE')",
             {"pk": "s.pk", "id": "s.id", "val": "s.val"},
         ),
         ("execute",),
@@ -381,3 +390,18 @@ def test_delta_executor_evolve_sets_automerge_conf_scoped(spark, monkeypatch):
         assert spark.conf.get(key) == "false"
     finally:
         spark.conf.unset(key)
+
+
+def test_null_kind_row_inserts_in_every_executor_path(spark):
+    """A NULL-kind row is not provably a delete: replay keeps it, so
+    the MERGE sinks must too — the SQL text, the Delta condition, and
+    the in-memory twin all take the NULL-safe insert arm."""
+    from warp_pipe_spark.merge_sink import merge_statement
+
+    assert "IS NULL OR" in merge_statement("u", "s", ["pk"], ["val"])
+
+    sink = MergeStateSink(spark, InMemoryMergeExecutor(spark), pk_cols=["pk"])
+    rows = [(1, None, "users", 1, "ghost"), (2, "INSERT", "users", 2, "b")]
+    sink.apply_batch(spark.createDataFrame(rows, SCHEMA), 0)
+    got = {(r["pk"], r["val"]) for r in sink.read_state().collect()}
+    assert got == {(1, "ghost"), (2, "b")}

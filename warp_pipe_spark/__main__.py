@@ -27,7 +27,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--source", help="changeset parquet dir (audit-log shape)")
     p.add_argument("-L", "--log-level", default="info")
-    p.add_argument("-M", "--replication-mode", choices=("lr", "audit"), default="lr")
+    # default None = infer the source shape from its columns; an
+    # explicit -M forces the branch (reference parity: config.go's
+    # mode flag decides, it never sniffs)
+    p.add_argument(
+        "-M", "--replication-mode", choices=("lr", "audit"), default=None
+    )
     p.add_argument("--start-from-id", type=int, default=-1)
     p.add_argument("--start-from-ts", default=None)
     p.add_argument("-w", "--whitelist-tables", action="append", default=None)
@@ -190,6 +195,22 @@ def main(argv: list[str] | None = None, out=None) -> int:
     spark = get_spark("warp_pipe_cli")
     store = ChangesetStore.from_parquet(spark, args.source)
     cs = store.df
+    # shape detection FIRST: the audit-log shape carries
+    # (schema_name, table_name, ts); the decoded-changeset shape the
+    # else-branch below supports carries (schema, table, timestamp).
+    # Filters and --start-from-ts must address the columns the source
+    # actually has, or every flag crashes on the decoded shape.
+    # an explicit -M forces the branch (audit = raw audit-log rows to
+    # decode; lr = already-decoded changeset rows); default infers
+    # from the columns present
+    if args.replication_mode is not None:
+        audit_shape = args.replication_mode == "audit"
+    else:
+        audit_shape = {"new_values", "old_values", "action"} <= set(cs.columns)
+    schema_col = "schema_name" if audit_shape else "schema"
+    table_col = "table_name" if audit_shape else "table"
+    if not audit_shape and "timestamp" in cs.columns:
+        store.ts_col = "timestamp"
     if args.start_from_id >= 0:
         cs = store.since_id(args.start_from_id)
     elif args.start_from_ts:
@@ -197,10 +218,14 @@ def main(argv: list[str] | None = None, out=None) -> int:
     else:
         cs = cs.orderBy(store.id_col)
     if args.whitelist_tables:
-        cs = whitelist_tables(cs, args.whitelist_tables)
+        cs = whitelist_tables(
+            cs, args.whitelist_tables, schema_col=schema_col, table_col=table_col
+        )
     if args.ignore_tables:
-        cs = ignore_tables(cs, args.ignore_tables)
-    if args.limit:
+        cs = ignore_tables(
+            cs, args.ignore_tables, schema_col=schema_col, table_col=table_col
+        )
+    if args.limit is not None:
         cs = cs.limit(args.limit)
 
     # → the reference's exact Changeset JSON wire shape. Both branches
@@ -212,10 +237,15 @@ def main(argv: list[str] | None = None, out=None) -> int:
 
     from warp_pipe_spark.decoders import decode_audit_values
 
-    if {"new_values", "old_values", "action"} <= set(cs.columns):
+    if audit_shape:
         dec = decode_audit_values(cs)
+        # same UTC shift as changeset.to_reference_json: the 'Z' claims
+        # UTC, so render the UTC wall clock in ANY session timezone
         ts = F.coalesce(
-            F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+            F.date_format(
+                F.to_utc_timestamp(F.col("timestamp"), F.current_timezone()),
+                "yyyy-MM-dd'T'HH:mm:ss'Z'",
+            ),
             F.lit("0001-01-01T00:00:00Z"),
         )
         jsonl = dec.orderBy("id").select(

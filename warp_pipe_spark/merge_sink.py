@@ -11,7 +11,8 @@ per touched table:
       ON t.<pk> = s.<pk>
     WHEN MATCHED AND s.<kind> = 'DELETE' AND s.<id> >= t.<id> THEN DELETE
     WHEN MATCHED AND s.<id> > t.<id> THEN UPDATE SET ...
-    WHEN NOT MATCHED AND s.<kind> <> 'DELETE' THEN INSERT ...
+    WHEN NOT MATCHED AND (s.<kind> IS NULL OR s.<kind> <> 'DELETE')
+      THEN INSERT ...   -- NULL kind is not provably a delete
 
 "batch winners" is the last-writer-wins fold of the micro-batch by
 (table, pk) WITH tombstones kept (apply.replay drop_deletes=False), so
@@ -89,8 +90,11 @@ def merge_statement(
         f"WHEN MATCHED AND s.{kind_col} IN ({dk}) AND s.{id_col} >= t.{id_col}"
         f" THEN DELETE\n"
         f"WHEN MATCHED AND s.{id_col} > t.{id_col} THEN UPDATE SET {sets}\n"
-        f"WHEN NOT MATCHED AND s.{kind_col} NOT IN ({dk})"
-        f" THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+        # NULL-safe: NOT IN is NULL (not true) for a NULL kind, which
+        # would silently drop the row — replay/ParquetStateSink keep
+        # NULL-kind rows (not provably deletes), so every sink must
+        f"WHEN NOT MATCHED AND (s.{kind_col} IS NULL OR s.{kind_col}"
+        f" NOT IN ({dk})) THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
     )
 
 
@@ -137,6 +141,7 @@ class SqlMergeExecutor:
         self.target_for = target_for
         self.table_col = table_col
         self.evolve_schema = evolve_schema
+        self._view_seq = 0
 
     def merge(
         self,
@@ -146,29 +151,38 @@ class SqlMergeExecutor:
         id_col: str,
         kind_col: str,
     ) -> None:
-        view = f"_wp_merge_src_{abs(hash(table)) % 10**8}"
+        # per-executor-instance, per-call unique view: a name derived
+        # from the table alone races when two sinks on one session
+        # merge the same source table into DIFFERENT targets (sink A's
+        # view overwritten by B's before A's MERGE runs = cross-target
+        # corruption); dropped in the finally below, never leaked
+        self._view_seq += 1
+        view = f"_wp_merge_src_{id(self):x}_{self._view_seq}"
         winners.createOrReplaceTempView(view)
-        value_cols = payload_cols(
-            winners.columns, pk_cols, id_col, kind_col, self.table_col
-        )
-        target = self.target_for(table)
-        if self.evolve_schema:
-            have = set(self.spark.table(target).columns)
-            need = [
-                f
-                for f in winners.schema.fields
-                if f.name in value_cols and f.name not in have
-            ]
-            if need:
-                ddl = ", ".join(
-                    f"{f.name} {f.dataType.simpleString()}" for f in need
-                )
-                self.spark.sql(f"ALTER TABLE {target} ADD COLUMNS ({ddl})")
-        self.spark.sql(
-            merge_statement(
-                target, view, pk_cols, value_cols, id_col, kind_col
+        try:
+            value_cols = payload_cols(
+                winners.columns, pk_cols, id_col, kind_col, self.table_col
             )
-        )
+            target = self.target_for(table)
+            if self.evolve_schema:
+                have = set(self.spark.table(target).columns)
+                need = [
+                    f
+                    for f in winners.schema.fields
+                    if f.name in value_cols and f.name not in have
+                ]
+                if need:
+                    ddl = ", ".join(
+                        f"{f.name} {f.dataType.simpleString()}" for f in need
+                    )
+                    self.spark.sql(f"ALTER TABLE {target} ADD COLUMNS ({ddl})")
+            self.spark.sql(
+                merge_statement(
+                    target, view, pk_cols, value_cols, id_col, kind_col
+                )
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)
 
 
 class DeltaMergeExecutor:
@@ -234,7 +248,9 @@ class DeltaMergeExecutor:
                     f"s.{kind_col} IN ({dk}) AND s.{id_col} >= t.{id_col}"
                 )
                 .whenMatchedUpdate(f"s.{id_col} > t.{id_col}", upd)
-                .whenNotMatchedInsert(f"s.{kind_col} NOT IN ({dk})", ins)
+                .whenNotMatchedInsert(
+                    f"s.{kind_col} IS NULL OR s.{kind_col} NOT IN ({dk})", ins
+                )
                 .execute()
             )
         finally:
@@ -269,7 +285,9 @@ class InMemoryMergeExecutor:
         )
         old = self.tables.get(table)
         if old is None:
-            new = winners.filter(~F.col(kind_col).isin(*DELETE_KINDS))
+            new = winners.filter(
+                F.col(kind_col).isNull() | ~F.col(kind_col).isin(*DELETE_KINDS)
+            )
             self.tables[table] = self.spark.createDataFrame(
                 new.collect(), new.schema
             )
@@ -308,7 +326,9 @@ class InMemoryMergeExecutor:
         )
         ins = (
             s.join(o, cond, "left_anti")
-            .filter(~F.col(kind_col).isin(*DELETE_KINDS))
+            .filter(
+                F.col(kind_col).isNull() | ~F.col(kind_col).isin(*DELETE_KINDS)
+            )
             .select(winners.columns)
         )
         # name-aligned union with null fill: the in-memory twin carries
@@ -327,7 +347,9 @@ class InMemoryMergeExecutor:
             return None
         out = dfs[0]
         for d in dfs[1:]:
-            out = out.unionByName(d)
+            # additive evolution can widen one table's frame and not
+            # another's — null-fill like the merge path, never throw
+            out = out.unionByName(d, allowMissingColumns=True)
         return out
 
 
@@ -354,6 +376,10 @@ class MergeStateSink:
         self.table_col = table_col
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        # unroutable rows (NULL table_name) are skipped like
+        # ParquetStateSink does — sorted() would TypeError on None and
+        # the equality route below can never match them anyway
+        batch = batch.filter(F.col(self.table_col).isNotNull())
         winners = batch_winners(
             batch, self.pk_cols, self.id_col, self.kind_col, self.table_col
         ).persist()
