@@ -1169,6 +1169,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # max_doc_freq=None: this query IS the exact uncapped measure
         # (its oracle has no stop-shingle CTE) — eval ground truth, not
         # the production default (which caps; see dedup_ngram_jaccard_capped).
+        # It CANNOT ride jaccard_pairs_prefix: at threshold 0.01 the
+        # prefix is |X| - ceil(0.01|X|) + 1 ≈ the whole document, so the
+        # prefix index degenerates to the full index with extra
+        # verification cost. Low-threshold uncapped Jaccard is run on
+        # SAMPLE partitions at scale by contract; every registered
+        # composite and the ≥0.5-threshold eval truth (dedup_lsh_eval)
+        # ride the capped or prefix-filtered engines.
         return ngram_jaccard_pairs(_docs(spark, sf), threshold=0.01, max_doc_freq=None)
 
     def dedup_ngram_jaccard_capped_q(spark, sf):
@@ -2810,15 +2817,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         runs on a SAMPLE partition (both inputs accept any docs
         frame), which is exactly how recall is audited in practice."""
         from warp_pipe_spark.datapipe.dedup import (
+            jaccard_pairs_prefix,
             minhash_lsh_pairs,
-            ngram_jaccard_pairs,
         )
 
         docs = _docs(spark, sf)
-        # ground truth must be the EXACT uncapped Jaccard — opt out of
-        # the production stop-shingle cap explicitly (eval-only path,
-        # run on a sample partition at scale).
-        truth = ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=None).select(
+        # ground truth must be the EXACT uncapped Jaccard. The prefix-
+        # filtered engine IS that measure (result-identical to
+        # ngram_jaccard_pairs(threshold=0.5, max_doc_freq=None) by the
+        # pinned equivalence, tests/test_dedup.py) but hot boilerplate
+        # shingles never enter its index, so the truth side no longer
+        # carries the posting-list OOM exposure at scale.
+        truth = jaccard_pairs_prefix(docs, threshold=0.5).select(
             "doc_a", "doc_b"
         )
         cand = minhash_lsh_pairs(docs).select("doc_a", "doc_b")

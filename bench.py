@@ -174,6 +174,35 @@ HEADLINE = [
 ]
 
 
+def run_canary(spark) -> dict[str, float]:
+    """Fixed-cost environment calibration (VERDICT r6 item 3): the
+    round-6 driver bench ran uniformly ~1.6x the committed idle run of
+    the IDENTICAL commit — pure machine load — and proving that took
+    forensic cross-referencing of artifacts. These two probes make the
+    bench self-calibrating: their cost is pinned by construction (no
+    data dependence, no code under test), so any multiplier they show
+    vs a prior artifact is environment, and per-query numbers can be
+    normalized by it before being read as regressions.
+
+    - python_spin_sec: a deterministic single-thread integer spin —
+      pure interpreter throughput, immune to Spark/JVM state.
+    - spark_fixed_sec: a constant 32-task range-sum through the noop
+      sink — JVM task-dispatch + scheduling cost at the same fan-out
+      the real queries use.
+    """
+    t0 = time.time()
+    acc = 0
+    for i in range(5_000_000):
+        acc = (acc * 1103515245 + i) % 2147483647
+    py = round(time.time() - t0, 3)
+    t0 = time.time()
+    spark.range(0, 10_000_000, 1, 32).selectExpr(
+        "sum(id * 3 + 1) as s"
+    ).write.format("noop").mode("overwrite").save()
+    jvm = round(time.time() - t0, 3)
+    return {"python_spin_sec": py, "spark_fixed_sec": jvm}
+
+
 def split_keyset_rounds(
     per_round: list[tuple[float, int]], limit: int
 ) -> dict[str, float]:
@@ -204,6 +233,11 @@ def main() -> None:
 
     # warm the JVM + parquet footers with the flagship once
     qs["cs_replay_final_state"](spark, sf_dir).count()
+
+    # load canary AFTER warm-up (so JIT noise doesn't pollute it),
+    # re-run at the end: a loaded machine shows both probes inflated
+    # by the same multiplier the query timings carry.
+    canary_start = run_canary(spark)
 
     # noop-sink writes, not .count(): count() lets Catalyst prune the
     # aggregate/projection expressions that ARE the query's work (a
@@ -309,6 +343,8 @@ def main() -> None:
         per_round.append((time.time() - r0, applied))
     aux.update(split_keyset_rounds(per_round, poller.limit))
 
+    canary_end = run_canary(spark)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "headline_queries_total_sec",
@@ -316,6 +352,15 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "aux": aux,
+        # environment calibration: fixed-cost probes bracketing the run
+        # (see run_canary). canary_sec = the scalar to ratio against a
+        # prior artifact's canary_sec before reading per-query deltas
+        # as regressions; the start/end split shows load drift WITHIN
+        # the run.
+        "canary_sec": round(
+            canary_start["python_spin_sec"] + canary_start["spark_fixed_sec"], 3
+        ),
+        "canary": {"start": canary_start, "end": canary_end},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "timing": "noop-sink write, all output columns materialized",
     }

@@ -695,6 +695,50 @@ def test_prefix_jaccard_keeps_pairs_that_round_up_to_threshold(spark):
     assert got == want
 
 
+def test_prefix_jaccard_identical_on_mutation_corpus(spark):
+    """Seeded randomized guard for the PPJoin positional filter
+    (dedup.py jaccard_pairs_prefix): a corpus of base docs plus
+    mutated copies (token substitutions at varying rates) yields true
+    Jaccard values scattered across the threshold spectrum — exactly
+    the population where an off-by-one in the positional bound
+    ``1 + min(|A|-i, |B|-j)`` or a bound derived from t instead of
+    t_eff would silently drop boundary pairs. Prefix must equal the
+    uncapped exact index at every threshold, pair for pair."""
+    import random
+
+    from warp_pipe_spark.datapipe.dedup import jaccard_pairs_prefix
+
+    rnd = random.Random(42)
+    vocab = [f"tok{i}" for i in range(60)]
+    rows = []
+    doc_id = 0
+    for _ in range(8):
+        base = [rnd.choice(vocab) for _ in range(rnd.randint(8, 24))]
+        doc_id += 1
+        rows.append((doc_id, " ".join(base)))
+        for rate in (0.0, 0.1, 0.25, 0.5):
+            mut = [
+                rnd.choice(vocab) if rnd.random() < rate else w for w in base
+            ]
+            doc_id += 1
+            rows.append((doc_id, " ".join(mut)))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    for t in (0.5, 0.7, 0.9):
+        exact = {
+            tuple(r)
+            for r in ngram_jaccard_pairs(
+                docs, threshold=t, max_doc_freq=None
+            ).collect()
+        }
+        pref = {
+            tuple(r) for r in jaccard_pairs_prefix(docs, threshold=t).collect()
+        }
+        assert pref == exact, (t, len(pref), len(exact))
+    # sanity: the corpus actually produced qualifying pairs at the
+    # loosest threshold, so the equalities above compared real work
+    assert len(jaccard_pairs_prefix(docs, threshold=0.5).collect()) > 0
+
+
 def test_chunk_overlap_rejects_nonpositive_stride(spark):
     """stride=0 under non-ANSI semantics turns 'pos div 0' into NULL
     and explode(sequence(lo, NULL)) silently drops every row — must be

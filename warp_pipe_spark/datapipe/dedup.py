@@ -408,6 +408,22 @@ def jaccard_pairs_prefix(
     verified with the exact intersection (``array_intersect`` over the
     full hashed-shingle arrays), so there are no false positives.
 
+    Candidates additionally pass PPJoin's POSITIONAL filter (Xiao et
+    al., WWW 2008) before the verification join: for each pair, take
+    the common prefix token with the MINIMAL rank (i, j) in the two
+    documents' canonical orders. No common token can precede it — a
+    common token earlier in the total order would sit before position
+    i <= plen_a in A and before j <= plen_b in B, i.e. inside BOTH
+    prefixes, contradicting minimality — so the attainable overlap is
+    at most ``1 + min(|A| - i, |B| - j)``. Pairs whose bound cannot
+    reach the threshold's required intersection ``t·(|A|+|B|)/(1+t)``
+    (from J = I/(|A|+|B|-I) >= t solved for I, monotonic in J) are
+    pruned while still prefix-sized, before the full shingle arrays
+    are ever shipped. Because both per-doc ranks increase together
+    along the shared total order, ``min(i)`` and ``min(j)`` are
+    attained at the same token, so one groupBy — replacing the plain
+    candidate de-dup, same shuffle — computes the filter.
+
     Why this is the scale shape for the EVAL/ground-truth side (which
     must stay uncapped): hot boilerplate shingles have the highest
     doc_freq, sort LAST in the canonical order, and therefore never
@@ -444,7 +460,9 @@ def jaccard_pairs_prefix(
     # the 1e-9 guards float noise in t*|X| at exact integers: ceil may
     # only err DOWNWARD, which lengthens the prefix (always safe)
     plen = F.col("n_sh") - F.ceil(F.col("n_sh") * t_eff - 1e-9) + 1
-    prefix = ranked.filter(F.col("rnk") <= plen).select("doc_id", "n_sh", "s")
+    prefix = ranked.filter(F.col("rnk") <= plen).select(
+        "doc_id", "n_sh", "s", "rnk"
+    )
     cand = (
         prefix.alias("a")
         .join(
@@ -457,10 +475,34 @@ def jaccard_pairs_prefix(
             & (F.col("a.n_sh") + 1e-6 >= F.col("b.n_sh") * t_eff)
             & (F.col("b.n_sh") + 1e-6 >= F.col("a.n_sh") * t_eff),
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .distinct()
+        # na/nb ride the grouping as aggregates (functionally dependent
+        # on the doc ids); min(rnk_a)/min(rnk_b) land on the SAME token
+        # — the pair's first common prefix token — because both ranks
+        # increase together along the shared canonical order.
+        .agg(
+            F.first(F.col("a.n_sh")).alias("na_p"),
+            F.first(F.col("b.n_sh")).alias("nb_p"),
+            F.min(F.col("a.rnk")).alias("min_ra"),
+            F.min(F.col("b.rnk")).alias("min_rb"),
+        )
+        # positional filter: overlap <= 1 + min(|A|-i, |B|-j) (no
+        # common token precedes the minimal common prefix token — see
+        # docstring); required overlap for round(J,6) >= t is
+        # t_eff*(na+nb)/(1+t_eff), epsilon-guarded like the other
+        # bounds so integer-exact boundaries never prune on float noise
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("na_p") - F.col("min_ra"),
+                F.col("nb_p") - F.col("min_rb"),
+            )
+            + 1e-6
+            >= (F.col("na_p") + F.col("nb_p")) * t_eff / (1.0 + t_eff)
+        )
+        .select("doc_a", "doc_b")
     )
     va = arr.select(
         F.col("doc_id").alias("doc_a"),
