@@ -492,6 +492,49 @@ def capsweep_probe(spark, r: int = 100) -> int:
     return 0
 
 
+def capsweep06_probe(spark) -> int:
+    """Cap-sensitivity at the CLEANING COMPOSITE's threshold (VERDICT
+    r6 item 7): the round-6 capsweep measured recall at the eval
+    threshold 0.01; docs_clean_corpus_capped gates near-dups at 0.6
+    with cap 5, and its evidence so far cites only sf0.01. One
+    base-scale (sf0.1) retention row makes the cap-5 default
+    evidence-backed at the threshold it actually runs: exact uncapped
+    pairs at t=0.6 (via the result-identical prefix engine — the full
+    index measure, cheaper) vs the capped index, reported as true
+    intersection recall over pair KEYS plus the capped-only additions
+    (the cap removes hot shingles from the Jaccard SETS, which can add
+    pairs the exact measure rejects — a count ratio would overstate)."""
+    from warp_pipe_spark.datapipe.dedup import (
+        jaccard_pairs_prefix,
+        ngram_jaccard_pairs,
+    )
+
+    docs = read_table(spark, BASE, "documents")
+    exact = (
+        jaccard_pairs_prefix(docs, threshold=0.6)
+        .select("doc_a", "doc_b")
+        .cache()
+    )
+    n_exact = exact.count()
+    print(f"uncapped exact pairs at sf0.1, t=0.6: {n_exact:,}")
+    print("| cap | sf0.1 pairs | recall (∩/exact) | capped-only |")
+    print("|---|---|---|---|")
+    for cap in (5, 20):
+        capped = (
+            ngram_jaccard_pairs(docs, threshold=0.6, max_doc_freq=cap)
+            .select("doc_a", "doc_b")
+            .cache()
+        )
+        n_capped = capped.count()
+        n_hit = capped.join(exact, ["doc_a", "doc_b"], "left_semi").count()
+        recall = n_hit / n_exact if n_exact else float("nan")
+        print(f"| {cap} | {n_capped:,} | {recall:.3f} | {n_capped - n_hit:,} |")
+        capped.unpersist()
+        sys.stdout.flush()
+    exact.unpersist()
+    return 0
+
+
 def pagerank_probe(spark, n: int = 200_000, r: int = 10) -> int:
     """Big-graph PageRank: the registered events_pagerank runs on a
     tiny transition graph, so this confirms the generic join-agg loop
@@ -836,6 +879,8 @@ def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--capsweep":
         r = int(sys.argv[2]) if len(sys.argv) > 2 else 100
         return capsweep_probe(get_spark("scale_probe_capsweep"), r)
+    if len(sys.argv) > 1 and sys.argv[1] == "--capsweep06":
+        return capsweep06_probe(get_spark("scale_probe_capsweep06"))
     if len(sys.argv) > 1 and sys.argv[1] == "--prefixprobe":
         r = int(sys.argv[2]) if len(sys.argv) > 2 else 100
         return prefix_probe(get_spark("scale_probe_prefix"), r)
