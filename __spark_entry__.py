@@ -1179,12 +1179,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ngram_jaccard_pairs(_docs(spark, sf), threshold=0.01, max_doc_freq=None)
 
     def dedup_ngram_jaccard_capped_q(spark, sf):
-        """The production-at-scale variant (VERDICT r4 item 1): same
-        exact Jaccard, but shingles shared by more than 5 documents are
-        stop-shingles removed from the index AND the sets before any
-        posting list exists — the cap bounds both the aggregation
-        buffer and the per-shingle pair emission, which the uncapped
-        path cannot at 100 TB where boilerplate is guaranteed."""
+        """The cap-bound DEMONSTRATION fixture: same exact Jaccard,
+        but shingles shared by more than 5 documents are stop-shingles
+        removed from the index AND the sets before any posting list
+        exists — the cap bounds both the aggregation buffer and the
+        per-shingle pair emission, which the uncapped path cannot at
+        100 TB where boilerplate is guaranteed. Cap 5 here pins the
+        MECHANISM for the oracle, not a recommendation: at this
+        query's weak-overlap threshold (0.01) the round-6 capsweep
+        measured cap 5 at true recall 0.021 — production callers use
+        cap >= 20 (the --capsweep/--capsweep06 measured dial; the
+        cleaning composite runs 20) or the prefix engine for uncapped
+        semantics."""
         return ngram_jaccard_pairs(_docs(spark, sf), threshold=0.01, max_doc_freq=5)
 
     def dedup_embedding_q(spark, sf):
@@ -1240,13 +1246,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """The production cleaning pass at 100 TB (VERDICT r5 items
         4–5): identical composition to docs_clean_corpus but the
         near-dup stage runs the stop-shingle-capped index
-        (max_doc_freq=5) — shingles shared by >5 documents are dropped
-        from the index and the Jaccard sets before any posting list
-        exists, so one boilerplate header can never emit O(D²) pairs
-        or build a D-element aggregation buffer. This is the
-        configuration a boilerplate-heavy corpus actually runs; the
-        uncapped twin above stays registered as eval ground truth."""
-        return _clean_corpus(spark, sf, max_doc_freq=5)
+        (max_doc_freq=20) — shingles shared by >20 documents are
+        dropped from the index and the Jaccard sets before any posting
+        list exists, so one boilerplate header can never emit O(D²)
+        pairs or build a D-element aggregation buffer. Cap 20 is the
+        MEASURED dial (round 7, --capsweep06): at the composite's own
+        threshold 0.6 on sf0.1 it is pair-set-IDENTICAL to the exact
+        uncapped measure (recall 1.000, zero additions), where the
+        round-6 default of 5 kept only 19.5% of true near-dup pairs
+        and invented 227 set-shrink ones — and cap-5's damage GROWS
+        with corpus size as hot-shingle doc_freq crosses the cap. This
+        is the configuration a boilerplate-heavy corpus actually runs;
+        the uncapped twin above stays registered as eval ground
+        truth."""
+        return _clean_corpus(spark, sf, max_doc_freq=20)
 
     q.update(
         dedup_exact=dedup_exact_q,
@@ -3341,6 +3354,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # result-identical driver output; window full at 50, so they
         # re-earn in round 7 (45 mandatory + 3 queued = 48 of 50).
         "dedup_minhash_indexed": 7,
+        # round 7: near-dup cap flipped 5 → 20 in code AND oracle — the
+        # --capsweep06 measurement showed cap 5 keeps only 19.5% of
+        # true t=0.6 pairs at sf0.1 (cap 20: recall 1.000, 0
+        # additions). Takes the round-7 window's one spare slot.
+        "docs_clean_corpus_capped": 7,
         "cs_state_asof": 7,
         # round-6 temporal review: asof_join now excludes NULL-ts/key
         # right rows (match-identical on the testdata, which has none)
@@ -4197,16 +4215,18 @@ def oracle_sql() -> dict[str, str]:
       AND q.quality_score >= 0.6
     """
 
-    # capped composite: the docs_clean_corpus SQL with the
-    # dedup_ngram_jaccard_capped hot/filter CTEs spliced into the
-    # near-dup stage (doc_freq > 5 shingles dropped before the
-    # posting-list join; set sizes recomputed post-filter).
+    # capped composite: the docs_clean_corpus SQL with the capped
+    # hot/filter CTEs spliced into the near-dup stage (doc_freq > 20
+    # shingles dropped before the posting-list join; set sizes
+    # recomputed post-filter). Cap 20, not 5: measured pair-set-exact
+    # at the composite's threshold 0.6 on sf0.1 (--capsweep06, SCALE.md
+    # round 7) where cap 5 kept 19.5% of true pairs.
     _sh_uncapped = (
         f"sh AS (SELECT doc_id, {_H60_SQL.format(x='s0')} AS s FROM sh0),"
     )
     _sh_capped = (
         f"sh_all AS (SELECT doc_id, {_H60_SQL.format(x='s0')} AS s FROM sh0),\n"
-        "    hot AS (SELECT s FROM sh_all GROUP BY s HAVING count(*) > 5),\n"
+        "    hot AS (SELECT s FROM sh_all GROUP BY s HAVING count(*) > 20),\n"
         "    sh AS (SELECT * FROM sh_all WHERE s NOT IN (SELECT s FROM hot)),"
     )
     assert _sh_uncapped in o["docs_clean_corpus"]
