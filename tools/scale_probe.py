@@ -286,7 +286,15 @@ def hotkey_probe(spark, r: int) -> int:
     qs = entrymod.queries()
     print(f"| query | hot-base s | hot-{r}x s | ratio | verdict (ideal ≤ {r}) |")
     print("|---|---|---|---|---|")
-    for name in ("dedup_ngram_jaccard_capped", "dedup_ngram_jaccard"):
+    # uncapped runs LAST: its JVM OOM is its expected result and takes
+    # the local session down with it. docs_clean_corpus_capped is the
+    # PRODUCTION cleaning path (cap 20 since round 7) — the hot corpus
+    # is the regime its cap exists for.
+    for name in (
+        "dedup_ngram_jaccard_capped",
+        "docs_clean_corpus_capped",
+        "dedup_ngram_jaccard",
+    ):
         times = {}
         failed = None
         for label, d in dirs.items():
