@@ -393,13 +393,19 @@ def prefix_probe(spark, r: int = 100) -> int:
             read_table(spark, d, "documents"), threshold=0.5
         )
 
-    # the uncapped hot-key cell OOM-kills the executor JVM (that IS its
-    # result) and takes the local session with it — run it LAST so every
-    # other cell gets a live session
+    # Cell order carries two constraints learned the hard way:
+    # - the uncapped hot-key cell OOM-kills the executor JVM (that IS
+    #   its result) and takes the local session with it — it runs
+    #   LAST so every other cell gets a live session;
+    # - each impl's hot-10x cell runs BEFORE its Rx-decorrelated cell:
+    #   the big cell bloats the old generation and min-of-2 does not
+    #   wash the GC pressure out of a small cell timed right after it
+    #   (round 7 measured the prefix hot cell at 20.0s in-run vs 5.6s
+    #   in a fresh session purely from this).
     cells = [
         ("prefix_filtered", _prefix, "sf0.1", BASE, 1),
-        ("prefix_filtered", _prefix, f"{r}x-decorrelated", out_dir, r),
         ("prefix_filtered", _prefix, "hot-10x", hot_dir, 10),
+        ("prefix_filtered", _prefix, f"{r}x-decorrelated", out_dir, r),
         ("uncapped_full_index", _uncapped, "sf0.1", BASE, 1),
         ("uncapped_full_index", _uncapped, f"{r}x-decorrelated", out_dir, r),
         ("uncapped_full_index", _uncapped, "hot-10x", hot_dir, 10),
