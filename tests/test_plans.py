@@ -313,10 +313,24 @@ def test_clean_corpus_uncapped_rides_prefix_index(spark, qs):
     t = tree_of(p)
     assert "Window" in t, t
     assert "array_intersect" in p, p[:4000]
+    # the PPJoin positional filter (round 7) must actually be in the
+    # composed plan, not just in the source: its overlap upper bound
+    # plans as a least(na - min_rnk_a, nb - min_rnk_b) comparison on
+    # the candidate aggregate. Removing the filter would not change
+    # results (it is pure pruning) — only this pin would catch the
+    # silent 1.7x verification-cost regression.
+    assert "least(" in p, p[:4000]
+
+
+def test_bm25_stats_broadcast_and_global_topk(spark, qs):
     """BM25's corpus stats (df per query term, one-row avgdl/N) must
     join by broadcast — shuffling the (doc, term) tf agg against a
     3-row df table would be an unforced wide exchange — and the global
-    top-k must plan as TakeOrderedAndProject, not a full Sort."""
+    top-k must plan as TakeOrderedAndProject, not a full Sort.
+
+    (Round-7 repair: this body had lost its `def` line at some point
+    and was silently running inside the prefix-index test above — the
+    assertions still executed, but under the wrong test name.)"""
     df = qs["docs_bm25"](spark, SF)
     p = plan_of(spark, df)
     t = tree_of(p)
