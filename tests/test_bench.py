@@ -56,17 +56,6 @@ def test_empty_soak_emits_nothing():
 
 
 def test_run_canary_is_fixed_shape_and_positive(spark):
-    # the canary's VALUE is its contract: two fixed-cost probes, both
-    # strictly positive, no data dependence — the artifact consumer
-    # ratios them against a prior run's to detect machine load.
-    from bench import run_canary
-
-    c = run_canary(spark)
-    assert set(c) == {"python_spin_sec", "spark_fixed_sec"}
-    assert all(isinstance(v, float) and v > 0 for v in c.values())
-
-
-def test_run_canary_is_fixed_shape_and_positive(spark):
     # the canary's value is its CONTRACT: two fixed-cost probes, both
     # strictly positive, no data dependence — the artifact consumer
     # ratios them against a prior run's to detect machine load.
