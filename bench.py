@@ -4,6 +4,15 @@
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit":
 "sec", "queries": {name: sec}, "sf": ...}.
 
+Environment calibration (round 7): the artifact carries `canary_sec`
+plus a start/end `canary` dict — two fixed-cost probes (pure-Python
+spin + constant 32-task Spark job, see run_canary) bracketing the run.
+Idle reference on the build machine: ~1.4s total. Before reading any
+per-query delta between two artifacts as a regression, ratio their
+canaries: round 6's driver run was uniformly ~1.6x its idle twin from
+machine load alone, and proving that required forensic
+cross-referencing this field now replaces.
+
 Timing methodology changed in round 4 (the "timing" field records it):
 rounds 1-3 timed .count(), which lets Catalyst PRUNE the aggregate and
 projection expressions that are the query's actual work — a groupBy
