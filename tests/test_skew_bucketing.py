@@ -43,6 +43,27 @@ def test_salted_agg_matches_plain_groupby(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_salted_agg_count_of_column_skips_nulls(spark):
+    """(count, col) must follow SQL count semantics — non-NULL values
+    only — matching a plain groupBy. The old partial hard-coded
+    count(lit(1)), silently returning ROW count for nullable input."""
+    df = spark.createDataFrame(
+        [(1, 10), (1, None), (1, 20), (2, None), (2, None)],
+        "k LONG, v LONG",
+    )
+    got = {
+        (r.k, r.n_rows, r.n_vals)
+        for r in salted_agg(
+            df,
+            ["k"],
+            {"n_rows": ("count", None), "n_vals": ("count", "v")},
+            n_salt=4,
+            salt_on=["k", "v"],
+        ).collect()
+    }
+    assert got == {(1, 3, 2), (2, 2, 0)}
+
+
 def test_salted_agg_rejects_non_mergeable(spark):
     ev = read_table(spark, SF, "events")
     with pytest.raises(ValueError, match="non-mergeable"):

@@ -29,10 +29,15 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# measure -> (partial agg, final merge agg) for mergeable aggregates
+# measure -> (partial agg, final merge agg) for mergeable aggregates.
+# count's partial is F.count of the actual input: (count, None) counts
+# rows (the call site substitutes lit(1)), (count, col) counts
+# NON-NULL values of col — standard SQL count semantics. An earlier
+# revision hard-coded count(lit(1)), which silently returned ROW count
+# for a nullable column.
 _MERGE = {
     "sum": (F.sum, F.sum),
-    "count": (lambda c: F.count(F.lit(1)), F.sum),
+    "count": (F.count, F.sum),
     "min": (F.min, F.min),
     "max": (F.max, F.max),
 }
