@@ -3382,6 +3382,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semdedup_auto": 8,
         "docs_pii_scrub": 8,
         "docs_bigram_ppl": 8,
+        # round-7 filters review: ignore_tables is NULL-safe (a NULL
+        # schema/table row matches no pattern so ignore KEEPS it; the
+        # bare ~match dropped it via three-valued logic). Identical on
+        # the NULL-free testdata; r6-green, so the re-earn queues for
+        # round 8 (r8 load: 43 stale-mandatory + this = 44 of 50).
+        "cs_whitelist_ignore": 8,
     }
 
     import glob as _glob

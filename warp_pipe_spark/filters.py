@@ -68,7 +68,15 @@ def ignore_tables(
     schema_col: str = "schema_name",
     table_col: str = "table_name",
 ) -> DataFrame:
-    """P3: drop matching tables. Apply after whitelist so ignore wins."""
+    """P3: drop matching tables. Apply after whitelist so ignore wins.
+
+    NULL-safe: a row with NULL schema/table does not MATCH any pattern,
+    so ignore must KEEP it (three-valued logic would evaluate ~NULL =
+    NULL and silently drop it — the inverse of whitelist semantics,
+    where a NULL row correctly fails to match and is dropped). Malformed
+    rows are the dead-letter path's job, not a filter side effect."""
     if not patterns:
         return df
-    return df.filter(~table_match(patterns, schema_col, table_col))
+    return df.filter(
+        ~F.coalesce(table_match(patterns, schema_col, table_col), F.lit(False))
+    )
