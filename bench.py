@@ -246,6 +246,7 @@ def main() -> None:
     # load canary AFTER warm-up (so JIT noise doesn't pollute it),
     # re-run at the end: a loaded machine shows both probes inflated
     # by the same multiplier the query timings carry.
+    loadavg_start = os.getloadavg()
     canary_start = run_canary(spark)
 
     # noop-sink writes, not .count(): count() lets Catalyst prune the
@@ -370,6 +371,15 @@ def main() -> None:
             canary_start["python_spin_sec"] + canary_start["spark_fixed_sec"], 3
         ),
         "canary": {"start": canary_start, "end": canary_end},
+        # direct OS-level load evidence next to the behavioral canary:
+        # (1m, 5m, 15m) run-queue averages at run start and end. An
+        # idle 32-core box shows ~32 only if THIS bench saturates it;
+        # a canary inflation with loadavg far above ~32 is competing
+        # work, with loadavg near it is this process's own contention.
+        "loadavg": {
+            "start": [round(x, 2) for x in loadavg_start],
+            "end": [round(x, 2) for x in os.getloadavg()],
+        },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "timing": "noop-sink write, all output columns materialized",
     }
