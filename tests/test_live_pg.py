@@ -72,12 +72,25 @@ def live(tmp_path):
     try:
         yield ctl, rep, tbl
     finally:
-        for cleanup in (
-            lambda: ctl._simple_query(f"DROP TABLE IF EXISTS {tbl}"),
-            rep.drop_slot,
-            ctl.close,
-            rep.close,
-        ):
+        try:
+            ctl._simple_query(f"DROP TABLE IF EXISTS {tbl}")
+        except Exception:
+            pass
+        try:
+            rep.drop_slot()
+        except Exception:
+            # the rep session may be desynchronized (an idle-timeout
+            # drain abandons CopyBoth mid-stream): closing it releases
+            # the slot's active claim, then ctl can drop it
+            try:
+                rep.close()
+            except Exception:
+                pass
+            try:
+                ctl._simple_query(f"DROP_REPLICATION_SLOT {rep.slot}")
+            except Exception:
+                pass
+        for cleanup in (ctl.close, rep.close):
             try:
                 cleanup()
             except Exception:
@@ -95,15 +108,19 @@ def test_identify_system_reports_a_real_lsn(live):
 
 def test_slot_lifecycle_create_is_idempotent_then_drops(live):
     ctl, rep, _ = live
+    # a FRESH slot (the fixture name is unique per run) must return a
+    # concrete consistent-point LSN — None here would mean the slot
+    # pre-existed or the row was malformed, and would silently turn
+    # the cross-recreation comparison below into `is not None`
     lsn = rep.create_slot()
-    assert lsn is None or lsn > 0
+    assert lsn is not None and lsn > 0, lsn
     # second create with if_not_exists returns None instead of raising
     assert rep.create_slot(if_not_exists=True) is None
     rep.drop_slot()
     # slot is really gone: a fresh create succeeds again with a
     # consistent point at or past the first one
     lsn2 = rep.create_slot()
-    assert lsn2 is not None and (lsn is None or lsn2 >= lsn)
+    assert lsn2 is not None and lsn2 >= lsn
 
 
 def test_tail_delivers_wal2json_changes_to_drop_dir(live, tmp_path):
@@ -123,11 +140,15 @@ def test_tail_delivers_wal2json_changes_to_drop_dir(live, tmp_path):
         f"DELETE FROM {tbl} WHERE id = 1"
     )
     drop = str(tmp_path / "drop")
-    # wal2json default format = one document per transaction; the DML
-    # above is 3 transactions (simple-query sends each statement list
-    # as one implicit transaction per statement group — bound the tail
-    # by messages so it terminates regardless of batching)
-    n = tail_to_drop_dir(rep, drop, batch_rows=1, max_messages=10)
+    # wal2json default format = one document per transaction, and the
+    # whole multi-statement simple query above runs as ONE implicit
+    # transaction — so expect as few as a single document, never the
+    # max_messages bound. max_messages=10 is only the upper guard;
+    # idle_timeout_s is what terminates the drain (ADVICE r7: without
+    # it the tail blocked forever waiting for a 10th message)
+    n = tail_to_drop_dir(
+        rep, drop, batch_rows=1, max_messages=10, idle_timeout_s=10.0
+    )
     assert n >= 1
     kinds: list[str] = []
     rows_seen: set[tuple] = set()

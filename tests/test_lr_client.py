@@ -8,9 +8,11 @@ pglogrepl (lr_listener.go:92-185, 257-299)."""
 from __future__ import annotations
 
 import json
+import os
 import socket
 import struct
 import threading
+import time
 
 import pytest
 
@@ -33,10 +35,16 @@ class FakeWalsender:
     """One-connection fake Postgres in walsender mode."""
 
     def __init__(self, payloads: list[bytes], auth_code: int = 0,
-                 keepalive_every: int = 2):
+                 keepalive_every: int = 2,
+                 hang_silent_after_payloads: bool = False):
         self.payloads = payloads
         self.auth_code = auth_code
         self.keepalive_every = keepalive_every
+        # simulate an idle real server: after delivering the payloads,
+        # send NOTHING (no CopyDone, no keepalives) — the scenario where
+        # a max_messages-bounded drain waits forever for a message that
+        # never comes. Client standby statuses are still absorbed.
+        self.hang_silent_after_payloads = hang_silent_after_payloads
         self.standby_lsns: list[int] = []
         self.created_slots: list[str] = []
         self.dropped_slots: list[str] = []
@@ -158,6 +166,13 @@ class FakeWalsender:
                 )
                 assert written == flushed == applied
                 self.standby_lsns.append(flushed)
+        if self.hang_silent_after_payloads:
+            self.max_delivered_lsn = lsn
+            try:
+                while True:  # absorb client traffic, reply with silence
+                    self._read_client(c)
+            except ConnectionError:
+                return
         c.sendall(_msg(b"c", b""))  # CopyDone
         while True:  # drain queued unsolicited standby statuses
             t, body = self._read_client(c)
@@ -295,3 +310,38 @@ def test_tail_to_drop_dir_feeds_wal2json_stream(spark, tmp_path):
     assert {(r["id"], r["kind"], r["table"], r["pk"]) for r in rows} == {
         (i, "insert", "users", str(i)) for i in range(1, 8)
     }
+
+
+def test_tail_idle_timeout_terminates_bounded_drain(tmp_path):
+    """ADVICE r7: max_messages only bounds the drain from above — a
+    server that delivers fewer documents and then goes silent (one
+    implicit transaction for a whole multi-statement simple query is
+    the live-PG shape) left the tail blocked forever on a socket with
+    no timeout. idle_timeout_s is the lower-bound exit: the drain
+    returns once the wire is silent, with every delivered payload on
+    disk and its LSN confirmed."""
+    srv = FakeWalsender(
+        WAL2JSON_DOCS[:3], keepalive_every=100,
+        hang_silent_after_payloads=True,
+    )
+    c = LRClient("127.0.0.1", srv.port, "testdb", "u", "wp_slot",
+                 status_interval_s=999.0)
+    c.connect()
+    c.create_slot()
+    drop = str(tmp_path / "drop")
+    t0 = time.monotonic()
+    n = tail_to_drop_dir(
+        c, drop, batch_rows=2, max_messages=10, idle_timeout_s=0.5
+    )
+    elapsed = time.monotonic() - t0
+    assert n == 3, n  # all delivered messages consumed, then idle-exit
+    assert elapsed < 5.0, elapsed
+    lines = []
+    for fn in sorted(os.listdir(drop)):
+        with open(os.path.join(drop, fn), "rb") as f:
+            lines += f.read().splitlines()
+    # the final PARTIAL batch (1 of 2 rows) was flushed by the timeout
+    # path, not lost waiting for batch_rows
+    assert lines == WAL2JSON_DOCS[:3]
+    c.close()
+    srv.thread.join(5)

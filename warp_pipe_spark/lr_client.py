@@ -321,6 +321,7 @@ def tail_to_drop_dir(
     start_lsn: int = 0,
     batch_rows: int = 1000,
     max_messages: int | None = None,
+    idle_timeout_s: float | None = None,
 ) -> int:
     """Bridge the socket stream into the Structured Streaming source
     contract: buffer XLogData payloads, write each batch as one JSONL
@@ -328,7 +329,19 @@ def tail_to_drop_dir(
     a torn file), and confirm the batch's end LSN ONLY after the rename
     — crash-redelivery is bounded by one batch and absorbed by the
     idempotent downstream. Returns messages consumed (for tests /
-    bounded drains)."""
+    bounded drains).
+
+    `max_messages` only bounds the drain from ABOVE — if the WAL
+    produces fewer documents than the bound (wal2json batches a whole
+    multi-statement implicit transaction into ONE document; keepalives
+    don't count), a drain waiting for the Nth message blocks forever on
+    an idle server. `idle_timeout_s` is the matching lower-bound exit:
+    stop cleanly (flushing and confirming the buffered batch) once the
+    socket has been silent that long — "nothing new for N seconds" IS
+    the done signal for one-shot backfills and tests. The stop abandons
+    CopyBoth mid-stream, so treat the client session as consumed:
+    close it rather than reusing it for more walsender SQL (a slot drop
+    needs a fresh connection, which also releases this one's claim)."""
     os.makedirs(drop_dir, exist_ok=True)
     buf: list[bytes] = []
     hi_lsn = start_lsn
@@ -350,25 +363,40 @@ def tail_to_drop_dir(
         if confirm:
             client.send_standby_status(hi_lsn)
 
+    sock = client._conn.sock if client._conn else None
+    prev_timeout = sock.gettimeout() if sock is not None else None
+    if idle_timeout_s is not None and sock is not None:
+        sock.settimeout(idle_timeout_s)
     try:
-        for msg in client.start(start_lsn):
-            if isinstance(msg, XLogData):
-                buf.append(msg.payload)
-                # confirm the end of the RECEIVED message (wal_start +
-                # payload length), never XLogData.wal_end: that field is
-                # ServerWALEnd — the server's current WAL head, which
-                # can be far past what this client has been sent.
-                # Confirming it advances the slot's confirmed_flush_lsn
-                # over transactions never delivered; a restart then
-                # skips them forever (permanent data loss).
-                hi_lsn = max(hi_lsn, msg.wal_start + len(msg.payload))
-                n_seen += 1
-                if len(buf) >= batch_rows:
-                    flush()
-                if max_messages is not None and n_seen >= max_messages:
-                    break
+        try:
+            for msg in client.start(start_lsn):
+                if isinstance(msg, XLogData):
+                    buf.append(msg.payload)
+                    # confirm the end of the RECEIVED message (wal_start +
+                    # payload length), never XLogData.wal_end: that field is
+                    # ServerWALEnd — the server's current WAL head, which
+                    # can be far past what this client has been sent.
+                    # Confirming it advances the slot's confirmed_flush_lsn
+                    # over transactions never delivered; a restart then
+                    # skips them forever (permanent data loss).
+                    hi_lsn = max(hi_lsn, msg.wal_start + len(msg.payload))
+                    n_seen += 1
+                    if len(buf) >= batch_rows:
+                        flush()
+                    if max_messages is not None and n_seen >= max_messages:
+                        break
+        except TimeoutError:
+            # socket.timeout is TimeoutError since 3.10; only swallow
+            # it when the caller OPTED INTO the idle-exit contract
+            if idle_timeout_s is None:
+                raise
         flush()
     finally:
+        if idle_timeout_s is not None and sock is not None:
+            try:
+                sock.settimeout(prev_timeout)
+            except OSError:
+                pass
         if buf:
             # after a stream error the socket may be dead: the batch
             # FILE is what must not be lost — write it, but skip the
