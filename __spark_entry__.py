@@ -1074,14 +1074,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def events_heavy_hitters(spark, sf):
         """Top-20 spenders via the skew-safe path: two-stage salted
         aggregation (hot keys spread over 16 sub-groups before the
-        merge) + TakeOrdered top-k (no global sort)."""
+        merge) + TakeOrdered top-k (no global sort).
+
+        n_big exercises the (count, col) measure on a NULLABLE column
+        (cents >= 1000, else NULL — the testdata has no raw NULLs, so
+        the nullable input is derived): SQL count semantics say count
+        non-NULL values only. A relapse of the count(lit(1)) partial
+        (skew.py round-7 fix) would return each user's ROW count here
+        and hash-mismatch against the oracle's count(CASE...)."""
         from warp_pipe_spark.skew import salted_agg, top_k
 
-        ev = read_table(spark, sf, "events").withColumn("cents", _CENTS("value"))
+        ev = (
+            read_table(spark, sf, "events")
+            .withColumn("cents", _CENTS("value"))
+            .withColumn(
+                "big_cents", F.when(F.col("cents") >= 1000, F.col("cents"))
+            )
+        )
         g = salted_agg(
             ev,
             ["user_id"],
-            {"total_cents": ("sum", "cents"), "n_events": ("count", None)},
+            {
+                "total_cents": ("sum", "cents"),
+                "n_events": ("count", None),
+                "n_big": ("count", "big_cents"),
+            },
             n_salt=16,
         )
         return top_k(g, [F.col("total_cents").desc(), F.col("user_id").asc()], 20)
@@ -3388,6 +3405,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the NULL-free testdata; r6-green, so the re-earn queues for
         # round 8 (r8 load: 43 stale-mandatory + this = 44 of 50).
         "cs_whitelist_ignore": 8,
+        # round 8 (VERDICT r7 #2): the query gained n_big — a
+        # (count, col) measure over a DERIVED nullable column, the
+        # oracle row that makes the skew.py count(lit(1)) relapse
+        # detectable by the driver (code AND oracle changed together).
+        "events_heavy_hitters": 8,
     }
 
     import glob as _glob
@@ -3910,7 +3932,9 @@ def oracle_sql() -> dict[str, str]:
     o["events_heavy_hitters"] = """
     SELECT user_id,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
-           count(*) AS n_events
+           count(*) AS n_events,
+           count(CASE WHEN CAST(round(value * 100) AS BIGINT) >= 1000
+                      THEN 1 END) AS n_big
     FROM events GROUP BY user_id
     ORDER BY total_cents DESC, user_id ASC LIMIT 20
     """
