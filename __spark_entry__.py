@@ -1190,9 +1190,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix is |X| - ceil(0.01|X|) + 1 ≈ the whole document, so the
         # prefix index degenerates to the full index with extra
         # verification cost. Low-threshold uncapped Jaccard is run on
-        # SAMPLE partitions at scale by contract; every registered
-        # composite and the ≥0.5-threshold eval truth (dedup_lsh_eval)
-        # ride the capped or prefix-filtered engines.
+        # SAMPLE partitions at scale by contract — since round 8 that
+        # contract is ENFORCED in code (inputs past UNCAPPED_MAX_DOCS
+        # raise; dedup.py:_require_sample_bounded), not docstring-only;
+        # every registered composite and the ≥0.5-threshold eval truth
+        # (dedup_lsh_eval) ride the capped or prefix-filtered engines.
         return ngram_jaccard_pairs(_docs(spark, sf), threshold=0.01, max_doc_freq=None)
 
     def dedup_ngram_jaccard_capped_q(spark, sf):
@@ -3348,9 +3350,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-filtered engine (oracle unchanged) on top of the
         # oracle DECIMAL->DOUBLE cast
         "docs_clean_corpus": 6,
-        # round 6: now opts out of DEFAULT_MAX_DOC_FREQ explicitly;
-        # also touched in round 5 without a driver re-earn
-        "dedup_ngram_jaccard": 6,
         # touched in round 5; the r05 window was consumed by that
         # round's 50 registrations, so they re-earn now
         "cs_keyset_poll_stream": 6,
@@ -3410,6 +3409,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle row that makes the skew.py count(lit(1)) relapse
         # detectable by the driver (code AND oracle changed together).
         "events_heavy_hitters": 8,
+        # round 8 (VERDICT r7 #3): its live path now runs the enforced
+        # sample-partition guard (_require_sample_bounded limit-probe)
+        # before building the uncapped index — results identical
+        # (fixture SFs sit far under the bound), code string changed.
+        # (Replaces this key's expired round-6 tag — one literal per
+        # key; the AST hygiene scan rejects duplicate dict keys.)
+        "dedup_ngram_jaccard": 8,
     }
 
     import glob as _glob

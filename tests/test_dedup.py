@@ -233,6 +233,36 @@ def test_embedding_all_pairs_guard_refuses_unbounded_input(spark):
     assert embedding_near_dup_pairs(df.limit(3), max_rows=10).count() == 3
 
 
+def test_uncapped_ngram_guard_refuses_unbounded_input(spark):
+    """VERDICT r7 #3: the uncapped (max_doc_freq=None) pair family is
+    a sample-partition operation BY ENFORCED CODE, mirroring the
+    embedding all-pairs guard — not a docstring promise. Capped calls
+    are exempt (the cap already bounds every posting list), and the
+    bound is an explicit dial."""
+    from pyspark.sql import functions as F
+
+    from warp_pipe_spark.datapipe.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta text "), F.col("id")).alias(
+            "text"
+        ),
+    )
+    for fn in (ngram_jaccard_pairs, ngram_containment_pairs):
+        with pytest.raises(ValueError, match="sample partitions"):
+            fn(docs, max_doc_freq=None, max_rows=10)
+        # the same oversized input is FINE with a cap — no probe, no raise
+        fn(docs, max_doc_freq=5, max_rows=10).count()
+        # bounded input passes through uncapped
+        fn(docs.limit(3), max_doc_freq=None, max_rows=10).count()
+        # explicit waiver for a knowingly-bounded audit block
+        fn(docs, max_doc_freq=None, max_rows=None).count()
+
+
 def test_bucket_pairs_max_bucket_drops_degenerate_buckets(spark):
     # VERDICT r4 item 1: a bucket key shared corpus-wide must be
     # droppable BEFORE its posting list exists — pairs from buckets

@@ -324,12 +324,47 @@ def _shingle_pair_counts(
 #: oracle ground truth) opt out explicitly with ``max_doc_freq=None``.
 DEFAULT_MAX_DOC_FREQ = 1000
 
+#: Enforced input bound for UNCAPPED (``max_doc_freq=None``) calls into
+#: the pair family. The uncapped inverted index is quadratic in the
+#: hottest shingle's document frequency, and at corpus scale
+#: boilerplate makes a corpus-wide hot shingle a certainty — so the
+#: uncapped measure is a SAMPLE-PARTITION operation by contract
+#: (offline recall evals, oracle ground truth on audit samples). The
+#: document count is the enforceable proxy for that contract: it
+#: upper-bounds every posting list (df(s) <= n_docs) and therefore the
+#: pair blow-up, and checking it costs one bounded limit() probe.
+#: Mirrors `embedding_near_dup_pairs`' enforced max_rows — the
+#: analogous all-pairs path — rather than a docstring-only promise.
+UNCAPPED_MAX_DOCS = 100_000
+
+
+def _require_sample_bounded(
+    docs: DataFrame, max_rows: int | None, what: str
+) -> None:
+    """Raise when an uncapped-semantics input exceeds the sample-
+    partition bound. The probe is limit(max_rows+1).count() — rejecting
+    a 10^9-row input must not itself pay a full-corpus count."""
+    if max_rows is None:
+        return
+    if docs.limit(max_rows + 1).count() > max_rows:
+        raise ValueError(
+            f"{what} with max_doc_freq=None is the uncapped exact "
+            f"measure — quadratic in the hottest shingle's document "
+            f"frequency — and is bounded to sample partitions of at "
+            f"most max_rows={max_rows} documents. For corpus-scale "
+            f"inputs use the capped index (max_doc_freq=), the prefix-"
+            f"filtered engine (jaccard_pairs_prefix, thresholds >= 0.5) "
+            f"or MinHash-LSH; pass a larger max_rows (or max_rows=None) "
+            f"only for an explicitly bounded audit block"
+        )
+
 
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.01,
     max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    max_rows: int | None = UNCAPPED_MAX_DOCS,
 ) -> DataFrame:
     """Exact n-gram Jaccard over inverted-index candidate pairs:
     J = |A∩B| / (|A|+|B|-|A∩B|). Output (doc_a, doc_b, inter,
@@ -339,7 +374,13 @@ def ngram_jaccard_pairs(
     The default cap (DEFAULT_MAX_DOC_FREQ) makes the production path
     boilerplate-safe out of the box; pass ``max_doc_freq=None`` for
     the exact uncapped measure (eval ground truth only — it is
-    quadratic in the hottest shingle's document frequency)."""
+    quadratic in the hottest shingle's document frequency). The
+    uncapped path is ENFORCED to sample-partition inputs: more than
+    `max_rows` documents raise (see UNCAPPED_MAX_DOCS) instead of
+    building an unbounded posting index; `max_rows` is ignored when a
+    cap is set, since the cap already bounds every posting list."""
+    if max_doc_freq is None:
+        _require_sample_bounded(docs, max_rows, "ngram_jaccard_pairs")
     inter = _shingle_pair_counts(docs, n, max_doc_freq)
     j = inter.withColumn(
         "jaccard",
@@ -359,6 +400,7 @@ def ngram_containment_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    max_rows: int | None = UNCAPPED_MAX_DOCS,
 ) -> DataFrame:
     """ASYMMETRIC set containment over the same inverted index:
     c(A⊂B) = |A∩B| / |A| — the decontamination/quote-detection signal
@@ -367,8 +409,10 @@ def ngram_containment_pairs(
     audits and FineWeb-style decontamination gate on exactly this).
     Emits pairs where EITHER direction clears `threshold`:
     (doc_a, doc_b, inter, cont_a_in_b, cont_b_in_a). Identical plan
-    shape and stop-shingle cap as ngram_jaccard_pairs — one extra
-    projection, no new shuffle."""
+    shape, stop-shingle cap, and uncapped sample-partition bound as
+    ngram_jaccard_pairs — one extra projection, no new shuffle."""
+    if max_doc_freq is None:
+        _require_sample_bounded(docs, max_rows, "ngram_containment_pairs")
     inter = _shingle_pair_counts(docs, n, max_doc_freq)
     c = inter.select(
         "doc_a",
