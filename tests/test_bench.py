@@ -55,6 +55,44 @@ def test_empty_soak_emits_nothing():
     assert split_keyset_rounds([], limit=100) == {}
 
 
+def test_plan_runs_retimes_only_the_sub_threshold_bulk():
+    # jitter control contract (VERDICT r8 #1): a fast query gets a
+    # second timed run (min recorded); at/over the threshold stays
+    # single-shot — the jitter is noise within rounding there and the
+    # rerun would double multi-second wall clock for nothing.
+    from bench import RETIME_THRESHOLD_SEC, plan_runs
+
+    assert plan_runs("docs_bm25", 0.4) == 2
+    assert plan_runs("docs_bm25", RETIME_THRESHOLD_SEC - 0.001) == 2
+    assert plan_runs("docs_bm25", RETIME_THRESHOLD_SEC) == 1
+    assert plan_runs("docs_bm25", 10.0) == 1
+
+
+def test_plan_runs_soak_fixtures_are_always_single_shot():
+    # sink/soak fixtures commit real state per call: a rerun times a
+    # DIFFERENT workload (fresh tempdir), so min-of-2 is undefined —
+    # they stay single-shot even if a run somehow lands under the
+    # threshold.
+    from bench import SINGLE_SHOT, plan_runs
+
+    assert SINGLE_SHOT == {
+        "cs_keyset_poll_stream",
+        "cs_state_asof",
+        "ann_ivf_indexed",
+        "dedup_minhash_indexed",
+    }
+    for name in SINGLE_SHOT:
+        assert plan_runs(name, 0.1) == 1
+
+
+def test_single_shot_names_are_registered_headline_queries():
+    # guard against a rename in queries() silently orphaning an entry
+    # in SINGLE_SHOT (it would quietly start being re-timed)
+    from bench import HEADLINE, SINGLE_SHOT
+
+    assert SINGLE_SHOT <= set(HEADLINE)
+
+
 def test_run_canary_is_fixed_shape_and_positive(spark):
     # the canary's value is its CONTRACT: two fixed-cost probes, both
     # strictly positive, no data dependence — the artifact consumer
