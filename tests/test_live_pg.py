@@ -81,15 +81,36 @@ def live(tmp_path):
         except Exception:
             # the rep session may be desynchronized (an idle-timeout
             # drain abandons CopyBoth mid-stream): closing it releases
-            # the slot's active claim, then ctl can drop it
+            # the slot's active claim, then ctl can drop it. The
+            # server-side walsender releases the claim ASYNCHRONOUSLY
+            # after the close, so a single immediate drop can fail
+            # with "slot is in use" — retry briefly rather than
+            # leaking a slot (which retains WAL indefinitely) on a
+            # failed run (ADVICE r8).
             try:
                 rep.close()
             except Exception:
                 pass
-            try:
-                ctl._simple_query(f"DROP_REPLICATION_SLOT {rep.slot}")
-            except Exception:
-                pass
+            for attempt in range(5):
+                try:
+                    ctl._simple_query(
+                        f"DROP_REPLICATION_SLOT {rep.slot} WAIT"
+                    )
+                    break
+                except Exception:
+                    # WAIT needs PG13+; older servers reject the
+                    # keyword — fall back to the bare drop on the
+                    # next lines, and sleep between attempts so the
+                    # walsender has time to release the claim
+                    try:
+                        ctl._simple_query(
+                            f"DROP_REPLICATION_SLOT {rep.slot}"
+                        )
+                        break
+                    except Exception:
+                        if attempt == 4:
+                            break
+                        time.sleep(0.5)
         for cleanup in (ctl.close, rep.close):
             try:
                 cleanup()

@@ -36,7 +36,8 @@ class FakeWalsender:
 
     def __init__(self, payloads: list[bytes], auth_code: int = 0,
                  keepalive_every: int = 2,
-                 hang_silent_after_payloads: bool = False):
+                 hang_silent_after_payloads: bool = False,
+                 partial_frame_then_hang: bool = False):
         self.payloads = payloads
         self.auth_code = auth_code
         self.keepalive_every = keepalive_every
@@ -45,6 +46,10 @@ class FakeWalsender:
         # a max_messages-bounded drain waits forever for a message that
         # never comes. Client standby statuses are still absorbed.
         self.hang_silent_after_payloads = hang_silent_after_payloads
+        # simulate a SLOW (not idle) server: after the payloads, send
+        # the first bytes of a next frame and then stall mid-frame —
+        # the wire has traffic, so an idle-exit would silently drop it.
+        self.partial_frame_then_hang = partial_frame_then_hang
         self.standby_lsns: list[int] = []
         self.created_slots: list[str] = []
         self.dropped_slots: list[str] = []
@@ -166,6 +171,15 @@ class FakeWalsender:
                 )
                 assert written == flushed == applied
                 self.standby_lsns.append(flushed)
+        if self.partial_frame_then_hang:
+            # type byte + 2 of the 4 length bytes: a frame has STARTED
+            self.max_delivered_lsn = lsn
+            c.sendall(b"d" + struct.pack("!i", 64)[:2])
+            try:
+                while True:  # absorb client traffic, reply with silence
+                    self._read_client(c)
+            except ConnectionError:
+                return
         if self.hang_silent_after_payloads:
             self.max_delivered_lsn = lsn
             try:
@@ -342,6 +356,40 @@ def test_tail_idle_timeout_terminates_bounded_drain(tmp_path):
             lines += f.read().splitlines()
     # the final PARTIAL batch (1 of 2 rows) was flushed by the timeout
     # path, not lost waiting for batch_rows
+    assert lines == WAL2JSON_DOCS[:3]
+    c.close()
+    srv.thread.join(5)
+
+
+def test_tail_partial_frame_timeout_raises_not_idle(tmp_path):
+    """ADVICE r8: "silent for N seconds" must mean NO byte of a next
+    frame — a server that starts a frame and then stalls mid-frame is
+    slow, not idle, and the stalled frame's bytes are unrecoverable.
+    The idle-exit path must NOT swallow that timeout (it would report a
+    clean drain having silently dropped a frame); it raises, and the
+    already-delivered payloads still reach disk via the
+    unconfirmed-flush path in the finally block."""
+    srv = FakeWalsender(
+        WAL2JSON_DOCS[:3], keepalive_every=100,
+        partial_frame_then_hang=True,
+    )
+    c = LRClient("127.0.0.1", srv.port, "testdb", "u", "wp_slot",
+                 status_interval_s=999.0)
+    c.connect()
+    c.create_slot()
+    drop = str(tmp_path / "drop")
+    with pytest.raises(TimeoutError):
+        tail_to_drop_dir(
+            c, drop, batch_rows=100, max_messages=10, idle_timeout_s=0.5
+        )
+    # the mid-frame state is visible on the connection object
+    assert c._conn.frame_bytes > 0
+    lines = []
+    for fn in sorted(os.listdir(drop)):
+        with open(os.path.join(drop, fn), "rb") as f:
+            lines += f.read().splitlines()
+    # batch_rows=100 means nothing flushed during the stream — the
+    # finally-path flush(confirm=False) preserved all delivered rows
     assert lines == WAL2JSON_DOCS[:3]
     c.close()
     srv.thread.join(5)

@@ -384,8 +384,16 @@ def prefix_probe(spark, r: int = 100) -> int:
         build_hotkey(spark, hot_dir, 10)
 
     def _uncapped(d):
+        # max_rows=None is the explicit audit waiver (dedup.py
+        # UNCAPPED_MAX_DOCS): this probe's whole point is measuring the
+        # uncapped full index at corpus scale — the Rx-decorrelated
+        # cell (r*5000 docs > 100k) must run, and the hot-10x cell's
+        # OOM must be the INDEX blowing up, not the guard raising.
         return ngram_jaccard_pairs(
-            read_table(spark, d, "documents"), threshold=0.5, max_doc_freq=None
+            read_table(spark, d, "documents"),
+            threshold=0.5,
+            max_doc_freq=None,
+            max_rows=None,
         )
 
     def _prefix(d):

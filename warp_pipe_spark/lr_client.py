@@ -82,20 +82,35 @@ class _Conn:
 
     def __init__(self, sock: socket.socket):
         self.sock = sock
+        #: bytes of the CURRENT in-flight message received so far; 0
+        #: between complete messages. Lets an idle-timeout consumer
+        #: distinguish "no next frame has started" (genuinely idle)
+        #: from "a frame is half-received" (slow wire, NOT idle — the
+        #: partial bytes are unrecoverable, so exiting 'cleanly' there
+        #: would silently drop a frame).
+        self.frame_bytes = 0
 
     def _recv_exact(self, n: int) -> bytes:
         buf = b""
         while len(buf) < n:
-            chunk = self.sock.recv(n - len(buf))
+            try:
+                chunk = self.sock.recv(n - len(buf))
+            except TimeoutError:
+                self.frame_bytes += len(buf)
+                raise
             if not chunk:
                 raise ProtocolError("connection closed mid-message")
             buf += chunk
+        self.frame_bytes += n
         return buf
 
     def read_message(self) -> tuple[bytes, bytes]:
+        self.frame_bytes = 0
         t = self._recv_exact(1)
         (ln,) = struct.unpack("!i", self._recv_exact(4))
-        return t, self._recv_exact(ln - 4)
+        body = self._recv_exact(ln - 4)
+        self.frame_bytes = 0
+        return t, body
 
     def send(self, type_byte: bytes, body: bytes) -> None:
         self.sock.sendall(type_byte + struct.pack("!i", len(body) + 4) + body)
@@ -338,7 +353,10 @@ def tail_to_drop_dir(
     an idle server. `idle_timeout_s` is the matching lower-bound exit:
     stop cleanly (flushing and confirming the buffered batch) once the
     socket has been silent that long — "nothing new for N seconds" IS
-    the done signal for one-shot backfills and tests. The stop abandons
+    the done signal for one-shot backfills and tests. Idle means NO
+    byte of a next frame has arrived (`_Conn.frame_bytes == 0`): a
+    timeout mid-frame is a slow wire, not an idle one, and raises
+    rather than silently dropping the partial frame. The stop abandons
     CopyBoth mid-stream, so treat the client session as consumed:
     close it rather than reusing it for more walsender SQL (a slot drop
     needs a fresh connection, which also releases this one's claim)."""
@@ -387,8 +405,17 @@ def tail_to_drop_dir(
                         break
         except TimeoutError:
             # socket.timeout is TimeoutError since 3.10; only swallow
-            # it when the caller OPTED INTO the idle-exit contract
-            if idle_timeout_s is None:
+            # it when the caller OPTED INTO the idle-exit contract,
+            # and only when the wire is actually BETWEEN frames:
+            # a timeout with part of the next frame already received
+            # is a slow server, not an idle one — exiting "cleanly"
+            # there would silently drop the partial frame, so it
+            # raises instead (redelivered next session from the last
+            # confirmed LSN, per the at-most-unconfirmed-tail
+            # contract).
+            if idle_timeout_s is None or (
+                client._conn is not None and client._conn.frame_bytes > 0
+            ):
                 raise
         flush()
     finally:
