@@ -263,6 +263,77 @@ def test_uncapped_ngram_guard_refuses_unbounded_input(spark):
         fn(docs, max_doc_freq=None, max_rows=None).count()
 
 
+def test_uncapped_guard_boundary_at_the_real_bound(spark):
+    """VERDICT r8 #3: the off-by-one at the REAL bound, not toy size —
+    exactly UNCAPPED_MAX_DOCS rows pass the limit-probe, one more
+    raises. Probed through _require_sample_bounded directly (what the
+    pair functions call first): running the full pair function at the
+    boundary would pay a 100k-doc quadratic index just to exercise a
+    bounded limit().count()."""
+    from warp_pipe_spark.datapipe.dedup import (
+        UNCAPPED_MAX_DOCS,
+        _require_sample_bounded,
+    )
+
+    # at the bound: no raise
+    _require_sample_bounded(
+        spark.range(UNCAPPED_MAX_DOCS), UNCAPPED_MAX_DOCS, "probe"
+    )
+    # one past the bound: raises
+    with pytest.raises(ValueError, match="sample partitions"):
+        _require_sample_bounded(
+            spark.range(UNCAPPED_MAX_DOCS + 1), UNCAPPED_MAX_DOCS, "probe"
+        )
+
+
+def test_uncapped_guard_fires_before_any_index_work(spark):
+    """The guard must reject an oversized uncapped input via the
+    bounded limit-probe BEFORE shingling — the e2e raise path at one
+    past the real bound, cheap because no posting index is built."""
+    from pyspark.sql import functions as F
+
+    from warp_pipe_spark.datapipe.dedup import (
+        UNCAPPED_MAX_DOCS,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.range(UNCAPPED_MAX_DOCS + 1).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t "), F.col("id")).alias("text"),
+    )
+    with pytest.raises(ValueError, match="sample partitions"):
+        ngram_jaccard_pairs(docs, max_doc_freq=None)
+
+
+def test_prefix_engine_all_identical_docs_emits_every_pair(spark):
+    """VERDICT r8 #3: prefix filtering's degenerate worst case — every
+    document identical. No candidate can be pruned (identical shingle
+    sets make the size filter, prefix collision, and positional bound
+    all pass at equality), so the engine's floor is its OUTPUT size:
+    exactly C(n,2) pairs, every one verified at jaccard 1.0, no pair
+    missing and none duplicated. The probe twin
+    (tools/scale_probe.py --identdocs) pins the wall-clock shape at
+    scale: quadratic in n because the OUTPUT is quadratic — the
+    output-size floor, not an index blowup on top of it."""
+    from pyspark.sql import functions as F
+
+    from warp_pipe_spark.datapipe.dedup import jaccard_pairs_prefix
+
+    n = 40
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(
+            "the quick brown fox jumps over the lazy dog again and again"
+        ).alias("text"),
+    )
+    rows = jaccard_pairs_prefix(docs, threshold=0.5).collect()
+    assert len(rows) == n * (n - 1) // 2
+    assert all(abs(r.jaccard - 1.0) < 1e-9 for r in rows)
+    assert {(r.doc_a, r.doc_b) for r in rows} == {
+        (a, b) for a in range(n) for b in range(a + 1, n)
+    }
+
+
 def test_bucket_pairs_max_bucket_drops_degenerate_buckets(spark):
     # VERDICT r4 item 1: a bucket key shared corpus-wide must be
     # droppable BEFORE its posting list exists — pairs from buckets

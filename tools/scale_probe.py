@@ -668,6 +668,143 @@ def hotuser_probe(spark, n: int = 2000) -> int:
     return 0
 
 
+def skewladder_probe(spark, n: int = 4_000_000) -> int:
+    """Hot-key mass ladder for salted_agg (VERDICT r8 #3): one key
+    holds 10% / 50% / 90% of an n-row input; everything else spreads
+    over 100 cold keys. At each rung, measure (a) the realized size of
+    the hottest PARTIAL group — the rows the busiest reducer actually
+    processes — for the salted plan vs the unsalted one, and (b) wall
+    clock for salted_agg vs a plain groupBy, asserting identical
+    results. The claim under test: the hottest reducer's load is
+    bounded by ~hot/n_salt regardless of how much mass the hot key
+    holds, so the salted wall stays ~flat across the ladder while the
+    hot share rises 9x. (On local[32] with map-side partial agg the
+    plain path rarely straggles at this n — the structural bound is
+    the durable evidence; the wall columns document that salting costs
+    nothing even where it isn't yet needed.)"""
+    from warp_pipe_spark.skew import salted_agg
+
+    n_salt = 16
+    print(f"skew ladder: n={n:,}, 100 cold keys, n_salt={n_salt}")
+    print(
+        "| hot mass | hot rows | max partial (salted) | bound 2·hot/salt "
+        "| max group (plain) | salted s | plain s | equal |"
+    )
+    print("|---|---|---|---|---|---|---|---|")
+    for frac in (0.1, 0.5, 0.9):
+        hot = int(n * frac)
+        df = spark.range(n).select(
+            F.when(F.col("id") < hot, 0)
+            .otherwise(F.col("id") % 100 + 1)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        # realized partial-group sizes under the documented salt
+        # expression (xxhash64 of the measure columns mod n_salt)
+        mx_salted = (
+            df.groupBy(
+                "k", F.pmod(F.xxhash64("v"), F.lit(n_salt)).alias("s")
+            )
+            .count()
+            .filter(F.col("k") == 0)
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        bound = 2 * hot // n_salt
+        assert mx_salted <= bound, (frac, mx_salted, bound)
+        times = {}
+        for label, make in (
+            (
+                "salted",
+                lambda: salted_agg(
+                    df,
+                    ["k"],
+                    {"n": ("count", None), "s": ("sum", "v")},
+                    n_salt=n_salt,
+                ),
+            ),
+            (
+                "plain",
+                lambda: df.groupBy("k").agg(
+                    F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+                ),
+            ),
+        ):
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                make().write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            times[label] = best
+        eq = (
+            salted_agg(
+                df,
+                ["k"],
+                {"n": ("count", None), "s": ("sum", "v")},
+                n_salt=n_salt,
+            )
+            .exceptAll(
+                df.groupBy("k").agg(
+                    F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+                )
+            )
+            .count()
+            == 0
+        )
+        assert eq
+        print(
+            f"| {int(frac * 100)}% | {hot:,} | {mx_salted:,} | {bound:,} "
+            f"| {hot:,} | {times['salted']:.2f} | {times['plain']:.2f} "
+            f"| yes |"
+        )
+        sys.stdout.flush()
+    return 0
+
+
+def identdocs_probe(spark, n: int = 2_000) -> int:
+    """All-identical-docs corpus through jaccard_pairs_prefix (VERDICT
+    r8 #3): prefix filtering's worst case — every pair survives every
+    filter (identical shingle sets pass the size, prefix-collision,
+    and positional bounds at equality), so NOTHING can be pruned and
+    the output itself is C(m,2) pairs. The pin: wall grows ~4x per
+    doubling because the OUTPUT is quadratic (the floor any exact
+    engine pays), the pair count is exactly C(m,2) at jaccard 1.0,
+    and the run completes without OOM — i.e. the engine degrades to
+    the output-size floor, not to an index blowup on top of it."""
+    from warp_pipe_spark.datapipe.dedup import jaccard_pairs_prefix
+
+    print(f"identical-docs worst case: jaccard_pairs_prefix, t=0.5")
+    print("| docs | pairs (=C(m,2)) | min J | wall s | ratio |")
+    print("|---|---|---|---|---|")
+    prev = None
+    for m in (n, 2 * n):
+        docs = spark.range(m).select(
+            F.col("id").alias("doc_id"),
+            F.lit(
+                "the quick brown fox jumps over the lazy dog "
+                "pack my box with five dozen liquor jugs "
+                "how vexingly quick daft zebras jump"
+            ).alias("text"),
+        )
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            got = jaccard_pairs_prefix(docs, threshold=0.5)
+            stats = got.agg(
+                F.count("*").alias("c"), F.min("jaccard").alias("mn")
+            ).first()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        assert stats.c == m * (m - 1) // 2, (m, stats.c)
+        assert abs(stats.mn - 1.0) < 1e-9, stats.mn
+        ratio = f"{best / prev:.1f}x" if prev else ""
+        print(f"| {m:,} | {stats.c:,} | {stats.mn:.1f} | {best:.2f} | {ratio} |")
+        sys.stdout.flush()
+        prev = best
+    return 0
+
+
 def gate_soak(spark, r: int = 10, n_batches: int = 8) -> int:
     """Streaming quality-gate soak at R×: the R×-inflated documents
     table through CorpusQualityGateSink in micro-batches, timing each.
@@ -903,6 +1040,12 @@ def main() -> int:
         return capsweep_probe(get_spark("scale_probe_capsweep"), r)
     if len(sys.argv) > 1 and sys.argv[1] == "--capsweep06":
         return capsweep06_probe(get_spark("scale_probe_capsweep06"))
+    if len(sys.argv) > 1 and sys.argv[1] == "--skewladder":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 4_000_000
+        return skewladder_probe(get_spark("scale_probe_skewladder"), n)
+    if len(sys.argv) > 1 and sys.argv[1] == "--identdocs":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000
+        return identdocs_probe(get_spark("scale_probe_identdocs"), n)
     if len(sys.argv) > 1 and sys.argv[1] == "--prefixprobe":
         r = int(sys.argv[2]) if len(sys.argv) > 2 else 100
         return prefix_probe(get_spark("scale_probe_prefix"), r)
