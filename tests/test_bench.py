@@ -68,6 +68,46 @@ def test_plan_runs_retimes_only_the_sub_threshold_bulk():
     assert plan_runs("docs_bm25", 10.0) == 1
 
 
+def test_plan_runs_retimes_load_spikes_over_the_idle_reference():
+    # blind-spot fix (VERDICT r9 #2): round 9's ann_topk had idle
+    # reference 1.31s but a load spike pushed the first run to 3.00s —
+    # over the absolute threshold, so it escaped re-timing and the
+    # artifact recorded a fake 2.29x. A first run over
+    # RETIME_VS_IDLE_FACTOR x the committed idle reference now re-runs
+    # even when it crossed the absolute threshold.
+    from bench import RETIME_VS_IDLE_FACTOR, SINGLE_SHOT, plan_runs
+
+    # the motivating case: idle 1.31, first run 3.00 -> re-timed now
+    assert plan_runs("ann_topk", 3.00, idle_sec=1.31) == 2
+    # a slow query running at its normal speed stays single-shot
+    assert plan_runs("docs_clean_corpus", 5.8, idle_sec=5.78) == 1
+    # exactly at the factor boundary: not a spike, single-shot
+    assert plan_runs("docs_clean_corpus", 5.78 * RETIME_VS_IDLE_FACTOR,
+                     idle_sec=5.78) == 1
+    # just over the boundary: re-timed (r9's docs_clean_corpus 1.77x
+    # single-shot move would have gotten a second run)
+    assert plan_runs("docs_clean_corpus", 9.74, idle_sec=5.51) == 2
+    # no committed reference (new query, missing artifact): absolute
+    # threshold alone — round-9 behavior
+    assert plan_runs("docs_bm25", 10.0, idle_sec=None) == 1
+    # SINGLE_SHOT still wins over everything
+    for name in SINGLE_SHOT:
+        assert plan_runs(name, 10.0, idle_sec=1.0) == 1
+
+
+def test_load_idle_reference_reads_the_committed_artifact():
+    # the reference feeding the spike detector is the per-query map in
+    # the repo-root BENCH_SELF.json; a missing/malformed file must
+    # degrade to {} (absolute-threshold-only), never raise.
+    from bench import load_idle_reference
+
+    ref = load_idle_reference()
+    assert isinstance(ref, dict)
+    if ref:  # committed artifact present: floats keyed by query name
+        assert all(isinstance(v, float) for v in ref.values())
+        assert "cs_replay_final_state" in ref
+
+
 def test_plan_runs_soak_fixtures_are_always_single_shot():
     # sink/soak fixtures commit real state per call: a rerun times a
     # DIFFERENT workload (fresh tempdir), so min-of-2 is undefined —

@@ -142,6 +142,61 @@ def test_sink_untouched_tables_not_rewritten(spark, tmp_path):
     assert got == {("users", 1, "a2"), ("pets", 1, "rex"), ("pets", 2, "ada")}
 
 
+def test_sink_steady_batch_work_independent_of_backlog_width(spark, tmp_path):
+    """O(touched) bound, the backlog-width axis (VERDICT r9 #7): the
+    state dirs READ and the pointer entries REWRITTEN by a fixed narrow
+    batch are identical before and after DOUBLING the number of
+    committed (untouched) tables — steady micro-batch cost follows the
+    touched set, not total state. tools/scale_probe.py --fanout
+    measures the same invariant as wall clock at 16→32 tables; this
+    pins the structural fact that makes the measurement hold."""
+    sink = _mk_sink(spark, tmp_path)
+    seed1 = [(i, "INSERT", f"t{i % 4}", i, "x") for i in range(8)]
+    sink.apply_batch(spark.createDataFrame(seed1, SCHEMA), batch_id=0)
+
+    reads: list[list[str]] = []
+    orig_read = sink._read_tables
+
+    def spy(rels):
+        reads.append(sorted(rels))
+        return orig_read(rels)
+
+    sink._read_tables = spy
+
+    def narrow(batch_id, id_base):
+        batch = [
+            (id_base, "UPDATE", "t0", 0, "u"),
+            (id_base + 1, "UPDATE", "t1", 1, "u"),
+        ]
+        p0 = sink._read_pointer()
+        reads.clear()
+        sink.apply_batch(spark.createDataFrame(batch, SCHEMA), batch_id)
+        p1 = sink._read_pointer()
+        rewritten = {k for k in p1 if p1[k] != p0.get(k)}
+        tables_read = {
+            rel.split("/")[1] for call in reads for rel in call
+        }
+        return rewritten, tables_read
+
+    rewritten_a, read_a = narrow(1, 100)
+
+    # double the backlog: 4 more tables that the narrow batch never touches
+    seed2 = [(200 + i, "INSERT", f"t{4 + i % 4}", i, "x") for i in range(8)]
+    sink.apply_batch(spark.createDataFrame(seed2, SCHEMA), batch_id=2)
+    assert len(sink._read_pointer()) == 8
+
+    rewritten_b, read_b = narrow(3, 300)
+
+    assert rewritten_a == rewritten_b == {"t0", "t1"}
+    assert read_a == read_b == {"t0", "t1"}
+    got = {
+        (r["table_name"], r["pk"], r["val"])
+        for r in orig_read(sorted(sink._read_pointer().values())).collect()
+        if r["table_name"] in ("t0", "t1") and r["pk"] in (0, 1)
+    }
+    assert got == {("t0", 0, "u"), ("t1", 1, "u")}
+
+
 def test_sink_crash_before_pointer_commit_keeps_old_state(spark, tmp_path):
     """Version dirs written but pointer NOT swapped (crash window) →
     readers still see the previous committed state; replaying the batch

@@ -805,6 +805,135 @@ def identdocs_probe(spark, n: int = 2_000) -> int:
     return 0
 
 
+def fanout_probe(
+    spark, n_tables: int = 16, rows_per_table: int = 20_000, n_buckets: int = 8
+) -> int:
+    """ParquetStateSink O(touched) steady-state claim, MEASURED
+    (VERDICT r9 #7): a micro-batch's apply cost must scale with the
+    tables/buckets the batch TOUCHES, not with how much total state the
+    sink has committed. The keyset soak's steady-batch number
+    (bench.py aux `keyset_poll_steady_batch`) is the repo's streaming
+    heartbeat; this probe pins what that number does when the backlog
+    widens.
+
+    Three measurements, each min-of-3 applies with fresh id ranges so
+    every apply does real merge work:
+      1. TOUCHED-TABLES axis: the same u update rows confined to 2
+         tables vs spread over all `n_tables` — cost should follow the
+         touched count (per-table write jobs dominate).
+      2. TOUCHED-BUCKETS axis: equal-count batches on ONE table whose
+         pks land in exactly 1 bucket vs spread over all buckets — the
+         read side scans 1 vs `n_buckets` version dirs under the same
+         single write job.
+      3. TOTAL-STATE axis (the claim): double the committed backlog —
+         seed `n_tables` MORE tables — and re-run the 2-table narrow
+         batch. An O(total-state) implementation doubles; O(touched)
+         stays flat. The probe asserts flat (<= 1.5x, jitter headroom).
+    """
+    import tempfile
+
+    from warp_pipe_spark.streaming import ParquetStateSink
+
+    work = tempfile.mkdtemp(prefix="wp_fanout_")
+    sink = ParquetStateSink(
+        spark, os.path.join(work, "state"), pk_cols=["pk"], n_buckets=n_buckets
+    )
+    tables = [f"t{i:02d}" for i in range(2 * n_tables)]
+    next_id = [0]
+    next_batch = [0]
+
+    def mk_batch(table_names, pks_expr_filter=None, rows=None):
+        """Update-changeset batch: each of `table_names` gets the same
+        pk range 0..rows_per_table (the seeded keys), round-robin by
+        row so every table is touched. Fresh monotone ids per call."""
+        k = len(table_names)
+        n = rows if rows is not None else k * rows_per_table
+        arr = F.array(*[F.lit(t) for t in table_names])
+        df = spark.range(n).select(
+            (F.col("id") + F.lit(next_id[0])).alias("id"),
+            F.element_at(arr, (F.col("id") % k + 1).cast("int")).alias(
+                "table_name"
+            ),
+            ((F.col("id") / k).cast("long") % rows_per_table).alias("pk"),
+            F.lit("U").alias("action"),
+            F.concat(F.lit("v"), F.col("id")).alias("val"),
+        )
+        if pks_expr_filter is not None:
+            df = df.filter(pks_expr_filter)
+        next_id[0] += n
+        return df
+
+    def apply_timed(batch_df, n_runs: int = 3) -> float:
+        """min-of-n wall for apply_batch; each run gets its own
+        batch_id but reuses the SAME batch rows (idempotent LWW merge:
+        replays converge, and the touched set — the cost driver under
+        test — is identical across runs)."""
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.time()
+            sink.apply_batch(batch_df, batch_id=next_batch[0])
+            best = min(best, time.time() - t0)
+            next_batch[0] += 1
+        return best
+
+    bucket0 = F.pmod(F.hash(F.col("pk")), F.lit(n_buckets)) == 0
+
+    # seed the first n_tables (insert every pk once)
+    sink.apply_batch(
+        mk_batch(tables[:n_tables]).withColumn("action", F.lit("I")),
+        batch_id=next_batch[0],
+    )
+    next_batch[0] += 1
+    u = 2 * rows_per_table  # update rows per measured batch
+
+    print(
+        f"fanout probe: {n_tables} seeded tables x {rows_per_table:,} pks, "
+        f"n_buckets={n_buckets}, u={u:,} update rows/batch, min-of-3"
+    )
+    print("| batch | touched tables | touched buckets | total tables | s |")
+    print("|---|---|---|---|---|")
+
+    narrow = apply_timed(mk_batch(tables[:2], rows=u))
+    print(f"| narrow | 2 | {n_buckets} | {n_tables} | {narrow:.2f} |")
+    wide = apply_timed(mk_batch(tables[:n_tables], rows=u))
+    print(f"| wide | {n_tables} | {n_buckets} | {n_tables} | {wide:.2f} |")
+    # bucket axis: ONE table, equal-count batches — pk%B==0 spreads a
+    # 1/B-sized key sample over all buckets; hash-bucket==0 confines
+    # the same-sized sample to one dir
+    one_b = apply_timed(mk_batch(tables[:1]).filter(bucket0))
+    print(f"| one-bucket | 1 | 1 | {n_tables} | {one_b:.2f} |")
+    all_b = apply_timed(
+        mk_batch(tables[:1]).filter(F.col("pk") % n_buckets == 0)
+    )
+    print(f"| all-buckets | 1 | {n_buckets} | {n_tables} | {all_b:.2f} |")
+    sys.stdout.flush()
+
+    # double the backlog, re-measure the SAME narrow batch shape
+    sink.apply_batch(
+        mk_batch(tables[n_tables:]).withColumn("action", F.lit("I")),
+        batch_id=next_batch[0],
+    )
+    next_batch[0] += 1
+    narrow2 = apply_timed(mk_batch(tables[:2], rows=u))
+    ratio = narrow2 / narrow
+    print(
+        f"| narrow after 2x backlog | 2 | {n_buckets} | {2 * n_tables} "
+        f"| {narrow2:.2f} |"
+    )
+    print(
+        f"\nnarrow-batch cost after doubling total state: {ratio:.2f}x "
+        f"(O(total) would be ~2x); wide/narrow = {wide / narrow:.2f}x "
+        f"for {n_tables / 2:.0f}x touched tables; all-/one-bucket = "
+        f"{all_b / one_b:.2f}x for {n_buckets}x touched buckets"
+    )
+    assert ratio <= 1.5, (
+        f"steady batch cost grew {ratio:.2f}x after doubling untouched "
+        f"backlog — O(touched) violated"
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return 0
+
+
 def gate_soak(spark, r: int = 10, n_batches: int = 8) -> int:
     """Streaming quality-gate soak at R×: the R×-inflated documents
     table through CorpusQualityGateSink in micro-batches, timing each.
@@ -1023,6 +1152,9 @@ def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--hotuser":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
         return hotuser_probe(get_spark("scale_probe_hotuser"), n)
+    if len(sys.argv) > 1 and sys.argv[1] == "--fanout":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+        return fanout_probe(get_spark("scale_probe_fanout"), n)
     if len(sys.argv) > 1 and sys.argv[1] == "--gatesoak":
         r = int(sys.argv[2]) if len(sys.argv) > 2 else 10
         return gate_soak(get_spark("scale_probe_gatesoak"), r)
