@@ -934,6 +934,209 @@ def fanout_probe(
     return 0
 
 
+def idxgrowth_probe(spark, batch_docs: int = 250) -> int:
+    """Incremental MinHash-LSH index steady state, MEASURED: a FIXED
+    ingest batch against an index built from 1x / 4x / 16x decorrelated
+    corpus replicas (alphabet rotation — cross-replica docs share no
+    shingles, so the batch's touched buckets stay ~constant while the
+    index grows 16x). This is the production append-mostly shape the
+    whole module exists for (dedup_index.py module docstring): the 10x
+    rows in earlier SCALE.md sections inflate batch AND corpus
+    together; this pins the claims separately:
+      - `update` is a blind parquet append into band partitions — cost
+        must be FLAT in index size (asserted <= 1.5x across 16x);
+      - `query` semi-join-prunes the index to the batch's touched
+        buckets before the match join — the join side is flat, but the
+        prune itself still SCANS the full (band, key) columns, so wall
+        grows SUBLINEARLY with index size (asserted < half the index
+        growth factor); at 100 TB the scan is the term to engineer
+        (key-range partition pruning / a Bloom index), and this row is
+        the honest record of where that term starts to show.
+    The batch is replica 0's first `batch_docs` docs verbatim, so its
+    keys DO hit real postings (match load included in the timing).
+    Batch band rows are precomputed and persisted outside the timed
+    region — the measurement isolates index-side cost, matching how
+    IngestDedupSink shares one signature fold per batch."""
+    import tempfile
+
+    from warp_pipe_spark.datapipe.dedup import band_rows
+    from warp_pipe_spark.datapipe.dedup_index import (
+        build_minhash_index,
+        query_minhash_index,
+        update_minhash_index,
+    )
+
+    docs = read_table(spark, BASE, "documents").select("doc_id", "text")
+    n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
+    batch = docs.filter(F.col("doc_id") < batch_docs)
+    brows = band_rows(batch, 3).persist()
+    n_batch_rows = brows.count()  # materialize outside the timed region
+
+    work = tempfile.mkdtemp(prefix="wp_idxgrowth_")
+    print(
+        f"index-growth probe: fixed batch = {batch_docs} docs "
+        f"({n_batch_rows} banding rows), index = Rx{n_docs:,} "
+        f"decorrelated docs, min-of-2 (update) / min-of-3 (query)"
+    )
+    print("| R | index docs | candidates | update s | query s |")
+    print("|---|---|---|---|---|")
+    upd: dict[int, float] = {}
+    qry: dict[int, float] = {}
+    for r in (1, 4, 16):
+        reps = []
+        for i in range(r):
+            src, dst_a = _rot_alphabet(i)
+            reps.append(
+                docs.select(
+                    (F.col("doc_id") + F.lit(i * n_docs)).alias("doc_id"),
+                    F.translate(F.col("text"), src, dst_a).alias("text"),
+                )
+            )
+        corpus = reps[0]
+        for d in reps[1:]:
+            corpus = corpus.unionByName(d)
+        path = os.path.join(work, f"idx_{r}x")
+        build_minhash_index(corpus, path)
+        u_best = float("inf")
+        for b in (1, 2):  # each append adds batch_docs postings — noise
+            t0 = time.time()
+            update_minhash_index(batch, path, ingest_batch=b, rows=brows)
+            u_best = min(u_best, time.time() - t0)
+        q_best, n_cand = float("inf"), 0
+        for _ in range(3):
+            t0 = time.time()
+            n_cand = query_minhash_index(spark, batch, path, rows=brows).count()
+            q_best = min(q_best, time.time() - t0)
+        upd[r], qry[r] = u_best, q_best
+        print(
+            f"| {r} | {r * n_docs:,} | {n_cand:,} | {u_best:.2f} "
+            f"| {q_best:.2f} |"
+        )
+        sys.stdout.flush()
+    brows.unpersist()
+    u_ratio = upd[16] / upd[1]
+    q_ratio = qry[16] / qry[1]
+    print(
+        f"\n16x index: update {u_ratio:.2f}x (blind append — flat), "
+        f"query {q_ratio:.2f}x (semi-join prune + full-index key scan "
+        f"— sublinear bound is 8x)"
+    )
+    assert u_ratio <= 1.5, f"index append cost grew {u_ratio:.2f}x with index size"
+    assert q_ratio <= 8.0, f"query cost grew {q_ratio:.2f}x at 16x index"
+    shutil.rmtree(work, ignore_errors=True)
+    return 0
+
+
+def ivfscale_probe(spark, n_queries: int = 100) -> int:
+    """IVF partition pruning at growing corpus size, MEASURED: brute
+    top-k vs persisted-index probe at 1x / 8x / 64x decorrelated
+    replicas (rolled dims — cross-replica cosine decorrelated, cell
+    geometry preserved), fixed query batch of `n_queries` vectors from
+    replica 0. Two codebook policies per size:
+      - FIXED 10 cells, n_probe=3: the probed fraction is a constant
+        ~30%, so probe wall must track brute at ~0.3 slope — the naive
+        deployment, recorded for contrast;
+      - GROWN ~sqrt(N) cells (10*sqrt(R), rounded), n_probe=3: probed
+        fraction shrinks as the corpus grows — the 100 TB policy the
+        module docstring prescribes. Probe wall should grow ~sqrt(R)
+        while brute grows ~R; the probe asserts the 64x grown-codebook
+        search beats 64x brute outright and grows at most half as fast.
+    Candidate volume per cell stays bounded because cells/corpus scale
+    together — the same reason `ivf_topk_indexed`'s driver collect is
+    bounded by the codebook, never the corpus."""
+    import math
+    import tempfile
+
+    from warp_pipe_spark.datapipe.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+        topk_cosine,
+    )
+
+    emb = read_table(spark, BASE, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    n_emb = emb.agg(F.max("vec_id")).first()[0] + 1
+    queries = emb.filter(F.col("vec_id") < n_queries).select("vec_id", "embedding")
+    work = tempfile.mkdtemp(prefix="wp_ivfscale_")
+    print(
+        f"ivf scale probe: {n_queries} fixed queries, corpus = "
+        f"Rx{n_emb:,} decorrelated vectors (dim {dim}), n_probe=3, "
+        f"min-of-3 each"
+    )
+    print(
+        "| R | vectors | brute s | probe s (10 cells) | probe s "
+        "(~sqrt cells) | cells |"
+    )
+    print("|---|---|---|---|---|---|")
+    brute: dict[int, float] = {}
+    grown: dict[int, float] = {}
+    for r in (1, 8, 64):
+        reps = []
+        for i in range(r):
+            k = i % dim
+            rolled = F.concat(
+                F.slice("embedding", k + 1, dim - k), F.slice("embedding", 1, k)
+            )
+            reps.append(
+                emb.select(
+                    (F.col("vec_id") + F.lit(i * n_emb)).alias("vec_id"),
+                    rolled.alias("embedding"),
+                )
+            )
+        corpus = reps[0]
+        for d in reps[1:]:
+            corpus = corpus.unionByName(d)
+        corpus = corpus.repartition(32).persist()
+        corpus.count()  # materialize: the probe times search, not inflation
+        b_best = min(
+            _timed(lambda: topk_cosine(corpus, queries=queries).count())
+            for _ in range(3)
+        )
+        n_cells_grown = max(10, round(10 * math.sqrt(r)))
+        p_times: dict[int, float] = {}
+        for n_cells in (10, n_cells_grown):
+            path = os.path.join(work, f"ivf_{r}x_{n_cells}")
+            build_ivf_index(corpus, path, n_centroids=n_cells)
+            p_times[n_cells] = min(
+                _timed(
+                    lambda: ivf_topk_indexed(
+                        spark, queries, path, n_probe=3
+                    ).count()
+                )
+                for _ in range(3)
+            )
+        corpus.unpersist()
+        brute[r], grown[r] = b_best, p_times[n_cells_grown]
+        print(
+            f"| {r} | {r * n_emb:,} | {b_best:.2f} | {p_times[10]:.2f} "
+            f"| {p_times[n_cells_grown]:.2f} | {n_cells_grown} |"
+        )
+        sys.stdout.flush()
+    b_growth = brute[64] / brute[1]
+    g_growth = grown[64] / grown[1]
+    print(
+        f"\n64x corpus: brute {b_growth:.1f}x, grown-codebook probe "
+        f"{g_growth:.1f}x ({grown[64]:.2f}s vs brute {brute[64]:.2f}s "
+        f"= {brute[64] / grown[64]:.1f}x win at 64x)"
+    )
+    assert grown[64] < brute[64], (
+        f"grown-codebook probe ({grown[64]:.2f}s) did not beat brute "
+        f"({brute[64]:.2f}s) at 64x"
+    )
+    assert g_growth <= b_growth / 2, (
+        f"probe cost grew {g_growth:.1f}x vs brute {b_growth:.1f}x — "
+        "pruning is not absorbing corpus growth"
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return 0
+
+
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
 def gate_soak(spark, r: int = 10, n_batches: int = 8) -> int:
     """Streaming quality-gate soak at R×: the R×-inflated documents
     table through CorpusQualityGateSink in micro-batches, timing each.
@@ -1152,6 +1355,12 @@ def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--hotuser":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
         return hotuser_probe(get_spark("scale_probe_hotuser"), n)
+    if len(sys.argv) > 1 and sys.argv[1] == "--ivfscale":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+        return ivfscale_probe(get_spark("scale_probe_ivfscale"), n)
+    if len(sys.argv) > 1 and sys.argv[1] == "--idxgrowth":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 250
+        return idxgrowth_probe(get_spark("scale_probe_idxgrowth"), n)
     if len(sys.argv) > 1 and sys.argv[1] == "--fanout":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 16
         return fanout_probe(get_spark("scale_probe_fanout"), n)
