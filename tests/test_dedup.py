@@ -853,3 +853,152 @@ def test_chunk_overlap_rejects_nonpositive_stride(spark):
         chunk_texts_overlap(docs, stride=0)
     with _pytest.raises(ValueError, match="positive"):
         chunk_texts_overlap(docs, stride=-3)
+
+
+# --- index compaction (small-file maintenance, round 10) ---------------
+
+
+def _mhidx_snapshot(spark, path):
+    """Query results + as-of views + raw index rows, for byte-identity
+    comparison across a compaction."""
+    import pyspark.sql.functions as F
+
+    from warp_pipe_spark.datapipe.dedup_index import query_minhash_index
+
+    all_docs = spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, NEAR), (4, OTHER)],
+        "doc_id LONG, text STRING",
+    )
+    full = frozenset(
+        (r["query_id"], r["match_id"])
+        for r in query_minhash_index(spark, all_docs, path).collect()
+    )
+    asof0 = frozenset(
+        (r["query_id"], r["match_id"])
+        for r in query_minhash_index(
+            spark, all_docs, path, max_ingest_batch=0
+        ).collect()
+    )
+    rows = frozenset(
+        (r["band"], r["key"], r["doc_id"], r["ingest_batch"])
+        for r in spark.read.parquet(path + "/bands").collect()
+    )
+    assert full  # doc 2 duplicates doc 1: never empty
+    return full, asof0, rows
+
+
+def test_compact_index_preserves_results_and_merges_files(spark, docs, tmp_path):
+    """Compaction must be invisible to every reader — same candidate
+    pairs, same as-of views, same distinct index rows — while
+    collapsing the per-append file accumulation to one file per band."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from warp_pipe_spark.datapipe.dedup_index import (
+        build_minhash_index,
+        compact_minhash_index,
+        update_minhash_index,
+    )
+
+    path = str(tmp_path / "mhidx")
+    build_minhash_index(docs.filter(F.col("doc_id") <= 1), path)
+    for b, did in enumerate((2, 3, 4)):
+        update_minhash_index(
+            docs.filter(F.col("doc_id") == did), path, ingest_batch=b
+        )
+    before = _mhidx_snapshot(spark, path)
+
+    stats = compact_minhash_index(spark, path)
+
+    assert _mhidx_snapshot(spark, path) == before
+    assert stats["rows_after"] == stats["rows_before"]  # no replay dupes here
+    assert stats["files_after"] < stats["files_before"]
+    # one file per band dir — the advertised layout
+    bands_dir = path + "/bands"
+    for d in os.listdir(bands_dir):
+        if d.startswith("band="):
+            files = [
+                f
+                for f in os.listdir(os.path.join(bands_dir, d))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, (d, files)
+    # leftovers of the swap must be gone
+    assert not os.path.exists(path + "/bands.compacting")
+    assert not os.path.exists(path + "/bands.pre_compact")
+
+
+def test_compact_index_drops_replay_duplicate_postings(spark, docs, tmp_path):
+    """An append-then-crash replay re-appends a whole batch under the
+    SAME ingest_batch tag (the marker's documented redelivery window).
+    Readers already neutralize the duplicates; compaction removes them
+    — with identical query output and identical distinct rows."""
+    import pyspark.sql.functions as F
+
+    from warp_pipe_spark.datapipe.dedup_index import (
+        build_minhash_index,
+        compact_minhash_index,
+        update_minhash_index,
+    )
+
+    path = str(tmp_path / "mhidx")
+    build_minhash_index(docs.filter(F.col("doc_id") <= 1), path)
+    batch = docs.filter(F.col("doc_id") == 2)
+    update_minhash_index(batch, path, ingest_batch=0)
+    update_minhash_index(batch, path, ingest_batch=0)  # the replay
+    before = _mhidx_snapshot(spark, path)
+
+    stats = compact_minhash_index(spark, path)
+
+    assert stats["rows_after"] < stats["rows_before"]
+    assert _mhidx_snapshot(spark, path) == before  # distinct rows identical
+
+
+def test_compact_index_recovers_from_swap_crash(spark, docs, tmp_path):
+    """Both swap-window crash states must repair on the next call:
+    (a) compacted copy complete (_SUCCESS) -> finish the swap with it;
+    (b) compacted copy absent/partial -> restore the pre-compact dir.
+    In both, a follow-up compaction runs cleanly and results match."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from warp_pipe_spark.datapipe.dedup_index import (
+        build_minhash_index,
+        compact_minhash_index,
+        update_minhash_index,
+    )
+
+    path = str(tmp_path / "mhidx")
+    build_minhash_index(docs.filter(F.col("doc_id") <= 1), path)
+    update_minhash_index(docs.filter(F.col("doc_id") == 2), path, ingest_batch=0)
+    before = _mhidx_snapshot(spark, path)
+    bands, tmp, old = (
+        path + "/bands",
+        path + "/bands.compacting",
+        path + "/bands.pre_compact",
+    )
+
+    # (a) crash BETWEEN the two renames, compacted copy complete
+    shutil.copytree(bands, tmp)  # stands in for a verified compacted copy
+    os.rename(bands, old)
+    compact_minhash_index(spark, path)
+    assert _mhidx_snapshot(spark, path) == before
+
+    # (b) crash with a PARTIAL compacted copy (no _SUCCESS)
+    shutil.copytree(bands, tmp)
+    os.remove(os.path.join(tmp, "_SUCCESS"))
+    os.rename(bands, old)
+    compact_minhash_index(spark, path)
+    assert _mhidx_snapshot(spark, path) == before
+
+
+def test_compact_index_missing_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from warp_pipe_spark.datapipe.dedup_index import compact_minhash_index
+
+    with _pytest.raises(FileNotFoundError):
+        compact_minhash_index(spark, str(tmp_path / "nope"))

@@ -1137,6 +1137,89 @@ def _timed(fn) -> float:
     return time.time() - t0
 
 
+def compact_probe(spark, n_appends: int = 200, batch_docs: int = 25) -> int:
+    """Small-file decay and the compaction remedy, MEASURED: the
+    incremental MinHash-LSH index after `n_appends` micro-batch appends
+    (the append-only design's long-run state — each append leaves one
+    file set per band partition) vs the same index compacted to one
+    file per band (compact_minhash_index). Times a fixed 250-doc query
+    before and after; the data volume is identical, so the delta is
+    pure listing + footer + task-granularity overhead — the term that
+    grows unbounded with ingest age if never compacted."""
+    import tempfile
+
+    from warp_pipe_spark.datapipe.dedup import band_rows
+    from warp_pipe_spark.datapipe.dedup_index import (
+        build_minhash_index,
+        compact_minhash_index,
+        query_minhash_index,
+        update_minhash_index,
+    )
+
+    docs = read_table(spark, BASE, "documents").select("doc_id", "text")
+    n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
+    qbatch = docs.filter(F.col("doc_id") < 250)
+    brows = band_rows(qbatch, 3).persist()
+    brows.count()
+    seed = docs.filter(F.col("doc_id") < batch_docs)
+
+    work = tempfile.mkdtemp(prefix="wp_compact_")
+    path = os.path.join(work, "idx")
+    build_minhash_index(docs, path)
+    t0 = time.time()
+    for i in range(n_appends):
+        update_minhash_index(
+            seed.select(
+                (F.col("doc_id") + F.lit(n_docs + i * batch_docs)).alias(
+                    "doc_id"
+                ),
+                "text",
+            ),
+            path,
+            ingest_batch=i,
+        )
+    append_wall = time.time() - t0
+
+    def q() -> float:
+        return min(
+            _timed(
+                lambda: query_minhash_index(
+                    spark, qbatch, path, rows=brows
+                ).count()
+            )
+            for _ in range(3)
+        )
+
+    q_frag = q()
+    t0 = time.time()
+    stats = compact_minhash_index(spark, path)
+    compact_wall = time.time() - t0
+    q_comp = q()
+    brows.unpersist()
+    print(
+        f"compaction probe: {n_appends} appends x {batch_docs} docs "
+        f"on a {n_docs:,}-doc base ({append_wall:.0f}s total appends)"
+    )
+    print("| state | index files | rows | query s |")
+    print("|---|---|---|---|")
+    print(
+        f"| fragmented | {stats['files_before']:,} "
+        f"| {stats['rows_before']:,} | {q_frag:.2f} |"
+    )
+    print(
+        f"| compacted ({compact_wall:.1f}s) | {stats['files_after']:,} "
+        f"| {stats['rows_after']:,} | {q_comp:.2f} |"
+    )
+    print(
+        f"\nquery after compaction: {q_frag / q_comp:.1f}x faster "
+        f"({stats['files_before']:,} -> {stats['files_after']:,} files)"
+    )
+    assert stats["rows_after"] == stats["rows_before"]  # appends are unique
+    assert stats["files_after"] <= 8
+    shutil.rmtree(work, ignore_errors=True)
+    return 0
+
+
 def gate_soak(spark, r: int = 10, n_batches: int = 8) -> int:
     """Streaming quality-gate soak at R×: the R×-inflated documents
     table through CorpusQualityGateSink in micro-batches, timing each.
@@ -1355,6 +1438,9 @@ def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--hotuser":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
         return hotuser_probe(get_spark("scale_probe_hotuser"), n)
+    if len(sys.argv) > 1 and sys.argv[1] == "--compactprobe":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+        return compact_probe(get_spark("scale_probe_compact"), n)
     if len(sys.argv) > 1 and sys.argv[1] == "--ivfscale":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 100
         return ivfscale_probe(get_spark("scale_probe_ivfscale"), n)

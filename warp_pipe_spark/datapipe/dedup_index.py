@@ -74,6 +74,104 @@ def update_minhash_index(
     ).write.mode("append").partitionBy("band").parquet(path + "/bands")
 
 
+def compact_minhash_index(spark: SparkSession, path: str) -> dict:
+    """Rewrite the band partitions into one file each — the
+    maintenance op that keeps the append-only design viable long-term.
+    `update` is deliberately a blind append (cost ∝ batch, measured
+    flat at 16x index in SCALE.md round 10), which means every ingest
+    batch leaves one file set per band partition: after 10k
+    micro-batches each band dir holds ~10k small files and the
+    listing + footer overhead — not the data — starts to dominate
+    `query`'s index scan. Same trade and same remedy as any
+    append-optimized table (Delta OPTIMIZE, Iceberg rewrite_data_files);
+    on a real cluster this op IS that command.
+
+    Semantics are preserved exactly:
+      - every (band, key, doc_id, ingest_batch) row survives, so
+        `max_ingest_batch` as-of views — the replay-determinism
+        contract — return byte-identical results after compaction;
+      - EXACT duplicate rows are dropped: they exist only as
+        append-then-crash replay residue (the marker's documented
+        redelivery window re-appends a whole batch under the SAME
+        ingest_batch tag), and every reader already neutralizes them
+        (the pair output is distinct, the bucket cap counts distinct
+        doc_ids) — removing them changes no result, it just stops
+        paying their scan cost forever;
+      - `_ingested` markers are untouched: they describe which batch
+        ids are IN the index, which compaction does not change.
+
+    Crash-safe: the compacted copy is fully written and row-count
+    verified BEFORE the two-rename swap, the pre-compact dir is kept
+    until the swap completes, and a crash in the swap window is
+    repaired by the recovery step at the next call (the only window
+    with `bands` missing is between the two renames — recovery
+    restores whichever side is complete, preferring the verified
+    compacted copy). Requires the same exclusive access as
+    build_minhash_index: pause ingest for the swap, not for the
+    rewrite.
+
+    Returns {"rows_before", "rows_after", "files_before",
+    "files_after"} so callers (and tests) can assert the effect."""
+    bands = os.path.join(path, "bands")
+    tmp = os.path.join(path, "bands.compacting")
+    old = os.path.join(path, "bands.pre_compact")
+
+    def _n_files(d: str) -> int:
+        return sum(
+            1
+            for root, _, files in os.walk(d)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    # recovery from a previous call's crash inside the swap window
+    if not os.path.isdir(bands):
+        if os.path.isdir(tmp) and os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            os.rename(tmp, bands)  # compacted copy was complete: finish
+            shutil.rmtree(old, ignore_errors=True)
+        elif os.path.isdir(old):
+            os.rename(old, bands)  # compacted copy gone/partial: undo
+        else:
+            raise FileNotFoundError(f"no index at {bands}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
+    df = spark.read.parquet(bands)
+    rows_before = df.count()
+    files_before = _n_files(bands)
+    # repartition BY the partition column: each band lands wholly in
+    # one shuffle partition, so partitionBy emits exactly one file per
+    # band dir — the one shuffle is the price of the rewrite
+    (
+        df.dropDuplicates(["band", "key", "doc_id", "ingest_batch"])
+        .repartition("band")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(tmp)
+    )
+    rows_after = spark.read.parquet(tmp).count()
+    dupes = (
+        rows_before
+        - df.select("band", "key", "doc_id", "ingest_batch").distinct().count()
+    )
+    if rows_after != rows_before - dupes:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction wrote {rows_after} rows, expected "
+            f"{rows_before - dupes} ({rows_before} - {dupes} replay "
+            "duplicates) — compacted copy discarded, index untouched"
+        )
+    os.rename(bands, old)
+    os.rename(tmp, bands)
+    shutil.rmtree(old, ignore_errors=True)
+    return {
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+        "files_before": files_before,
+        "files_after": _n_files(bands),
+    }
+
+
 def query_minhash_index(
     spark: SparkSession,
     batch: DataFrame,
