@@ -3416,6 +3416,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (Replaces this key's expired round-6 tag — one literal per
         # key; the AST hygiene scan rejects duplicate dict keys.)
         "dedup_ngram_jaccard": 8,
+        # round-10 sampling review: pack_chunks excludes NULL-text docs
+        # instead of emitting a poisoned layout row (NULL tok_start +
+        # a chunk_last borrowed from neighbors' running sum). Identical
+        # on the NULL-free testdata (verified at sf0.001/0.01/0.1);
+        # the r10 window is full at 50 (42 r7-stale + 8 oldest-r8), so
+        # the re-earns QUEUE for round 11, same pattern as round 7's.
+        "docs_pack_chunks": 11,
+        "docs_chunk_texts": 11,
+        "docs_chunk_overlap": 11,
     }
 
     import glob as _glob

@@ -451,3 +451,42 @@ def test_kmeans_vectorized_path_empty_corpus_fails_loud(spark):
     empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
     with _pytest.raises(ValueError, match="empty"):
         kmeans_assign(empty, k=32, iters=1)
+
+
+def test_pack_chunks_null_text_excluded_not_poisoned(spark):
+    """A NULL-text doc must be EXCLUDED from the layout, not emitted as
+    a poisoned row: size(split(NULL)) is NULL, the shard's running sum
+    skips it (neighbors stay correct), but pre-fix the NULL doc itself
+    emitted (tok_start=NULL, chunk_last=<neighbors' running sum>) —
+    which a data loader reads as 'this doc spans chunk k'. The layout
+    and the materialized chunks must both equal the corpus without the
+    NULL doc."""
+    from warp_pipe_spark.datapipe.sampling import (
+        chunk_texts,
+        chunk_texts_overlap,
+        pack_chunks,
+    )
+
+    with_null = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "d e")], "doc_id LONG, text STRING"
+    )
+    without = with_null.filter("text IS NOT NULL")
+
+    got = sorted(map(tuple, pack_chunks(with_null, n_shards=2).collect()))
+    expect = sorted(map(tuple, pack_chunks(without, n_shards=2).collect()))
+    assert got == expect
+    assert {r[0] for r in got} == {1, 3}
+    assert all(v is not None for r in got for v in r)
+
+    for kw in (
+        dict(fn=chunk_texts),
+        dict(fn=chunk_texts_overlap, stride=3),
+    ):
+        fn = kw.pop("fn")
+        a = sorted(
+            map(tuple, fn(with_null, n_shards=2, chunk_tokens=4, **kw).collect())
+        )
+        b = sorted(
+            map(tuple, fn(without, n_shards=2, chunk_tokens=4, **kw).collect())
+        )
+        assert a == b

@@ -90,7 +90,19 @@ def pack_chunks(
 
     Returns (doc_id, shard, n_tokens, tok_start, chunk_first,
     chunk_last) with tok_start the document's offset in its shard's
-    stream."""
+    stream.
+
+    NULL-text documents are EXCLUDED from the layout: split(NULL)
+    makes n_tokens NULL, and while the shard's running sum skips NULL
+    (other documents' offsets stay correct), the NULL doc itself would
+    emit a poisoned row — NULL tok_start but a chunk_last computed
+    from its NEIGHBORS' running sum, which a data loader would read as
+    "this document spans chunk k". A document with no text occupies no
+    stream positions and belongs to no chunk; surfacing such rows is
+    the ingest pipeline's dead-letter job (pipeline.py), not the
+    layout's. Empty-string text is NOT null: it is one empty token,
+    occupying one position — deterministic in both engines."""
+    docs = docs.filter(F.col(text_col).isNotNull())
     h = F.md5(F.col(id_col).cast("string"))
     h60 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
     base = docs.select(
