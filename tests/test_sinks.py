@@ -68,3 +68,44 @@ def test_foreachbatch_sends_one_frame_per_changeset(spark, sink):
         {"id": 2, "kind": "update", "table_name": "pets"},
     ]
     client.close()
+
+
+def test_stalled_client_evicted_broadcast_never_wedges():
+    """A client that stops reading fills its kernel buffers; without a
+    write deadline sendall blocks FOREVER holding the send lock — one
+    dead browser tab wedges every broadcast and, through foreachBatch,
+    the whole streaming query. The deadline must evict the stalled
+    client (socket.timeout -> the OSError drop path) while the sink
+    keeps serving fresh clients."""
+    import socket
+    import time
+
+    sink = WebSocketBroadcastSink(send_timeout_s=0.3)
+    try:
+        stalled = ws_handshake(sink.host, sink.port)
+        _await_clients(sink, 1)
+        with sink._lock:  # shrink the pipe so it fills fast
+            sink._clients[0].setsockopt(
+                socket.SOL_SOCKET, socket.SO_SNDBUF, 16384
+            )
+        stalled.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 16384)
+
+        payload = b"x" * 262144
+        t0 = time.time()
+        for _ in range(30):  # ~7.5 MB into a ~stalled pipe
+            sink.broadcast(payload)
+            if sink.n_clients() == 0:
+                break
+        elapsed = time.time() - t0
+        assert sink.n_clients() == 0, "stalled client never evicted"
+        assert elapsed < 10, f"broadcast wedged for {elapsed:.1f}s"
+
+        # the sink is still alive for new clients after the eviction
+        fresh = ws_handshake(sink.host, sink.port)
+        _await_clients(sink, 1)
+        assert sink.broadcast(b"hello") == 1
+        assert read_ws_frames(fresh, 1) == ["hello"]
+        fresh.close()
+        stalled.close()
+    finally:
+        sink.close()

@@ -55,9 +55,24 @@ class WebSocketBroadcastSink:
     `broadcast()` directly.
 
     port=0 binds an ephemeral port (see `.port` after construction).
+
+    send_timeout_s: write deadline per client. A stalled client (a
+    browser that stopped reading) fills its kernel send buffer and a
+    deadline-less sendall then blocks FOREVER — wedging every future
+    broadcast and, through foreachBatch, the whole streaming query
+    behind one dead browser tab. On timeout the client is dropped like
+    any other broken connection (melody enforces the same policy via
+    its writeWait deadline); eviction of a too-slow-but-alive consumer
+    is the documented trade of an edge fan-out sink.
     """
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        send_timeout_s: float = 5.0,
+    ):
+        self.send_timeout_s = send_timeout_s
         self._srv = socket.create_server((host, port))
         self.host, self.port = self._srv.getsockname()[:2]
         self._clients: list[socket.socket] = []
@@ -80,6 +95,11 @@ class WebSocketBroadcastSink:
             except (OSError, ValueError):
                 conn.close()
                 continue
+            # write deadline, NOT blocking-forever: sendall to a client
+            # that stopped reading parks inside the kernel buffer wait
+            # holding the send lock — socket.timeout is an OSError, so
+            # broadcast()'s existing drop-on-failure path evicts it
+            conn.settimeout(self.send_timeout_s)
             with self._lock:
                 self._clients.append(conn)
 
