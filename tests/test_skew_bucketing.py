@@ -110,6 +110,36 @@ def test_salted_agg_partial_stage_bounds_the_hot_key(spark):
         assert plain.exceptAll(salted).count() == 0
 
 
+def test_salted_agg_pure_count_fallback_still_spreads_the_hot_key(spark):
+    """Fallback-salt regression (round 10): with ONLY row-count
+    measures (col=None) and no salt_on there is no measure column to
+    hash, and the old fallback hashed the GROUP KEYS — a salt constant
+    within each key group, i.e. silently NO skew protection exactly
+    where the caller asked for it. The fallback now hashes all input
+    columns, so the hot key must still split into ~n_salt partials."""
+    n, n_salt, hot = 60_000, 16, 54_000
+    df = spark.range(n).select(
+        F.when(F.col("id") < hot, 0).otherwise(F.col("id") % 100 + 1).alias("k"),
+        F.col("id").alias("v"),
+    )
+    # the fallback expression salted_agg now builds: xxhash64 over ALL
+    # columns (sorted set of measure str-columns is empty here)
+    sizes = (
+        df.groupBy("k", F.pmod(F.xxhash64("k", "v"), F.lit(n_salt)).alias("s"))
+        .count()
+        .filter(F.col("k") == 0)
+    )
+    stats = sizes.agg(F.max("count").alias("mx"), F.count("*").alias("g")).first()
+    assert stats.g == n_salt
+    assert stats.mx <= 2 * hot // n_salt
+    got = {
+        (r["k"], r["n"])
+        for r in salted_agg(df, ["k"], {"n": ("count", None)}, n_salt=n_salt).collect()
+    }
+    expect = {(r["k"], r["n"]) for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == expect
+
+
 def test_salted_agg_rejects_non_mergeable(spark):
     ev = read_table(spark, SF, "events")
     with pytest.raises(ValueError, match="non-mergeable"):

@@ -61,9 +61,17 @@ def salted_agg(
     bad = [m for m, (a, _) in measures.items() if a not in _MERGE]
     if bad:
         raise ValueError(f"non-mergeable aggregates: {bad}; use {sorted(_MERGE)}")
+    # fallback order matters: hashing the GROUP KEYS makes the salt
+    # constant within each key group — deterministic but useless, the
+    # hot key still lands on one reducer with no error anywhere. When
+    # no measure column exists to salt on (pure row counts), salt on
+    # every column instead: rows identical in ALL columns may share a
+    # salt, but such rows are indistinguishable anyway (the same
+    # argument io.write_dataset makes for its file salt), and any
+    # distinguishable row spreads.
     salt_cols = list(salt_on) if salt_on else sorted(
         {c for _, c in measures.values() if isinstance(c, str)}
-    ) or list(keys)
+    ) or list(df.columns)
     salt = F.pmod(F.xxhash64(*salt_cols), F.lit(n_salt)).alias("_salt")
     partial = df.groupBy(*keys, salt).agg(
         *[
