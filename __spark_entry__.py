@@ -3425,6 +3425,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_chunks": 11,
         "docs_chunk_texts": 11,
         "docs_chunk_overlap": 11,
+        # round-10 pipeline review: a record stage emitting a key
+        # outside the fixed schema now DEAD-LETTERS (named stage +
+        # keys) instead of silently discarding the key. The registered
+        # stages are key-preserving — results identical (oracle-swept);
+        # queued with the packing trio for round 11 (42 r8-stale + 5
+        # tags + 3 oldest-r9 = exactly 50).
+        "cs_pipeline_stages": 11,
+        "cs_pipeline_deadletter": 11,
     }
 
     import glob as _glob

@@ -191,3 +191,34 @@ def test_dead_letter_keeps_pristine_nested_values(spark):
         assert row["new_values"]["password"] == "hunter2"  # pristine
     finally:
         p.unpersist()
+
+
+def test_record_stage_unknown_key_dead_letters_not_silently_drops(spark):
+    """A stage returning a key outside the fixed schema must be
+    DEAD-LETTERED naming the stage and the keys — pre-round-10 the keys
+    were silently discarded (the stage 'ran', its output column never
+    existed). Omitting a key stays a null-fill, not an error."""
+    from warp_pipe_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id LONG, name STRING")
+
+    def adds_key(rec):
+        if rec["id"] == 1:
+            rec["extra_col"] = "x"  # outside the schema
+        else:
+            rec.pop("name")  # omission -> null-fill, allowed
+        return rec
+
+    p = Pipeline().add_record_stage("adds_key", adds_key)
+    ok, bad = p.run_with_errors(df)
+    try:
+        ok_rows = {(r["id"], r["name"]) for r in ok.collect()}
+        bad_rows = bad.collect()
+        assert ok_rows == {(2, None)}
+        assert len(bad_rows) == 1
+        assert bad_rows[0]["id"] == 1
+        assert bad_rows[0]["name"] == "a"  # the ORIGINAL record
+        err = bad_rows[0]["_wp_error"]
+        assert "adds_key" in err and "extra_col" in err
+    finally:
+        p.unpersist()

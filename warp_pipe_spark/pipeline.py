@@ -123,10 +123,15 @@ class Pipeline:
 def _run_record_stages(df: DataFrame, stages: list[_Stage]) -> DataFrame:
     """One mapInPandas pass applying each record stage in order.
 
-    Columns are passed to user fns as a plain dict; unknown/new keys are
-    not allowed (schema is fixed up front — Spark needs a static schema,
-    unlike the reference's dynamic Changeset). Complex-typed columns are
-    JSON-round-tripped so user code sees plain Python values.
+    Columns are passed to user fns as a plain dict; the schema is fixed
+    up front (Spark needs a static schema, unlike the reference's
+    dynamic Changeset), so a stage RETURNING a key outside it is
+    DEAD-LETTERED with the stage name and the offending keys — before
+    round 10 such keys were silently discarded, which reads as "my
+    stage ran" while its output column never existed anywhere. A stage
+    OMITTING a key null-fills it (the fixed-schema mapping of the
+    reference's column removal). Complex-typed columns cross as plain
+    Python values.
     """
     # a record-stage group may follow an earlier group (record stages
     # separated by a DataFrame stage): the frame then ALREADY carries
@@ -141,6 +146,7 @@ def _run_record_stages(df: DataFrame, stages: list[_Stage]) -> DataFrame:
     )
     fns = [(s.name, s.fn) for s in stages]
     in_cols = [f.name for f in data_fields]
+    in_set = frozenset(in_cols)
     # Arrow maps cross the boundary as lists of (k, v) tuples; user code
     # gets/returns plain dicts (the reference's Changeset ergonomics).
     map_cols = [f.name for f in data_fields if isinstance(f.dataType, T.MapType)]
@@ -203,6 +209,19 @@ def _run_record_stages(df: DataFrame, stages: list[_Stage]) -> DataFrame:
                         break
                     if cur is None:
                         break  # dropped
+                    extra = [k for k in cur if k not in in_set]
+                    if extra:
+                        # silently discarding the keys would read as
+                        # "my stage ran" while its output column never
+                        # existed anywhere downstream
+                        err = (
+                            f"stage {name!r}: emitted column(s) "
+                            f"{sorted(extra)} outside the pipeline "
+                            "schema (fixed up front — see "
+                            "_run_record_stages)"
+                        )
+                        cur = rec  # dead-letter the original record
+                        break
                 if cur is not None:
                     row = {k: cur.get(k) for k in in_cols}
                     if map_cols:
