@@ -1220,6 +1220,67 @@ def compact_probe(spark, n_appends: int = 200, batch_docs: int = 25) -> int:
     return 0
 
 
+def ccchain_probe(spark) -> int:
+    """Star-contraction round count on its ADVERSARIAL topology,
+    MEASURED: the O(log² n) convergence claim (Kiveris et al. SoCC'14,
+    dedup.py connected_components_star docstring) is why the variant
+    exists — min-label propagation needs diameter rounds, which on a
+    chain graph is the corpus length. Unit tests pin a 60-node chain;
+    this measures 10k / 100k / 1M-node chains (diameter = n), counting
+    REAL rounds by intercepting the per-round fingerprint probe.
+    log2(1M) ≈ 20, so the claim predicts rounds growing by a small
+    additive step per 10x nodes and staying far under the max_iter=40
+    budget; the probe asserts both, plus label exactness (every node
+    in cluster 0)."""
+    import warp_pipe_spark.datapipe.dedup as D
+
+    calls = {"n": 0}
+    orig = D._star_fingerprint
+
+    def counting(e):
+        calls["n"] += 1
+        return orig(e)
+
+    D._star_fingerprint = counting
+    rounds: dict[int, int] = {}
+    try:
+        print("chain-CC probe: path graph, diameter = n (min-label would "
+              "need n rounds; budget raises past 25)")
+        print("| n nodes | rounds | wall s | labels exact |")
+        print("|---|---|---|---|")
+        for n in (10_000, 100_000, 1_000_000):
+            chain = spark.range(n - 1).select(
+                F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+            )
+            calls["n"] = 0
+            t0 = time.time()
+            out = D.connected_components_star(chain)
+            stats = out.agg(
+                F.count("*").alias("c"),
+                F.count_distinct("cluster_id").alias("k"),
+                F.max("cluster_id").alias("mx"),
+            ).first()
+            wall = time.time() - t0
+            r = calls["n"] - 1  # one fingerprint before the loop
+            rounds[n] = r
+            exact = stats.c == n and stats.k == 1 and stats.mx == 0
+            print(f"| {n:,} | {r} | {wall:.1f} | {'YES' if exact else 'NO'} |")
+            sys.stdout.flush()
+            assert exact, (n, stats)
+    finally:
+        D._star_fingerprint = orig
+    step1 = rounds[100_000] - rounds[10_000]
+    step2 = rounds[1_000_000] - rounds[100_000]
+    print(
+        f"\nrounds per 10x nodes: +{step1}, +{step2} (logarithmic — a "
+        f"diameter-bound algorithm would need 10x the ROUNDS); worst "
+        f"observed {max(rounds.values())} of the 40-round budget"
+    )
+    assert max(step1, step2) <= 5, rounds
+    assert max(rounds.values()) <= 25, rounds
+    return 0
+
+
 def gate_soak(spark, r: int = 10, n_batches: int = 8) -> int:
     """Streaming quality-gate soak at R×: the R×-inflated documents
     table through CorpusQualityGateSink in micro-batches, timing each.
@@ -1438,6 +1499,8 @@ def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--hotuser":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
         return hotuser_probe(get_spark("scale_probe_hotuser"), n)
+    if len(sys.argv) > 1 and sys.argv[1] == "--ccchain":
+        return ccchain_probe(get_spark("scale_probe_ccchain"))
     if len(sys.argv) > 1 and sys.argv[1] == "--compactprobe":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 200
         return compact_probe(get_spark("scale_probe_compact"), n)
