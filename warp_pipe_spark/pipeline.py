@@ -209,8 +209,10 @@ def _run_record_stages(df: DataFrame, stages: list[_Stage]) -> DataFrame:
                         break
                     if cur is None:
                         break  # dropped
-                    extra = [k for k in cur if k not in in_set]
-                    if extra:
+                    # C-speed superset test on the hot path; the key
+                    # listing only runs on the error path
+                    if not in_set.issuperset(cur):
+                        extra = [k for k in cur if k not in in_set]
                         # silently discarding the keys would read as
                         # "my stage ran" while its output column never
                         # existed anywhere downstream
