@@ -18,6 +18,15 @@ the user holding REPLICATION plus CREATE on the database. The tests
 create and drop their own uniquely-named slot and table; nothing else
 on the server is touched.
 
+A server WITHOUT wal2json.so still runs the whole wire suite with the
+stock plugin: add ``WP_LIVE_PG_PLUGIN=test_decoding``. First recorded
+green run (round 10, PostgreSQL 15.18 in this container, initdb +
+``wal_level=logical`` + trust on 127.0.0.1:54329): 3 passed
+(identify_system, slot lifecycle, test_decoding tail end-to-end with
+delivered-LSN confirmation), 1 skipped (the wal2json payload decode —
+plugin binary absent; its byte shape stays pinned by the golden
+fake-walsender tests).
+
 No driver dependency: DML runs over a second replication=database
 connection's simple-query path (``LRClient._simple_query``) — since
 PostgreSQL 10 a logical walsender connection accepts plain SQL, which
@@ -55,7 +64,21 @@ def _client(slot: str) -> LRClient:
         user=u.username or "postgres",
         slot=slot,
         status_interval_s=1.0,
+        plugin=_PLUGIN,
     )
+
+
+#: Output plugin for the live slots. The wire path under test —
+#: startup, IDENTIFY_SYSTEM, slot lifecycle, CopyBoth, XLogData,
+#: delivered-LSN confirmation, idle-timeout drain, teardown — is
+#: plugin-independent; only the PAYLOAD SHAPE differs. A server
+#: without wal2json.so (it is an out-of-tree contrib module) can
+#: still run the whole suite with the stock `test_decoding` plugin:
+#: set WP_LIVE_PG_PLUGIN=test_decoding. The wal2json payload-decode
+#: assertions then skip (that byte shape stays pinned by the golden
+#: fake-walsender tests in test_lr_client.py) and the text-payload
+#: twin below runs instead.
+_PLUGIN = os.environ.get("WP_LIVE_PG_PLUGIN", "wal2json")
 
 
 @pytest.fixture()
@@ -144,6 +167,11 @@ def test_slot_lifecycle_create_is_idempotent_then_drops(live):
     assert lsn2 is not None and lsn2 >= lsn
 
 
+@pytest.mark.skipif(
+    _PLUGIN != "wal2json",
+    reason="wal2json payload decode needs the wal2json plugin; the wire "
+    "path is covered by the test_decoding twin below",
+)
 def test_tail_delivers_wal2json_changes_to_drop_dir(live, tmp_path):
     """The §2 S1 end-to-end against real WAL: create slot → commit
     inserts/update/delete → tail the stream into the drop dir → the
@@ -188,5 +216,50 @@ def test_tail_delivers_wal2json_changes_to_drop_dir(live, tmp_path):
                         rows_seen.add((cols["id"], cols["val"]))
     assert ("insert" in kinds and "update" in kinds and "delete" in kinds), kinds
     assert (1, "a") in rows_seen and (2, "b") in rows_seen
+    # delivered-WAL confirmation advanced the client's flushed LSN
+    assert rep.flushed_lsn > 0
+
+
+@pytest.mark.skipif(
+    _PLUGIN != "test_decoding",
+    reason="text-payload twin only runs under WP_LIVE_PG_PLUGIN=test_decoding",
+)
+def test_tail_delivers_test_decoding_changes(live, tmp_path):
+    """The SAME end-to-end as the wal2json tail — create slot → commit
+    insert/update/delete → tail into the drop dir → confirmed LSN
+    advanced — against the stock `test_decoding` plugin, whose payload
+    is one text line per change ("table public.t: INSERT: id[integer]:1
+    val[text]:'a'"). Every wire behavior under test (CopyBoth framing,
+    delivered-WAL confirmation, idle-timeout drain, atomic batch files)
+    is identical; only the payload parser here differs."""
+    ctl, rep, tbl = live
+    rep.create_slot()
+    ctl._simple_query(f"CREATE TABLE {tbl} (id int primary key, val text)")
+    ctl._simple_query(
+        f"INSERT INTO {tbl} VALUES (1, 'a'), (2, 'b'); "
+        f"UPDATE {tbl} SET val = 'b2' WHERE id = 2; "
+        f"DELETE FROM {tbl} WHERE id = 1"
+    )
+    drop = str(tmp_path / "drop")
+    # test_decoding emits one message PER CHANGE plus BEGIN/COMMIT —
+    # unlike wal2json's one-document-per-transaction; the 3 changes
+    # above arrive as >= 5 messages. max_messages stays the upper
+    # guard; idle_timeout_s terminates the drain.
+    n = tail_to_drop_dir(
+        rep, drop, batch_rows=1, max_messages=50, idle_timeout_s=10.0
+    )
+    assert n >= 5
+    lines: list[str] = []
+    for fn in sorted(os.listdir(drop)):
+        with open(os.path.join(drop, fn), "rb") as f:
+            lines.extend(f.read().decode(errors="replace").splitlines())
+    tbl_lines = [ln for ln in lines if f"public.{tbl.lower()}:" in ln]
+    kinds = {ln.split(":")[1].strip() for ln in tbl_lines}
+    assert kinds == {"INSERT", "UPDATE", "DELETE"}, tbl_lines
+    ins = [ln for ln in tbl_lines if ": INSERT:" in ln]
+    assert any("id[integer]:1" in ln and "val[text]:'a'" in ln for ln in ins)
+    assert any("id[integer]:2" in ln and "val[text]:'b'" in ln for ln in ins)
+    upd = [ln for ln in tbl_lines if ": UPDATE:" in ln]
+    assert any("val[text]:'b2'" in ln for ln in upd)
     # delivered-WAL confirmation advanced the client's flushed LSN
     assert rep.flushed_lsn > 0
