@@ -263,3 +263,117 @@ def test_tail_delivers_test_decoding_changes(live, tmp_path):
     assert any("val[text]:'b2'" in ln for ln in upd)
     # delivered-WAL confirmation advanced the client's flushed LSN
     assert rep.flushed_lsn > 0
+
+
+# --- live execution of the SQL builders (S10-S12, A4-A6, S2) ------------
+#
+# The DDL / discovery / sequence-sync SQL was previously pinned only as
+# strings (the sandbox had no server). With a live server the builders
+# EXECUTE, plugin-independently, over the walsender simple-query path.
+
+
+def test_setup_teardown_and_keyset_sql_execute_live(live):
+    """S10/S11/S2: provision the audit schema, write through it, poll
+    it with keyset_query, tear it down — every statement the builders
+    emit runs against real PostgreSQL."""
+    from warp_pipe_spark.jdbc import keyset_query, setup_ddl, teardown_ddl
+
+    ctl, _, _ = live
+    schema = f"wp_live_audit_{os.getpid()}"
+    try:
+        for stmt in setup_ddl(schema):
+            ctl._simple_query(stmt)
+        ctl._simple_query(
+            f"INSERT INTO {schema}.changesets "
+            "(action, schema_name, table_name, new_values) VALUES "
+            "('INSERT', 'public', 't1', '{\"id\": 1}'), "
+            "('UPDATE', 'public', 't1', '{\"id\": 1}'), "
+            "('DELETE', 'public', 't2', NULL)"
+        )
+        rows = ctl._simple_query(
+            keyset_query(f"{schema}.changesets", last_id=1, limit=10)
+        )
+        # strictly-after semantics: ids 2 and 3 only, in id order
+        assert [r[0] for r in rows] == ["2", "3"]
+        assert [r[2] for r in rows] == ["UPDATE", "DELETE"]
+        assert ctl._simple_query(
+            keyset_query(f"{schema}.changesets", last_id=0, limit=0)
+        ) == []  # LIMIT 0 is honored, never 'unbounded'
+    finally:
+        for stmt in teardown_ddl(schema):
+            ctl._simple_query(stmt)
+    # schema really gone
+    left = ctl._simple_query(
+        "SELECT count(*) FROM information_schema.schemata "
+        f"WHERE schema_name = '{schema}'"
+    )
+    assert left == [("0",)]
+
+
+def test_discovery_and_pk_sql_execute_live(live):
+    """S12/A4: tables_list_query and primary_keys_query against real
+    catalogs — including the composite-PK ordering and the same-named
+    UNIQUE constraint the round-6 cross-match fix exists for."""
+    from warp_pipe_spark.jdbc import primary_keys_query, tables_list_query
+
+    ctl, _, _ = live
+    schema = f"wp_live_cat_{os.getpid()}"
+    try:
+        ctl._simple_query(f"CREATE SCHEMA {schema}")
+        ctl._simple_query(
+            f"CREATE TABLE {schema}.users (id bigint PRIMARY KEY, email text)"
+        )
+        ctl._simple_query(
+            f"CREATE TABLE {schema}.orders ("
+            "region text, order_id bigint, note text, "
+            "PRIMARY KEY (region, order_id))"
+        )
+        tables = ctl._simple_query(tables_list_query([schema]))
+        assert {(r[0], r[1]) for r in tables} == {
+            (schema, "users"),
+            (schema, "orders"),
+        }
+        pks = ctl._simple_query(primary_keys_query([schema]))
+        got = {(r[1], r[2], r[3]) for r in pks}
+        assert got == {
+            ("users", "id", "1"),
+            ("orders", "region", "1"),
+            ("orders", "order_id", "2"),
+        }
+    finally:
+        ctl._simple_query(f"DROP SCHEMA IF EXISTS {schema} CASCADE")
+
+
+def test_sequence_discovery_and_setval_execute_live(live):
+    """A5/A6: discover the BIGSERIAL-backed sequence with
+    column_sequences_query, parse its name, advance it with the emitted
+    setval statement, and observe nextval continue from there — the
+    whole sequence-sync loop against a real server."""
+    from warp_pipe_spark.sequences import (
+        column_sequences_query,
+        parse_sequence_default,
+        setval_statement,
+    )
+
+    ctl, _, _ = live
+    tbl = f"wp_live_seq_{os.getpid()}"
+    try:
+        ctl._simple_query(
+            f"CREATE TABLE public.{tbl} (id bigserial PRIMARY KEY, v text)"
+        )
+        found = [
+            r
+            for r in ctl._simple_query(column_sequences_query("public"))
+            if r[0] == tbl
+        ]
+        assert len(found) == 1 and found[0][1] == "id"
+        seq = parse_sequence_default(found[0][2])
+        assert seq == f"{tbl}_id_seq"
+        ctl._simple_query(setval_statement(f"public.{seq}", 41))
+        (nxt,) = ctl._simple_query(f"SELECT nextval('public.{seq}')")[0]
+        assert nxt == "42"
+        ctl._simple_query(f"INSERT INTO public.{tbl} (v) VALUES ('x')")
+        (mx,) = ctl._simple_query(f"SELECT max(id) FROM public.{tbl}")[0]
+        assert mx == "43"
+    finally:
+        ctl._simple_query(f"DROP TABLE IF EXISTS public.{tbl}")
