@@ -472,3 +472,113 @@ def test_full_cdc_loop_trigger_audit_poll_decode_replay(live, spark):
     finally:
         for stmt in teardown_ddl(schema):
             ctl._simple_query(stmt)
+
+
+def test_live_keyset_poller_applies_to_state_sink(live, spark, tmp_path):
+    """S2 as the RUNNABLE micro-batch loop, live: KeysetPoller polls
+    the real audit log (fed by a real trigger) strictly-after its
+    durable offset, applies each slice through ParquetStateSink, and
+    converges to a live SELECT — across TWO poll rounds with new DML
+    landing between them, a restart that must resume from the
+    committed offset (0 new rows), and the offset file advancing to
+    the real BIGSERIAL high watermark."""
+    from pyspark.sql import functions as F
+
+    from warp_pipe_spark.jdbc import keyset_query, setup_ddl, teardown_ddl
+    from warp_pipe_spark.streaming import KeysetPoller, ParquetStateSink
+
+    ctl, _, _ = live
+    schema = f"wp_live_poll_{os.getpid()}"
+    src = f"{schema}.accounts"
+
+    def live_fetch(spark_, last_id, limit):
+        raw = ctl._simple_query(
+            keyset_query(f"{schema}.changesets", last_id, limit)
+        )
+        rows = [
+            (
+                int(r[0]),
+                r[2],
+                r[4],
+                # pk/val straight off the trigger's row_to_json output
+                int(json.loads(r[6] or r[7])["id"]),
+                json.loads(r[6])["val"] if r[6] else None,
+            )
+            for r in raw
+        ]
+        return spark_.createDataFrame(
+            rows,
+            "id LONG, action STRING, table_name STRING, pk LONG, val STRING",
+        )
+
+    try:
+        for stmt in setup_ddl(schema):
+            ctl._simple_query(stmt)
+        ctl._simple_query(
+            f"CREATE TABLE {src} (id bigint PRIMARY KEY, val text)"
+        )
+        ctl._simple_query(
+            f"""
+            CREATE FUNCTION {schema}.wp_audit() RETURNS trigger AS $$
+            BEGIN
+              IF TG_OP = 'DELETE' THEN
+                INSERT INTO {schema}.changesets
+                  (action, schema_name, table_name, old_values)
+                VALUES (TG_OP, TG_TABLE_SCHEMA, TG_TABLE_NAME, row_to_json(OLD));
+                RETURN OLD;
+              END IF;
+              INSERT INTO {schema}.changesets
+                (action, schema_name, table_name, new_values, old_values)
+              VALUES (TG_OP, TG_TABLE_SCHEMA, TG_TABLE_NAME, row_to_json(NEW),
+                      CASE WHEN TG_OP = 'UPDATE' THEN row_to_json(OLD) END);
+              RETURN NEW;
+            END $$ LANGUAGE plpgsql;
+            CREATE TRIGGER wp_audit_t AFTER INSERT OR UPDATE OR DELETE
+              ON {src} FOR EACH ROW EXECUTE FUNCTION {schema}.wp_audit()
+            """
+        )
+        sink = ParquetStateSink(spark, str(tmp_path / "state"), pk_cols=["pk"])
+        poller = KeysetPoller(
+            spark, live_fetch, sink, str(tmp_path / "off.json"), limit=100
+        )
+
+        def live_state():
+            return {
+                (int(r[0]), r[1])
+                for r in ctl._simple_query(f"SELECT id, val FROM {src}")
+            }
+
+        def sink_state():
+            return {
+                (r["pk"], r["val"])
+                for r in sink.read_state().select("pk", "val").collect()
+            }
+
+        # round 1: three inserts
+        ctl._simple_query(f"INSERT INTO {src} VALUES (1,'a'), (2,'b'), (3,'c')")
+        assert poller.poll_once() == 3
+        assert sink_state() == live_state() == {(1, "a"), (2, "b"), (3, "c")}
+
+        # round 2: update + delete + insert land between polls
+        ctl._simple_query(
+            f"UPDATE {src} SET val='b2' WHERE id=2; "
+            f"DELETE FROM {src} WHERE id=1; "
+            f"INSERT INTO {src} VALUES (4,'d')"
+        )
+        assert poller.poll_once() == 3
+        assert sink_state() == live_state() == {(2, "b2"), (3, "c"), (4, "d")}
+
+        # offset sits at the real BIGSERIAL high watermark
+        (hw,) = ctl._simple_query(
+            f"SELECT max(id) FROM {schema}.changesets"
+        )[0]
+        assert poller.committed_offset() == int(hw)
+
+        # a RESTARTED poller resumes from the durable offset: drained
+        poller2 = KeysetPoller(
+            spark, live_fetch, sink, str(tmp_path / "off.json"), limit=100
+        )
+        assert poller2.poll_once() == 0
+    finally:
+        for stmt in teardown_ddl(schema):
+            ctl._simple_query(stmt)
