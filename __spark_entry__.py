@@ -3433,6 +3433,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tags + 3 oldest-r9 = exactly 50).
         "cs_pipeline_stages": 11,
         "cs_pipeline_deadletter": 11,
+        # round-10 merge review: merge_statement gained dialect="ansi"
+        # (IS NOT DISTINCT FROM + unqualified SET targets, EXECUTED on
+        # live PG 15); the default spark-dialect text is byte-identical
+        # (pinned in test_merge_sink) so this is convention, not risk.
+        # r11 queue now 6: 42 r8-stale + 6 tags + 2 oldest-r9 = 50.
+        "cs_incremental_merge": 11,
     }
 
     import glob as _glob

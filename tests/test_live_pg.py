@@ -582,3 +582,75 @@ def test_live_keyset_poller_applies_to_state_sink(live, spark, tmp_path):
     finally:
         for stmt in teardown_ddl(schema):
             ctl._simple_query(stmt)
+
+
+def test_live_merge_statement_executes_on_postgres(live, spark):
+    """A1-A3 via real SQL MERGE: batch_winners folds each micro-batch
+    to one row per pk (tombstones kept), the winners land in a real
+    source table, and merge_statement(dialect='ansi') EXECUTES on
+    PostgreSQL 15 — conditional MATCHED DELETE/UPDATE with id recency,
+    conditional NOT MATCHED INSERT, null-safe key equality. Two
+    batches, including a STALE redelivered row that must lose the
+    recency guard, then the target equals the replay oracle."""
+    from pyspark.sql import functions as F
+
+    from warp_pipe_spark.apply import replay
+    from warp_pipe_spark.merge_sink import batch_winners, merge_statement
+
+    ctl, _, _ = live
+    sch = f"wp_live_merge_{os.getpid()}"
+    target, source = f"{sch}.accounts", f"{sch}.winners"
+    cs_schema = (
+        "id LONG, action STRING, table_name STRING, pk LONG, val STRING"
+    )
+    batch1 = [
+        (1, "INSERT", "accounts", 1, "a"),
+        (2, "INSERT", "accounts", 2, "b"),
+        (3, "UPDATE", "accounts", 2, "b2"),  # same-batch LWW fold
+    ]
+    batch2 = [
+        (4, "DELETE", "accounts", 1, None),
+        (5, "UPDATE", "accounts", 2, "b3"),
+        (6, "INSERT", "accounts", 3, "c"),
+        (2, "INSERT", "accounts", 2, "b"),  # stale redelivery: id 2 < 5
+    ]
+    try:
+        ctl._simple_query(f"CREATE SCHEMA {sch}")
+        ctl._simple_query(
+            f"CREATE TABLE {target} (pk bigint PRIMARY KEY, id bigint, val text)"
+        )
+        ctl._simple_query(
+            f"CREATE TABLE {source} (pk bigint, id bigint, action text, val text)"
+        )
+        stmt = merge_statement(
+            target, source, ["pk"], ["val"], dialect="ansi"
+        )
+        for rows in (batch1, batch2):
+            winners = batch_winners(
+                spark.createDataFrame(rows, cs_schema), ["pk"]
+            ).collect()
+            ctl._simple_query(f"TRUNCATE {source}")
+            vals = ", ".join(
+                "({pk}, {id}, '{action}', {val})".format(
+                    pk=w["pk"],
+                    id=w["id"],
+                    action=w["action"],
+                    val="NULL" if w["val"] is None else f"'{w['val']}'",
+                )
+                for w in winners
+            ).replace("'NULL'", "NULL").replace(" NULL,", " NULL,")
+            ctl._simple_query(
+                f"INSERT INTO {source} (pk, id, action, val) VALUES {vals}"
+            )
+            ctl._simple_query(stmt)
+        got = {
+            (int(r[0]), int(r[1]), r[2])
+            for r in ctl._simple_query(f"SELECT pk, id, val FROM {target}")
+        }
+        oracle = replay(
+            spark.createDataFrame(batch1 + batch2, cs_schema), ["pk"]
+        ).select("pk", "id", "val")
+        expect = {(r["pk"], r["id"], r["val"]) for r in oracle.collect()}
+        assert got == expect == {(2, 5, "b3"), (3, 6, "c")}
+    finally:
+        ctl._simple_query(f"DROP SCHEMA IF EXISTS {sch} CASCADE")

@@ -405,3 +405,26 @@ def test_null_kind_row_inserts_in_every_executor_path(spark):
     sink.apply_batch(spark.createDataFrame(rows, SCHEMA), 0)
     got = {(r["pk"], r["val"]) for r in sink.read_state().collect()}
     assert got == {(1, "ghost"), (2, "b")}
+
+
+def test_merge_statement_ansi_dialect():
+    """The ansi dialect differs from spark in exactly one spot: the
+    null-safe key equality spelling. Everything else is byte-equal."""
+    import pytest as _pytest
+
+    spark_sql = merge_statement("users", "src", ["pk"], ["val"])
+    ansi_sql = merge_statement("users", "src", ["pk"], ["val"], dialect="ansi")
+    assert "t.pk <=> s.pk" in spark_sql
+    assert "t.pk IS NOT DISTINCT FROM s.pk" in ansi_sql
+    # ansi also drops the alias prefix on UPDATE SET targets (PG 15
+    # rejects 'SET t.id = ...'); spark keeps it
+    assert "UPDATE SET t.id = s.id, t.val = s.val" in spark_sql
+    assert "UPDATE SET id = s.id, val = s.val" in ansi_sql
+    assert spark_sql.replace(
+        "t.pk <=> s.pk", "t.pk IS NOT DISTINCT FROM s.pk"
+    ).replace(
+        "UPDATE SET t.id = s.id, t.val = s.val",
+        "UPDATE SET id = s.id, val = s.val",
+    ) == ansi_sql
+    with _pytest.raises(ValueError):
+        merge_statement("users", "src", ["pk"], ["val"], dialect="mysql")

@@ -72,14 +72,31 @@ def merge_statement(
     value_cols: Sequence[str],
     id_col: str = "id",
     kind_col: str = "action",
+    dialect: str = "spark",
 ) -> str:
-    """The portable MERGE INTO text (Spark SQL / Delta / Iceberg
-    dialect) for one table. `value_cols` are the non-pk payload columns
-    to carry into the target (id included automatically so future
-    merges can compare recency)."""
-    on = " AND ".join(f"t.{c} <=> s.{c}" for c in pk_cols)
+    """The portable MERGE INTO text for one table. `value_cols` are the
+    non-pk payload columns to carry into the target (id included
+    automatically so future merges can compare recency).
+
+    dialect: the ONE spot the text diverges by engine is null-safe key
+    equality — "spark" (also Delta/Iceberg) spells it `<=>`, "ansi"
+    (PostgreSQL 15+, SQL:2023) spells it `IS NOT DISTINCT FROM`.
+    Everything else (conditional MATCHED DELETE/UPDATE, conditional
+    NOT MATCHED INSERT) is common. The ansi text is EXECUTED against a
+    live PostgreSQL in tests/test_live_pg.py, not just pinned."""
+    if dialect not in ("spark", "ansi"):
+        raise ValueError(f"unknown MERGE dialect {dialect!r}; use spark|ansi")
+    eq = "t.{c} <=> s.{c}" if dialect == "spark" else "t.{c} IS NOT DISTINCT FROM s.{c}"
+    on = " AND ".join(eq.format(c=c) for c in pk_cols)
     cols = [*pk_cols, id_col, *value_cols]
-    sets = ", ".join(f"t.{c} = s.{c}" for c in cols if c not in pk_cols)
+    # second dialect divergence, found by EXECUTING the text on PG 15:
+    # ansi MERGE forbids alias-qualifying the UPDATE SET targets
+    # ('column "t" of relation ... does not exist'); Spark/Delta allow
+    # (and disambiguate with) the t. prefix
+    set_lhs = "t.{c}" if dialect == "spark" else "{c}"
+    sets = ", ".join(
+        f"{set_lhs.format(c=c)} = s.{c}" for c in cols if c not in pk_cols
+    )
     ins_cols = ", ".join(cols)
     ins_vals = ", ".join(f"s.{c}" for c in cols)
     dk = ", ".join(f"'{k}'" for k in DELETE_KINDS)
