@@ -654,3 +654,59 @@ def test_live_merge_statement_executes_on_postgres(live, spark):
         assert got == expect == {(2, 5, "b3"), (3, 6, "c")}
     finally:
         ctl._simple_query(f"DROP SCHEMA IF EXISTS {sch} CASCADE")
+
+
+def test_live_axon_sync_sequences_through_facade(live, spark):
+    """A5/A6 through the Axon facade, live: applied STATE (not the
+    source) feeds one aggregation per table, the emitted setval list
+    executes on the real server via executor=_simple_query, and both
+    column-attached and orphan sequences continue from exactly the
+    synced values — the reference's per-row round-trips collapsed to
+    their fixpoint against real sequences."""
+    from warp_pipe_spark.axon import Axon
+
+    ctl, _, _ = live
+    pid = os.getpid()
+    t_users, t_orders = f"wp_ax_users_{pid}", f"wp_ax_orders_{pid}"
+    orphan = f"wp_ax_orphan_{pid}_seq"
+    try:
+        ctl._simple_query(
+            f"CREATE TABLE public.{t_users} (id bigserial PRIMARY KEY, v text); "
+            f"CREATE TABLE public.{t_orders} (id bigserial PRIMARY KEY, v text); "
+            f"CREATE SEQUENCE public.{orphan}"
+        )
+        # applied state as the CDC apply would leave it: map-form keeps
+        # values as STRINGS — the '10' vs '9' lexicographic-max trap the
+        # cast in column_setval_statements exists for
+        state = spark.createDataFrame(
+            [(t_users, "10"), (t_users, "9"), (t_orders, "3")],
+            "table_name STRING, id STRING",
+        )
+        ax = Axon(spark)
+        stmts = ax.sync_sequences(
+            state,
+            {
+                (t_users, "id"): f"public.{t_users}_id_seq",
+                (t_orders, "id"): f"public.{t_orders}_id_seq",
+            },
+            executor=ctl._simple_query,
+            orphan_last_values={f"public.{orphan}": 7},
+        )
+        assert len(stmts) == 3
+        # string-cast guard held: users synced to 10, not '9'
+        (n,) = ctl._simple_query(f"SELECT nextval('public.{t_users}_id_seq')")[0]
+        assert n == "11"
+        (n,) = ctl._simple_query(f"SELECT nextval('public.{t_orders}_id_seq')")[0]
+        assert n == "4"
+        (n,) = ctl._simple_query(f"SELECT nextval('public.{orphan}')")[0]
+        assert n == "8"
+        # the synced table keeps inserting without PK collisions
+        ctl._simple_query(f"INSERT INTO public.{t_users} (v) VALUES ('x')")
+        (mx,) = ctl._simple_query(f"SELECT max(id) FROM public.{t_users}")[0]
+        assert mx == "12"
+    finally:
+        ctl._simple_query(
+            f"DROP TABLE IF EXISTS public.{t_users}; "
+            f"DROP TABLE IF EXISTS public.{t_orders}; "
+            f"DROP SEQUENCE IF EXISTS public.{orphan}"
+        )
