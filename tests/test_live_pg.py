@@ -710,3 +710,84 @@ def test_live_axon_sync_sequences_through_facade(live, spark):
             f"DROP TABLE IF EXISTS public.{t_orders}; "
             f"DROP SEQUENCE IF EXISTS public.{orphan}"
         )
+
+
+def test_live_pgoutput_tail_decodes_via_wal2json_path(live, spark, tmp_path):
+    """S1 against VANILLA Postgres: a slot on the BUILT-IN pgoutput
+    plugin (no .so to install — the capability the wal2json-locked
+    reference lacks), a publication over the source table, real DML,
+    tail_pgoutput_to_drop_dir assembling one wal2json-shaped JSONL doc
+    per committed transaction — and the EXISTING decode_wal2json Spark
+    path reads the drop dir unchanged: kinds, column values, oldkeys,
+    and monotone per-change ids straight from WAL byte positions."""
+    from warp_pipe_spark.decoders import decode_wal2json
+    from warp_pipe_spark.pgoutput import tail_pgoutput_to_drop_dir
+
+    ctl, _, tbl = live
+    pub = f"wp_pub_{os.getpid()}"
+    rep = _client(f"wp_live_pgout_{os.getpid()}")
+    rep.plugin = "pgoutput"
+    rep.connect()
+    try:
+        ctl._simple_query(
+            f"CREATE TABLE {tbl} (id int primary key, val text)"
+        )
+        ctl._simple_query(f"CREATE PUBLICATION {pub} FOR TABLE {tbl}")
+        rep.create_slot()
+        ctl._simple_query(
+            f"INSERT INTO {tbl} VALUES (1, 'a'), (2, 'b'); "
+            f"UPDATE {tbl} SET val = 'b2' WHERE id = 2; "
+            f"DELETE FROM {tbl} WHERE id = 1"
+        )
+        drop = str(tmp_path / "drop")
+        n = tail_pgoutput_to_drop_dir(
+            rep, drop, publication=pub, max_changes=4, idle_timeout_s=10.0
+        )
+        assert n == 4
+        docs = spark.read.text(drop).withColumnRenamed("value", "message")
+        out = decode_wal2json(docs).orderBy("id").collect()
+        assert [r["kind"] for r in out] == [
+            "insert",
+            "insert",
+            "update",
+            "delete",
+        ]
+        assert all(r["table"] == tbl.lower() for r in out)
+        ins = {
+            tuple(c["value"] for c in r["new_values"])
+            for r in out
+            if r["kind"] == "insert"
+        }
+        assert ins == {("1", "a"), ("2", "b")}
+        (upd,) = [r for r in out if r["kind"] == "update"]
+        assert [c["value"] for c in upd["new_values"]] == ["2", "b2"]
+        (dele,) = [r for r in out if r["kind"] == "delete"]
+        # REPLICA IDENTITY DEFAULT: delete carries the pk old-key only
+        assert [(c["column"], c["value"]) for c in dele["old_values"]] == [
+            ("id", "1")
+        ]
+        ids = [r["id"] for r in out]
+        assert ids == sorted(ids) and len(set(ids)) == 4
+        assert rep.flushed_lsn > 0  # delivered-WAL confirmation advanced
+    finally:
+        try:
+            rep.drop_slot()
+        except Exception:
+            try:
+                rep.close()
+            except Exception:
+                pass
+            for _ in range(5):
+                try:
+                    ctl._simple_query(f"DROP_REPLICATION_SLOT {rep.slot}")
+                    break
+                except Exception:
+                    time.sleep(0.5)
+        try:
+            ctl._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+        except Exception:
+            pass
+        try:
+            rep.close()
+        except Exception:
+            pass

@@ -1,0 +1,248 @@
+"""pgoutput binary decoder: golden hand-built frames → wal2json-shaped
+documents → the EXISTING decode_wal2json Spark path. The live twin
+(real server, real publication) is tests/test_live_pg.py."""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import pytest
+
+from warp_pipe_spark.pgoutput import PgOutputAssembler
+
+# -- golden frame builders (the protocol's documented byte layout) -------
+
+
+def cstr(s: str) -> bytes:
+    return s.encode() + b"\x00"
+
+
+def msg_relation(oid, ns, rel, cols, replident=b"d"):
+    b = b"R" + struct.pack("!i", oid) + cstr(ns) + cstr(rel) + replident
+    b += struct.pack("!h", len(cols))
+    for flags, name, toid in cols:
+        b += struct.pack("!B", flags) + cstr(name) + struct.pack("!ii", toid, -1)
+    return b
+
+
+def tup(*cells):
+    b = struct.pack("!h", len(cells))
+    for c in cells:
+        if c is None:
+            b += b"n"
+        elif c == ("toast",):
+            b += b"u"
+        else:
+            enc = c.encode()
+            b += b"t" + struct.pack("!i", len(enc)) + enc
+    return b
+
+
+def msg_begin(xid=7, lsn=1000):
+    return b"B" + struct.pack("!qqi", lsn, 0, xid)
+
+
+def msg_commit(end_lsn=2000):
+    return b"C" + struct.pack("!Bqqq", 0, end_lsn - 8, end_lsn, 0)
+
+
+def msg_insert(oid, *cells):
+    return b"I" + struct.pack("!i", oid) + b"N" + tup(*cells)
+
+
+def msg_update(oid, new_cells, old_cells=None, old_marker=b"K"):
+    b = b"U" + struct.pack("!i", oid)
+    if old_cells is not None:
+        b += old_marker + tup(*old_cells)
+    return b + b"N" + tup(*new_cells)
+
+
+def msg_delete(oid, key_cells, marker=b"K"):
+    return b"D" + struct.pack("!i", oid) + marker + tup(*key_cells)
+
+
+REL = msg_relation(
+    5001, "public", "accounts", [(1, "id", 20), (0, "val", 25)]
+)
+
+
+def feed_all(asm, frames, start=100):
+    for i, f in enumerate(frames):
+        asm.feed(start + i, f)
+
+
+def test_transaction_assembles_to_one_wal2json_doc():
+    asm = PgOutputAssembler()
+    feed_all(
+        asm,
+        [
+            REL,
+            msg_begin(),
+            msg_insert(5001, "1", "a"),
+            msg_update(5001, ["1", "a2"], old_cells=["1", None]),
+            msg_delete(5001, ["1", None]),
+            msg_commit(end_lsn=0x30000),
+        ],
+    )
+    assert len(asm.docs) == 1
+    doc = asm.docs[0]
+    assert doc["nextlsn"] == "0/30000"
+    kinds = [c["kind"] for c in doc["change"]]
+    assert kinds == ["insert", "update", "delete"]
+    ins, upd, dele = doc["change"]
+    assert ins["columnnames"] == ["id", "val"]
+    assert ins["columntypes"] == ["bigint", "text"]
+    assert ins["columnvalues"] == ["1", "a"]
+    assert ins["schema"] == "public" and ins["table"] == "accounts"
+    # update: new image + oldkeys restricted to the non-null key cells
+    assert upd["columnvalues"] == ["1", "a2"]
+    assert upd["oldkeys"] == {
+        "keynames": ["id"],
+        "keytypes": ["bigint"],
+        "keyvalues": ["1"],
+    }
+    # delete: no new image, key-only old side
+    assert dele["columnvalues"] == [] and dele["columnnames"] == []
+    assert dele["oldkeys"]["keyvalues"] == ["1"]
+    # per-change id = each message's wal_start (monotone, unique)
+    ids = [c["id"] for c in doc["change"]]
+    assert ids == sorted(ids) and len(set(ids)) == 3
+
+
+def test_docs_decode_through_the_existing_wal2json_path(spark):
+    from warp_pipe_spark.decoders import decode_wal2json
+
+    asm = PgOutputAssembler()
+    feed_all(
+        asm,
+        [
+            REL,
+            msg_begin(),
+            msg_insert(5001, "1", "a"),
+            msg_insert(5001, "2", None),  # NULL value survives decode
+            msg_commit(),
+        ],
+    )
+    lines = [json.dumps(d) for d in asm.docs]
+    out = decode_wal2json(
+        spark.createDataFrame([(ln,) for ln in lines], "message STRING")
+    ).collect()
+    assert [(r["kind"], r["table"]) for r in out] == [
+        ("insert", "accounts"),
+        ("insert", "accounts"),
+    ]
+    assert [c["value"] for c in out[0]["new_values"]] == ["1", "a"]
+    assert [c["value"] for c in out[1]["new_values"]] == ["2", None]
+    assert out[0]["id"] is not None and out[1]["id"] > out[0]["id"]
+
+
+def test_unchanged_toast_and_nulls_are_distinct_cells():
+    asm = PgOutputAssembler()
+    feed_all(
+        asm,
+        [
+            REL,
+            msg_begin(),
+            msg_update(5001, ["1", ("toast",)]),  # TOAST: not re-sent
+            msg_commit(),
+        ],
+    )
+    (upd,) = asm.docs[0]["change"]
+    assert upd["columnvalues"] == ["1", None]
+
+
+def test_change_before_relation_raises():
+    asm = PgOutputAssembler()
+    asm.feed(100, msg_begin())
+    with pytest.raises(ValueError, match="no prior Relation"):
+        asm.feed(101, msg_insert(9999, "1", "a"))
+
+
+def test_change_outside_transaction_raises():
+    asm = PgOutputAssembler()
+    asm.feed(100, REL)
+    with pytest.raises(ValueError, match="outside a BEGIN"):
+        asm.feed(101, msg_insert(5001, "1", "a"))
+
+
+def test_uncommitted_tail_is_not_emitted():
+    asm = PgOutputAssembler()
+    feed_all(asm, [REL, msg_begin(), msg_insert(5001, "1", "a")])
+    assert asm.docs == []  # no commit, no document — abort-safe
+
+
+def test_truncate_emits_one_change_per_registry_entry():
+    rel2 = msg_relation(5002, "public", "orders", [(1, "id", 20)])
+    asm = PgOutputAssembler()
+    t = b"T" + struct.pack("!iB", 2, 0) + struct.pack("!ii", 5001, 5002)
+    feed_all(asm, [REL, rel2, msg_begin(), t, msg_commit()])
+    (ch,) = asm.docs[0]["change"]
+    assert ch["kind"] == "truncate" and ch["table"] == "accounts"
+    assert ch["_extra_truncated"] == [{"schema": "public", "table": "orders"}]
+
+
+def test_binary_tuple_cell_fails_loud():
+    asm = PgOutputAssembler()
+    bad = (
+        b"I"
+        + struct.pack("!i", 5001)
+        + b"N"
+        + struct.pack("!h", 1)
+        + b"b"
+        + struct.pack("!i", 1)
+        + b"\x01"
+    )
+    feed_all(asm, [REL, msg_begin()])
+    with pytest.raises(ValueError, match="binary mode"):
+        asm.feed(102, bad)
+
+
+def test_bounded_drain_breaks_only_between_transactions(tmp_path):
+    """tail_pgoutput_to_drop_dir's max_changes must never tear a
+    transaction: the Nth change of a transaction arrives BEFORE its
+    commit, and breaking there would emit nothing for that whole
+    transaction. Against the fake walsender: three 2-change
+    transactions, max_changes=3 — the drain must finish transaction 2
+    (4 changes, 2 docs) and leave transaction 3 unread."""
+    import json as _json
+
+    from test_lr_client import FakeWalsender
+
+    from warp_pipe_spark.lr_client import LRClient
+    from warp_pipe_spark.pgoutput import tail_pgoutput_to_drop_dir
+
+    def txn(vals, lsn):
+        return (
+            [msg_begin(lsn=lsn)]
+            + [msg_insert(5001, str(v), f"v{v}") for v in vals]
+            + [msg_commit(end_lsn=lsn + 100)]
+        )
+
+    payloads = [REL] + txn([1, 2], 0x1000) + txn([3, 4], 0x2000) + txn(
+        [5, 6], 0x3000
+    )
+    srv = FakeWalsender(
+        payloads, keepalive_every=100, hang_silent_after_payloads=True
+    )
+    c = LRClient("127.0.0.1", srv.port, "testdb", "u", "wp_slot",
+                 plugin="pgoutput", status_interval_s=9999)
+    c.connect()
+    drop = str(tmp_path / "drop")
+    n = tail_pgoutput_to_drop_dir(
+        c, drop, publication="pub", max_changes=3, idle_timeout_s=5.0
+    )
+    c.close()
+    assert n == 4  # finished txn 2; txn 3 unread
+    docs = []
+    import os as _os
+
+    for fn in sorted(_os.listdir(drop)):
+        with open(_os.path.join(drop, fn)) as f:
+            docs += [_json.loads(ln) for ln in f.read().splitlines()]
+    assert [len(d["change"]) for d in docs] == [2, 2]
+    seen = [c_["columnvalues"][0] for d in docs for c_ in d["change"]]
+    assert seen == ["1", "2", "3", "4"]
+    # (the client abandons CopyBoth at the break — the fake sees a
+    # plain connection close, same as the idle-timeout drain tests)
+    srv.thread.join(5)

@@ -249,17 +249,27 @@ class LRClient:
 
     # -- replication stream ----------------------------------------------
 
-    def start(self, start_lsn: int = 0):
+    def start(self, start_lsn: int = 0, options: "dict[str, str] | None" = None):
         """START_REPLICATION: yields XLogData (and Keepalive when the
         server requests a reply — already answered internally). Ends
-        when the server sends CopyDone or closes."""
+        when the server sends CopyDone or closes.
+
+        options: plugin output options, rendered as the parenthesized
+        option list of the replication grammar —
+        `(key 'value', ...)`. wal2json needs none; pgoutput REQUIRES
+        proto_version and publication_names (see pgoutput.py). Values
+        are single-quote-escaped ('' doubling, the replication
+        parser's rule)."""
         assert self._conn, "connect() first"
         self.flushed_lsn = start_lsn
-        self._conn.send(
-            b"Q",
-            f"START_REPLICATION SLOT {self.slot} LOGICAL {lsn_str(start_lsn)}".encode()
-            + b"\x00",
-        )
+        cmd = f"START_REPLICATION SLOT {self.slot} LOGICAL {lsn_str(start_lsn)}"
+        if options:
+            opts = ", ".join(
+                "{} '{}'".format(k, str(v).replace("'", "''"))
+                for k, v in options.items()
+            )
+            cmd += f" ({opts})"
+        self._conn.send(b"Q", cmd.encode() + b"\x00")
         t, body = self._conn.read_message()
         if t == b"E":
             raise ProtocolError(f"START_REPLICATION refused: {_error_text(body)}")

@@ -1,0 +1,350 @@
+"""pgoutput decoder — S1 against VANILLA PostgreSQL, no plugin install.
+
+The reference is wal2json-locked (lr_listener.go:92-131 creates its
+slot with the wal2json plugin), which means its live tail needs an
+out-of-tree .so on every server. `pgoutput` is the logical-decoding
+plugin built INTO PostgreSQL (it drives native publication/subscription
+replication since PG 10), so a tail speaking it runs against any
+logical-WAL-enabled server as shipped. This module parses the pgoutput
+binary protocol (protocol version 1, text tuple mode — the public
+format documented under "Logical Streaming Replication Protocol" /
+protocol.sgml) and re-emits each committed transaction as ONE
+wal2json-shaped JSON document, so every byte downstream of the socket —
+the drop dir, `decode_wal2json`, the CDC apply — is the EXISTING
+production path, unchanged.
+
+Message grammar parsed here (one letter per XLogData payload):
+  B begin      final_lsn(8) commit_ts(8) xid(4)
+  C commit     flags(1) commit_lsn(8) end_lsn(8) commit_ts(8)
+  R relation   oid(4) namespace(cstr) relname(cstr) replident(1)
+               ncols(2) [flags(1) name(cstr) type_oid(4) typmod(4)]...
+  I insert     reloid(4) 'N' tuple
+  U update     reloid(4) ['K'|'O' tuple] 'N' tuple
+  D delete     reloid(4) 'K'|'O' tuple
+  T truncate   nrel(4) options(1) reloid(4)...     (emitted as kind
+               'truncate' with no columns — wal2json does the same)
+  Y type / O origin / M message                     (skipped)
+  tuple: ncols(2) then per column 'n' (NULL) | 'u' (unchanged TOAST,
+         emitted as NULL + name recorded in 'unchanged') |
+         't' len(4) bytes (text-mode value)
+
+Identity & ordering: each change carries `id` = the WAL byte position
+(XLogData.wal_start) of its own message — unique, monotone in commit
+order, and stable across redelivery/replay, which is exactly the
+contract the downstream LWW fold (apply.replay) keys on. The document
+carries `nextlsn` = the commit's end_lsn, same as wal2json.
+
+Values are raw text strings end-to-end (the repo's checksum-fidelity
+rule, SURVEY §1.3); type oids are rendered as Postgres type names for
+the common scalar types and `oid:N` otherwise — names inform, values
+carry the data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+from warp_pipe_spark.lr_client import XLogData, lsn_str
+
+#: common scalar type oids (pg_type.dat, public catalog numbers)
+PG_TYPE_NAMES = {
+    16: "boolean",
+    17: "bytea",
+    20: "bigint",
+    21: "smallint",
+    23: "integer",
+    25: "text",
+    114: "json",
+    700: "real",
+    701: "double precision",
+    1042: "character",
+    1043: "character varying",
+    1082: "date",
+    1083: "time without time zone",
+    1114: "timestamp without time zone",
+    1184: "timestamp with time zone",
+    1700: "numeric",
+    2950: "uuid",
+    3802: "jsonb",
+}
+
+
+def _type_name(oid: int) -> str:
+    return PG_TYPE_NAMES.get(oid, f"oid:{oid}")
+
+
+def _cstr(b: bytes, off: int) -> tuple[str, int]:
+    end = b.index(b"\x00", off)
+    return b[off:end].decode(), end + 1
+
+
+def _tuple_data(b: bytes, off: int) -> tuple[list[str | None], list[int], int]:
+    """TupleData → (values, unchanged-toast column indexes, new offset).
+    Text mode only: protocol v1 with binary disabled (we never request
+    the binary option) sends 't' cells; a 'b' cell here means a
+    misconfigured stream and fails loudly."""
+    (ncols,) = struct.unpack_from("!h", b, off)
+    off += 2
+    vals: list[str | None] = []
+    toast: list[int] = []
+    for i in range(ncols):
+        kind = b[off : off + 1]
+        off += 1
+        if kind == b"n":
+            vals.append(None)
+        elif kind == b"u":
+            vals.append(None)
+            toast.append(i)
+        elif kind == b"t":
+            (ln,) = struct.unpack_from("!i", b, off)
+            off += 4
+            vals.append(b[off : off + ln].decode())
+            off += ln
+        else:
+            raise ValueError(
+                f"unsupported TupleData cell kind {kind!r} (binary mode? "
+                "this decoder speaks proto_version 1 text tuples)"
+            )
+    return vals, toast, off
+
+
+class PgOutputAssembler:
+    """Feed pgoutput XLogData payloads in stream order; collect one
+    wal2json-shaped dict per COMMITTED transaction from `docs`.
+
+    Relation registry semantics follow the protocol: the server sends
+    an R message for a table before its first change in a decoding
+    session (and again after schema changes), so a change referencing
+    an unknown oid is a protocol violation and raises rather than
+    guessing. State is one (names, types) list per STREAMED table —
+    O(tables), never O(rows)."""
+
+    def __init__(self) -> None:
+        self._rels: dict[int, dict] = {}
+        self._pending: list[dict] = []
+        self._in_tx = False
+        self.docs: list[dict] = []
+
+    # -- per-message ------------------------------------------------------
+
+    def feed(self, wal_start: int, payload: bytes) -> None:
+        kind = payload[:1]
+        if kind == b"R":
+            oid, ns, rel, cols = self._parse_relation(payload)
+            self._rels[oid] = {"schema": ns, "table": rel, "cols": cols}
+        elif kind == b"B":
+            self._pending = []
+            self._in_tx = True
+        elif kind == b"C":
+            _, _, end_lsn, _ = struct.unpack_from("!Bqqq", payload, 1)
+            self.docs.append(
+                {"change": self._pending, "nextlsn": lsn_str(end_lsn)}
+            )
+            self._pending, self._in_tx = [], False
+        elif kind in (b"I", b"U", b"D", b"T"):
+            if not self._in_tx:
+                raise ValueError(
+                    f"pgoutput {kind!r} message outside a BEGIN/COMMIT"
+                )
+            self._pending.append(self._parse_change(kind, wal_start, payload))
+        # 'Y' type, 'O' origin, 'M' message: metadata, nothing to emit
+
+    def _parse_relation(self, b: bytes):
+        (oid,) = struct.unpack_from("!i", b, 1)
+        off = 5
+        ns, off = _cstr(b, off)
+        rel, off = _cstr(b, off)
+        off += 1  # replica identity
+        (ncols,) = struct.unpack_from("!h", b, off)
+        off += 2
+        cols = []
+        for _ in range(ncols):
+            off += 1  # column flags (1 = part of key)
+            name, off = _cstr(b, off)
+            type_oid, _typmod = struct.unpack_from("!ii", b, off)
+            off += 8
+            cols.append((name, _type_name(type_oid)))
+        return oid, ns or "pg_catalog", rel, cols
+
+    def _rel(self, b: bytes) -> tuple[dict, int]:
+        (oid,) = struct.unpack_from("!i", b, 1)
+        rel = self._rels.get(oid)
+        if rel is None:
+            raise ValueError(
+                f"change references relation oid {oid} with no prior "
+                "Relation message — protocol violation or a stream "
+                "resumed past its R messages"
+            )
+        return rel, 5
+
+    def _parse_change(self, kind: bytes, wal_start: int, b: bytes) -> dict:
+        if kind == b"T":
+            # truncate: nrel(4) options(1) then oids; one change per
+            # affected table would also be valid — wal2json emits one
+            # truncate per table, so do the same
+            (nrel,) = struct.unpack_from("!i", b, 1)
+            off = 6
+            oids = struct.unpack_from(f"!{nrel}i", b, off)
+            tables = []
+            for oid in oids:
+                rel = self._rels.get(oid)
+                if rel is None:
+                    raise ValueError(f"truncate references unknown oid {oid}")
+                tables.append(rel)
+            # represent as the FIRST table's change; remaining tables
+            # get their own entries so none is silently lost
+            out = {
+                "id": wal_start,
+                "kind": "truncate",
+                "schema": tables[0]["schema"],
+                "table": tables[0]["table"],
+                "columnnames": [],
+                "columntypes": [],
+                "columnvalues": [],
+                "_extra_truncated": [
+                    {"schema": t["schema"], "table": t["table"]}
+                    for t in tables[1:]
+                ],
+            }
+            return out
+        rel, off = self._rel(b)
+        names = [c[0] for c in rel["cols"]]
+        types = [c[1] for c in rel["cols"]]
+        old = None
+        if kind in (b"U", b"D"):
+            marker = b[off : off + 1]
+            if marker in (b"K", b"O"):
+                off += 1
+                old_vals, _, off = _tuple_data(b, off)
+                old = old_vals
+        new = None
+        if kind in (b"I", b"U"):
+            marker = b[off : off + 1]
+            if marker != b"N":
+                raise ValueError(f"expected new-tuple marker, got {marker!r}")
+            off += 1
+            new, _, off = _tuple_data(b, off)
+        change: dict = {
+            "id": wal_start,
+            "kind": {b"I": "insert", b"U": "update", b"D": "delete"}[kind],
+            "schema": rel["schema"],
+            "table": rel["table"],
+            "columnnames": names if new is not None else [],
+            "columntypes": types if new is not None else [],
+            "columnvalues": new if new is not None else [],
+        }
+        if old is not None:
+            # wal2json oldkeys: only the columns present (REPLICA
+            # IDENTITY DEFAULT sends key columns; FULL sends all)
+            keep = [i for i, v in enumerate(old) if v is not None]
+            change["oldkeys"] = {
+                "keynames": [names[i] for i in keep],
+                "keytypes": [types[i] for i in keep],
+                "keyvalues": [old[i] for i in keep],
+            }
+        return change
+
+
+def tail_pgoutput_to_drop_dir(
+    client,
+    drop_dir: str,
+    publication: str,
+    start_lsn: int = 0,
+    max_changes: int | None = None,
+    idle_timeout_s: float | None = None,
+) -> int:
+    """The pgoutput twin of lr_client.tail_to_drop_dir: stream with the
+    built-in plugin, assemble one wal2json-shaped JSONL document per
+    committed transaction, write each as an atomically-renamed file,
+    and confirm the delivered LSN only after the rename. Returns the
+    number of CHANGES written (insert/update/delete/truncate rows —
+    begin/commit/relation messages are assembly, not payload).
+
+    Same bounded-drain contract as the wal2json tail: `max_changes`
+    bounds from above, `idle_timeout_s` exits once the wire is silent
+    BETWEEN frames, and a mid-frame timeout raises (slow wire, not an
+    idle one). The slot must be created with plugin='pgoutput' and a
+    PUBLICATION covering the tables must exist — both are server-side
+    one-liners against stock Postgres, which is the point."""
+    os.makedirs(drop_dir, exist_ok=True)
+    asm = PgOutputAssembler()
+    n_changes = 0
+    seq = 0
+    hi_lsn = start_lsn
+    emitted = 0
+
+    def flush(confirm: bool = True) -> None:
+        nonlocal seq, emitted
+        fresh = asm.docs[emitted:]
+        if not fresh:
+            return
+        tmp = os.path.join(drop_dir, f".tmp_{hi_lsn:016x}_{seq}")
+        with open(tmp, "wb") as f:
+            for doc in fresh:
+                f.write(json.dumps(doc, separators=(",", ":")).encode())
+                f.write(b"\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(
+            tmp, os.path.join(drop_dir, f"lr_{hi_lsn:016x}_{seq}.jsonl")
+        )
+        emitted = len(asm.docs)
+        seq += 1
+        if confirm:
+            client.send_standby_status(hi_lsn)
+
+    sock = client._conn.sock if client._conn else None
+    prev_timeout = sock.gettimeout() if sock is not None else None
+    if idle_timeout_s is not None and sock is not None:
+        sock.settimeout(idle_timeout_s)
+    try:
+        try:
+            for msg in client.start(
+                start_lsn,
+                options={
+                    "proto_version": "1",
+                    "publication_names": publication,
+                },
+            ):
+                if not isinstance(msg, XLogData):
+                    continue
+                before = len(asm._pending) + sum(
+                    len(d["change"]) for d in asm.docs
+                )
+                asm.feed(msg.wal_start, msg.payload)
+                after = len(asm._pending) + sum(
+                    len(d["change"]) for d in asm.docs
+                )
+                n_changes += after - before
+                hi_lsn = max(hi_lsn, msg.wal_start + len(msg.payload))
+                if len(asm.docs) > emitted:
+                    flush()  # one file per commit batch reaching the dir
+                # the bound only fires BETWEEN transactions: breaking
+                # mid-transaction would discard the buffered changes of
+                # an uncommitted (but soon-committing) transaction —
+                # the 4th change of a 4-change transaction arrives
+                # BEFORE its commit message, and tearing there emits
+                # nothing at all
+                if (
+                    max_changes is not None
+                    and n_changes >= max_changes
+                    and not asm._in_tx
+                ):
+                    break
+        except TimeoutError:
+            if idle_timeout_s is None or (
+                client._conn is not None and client._conn.frame_bytes > 0
+            ):
+                raise
+        flush()
+    finally:
+        if idle_timeout_s is not None and sock is not None:
+            try:
+                sock.settimeout(prev_timeout)
+            except OSError:
+                pass
+        if len(asm.docs) > emitted:
+            flush(confirm=False)
+    return n_changes
