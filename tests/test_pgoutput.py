@@ -246,3 +246,71 @@ def test_bounded_drain_breaks_only_between_transactions(tmp_path):
     # (the client abandons CopyBoth at the break — the fake sees a
     # plain connection close, same as the idle-timeout drain tests)
     srv.thread.join(5)
+
+
+def test_pgoutput_docs_stream_through_wal2json_stream_to_state(spark, tmp_path):
+    """Full-stack stitch, in-sandbox: pgoutput-assembled JSONL in a
+    drop dir IS a wal2json drop dir — wal2json_stream tails it,
+    the decoded changes apply through ParquetStateSink, and the final
+    state is the LWW fold of the stream (update wins over insert, the
+    WAL-position ids providing the recency order)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from warp_pipe_spark.streaming import ParquetStateSink, wal2json_stream
+
+    asm = PgOutputAssembler()
+    feed_all(
+        asm,
+        [
+            REL,
+            msg_begin(lsn=0x1000),
+            msg_insert(5001, "1", "a"),
+            msg_insert(5001, "2", "b"),
+            msg_commit(end_lsn=0x1100),
+            msg_begin(lsn=0x2000),
+            msg_update(5001, ["2", "b2"], old_cells=["2", None]),
+            msg_delete(5001, ["1", None]),
+            msg_commit(end_lsn=0x2100),
+        ],
+        start=0x5000,
+    )
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    with open(drop / "lr_0001.jsonl", "w") as f:
+        for d in asm.docs:
+            f.write(json.dumps(d) + "\n")
+
+    decoded = wal2json_stream(spark, str(drop))
+    # normalized form -> the apply shape (pk/val off the column arrays)
+    from warp_pipe_spark.changeset import column_value
+
+    typed = decoded.select(
+        "id",
+        F.col("kind").alias("action"),
+        F.col("table").alias("table_name"),
+        F.coalesce(
+            column_value("new_values", "id"),
+            F.element_at(
+                F.filter(
+                    F.col("old_values"), lambda x: x["column"] == "id"
+                ),
+                1,
+            )["value"],
+        ).cast("long").alias("pk"),
+        column_value("new_values", "val").alias("val"),
+    )
+    sink = ParquetStateSink(spark, str(tmp_path / "state"), pk_cols=["pk"])
+    q = (
+        typed.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["pk"], r["val"])
+        for r in sink.read_state().select("pk", "val").collect()
+    }
+    assert got == {(2, "b2")}  # 1 deleted, 2 updated — LWW by WAL position
