@@ -292,3 +292,89 @@ def test_stream_filters_work_on_decoded_shape(spark, tmp_path):
     buf = io.StringIO()
     assert main(["--source", path, "-M", "lr"], out=buf) == 0
     assert len(buf.getvalue().splitlines()) == 2
+
+
+def test_cli_live_tail_pgoutput_requires_publication(capsys):
+    from warp_pipe_spark.__main__ import main
+
+    rc = main(
+        [
+            "live-tail", "--dbname", "d", "--user", "u", "--slot", "s",
+            "--plugin", "pgoutput", "--drop-dir", "/tmp/nope",
+        ]
+    )
+    assert rc == 2
+    assert "requires --publication" in capsys.readouterr().err
+
+
+def test_cli_live_tail_wal2json_against_fake_walsender(tmp_path, capsys):
+    """The CLI's LR mode end-to-end, Spark-free: socket -> drop dir,
+    bounded drain, one JSON status line — the reference CLI's stream
+    command restated. Driven against the wire-level fake walsender."""
+    import json as _json
+    import os as _os
+
+    from test_lr_client import WAL2JSON_DOCS, FakeWalsender
+
+    from warp_pipe_spark.__main__ import main
+
+    srv = FakeWalsender(WAL2JSON_DOCS[:3], keepalive_every=100)
+    drop = str(tmp_path / "drop")
+    rc = main(
+        [
+            "live-tail", "--host", "127.0.0.1", "--port", str(srv.port),
+            "--dbname", "testdb", "--user", "u", "--slot", "wp_slot",
+            "--create-slot", "--drop-dir", drop, "--max-messages", "3",
+        ]
+    )
+    assert rc == 0
+    status = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert status == {"consumed": 3, "drop_dir": drop, "plugin": "wal2json"}
+    lines = []
+    for fn in sorted(_os.listdir(drop)):
+        with open(_os.path.join(drop, fn), "rb") as f:
+            lines += f.read().splitlines()
+    assert lines == WAL2JSON_DOCS[:3]
+    assert srv.created_slots == ["wp_slot"]
+    srv.thread.join(5)
+
+
+def test_cli_live_tail_pgoutput_against_fake_walsender(tmp_path, capsys):
+    import json as _json
+    import os as _os
+
+    from test_lr_client import FakeWalsender
+    from test_pgoutput import REL, msg_begin, msg_commit, msg_insert
+
+    from warp_pipe_spark.__main__ import main
+
+    payloads = [
+        REL,
+        msg_begin(lsn=0x1000),
+        msg_insert(5001, "1", "a"),
+        msg_insert(5001, "2", "b"),
+        msg_commit(end_lsn=0x1100),
+    ]
+    srv = FakeWalsender(payloads, keepalive_every=100)
+    drop = str(tmp_path / "drop")
+    rc = main(
+        [
+            "live-tail", "--host", "127.0.0.1", "--port", str(srv.port),
+            "--dbname", "testdb", "--user", "u", "--slot", "wp_slot",
+            "--plugin", "pgoutput", "--publication", "pub",
+            "--create-slot", "--drop-dir", drop, "--max-messages", "2",
+        ]
+    )
+    assert rc == 0
+    status = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert status["consumed"] == 2 and status["plugin"] == "pgoutput"
+    docs = []
+    for fn in sorted(_os.listdir(drop)):
+        with open(_os.path.join(drop, fn)) as f:
+            docs += [_json.loads(ln) for ln in f.read().splitlines()]
+    assert len(docs) == 1 and len(docs[0]["change"]) == 2
+    assert [c["columnvalues"] for c in docs[0]["change"]] == [
+        ["1", "a"],
+        ["2", "b"],
+    ]
+    srv.thread.join(5)

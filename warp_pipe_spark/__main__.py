@@ -17,6 +17,7 @@ jdbc.keyset_fetch. Output shape is exactly the reference's
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 
 
@@ -71,6 +72,45 @@ def build_parser() -> argparse.ArgumentParser:
     )
     qg.add_argument("--docs", required=True)
     qg.add_argument("--out", required=True, help="base dir (accept/ + reject/)")
+    lt = sub.add_parser(
+        "live-tail",
+        help="tail a live Postgres logical-replication slot into a "
+        "JSONL drop dir (S1; the reference CLI's LR mode). "
+        "--plugin pgoutput needs no server-side install",
+    )
+    lt.add_argument("--host", default="127.0.0.1")
+    lt.add_argument("--port", type=int, default=5432)
+    lt.add_argument("--dbname", required=True)
+    lt.add_argument("--user", required=True)
+    lt.add_argument("--slot", required=True)
+    lt.add_argument(
+        "--plugin", choices=("wal2json", "pgoutput"), default="wal2json"
+    )
+    lt.add_argument(
+        "--publication",
+        default=None,
+        help="publication name (REQUIRED with --plugin pgoutput)",
+    )
+    lt.add_argument("--drop-dir", required=True)
+    lt.add_argument(
+        "--create-slot",
+        action="store_true",
+        help="CREATE_REPLICATION_SLOT first (idempotent)",
+    )
+    lt.add_argument("--start-lsn", type=int, default=0)
+    lt.add_argument(
+        "--max-messages",
+        type=int,
+        default=None,
+        help="bounded drain: stop after N messages (wal2json) / "
+        "N changes at a transaction boundary (pgoutput)",
+    )
+    lt.add_argument(
+        "--idle-timeout",
+        type=float,
+        default=None,
+        help="exit once the wire is idle this many seconds",
+    )
     return p
 
 
@@ -177,6 +217,62 @@ def main(argv: list[str] | None = None, out=None) -> int:
         n_rej = rej.count() if rej is not None else 0
         print(
             f"accepted {n_acc} / rejected {n_rej} -> {args.out}", file=out
+        )
+        return 0
+
+    if args.command == "live-tail":
+        # the only Spark-free command: socket -> drop dir, exactly the
+        # reference CLI's LR mode (a downstream wal2json_stream /
+        # batch decode job consumes the drop dir). No JDBC, no driver.
+        from warp_pipe_spark.lr_client import LRClient, tail_to_drop_dir
+        from warp_pipe_spark.pgoutput import tail_pgoutput_to_drop_dir
+
+        if args.plugin == "pgoutput" and not args.publication:
+            print(
+                "error: --plugin pgoutput requires --publication "
+                "(CREATE PUBLICATION ... FOR TABLE ... on the source)",
+                file=sys.stderr,
+            )
+            return 2
+        client = LRClient(
+            args.host,
+            args.port,
+            args.dbname,
+            args.user,
+            args.slot,
+            plugin=args.plugin,
+        )
+        client.connect()
+        try:
+            if args.create_slot:
+                client.create_slot(if_not_exists=True)
+            if args.plugin == "pgoutput":
+                n = tail_pgoutput_to_drop_dir(
+                    client,
+                    args.drop_dir,
+                    publication=args.publication,
+                    start_lsn=args.start_lsn,
+                    max_changes=args.max_messages,
+                    idle_timeout_s=args.idle_timeout,
+                )
+            else:
+                n = tail_to_drop_dir(
+                    client,
+                    args.drop_dir,
+                    start_lsn=args.start_lsn,
+                    max_messages=args.max_messages,
+                    idle_timeout_s=args.idle_timeout,
+                )
+        finally:
+            try:
+                client.close()
+            except OSError:
+                pass
+        print(
+            json.dumps(
+                {"consumed": n, "drop_dir": args.drop_dir, "plugin": args.plugin}
+            ),
+            file=out,
         )
         return 0
 
