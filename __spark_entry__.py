@@ -3439,6 +3439,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (pinned in test_merge_sink) so this is convention, not risk.
         # r11 queue now 6: 42 r8-stale + 6 tags + 2 oldest-r9 = 50.
         "cs_incremental_merge": 11,
+        # round-11 truncate semantics (VERDICT r10 item 3): both the
+        # Spark normalize_kind and the oracle CASE now preserve
+        # 'truncate' (result-identical on truncate-free testdata, but
+        # the oracle TEXT changed, so the green row must re-earn).
+        "cs_kind_normalize": 11,
     }
 
     import glob as _glob
@@ -3587,7 +3592,7 @@ def oracle_sql() -> dict[str, str]:
                   ELSE 'bogus' END AS action_variant
       FROM changesets
     )
-    SELECT CASE WHEN lower(action_variant) IN ('insert','update','delete')
+    SELECT CASE WHEN lower(action_variant) IN ('insert','update','delete','truncate')
                 THEN lower(action_variant) ELSE '' END AS kind,
            count(*) AS n
     FROM v GROUP BY 1

@@ -224,3 +224,98 @@ def test_replay_null_kind_row_is_not_a_delete(spark):
     )
     got = {(r["pk"], r["val"]) for r in replay(df, ["pk"]).collect()}
     assert got == {(1, "a"), (2, "b")}
+
+
+# -- truncate: table-clear semantics (pgoutput source only; the
+# reference's wal2json path never sees truncates — pgoutput.py emits
+# one 'truncate' change per table, and it must NEVER fold into final
+# state as an upsert-shaped no-op row) -----------------------------------
+
+TRUNC_SCHEMA = "id LONG, action STRING, table_name STRING, pk LONG, val STRING"
+TRUNC_LOG = [
+    (1, "insert", "users", 1, "a"),
+    (2, "insert", "users", 2, "b"),
+    (3, "insert", "orders", 9, "x"),
+    (4, "truncate", "users", None, None),   # clears users ids <= 4
+    (5, "insert", "users", 3, "c"),         # survives: after the truncate
+]
+
+
+def test_replay_truncate_clears_table_up_to_mark(spark):
+    from warp_pipe_spark.apply import TRUNCATE_KINDS
+
+    df = spark.createDataFrame(TRUNC_LOG, TRUNC_SCHEMA)
+    got = {
+        (r["table_name"], r["pk"], r["val"])
+        for r in replay(df, ["pk"], truncate_kinds=TRUNCATE_KINDS).collect()
+    }
+    # users 1/2 truncated away, orders untouched, post-truncate insert kept,
+    # and NO truncate row appears in final state
+    assert got == {("orders", 9, "x"), ("users", 3, "c")}
+
+
+def test_replay_without_truncate_optin_keeps_pinned_plan(spark, canonical):
+    """The guard is opt-in: default replay still folds the same and the
+    flagship single-exchange plan pin (test_plans) is unaffected."""
+    out = replay(canonical, ["pk"]).collect()
+    assert len(out) == 1
+
+
+def test_merge_batch_truncate_clears_prior_state(spark):
+    """A truncate arriving in a LATER micro-batch clears state merged
+    earlier: state rows keep their original ids (< truncate id), so the
+    unioned fold sees and clears them."""
+    from warp_pipe_spark.apply import TRUNCATE_KINDS
+
+    b1 = spark.createDataFrame(TRUNC_LOG[:3], TRUNC_SCHEMA)
+    b2 = spark.createDataFrame(TRUNC_LOG[3:], TRUNC_SCHEMA)
+    s1 = merge_batch(None, b1, ["pk"], truncate_kinds=TRUNCATE_KINDS)
+    s2 = merge_batch(s1, b2, ["pk"], truncate_kinds=TRUNCATE_KINDS)
+    got = {(r["table_name"], r["pk"], r["val"]) for r in s2.collect()}
+    assert got == {("orders", 9, "x"), ("users", 3, "c")}
+
+
+def test_truncate_tombstone_blocks_late_arrivals(spark):
+    """keep_tombstones mode: the truncate row is retained as a NULL-pk
+    watermark, so a LATE-arriving change with a lower id than the
+    truncate is still cleared by the next fold — the exact analogue of
+    delete tombstones under out-of-order delivery."""
+    from pyspark.sql import functions as F
+
+    from warp_pipe_spark.apply import TRUNCATE_KINDS
+
+    b1 = spark.createDataFrame(
+        [(4, "truncate", "users", None, None), (5, "insert", "users", 3, "c")],
+        TRUNC_SCHEMA,
+    )
+    late = spark.createDataFrame(
+        [(2, "insert", "users", 2, "b")], TRUNC_SCHEMA  # pre-truncate id
+    )
+    s1 = merge_batch(None, b1, ["pk"], keep_tombstones=True,
+                     truncate_kinds=TRUNCATE_KINDS)
+    s2 = merge_batch(s1, late, ["pk"], keep_tombstones=True,
+                     truncate_kinds=TRUNCATE_KINDS)
+    published = s2.filter(
+        F.col("action").isNull() | ~F.lower("action").isin("delete", "truncate")
+    )
+    got = {(r["pk"], r["val"]) for r in published.collect()}
+    assert got == {(3, "c")}  # the late pk=2 row stayed cleared
+
+
+def test_split_truncates_single_table_log(spark):
+    """table_col=None: a 0-or-1-row global mark joined on a constant —
+    an empty marks frame must keep every change."""
+    from warp_pipe_spark.apply import split_truncates
+
+    schema = "id LONG, action STRING, pk LONG"
+    no_trunc = spark.createDataFrame(
+        [(1, "insert", 1), (2, "insert", 2)], schema
+    )
+    eff, _ = split_truncates(no_trunc, table_col=None)
+    assert eff.count() == 2
+    with_trunc = spark.createDataFrame(
+        [(1, "insert", 1), (2, "truncate", None), (3, "insert", 3)], schema
+    )
+    eff, marks = split_truncates(with_trunc, table_col=None)
+    assert [r["pk"] for r in eff.collect()] == [3]
+    assert marks.collect()[0]["_wp_trunc_id"] == 2

@@ -6,13 +6,18 @@ from warp_pipe_spark.changeset import CHANGESET_SCHEMA, column_value, normalize_
 
 
 def test_normalize_kind_lowercases_and_blanks_unknown(spark):
-    # changeset.go:21-33: lenient lower-casing; unknown kinds → ""
+    # changeset.go:21-33: lenient lower-casing; unknown kinds → "".
+    # `truncate` is preserved, NOT blanked (r11): the reference never
+    # sees truncates, but our pgoutput source emits them — blanking
+    # would let the apply path fold a table clear as an upsert-shaped
+    # no-op row (VERDICT r10 item 3).
     df = spark.createDataFrame(
-        [("INSERT",), ("Update",), ("delete",), ("TRUNCATE",), ("",), (None,)],
+        [("INSERT",), ("Update",), ("delete",), ("TRUNCATE",), ("bogus",),
+         ("",), (None,)],
         ["kind"],
     )
     out = [r["k"] for r in df.select(normalize_kind("kind").alias("k")).collect()]
-    assert out == ["insert", "update", "delete", "", "", ""]
+    assert out == ["insert", "update", "delete", "truncate", "", "", ""]
 
 
 def test_column_value_first_match_and_missing(spark):

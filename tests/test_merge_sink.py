@@ -428,3 +428,65 @@ def test_merge_statement_ansi_dialect():
     ) == ansi_sql
     with _pytest.raises(ValueError):
         merge_statement("users", "src", ["pk"], ["val"], dialect="mysql")
+
+
+# -- truncate changesets (VERDICT r10 item 3): never an upsert ------------
+
+TRUNC_LOG = [
+    (1, "insert", "users", 1, "a"),
+    (2, "insert", "users", 2, "b"),
+    (3, "insert", "pets", 1, "rex"),
+    (4, "truncate", "users", None, None),
+    (5, "insert", "users", 3, "c"),
+]
+
+
+def test_merge_sink_truncate_default_raises_never_upserts(spark):
+    """on_truncate='error' (the default): a truncate in the batch fails
+    loudly instead of folding into the MERGE as an upsert-shaped row."""
+    sink = MergeStateSink(spark, InMemoryMergeExecutor(spark), pk_cols=["pk"])
+    with pytest.raises(ValueError, match="truncate changeset"):
+        sink.apply_batch(spark.createDataFrame(TRUNC_LOG, SCHEMA), 0)
+
+
+def test_merge_sink_truncate_clear_applies_table_clear(spark):
+    """on_truncate='clear': prior state for the table is cleared up to
+    the truncate id; post-truncate rows and other tables survive; no
+    truncate row ever lands in state."""
+    sink = MergeStateSink(
+        spark, InMemoryMergeExecutor(spark), pk_cols=["pk"],
+        on_truncate="clear",
+    )
+    sink.apply_batch(spark.createDataFrame(TRUNC_LOG[:3], SCHEMA), 0)
+    sink.apply_batch(spark.createDataFrame(TRUNC_LOG[3:], SCHEMA), 1)
+    assert _state(sink) == {("pets", 1, "rex"), ("users", 3, "c")}
+
+
+def test_merge_sink_truncate_clear_redelivery_noop(spark):
+    """The clear is id-guarded: replaying the truncate batch must not
+    delete rows merged after the truncate (exactly-once observable
+    state, same contract as the MERGE conditions)."""
+    sink = MergeStateSink(
+        spark, InMemoryMergeExecutor(spark), pk_cols=["pk"],
+        on_truncate="clear",
+    )
+    b = spark.createDataFrame(TRUNC_LOG, SCHEMA)
+    sink.apply_batch(b, 0)
+    before = _state(sink)
+    sink.apply_batch(b, 0)  # redelivered
+    assert _state(sink) == before == {("pets", 1, "rex"), ("users", 3, "c")}
+
+
+def test_sql_executor_truncate_clear_emits_id_guarded_delete(spark):
+    from warp_pipe_spark.merge_sink import SqlMergeExecutor
+
+    rec = _RecordingSqlSpark()
+    sink = MergeStateSink(
+        spark, SqlMergeExecutor(rec), pk_cols=["pk"], on_truncate="clear"
+    )
+    sink.apply_batch(spark.createDataFrame(TRUNC_LOG, SCHEMA), 0)
+    deletes = [s for s in rec.stmts if s.startswith("DELETE FROM")]
+    assert deletes == ["DELETE FROM users WHERE id <= 4"]
+    # the post-truncate insert still merges
+    assert any("MERGE INTO users t" in s for s in rec.stmts)
+    assert any("MERGE INTO pets t" in s for s in rec.stmts)

@@ -137,7 +137,11 @@ def test_docs_decode_through_the_existing_wal2json_path(spark):
     assert out[0]["id"] is not None and out[1]["id"] > out[0]["id"]
 
 
-def test_unchanged_toast_and_nulls_are_distinct_cells():
+def test_unchanged_toast_columns_are_omitted_not_nulled():
+    """wal2json parity: a TOASTed column an UPDATE didn't touch is NOT
+    re-sent by the server ('u' cell). It must be ABSENT from the change
+    — emitting it as NULL would be indistinguishable from a real NULL
+    and the LWW apply would overwrite the stored value with NULL."""
     asm = PgOutputAssembler()
     feed_all(
         asm,
@@ -145,11 +149,76 @@ def test_unchanged_toast_and_nulls_are_distinct_cells():
             REL,
             msg_begin(),
             msg_update(5001, ["1", ("toast",)]),  # TOAST: not re-sent
+            msg_update(5001, ["2", None]),  # a REAL NULL stays a cell
             msg_commit(),
         ],
     )
-    (upd,) = asm.docs[0]["change"]
-    assert upd["columnvalues"] == ["1", None]
+    toasted, real_null = asm.docs[0]["change"]
+    assert toasted["columnnames"] == ["id"]
+    assert toasted["columntypes"] == ["bigint"]
+    assert toasted["columnvalues"] == ["1"]
+    assert real_null["columnnames"] == ["id", "val"]
+    assert real_null["columnvalues"] == ["2", None]
+
+
+def test_identity_full_old_tuple_keeps_genuine_nulls():
+    """'O' tuple (REPLICA IDENTITY FULL): oldkeys carries ALL columns,
+    NULLs included — wal2json identity-full parity. The 'K' path picks
+    columns by the relation's key FLAGS, so a NULL in a key column
+    would survive too (never the old filter-out-None heuristic)."""
+    asm = PgOutputAssembler()
+    feed_all(
+        asm,
+        [
+            REL,
+            msg_begin(),
+            msg_delete(5001, ["1", None], marker=b"O"),
+            msg_commit(),
+        ],
+    )
+    (dele,) = asm.docs[0]["change"]
+    assert dele["oldkeys"]["keynames"] == ["id", "val"]
+    assert dele["oldkeys"]["keyvalues"] == ["1", None]
+
+
+def test_empty_transaction_emits_no_document():
+    """A commit whose transaction touched only non-published tables
+    arrives as bare Begin+Commit. No document (and hence no fsynced
+    drop-dir file) may be produced for it."""
+    asm = PgOutputAssembler()
+    feed_all(asm, [REL, msg_begin(), msg_commit()])
+    assert asm.docs == []
+
+
+def test_commit_outside_begin_raises():
+    from warp_pipe_spark.pgoutput import PgOutputProtocolError
+
+    asm = PgOutputAssembler()
+    with pytest.raises(PgOutputProtocolError, match="outside a BEGIN"):
+        asm.feed(100, msg_commit())
+
+
+def test_v2_stream_message_raises_named_error():
+    """Protocol-version guard: proto_version 1 is pinned in the START
+    options; a v2-only streamed-transaction frame ('S' stream-start)
+    must raise a named error, never be silently skipped or misparsed."""
+    from warp_pipe_spark.pgoutput import PgOutputProtocolError
+
+    asm = PgOutputAssembler()
+    with pytest.raises(PgOutputProtocolError, match="proto_version 1"):
+        asm.feed(100, b"S" + struct.pack("!ii", 1, 2))
+    with pytest.raises(PgOutputProtocolError, match="unknown pgoutput"):
+        asm.feed(101, b"Z")
+
+
+def test_feed_returns_change_counts():
+    asm = PgOutputAssembler()
+    assert asm.feed(100, REL) == 0
+    assert asm.feed(101, msg_begin()) == 0
+    assert asm.feed(102, msg_insert(5001, "1", "a")) == 1
+    assert asm.feed(103, msg_commit()) == 0
+    assert len(asm.take_docs()) == 1
+    assert asm.docs == []  # popped — the tail's memory stays bounded
 
 
 def test_change_before_relation_raises():
@@ -172,14 +241,39 @@ def test_uncommitted_tail_is_not_emitted():
     assert asm.docs == []  # no commit, no document — abort-safe
 
 
-def test_truncate_emits_one_change_per_registry_entry():
+def test_truncate_emits_one_change_per_table():
+    """Multi-table TRUNCATE fans out to one change per table (wal2json
+    emits one truncate entry per table) — stashing extras in a side key
+    the downstream schema drops would silently lose them. Sub-ordinal
+    ids wal_start+i stay unique and monotone (the wire message is
+    6+4n bytes, so they never collide with the next message's id)."""
+    rel2 = msg_relation(5002, "public", "orders", [(1, "id", 20)])
+    asm = PgOutputAssembler()
+    t = b"T" + struct.pack("!iB", 2, 0) + struct.pack("!ii", 5001, 5002)
+    feed_all(asm, [REL, rel2, msg_begin(), t, msg_commit()], start=100)
+    a, b = asm.docs[0]["change"]
+    assert [c["kind"] for c in (a, b)] == ["truncate", "truncate"]
+    assert [c["table"] for c in (a, b)] == ["accounts", "orders"]
+    assert b["id"] == a["id"] + 1
+
+
+def test_truncate_changes_survive_the_wal2json_decode(spark):
+    """Both truncates of a 2-table TRUNCATE must be visible to the
+    downstream decode — the schema has no side channel."""
+    from warp_pipe_spark.decoders import decode_wal2json
+
     rel2 = msg_relation(5002, "public", "orders", [(1, "id", 20)])
     asm = PgOutputAssembler()
     t = b"T" + struct.pack("!iB", 2, 0) + struct.pack("!ii", 5001, 5002)
     feed_all(asm, [REL, rel2, msg_begin(), t, msg_commit()])
-    (ch,) = asm.docs[0]["change"]
-    assert ch["kind"] == "truncate" and ch["table"] == "accounts"
-    assert ch["_extra_truncated"] == [{"schema": "public", "table": "orders"}]
+    lines = [json.dumps(d) for d in asm.docs]
+    out = decode_wal2json(
+        spark.createDataFrame([(ln,) for ln in lines], "message STRING")
+    ).collect()
+    assert [(r["kind"], r["table"]) for r in out] == [
+        ("truncate", "accounts"),
+        ("truncate", "orders"),
+    ]
 
 
 def test_binary_tuple_cell_fails_loud():

@@ -222,3 +222,27 @@ def test_record_stage_unknown_key_dead_letters_not_silently_drops(spark):
         assert "adds_key" in err and "extra_col" in err
     finally:
         p.unpersist()
+
+
+def test_truncate_changesets_are_dead_lettered_never_upserted(spark):
+    """VERDICT r10 item 3: a `truncate` changeset (pgoutput source,
+    one per truncated table) reaching an apply path without table-clear
+    semantics must be routed to the dead-letter output — an auditable
+    event — never silently folded downstream as an upsert-shaped row."""
+    from warp_pipe_spark.pipeline import reject_truncates
+
+    df = spark.createDataFrame(
+        [
+            (1, "insert", "users", {"id": "1"}),
+            (2, "truncate", "users", None),
+            (3, "insert", "users", {"id": "3"}),
+        ],
+        "id LONG, kind STRING, table STRING, new_values MAP<STRING,STRING>",
+    )
+    p = Pipeline().add_record_stage("reject_truncates", reject_truncates())
+    ok, dead = p.run_with_errors(df)
+    assert {r["id"] for r in ok.collect()} == {1, 3}
+    bad = dead.collect()
+    p.unpersist()
+    assert [r["id"] for r in bad] == [2]
+    assert "table-clear" in bad[0]["_wp_error"]

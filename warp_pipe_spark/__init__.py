@@ -13,12 +13,13 @@ Reference parity map: see SURVEY.md §2 (operator ids S1..S12, P1..P9,
 A1..A8, G1..G4, O1..O4 cited throughout the modules).
 """
 
-from warp_pipe_spark.apply import merge_batch, replay
+from warp_pipe_spark.apply import merge_batch, replay, split_truncates
 from warp_pipe_spark.axon import Axon
 from warp_pipe_spark.changeset import (
     CHANGESET_SCHEMA,
     KIND_DELETE,
     KIND_INSERT,
+    KIND_TRUNCATE,
     KIND_UPDATE,
     normalize_kind,
 )
@@ -36,7 +37,9 @@ __all__ = [
     "KIND_INSERT",
     "KIND_UPDATE",
     "KIND_DELETE",
+    "KIND_TRUNCATE",
     "normalize_kind",
+    "split_truncates",
     "decode_wal2json",
     "decode_audit_values",
     "whitelist_tables",

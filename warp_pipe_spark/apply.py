@@ -28,7 +28,67 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from warp_pipe_spark.changeset import KIND_DELETE
+from warp_pipe_spark.changeset import KIND_DELETE, KIND_TRUNCATE
+
+TRUNCATE_KINDS = (KIND_TRUNCATE, "TRUNCATE")
+
+
+def split_truncates(
+    changesets: DataFrame,
+    id_col: str = "id",
+    kind_col: str = "action",
+    table_col: str | None = "table_name",
+    truncate_kinds: tuple[str, ...] = TRUNCATE_KINDS,
+    keep_latest_mark: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Give `truncate` changesets table-clear semantics: returns
+    (effective, marks) where `marks` is one row per truncated table —
+    (table, _wp_trunc_id = the table's LATEST truncate id) — and
+    `effective` is the log with every change at-or-before that truncate
+    removed (the truncate rows themselves included): exactly the rows a
+    re-created table would still see. Feeding `effective` to the LWW
+    fold is then correct by construction — no truncate row can ever be
+    folded into final state as an upsert-shaped no-op.
+
+    keep_latest_mark=True keeps each table's LATEST truncate row in
+    `effective` (the tombstone form, used by replay's tombstone mode):
+    carried through merged state it acts as a persistent watermark, so
+    a LATE-arriving change older than the truncate is still cleared by
+    the next fold — the exact analogue of keeping delete tombstones
+    under out-of-order delivery. The tombstone occupies the table's
+    NULL-pk slot (truncates carry no key).
+
+    Plan shape: the marks side is a filter+agg over the log (near-empty
+    in the common no-truncate case) and joins back BROADCAST — truncated
+    tables number O(tables), never O(rows), so this survives any scale.
+    The guard is opt-in from `replay(truncate_kinds=...)` to keep the
+    flagship fold's pinned single-exchange plan when the source cannot
+    emit truncates (audit triggers, wal2json — only our pgoutput source
+    generates them, pgoutput.py truncate fan-out).
+    """
+    is_trunc = F.col(kind_col).isin(*truncate_kinds)
+    key = [table_col] if table_col else []
+    marks = (
+        changesets.filter(is_trunc)
+        .groupBy(*key)
+        .agg(F.max(F.col(id_col)).alias("_wp_trunc_id"))
+    )
+    if table_col:
+        joined = changesets.join(F.broadcast(marks), on=table_col, how="left")
+    else:
+        # single-table log: marks is 0-or-1 rows; a LEFT join on a
+        # constant keeps every change when no truncate exists (a plain
+        # cross join against an empty marks frame would drop them all)
+        joined = changesets.join(F.broadcast(marks), F.lit(True), "left")
+    survives = F.col("_wp_trunc_id").isNull() | (
+        F.col(id_col) > F.col("_wp_trunc_id")
+    )
+    if keep_latest_mark:
+        survives = survives | (
+            is_trunc & (F.col(id_col) == F.col("_wp_trunc_id"))
+        )
+    effective = joined.filter(survives).drop("_wp_trunc_id")
+    return effective, marks
 
 
 def replay(
@@ -39,9 +99,19 @@ def replay(
     table_col: str | None = "table_name",
     delete_kinds: tuple[str, ...] = (KIND_DELETE, "DELETE"),
     drop_deletes: bool = True,
+    truncate_kinds: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Fold changesets (typed/decoded form: one column per field) into
     final state: last writer wins per PK, delete tombstones drop rows.
+
+    truncate_kinds: pass TRUNCATE_KINDS when the log can carry
+    `truncate` changesets (our pgoutput source emits one per truncated
+    table) — each table's rows at-or-before its latest truncate are
+    cleared via split_truncates BEFORE the fold, so a truncate is a
+    table clear, never an upsert-shaped no-op row. Opt-in (default
+    None) because the guard adds a broadcast join the pinned
+    single-exchange flagship plan doesn't need for truncate-free
+    sources (audit triggers, wal2json).
 
     O4 duplicate-skip comes for free: a redelivered changeset (same id,
     same content) lands in the same (table, pk) partition and only the
@@ -54,6 +124,14 @@ def replay(
     WindowGroupLimit rewrites the rank filter into a partial per-group
     top-1 BEFORE the exchange, so the shuffle carries ~one row per key.
     """
+    if truncate_kinds:
+        # tombstone mode (drop_deletes=False) keeps the latest truncate
+        # row per table as a persistent watermark, same rationale as
+        # delete tombstones under out-of-order delivery
+        changesets, _ = split_truncates(
+            changesets, id_col, kind_col, table_col, truncate_kinds,
+            keep_latest_mark=not drop_deletes,
+        )
     parts = ([table_col] if table_col else []) + list(pk_cols)
     w = Window.partitionBy(*parts).orderBy(F.col(id_col).desc())
     folded = (
@@ -142,8 +220,17 @@ def merge_batch(
     kind_col: str = "action",
     table_col: str | None = "table_name",
     keep_tombstones: bool = False,
+    truncate_kinds: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Incremental MERGE: existing state + new changesets → new state.
+
+    truncate_kinds: see replay — a `truncate` changeset in the batch
+    clears the table's prior state too, because state rows carry their
+    original ids (all < the truncate id) and the union feeds one fold.
+    NOTE: with micro-batches a truncate only clears state whose ids the
+    union can see — which is all of it, since target rows keep their
+    last id. Correct across any batch split, same argument as
+    tombstones.
 
     Target rows are treated as changesets with their original last id —
     a new changeset for the same PK wins iff its id is higher; a delete
@@ -174,6 +261,8 @@ def merge_batch(
     """
     drop = not keep_tombstones
     if target_state is None:
-        return replay(batch, pk_cols, id_col, kind_col, table_col, drop_deletes=drop)
+        return replay(batch, pk_cols, id_col, kind_col, table_col,
+                      drop_deletes=drop, truncate_kinds=truncate_kinds)
     unioned = target_state.unionByName(batch, allowMissingColumns=True)
-    return replay(unioned, pk_cols, id_col, kind_col, table_col, drop_deletes=drop)
+    return replay(unioned, pk_cols, id_col, kind_col, table_col,
+                  drop_deletes=drop, truncate_kinds=truncate_kinds)

@@ -27,6 +27,14 @@ from pyspark.sql import types as T
 KIND_INSERT = "insert"
 KIND_UPDATE = "update"
 KIND_DELETE = "delete"
+# Not a reference kind (changeset.go:14-33 stops at delete — wal2json
+# truncates never reach it), but OUR pgoutput source emits it
+# (pgoutput.py truncate fan-out). It must survive normalization: folding
+# it to '' would let the apply path treat a table clear as an
+# upsert-shaped no-op row. apply.split_truncates / replay(truncate_kinds=)
+# give it table-clear semantics; pipelines that can't handle it
+# dead-letter it via pipeline.reject_truncates().
+KIND_TRUNCATE = "truncate"
 KINDS = (KIND_INSERT, KIND_UPDATE, KIND_DELETE)
 
 # column triple: name, raw string value, declared source type
@@ -67,10 +75,15 @@ AUDIT_LOG_SCHEMA = T.StructType(
 def normalize_kind(col: Column | str) -> Column:
     """Lower-case + enum parse; unknown kinds map to '' (changeset.go:21-33).
 
+    `truncate` is additionally preserved (reference parity doesn't
+    apply: the reference never sees truncates, our pgoutput source
+    generates them — mapping them to '' would silently turn a table
+    clear into an upsert-shaped no-op downstream).
+
     Pure built-in expression → stays inside whole-stage codegen.
     """
     c = F.lower(F.col(col) if isinstance(col, str) else col)
-    return F.when(c.isin(*KINDS), c).otherwise(F.lit(""))
+    return F.when(c.isin(*KINDS, KIND_TRUNCATE), c).otherwise(F.lit(""))
 
 
 def column_value(values_col: Column | str, name: str) -> Column:

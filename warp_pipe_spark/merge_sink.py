@@ -41,7 +41,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from warp_pipe_spark.apply import replay
+from warp_pipe_spark.apply import TRUNCATE_KINDS, replay
 
 DELETE_KINDS = ("delete", "DELETE")
 
@@ -201,6 +201,17 @@ class SqlMergeExecutor:
         finally:
             self.spark.catalog.dropTempView(view)
 
+    def clear(self, table: str, up_to_id: int, id_col: str) -> None:
+        """Table-clear for a `truncate` changeset: delete every target
+        row at-or-before the truncate's id. The id guard (not an
+        unconditional DELETE) makes redelivery a no-op — rows merged
+        AFTER the truncate carry higher ids and survive a replayed
+        clear, the same idempotence contract as the MERGE conditions."""
+        self.spark.sql(
+            f"DELETE FROM {self.target_for(table)} "
+            f"WHERE {id_col} <= {int(up_to_id)}"
+        )
+
 
 class DeltaMergeExecutor:
     """Drives delta-spark's merge builder when the library is present
@@ -276,6 +287,15 @@ class DeltaMergeExecutor:
                     self.spark.conf.unset(self._AUTOMERGE_KEY)
                 else:
                     self.spark.conf.set(self._AUTOMERGE_KEY, prev)
+
+    def clear(self, table, up_to_id, id_col):
+        """Truncate table-clear, id-guarded for redelivery idempotence
+        (see SqlMergeExecutor.clear)."""
+        from delta.tables import DeltaTable
+
+        DeltaTable.forPath(self.spark, self.path_for(table)).delete(
+            f"{id_col} <= {int(up_to_id)}"
+        )
 
 
 class InMemoryMergeExecutor:
@@ -358,6 +378,12 @@ class InMemoryMergeExecutor:
         # materialize so the next merge doesn't re-execute a growing plan
         self.tables[table] = self.spark.createDataFrame(new.collect(), new.schema)
 
+    def clear(self, table, up_to_id, id_col):
+        """Truncate table-clear, id-guarded like the real executors."""
+        cur = self.tables.get(table)
+        if cur is not None:
+            self.tables[table] = cur.filter(F.col(id_col) > int(up_to_id))
+
     def read_state(self) -> DataFrame | None:
         dfs = list(self.tables.values())
         if not dfs:
@@ -374,7 +400,20 @@ class MergeStateSink:
     """foreachBatch/KeysetPoller-compatible sink over a MergeExecutor:
     fold the micro-batch to winners, then one MERGE per touched table.
     Atomicity and redelivery-idempotence come from the target format's
-    transaction (Delta/Iceberg commit) plus the id-guarded conditions."""
+    transaction (Delta/Iceberg commit) plus the id-guarded conditions.
+
+    on_truncate: what a `truncate` changeset in the batch does (only
+    the pgoutput source emits them, one per truncated table).
+      - 'error' (default): raise — a truncate must NEVER silently fold
+        into the MERGE as an upsert-shaped no-op row; an operator who
+        hits this either enables 'clear' or routes truncates to a
+        dead-letter with pipeline.reject_truncates() upstream.
+      - 'clear': table-clear semantics — executor.clear(table, id)
+        deletes target rows at-or-before the truncate id, and batch
+        rows the truncate supersedes are dropped before the fold
+        (apply.split_truncates' contract). Redelivery stays a no-op:
+        the clear is id-guarded, post-truncate rows survive it.
+    """
 
     def __init__(
         self,
@@ -384,19 +423,55 @@ class MergeStateSink:
         id_col: str = "id",
         kind_col: str = "action",
         table_col: str = "table_name",
+        on_truncate: str = "error",
     ):
+        if on_truncate not in ("error", "clear"):
+            raise ValueError(
+                f"on_truncate must be 'error' or 'clear', got {on_truncate!r}"
+            )
         self.spark = spark
         self.executor = executor
         self.pk_cols = list(pk_cols)
         self.id_col = id_col
         self.kind_col = kind_col
         self.table_col = table_col
+        self.on_truncate = on_truncate
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         # unroutable rows (NULL table_name) are skipped like
         # ParquetStateSink does — sorted() would TypeError on None and
         # the equality route below can never match them anyway
         batch = batch.filter(F.col(self.table_col).isNotNull())
+        # per-table latest-truncate marks: one tiny agg job per batch —
+        # the price of never letting a table clear slip through as an
+        # upsert. Tables number O(tables); the collect is the same
+        # driver-side routing read as `touched` below.
+        marks = {
+            r[0]: r[1]
+            for r in batch.filter(F.col(self.kind_col).isin(*TRUNCATE_KINDS))
+            .groupBy(self.table_col)
+            .agg(F.max(self.id_col))
+            .collect()
+        }
+        if marks:
+            if self.on_truncate == "error":
+                raise ValueError(
+                    "truncate changeset(s) for table(s) "
+                    f"{sorted(marks)} reached MergeStateSink("
+                    "on_truncate='error'); construct the sink with "
+                    "on_truncate='clear' or dead-letter truncates "
+                    "upstream (pipeline.reject_truncates)"
+                )
+            superseded = F.col(self.kind_col).isin(*TRUNCATE_KINDS)
+            for t, tid in marks.items():
+                superseded = superseded | (
+                    (F.col(self.table_col) == t)
+                    & (F.col(self.id_col) <= tid)
+                )
+            # coalesce: NULL kind must read "not superseded", not NULL
+            batch = batch.filter(~F.coalesce(superseded, F.lit(False)))
+            for t in sorted(marks):
+                self.executor.clear(t, marks[t], self.id_col)
         winners = batch_winners(
             batch, self.pk_cols, self.id_col, self.kind_col, self.table_col
         ).persist()

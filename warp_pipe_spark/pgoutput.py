@@ -21,18 +21,44 @@ Message grammar parsed here (one letter per XLogData payload):
   I insert     reloid(4) 'N' tuple
   U update     reloid(4) ['K'|'O' tuple] 'N' tuple
   D delete     reloid(4) 'K'|'O' tuple
-  T truncate   nrel(4) options(1) reloid(4)...     (emitted as kind
-               'truncate' with no columns — wal2json does the same)
+  T truncate   nrel(4) options(1) reloid(4)...     (ONE change of kind
+               'truncate' per affected table, wal2json parity)
   Y type / O origin / M message                     (skipped)
-  tuple: ncols(2) then per column 'n' (NULL) | 'u' (unchanged TOAST,
-         emitted as NULL + name recorded in 'unchanged') |
+  tuple: ncols(2) then per column 'n' (NULL) | 'u' (unchanged TOAST) |
          't' len(4) bytes (text-mode value)
+
+Unchanged-TOAST cells ('u'): the server does not re-send a TOASTed
+value an UPDATE didn't touch. Those columns are OMITTED from
+columnnames/columntypes/columnvalues — exactly what wal2json does —
+because emitting them as NULL would be indistinguishable from a real
+NULL and the downstream LWW replay/MERGE would overwrite the stored
+value with NULL (silent corruption). Downstream, an absent column
+means "unchanged", which apply.merge semantics already honor (absent
+columns keep the target row's value).
+
+oldkeys: for a 'K' tuple (REPLICA IDENTITY DEFAULT/USING INDEX) the
+key columns are identified by the Relation message's per-column key
+flags — NOT by which cells happen to be non-NULL, so a genuinely-NULL
+key cell survives. For an 'O' tuple (REPLICA IDENTITY FULL) ALL
+columns are included, NULLs included, matching wal2json's
+identity-full output (unchanged-TOAST old cells, which only FULL can
+carry, are omitted like on the new side).
+
+Protocol version: this decoder negotiates and speaks proto_version 1
+only. The v2+ streamed-transaction message types a PG 14+ server could
+emit under a higher negotiated version ('S' stream-start, 'E'
+stream-stop, 'c' stream-commit, 'A' stream-abort) raise
+PgOutputProtocolError — a misnegotiated stream fails loudly instead of
+corrupting the tail. Any other unknown message type also raises.
 
 Identity & ordering: each change carries `id` = the WAL byte position
 (XLogData.wal_start) of its own message — unique, monotone in commit
 order, and stable across redelivery/replay, which is exactly the
-contract the downstream LWW fold (apply.replay) keys on. The document
-carries `nextlsn` = the commit's end_lsn, same as wal2json.
+contract the downstream LWW fold (apply.replay) keys on. (A multi-
+table TRUNCATE fans out to consecutive ids wal_start+0..n-1; its wire
+message is 6+4n bytes long, so those ids stay below the next
+message's wal_start.) The document carries `nextlsn` = the commit's
+end_lsn, same as wal2json.
 
 Values are raw text strings end-to-end (the repo's checksum-fidelity
 rule, SURVEY §1.3); type oids are rendered as Postgres type names for
@@ -69,6 +95,18 @@ PG_TYPE_NAMES = {
     2950: "uuid",
     3802: "jsonb",
 }
+
+#: pgoutput message types that exist only under proto_version >= 2
+#: (streaming of in-progress transactions, PG 14+). We never request
+#: v2, so seeing one means the negotiation was violated.
+_V2_STREAM_TYPES = {b"S": "stream-start", b"E": "stream-stop",
+                    b"c": "stream-commit", b"A": "stream-abort"}
+
+
+class PgOutputProtocolError(ValueError):
+    """The stream delivered a frame this proto_version-1 decoder cannot
+    interpret — misnegotiated version or corrupt stream. Fail loudly;
+    guessing would corrupt the tail."""
 
 
 def _type_name(oid: int) -> str:
@@ -112,14 +150,19 @@ def _tuple_data(b: bytes, off: int) -> tuple[list[str | None], list[int], int]:
 
 class PgOutputAssembler:
     """Feed pgoutput XLogData payloads in stream order; collect one
-    wal2json-shaped dict per COMMITTED transaction from `docs`.
+    wal2json-shaped dict per COMMITTED transaction from `docs` (or pop
+    them with `take_docs()` — the long-running tail does, keeping its
+    memory O(uncommitted), never O(stream)). `feed` returns the number
+    of CHANGES the payload contributed (1 per I/U/D, one per table for
+    T, 0 for assembly/metadata messages), so callers count work without
+    re-scanning buffered documents.
 
     Relation registry semantics follow the protocol: the server sends
     an R message for a table before its first change in a decoding
     session (and again after schema changes), so a change referencing
     an unknown oid is a protocol violation and raises rather than
-    guessing. State is one (names, types) list per STREAMED table —
-    O(tables), never O(rows)."""
+    guessing. State is one (names, types, key-flags) list per STREAMED
+    table — O(tables), never O(rows)."""
 
     def __init__(self) -> None:
         self._rels: dict[int, dict] = {}
@@ -129,27 +172,63 @@ class PgOutputAssembler:
 
     # -- per-message ------------------------------------------------------
 
-    def feed(self, wal_start: int, payload: bytes) -> None:
+    def feed(self, wal_start: int, payload: bytes) -> int:
         kind = payload[:1]
         if kind == b"R":
             oid, ns, rel, cols = self._parse_relation(payload)
             self._rels[oid] = {"schema": ns, "table": rel, "cols": cols}
         elif kind == b"B":
+            if self._in_tx:
+                raise PgOutputProtocolError(
+                    "pgoutput Begin inside an open transaction"
+                )
             self._pending = []
             self._in_tx = True
         elif kind == b"C":
+            if not self._in_tx:
+                raise PgOutputProtocolError(
+                    "pgoutput Commit outside a BEGIN — corrupt or "
+                    "misordered stream"
+                )
             _, _, end_lsn, _ = struct.unpack_from("!Bqqq", payload, 1)
-            self.docs.append(
-                {"change": self._pending, "nextlsn": lsn_str(end_lsn)}
-            )
+            # empty transactions (commits touching only non-published
+            # tables) emit NO document — one fsynced drop-dir file per
+            # empty commit would be file spam on any busy shared server;
+            # the tail still advances/confirms the LSN from the frame
+            if self._pending:
+                self.docs.append(
+                    {"change": self._pending, "nextlsn": lsn_str(end_lsn)}
+                )
             self._pending, self._in_tx = [], False
         elif kind in (b"I", b"U", b"D", b"T"):
             if not self._in_tx:
                 raise ValueError(
                     f"pgoutput {kind!r} message outside a BEGIN/COMMIT"
                 )
-            self._pending.append(self._parse_change(kind, wal_start, payload))
-        # 'Y' type, 'O' origin, 'M' message: metadata, nothing to emit
+            changes = self._parse_change(kind, wal_start, payload)
+            self._pending.extend(changes)
+            return len(changes)
+        elif kind in _V2_STREAM_TYPES:
+            raise PgOutputProtocolError(
+                f"pgoutput protocol v2+ message "
+                f"'{_V2_STREAM_TYPES[kind]}' ({kind!r}) on a stream "
+                "negotiated at proto_version 1 — refusing to guess at "
+                "streamed-transaction framing"
+            )
+        elif kind not in (b"Y", b"O", b"M"):
+            # 'Y' type / 'O' origin / 'M' message are metadata we skip;
+            # anything else is not in the v1 grammar at all
+            raise PgOutputProtocolError(
+                f"unknown pgoutput message type {kind!r}"
+            )
+        return 0
+
+    def take_docs(self) -> list[dict]:
+        """Pop and return all committed documents. The streaming tail
+        calls this at each flush so the assembler never accumulates
+        O(stream) state."""
+        out, self.docs = self.docs, []
+        return out
 
     def _parse_relation(self, b: bytes):
         (oid,) = struct.unpack_from("!i", b, 1)
@@ -161,11 +240,12 @@ class PgOutputAssembler:
         off += 2
         cols = []
         for _ in range(ncols):
-            off += 1  # column flags (1 = part of key)
+            flags = b[off]  # bit 1 = column is part of the replica key
+            off += 1
             name, off = _cstr(b, off)
             type_oid, _typmod = struct.unpack_from("!ii", b, off)
             off += 8
-            cols.append((name, _type_name(type_oid)))
+            cols.append((name, _type_name(type_oid), bool(flags & 1)))
         return oid, ns or "pg_catalog", rel, cols
 
     def _rel(self, b: bytes) -> tuple[dict, int]:
@@ -179,72 +259,92 @@ class PgOutputAssembler:
             )
         return rel, 5
 
-    def _parse_change(self, kind: bytes, wal_start: int, b: bytes) -> dict:
+    def _parse_change(
+        self, kind: bytes, wal_start: int, b: bytes
+    ) -> list[dict]:
         if kind == b"T":
-            # truncate: nrel(4) options(1) then oids; one change per
-            # affected table would also be valid — wal2json emits one
-            # truncate per table, so do the same
+            # truncate: nrel(4) options(1) then oids — ONE change per
+            # affected table (wal2json emits one truncate entry per
+            # table; collapsing to one would silently lose the rest).
+            # Sub-ordinal ids wal_start+i stay unique and monotone: the
+            # wire message is 6+4n bytes, so wal_start+i < next wal_start.
             (nrel,) = struct.unpack_from("!i", b, 1)
             off = 6
             oids = struct.unpack_from(f"!{nrel}i", b, off)
-            tables = []
-            for oid in oids:
+            out = []
+            for i, oid in enumerate(oids):
                 rel = self._rels.get(oid)
                 if rel is None:
                     raise ValueError(f"truncate references unknown oid {oid}")
-                tables.append(rel)
-            # represent as the FIRST table's change; remaining tables
-            # get their own entries so none is silently lost
-            out = {
-                "id": wal_start,
-                "kind": "truncate",
-                "schema": tables[0]["schema"],
-                "table": tables[0]["table"],
-                "columnnames": [],
-                "columntypes": [],
-                "columnvalues": [],
-                "_extra_truncated": [
-                    {"schema": t["schema"], "table": t["table"]}
-                    for t in tables[1:]
-                ],
-            }
+                out.append(
+                    {
+                        "id": wal_start + i,
+                        "kind": "truncate",
+                        "schema": rel["schema"],
+                        "table": rel["table"],
+                        "columnnames": [],
+                        "columntypes": [],
+                        "columnvalues": [],
+                    }
+                )
             return out
         rel, off = self._rel(b)
         names = [c[0] for c in rel["cols"]]
         types = [c[1] for c in rel["cols"]]
-        old = None
+        is_key = [c[2] for c in rel["cols"]]
+        old = old_marker = None
+        old_toast: list[int] = []
         if kind in (b"U", b"D"):
             marker = b[off : off + 1]
             if marker in (b"K", b"O"):
+                old_marker = marker
                 off += 1
-                old_vals, _, off = _tuple_data(b, off)
-                old = old_vals
+                old, old_toast, off = _tuple_data(b, off)
         new = None
+        new_toast: list[int] = []
         if kind in (b"I", b"U"):
             marker = b[off : off + 1]
             if marker != b"N":
                 raise ValueError(f"expected new-tuple marker, got {marker!r}")
             off += 1
-            new, _, off = _tuple_data(b, off)
+            new, new_toast, off = _tuple_data(b, off)
         change: dict = {
             "id": wal_start,
             "kind": {b"I": "insert", b"U": "update", b"D": "delete"}[kind],
             "schema": rel["schema"],
             "table": rel["table"],
-            "columnnames": names if new is not None else [],
-            "columntypes": types if new is not None else [],
-            "columnvalues": new if new is not None else [],
+            "columnnames": [],
+            "columntypes": [],
+            "columnvalues": [],
         }
+        if new is not None:
+            # unchanged-TOAST cells are OMITTED (wal2json parity): a
+            # NULL here would be indistinguishable from a real NULL and
+            # the LWW apply would overwrite the stored value with it
+            skip = set(new_toast)
+            keep = [i for i in range(len(new)) if i not in skip]
+            change["columnnames"] = [names[i] for i in keep]
+            change["columntypes"] = [types[i] for i in keep]
+            change["columnvalues"] = [new[i] for i in keep]
         if old is not None:
-            # wal2json oldkeys: only the columns present (REPLICA
-            # IDENTITY DEFAULT sends key columns; FULL sends all)
-            keep = [i for i, v in enumerate(old) if v is not None]
+            if old_marker == b"K":
+                # REPLICA IDENTITY DEFAULT/USING INDEX: the relation's
+                # per-column key flags say exactly which columns form
+                # the key — a genuinely-NULL cell in a key column is
+                # kept as NULL, never conflated with "not a key column"
+                keep = [i for i in range(len(old)) if is_key[i]]
+            else:
+                # REPLICA IDENTITY FULL ('O'): all columns, NULLs
+                # included (wal2json identity-full output); only
+                # unchanged-TOAST cells are omitted, as on the new side
+                skip = set(old_toast)
+                keep = [i for i in range(len(old)) if i not in skip]
             change["oldkeys"] = {
                 "keynames": [names[i] for i in keep],
                 "keytypes": [types[i] for i in keep],
                 "keyvalues": [old[i] for i in keep],
             }
-        return change
+        return [change]
 
 
 def tail_pgoutput_to_drop_dir(
@@ -262,6 +362,13 @@ def tail_pgoutput_to_drop_dir(
     number of CHANGES written (insert/update/delete/truncate rows —
     begin/commit/relation messages are assembly, not payload).
 
+    Long-running safety: per-message work is O(message) — change
+    counting comes from feed()'s return value and flushed documents are
+    POPPED from the assembler (take_docs), so a tail left running for
+    days holds only the current uncommitted transaction in memory, and
+    empty commits (transactions touching no published table) confirm
+    the LSN without writing a file.
+
     Same bounded-drain contract as the wal2json tail: `max_changes`
     bounds from above, `idle_timeout_s` exits once the wire is silent
     BETWEEN frames, and a mid-frame timeout raises (slow wire, not an
@@ -273,11 +380,10 @@ def tail_pgoutput_to_drop_dir(
     n_changes = 0
     seq = 0
     hi_lsn = start_lsn
-    emitted = 0
 
     def flush(confirm: bool = True) -> None:
-        nonlocal seq, emitted
-        fresh = asm.docs[emitted:]
+        nonlocal seq
+        fresh = asm.take_docs()
         if not fresh:
             return
         tmp = os.path.join(drop_dir, f".tmp_{hi_lsn:016x}_{seq}")
@@ -290,7 +396,6 @@ def tail_pgoutput_to_drop_dir(
         os.replace(
             tmp, os.path.join(drop_dir, f"lr_{hi_lsn:016x}_{seq}.jsonl")
         )
-        emitted = len(asm.docs)
         seq += 1
         if confirm:
             client.send_standby_status(hi_lsn)
@@ -310,17 +415,14 @@ def tail_pgoutput_to_drop_dir(
             ):
                 if not isinstance(msg, XLogData):
                     continue
-                before = len(asm._pending) + sum(
-                    len(d["change"]) for d in asm.docs
-                )
-                asm.feed(msg.wal_start, msg.payload)
-                after = len(asm._pending) + sum(
-                    len(d["change"]) for d in asm.docs
-                )
-                n_changes += after - before
+                n_changes += asm.feed(msg.wal_start, msg.payload)
                 hi_lsn = max(hi_lsn, msg.wal_start + len(msg.payload))
-                if len(asm.docs) > emitted:
+                if asm.docs:
                     flush()  # one file per commit batch reaching the dir
+                elif msg.payload[:1] == b"C":
+                    # empty commit: no file, but the position is
+                    # consumed — confirm so the slot doesn't pin WAL
+                    client.send_standby_status(hi_lsn)
                 # the bound only fires BETWEEN transactions: breaking
                 # mid-transaction would discard the buffered changes of
                 # an uncommitted (but soon-committing) transaction —
@@ -345,6 +447,5 @@ def tail_pgoutput_to_drop_dir(
                 sock.settimeout(prev_timeout)
             except OSError:
                 pass
-        if len(asm.docs) > emitted:
-            flush(confirm=False)
+        flush(confirm=False)
     return n_changes

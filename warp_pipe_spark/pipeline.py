@@ -270,3 +270,26 @@ def drop_where_stage(pred: Callable[[dict], bool]) -> RecordStage:
         return None if pred(rec) else rec
 
     return fn
+
+
+def reject_truncates(kind_field: str = "kind") -> RecordStage:
+    """Dead-letter `truncate` changesets. The pgoutput source emits one
+    truncate change per truncated table (pgoutput.py; the reference's
+    wal2json path never sees truncates, so this is surface we created);
+    an apply target without table-clear semantics must never fold one
+    as an upsert-shaped no-op row. Pipelines whose sink CAN clear
+    tables use apply.replay(truncate_kinds=...) / split_truncates
+    instead of this stage; everyone else routes the truncate to the
+    dead-letter output where it is an auditable event, not silent
+    state corruption."""
+
+    def fn(rec: dict) -> dict:
+        if str(rec.get(kind_field) or "").lower() == "truncate":
+            raise ValueError(
+                f"truncate changeset for table {rec.get('table')!r} "
+                "reached an apply path without table-clear semantics; "
+                "handle via apply.split_truncates or clear the target"
+            )
+        return rec
+
+    return fn
