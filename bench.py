@@ -254,6 +254,25 @@ def load_idle_reference() -> dict[str, float]:
         return {}
 
 
+def choose_self_artifact(result: dict, prev: dict | None) -> str:
+    """Which repo file this run's artifact lands in. BENCH_SELF.json is
+    the committed IDLE reference the retime policy keys off, so a
+    measurably-more-loaded run must not clobber a more-idle one (round
+    10 hygiene defect: a canary-1.51/loadavg-2.9 run overwrote the
+    genuine canary-1.49/loadavg-0.38 artifact, weakening the load
+    guard ~16%). Overwrite only when this run is comparably idle
+    (canary within 10% of the committed one) or strictly FASTER in
+    total (a faster-under-load run cannot be load inflation);
+    otherwise the run lands in BENCH_SELF_LAST.json and the committed
+    idle reference survives."""
+    try:
+        more_loaded = result["canary_sec"] > float(prev["canary_sec"]) * 1.10
+        not_faster = float(result["value"]) >= float(prev["value"])
+    except (KeyError, TypeError, ValueError):
+        return "BENCH_SELF.json"  # no/malformed reference → become it
+    return "BENCH_SELF_LAST.json" if (more_loaded and not_faster) else "BENCH_SELF.json"
+
+
 def plan_runs(name: str, first_sec: float, idle_sec: float | None = None) -> int:
     """How many timed runs query `name` gets, given its first run took
     `first_sec` and its committed idle reference is `idle_sec` (None
@@ -414,6 +433,16 @@ def main() -> None:
         "overwrite"
     ).save()
     aux["mhidx_ingest_batch"] = round(time.time() - t0, 3)
+    # maintenance cost (VERDICT r10 item 6): compaction rewrites each
+    # band partition to one file (the Delta-OPTIMIZE analogue for the
+    # append-only index). Timed on the build+1-batch index above so the
+    # per-round artifact re-measures it; the 804-files→4 / 2.6× query
+    # win at 16x ingest lives in SCALE.md round 10.
+    from warp_pipe_spark.datapipe.dedup_index import compact_minhash_index
+
+    t0 = time.time()
+    compact_minhash_index(spark, mh_dir)
+    aux["mhidx_compact"] = round(time.time() - t0, 3)
 
     # keyset-poll split (VERDICT r5 item 6): the registered
     # cs_keyset_poll_stream is a full drain-from-empty soak, opaque as
@@ -493,12 +522,24 @@ def main() -> None:
         ),
     }
     # full artifact into the repo so the driver's stdout-tail window
-    # can never truncate the per-query dict (VERDICT r4 item 3)
+    # can never truncate the per-query dict (VERDICT r4 item 3).
+    # BENCH_SELF.json is the repo's IDLE reference — the retime policy
+    # keys off it — so a measurably-more-loaded run must not clobber a
+    # more-idle one (round 10 hygiene defect: a canary-1.51/loadavg-2.9
+    # run overwrote the genuine canary-1.49/loadavg-0.38 artifact and
+    # weakened the load guard ~16%). Overwrite only when this run is
+    # comparably idle (canary within 10% of the committed one) or
+    # strictly FASTER in total (a faster-under-load run cannot be load
+    # inflation); otherwise the run lands in BENCH_SELF_LAST.json and
+    # the committed idle reference survives.
+    here = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"),
-            "w",
-        ) as f:
+        with open(os.path.join(here, "BENCH_SELF.json")) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        prev = None
+    try:
+        with open(os.path.join(here, choose_self_artifact(result, prev)), "w") as f:
             json.dump(result, f, indent=1)
     except OSError:
         pass

@@ -142,3 +142,22 @@ def test_run_canary_is_fixed_shape_and_positive(spark):
     c = run_canary(spark)
     assert set(c) == {"python_spin_sec", "spark_fixed_sec"}
     assert all(isinstance(v, float) and v > 0 for v in c.values())
+
+
+def test_choose_self_artifact_protects_the_idle_reference():
+    """VERDICT r10 item 2 root cause: a more-loaded run must not
+    clobber the committed idle BENCH_SELF.json (it inflates the retime
+    trigger threshold). A loaded-and-not-faster run is diverted to
+    BENCH_SELF_LAST.json; comparably-idle or strictly-faster runs (and
+    first runs with no reference) become the reference."""
+    from bench import choose_self_artifact
+
+    idle = {"canary_sec": 1.49, "value": 158.4}
+    loaded_slower = {"canary_sec": 1.70, "value": 181.5}
+    loaded_faster = {"canary_sec": 1.70, "value": 140.0}
+    comparable = {"canary_sec": 1.55, "value": 170.0}
+    assert choose_self_artifact(loaded_slower, idle) == "BENCH_SELF_LAST.json"
+    assert choose_self_artifact(loaded_faster, idle) == "BENCH_SELF.json"
+    assert choose_self_artifact(comparable, idle) == "BENCH_SELF.json"
+    assert choose_self_artifact(loaded_slower, None) == "BENCH_SELF.json"
+    assert choose_self_artifact(loaded_slower, {"bad": 1}) == "BENCH_SELF.json"
