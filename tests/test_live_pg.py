@@ -791,3 +791,99 @@ def test_live_pgoutput_tail_decodes_via_wal2json_path(live, spark, tmp_path):
             rep.close()
         except Exception:
             pass
+
+
+def test_live_ingest_dedup_sink_over_real_wal(live, spark, tmp_path):
+    """VERDICT r10 item 8: the streaming ingest-dedup composition run
+    END-TO-END from a real database — real WAL inserts tail through
+    the pgoutput slot into a drop dir, each committed transaction
+    becomes one micro-batch (maxFilesPerTrigger=1), the decoded docs
+    flow through IngestDedupSink, and the index's candidate view
+    surfaces every pair a one-shot batch LSH recompute finds over the
+    same documents (later-doc direction), including the cross-batch
+    exact dup."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from warp_pipe_spark.changeset import column_value
+    from warp_pipe_spark.datapipe.dedup import minhash_lsh_pairs
+    from warp_pipe_spark.datapipe.dedup_index import IngestDedupSink
+    from warp_pipe_spark.pgoutput import tail_pgoutput_to_drop_dir
+    from warp_pipe_spark.streaming import wal2json_stream
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy cat again and again today"
+    other = "completely different content with no overlap whatsoever in any way"
+
+    ctl, _, tbl = live
+    pub = f"wp_pub_dd_{os.getpid()}"
+    rep = _client(f"wp_live_dd_{os.getpid()}")
+    rep.plugin = "pgoutput"
+    rep.connect()
+    try:
+        ctl._simple_query(
+            f"CREATE TABLE {tbl} (doc_id int primary key, body text)"
+        )
+        ctl._simple_query(f"CREATE PUBLICATION {pub} FOR TABLE {tbl}")
+        rep.create_slot()
+        # two transactions -> two drop-dir files -> two micro-batches;
+        # doc 3 is an exact dup of batch-0's doc 1 (cross-batch pair),
+        # doc 4 a near-dup
+        ctl._simple_query(f"INSERT INTO {tbl} VALUES (1, '{base}'), (2, '{other}')")
+        ctl._simple_query(f"INSERT INTO {tbl} VALUES (3, '{base}'), (4, '{near}')")
+        drop = str(tmp_path / "drop")
+        n = tail_pgoutput_to_drop_dir(
+            rep, drop, publication=pub, max_changes=4, idle_timeout_s=10.0
+        )
+        assert n == 4
+        assert len(os.listdir(drop)) == 2  # one file per commit
+
+        docs_stream = wal2json_stream(
+            spark, drop, max_files_per_trigger=1
+        ).select(
+            column_value("new_values", "doc_id").cast("long").alias("doc_id"),
+            column_value("new_values", "body").alias("text"),
+        )
+        idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+        sink = IngestDedupSink(spark, idx, out)
+        q = (
+            docs_stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["query_id"], r["match_id"])
+            for r in sink.candidates().collect()
+        }
+        assert (3, 1) in got  # the cross-batch exact dup, via the index
+        # as-of view vs batch recompute: every pair the one-shot LSH
+        # finds over the full corpus is surfaced in later-doc direction
+        corpus = spark.createDataFrame(
+            [(1, base), (2, other), (3, base), (4, near)],
+            "doc_id LONG, text STRING",
+        )
+        for r in minhash_lsh_pairs(corpus).collect():
+            assert (r["doc_b"], r["doc_a"]) in got
+    finally:
+        try:
+            rep.drop_slot()
+        except Exception:
+            try:
+                rep.close()
+            except Exception:
+                pass
+            for _ in range(5):
+                try:
+                    ctl._simple_query(f"DROP_REPLICATION_SLOT {rep.slot}")
+                    break
+                except Exception:
+                    time.sleep(0.5)
+        try:
+            ctl._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+        except Exception:
+            pass
+        try:
+            rep.close()
+        except Exception:
+            pass

@@ -537,14 +537,25 @@ def dedup_stream(
     )
 
 
-def wal2json_stream(spark: SparkSession, drop_dir: str) -> DataFrame:
+def wal2json_stream(
+    spark: SparkSession,
+    drop_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """S1 LR-mode parity: tail a directory of wal2json JSONL messages
     (one document per line, the shape Debezium/wal2json emit) and decode
     to normalized changesets. The decode is pure Catalyst (P4), so the
-    streaming plan is scan → narrow codegen stage."""
+    streaming plan is scan → narrow codegen stage.
+
+    max_files_per_trigger: backpressure knob (same contract as
+    changeset_stream) — the tail writes one file per committed
+    transaction, so 1 here means one micro-batch per source commit."""
     from warp_pipe_spark.decoders import decode_wal2json
 
-    raw = spark.readStream.format("text").load(drop_dir)
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(drop_dir)
     return decode_wal2json(raw, message_col="value")
 
 
