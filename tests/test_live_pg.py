@@ -887,3 +887,95 @@ def test_live_ingest_dedup_sink_over_real_wal(live, spark, tmp_path):
             rep.close()
         except Exception:
             pass
+
+
+def test_live_pgoutput_v2_streams_in_progress_transaction(live, spark, tmp_path):
+    """pgoutput protocol v2 (streamed in-progress transactions, PG 14+)
+    against the REAL server: the walsender's logical_decoding_work_mem
+    is dropped to 64kB so a 3000-row transaction exceeds it and is
+    streamed WHILE RUNNING (S/E blocks with xid-tagged content, then a
+    stream-commit) — the assembler must observe real v2 frames, emit
+    exactly one wal2json-shaped document at stream-commit, and the
+    existing decode path must read it unchanged."""
+    from warp_pipe_spark.decoders import decode_wal2json
+    from warp_pipe_spark.lr_client import XLogData
+    from warp_pipe_spark.pgoutput import PgOutputAssembler
+
+    ctl, _, tbl = live
+    pub = f"wp_pub_v2_{os.getpid()}"
+    rep = _client(f"wp_live_v2_{os.getpid()}")
+    rep.plugin = "pgoutput"
+    rep.connect()
+    try:
+        # the GUC governs the DECODING session = the walsender backend
+        rep._simple_query("SET logical_decoding_work_mem = '64kB'")
+        ctl._simple_query(
+            f"CREATE TABLE {tbl} (doc_id int primary key, body text)"
+        )
+        ctl._simple_query(f"CREATE PUBLICATION {pub} FOR TABLE {tbl}")
+        rep.create_slot()
+        ctl._simple_query(
+            f"INSERT INTO {tbl} "
+            "SELECT g, repeat('x', 120) || g::text "
+            "FROM generate_series(1, 3000) g"
+        )
+        asm = PgOutputAssembler(proto_version=2)
+        seen = set()
+        sock = rep._conn.sock
+        prev = sock.gettimeout()
+        sock.settimeout(30.0)
+        try:
+            for msg in rep.start(
+                0,
+                options={
+                    "proto_version": "2",
+                    "publication_names": pub,
+                    "streaming": "on",
+                },
+            ):
+                if not isinstance(msg, XLogData):
+                    continue
+                seen.add(msg.payload[:1])
+                asm.feed(msg.wal_start, msg.payload)
+                if asm.docs:
+                    break
+        finally:
+            try:
+                sock.settimeout(prev)
+            except OSError:
+                pass
+        # the transaction was actually STREAMED (v2 frames on the wire),
+        # not delivered as a plain post-commit B..C
+        assert b"S" in seen and b"E" in seen and b"c" in seen
+        (doc,) = asm.docs
+        assert len(doc["change"]) == 3000
+        out = decode_wal2json(
+            spark.createDataFrame(
+                [(json.dumps(doc),)], "message STRING"
+            )
+        )
+        assert out.count() == 3000
+        ids = [r["id"] for r in out.select("id").orderBy("id").limit(3).collect()]
+        assert ids == sorted(ids) and len(set(ids)) == 3
+    finally:
+        try:
+            rep.drop_slot()
+        except Exception:
+            try:
+                rep.close()
+            except Exception:
+                pass
+            for _ in range(5):
+                try:
+                    ctl._simple_query(f"DROP_REPLICATION_SLOT {rep.slot}")
+                    break
+                except Exception:
+                    time.sleep(0.5)
+        try:
+            ctl._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+        except Exception:
+            pass
+        try:
+            rep.close()
+        except Exception:
+            pass

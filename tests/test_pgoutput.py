@@ -408,3 +408,148 @@ def test_pgoutput_docs_stream_through_wal2json_stream_to_state(spark, tmp_path):
         for r in sink.read_state().select("pk", "val").collect()
     }
     assert got == {(2, "b2")}  # 1 deleted, 2 updated — LWW by WAL position
+
+
+# -- protocol v2: streamed in-progress transactions (PG 14+) --------------
+
+
+def sx(msg: bytes, xid: int) -> bytes:
+    """Tag a content message with the leading Int32 xid it carries
+    inside a streamed block (proto 2, protocol.sgml: 'only present for
+    streamed transactions')."""
+    return msg[:1] + struct.pack("!i", xid) + msg[1:]
+
+
+def msg_stream_start(xid, first=1):
+    return b"S" + struct.pack("!iB", xid, first)
+
+
+def msg_stream_commit(xid, end_lsn=0x9000):
+    return b"c" + struct.pack("!iBqqq", xid, 0, end_lsn - 8, end_lsn, 0)
+
+
+def msg_stream_abort(xid, subxid):
+    return b"A" + struct.pack("!ii", xid, subxid)
+
+
+def test_v2_streamed_transaction_emits_one_doc_on_stream_commit():
+    asm = PgOutputAssembler(proto_version=2)
+    feed_all(
+        asm,
+        [
+            msg_stream_start(700),
+            sx(REL, 700),
+            sx(msg_insert(5001, "1", "a"), 700),
+            sx(msg_insert(5001, "2", "b"), 700),
+            b"E",
+            msg_stream_commit(700, end_lsn=0x9000),
+        ],
+    )
+    (doc,) = asm.docs
+    assert doc["nextlsn"] == "0/9000"
+    assert [c["columnvalues"] for c in doc["change"]] == [["1", "a"], ["2", "b"]]
+
+
+def test_v2_interleaved_streams_commit_independently():
+    """Two concurrently-streamed transactions interleave at block
+    granularity; each commits its OWN buffered changes, in commit
+    order, regardless of block arrival order."""
+    asm = PgOutputAssembler(proto_version=2)
+    feed_all(
+        asm,
+        [
+            msg_stream_start(700),
+            sx(REL, 700),
+            sx(msg_insert(5001, "1", "t700"), 700),
+            b"E",
+            msg_stream_start(800),
+            sx(msg_insert(5001, "2", "t800"), 800),
+            b"E",
+            msg_stream_start(700, first=0),  # continuation block
+            sx(msg_insert(5001, "3", "t700b"), 700),
+            b"E",
+            msg_stream_commit(800, end_lsn=0xA000),  # 800 commits FIRST
+            msg_stream_commit(700, end_lsn=0xB000),
+        ],
+    )
+    a, b = asm.docs
+    assert [c["columnvalues"][1] for c in a["change"]] == ["t800"]
+    assert [c["columnvalues"][1] for c in b["change"]] == ["t700", "t700b"]
+
+
+def test_v2_stream_abort_discards_whole_transaction():
+    asm = PgOutputAssembler(proto_version=2)
+    feed_all(
+        asm,
+        [
+            msg_stream_start(700),
+            sx(REL, 700),
+            sx(msg_insert(5001, "1", "a"), 700),
+            b"E",
+            msg_stream_abort(700, 700),
+        ],
+    )
+    assert asm.docs == [] and asm._streamed == {}
+
+
+def test_v2_subtransaction_abort_drops_only_its_changes():
+    """Changes carry their immediate (sub)transaction xid; an abort of
+    subxid 701 must drop exactly those, keeping the rest of xid 700."""
+    asm = PgOutputAssembler(proto_version=2)
+    feed_all(
+        asm,
+        [
+            msg_stream_start(700),
+            sx(REL, 700),
+            sx(msg_insert(5001, "1", "keep"), 700),
+            sx(msg_insert(5001, "2", "savepoint"), 701),  # subxact
+            b"E",
+            msg_stream_abort(700, 701),
+            msg_stream_start(700, first=0),
+            sx(msg_insert(5001, "3", "keep2"), 700),
+            b"E",
+            msg_stream_commit(700),
+        ],
+    )
+    (doc,) = asm.docs
+    assert [c["columnvalues"][1] for c in doc["change"]] == ["keep", "keep2"]
+
+
+def test_v2_first_segment_retransmit_resets_the_buffer():
+    """A first_segment block for an already-buffered xid is the server
+    retransmitting after a reconnect — the buffer resets (spool
+    truncation), so changes are not duplicated."""
+    asm = PgOutputAssembler(proto_version=2)
+    feed_all(
+        asm,
+        [
+            msg_stream_start(700),
+            sx(REL, 700),
+            sx(msg_insert(5001, "1", "a"), 700),
+            b"E",
+            msg_stream_start(700, first=1),  # retransmit from the top
+            sx(msg_insert(5001, "1", "a"), 700),
+            b"E",
+            msg_stream_commit(700),
+        ],
+    )
+    (doc,) = asm.docs
+    assert len(doc["change"]) == 1
+
+
+def test_v2_protocol_violations_raise():
+    from warp_pipe_spark.pgoutput import PgOutputProtocolError
+
+    asm = PgOutputAssembler(proto_version=2)
+    asm.feed(100, msg_stream_start(700))
+    with pytest.raises(PgOutputProtocolError, match="nested"):
+        asm.feed(101, msg_stream_start(800))
+    with pytest.raises(PgOutputProtocolError, match="inside a streamed"):
+        asm.feed(102, msg_begin())
+    asm.feed(103, b"E")
+    with pytest.raises(PgOutputProtocolError, match="without an open"):
+        asm.feed(104, b"E")
+    with pytest.raises(PgOutputProtocolError, match="unknown xid"):
+        asm.feed(105, msg_stream_start(900, first=0))
+    with pytest.raises(PgOutputProtocolError, match="unknown xid"):
+        asm.feed(106, msg_stream_commit(901))

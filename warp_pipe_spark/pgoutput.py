@@ -44,12 +44,36 @@ columns are included, NULLs included, matching wal2json's
 identity-full output (unchanged-TOAST old cells, which only FULL can
 carry, are omitted like on the new side).
 
-Protocol version: this decoder negotiates and speaks proto_version 1
-only. The v2+ streamed-transaction message types a PG 14+ server could
-emit under a higher negotiated version ('S' stream-start, 'E'
-stream-stop, 'c' stream-commit, 'A' stream-abort) raise
-PgOutputProtocolError — a misnegotiated stream fails loudly instead of
-corrupting the tail. Any other unknown message type also raises.
+Protocol version: proto_version 1 by default, with OPT-IN proto 2
+(streamed in-progress transactions, PG 14+ `streaming=on`):
+
+  S stream-start  xid(4) first_segment(1)   opens a block for xid
+  E stream-stop                             closes the open block
+  c stream-commit xid(4) flags(1) commit_lsn(8) end_lsn(8) ts(8)
+  A stream-abort  xid(4) subxid(4)
+  Content messages (R/I/U/D/T/Y/M) INSIDE a block carry a leading
+  Int32 xid of their immediate (sub)transaction — protocol.sgml,
+  "only present for streamed transactions ... since protocol
+  version 2" — which is what makes Stream Abort implementable:
+  changes are buffered per top-level xid TAGGED with their own xid,
+  and an abort drops exactly the subxid's tags (all of them when
+  subxid == xid). Stream-commit emits the buffered changes as one
+  wal2json-shaped document, same as a v1 Commit. A first_segment
+  block for an already-buffered xid resets the buffer (the server
+  retransmits the whole transaction after a reconnect).
+
+  LWW safety under interleaving: two concurrently-streamed
+  transactions' change ids (WAL positions) interleave, and commit
+  order may differ from WAL order ACROSS transactions — but not per
+  key: row locks serialize writers of the same row, so the second
+  writer's WAL position is necessarily after the first writer's
+  COMMIT. Per (table, pk) the id order the downstream fold keys on is
+  commit-consistent.
+
+Under the default proto_version=1 the v2 frame types raise
+PgOutputProtocolError — a misnegotiated stream fails loudly instead
+of corrupting the tail. Any unknown message type raises under either
+version.
 
 Identity & ordering: each change carries `id` = the WAL byte position
 (XLogData.wal_start) of its own message — unique, monotone in commit
@@ -162,20 +186,52 @@ class PgOutputAssembler:
     session (and again after schema changes), so a change referencing
     an unknown oid is a protocol violation and raises rather than
     guessing. State is one (names, types, key-flags) list per STREAMED
-    table — O(tables), never O(rows)."""
+    table — O(tables), never O(rows) — plus, under proto 2, the
+    buffered changes of in-progress streamed transactions (O(open
+    streamed transactions); the server only streams transactions that
+    exceeded its logical_decoding_work_mem, and a commit/abort
+    releases the buffer)."""
 
-    def __init__(self) -> None:
+    def __init__(self, proto_version: int = 1) -> None:
+        if proto_version not in (1, 2):
+            raise ValueError(
+                f"proto_version must be 1 or 2, got {proto_version}"
+            )
+        self.proto_version = proto_version
         self._rels: dict[int, dict] = {}
         self._pending: list[dict] = []
         self._in_tx = False
+        #: proto 2: top-level xid → [(message xid, change)] for
+        #: in-progress streamed transactions
+        self._streamed: dict[int, list[tuple[int, dict]]] = {}
+        self._cur_stream: int | None = None
         self.docs: list[dict] = []
 
     # -- per-message ------------------------------------------------------
 
     def feed(self, wal_start: int, payload: bytes) -> int:
         kind = payload[:1]
+        if kind in _V2_STREAM_TYPES:
+            if self.proto_version < 2:
+                raise PgOutputProtocolError(
+                    f"pgoutput protocol v2+ message "
+                    f"'{_V2_STREAM_TYPES[kind]}' ({kind!r}) on a stream "
+                    "negotiated at proto_version 1 — refusing to guess "
+                    "at streamed-transaction framing"
+                )
+            return self._feed_stream_ctl(kind, payload)
+        # content messages inside a streamed block carry a leading
+        # Int32 (sub)transaction xid (proto 2); shift the body past it
+        base, msg_xid = 1, None
+        if self._cur_stream is not None:
+            if kind in (b"B", b"C"):
+                raise PgOutputProtocolError(
+                    f"pgoutput {kind!r} inside a streamed block"
+                )
+            (msg_xid,) = struct.unpack_from("!i", payload, 1)
+            base = 5
         if kind == b"R":
-            oid, ns, rel, cols = self._parse_relation(payload)
+            oid, ns, rel, cols = self._parse_relation(payload, base)
             self._rels[oid] = {"schema": ns, "table": rel, "cols": cols}
         elif kind == b"B":
             if self._in_tx:
@@ -201,26 +257,81 @@ class PgOutputAssembler:
                 )
             self._pending, self._in_tx = [], False
         elif kind in (b"I", b"U", b"D", b"T"):
+            if self._cur_stream is not None:
+                changes = self._parse_change(kind, wal_start, payload, base)
+                self._streamed[self._cur_stream].extend(
+                    (msg_xid, c) for c in changes
+                )
+                return len(changes)
             if not self._in_tx:
                 raise ValueError(
                     f"pgoutput {kind!r} message outside a BEGIN/COMMIT"
                 )
-            changes = self._parse_change(kind, wal_start, payload)
+            changes = self._parse_change(kind, wal_start, payload, base)
             self._pending.extend(changes)
             return len(changes)
-        elif kind in _V2_STREAM_TYPES:
-            raise PgOutputProtocolError(
-                f"pgoutput protocol v2+ message "
-                f"'{_V2_STREAM_TYPES[kind]}' ({kind!r}) on a stream "
-                "negotiated at proto_version 1 — refusing to guess at "
-                "streamed-transaction framing"
-            )
         elif kind not in (b"Y", b"O", b"M"):
             # 'Y' type / 'O' origin / 'M' message are metadata we skip;
-            # anything else is not in the v1 grammar at all
+            # anything else is not in the grammar at all
             raise PgOutputProtocolError(
                 f"unknown pgoutput message type {kind!r}"
             )
+        return 0
+
+    def _feed_stream_ctl(self, kind: bytes, payload: bytes) -> int:
+        """Stream Start/Stop/Commit/Abort (proto 2)."""
+        if kind == b"S":
+            xid, first_segment = struct.unpack_from("!iB", payload, 1)
+            if self._cur_stream is not None:
+                raise PgOutputProtocolError(
+                    "nested pgoutput stream-start blocks"
+                )
+            if first_segment:
+                # a first_segment for an already-buffered xid is the
+                # server RETRANSMITTING the transaction after a
+                # reconnect — the buffer resets, exactly like the
+                # apply worker truncating its spool file
+                self._streamed[xid] = []
+            elif xid not in self._streamed:
+                raise PgOutputProtocolError(
+                    f"stream continuation for unknown xid {xid} — "
+                    "stream resumed past its first segment"
+                )
+            self._cur_stream = xid
+        elif kind == b"E":
+            if self._cur_stream is None:
+                raise PgOutputProtocolError(
+                    "pgoutput stream-stop without an open block"
+                )
+            self._cur_stream = None
+        elif kind == b"A":
+            xid, subxid = struct.unpack_from("!ii", payload, 1)
+            if self._cur_stream is not None:
+                raise PgOutputProtocolError(
+                    "pgoutput stream-abort inside an open block"
+                )
+            if subxid == xid:
+                self._streamed.pop(xid, None)  # whole transaction gone
+            elif xid in self._streamed:
+                # drop exactly the aborted subtransaction's changes —
+                # identified by the per-message xid tag
+                self._streamed[xid] = [
+                    (mx, c) for mx, c in self._streamed[xid] if mx != subxid
+                ]
+        else:  # b"c" stream-commit
+            xid, _, _, end_lsn, _ = struct.unpack_from("!iBqqq", payload, 1)
+            buf = self._streamed.pop(xid, None)
+            if buf is None:
+                raise PgOutputProtocolError(
+                    f"stream-commit for unknown xid {xid}"
+                )
+            if buf:
+                self.docs.append(
+                    {
+                        "change": [c for _, c in buf],
+                        "nextlsn": lsn_str(end_lsn),
+                    }
+                )
         return 0
 
     def take_docs(self) -> list[dict]:
@@ -230,9 +341,9 @@ class PgOutputAssembler:
         out, self.docs = self.docs, []
         return out
 
-    def _parse_relation(self, b: bytes):
-        (oid,) = struct.unpack_from("!i", b, 1)
-        off = 5
+    def _parse_relation(self, b: bytes, base: int = 1):
+        (oid,) = struct.unpack_from("!i", b, base)
+        off = base + 4
         ns, off = _cstr(b, off)
         rel, off = _cstr(b, off)
         off += 1  # replica identity
@@ -248,8 +359,8 @@ class PgOutputAssembler:
             cols.append((name, _type_name(type_oid), bool(flags & 1)))
         return oid, ns or "pg_catalog", rel, cols
 
-    def _rel(self, b: bytes) -> tuple[dict, int]:
-        (oid,) = struct.unpack_from("!i", b, 1)
+    def _rel(self, b: bytes, base: int = 1) -> tuple[dict, int]:
+        (oid,) = struct.unpack_from("!i", b, base)
         rel = self._rels.get(oid)
         if rel is None:
             raise ValueError(
@@ -257,10 +368,10 @@ class PgOutputAssembler:
                 "Relation message — protocol violation or a stream "
                 "resumed past its R messages"
             )
-        return rel, 5
+        return rel, base + 4
 
     def _parse_change(
-        self, kind: bytes, wal_start: int, b: bytes
+        self, kind: bytes, wal_start: int, b: bytes, base: int = 1
     ) -> list[dict]:
         if kind == b"T":
             # truncate: nrel(4) options(1) then oids — ONE change per
@@ -268,8 +379,8 @@ class PgOutputAssembler:
             # table; collapsing to one would silently lose the rest).
             # Sub-ordinal ids wal_start+i stay unique and monotone: the
             # wire message is 6+4n bytes, so wal_start+i < next wal_start.
-            (nrel,) = struct.unpack_from("!i", b, 1)
-            off = 6
+            (nrel,) = struct.unpack_from("!i", b, base)
+            off = base + 5
             oids = struct.unpack_from(f"!{nrel}i", b, off)
             out = []
             for i, oid in enumerate(oids):
@@ -288,7 +399,7 @@ class PgOutputAssembler:
                     }
                 )
             return out
-        rel, off = self._rel(b)
+        rel, off = self._rel(b, base)
         names = [c[0] for c in rel["cols"]]
         types = [c[1] for c in rel["cols"]]
         is_key = [c[2] for c in rel["cols"]]
@@ -354,6 +465,7 @@ def tail_pgoutput_to_drop_dir(
     start_lsn: int = 0,
     max_changes: int | None = None,
     idle_timeout_s: float | None = None,
+    proto_version: int = 1,
 ) -> int:
     """The pgoutput twin of lr_client.tail_to_drop_dir: stream with the
     built-in plugin, assemble one wal2json-shaped JSONL document per
@@ -369,6 +481,13 @@ def tail_pgoutput_to_drop_dir(
     empty commits (transactions touching no published table) confirm
     the LSN without writing a file.
 
+    proto_version=2 additionally negotiates `streaming=on` (PG 14+):
+    the server streams transactions that exceed its
+    logical_decoding_work_mem WHILE THEY RUN; the assembler buffers
+    them per xid and still emits one document per COMMIT (stream
+    aborts discard), so the drop-dir contract — committed transactions
+    only, commit order — is identical under both versions.
+
     Same bounded-drain contract as the wal2json tail: `max_changes`
     bounds from above, `idle_timeout_s` exits once the wire is silent
     BETWEEN frames, and a mid-frame timeout raises (slow wire, not an
@@ -376,7 +495,7 @@ def tail_pgoutput_to_drop_dir(
     PUBLICATION covering the tables must exist — both are server-side
     one-liners against stock Postgres, which is the point."""
     os.makedirs(drop_dir, exist_ok=True)
-    asm = PgOutputAssembler()
+    asm = PgOutputAssembler(proto_version=proto_version)
     n_changes = 0
     seq = 0
     hi_lsn = start_lsn
@@ -406,13 +525,13 @@ def tail_pgoutput_to_drop_dir(
         sock.settimeout(idle_timeout_s)
     try:
         try:
-            for msg in client.start(
-                start_lsn,
-                options={
-                    "proto_version": "1",
-                    "publication_names": publication,
-                },
-            ):
+            options = {
+                "proto_version": str(proto_version),
+                "publication_names": publication,
+            }
+            if proto_version >= 2:
+                options["streaming"] = "on"
+            for msg in client.start(start_lsn, options=options):
                 if not isinstance(msg, XLogData):
                     continue
                 n_changes += asm.feed(msg.wal_start, msg.payload)
@@ -429,10 +548,15 @@ def tail_pgoutput_to_drop_dir(
                 # the 4th change of a 4-change transaction arrives
                 # BEFORE its commit message, and tearing there emits
                 # nothing at all
+                # (under proto 2 the bound also waits out open streamed
+                # transactions — their buffered changes are counted but
+                # not yet committed, and tearing would discard them)
                 if (
                     max_changes is not None
                     and n_changes >= max_changes
                     and not asm._in_tx
+                    and asm._cur_stream is None
+                    and not asm._streamed
                 ):
                     break
         except TimeoutError:
