@@ -378,3 +378,55 @@ def test_cli_live_tail_pgoutput_against_fake_walsender(tmp_path, capsys):
         ["2", "b"],
     ]
     srv.thread.join(5)
+
+
+def test_cli_live_tail_pgoutput_v2_streamed_frames(tmp_path, capsys):
+    """--proto-version 2: streamed S/E blocks + stream-commit through
+    the CLI produce one drop-dir document, counted at a transaction
+    boundary like the v1 path."""
+    import json as _json
+    import os as _os
+
+    from test_lr_client import FakeWalsender
+    from test_pgoutput import (
+        REL,
+        msg_insert,
+        msg_stream_commit,
+        msg_stream_start,
+        sx,
+    )
+
+    from warp_pipe_spark.__main__ import main
+
+    payloads = [
+        msg_stream_start(700),
+        sx(REL, 700),
+        sx(msg_insert(5001, "1", "a"), 700),
+        sx(msg_insert(5001, "2", "b"), 700),
+        b"E",
+        msg_stream_commit(700, end_lsn=0x2000),
+    ]
+    srv = FakeWalsender(payloads, keepalive_every=100)
+    drop = str(tmp_path / "drop")
+    rc = main(
+        [
+            "live-tail", "--host", "127.0.0.1", "--port", str(srv.port),
+            "--dbname", "testdb", "--user", "u", "--slot", "wp_slot",
+            "--plugin", "pgoutput", "--publication", "pub",
+            "--proto-version", "2",
+            "--create-slot", "--drop-dir", drop, "--max-messages", "2",
+        ]
+    )
+    assert rc == 0
+    status = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert status["consumed"] == 2
+    docs = []
+    for fn in sorted(_os.listdir(drop)):
+        with open(_os.path.join(drop, fn)) as f:
+            docs += [_json.loads(ln) for ln in f.read().splitlines()]
+    assert len(docs) == 1 and docs[0]["nextlsn"] == "0/2000"
+    assert [c["columnvalues"] for c in docs[0]["change"]] == [
+        ["1", "a"],
+        ["2", "b"],
+    ]
+    srv.thread.join(5)

@@ -553,3 +553,33 @@ def test_v2_protocol_violations_raise():
         asm.feed(105, msg_stream_start(900, first=0))
     with pytest.raises(PgOutputProtocolError, match="unknown xid"):
         asm.feed(106, msg_stream_commit(901))
+
+
+def test_v2_feed_uncounts_discarded_changes():
+    """feed()'s running sum is 'changes contributing to eventual
+    output': an abort or a retransmit reset returns a NEGATIVE delta,
+    so a bounded drain never stops early on changes that will never
+    be written."""
+    asm = PgOutputAssembler(proto_version=2)
+    n = 0
+    n += asm.feed(100, msg_stream_start(700))
+    n += asm.feed(101, sx(REL, 700))
+    n += asm.feed(102, sx(msg_insert(5001, "1", "a"), 700))
+    n += asm.feed(103, sx(msg_insert(5001, "2", "b"), 701))  # subxact
+    n += asm.feed(104, b"E")
+    assert n == 2
+    n += asm.feed(105, msg_stream_abort(700, 701))  # subxact rollback
+    assert n == 1
+    # retransmit reset un-counts, the re-arrival re-counts: net stable
+    n += asm.feed(106, msg_stream_start(700, first=1))
+    assert n == 0
+    n += asm.feed(107, sx(msg_insert(5001, "1", "a"), 700))
+    n += asm.feed(108, b"E")
+    n += asm.feed(109, msg_stream_commit(700))
+    assert n == 1 and len(asm.docs[0]["change"]) == 1
+    # whole-transaction abort un-counts everything
+    n += asm.feed(110, msg_stream_start(900))
+    n += asm.feed(111, sx(msg_insert(5001, "9", "z"), 900))
+    n += asm.feed(112, b"E")
+    n += asm.feed(113, msg_stream_abort(900, 900))
+    assert n == 1  # only the committed change remains counted

@@ -54,11 +54,16 @@ _kinds = st.one_of(
 @given(st.lists(_kinds, min_size=1, max_size=20))
 def test_normalize_kind_matches_reference_enum(spark, kinds):
     """changeset.go:21-33 semantics: case-insensitive member of
-    {insert, update, delete}, anything else -> empty string."""
+    {insert, update, delete}, anything else -> empty string — except
+    `truncate`, preserved since r11 (the reference never sees
+    truncates; our pgoutput source emits them, and blanking one lets
+    the apply path fold a table clear as an upsert-shaped no-op)."""
     df = spark.createDataFrame([(k,) for k in kinds], "k STRING")
     got = [r["n"] for r in df.select(normalize_kind("k").alias("n")).collect()]
     want = [
-        k.lower() if k.lower() in ("insert", "update", "delete") else ""
+        k.lower()
+        if k.lower() in ("insert", "update", "delete", "truncate")
+        else ""
         for k in kinds
     ]
     assert got == want

@@ -702,3 +702,45 @@ def test_sink_schema_evolution_dropped_column_keeps_state_data(spark, tmp_path):
     sink.apply_batch(narrow, batch_id=1)
     got = {(r["pk"], r["val"]) for r in sink.read_state().collect()}
     assert got == {(1, "a"), (2, None), (6, None)}
+
+
+def test_bucketed_sink_truncate_clears_all_buckets(spark, tmp_path):
+    """truncate_kinds opt-in: a `truncate` changeset (pgoutput source)
+    clears EVERY committed bucket of its table — including buckets no
+    batch row hashes into — drops emptied pointer entries, leaves other
+    tables untouched, and keeps post-truncate rows. Without the opt-in
+    the sink's O(touched) contract is unchanged."""
+    from warp_pipe_spark.apply import TRUNCATE_KINDS
+
+    B = 8
+    sink = ParquetStateSink(
+        spark, str(tmp_path / "state"), pk_cols=["pk"], n_buckets=B,
+        truncate_kinds=TRUNCATE_KINDS,
+    )
+    seed = [(i, "INSERT", "users", i, f"v{i}") for i in range(1, 33)] + [
+        (100, "INSERT", "pets", 1, "rex")
+    ]
+    sink.apply_batch(spark.createDataFrame(seed, SCHEMA), batch_id=0)
+    assert sink.read_state().count() == 33
+
+    batch = [
+        (200, "truncate", "users", None, None),
+        (201, "INSERT", "users", 50, "survivor"),
+    ]
+    sink.apply_batch(spark.createDataFrame(batch, SCHEMA), batch_id=1)
+    got = {
+        (r["table_name"], r["pk"], r["val"])
+        for r in sink.read_state().collect()
+    }
+    assert got == {("pets", 1, "rex"), ("users", 50, "survivor")}
+    # emptied buckets lost their pointer entries; no truncate row in state
+    p = sink._read_pointer()
+    users_keys = [k for k in p if k.startswith("users#b")]
+    assert len(users_keys) == 1  # only the survivor's bucket remains
+    # redelivery of the truncate batch converges to the same state
+    sink.apply_batch(spark.createDataFrame(batch, SCHEMA), batch_id=1)
+    got2 = {
+        (r["table_name"], r["pk"], r["val"])
+        for r in sink.read_state().collect()
+    }
+    assert got2 == got

@@ -111,6 +111,16 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="exit once the wire is idle this many seconds",
     )
+    lt.add_argument(
+        "--proto-version",
+        type=int,
+        choices=(1, 2),
+        default=1,
+        help="pgoutput protocol version; 2 additionally negotiates "
+        "streaming=on (PG 14+: in-progress transactions stream before "
+        "they commit; the drop dir still receives committed "
+        "transactions only)",
+    )
     return p
 
 
@@ -254,6 +264,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
                     start_lsn=args.start_lsn,
                     max_changes=args.max_messages,
                     idle_timeout_s=args.idle_timeout,
+                    proto_version=args.proto_version,
                 )
             else:
                 n = tail_to_drop_dir(

@@ -279,18 +279,28 @@ class PgOutputAssembler:
         return 0
 
     def _feed_stream_ctl(self, kind: bytes, payload: bytes) -> int:
-        """Stream Start/Stop/Commit/Abort (proto 2)."""
+        """Stream Start/Stop/Commit/Abort (proto 2).
+
+        Returns a NEGATIVE delta when buffered changes are discarded
+        (abort, retransmit reset): feed()'s contract is "changes this
+        payload contributed to eventual output", and a caller's
+        running sum must not count changes that will never be written
+        — a bounded drain would otherwise stop early having written
+        fewer (possibly zero) changes than asked for."""
         if kind == b"S":
             xid, first_segment = struct.unpack_from("!iB", payload, 1)
             if self._cur_stream is not None:
                 raise PgOutputProtocolError(
                     "nested pgoutput stream-start blocks"
                 )
+            dropped = 0
             if first_segment:
                 # a first_segment for an already-buffered xid is the
                 # server RETRANSMITTING the transaction after a
                 # reconnect — the buffer resets, exactly like the
-                # apply worker truncating its spool file
+                # apply worker truncating its spool file (the changes
+                # re-arrive and re-count, so the reset un-counts them)
+                dropped = len(self._streamed.get(xid, ()))
                 self._streamed[xid] = []
             elif xid not in self._streamed:
                 raise PgOutputProtocolError(
@@ -298,6 +308,7 @@ class PgOutputAssembler:
                     "stream resumed past its first segment"
                 )
             self._cur_stream = xid
+            return -dropped
         elif kind == b"E":
             if self._cur_stream is None:
                 raise PgOutputProtocolError(
@@ -311,13 +322,17 @@ class PgOutputAssembler:
                     "pgoutput stream-abort inside an open block"
                 )
             if subxid == xid:
-                self._streamed.pop(xid, None)  # whole transaction gone
-            elif xid in self._streamed:
+                # whole transaction gone — nothing of it will be written
+                return -len(self._streamed.pop(xid, ()))
+            if xid in self._streamed:
                 # drop exactly the aborted subtransaction's changes —
                 # identified by the per-message xid tag
-                self._streamed[xid] = [
+                kept = [
                     (mx, c) for mx, c in self._streamed[xid] if mx != subxid
                 ]
+                dropped = len(self._streamed[xid]) - len(kept)
+                self._streamed[xid] = kept
+                return -dropped
         else:  # b"c" stream-commit
             xid, _, _, end_lsn, _ = struct.unpack_from("!iBqqq", payload, 1)
             buf = self._streamed.pop(xid, None)

@@ -110,6 +110,7 @@ class ParquetStateSink:
         table_col: str = "table_name",
         n_buckets: int | None = None,
         retain_history: bool = False,
+        truncate_kinds: "tuple[str, ...] | None" = None,
     ):
         if n_buckets is not None and n_buckets < 1:
             # 0 would round-trip through the pointer as falsy and collide
@@ -127,6 +128,16 @@ class ParquetStateSink:
         # read_state_asof(batch_id) time travel (Delta-style). Storage
         # then grows with change volume until externally vacuumed.
         self.retain_history = retain_history
+        # truncate_kinds: opt in (pass apply.TRUNCATE_KINDS) when the
+        # stream can carry `truncate` changesets — only the pgoutput
+        # source emits them (one per truncated table); audit-trigger and
+        # keyset sources cannot. A truncate then clears the table via
+        # merge_batch's table-clear fold, and the incremental read set
+        # is WIDENED to every committed bucket of the truncated table
+        # (the clear must reach buckets the batch's own rows don't
+        # touch). Off by default: truncate-free sources keep the
+        # O(touched)-buckets contract with zero extra per-batch work.
+        self.truncate_kinds = tuple(truncate_kinds) if truncate_kinds else None
 
     # -- pointer ---------------------------------------------------------
 
@@ -242,6 +253,17 @@ class ParquetStateSink:
         # pipeline's dead-letter stage is where such rows are surfaced;
         # the sink's contract is to apply the applicable rows.
         batch = batch.filter(F.col(self.table_col).isNotNull())
+        truncated: set[str] = set()
+        if self.truncate_kinds:
+            truncated = {
+                r[0]
+                for r in batch.filter(
+                    F.col(self.kind_col).isin(*self.truncate_kinds)
+                )
+                .select(self.table_col)
+                .distinct()
+                .collect()
+            }
         if self.n_buckets:
             touched = sorted(
                 (r[0], int(r[1]))
@@ -256,6 +278,23 @@ class ParquetStateSink:
                 (r[0], None)
                 for r in batch.select(self.table_col).distinct().collect()
             )
+        if truncated:
+            # a truncate must clear EVERY committed bucket of its
+            # table, including ones no batch row hashes into — widen
+            # the read+rewrite set to all of the table's pointer keys
+            extra = set()
+            for t in truncated:
+                for k in pointer:
+                    suffix = k[len(t) + 2:]
+                    if (
+                        self.n_buckets
+                        and k.startswith(f"{t}#b")
+                        and suffix.isdigit()
+                    ):
+                        extra.add((t, int(suffix)))
+                    elif not self.n_buckets and k == t:
+                        extra.add((t, None))
+            touched = sorted(set(touched) | extra)
         if not touched:
             return
         keys = [self._key(t, b) for t, b in touched]
@@ -263,7 +302,8 @@ class ParquetStateSink:
         old_rels = {k: pointer[k] for k in keys if k in pointer}
         state = self._read_tables(sorted(old_rels.values())) if old_rels else None
         new_state = merge_batch(
-            state, batch, self.pk_cols, self.id_col, self.kind_col, self.table_col
+            state, batch, self.pk_cols, self.id_col, self.kind_col,
+            self.table_col, truncate_kinds=self.truncate_kinds,
         ).persist()
         try:
             new_pointer = dict(pointer)
