@@ -248,6 +248,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def cs_replay_dedup(spark, sf):  # O4: duplicated log → same state
         return _replay_final(spark, sf, duplicate=True)
 
+    def cs_truncate_replay(spark, sf):
+        """Truncate table-clear fold (r11): one synthetic MID-STREAM
+        `truncate` changeset per table at id = (max(id) div 20)*10 + 1
+        (~half the table's log; the trailing 1 can never collide with
+        the derived log's id*10+{0,5,7} slots) — the shape the pgoutput
+        source emits (pgoutput.py truncate fan-out; no reference
+        parity: the wal2json-locked reference never sees truncates) —
+        then replay(truncate_kinds=...): the first half of each table's
+        log is cleared, later rows survive, and no truncate row ever
+        reaches final state."""
+        from warp_pipe_spark.apply import TRUNCATE_KINDS
+
+        cs = _cs(spark, sf)
+        marks = cs.groupBy("table_name").agg(
+            F.expr("(max(id) div 20) * 10 + 1").alias("id")
+        )
+        truncs = marks.select(
+            "id",
+            F.lit(None).cast("timestamp").alias("ts"),
+            F.lit("truncate").alias("action"),
+            F.lit("public").alias("schema_name"),
+            "table_name",
+            F.lit(None).cast("long").alias("relid"),
+            F.lit(None).cast("long").alias("pk"),
+            F.lit(None).cast("long").alias("user_id"),
+            F.lit(None).cast("string").alias("event_type"),
+            F.lit(None).cast("double").alias("value"),
+        )
+        log = cs.unionByName(truncs)
+        final = replay(
+            log, ["pk"], id_col="id", kind_col="action",
+            table_col="table_name", truncate_kinds=TRUNCATE_KINDS,
+        )
+        return final.select(
+            "table_name",
+            "pk",
+            "user_id",
+            "event_type",
+            _CENTS("value").alias("value_cents"),
+            F.col("id").alias("last_id"),
+        )
+
     def cs_pk_collect(spark, sf):  # G4
         return (
             _cs(spark, sf)
@@ -705,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cs_kind_normalize=cs_kind_normalize,
         cs_replay_final_state=cs_replay_final_state,
         cs_replay_dedup=cs_replay_dedup,
+        cs_truncate_replay=cs_truncate_replay,
         cs_pk_collect=cs_pk_collect,
         cs_checksum=cs_checksum,
         cs_audit_decode=cs_audit_decode,
@@ -3606,6 +3649,26 @@ def oracle_sql() -> dict[str, str]:
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY table_name, pk ORDER BY id DESC) AS rn
       FROM doubled
+    )
+    SELECT table_name, pk, user_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_cents,
+           id AS last_id
+    FROM ranked WHERE rn = 1 AND action <> 'DELETE'
+    """
+
+    o["cs_truncate_replay"] = f"""
+    WITH {CHANGESETS_CTE},
+    tr AS (
+      SELECT table_name, (max(id) // 20) * 10 + 1 AS trunc_id
+      FROM changesets GROUP BY table_name
+    ),
+    eff AS (
+      SELECT c.* FROM changesets c LEFT JOIN tr USING (table_name)
+      WHERE tr.trunc_id IS NULL OR c.id > tr.trunc_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY table_name, pk ORDER BY id DESC) AS rn
+      FROM eff
     )
     SELECT table_name, pk, user_id, event_type,
            CAST(round(value * 100) AS BIGINT) AS value_cents,

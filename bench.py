@@ -195,6 +195,7 @@ HEADLINE = [
     "cs_kind_normalize",
     "cs_point_lookup",
     "cs_replay_dedup",
+    "cs_truncate_replay",
     "cs_retention",
     "cs_since_ts",
     "cs_whitelist_ignore",
