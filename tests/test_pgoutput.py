@@ -583,3 +583,44 @@ def test_v2_feed_uncounts_discarded_changes():
     n += asm.feed(112, b"E")
     n += asm.feed(113, msg_stream_abort(900, 900))
     assert n == 1  # only the committed change remains counted
+
+
+def test_v2_tail_confirms_lsn_after_stream_abort(tmp_path):
+    """A rolled-back streamed transaction writes no file but its WAL
+    position is consumed — the tail must confirm it (an unconfirmed
+    multi-GB rollback would pin WAL on the server until the next real
+    commit)."""
+    from test_lr_client import FakeWalsender
+
+    from warp_pipe_spark.lr_client import LRClient
+    from warp_pipe_spark.pgoutput import tail_pgoutput_to_drop_dir
+
+    payloads = [
+        msg_stream_start(700),
+        sx(REL, 700),
+        sx(msg_insert(5001, "1", "a"), 700),
+        b"E",
+        msg_stream_abort(700, 700),  # whole transaction rolled back
+        msg_begin(lsn=0x5000),
+        msg_insert(5001, "2", "b"),
+        msg_commit(end_lsn=0x5100),
+    ]
+    srv = FakeWalsender(
+        payloads, keepalive_every=100, hang_silent_after_payloads=True
+    )
+    c = LRClient("127.0.0.1", srv.port, "testdb", "u", "wp_slot",
+                 plugin="pgoutput", status_interval_s=9999)
+    c.connect()
+    drop = str(tmp_path / "drop")
+    n = tail_pgoutput_to_drop_dir(
+        c, drop, publication="pub", max_changes=2, idle_timeout_s=5.0,
+        proto_version=2,
+    )
+    c.close()
+    import os as _os
+
+    assert n == 1  # the aborted change was un-counted
+    files = _os.listdir(drop)
+    assert len(files) == 1  # only the committed transaction hit the dir
+    assert c.flushed_lsn > 0  # the abort's position was confirmed too
+    srv.thread.join(5)

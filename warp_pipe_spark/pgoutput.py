@@ -553,9 +553,12 @@ def tail_pgoutput_to_drop_dir(
                 hi_lsn = max(hi_lsn, msg.wal_start + len(msg.payload))
                 if asm.docs:
                     flush()  # one file per commit batch reaching the dir
-                elif msg.payload[:1] == b"C":
-                    # empty commit: no file, but the position is
-                    # consumed — confirm so the slot doesn't pin WAL
+                elif msg.payload[:1] in (b"C", b"c", b"A"):
+                    # commit of an empty transaction, stream-commit of a
+                    # fully-aborted-subxact one, or stream-abort: no
+                    # file, but the position is consumed — confirm so a
+                    # huge rolled-back transaction doesn't pin WAL
+                    # until the next real commit
                     client.send_standby_status(hi_lsn)
                 # the bound only fires BETWEEN transactions: breaking
                 # mid-transaction would discard the buffered changes of
