@@ -449,3 +449,16 @@ def test_pii_counts_follow_the_replace_chain(spark):
     assert {r["text"] for r in untouched} == {
         "contact user@1.2.3.4.com", "from 10.1.2.3 now",
     }
+
+
+def test_truncate_replay_marks_join_is_broadcast(spark, qs):
+    """The truncate table-clear must NOT add a shuffled join on the
+    fold's main side: per-table marks are O(tables) and join back
+    BROADCAST, and the LWW fold keeps exactly one window exchange with
+    the map-side WindowGroupLimit on both sides of it."""
+    p = plan_of(spark, qs["cs_truncate_replay"](spark, SF))
+    t = tree_of(p)
+    assert "BroadcastHashJoin" in t, t
+    assert "SortMergeJoin" not in t and "ShuffledHashJoin" not in t, t
+    assert t.count("WindowGroupLimit") == 2, t
+    assert t.count("Window (") == 1 or t.count("Window(") <= 1, t
