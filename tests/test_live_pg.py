@@ -979,3 +979,108 @@ def test_live_pgoutput_v2_streams_in_progress_transaction(live, spark, tmp_path)
             rep.close()
         except Exception:
             pass
+
+
+def test_live_listen_notify_wakes_the_poller(live, spark, tmp_path):
+    """S2 PUSH mode live — the reference's actual LISTEN/NOTIFY shape
+    (notify_listener.go:76-139; trigger pg_notify db/sql.go:70): the
+    audit trigger pg_notify()s '<id>_<ts>' on commit, a DEDICATED plain
+    (non-replication) connection LISTENs, the notification wakes the
+    KeysetPoller, and the drained state converges to a live SELECT —
+    twice, with DML landing between wake-ups."""
+    from warp_pipe_spark.jdbc import keyset_query, setup_ddl, teardown_ddl
+    from warp_pipe_spark.streaming import (
+        KeysetPoller,
+        ParquetStateSink,
+        notify_driven_drain,
+        parse_notify_payload,
+    )
+
+    ctl, _, _ = live
+    schema = f"wp_live_notify_{os.getpid()}"
+    src = f"{schema}.accounts"
+    channel = f"wp_new_cs_{os.getpid()}"
+
+    listener = _client(f"{schema}_listen")
+    listener.connect(replication=False)  # plain backend: LISTEN target
+
+    def live_fetch(spark_, last_id, limit):
+        raw = ctl._simple_query(
+            keyset_query(f"{schema}.changesets", last_id, limit)
+        )
+        rows = [
+            (
+                int(r[0]), r[2], r[4],
+                int(json.loads(r[6] or r[7])["id"]),
+                json.loads(r[6])["val"] if r[6] else None,
+            )
+            for r in raw
+        ]
+        return spark_.createDataFrame(
+            rows, "id LONG, action STRING, table_name STRING, pk LONG, val STRING"
+        )
+
+    try:
+        for stmt in setup_ddl(schema):
+            ctl._simple_query(stmt)
+        ctl._simple_query(f"CREATE TABLE {src} (id bigint PRIMARY KEY, val text)")
+        ctl._simple_query(
+            f"""
+            CREATE FUNCTION {schema}.wp_audit() RETURNS trigger AS $$
+            BEGIN
+              INSERT INTO {schema}.changesets
+                (action, schema_name, table_name, new_values, old_values)
+              VALUES (TG_OP, TG_TABLE_SCHEMA, TG_TABLE_NAME, row_to_json(NEW),
+                      CASE WHEN TG_OP = 'UPDATE' THEN row_to_json(OLD) END);
+              PERFORM pg_notify('{channel}',
+                currval('{schema}.changesets_id_seq')::TEXT || '_' ||
+                current_timestamp::TEXT);
+              RETURN NEW;
+            END $$ LANGUAGE plpgsql;
+            CREATE TRIGGER wp_audit_t AFTER INSERT OR UPDATE
+              ON {src} FOR EACH ROW EXECUTE FUNCTION {schema}.wp_audit()
+            """
+        )
+        sink = ParquetStateSink(spark, str(tmp_path / "state"), pk_cols=["pk"])
+        poller = KeysetPoller(
+            spark, live_fetch, sink, str(tmp_path / "off.json"), limit=100
+        )
+        listener.listen(channel)
+
+        # round 1: a 2-row commit fires 2 notifications; the FIRST
+        # wake-up drains both rows (batch catch-up)
+        ctl._simple_query(f"INSERT INTO {src} VALUES (1,'a'), (2,'b')")
+        note = listener.wait_for_notification(timeout_s=15.0)
+        cid, _ts = parse_notify_payload(note.payload)
+        assert note.channel == channel and cid >= 1
+        assert poller.run_until_drained() == 2
+        assert poller.committed_offset() >= cid
+        # drain the second (already-satisfied) notification off the wire
+        listener.wait_for_notification(timeout_s=15.0)
+
+        # round 2 through the composed helper: DML → notify → drain
+        ctl._simple_query(f"UPDATE {src} SET val = 'a2' WHERE id = 1")
+        n = notify_driven_drain(
+            listener, poller, channel=channel,
+            max_notifications=1, notify_timeout_s=15.0,
+        )
+        assert n == 1
+        got = {
+            (r["pk"], r["val"])
+            for r in sink.read_state().select("pk", "val").collect()
+        }
+        live_rows = {
+            (int(r[0]), r[1])
+            for r in ctl._simple_query(f"SELECT id, val FROM {src}")
+        }
+        assert got == live_rows == {(1, "a2"), (2, "b")}
+    finally:
+        try:
+            listener.close()
+        except Exception:
+            pass
+        for stmt in teardown_ddl(schema):
+            try:
+                ctl._simple_query(stmt)
+            except Exception:
+                pass

@@ -393,3 +393,130 @@ def test_tail_partial_frame_timeout_raises_not_idle(tmp_path):
     assert lines == WAL2JSON_DOCS[:3]
     c.close()
     srv.thread.join(5)
+
+
+# -- LISTEN/NOTIFY (S2 push mode, notify_listener.go:76-139) --------------
+
+
+def test_wait_for_notification_parses_the_a_frame():
+    """NotificationResponse 'A': pid(4) channel(cstr) payload(cstr) —
+    parsed off a raw socketpair, no server needed."""
+    import socket as _socket
+    import struct as _struct
+
+    from warp_pipe_spark.lr_client import LRClient, _Conn
+
+    a, b = _socket.socketpair()
+    try:
+        c = LRClient("x", 0, "db", "u", "slot")
+        c._conn = _Conn(b)
+        body = (
+            _struct.pack("!i", 4242)
+            + b"warp_pipe_new_changeset\x00"
+            + b"17_2026-08-15 12:00:00+00\x00"
+        )
+        a.sendall(b"A" + _struct.pack("!i", len(body) + 4) + body)
+        note = c.wait_for_notification(timeout_s=5.0)
+        assert note.pid == 4242
+        assert note.channel == "warp_pipe_new_changeset"
+        assert note.payload == "17_2026-08-15 12:00:00+00"
+    finally:
+        a.close()
+        b.close()
+
+
+def test_parse_notify_payload_reference_format():
+    from warp_pipe_spark.streaming import parse_notify_payload
+
+    cid, ts = parse_notify_payload("17_2026-08-15 12:00:00.123+00")
+    assert cid == 17 and ts == "2026-08-15 12:00:00.123+00"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_notify_payload("not-an-id_whatever")
+
+
+def test_notify_driven_drain_wakes_poller_per_notification(spark, tmp_path):
+    """Each NOTIFY wakes the poller, which drains the backlog; the
+    drained offset must reach the notified id (commit-then-notify
+    ordering makes anything less a store/log disagreement)."""
+    from pyspark.sql import Row
+
+    from warp_pipe_spark.lr_client import Notification
+    from warp_pipe_spark.streaming import (
+        KeysetPoller,
+        ParquetStateSink,
+        dataframe_keyset_fetch,
+        notify_driven_drain,
+    )
+
+    rows = [
+        Row(id=1, action="INSERT", table_name="t", pk=1, val="a"),
+        Row(id=2, action="INSERT", table_name="t", pk=2, val="b"),
+        Row(id=3, action="UPDATE", table_name="t", pk=1, val="a2"),
+    ]
+    df = spark.createDataFrame(rows)
+
+    class FakeListener:
+        def __init__(self):
+            self.notes = [
+                Notification(1, "warp_pipe_new_changeset", "2_ts"),
+                Notification(1, "warp_pipe_new_changeset", "3_ts"),
+            ]
+            self.listened = None
+
+        def listen(self, channel):
+            self.listened = channel
+
+        def wait_for_notification(self, timeout_s=None):
+            return self.notes.pop(0)
+
+    sink = ParquetStateSink(spark, str(tmp_path / "state"), pk_cols=["pk"])
+    poller = KeysetPoller(
+        spark, dataframe_keyset_fetch(df), sink,
+        str(tmp_path / "off.json"), limit=10,
+    )
+    lst = FakeListener()
+    n = notify_driven_drain(lst, poller, max_notifications=2)
+    assert lst.listened == "warp_pipe_new_changeset"
+    # first wake-up drains EVERYTHING visible (batch catch-up), the
+    # second finds nothing new — total applied counts each row once
+    assert n == 3
+    got = {
+        (r["pk"], r["val"])
+        for r in sink.read_state().select("pk", "val").collect()
+    }
+    assert got == {(1, "a2"), (2, "b")}
+
+
+def test_notification_arriving_mid_query_is_buffered_not_dropped():
+    """Protocol: 'A' frames may arrive interleaved with any response.
+    One landing during a simple query's round-trip (e.g. during the
+    LISTEN itself — found live) must be queued for the next
+    wait_for_notification, never silently dropped."""
+    import socket as _socket
+    import struct as _struct
+
+    from warp_pipe_spark.lr_client import LRClient, _Conn
+
+    def frame(t: bytes, body: bytes) -> bytes:
+        return t + _struct.pack("!i", len(body) + 4) + body
+
+    a, b = _socket.socketpair()
+    try:
+        c = LRClient("x", 0, "db", "u", "slot")
+        c._conn = _Conn(b)
+        # response to the upcoming simple query, with an 'A' frame
+        # interleaved before ReadyForQuery
+        note_body = _struct.pack("!i", 7) + b"ch\x00" + b"42_ts\x00"
+        a.sendall(
+            frame(b"A", note_body)
+            + frame(b"C", b"LISTEN\x00")
+            + frame(b"Z", b"I")
+        )
+        assert c._simple_query("LISTEN ch") == []
+        note = c.wait_for_notification(timeout_s=1.0)  # no socket read
+        assert (note.pid, note.channel, note.payload) == (7, "ch", "42_ts")
+    finally:
+        a.close()
+        b.close()

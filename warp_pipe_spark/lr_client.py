@@ -72,6 +72,18 @@ class Keepalive:
     reply_requested: bool
 
 
+@dataclass
+class Notification:
+    """One LISTEN/NOTIFY delivery (protocol NotificationResponse 'A'):
+    the notifying backend's pid, the channel, and the payload — for the
+    reference's audit trigger, '<changeset_id>_<timestamp>'
+    (db/sql.go:70)."""
+
+    pid: int
+    channel: str
+    payload: str
+
+
 class ProtocolError(RuntimeError):
     pass
 
@@ -157,18 +169,28 @@ class LRClient:
         self._conn: _Conn | None = None
         self._last_status = 0.0
         self.flushed_lsn = 0
+        #: NotificationResponse frames that arrived while some OTHER
+        #: reader (a simple query) owned the wire — the protocol allows
+        #: 'A' frames "at almost any time", so dropping them there
+        #: loses notifications forever (found live: a NOTIFY landing
+        #: during the LISTEN round-trip itself)
+        self._notifications: list[Notification] = []
 
     # -- session ---------------------------------------------------------
 
-    def connect(self) -> None:
+    def connect(self, replication: bool = True) -> None:
         sock = socket.create_connection((self.host, self.port))
         sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         self._conn = _Conn(sock)
         # replication=database switches the backend into walsender mode
-        # with logical decoding available (public protocol contract)
-        self._conn.send_startup(
-            {"user": self.user, "database": self.dbname, "replication": "database"}
-        )
+        # with logical decoding available (public protocol contract).
+        # replication=False opens a PLAIN backend — the shape a
+        # LISTEN/NOTIFY wake-up connection needs (S2 push mode,
+        # notify_listener.go:64-74 dials an ordinary pgx conn)
+        params = {"user": self.user, "database": self.dbname}
+        if replication:
+            params["replication"] = "database"
+        self._conn.send_startup(params)
         while True:
             t, body = self._conn.read_message()
             if t == b"R":
@@ -217,11 +239,58 @@ class LRClient:
                 rows.append(tuple(vals))
             elif t == b"E":
                 err = _error_text(body)
+            elif t == b"A":
+                # a notification interleaved with this query's response
+                # (legal per protocol) — queue it for
+                # wait_for_notification instead of silently dropping it
+                self._notifications.append(_parse_notification(body))
             elif t == b"Z":
                 if err is not None:
                     raise ProtocolError(err)
                 return rows
             # 'T' RowDescription / 'C' CommandComplete: shape metadata
+
+    # -- LISTEN/NOTIFY (S2 push mode, notify_listener.go:76-139) ----------
+
+    def listen(self, channel: str) -> None:
+        """LISTEN on a channel (the reference listens on
+        'warp_pipe_new_changeset', notify_listener.go:78). Use a
+        DEDICATED connection (connect(replication=False)): an 'A'
+        frame arriving mid-_simple_query on a shared one would be
+        discarded by that reader."""
+        self._simple_query(f'LISTEN "{channel}"')
+
+    def wait_for_notification(
+        self, timeout_s: float | None = None
+    ) -> Notification:
+        """Block until a NotificationResponse arrives on this
+        connection (pgx WaitForNotification parity,
+        notify_listener.go:131-139). Postgres delivers notifications to
+        an idle backend as standalone 'A' frames; anything else
+        unexpected here is an error frame or protocol noise we skip.
+        Raises TimeoutError via the socket when `timeout_s` elapses."""
+        assert self._conn, "connect() first"
+        if self._notifications:
+            # delivered during an earlier simple query's round-trip
+            return self._notifications.pop(0)
+        sock = self._conn.sock
+        prev = sock.gettimeout()
+        if timeout_s is not None:
+            sock.settimeout(timeout_s)
+        try:
+            while True:
+                t, body = self._conn.read_message()
+                if t == b"A":
+                    return _parse_notification(body)
+                if t == b"E":
+                    raise ProtocolError(_error_text(body))
+                # 'S' ParameterStatus / keepalive noise: skip
+        finally:
+            if timeout_s is not None:
+                try:
+                    sock.settimeout(prev)
+                except OSError:
+                    pass
 
     def identify_system(self) -> dict[str, str | None]:
         rows = self._simple_query("IDENTIFY_SYSTEM")
@@ -330,6 +399,16 @@ class LRClient:
     def _maybe_send_status(self) -> None:
         if time.time() - self._last_status >= self.status_interval_s:
             self.send_standby_status(self.flushed_lsn)
+
+
+def _parse_notification(body: bytes) -> Notification:
+    """NotificationResponse body: pid(4) channel(cstr) payload(cstr)."""
+    (pid,) = struct.unpack_from("!i", body, 0)
+    end_ch = body.index(b"\x00", 4)
+    end_pl = body.index(b"\x00", end_ch + 1)
+    return Notification(
+        pid, body[4:end_ch].decode(), body[end_ch + 1 : end_pl].decode()
+    )
 
 
 def _error_text(body: bytes) -> str:

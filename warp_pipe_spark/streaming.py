@@ -512,6 +512,58 @@ class KeysetPoller:
         return total
 
 
+def parse_notify_payload(payload: str) -> tuple[int, str]:
+    """The reference trigger's pg_notify payload is
+    '<changeset_id>_<timestamp>' (db/sql.go:70); split and parse the
+    id, raising ValueError on garbage exactly where the reference logs
+    and errors (notify_listener.go:151-160). The timestamp text is
+    returned unparsed — current_timestamp::TEXT never contains '_'."""
+    head, _, rest = payload.partition("_")
+    return int(head), rest
+
+
+def notify_driven_drain(
+    listener,
+    poller: KeysetPoller,
+    channel: str = "warp_pipe_new_changeset",
+    max_notifications: int | None = None,
+    notify_timeout_s: float | None = None,
+) -> int:
+    """S2 PUSH mode — the reference's actual LISTEN/NOTIFY shape
+    (notify_listener.go:76-139) on top of the keyset loop: LISTEN on a
+    dedicated plain connection, block until the audit trigger's
+    pg_notify lands, then drain the poller. Each wake-up drains to
+    empty (batch catch-up), so one notification after a burst applies
+    the WHOLE burst — strictly stronger than the reference's
+    fetch-one-changeset-per-notification, with the same at-least-once →
+    exactly-once upgrade the poller's offset commit provides. The
+    poller is also guaranteed to pass the notified id: NOTIFY fires on
+    the trigger's transaction COMMIT, so the row is already visible to
+    the fetch.
+
+    `listener` is an LRClient connected with replication=False.
+    Returns total rows applied; `max_notifications` bounds the loop,
+    `notify_timeout_s` lets the socket raise TimeoutError when the
+    channel goes quiet (the caller's drain-vs-hang policy, same shape
+    as the tails')."""
+    listener.listen(channel)
+    total = 0
+    n_seen = 0
+    while max_notifications is None or n_seen < max_notifications:
+        note = listener.wait_for_notification(timeout_s=notify_timeout_s)
+        n_seen += 1
+        notified_id, _ts = parse_notify_payload(note.payload)
+        total += poller.run_until_drained()
+        if poller.committed_offset() < notified_id:
+            # fetch lag cannot explain this (commit-then-notify order):
+            # the offset store and the audit log disagree — surface it
+            raise StateCorruptError(
+                f"drained to offset {poller.committed_offset()} but the "
+                f"notification announced changeset {notified_id}"
+            )
+    return total
+
+
 def parquet_keyset_fetch(path: str):
     """Fetch factory over a growing parquet audit dir (each poll re-lists
     the dir, so newly-arrived files are visible next round)."""
