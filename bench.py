@@ -261,17 +261,37 @@ def choose_self_artifact(result: dict, prev: dict | None) -> str:
     measurably-more-loaded run must not clobber a more-idle one (round
     10 hygiene defect: a canary-1.51/loadavg-2.9 run overwrote the
     genuine canary-1.49/loadavg-0.38 artifact, weakening the load
-    guard ~16%). Overwrite only when this run is comparably idle
-    (canary within 10% of the committed one) or strictly FASTER in
-    total (a faster-under-load run cannot be load inflation);
-    otherwise the run lands in BENCH_SELF_LAST.json and the committed
-    idle reference survives."""
+    guard ~16%).
+
+    Two independent load tests, either diverts the run to
+    BENCH_SELF_LAST.json:
+      1. canary more than 10% above the committed one (instantaneous
+         contention at the run's bracket points) — unless the run is
+         strictly FASTER in total, which load inflation cannot produce;
+      2. the SHARED-query sum more than 5% above the committed one
+         (like-for-like total: catches mid-run contention the bracket
+         canaries miss — found in round 11 when a canary-1.42 run with
+         a 13%-slower body overwrote a canary-1.46 run's 162s).
+    The shared-sum comparison ignores queries only one side has, so
+    registering a new query never blocks the reference from updating.
+    A genuine code regression also diverts — conservative in the safe
+    direction: the idle reference stays the fastest known-clean run
+    (retimes stay aggressive) until a genuinely idle run confirms the
+    new level."""
     try:
+        prev_q = {k: float(v) for k, v in prev["queries"].items()}
+        new_q = {k: float(v) for k, v in result["queries"].items()}
+        shared = set(prev_q) & set(new_q)
+        shared_slower = sum(new_q[q] for q in shared) > 1.05 * sum(
+            prev_q[q] for q in shared
+        )
         more_loaded = result["canary_sec"] > float(prev["canary_sec"]) * 1.10
         not_faster = float(result["value"]) >= float(prev["value"])
-    except (KeyError, TypeError, ValueError):
+    except (KeyError, TypeError, ValueError, AttributeError):
         return "BENCH_SELF.json"  # no/malformed reference → become it
-    return "BENCH_SELF_LAST.json" if (more_loaded and not_faster) else "BENCH_SELF.json"
+    if shared_slower or (more_loaded and not_faster):
+        return "BENCH_SELF_LAST.json"
+    return "BENCH_SELF.json"
 
 
 def plan_runs(name: str, first_sec: float, idle_sec: float | None = None) -> int:

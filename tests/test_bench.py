@@ -152,12 +152,43 @@ def test_choose_self_artifact_protects_the_idle_reference():
     first runs with no reference) become the reference."""
     from bench import choose_self_artifact
 
-    idle = {"canary_sec": 1.49, "value": 158.4}
-    loaded_slower = {"canary_sec": 1.70, "value": 181.5}
-    loaded_faster = {"canary_sec": 1.70, "value": 140.0}
-    comparable = {"canary_sec": 1.55, "value": 170.0}
+    def run(canary, total):
+        # two-query split keeps the shared-sum test aligned with value
+        return {
+            "canary_sec": canary,
+            "value": total,
+            "queries": {"a": total * 0.6, "b": total * 0.4},
+        }
+
+    idle = run(1.49, 158.4)
+    loaded_slower = run(1.70, 181.5)
+    loaded_faster = run(1.70, 140.0)
+    comparable = run(1.55, 160.0)
     assert choose_self_artifact(loaded_slower, idle) == "BENCH_SELF_LAST.json"
     assert choose_self_artifact(loaded_faster, idle) == "BENCH_SELF.json"
     assert choose_self_artifact(comparable, idle) == "BENCH_SELF.json"
     assert choose_self_artifact(loaded_slower, None) == "BENCH_SELF.json"
     assert choose_self_artifact(loaded_slower, {"bad": 1}) == "BENCH_SELF.json"
+
+
+def test_choose_self_artifact_catches_mid_run_contention():
+    """Round-11 finding: bracket canaries can look idle while the run
+    body was contended. A run whose SHARED-query sum is >5% above the
+    committed reference diverts even with a comparable canary; a new
+    query on only one side never blocks the update."""
+    from bench import choose_self_artifact
+
+    idle = {
+        "canary_sec": 1.46, "value": 161.8,
+        "queries": {"a": 100.0, "b": 61.8},
+    }
+    body_contended = {  # canary fine, body 13% slower
+        "canary_sec": 1.42, "value": 183.2,
+        "queries": {"a": 113.0, "b": 70.2},
+    }
+    with_new_query = {  # same shared speed + one new query: updates
+        "canary_sec": 1.45, "value": 163.0,
+        "queries": {"a": 100.5, "b": 61.5, "c": 1.0},
+    }
+    assert choose_self_artifact(body_contended, idle) == "BENCH_SELF_LAST.json"
+    assert choose_self_artifact(with_new_query, idle) == "BENCH_SELF.json"
