@@ -1084,3 +1084,77 @@ def test_live_listen_notify_wakes_the_poller(live, spark, tmp_path):
                 ctl._simple_query(stmt)
             except Exception:
                 pass
+
+
+def test_live_pgoutput_v3_two_phase_commit(live, spark, tmp_path):
+    """pgoutput protocol v3 against the REAL server: a TWO_PHASE slot +
+    proto 3 negotiation, PREPARE TRANSACTION holds the changes under
+    their gid (nothing emitted), COMMIT PREPARED emits the document —
+    and a second prepared transaction that ROLLBACK PREPAREDs is never
+    seen downstream. Requires max_prepared_transactions > 0
+    (tools/live_pg.sh provisions 8)."""
+    from warp_pipe_spark.decoders import decode_wal2json
+    from warp_pipe_spark.pgoutput import tail_pgoutput_to_drop_dir
+
+    ctl, _, tbl = live
+    n_prep = ctl._simple_query("SHOW max_prepared_transactions")
+    if int(n_prep[0][0]) == 0:
+        pytest.skip("server has max_prepared_transactions=0")
+    pub = f"wp_pub_2pc_{os.getpid()}"
+    rep = _client(f"wp_live_2pc_{os.getpid()}")
+    rep.plugin = "pgoutput"
+    rep.connect()
+    gid_c, gid_r = f"wp2pc_c_{os.getpid()}", f"wp2pc_r_{os.getpid()}"
+    try:
+        ctl._simple_query(
+            f"CREATE TABLE {tbl} (id int primary key, val text)"
+        )
+        ctl._simple_query(f"CREATE PUBLICATION {pub} FOR TABLE {tbl}")
+        rep.create_slot(two_phase=True)
+        ctl._simple_query(
+            f"BEGIN; INSERT INTO {tbl} VALUES (1, 'kept'); "
+            f"PREPARE TRANSACTION '{gid_c}'"
+        )
+        ctl._simple_query(
+            f"BEGIN; INSERT INTO {tbl} VALUES (2, 'aborted'); "
+            f"PREPARE TRANSACTION '{gid_r}'"
+        )
+        ctl._simple_query(f"ROLLBACK PREPARED '{gid_r}'")
+        ctl._simple_query(f"COMMIT PREPARED '{gid_c}'")
+        drop = str(tmp_path / "drop")
+        n = tail_pgoutput_to_drop_dir(
+            rep, drop, publication=pub, max_changes=1,
+            idle_timeout_s=10.0, proto_version=3,
+        )
+        assert n == 1  # the rolled-back prepared insert was un-counted
+        docs = spark.read.text(drop).withColumnRenamed("value", "message")
+        out = decode_wal2json(docs).collect()
+        assert [(r["kind"], r["table"]) for r in out] == [("insert", tbl.lower())]
+        assert [c["value"] for c in out[0]["new_values"]] == ["1", "kept"]
+    finally:
+        try:
+            rep.drop_slot()
+        except Exception:
+            try:
+                rep.close()
+            except Exception:
+                pass
+            for _ in range(5):
+                try:
+                    ctl._simple_query(f"DROP_REPLICATION_SLOT {rep.slot}")
+                    break
+                except Exception:
+                    time.sleep(0.5)
+        for gid in (gid_c, gid_r):
+            try:
+                ctl._simple_query(f"ROLLBACK PREPARED '{gid}'")
+            except Exception:
+                pass
+        try:
+            ctl._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+        except Exception:
+            pass
+        try:
+            rep.close()
+        except Exception:
+            pass

@@ -624,3 +624,119 @@ def test_v2_tail_confirms_lsn_after_stream_abort(tmp_path):
     assert len(files) == 1  # only the committed transaction hit the dir
     assert c.flushed_lsn > 0  # the abort's position was confirmed too
     srv.thread.join(5)
+
+
+# -- protocol v3: two-phase commit (PG 15+, TWO_PHASE slots) ---------------
+
+
+def msg_begin_prepare(gid, xid=700, lsn=0x7000):
+    return b"b" + struct.pack("!qqqi", lsn, lsn + 8, 0, xid) + cstr(gid)
+
+
+def msg_prepare(gid, xid=700, lsn=0x7000):
+    return b"P" + struct.pack("!Bqqqi", 0, lsn, lsn + 8, 0, xid) + cstr(gid)
+
+
+def msg_commit_prepared(gid, xid=700, end_lsn=0x8000):
+    return b"K" + struct.pack("!Bqqqi", 0, end_lsn - 8, end_lsn, 0, xid) + cstr(gid)
+
+
+def msg_rollback_prepared(gid, xid=700):
+    return b"r" + struct.pack("!BqqqqI", 0, 1, 2, 0, 0, xid) + cstr(gid)
+
+
+def msg_stream_prepare(gid, xid, lsn=0x7000):
+    return b"p" + struct.pack("!Bqqqi", 0, lsn, lsn + 8, 0, xid) + cstr(gid)
+
+
+def test_v3_prepared_transaction_emits_only_at_commit_prepared():
+    asm = PgOutputAssembler(proto_version=3)
+    feed_all(
+        asm,
+        [
+            REL,
+            msg_begin_prepare("gid-1"),
+            msg_insert(5001, "1", "a"),
+            msg_prepare("gid-1"),
+        ],
+    )
+    assert asm.docs == []  # prepared but undecided: nothing emitted
+    asm.feed(200, msg_commit_prepared("gid-1", end_lsn=0x8000))
+    (doc,) = asm.docs
+    assert doc["nextlsn"] == "0/8000"
+    assert [c["columnvalues"] for c in doc["change"]] == [["1", "a"]]
+
+
+def test_v3_rollback_prepared_discards_and_uncounts():
+    asm = PgOutputAssembler(proto_version=3)
+    n = 0
+    for i, f in enumerate(
+        [REL, msg_begin_prepare("gid-2"), msg_insert(5001, "1", "a"),
+         msg_prepare("gid-2"), msg_rollback_prepared("gid-2")]
+    ):
+        n += asm.feed(100 + i, f)
+    assert n == 0 and asm.docs == [] and asm._prepared == {}
+    # rollback-prepared of a gid prepared BEFORE our start position is
+    # legal (only the rollback is delivered): a no-op, not an error
+    assert asm.feed(300, msg_rollback_prepared("never-seen")) == 0
+
+
+def test_v3_other_transactions_interleave_with_a_pending_prepare():
+    """A prepared transaction can stay undecided across many later
+    commits; its document appears at commit-prepared TIME, not at
+    prepare time."""
+    asm = PgOutputAssembler(proto_version=3)
+    feed_all(
+        asm,
+        [
+            REL,
+            msg_begin_prepare("gid-3"),
+            msg_insert(5001, "1", "prepared"),
+            msg_prepare("gid-3"),
+            msg_begin(lsn=0x9000),
+            msg_insert(5001, "2", "normal"),
+            msg_commit(end_lsn=0x9100),
+            msg_commit_prepared("gid-3", end_lsn=0xA000),
+        ],
+    )
+    vals = [[c["columnvalues"][1] for c in d["change"]] for d in asm.docs]
+    assert vals == [["normal"], ["prepared"]]  # commit order, not WAL order
+
+
+def test_v3_stream_prepare_moves_streamed_blocks_to_gid():
+    """streaming + two_phase: a streamed transaction that PREPAREs
+    moves from xid-keyed to gid-keyed state and emits at
+    commit-prepared."""
+    asm = PgOutputAssembler(proto_version=3)
+    feed_all(
+        asm,
+        [
+            msg_stream_start(700),
+            sx(REL, 700),
+            sx(msg_insert(5001, "1", "sp"), 700),
+            b"E",
+            msg_stream_prepare("gid-4", 700),
+        ],
+    )
+    assert asm.docs == [] and 700 not in asm._streamed
+    asm.feed(200, msg_commit_prepared("gid-4", end_lsn=0xB000))
+    (doc,) = asm.docs
+    assert [c["columnvalues"][1] for c in doc["change"]] == ["sp"]
+
+
+def test_v3_guards():
+    from warp_pipe_spark.pgoutput import PgOutputProtocolError
+
+    # v3 frames on a v1/v2 stream raise the named error
+    for pv in (1, 2):
+        asm = PgOutputAssembler(proto_version=pv)
+        with pytest.raises(PgOutputProtocolError, match="v3"):
+            asm.feed(100, msg_begin_prepare("g"))
+    asm = PgOutputAssembler(proto_version=3)
+    with pytest.raises(PgOutputProtocolError, match="without a begin-prepare"):
+        asm.feed(100, msg_prepare("g"))
+    with pytest.raises(PgOutputProtocolError, match="unknown gid"):
+        asm.feed(101, msg_commit_prepared("never-prepared"))
+    asm.feed(102, msg_begin_prepare("g1"))
+    with pytest.raises(PgOutputProtocolError, match="does not match"):
+        asm.feed(103, msg_prepare("OTHER"))

@@ -26,10 +26,19 @@ if [ ! -d "$PGDATA" ]; then
 wal_level = logical
 max_wal_senders = 4
 max_replication_slots = 4
+max_prepared_transactions = 8
 port = ${PORT}
 listen_addresses = '127.0.0.1'
 unix_socket_directories = '/tmp/wp_pg'
 EOF
+fi
+
+# pre-round-11 data dirs lack max_prepared_transactions (needed by the
+# pgoutput proto-v3 two-phase tests; restart-required GUC) — append and
+# force a restart below
+if ! grep -q '^max_prepared_transactions' "$PGDATA/postgresql.conf"; then
+    echo 'max_prepared_transactions = 8' >> "$PGDATA/postgresql.conf"
+    runuser -u postgres -- pg_ctl -D "$PGDATA" stop -m fast >/dev/null 2>&1 || true
 fi
 
 if ! runuser -u postgres -- pg_ctl -D "$PGDATA" status >/dev/null 2>&1; then

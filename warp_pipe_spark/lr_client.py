@@ -299,13 +299,19 @@ class LRClient:
         sysid, tli, xlogpos, dbname = rows[0][:4]
         return {"systemid": sysid, "timeline": tli, "xlogpos": xlogpos, "dbname": dbname}
 
-    def create_slot(self, if_not_exists: bool = True) -> int | None:
+    def create_slot(
+        self, if_not_exists: bool = True, two_phase: bool = False
+    ) -> int | None:
         """CREATE_REPLICATION_SLOT ... LOGICAL <plugin>; returns the
         slot's consistent-point LSN (None if it already existed and
-        if_not_exists)."""
+        if_not_exists). two_phase=True (PG 15+ walsender grammar)
+        enables decoding of prepared transactions on the slot — the
+        prerequisite for pgoutput protocol v3 (pgoutput.py)."""
+        opts = " (TWO_PHASE)" if two_phase else ""
         try:
             rows = self._simple_query(
-                f"CREATE_REPLICATION_SLOT {self.slot} LOGICAL {self.plugin}"
+                f"CREATE_REPLICATION_SLOT {self.slot} LOGICAL "
+                f"{self.plugin}{opts}"
             )
         except ProtocolError as e:
             if if_not_exists and "already exists" in str(e):

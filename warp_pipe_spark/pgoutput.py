@@ -70,9 +70,22 @@ Protocol version: proto_version 1 by default, with OPT-IN proto 2
   COMMIT. Per (table, pk) the id order the downstream fold keys on is
   commit-consistent.
 
-Under the default proto_version=1 the v2 frame types raise
+Opt-in proto 3 (PG 15+, a TWO_PHASE slot) adds prepared-transaction
+decoding:
+
+  b begin-prepare  prepare_lsn(8) end_lsn(8) ts(8) xid(4) gid(cstr)
+  P prepare        flags(1) + the same fields
+  K commit-prepared  flags(1) commit_lsn(8) end_lsn(8) ts(8) xid(4) gid
+  r rollback-prepared  flags(1) 2×lsn(8) 2×ts(8) xid(4) gid
+  p stream-prepare  flags(1) prepare_lsn(8) end_lsn(8) ts(8) xid(4) gid
+  Changes arrive between begin-prepare and prepare (or in S/E blocks
+  closed by stream-prepare), are HELD under their gid, and emit as one
+  document only at commit-prepared — the drop dir still sees
+  committed transactions only; rollback-prepared discards.
+
+Under the default proto_version=1 the higher-version frame types raise
 PgOutputProtocolError — a misnegotiated stream fails loudly instead
-of corrupting the tail. Any unknown message type raises under either
+of corrupting the tail. Any unknown message type raises under every
 version.
 
 Identity & ordering: each change carries `id` = the WAL byte position
@@ -122,9 +135,18 @@ PG_TYPE_NAMES = {
 
 #: pgoutput message types that exist only under proto_version >= 2
 #: (streaming of in-progress transactions, PG 14+). We never request
-#: v2, so seeing one means the negotiation was violated.
+#: v2 by default, so seeing one means the negotiation was violated.
 _V2_STREAM_TYPES = {b"S": "stream-start", b"E": "stream-stop",
                     b"c": "stream-commit", b"A": "stream-abort"}
+
+#: proto_version >= 3 (PG 15+, two_phase slots): prepared-transaction
+#: decoding. Changes arrive between begin-prepare and prepare like a
+#: normal transaction, but are EMITTED only at commit-prepared —
+#: possibly much later, interleaved with other transactions — and
+#: discarded at rollback-prepared.
+_V3_TWOPHASE_TYPES = {b"b": "begin-prepare", b"P": "prepare",
+                      b"K": "commit-prepared", b"r": "rollback-prepared",
+                      b"p": "stream-prepare"}
 
 
 class PgOutputProtocolError(ValueError):
@@ -193,9 +215,9 @@ class PgOutputAssembler:
     releases the buffer)."""
 
     def __init__(self, proto_version: int = 1) -> None:
-        if proto_version not in (1, 2):
+        if proto_version not in (1, 2, 3):
             raise ValueError(
-                f"proto_version must be 1 or 2, got {proto_version}"
+                f"proto_version must be 1, 2 or 3, got {proto_version}"
             )
         self.proto_version = proto_version
         self._rels: dict[int, dict] = {}
@@ -205,6 +227,12 @@ class PgOutputAssembler:
         #: in-progress streamed transactions
         self._streamed: dict[int, list[tuple[int, dict]]] = {}
         self._cur_stream: int | None = None
+        #: proto 3: gid → prepared-but-undecided changes, held until
+        #: commit-prepared (emit) or rollback-prepared (discard)
+        self._prepared: dict[str, list[dict]] = {}
+        #: gid of the transaction currently between begin-prepare and
+        #: prepare (non-streamed two-phase path)
+        self._preparing: str | None = None
         self.docs: list[dict] = []
 
     # -- per-message ------------------------------------------------------
@@ -220,6 +248,16 @@ class PgOutputAssembler:
                     "at streamed-transaction framing"
                 )
             return self._feed_stream_ctl(kind, payload)
+        if kind in _V3_TWOPHASE_TYPES:
+            if self.proto_version < 3:
+                raise PgOutputProtocolError(
+                    f"pgoutput protocol v3+ two-phase message "
+                    f"'{_V3_TWOPHASE_TYPES[kind]}' ({kind!r}) on a "
+                    f"stream negotiated at proto_version "
+                    f"{self.proto_version} — prepared-transaction "
+                    "framing was not requested"
+                )
+            return self._feed_twophase_ctl(kind, payload)
         # content messages inside a streamed block carry a leading
         # Int32 (sub)transaction xid (proto 2); shift the body past it
         base, msg_xid = 1, None
@@ -347,6 +385,78 @@ class PgOutputAssembler:
                         "nextlsn": lsn_str(end_lsn),
                     }
                 )
+        return 0
+
+    def _feed_twophase_ctl(self, kind: bytes, payload: bytes) -> int:
+        """Begin-Prepare / Prepare / Commit-Prepared / Rollback-Prepared
+        / Stream-Prepare (proto 3, two_phase slots, PG 15+). Layouts
+        per protocol.sgml: 'b' = prepare_lsn(8) end_lsn(8) ts(8) xid(4)
+        gid(cstr); 'P'/'p' = flags(1) + the same; 'K' = flags(1)
+        commit_lsn(8) end_lsn(8) ts(8) xid(4) gid; 'r' = flags(1)
+        prepare_end_lsn(8) rollback_end_lsn(8) prepare_ts(8)
+        rollback_ts(8) xid(4) gid.
+
+        A prepared transaction's changes are held under their gid and
+        emitted as ONE document only at commit-prepared — the same
+        committed-transactions-only drop-dir contract as every other
+        path; rollback-prepared discards (negative feed delta, like
+        stream aborts). State is O(open prepared transactions), which
+        the server itself bounds via max_prepared_transactions."""
+        if kind == b"b":
+            if self._in_tx:
+                raise PgOutputProtocolError(
+                    "pgoutput begin-prepare inside an open transaction"
+                )
+            gid, _ = _cstr(payload, 29)
+            self._pending = []
+            self._in_tx = True
+            self._preparing = gid
+        elif kind == b"P":
+            if not self._in_tx or self._preparing is None:
+                raise PgOutputProtocolError(
+                    "pgoutput prepare without a begin-prepare"
+                )
+            gid, _ = _cstr(payload, 30)
+            if gid != self._preparing:
+                raise PgOutputProtocolError(
+                    f"prepare gid {gid!r} does not match begin-prepare "
+                    f"gid {self._preparing!r}"
+                )
+            self._prepared[gid] = self._pending
+            self._pending, self._in_tx, self._preparing = [], False, None
+        elif kind == b"p":
+            # stream-prepare: a STREAMED transaction became prepared —
+            # its buffered blocks move from xid-keyed to gid-keyed
+            # state. Layout: flags(1) prepare_lsn(8) end_lsn(8) ts(8)
+            # then the xid at offset 26, gid at 30.
+            (xid,) = struct.unpack_from("!i", payload, 26)
+            gid, _ = _cstr(payload, 30)
+            buf = self._streamed.pop(xid, None)
+            if buf is None:
+                raise PgOutputProtocolError(
+                    f"stream-prepare for unknown xid {xid}"
+                )
+            self._prepared[gid] = [c for _, c in buf]
+        elif kind == b"K":
+            _, _, end_lsn, _, _ = struct.unpack_from("!Bqqqi", payload, 1)
+            gid, _ = _cstr(payload, 30)
+            buf = self._prepared.pop(gid, None)
+            if buf is None:
+                raise PgOutputProtocolError(
+                    f"commit-prepared for unknown gid {gid!r} — the "
+                    "transaction was prepared before this stream's "
+                    "start position (replay it from an earlier LSN)"
+                )
+            if buf:
+                self.docs.append(
+                    {"change": buf, "nextlsn": lsn_str(end_lsn)}
+                )
+        else:  # b"r" rollback-prepared
+            gid, _ = _cstr(payload, 38)
+            # unknown gid is legal here: ROLLBACK PREPARED of a
+            # transaction prepared before our start position delivers
+            # only the rollback — nothing buffered, nothing to do
+            return -len(self._prepared.pop(gid, ()))
         return 0
 
     def take_docs(self) -> list[dict]:
@@ -546,6 +656,10 @@ def tail_pgoutput_to_drop_dir(
             }
             if proto_version >= 2:
                 options["streaming"] = "on"
+            if proto_version >= 3:
+                # needs a slot created with TWO_PHASE
+                # (LRClient.create_slot(two_phase=True))
+                options["two_phase"] = "on"
             for msg in client.start(start_lsn, options=options):
                 if not isinstance(msg, XLogData):
                     continue
@@ -553,12 +667,18 @@ def tail_pgoutput_to_drop_dir(
                 hi_lsn = max(hi_lsn, msg.wal_start + len(msg.payload))
                 if asm.docs:
                     flush()  # one file per commit batch reaching the dir
-                elif msg.payload[:1] in (b"C", b"c", b"A"):
+                elif msg.payload[:1] in (b"C", b"c", b"A", b"r"):
                     # commit of an empty transaction, stream-commit of a
-                    # fully-aborted-subxact one, or stream-abort: no
-                    # file, but the position is consumed — confirm so a
-                    # huge rolled-back transaction doesn't pin WAL
-                    # until the next real commit
+                    # fully-aborted-subxact one, stream-abort, or
+                    # rollback-prepared: no file, but the position is
+                    # consumed — confirm so a huge rolled-back
+                    # transaction doesn't pin WAL until the next real
+                    # commit. (An UNDECIDED prepare is never the last
+                    # processed frame kind here, but note the tail's
+                    # confirm-on-flush can advance past one — a crash
+                    # before its commit-prepared then restarts past the
+                    # prepared changes and the 'K' raises with replay
+                    # guidance, never silently drops.)
                     client.send_standby_status(hi_lsn)
                 # the bound only fires BETWEEN transactions: breaking
                 # mid-transaction would discard the buffered changes of
@@ -575,6 +695,7 @@ def tail_pgoutput_to_drop_dir(
                     and not asm._in_tx
                     and asm._cur_stream is None
                     and not asm._streamed
+                    and not asm._prepared
                 ):
                     break
         except TimeoutError:
