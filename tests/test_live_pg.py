@@ -1158,3 +1158,78 @@ def test_live_pgoutput_v3_two_phase_commit(live, spark, tmp_path):
             rep.close()
         except Exception:
             pass
+
+
+def test_live_snapshot_bootstrap_is_gap_free(live, spark, tmp_path):
+    """Gap-free CDC bootstrap, live: CREATE_REPLICATION_SLOT ...
+    EXPORT_SNAPSHOT gives a consistent point + snapshot name; a
+    concurrent commit lands AFTER the slot; the snapshot read (plain
+    connection, SET TRANSACTION SNAPSHOT) sees exactly the pre-slot
+    rows even though the later commit is visible to a normal read,
+    and the tail from the consistent point delivers exactly the
+    post-slot change — union complete, intersection empty. This is
+    the initial-load+CDC guarantee the reference's since-id backfill
+    (store.go) cannot make."""
+    from warp_pipe_spark.decoders import decode_wal2json
+    from warp_pipe_spark.pgoutput import tail_pgoutput_to_drop_dir
+
+    ctl, _, tbl = live
+    pub = f"wp_pub_snap_{os.getpid()}"
+    rep = _client(f"wp_live_snap_{os.getpid()}")
+    rep.plugin = "pgoutput"
+    rep.connect()
+    reader = _client(f"wp_live_snapread_{os.getpid()}")
+    reader.connect(replication=False)
+    try:
+        ctl._simple_query(f"CREATE TABLE {tbl} (id int primary key, val text)")
+        ctl._simple_query(f"CREATE PUBLICATION {pub} FOR TABLE {tbl}")
+        ctl._simple_query(f"INSERT INTO {tbl} VALUES (1,'pre'), (2,'pre')")
+        lsn, snap = rep.create_slot_with_snapshot()
+        assert lsn > 0 and snap
+        # a commit AFTER the consistent point, visible to normal reads
+        ctl._simple_query(f"INSERT INTO {tbl} VALUES (3,'post')")
+        normal = reader._simple_query(f"SELECT id FROM {tbl} ORDER BY id")
+        assert [int(r[0]) for r in normal] == [1, 2, 3]
+        # ...but NOT to the exported snapshot
+        snap_rows = reader.snapshot_read(
+            snap, f"SELECT id, val FROM {tbl} ORDER BY id"
+        )
+        assert [(int(r[0]), r[1]) for r in snap_rows] == [(1, "pre"), (2, "pre")]
+        # the tail from the consistent point delivers EXACTLY the
+        # post-slot change — no gap, no overlap with the snapshot
+        drop = str(tmp_path / "drop")
+        n = tail_pgoutput_to_drop_dir(
+            rep, drop, publication=pub, start_lsn=lsn,
+            max_changes=1, idle_timeout_s=10.0,
+        )
+        assert n == 1
+        docs = spark.read.text(drop).withColumnRenamed("value", "message")
+        out = decode_wal2json(docs).collect()
+        assert [(r["kind"],) for r in out] == [("insert",)]
+        assert [c["value"] for c in out[0]["new_values"]] == ["3", "post"]
+    finally:
+        try:
+            reader.close()
+        except Exception:
+            pass
+        try:
+            rep.drop_slot()
+        except Exception:
+            try:
+                rep.close()
+            except Exception:
+                pass
+            for _ in range(5):
+                try:
+                    ctl._simple_query(f"DROP_REPLICATION_SLOT {rep.slot}")
+                    break
+                except Exception:
+                    time.sleep(0.5)
+        try:
+            ctl._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+        except Exception:
+            pass
+        try:
+            rep.close()
+        except Exception:
+            pass

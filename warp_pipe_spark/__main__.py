@@ -114,12 +114,14 @@ def build_parser() -> argparse.ArgumentParser:
     lt.add_argument(
         "--proto-version",
         type=int,
-        choices=(1, 2),
+        choices=(1, 2, 3),
         default=1,
         help="pgoutput protocol version; 2 additionally negotiates "
         "streaming=on (PG 14+: in-progress transactions stream before "
-        "they commit; the drop dir still receives committed "
-        "transactions only)",
+        "they commit), 3 adds two_phase=on (PG 15+, needs a TWO_PHASE "
+        "slot: prepared transactions emit at COMMIT PREPARED). The "
+        "drop dir receives committed transactions only under every "
+        "version",
     )
     return p
 

@@ -319,6 +319,54 @@ class LRClient:
             raise
         return lsn_int(rows[0][1]) if rows and rows[0][1] else None
 
+    def create_slot_with_snapshot(self) -> tuple[int, str]:
+        """CREATE_REPLICATION_SLOT ... LOGICAL <plugin> EXPORT_SNAPSHOT:
+        returns (consistent_point LSN, exported snapshot name) — the
+        two halves of a GAP-FREE CDC bootstrap. Every transaction
+        committed BEFORE the consistent point is visible to the
+        exported snapshot, and every one committed AFTER it is
+        delivered by the slot: a backfill read under the snapshot plus
+        a tail from the consistent point covers each change exactly
+        once (the guarantee pg_basebackup-style initial sync relies
+        on; the reference's since-id backfill, store.go, cannot make
+        it — rows committing between its SELECT and the tail's start
+        are either doubled or lost depending on timing).
+
+        VALIDITY WINDOW: the exported snapshot lives only while THIS
+        walsender's transaction stays open — i.e. until the next
+        command on this connection. Run the snapshot reads
+        (snapshot_read) on OTHER connections first, and only then
+        START_REPLICATION here. Never if_not_exists: an existing
+        slot's snapshot is long gone, so reusing one would silently
+        void the guarantee this method exists for."""
+        rows = self._simple_query(
+            f"CREATE_REPLICATION_SLOT {self.slot} LOGICAL "
+            f"{self.plugin} EXPORT_SNAPSHOT"
+        )
+        if not rows or rows[0][1] is None or rows[0][2] is None:
+            raise ProtocolError(
+                f"CREATE_REPLICATION_SLOT returned no snapshot: {rows!r}"
+            )
+        return lsn_int(rows[0][1]), rows[0][2]
+
+    def snapshot_read(
+        self, snapshot_name: str, sql: str
+    ) -> list[tuple[str | None, ...]]:
+        """Run one SELECT under an EXPORTED snapshot (the public
+        SET TRANSACTION SNAPSHOT mechanism): this connection sees
+        exactly the database state at the exporting slot's consistent
+        point, regardless of commits since. Use a PLAIN connection
+        (connect(replication=False)); the exporter's transaction must
+        still be open (see create_slot_with_snapshot)."""
+        self._simple_query("BEGIN ISOLATION LEVEL REPEATABLE READ")
+        try:
+            self._simple_query(
+                f"SET TRANSACTION SNAPSHOT '{snapshot_name}'"
+            )
+            return self._simple_query(sql)
+        finally:
+            self._simple_query("COMMIT")
+
     def drop_slot(self) -> None:
         self._simple_query(f"DROP_REPLICATION_SLOT {self.slot}")
 
