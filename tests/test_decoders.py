@@ -177,3 +177,75 @@ def test_wal2json_undecodable_complement(spark):
     assert decode_wal2json(df, "message").count() == 1
     bad = {r["line"] for r in wal2json_undecodable(df, "message").collect()}
     assert bad == {2, 3}
+
+
+# -- wal2json format-version 2 (public plugin option; the reference is
+# v1-locked, db/wal2json.go:4-26) ------------------------------------------
+
+V2_LINES = [
+    '{"action":"B","xid":900}',
+    '{"action":"I","schema":"public","table":"accounts","lsn":"0/16B2D00",'
+    '"columns":[{"name":"id","type":"integer","value":1},'
+    '{"name":"val","type":"text","value":"a"}]}',
+    '{"action":"U","schema":"public","table":"accounts","lsn":"0/16B2D80",'
+    '"columns":[{"name":"id","type":"integer","value":1},'
+    '{"name":"val","type":"text","value":"a2"}],'
+    '"identity":[{"name":"id","type":"integer","value":1}]}',
+    '{"action":"D","schema":"public","table":"accounts","lsn":"0/16B2E00",'
+    '"identity":[{"name":"id","type":"integer","value":1}]}',
+    '{"action":"T","schema":"public","table":"accounts","lsn":"0/16B2E80"}',
+    '{"action":"C"}',
+]
+
+
+def test_wal2json_v2_decodes_to_the_normalized_shape(spark):
+    from warp_pipe_spark.decoders import decode_wal2json_v2
+
+    df = spark.createDataFrame([(ln,) for ln in V2_LINES], "message STRING")
+    out = decode_wal2json_v2(df).orderBy("id").collect()
+    # B/C framing rows filtered; I/U/D/T mapped
+    assert [r["kind"] for r in out] == ["insert", "update", "delete", "truncate"]
+    ins, upd, dele, trunc = out
+    # unquoted JSON numbers arrive as their literal text (fidelity rule)
+    assert [(c["column"], c["value"], c["type"]) for c in ins["new_values"]] == [
+        ("id", "1", "integer"),
+        ("val", "a", "text"),
+    ]
+    assert [c["value"] for c in upd["old_values"]] == ["1"]
+    assert dele["new_values"] is None or list(dele["new_values"]) == []
+    assert [c["value"] for c in dele["old_values"]] == ["1"]
+    # include-lsn WAL positions become monotone replay ids
+    ids = [r["id"] for r in out]
+    assert ids == sorted(ids) and len(set(ids)) == 4
+    assert ins["id"] == 0x16B2D00
+
+
+def test_wal2json_v2_replays_through_the_standard_fold(spark):
+    """Format-agnostic downstream: v2-decoded changes feed the same
+    LWW replay as v1 — update wins, delete clears."""
+    from pyspark.sql import functions as F
+
+    from warp_pipe_spark.apply import replay
+    from warp_pipe_spark.changeset import column_value
+    from warp_pipe_spark.decoders import decode_wal2json_v2
+
+    lines = [
+        V2_LINES[1],  # insert id=1 val=a
+        V2_LINES[2],  # update id=1 val=a2
+        '{"action":"I","schema":"public","table":"accounts","lsn":"0/16B2F00",'
+        '"columns":[{"name":"id","type":"integer","value":2},'
+        '{"name":"val","type":"text","value":"b"}]}',
+    ]
+    df = spark.createDataFrame([(ln,) for ln in lines], "message STRING")
+    typed = decode_wal2json_v2(df).select(
+        "id",
+        F.col("kind").alias("action"),
+        F.col("table").alias("table_name"),
+        column_value("new_values", "id").cast("long").alias("pk"),
+        column_value("new_values", "val").alias("val"),
+    )
+    got = {
+        (r["pk"], r["val"])
+        for r in replay(typed, ["pk"]).collect()
+    }
+    assert got == {(1, "a2"), (2, "b")}

@@ -149,6 +149,104 @@ def decode_audit_values(df: DataFrame) -> DataFrame:
     )
 
 
+# wal2json FORMAT-VERSION 2 (the plugin's `format-version 2` option —
+# public wal2json docs): ONE JSON object PER CHANGE instead of one per
+# transaction, actions as single letters, columns/identity as
+# name/type/value struct arrays. The reference is format-v1-locked
+# (db/wal2json.go:4-26); v2 is what most modern wal2json deployments
+# emit, so decoding it natively widens the S1 source surface.
+WAL2JSON_V2_SCHEMA = T.StructType(
+    [
+        T.StructField("action", T.StringType()),
+        T.StructField("schema", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("lsn", T.StringType()),      # include-lsn option
+        T.StructField("xid", T.LongType()),        # include-xids option
+        T.StructField("timestamp", T.StringType()),
+        T.StructField(
+            "columns",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("name", T.StringType()),
+                        T.StructField("type", T.StringType()),
+                        T.StructField("value", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "identity",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("name", T.StringType()),
+                        T.StructField("type", T.StringType()),
+                        T.StructField("value", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def _lsn_to_long(lsn: F.Column) -> F.Column:
+    """'X/Y' hex WAL position → one monotone BIGINT ((X<<32)|Y) — the
+    same replay-stable recency key the v1 path's per-change id carries."""
+    hi = F.conv(F.split(lsn, "/")[0], 16, 10).cast("long")
+    lo = F.conv(F.split(lsn, "/")[1], 16, 10).cast("long")
+    return F.shiftleft(hi, 32) + lo
+
+
+def decode_wal2json_v2(df: DataFrame, message_col: str = "message") -> DataFrame:
+    """wal2json format-version 2 → the SAME normalized changeset shape
+    decode_wal2json (v1) produces: (id, kind, schema, table,
+    new_values, old_values, nextlsn) — so everything downstream
+    (pipeline, apply, sinks) is format-agnostic.
+
+    Mapping: actions I/U/D/T → insert/update/delete/truncate;
+    B (begin) / C (commit) / M (message) rows are transaction framing
+    with no row image and are filtered out; `columns` → new_values,
+    `identity` (the replica-identity old key on U/D) → old_values;
+    `id` comes from the include-lsn option's WAL position (NULL when
+    the option is off — a deployment wanting LWW replay must enable
+    it; v1 needs include-lsn for `nextlsn` the same way). Values are
+    raw strings for checksum fidelity — Spark's from_json renders
+    non-string JSON scalars as their literal text. Pure Catalyst, same
+    one-narrow-stage plan as the v1 decode."""
+    parsed = df.withColumn(
+        "_m", F.from_json(F.col(message_col), WAL2JSON_V2_SCHEMA)
+    )
+    act = F.col("_m.action")
+    kind = (
+        F.when(act == "I", F.lit("insert"))
+        .when(act == "U", F.lit("update"))
+        .when(act == "D", F.lit("delete"))
+        .when(act == "T", F.lit("truncate"))
+    )
+    to_cols = lambda c: F.transform(  # noqa: E731
+        c,
+        lambda x: F.struct(
+            x["name"].alias("column"),
+            x["value"].alias("value"),
+            x["type"].alias("type"),
+        ),
+    )
+    return (
+        parsed.filter(act.isin("I", "U", "D", "T"))
+        .select(
+            _lsn_to_long(F.col("_m.lsn")).alias("id"),
+            kind.alias("kind"),
+            F.col("_m.schema").alias("schema"),
+            F.col("_m.table").alias("table"),
+            to_cols(F.col("_m.columns")).alias("new_values"),
+            to_cols(F.col("_m.identity")).alias("old_values"),
+            F.col("_m.lsn").alias("nextlsn"),
+        )
+    )
+
+
 # Debezium JSON envelope (schemaless / unwrapped value converter) — the
 # public shape a Kafka+Debezium deployment of the LR capture path (S1,
 # lr_listener.go:92-131) delivers: {before, after, source{...}, op,
