@@ -91,3 +91,33 @@ def test_version_gate_prerelease_strings():
         check_target_version("9.4.26")
     with _pytest.raises(ValueError, match="unparseable"):
         check_target_version("devel")
+
+
+def test_snapshot_jdbc_options_pin_the_parallel_bootstrap_recipe():
+    """The 100 TB bootstrap shape: every JDBC partition attaches the
+    SAME exported snapshot via sessionInitStatement (pg_dump --jobs
+    mechanism), so N concurrent range scans observe exactly the slot's
+    consistent point."""
+    import pytest as _pytest
+
+    from warp_pipe_spark.jdbc import snapshot_jdbc_options
+
+    opts = snapshot_jdbc_options(
+        "public.orders", "00000003-0000001B-1",
+        partition_column="o_orderkey",
+        lower_bound=1, upper_bound=6_000_000, num_partitions=64,
+    )
+    assert opts["dbtable"] == "public.orders"
+    assert opts["sessionInitStatement"] == (
+        "BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ; "
+        "SET TRANSACTION SNAPSHOT '00000003-0000001B-1'"
+    )
+    assert (opts["partitionColumn"], opts["lowerBound"],
+            opts["upperBound"], opts["numPartitions"]) == (
+        "o_orderkey", "1", "6000000", "64")
+    # unpartitioned (single-connection) variant omits the range keys
+    small = snapshot_jdbc_options("public.nation", "s1")
+    assert "partitionColumn" not in small
+    # half-specified ranges fail loudly (Spark would too, later+worse)
+    with _pytest.raises(ValueError, match="requires"):
+        snapshot_jdbc_options("t", "s", partition_column="id")

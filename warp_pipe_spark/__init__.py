@@ -23,7 +23,12 @@ from warp_pipe_spark.changeset import (
     KIND_UPDATE,
     normalize_kind,
 )
-from warp_pipe_spark.decoders import decode_audit_values, decode_wal2json
+from warp_pipe_spark.decoders import (
+    decode_audit_values,
+    decode_debezium,
+    decode_wal2json,
+    decode_wal2json_v2,
+)
 from warp_pipe_spark.filters import ignore_tables, table_match, whitelist_tables
 from warp_pipe_spark.pipeline import Pipeline
 from warp_pipe_spark.session import get_spark
@@ -41,6 +46,8 @@ __all__ = [
     "normalize_kind",
     "split_truncates",
     "decode_wal2json",
+    "decode_wal2json_v2",
+    "decode_debezium",
     "decode_audit_values",
     "whitelist_tables",
     "ignore_tables",

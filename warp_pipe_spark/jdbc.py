@@ -183,6 +183,56 @@ def teardown_ddl(audit_schema: str = "warp_pipe") -> list[str]:
     return [f"DROP SCHEMA IF EXISTS {audit_schema} CASCADE"]
 
 
+def snapshot_jdbc_options(
+    table: str,
+    snapshot_name: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+) -> dict[str, str]:
+    """Spark JDBC reader options for a PARALLEL backfill pinned to an
+    exported snapshot (lr_client.create_slot_with_snapshot): every
+    partition's connection runs `sessionInitStatement` before its
+    range query, attaching the SAME snapshot — the pg_dump --jobs
+    mechanism, so N concurrent partition scans all observe exactly the
+    slot's consistent point and the subsequent tail has zero
+    gap/overlap. This is the 100 TB shape of the bootstrap: the
+    driver-side snapshot_read is for small control tables; a fact
+    table backfills as `spark.read.format("jdbc").options(**these)`.
+
+    Caveat (documented, driver-specific): the init statement opens the
+    transaction the partition query must run inside, which requires
+    the JDBC driver to not autocommit between the init statement and
+    the query — for the PostgreSQL driver Spark issues them on the
+    same connection and the standard consistent-read recipe is exactly
+    this statement pair. The exporting walsender must keep its
+    transaction open (no further commands) until every partition has
+    BEGUN its read.
+    """
+    opts = {
+        "dbtable": table,
+        "sessionInitStatement": (
+            "BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ; "
+            f"SET TRANSACTION SNAPSHOT '{snapshot_name}'"
+        ),
+    }
+    if partition_column is not None:
+        if None in (lower_bound, upper_bound, num_partitions):
+            raise ValueError(
+                "partition_column requires lower_bound, upper_bound "
+                "and num_partitions (Spark JDBC range-partitioning "
+                "contract)"
+            )
+        opts.update(
+            partitionColumn=partition_column,
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions),
+        )
+    return opts
+
+
 def tables_list_query(schemas: Sequence[str]) -> str:
     """S12 discovery: enumerate candidate tables per schema."""
     in_list = ", ".join(f"'{s}'" for s in schemas)
