@@ -3635,7 +3635,7 @@ def oracle_sql() -> dict[str, str]:
                   ELSE 'bogus' END AS action_variant
       FROM changesets
     )
-    SELECT CASE WHEN lower(action_variant) IN ('insert','update','delete','truncate')
+    SELECT CASE WHEN lower(action_variant) IN ('insert','update','delete','truncate','message')
                 THEN lower(action_variant) ELSE '' END AS kind,
            count(*) AS n
     FROM v GROUP BY 1

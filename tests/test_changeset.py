@@ -12,12 +12,12 @@ def test_normalize_kind_lowercases_and_blanks_unknown(spark):
     # would let the apply path fold a table clear as an upsert-shaped
     # no-op row (VERDICT r10 item 3).
     df = spark.createDataFrame(
-        [("INSERT",), ("Update",), ("delete",), ("TRUNCATE",), ("bogus",),
-         ("",), (None,)],
+        [("INSERT",), ("Update",), ("delete",), ("TRUNCATE",), ("Message",),
+         ("bogus",), ("",), (None,)],
         ["kind"],
     )
     out = [r["k"] for r in df.select(normalize_kind("kind").alias("k")).collect()]
-    assert out == ["insert", "update", "delete", "truncate", "", "", ""]
+    assert out == ["insert", "update", "delete", "truncate", "message", "", "", ""]
 
 
 def test_column_value_first_match_and_missing(spark):

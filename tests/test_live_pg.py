@@ -1233,3 +1233,84 @@ def test_live_snapshot_bootstrap_is_gap_free(live, spark, tmp_path):
             rep.close()
         except Exception:
             pass
+
+
+def test_live_logical_messages_flow_through_the_tail(live, spark, tmp_path):
+    """pg_logical_emit_message against the REAL server: a transactional
+    message rides its transaction's document (the outbox pattern), a
+    non-transactional one emits standalone, and both reach the decode
+    path as kind='message' with prefix/content columns."""
+    from warp_pipe_spark.decoders import decode_wal2json
+    from warp_pipe_spark.pgoutput import tail_pgoutput_to_drop_dir
+
+    ctl, _, tbl = live
+    pub = f"wp_pub_msg_{os.getpid()}"
+    rep = _client(f"wp_live_msg_{os.getpid()}")
+    rep.plugin = "pgoutput"
+    rep.connect()
+    try:
+        ctl._simple_query(f"CREATE TABLE {tbl} (id int primary key)")
+        ctl._simple_query(f"CREATE PUBLICATION {pub} FOR TABLE {tbl}")
+        rep.create_slot()
+        ctl._simple_query(
+            "SELECT pg_logical_emit_message(false, 'marker', 'standalone')"
+        )
+        ctl._simple_query(
+            f"BEGIN; INSERT INTO {tbl} VALUES (1); "
+            "SELECT pg_logical_emit_message(true, 'outbox', 'evt-1'); "
+            "COMMIT"
+        )
+        drop = str(tmp_path / "drop")
+        n = tail_pgoutput_to_drop_dir(
+            rep, drop, publication=pub, max_changes=3,
+            idle_timeout_s=10.0, messages=True,
+        )
+        assert n == 3
+        # structure, not global order (a non-transactional message's
+        # delivery position relative to other commits is the server's
+        # business): the transactional message must share its
+        # transaction's DOCUMENT with the insert (the outbox contract);
+        # the standalone one must be a document of its own
+        raw_docs = []
+        for fn in sorted(os.listdir(drop)):
+            with open(os.path.join(drop, fn)) as f:
+                raw_docs += [json.loads(ln) for ln in f.read().splitlines()]
+        by_kinds = {tuple(c["kind"] for c in d["change"]) for d in raw_docs}
+        assert by_kinds == {("message",), ("insert", "message")}
+
+        out = decode_wal2json(
+            spark.read.text(drop).withColumnRenamed("value", "message")
+        ).collect()
+
+        def cols(r):
+            return {c["column"]: c["value"] for c in r["new_values"]}
+
+        msgs = {
+            cols(r)["prefix"]: bytes.fromhex(cols(r)["content"][2:])
+            for r in out
+            if r["kind"] == "message"
+        }
+        assert msgs == {"marker": b"standalone", "outbox": b"evt-1"}
+        assert all(r["table"] is None for r in out if r["kind"] == "message")
+    finally:
+        try:
+            rep.drop_slot()
+        except Exception:
+            try:
+                rep.close()
+            except Exception:
+                pass
+            for _ in range(5):
+                try:
+                    ctl._simple_query(f"DROP_REPLICATION_SLOT {rep.slot}")
+                    break
+                except Exception:
+                    time.sleep(0.5)
+        try:
+            ctl._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+        except Exception:
+            pass
+        try:
+            rep.close()
+        except Exception:
+            pass

@@ -740,3 +740,76 @@ def test_v3_guards():
     asm.feed(102, msg_begin_prepare("g1"))
     with pytest.raises(PgOutputProtocolError, match="does not match"):
         asm.feed(103, msg_prepare("OTHER"))
+
+
+# -- logical-decoding messages (pg_logical_emit_message, 'M') --------------
+
+
+def msg_message(prefix, content: bytes, transactional=1, lsn=0x4000):
+    return (
+        b"M" + struct.pack("!Bq", transactional, lsn) + cstr(prefix)
+        + struct.pack("!i", len(content)) + content
+    )
+
+
+def test_transactional_message_rides_its_transaction():
+    asm = PgOutputAssembler()
+    feed_all(
+        asm,
+        [
+            REL,
+            msg_begin(),
+            msg_insert(5001, "1", "a"),
+            msg_message("outbox", b"\x01payload"),
+            msg_commit(end_lsn=0x5000),
+        ],
+    )
+    (doc,) = asm.docs
+    ins, msg = doc["change"]
+    assert msg["kind"] == "message"
+    assert msg["schema"] is None and msg["table"] is None  # unroutable
+    assert msg["columnnames"] == ["prefix", "content"]
+    assert msg["columnvalues"] == ["outbox", "\\x" + b"\x01payload".hex()]
+
+
+def test_nontransactional_message_emits_standalone_even_mid_tx():
+    """flags=0: the message belongs to NO transaction — it must emit
+    as its own document immediately, never fold into the surrounding
+    Begin/Commit (whose abort must not discard it either)."""
+    asm = PgOutputAssembler()
+    feed_all(
+        asm,
+        [
+            REL,
+            msg_begin(),
+            msg_insert(5001, "1", "a"),
+            msg_message("marker", b"m", transactional=0),
+        ],
+    )
+    # emitted already, while the surrounding transaction is still open
+    (doc,) = asm.docs
+    assert [c["kind"] for c in doc["change"]] == ["message"]
+    # ...and the open transaction still commits independently
+    asm.feed(200, msg_commit(end_lsn=0x6000))
+    assert len(asm.docs) == 2
+
+
+def test_message_decodes_through_the_wal2json_path(spark):
+    from warp_pipe_spark.decoders import decode_wal2json
+
+    asm = PgOutputAssembler()
+    feed_all(
+        asm,
+        [REL, msg_begin(), msg_message("outbox", b"evt-1"), msg_commit()],
+    )
+    out = decode_wal2json(
+        spark.createDataFrame(
+            [(json.dumps(d),) for d in asm.docs], "message STRING"
+        )
+    ).collect()
+    (row,) = out
+    assert row["kind"] == "message" and row["table"] is None
+    assert [(c["column"], c["value"]) for c in row["new_values"]] == [
+        ("prefix", "outbox"),
+        ("content", "\\x" + b"evt-1".hex()),
+    ]

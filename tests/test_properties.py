@@ -62,7 +62,7 @@ def test_normalize_kind_matches_reference_enum(spark, kinds):
     got = [r["n"] for r in df.select(normalize_kind("k").alias("n")).collect()]
     want = [
         k.lower()
-        if k.lower() in ("insert", "update", "delete", "truncate")
+        if k.lower() in ("insert", "update", "delete", "truncate", "message")
         else ""
         for k in kinds
     ]

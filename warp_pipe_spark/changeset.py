@@ -35,6 +35,11 @@ KIND_DELETE = "delete"
 # give it table-clear semantics; pipelines that can't handle it
 # dead-letter it via pipeline.reject_truncates().
 KIND_TRUNCATE = "truncate"
+# pg_logical_emit_message payloads (pgoutput.py 'M' frames) — the
+# public outbox/marker mechanism. Preserved like truncate: NULL
+# schema/table make them unroutable to every table sink, so they never
+# fold as row changes, while outbox consumers filter kind='message'.
+KIND_MESSAGE = "message"
 KINDS = (KIND_INSERT, KIND_UPDATE, KIND_DELETE)
 
 # column triple: name, raw string value, declared source type
@@ -75,15 +80,18 @@ AUDIT_LOG_SCHEMA = T.StructType(
 def normalize_kind(col: Column | str) -> Column:
     """Lower-case + enum parse; unknown kinds map to '' (changeset.go:21-33).
 
-    `truncate` is additionally preserved (reference parity doesn't
-    apply: the reference never sees truncates, our pgoutput source
-    generates them — mapping them to '' would silently turn a table
-    clear into an upsert-shaped no-op downstream).
+    `truncate` and `message` are additionally preserved (reference
+    parity doesn't apply: the reference never sees either, our pgoutput
+    source generates both — mapping them to '' would silently turn a
+    table clear / an outbox message into an upsert-shaped no-op
+    downstream).
 
     Pure built-in expression → stays inside whole-stage codegen.
     """
     c = F.lower(F.col(col) if isinstance(col, str) else col)
-    return F.when(c.isin(*KINDS, KIND_TRUNCATE), c).otherwise(F.lit(""))
+    return F.when(
+        c.isin(*KINDS, KIND_TRUNCATE, KIND_MESSAGE), c
+    ).otherwise(F.lit(""))
 
 
 def column_value(values_col: Column | str, name: str) -> Column:

@@ -294,7 +294,20 @@ class PgOutputAssembler:
                     {"change": self._pending, "nextlsn": lsn_str(end_lsn)}
                 )
             self._pending, self._in_tx = [], False
-        elif kind in (b"I", b"U", b"D", b"T"):
+        elif kind in (b"I", b"U", b"D", b"T", b"M"):
+            if kind == b"M" and payload[base] == 0:
+                # NON-transactional logical-decoding message
+                # (pg_logical_emit_message(false, ...)), identified by
+                # its flags byte: it belongs to NO transaction — the
+                # server emits it at its WAL position, possibly amid
+                # another transaction's delivery — so it becomes its
+                # own single-change document immediately, never folded
+                # into the surrounding Begin/Commit or stream block
+                changes = self._parse_change(kind, wal_start, payload, base)
+                self.docs.append(
+                    {"change": changes, "nextlsn": lsn_str(wal_start)}
+                )
+                return len(changes)
             if self._cur_stream is not None:
                 changes = self._parse_change(kind, wal_start, payload, base)
                 self._streamed[self._cur_stream].extend(
@@ -308,9 +321,9 @@ class PgOutputAssembler:
             changes = self._parse_change(kind, wal_start, payload, base)
             self._pending.extend(changes)
             return len(changes)
-        elif kind not in (b"Y", b"O", b"M"):
-            # 'Y' type / 'O' origin / 'M' message are metadata we skip;
-            # anything else is not in the grammar at all
+        elif kind not in (b"Y", b"O"):
+            # 'Y' type / 'O' origin are metadata we skip; anything else
+            # is not in the grammar at all
             raise PgOutputProtocolError(
                 f"unknown pgoutput message type {kind!r}"
             )
@@ -524,6 +537,30 @@ class PgOutputAssembler:
                     }
                 )
             return out
+        if kind == b"M":
+            # logical-decoding message (pg_logical_emit_message — the
+            # public outbox/marker mechanism): flags(1) lsn(8)
+            # prefix(cstr) length(4) content bytes. Emitted as kind
+            # 'message' with prefix/content columns (content in
+            # bytea hex-text form for byte fidelity); schema/table are
+            # NULL so table-routing sinks treat it as unroutable
+            # rather than a row change.
+            off = base + 9  # skip flags + lsn
+            prefix, off = _cstr(b, off)
+            (ln,) = struct.unpack_from("!i", b, off)
+            off += 4
+            content = b[off : off + ln]
+            return [
+                {
+                    "id": wal_start,
+                    "kind": "message",
+                    "schema": None,
+                    "table": None,
+                    "columnnames": ["prefix", "content"],
+                    "columntypes": ["text", "bytea"],
+                    "columnvalues": [prefix, "\\x" + content.hex()],
+                }
+            ]
         rel, off = self._rel(b, base)
         names = [c[0] for c in rel["cols"]]
         types = [c[1] for c in rel["cols"]]
@@ -591,6 +628,7 @@ def tail_pgoutput_to_drop_dir(
     max_changes: int | None = None,
     idle_timeout_s: float | None = None,
     proto_version: int = 1,
+    messages: bool = False,
 ) -> int:
     """The pgoutput twin of lr_client.tail_to_drop_dir: stream with the
     built-in plugin, assemble one wal2json-shaped JSONL document per
@@ -660,6 +698,11 @@ def tail_pgoutput_to_drop_dir(
                 # needs a slot created with TWO_PHASE
                 # (LRClient.create_slot(two_phase=True))
                 options["two_phase"] = "on"
+            if messages:
+                # PG 14+: deliver pg_logical_emit_message payloads
+                # (kind='message' changes; non-transactional ones emit
+                # as their own single-change document immediately)
+                options["messages"] = "on"
             for msg in client.start(start_lsn, options=options):
                 if not isinstance(msg, XLogData):
                     continue
