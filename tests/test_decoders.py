@@ -249,3 +249,40 @@ def test_wal2json_v2_replays_through_the_standard_fold(spark):
         for r in replay(typed, ["pk"]).collect()
     }
     assert got == {(1, "a2"), (2, "b")}
+
+
+def test_outbox_messages_roundtrip_real_bytes(spark):
+    """kind='message' changes extract to (id, prefix, content BINARY):
+    the bytea-hex text round-trips to the exact producer bytes, and the
+    prefix filter narrows to one outbox topic."""
+    import json as _json
+
+    from test_pgoutput import REL, feed_all, msg_begin, msg_commit, msg_message
+
+    from warp_pipe_spark.decoders import decode_wal2json, outbox_messages
+    from warp_pipe_spark.pgoutput import PgOutputAssembler
+
+    payload = bytes(range(256))  # every byte value survives
+    asm = PgOutputAssembler()
+    feed_all(
+        asm,
+        [
+            REL,
+            msg_begin(),
+            msg_message("orders", payload),
+            msg_message("audit", b"other"),
+            msg_commit(),
+        ],
+    )
+    decoded = decode_wal2json(
+        spark.createDataFrame(
+            [(_json.dumps(d),) for d in asm.docs], "message STRING"
+        )
+    )
+    rows = outbox_messages(decoded).orderBy("id").collect()
+    assert [(r["prefix"], bytes(r["content"])) for r in rows] == [
+        ("orders", payload),
+        ("audit", b"other"),
+    ]
+    only = outbox_messages(decoded, prefix="orders").collect()
+    assert len(only) == 1 and bytes(only[0]["content"]) == payload

@@ -121,3 +121,13 @@ def test_snapshot_jdbc_options_pin_the_parallel_bootstrap_recipe():
     # half-specified ranges fail loudly (Spark would too, later+worse)
     with _pytest.raises(ValueError, match="requires"):
         snapshot_jdbc_options("t", "s", partition_column="id")
+
+
+def test_slot_lag_query_pins_the_monitoring_sql():
+    from warp_pipe_spark.jdbc import slot_lag_query
+
+    q = slot_lag_query()
+    assert "pg_replication_slots" in q and "WHERE" not in q
+    assert "retained_wal_bytes" in q and "confirm_lag_bytes" in q
+    one = slot_lag_query("wp_slot")
+    assert "WHERE slot_name = 'wp_slot'" in one

@@ -1314,3 +1314,91 @@ def test_live_logical_messages_flow_through_the_tail(live, spark, tmp_path):
             rep.close()
         except Exception:
             pass
+
+
+def test_live_slot_lag_query_reads_real_slot_health(live):
+    """The monitoring SQL against real pg_replication_slots: the
+    created slot shows up with sane LSNs and non-negative retained-WAL
+    numbers, and the single-slot filter narrows to it."""
+    from warp_pipe_spark.jdbc import slot_lag_query
+
+    ctl, rep, _ = live
+    rep.create_slot()
+    try:
+        rows = ctl._simple_query(slot_lag_query(rep.slot))
+        assert len(rows) == 1
+        (name, plugin, stype, active, _pid, restart, confirmed,
+         retained, confirm_lag) = rows[0]
+        assert name == rep.slot and stype == "logical"
+        assert plugin == rep.plugin
+        assert restart and confirmed  # real LSN text
+        assert int(retained) >= 0 and int(confirm_lag) >= 0
+        # WAL written after the slot grows its retention number
+        ctl._simple_query("SELECT pg_logical_emit_message(false, 'x', 'y')")
+        ctl._simple_query("CHECKPOINT")
+        rows2 = ctl._simple_query(slot_lag_query(rep.slot))
+        assert int(rows2[0][7]) >= int(retained)
+    finally:
+        try:
+            rep.drop_slot()
+        except Exception:
+            pass
+
+
+def test_live_publication_row_filter_prunes_at_the_server(live, spark, tmp_path):
+    """PG 15 publication row filters: the server itself drops rows
+    failing the publication's WHERE — our tail sees only the matching
+    changes, the cheapest possible source-side pushdown (P8's
+    source-filter idea executed INSIDE the database)."""
+    from warp_pipe_spark.decoders import decode_wal2json
+    from warp_pipe_spark.pgoutput import tail_pgoutput_to_drop_dir
+
+    ctl, _, tbl = live
+    pub = f"wp_pub_rf_{os.getpid()}"
+    rep = _client(f"wp_live_rf_{os.getpid()}")
+    rep.plugin = "pgoutput"
+    rep.connect()
+    try:
+        ctl._simple_query(f"CREATE TABLE {tbl} (id int primary key, val text)")
+        ctl._simple_query(
+            f"CREATE PUBLICATION {pub} FOR TABLE {tbl} WHERE (val <> 'skip')"
+        )
+        rep.create_slot()
+        ctl._simple_query(
+            f"INSERT INTO {tbl} VALUES (1,'keep'), (2,'skip'), (3,'keep')"
+        )
+        drop = str(tmp_path / "drop")
+        n = tail_pgoutput_to_drop_dir(
+            rep, drop, publication=pub, max_changes=2, idle_timeout_s=10.0
+        )
+        assert n == 2  # the filtered row never crossed the wire
+        out = decode_wal2json(
+            spark.read.text(drop).withColumnRenamed("value", "message")
+        ).orderBy("id").collect()
+        ids = [
+            {c["column"]: c["value"] for c in r["new_values"]}["id"]
+            for r in out
+        ]
+        assert ids == ["1", "3"]
+    finally:
+        try:
+            rep.drop_slot()
+        except Exception:
+            try:
+                rep.close()
+            except Exception:
+                pass
+            for _ in range(5):
+                try:
+                    ctl._simple_query(f"DROP_REPLICATION_SLOT {rep.slot}")
+                    break
+                except Exception:
+                    time.sleep(0.5)
+        try:
+            ctl._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+        except Exception:
+            pass
+        try:
+            rep.close()
+        except Exception:
+            pass

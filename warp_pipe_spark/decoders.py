@@ -149,6 +149,36 @@ def decode_audit_values(df: DataFrame) -> DataFrame:
     )
 
 
+def outbox_messages(
+    decoded: DataFrame, prefix: str | None = None
+) -> DataFrame:
+    """Extract logical-decoding messages (kind='message', the
+    pg_logical_emit_message outbox mechanism — pgoutput.py 'M' frames)
+    from a decoded changeset stream: (id, prefix, content BINARY,
+    nextlsn). The bytea-hex text round-trips back to real bytes via
+    unhex — consumers get the exact payload the producer emitted.
+    `prefix` narrows to one outbox topic (the producer-side routing
+    convention). Pure Catalyst filter+project: fuses into the decode
+    scan, and the prefix filter prunes at the source."""
+    from warp_pipe_spark.changeset import column_value
+
+    msgs = decoded.filter(F.col("kind") == "message")
+    if prefix is not None:
+        msgs = msgs.filter(
+            column_value("new_values", "prefix") == F.lit(prefix)
+        )
+    return msgs.select(
+        "id",
+        column_value("new_values", "prefix").alias("prefix"),
+        F.unhex(
+            F.regexp_replace(
+                column_value("new_values", "content"), r"^\\x", ""
+            )
+        ).alias("content"),
+        F.col("nextlsn"),
+    )
+
+
 # wal2json FORMAT-VERSION 2 (the plugin's `format-version 2` option —
 # public wal2json docs): ONE JSON object PER CHANGE instead of one per
 # transaction, actions as single letters, columns/identity as

@@ -183,6 +183,27 @@ def teardown_ddl(audit_schema: str = "warp_pipe") -> list[str]:
     return [f"DROP SCHEMA IF EXISTS {audit_schema} CASCADE"]
 
 
+def slot_lag_query(slot: str | None = None) -> str:
+    """Replication-slot health: per-slot restart/confirmed LSNs plus
+    the WAL bytes the slot is RETAINING (pg_current_wal_lsn minus
+    restart_lsn) — the number an operator alarms on, because a stalled
+    consumer's slot pins WAL until the disk fills. active/active_pid
+    say whether a consumer is attached right now. The reference ships
+    no monitoring surface; this is the query its operators end up
+    writing by hand."""
+    where = f"WHERE slot_name = '{slot}'" if slot else ""
+    return (
+        "SELECT slot_name, plugin, slot_type, active, active_pid, "
+        "restart_lsn::TEXT AS restart_lsn, "
+        "confirmed_flush_lsn::TEXT AS confirmed_flush_lsn, "
+        "pg_wal_lsn_diff(pg_current_wal_lsn(), restart_lsn)::BIGINT "
+        "AS retained_wal_bytes, "
+        "pg_wal_lsn_diff(pg_current_wal_lsn(), confirmed_flush_lsn)"
+        "::BIGINT AS confirm_lag_bytes "
+        f"FROM pg_replication_slots {where}".rstrip()
+    )
+
+
 def snapshot_jdbc_options(
     table: str,
     snapshot_name: str,
