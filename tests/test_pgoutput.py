@@ -813,3 +813,19 @@ def test_message_decodes_through_the_wal2json_path(spark):
         ("prefix", "outbox"),
         ("content", "\\x" + b"evt-1".hex()),
     ]
+
+
+def test_control_frames_inside_an_open_block_raise():
+    """stream-commit and every two-phase control frame are delivered
+    OUTSIDE S..E blocks; one arriving inside would desynchronize the
+    buffers and must fail loudly, not corrupt."""
+    from warp_pipe_spark.pgoutput import PgOutputProtocolError
+
+    asm = PgOutputAssembler(proto_version=3)
+    asm.feed(100, msg_stream_start(700))
+    with pytest.raises(PgOutputProtocolError, match="inside an open"):
+        asm.feed(101, msg_stream_commit(700))
+    with pytest.raises(PgOutputProtocolError, match="inside an open"):
+        asm.feed(102, msg_begin_prepare("g"))
+    with pytest.raises(PgOutputProtocolError, match="inside an open"):
+        asm.feed(103, msg_commit_prepared("g"))

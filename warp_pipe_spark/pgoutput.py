@@ -385,6 +385,10 @@ class PgOutputAssembler:
                 self._streamed[xid] = kept
                 return -dropped
         else:  # b"c" stream-commit
+            if self._cur_stream is not None:
+                raise PgOutputProtocolError(
+                    "pgoutput stream-commit inside an open block"
+                )
             xid, _, _, end_lsn, _ = struct.unpack_from("!iBqqq", payload, 1)
             buf = self._streamed.pop(xid, None)
             if buf is None:
@@ -415,6 +419,15 @@ class PgOutputAssembler:
         path; rollback-prepared discards (negative feed delta, like
         stream aborts). State is O(open prepared transactions), which
         the server itself bounds via max_prepared_transactions."""
+        if self._cur_stream is not None:
+            # every two-phase control frame is delivered OUTSIDE
+            # stream blocks; one inside would desynchronize the
+            # buffers — fail loudly
+            raise PgOutputProtocolError(
+                f"pgoutput two-phase frame "
+                f"'{_V3_TWOPHASE_TYPES[kind]}' inside an open "
+                "stream block"
+            )
         if kind == b"b":
             if self._in_tx:
                 raise PgOutputProtocolError(
