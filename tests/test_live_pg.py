@@ -1402,3 +1402,105 @@ def test_live_publication_row_filter_prunes_at_the_server(live, spark, tmp_path)
             rep.close()
         except Exception:
             pass
+
+
+def test_live_bootstrap_then_tail_converges_to_live_table(live, spark, tmp_path):
+    """The full product story in one live run: snapshot bootstrap seeds
+    ParquetStateSink (seed rows at id=0 — below every WAL position),
+    post-slot DML tails from the consistent point through the pgoutput
+    decode into the same sink, and the final state equals a live SELECT
+    — exactly-once initial-load+CDC, no gap, no double-apply."""
+    from pyspark.sql import functions as F
+
+    from warp_pipe_spark.changeset import column_value
+    from warp_pipe_spark.decoders import decode_wal2json
+    from warp_pipe_spark.pgoutput import tail_pgoutput_to_drop_dir
+    from warp_pipe_spark.streaming import ParquetStateSink
+
+    ctl, _, tbl = live
+    pub = f"wp_pub_boot_{os.getpid()}"
+    rep = _client(f"wp_live_boot_{os.getpid()}")
+    rep.plugin = "pgoutput"
+    rep.connect()
+    reader = _client(f"wp_live_bootread_{os.getpid()}")
+    reader.connect(replication=False)
+    try:
+        ctl._simple_query(f"CREATE TABLE {tbl} (id int primary key, val text)")
+        ctl._simple_query(f"CREATE PUBLICATION {pub} FOR TABLE {tbl}")
+        ctl._simple_query(f"INSERT INTO {tbl} VALUES (1,'a'), (2,'b')")
+        lsn, snap = rep.create_slot_with_snapshot()
+        # concurrent DML lands AFTER the slot: an update of a seeded
+        # row, a delete of the other, and a fresh insert
+        ctl._simple_query(
+            f"UPDATE {tbl} SET val='a2' WHERE id=1; "
+            f"DELETE FROM {tbl} WHERE id=2; "
+            f"INSERT INTO {tbl} VALUES (3,'c')"
+        )
+        # phase 1: bootstrap — snapshot rows seed the sink at id=0
+        seed_rows = reader.snapshot_read(snap, f"SELECT id, val FROM {tbl}")
+        seed = spark.createDataFrame(
+            [(0, "INSERT", tbl, int(r[0]), r[1]) for r in seed_rows],
+            "id LONG, action STRING, table_name STRING, pk LONG, val STRING",
+        )
+        sink = ParquetStateSink(spark, str(tmp_path / "state"), pk_cols=["pk"])
+        sink.apply_batch(seed, batch_id=0)
+        # phase 2: tail from the consistent point, apply the changes
+        drop = str(tmp_path / "drop")
+        n = tail_pgoutput_to_drop_dir(
+            rep, drop, publication=pub, start_lsn=lsn,
+            max_changes=3, idle_timeout_s=10.0,
+        )
+        assert n == 3
+        decoded = decode_wal2json(
+            spark.read.text(drop).withColumnRenamed("value", "message")
+        )
+        typed = decoded.select(
+            "id",
+            F.col("kind").alias("action"),
+            F.col("table").alias("table_name"),
+            F.coalesce(
+                column_value("new_values", "id"),
+                F.element_at(
+                    F.filter(
+                        F.col("old_values"), lambda x: x["column"] == "id"
+                    ), 1,
+                )["value"],
+            ).cast("long").alias("pk"),
+            column_value("new_values", "val").alias("val"),
+        )
+        sink.apply_batch(typed, batch_id=1)
+        got = {
+            (r["pk"], r["val"])
+            for r in sink.read_state().select("pk", "val").collect()
+        }
+        live_rows = {
+            (int(r[0]), r[1])
+            for r in ctl._simple_query(f"SELECT id, val FROM {tbl}")
+        }
+        assert got == live_rows == {(1, "a2"), (3, "c")}
+    finally:
+        try:
+            reader.close()
+        except Exception:
+            pass
+        try:
+            rep.drop_slot()
+        except Exception:
+            try:
+                rep.close()
+            except Exception:
+                pass
+            for _ in range(5):
+                try:
+                    ctl._simple_query(f"DROP_REPLICATION_SLOT {rep.slot}")
+                    break
+                except Exception:
+                    time.sleep(0.5)
+        try:
+            ctl._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+        except Exception:
+            pass
+        try:
+            rep.close()
+        except Exception:
+            pass
