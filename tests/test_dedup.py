@@ -1002,3 +1002,53 @@ def test_compact_index_missing_raises(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         compact_minhash_index(spark, str(tmp_path / "nope"))
+
+
+def test_decontaminate_drops_benchmark_overlaps(spark):
+    """Decontamination: a training doc sharing ANY n-gram with the
+    benchmark is flagged with its hit count and removed from `clean`;
+    clean docs pass untouched. Short benchmark items (< n tokens)
+    match verbatim copies via the whole-text shingle rule."""
+    from warp_pipe_spark.datapipe.dedup import decontaminate
+
+    bench_q = "what is the capital of france and when was it founded"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro text " + bench_q + " trailing words"),  # leaked
+            (2, "completely unrelated training document about sparks"),
+            (3, "tiny"),  # must not match anything
+        ],
+        "doc_id LONG, text STRING",
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_q), (101, "short eval item")],
+        "doc_id LONG, text STRING",
+    )
+    clean, flagged = decontaminate(docs, bench, n=5)
+    assert {r["doc_id"] for r in clean.collect()} == {2, 3}
+    hits = {r["doc_id"]: r["n_hits"] for r in flagged.collect()}
+    assert set(hits) == {1} and hits[1] >= 1
+    # verbatim copy of a SHORT benchmark item is caught too
+    docs2 = spark.createDataFrame(
+        [(9, "short eval item")], "doc_id LONG, text STRING"
+    )
+    clean2, flagged2 = decontaminate(docs2, bench, n=5)
+    assert clean2.count() == 0 and flagged2.count() == 1
+
+
+def test_decontaminate_plan_broadcasts_the_benchmark(spark):
+    """The corpus side must not shuffle: the benchmark collapses to
+    distinct n-gram hashes and joins back as a broadcast."""
+    from warp_pipe_spark.datapipe.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} text body here") for i in range(50)],
+        "doc_id LONG, text STRING",
+    )
+    bench = spark.createDataFrame(
+        [(1, "eval question text")], "doc_id LONG, text STRING"
+    )
+    clean, flagged = decontaminate(docs, bench)
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

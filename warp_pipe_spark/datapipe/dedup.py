@@ -832,3 +832,53 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    broadcast_benchmark: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Benchmark decontamination — the published training-corpus
+    hygiene step (GPT-3 App. C / The Pile: drop any training document
+    sharing at least one word 13-gram with an evaluation set, so the
+    benchmark can't leak into training): returns (clean, flagged)
+    where `flagged` is (doc_id, n_hits = how many distinct benchmark
+    n-grams the doc shares) and `clean` is docs minus those ids.
+
+    Both sides build their shingle sets through the SAME
+    distinct-before-hash expression as the set-similarity family
+    (_hashed_shingle_arrays), so the overlap test is exactly the
+    n-gram machinery the Jaccard oracles verify. Benchmarks shorter
+    than n tokens contribute their whole text as one shingle (the
+    shingles() short-text rule), so tiny eval items still match
+    verbatim copies.
+
+    Plan shape at 100 TB: the benchmark side collapses to its DISTINCT
+    n-gram hashes — eval suites are millions of n-grams at most, far
+    under broadcast thresholds — and the docs side is one explode
+    feeding a BROADCAST semi-join probe per shingle (zero shuffle of
+    the corpus; the only exchange is the per-doc hit count, and the
+    anti-join for `clean` reuses the same broadcast). Set
+    broadcast_benchmark=False for a pathologically large benchmark to
+    fall back to a shuffled join AQE can re-plan."""
+    bench_grams = (
+        _hashed_shingle_arrays(
+            benchmark.select(F.col("doc_id"), F.col("text")), n
+        )
+        .select(F.explode("sh_arr").alias("h"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    doc_grams = _hashed_shingle_arrays(docs, n).select(
+        "doc_id", F.explode("sh_arr").alias("h")
+    )
+    flagged = (
+        doc_grams.join(bench_grams, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    clean = docs.join(flagged.select("doc_id"), "doc_id", "left_anti")
+    return clean, flagged
