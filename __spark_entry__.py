@@ -3488,8 +3488,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the oracle TEXT changed, so the green row must re-earn).
         "cs_kind_normalize": 11,
         # QUEUED FOR ROUND 12 (not a tag — a to-do): REGISTER
-        # dedup.decontaminate as a query+oracle (13-gram benchmark
-        # overlap vs a deterministic slice of documents). It shipped
+        # dedup.decontaminate (13-gram benchmark overlap vs a
+        # deterministic slice of documents) AND text.dedup_lines
+        # (C4-style cross-corpus line scrub) as query+oracle pairs.
+        # decontaminate shipped
         # r11 pytest-only because the r11 window was exactly full
         # (cs_truncate_replay + 7 tags + 42 r8-stale = 50) and a
         # second new registration would have pushed an r8 re-earn out.

@@ -1052,3 +1052,28 @@ def test_decontaminate_plan_broadcasts_the_benchmark(spark):
     plan = flagged._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dedup_lines_scrubs_cross_corpus_boilerplate(spark):
+    """C4/CCNet line scrub: a line in >= min_docs distinct documents is
+    removed everywhere (case/indent-insensitively); blank lines and
+    lines repeated only WITHIN one doc survive; line order is kept."""
+    from warp_pipe_spark.datapipe.text import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique opening\nAccept Cookies\n\nbody one\nbody one"),
+            (2, "  accept cookies  \nbody two"),
+            (3, "totally distinct\ncontent here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
+    # the boilerplate line vanished from BOTH docs, variants included
+    assert got[1]["text"] == "unique opening\n\nbody one\nbody one"
+    assert got[2]["text"] == "body two"
+    assert got[3]["text"] == "totally distinct\ncontent here"
+    # the within-doc repeat (nd=1) survived; blank line survived
+    assert got[1]["n_removed"] == 1 and got[2]["n_removed"] == 1
+    assert got[3]["n_removed"] == 0
+    assert got[1]["n_lines"] == 5

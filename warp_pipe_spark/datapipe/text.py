@@ -498,3 +498,65 @@ def fingerprints(docs: DataFrame, n: int = 5) -> DataFrame:
         F.md5("text").alias("text_md5"),
         min_h.alias("minhash_fp"),
     )
+
+
+def dedup_lines(
+    docs: DataFrame, min_docs: int = 2, sep: str = "\n"
+) -> DataFrame:
+    """Cross-corpus LINE dedup — the C4/CCNet boilerplate scrub: a
+    line occurring in at least `min_docs` DISTINCT documents is
+    boilerplate (nav bars, cookie banners, license headers) and is
+    removed from EVERY document; each text reassembles in original
+    line order. Returns (doc_id, text, n_lines, n_removed).
+
+    Matching is on the lowercased, trimmed line (the CCNet
+    normalization), so indentation/case variants of the same
+    boilerplate collapse; blank lines are never counted and never
+    removed (they are structure, not content). A line repeated many
+    times WITHIN one document but nowhere else stays — the distinct-doc
+    count, not the occurrence count, is the boilerplate signal.
+
+    Plan at 100 TB: posexplode → a map-side-combinable
+    count(DISTINCT doc_id) per 60-bit line hash (the same no-posting-
+    list discipline as docs_dup_spans — no per-hash arrays, a
+    boilerplate line shared by D docs streams through a count) → the
+    dup-hash set joins back (AQE can split a skewed hash) → one
+    bounded-group reassembly agg per doc. Three exchanges, all
+    corpus-linear."""
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), sep)).alias("pos", "line"),
+    ).withColumn("_h", h60(F.lower(F.trim(F.col("line")))))
+    blank = F.trim(F.col("line")) == ""
+    nd = (
+        lines.filter(~blank)
+        .groupBy("_h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("_h", F.lit(True).alias("_dup"))
+    )
+    kept = (
+        lines.join(nd, "_h", "left")
+        .withColumn("_drop", ~blank & F.coalesce(F.col("_dup"), F.lit(False)))
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("_drop"),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+            ).alias("text"),
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("_drop").cast("int")).alias("n_removed"),
+        )
+    )
