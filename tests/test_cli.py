@@ -430,3 +430,16 @@ def test_cli_live_tail_pgoutput_v2_streamed_frames(tmp_path, capsys):
         ["2", "b"],
     ]
     srv.thread.join(5)
+
+
+def test_cli_bootstrap_requires_out_path(capsys):
+    from warp_pipe_spark.__main__ import main
+
+    rc = main(
+        [
+            "live-tail", "--dbname", "d", "--user", "u", "--slot", "s",
+            "--drop-dir", "/tmp/x", "--bootstrap-table", "public.t",
+        ]
+    )
+    assert rc == 2
+    assert "--bootstrap-out" in capsys.readouterr().err

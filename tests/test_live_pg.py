@@ -1504,3 +1504,88 @@ def test_live_bootstrap_then_tail_converges_to_live_table(live, spark, tmp_path)
             rep.close()
         except Exception:
             pass
+
+
+def test_live_cli_bootstrap_then_tail(live, tmp_path, capsys):
+    """The gap-free bootstrap from the SHELL: one live-tail invocation
+    creates the snapshot slot, writes the row_to_json seed, and tails
+    the post-slot change from the consistent point."""
+    from warp_pipe_spark.__main__ import main
+
+    ctl, _, tbl = live
+    pub = f"wp_pub_clib_{os.getpid()}"
+    slot = f"wp_live_clib_{os.getpid()}"
+    u = urllib.parse.urlsplit(os.environ["WP_LIVE_PG_DSN"])
+    try:
+        ctl._simple_query(f"CREATE TABLE {tbl} (id int primary key, val text)")
+        ctl._simple_query(f"CREATE PUBLICATION {pub} FOR TABLE {tbl}")
+        ctl._simple_query(f"INSERT INTO {tbl} VALUES (1,'pre')")
+        # NOTE: the post-slot insert must land AFTER the CLI created
+        # the slot — but the CLI runs to completion in one call, so
+        # emit it from a trigger-free helper: a second session issuing
+        # the insert after a short delay would race. Instead rely on
+        # the idle-timeout drain with max-messages=1 and insert the
+        # post row BEFORE invoking the CLI? That would leak it into
+        # the snapshot. So: spawn a thread that inserts after the
+        # seed file appears.
+        import threading
+
+        seed_path = str(tmp_path / "seed.jsonl")
+
+        def insert_after_seed():
+            for _ in range(200):
+                if os.path.exists(seed_path):
+                    break
+                time.sleep(0.05)
+            ctl2 = _client(slot + "_dml")
+            ctl2.connect()
+            try:
+                ctl2._simple_query(f"INSERT INTO {tbl} VALUES (2,'post')")
+            finally:
+                ctl2.close()
+
+        t = threading.Thread(target=insert_after_seed, daemon=True)
+        t.start()
+        drop = str(tmp_path / "drop")
+        rc = main(
+            [
+                "live-tail",
+                "--host", u.hostname or "127.0.0.1",
+                "--port", str(u.port or 5432),
+                "--dbname", (u.path or "/postgres").lstrip("/") or "postgres",
+                "--user", u.username or "postgres",
+                "--slot", slot, "--plugin", "pgoutput",
+                "--publication", pub, "--drop-dir", drop,
+                "--bootstrap-table", tbl, "--bootstrap-out", seed_path,
+                "--max-messages", "1", "--idle-timeout", "20",
+            ]
+        )
+        t.join(30)
+        assert rc == 0
+        status = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert status["bootstrap_rows"] == 1 and status["start_lsn"] > 0
+        with open(seed_path) as f:
+            seed = [json.loads(ln) for ln in f.read().splitlines()]
+        assert seed == [{"id": 1, "val": "pre"}]
+        tailed = []
+        for fn in sorted(os.listdir(drop)):
+            with open(os.path.join(drop, fn)) as f:
+                tailed += [json.loads(ln) for ln in f.read().splitlines()]
+        vals = [c["columnvalues"] for d in tailed for c in d["change"]]
+        assert vals == [["2", "post"]]  # exactly the post-slot change
+    finally:
+        helper = _client(slot + "_cleanup")
+        helper.connect()
+        try:
+            for _ in range(5):
+                try:
+                    helper._simple_query(f"DROP_REPLICATION_SLOT {slot}")
+                    break
+                except Exception:
+                    time.sleep(0.5)
+            try:
+                helper._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+            except Exception:
+                pass
+        finally:
+            helper.close()

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -110,6 +111,19 @@ def build_parser() -> argparse.ArgumentParser:
         type=float,
         default=None,
         help="exit once the wire is idle this many seconds",
+    )
+    lt.add_argument(
+        "--bootstrap-table",
+        default=None,
+        help="gap-free initial load: create the slot with an EXPORTED "
+        "snapshot, write this table's rows (row_to_json JSONL) to "
+        "--bootstrap-out, then tail from the slot's consistent point "
+        "— every change lands exactly once across seed+tail",
+    )
+    lt.add_argument(
+        "--bootstrap-out",
+        default=None,
+        help="seed JSONL path (REQUIRED with --bootstrap-table)",
     )
     lt.add_argument(
         "--proto-version",
@@ -246,6 +260,13 @@ def main(argv: list[str] | None = None, out=None) -> int:
                 file=sys.stderr,
             )
             return 2
+        if args.bootstrap_table and not args.bootstrap_out:
+            print(
+                "error: --bootstrap-table requires --bootstrap-out "
+                "(the seed JSONL path)",
+                file=sys.stderr,
+            )
+            return 2
         client = LRClient(
             args.host,
             args.port,
@@ -255,15 +276,46 @@ def main(argv: list[str] | None = None, out=None) -> int:
             plugin=args.plugin,
         )
         client.connect()
+        bootstrap_rows = None
+        start_lsn = args.start_lsn
         try:
-            if args.create_slot:
+            if args.bootstrap_table:
+                # gap-free initial load: the slot's exported snapshot
+                # feeds the seed file, the tail resumes from the
+                # consistent point — every change lands exactly once
+                # (see LRClient.create_slot_with_snapshot). The seed is
+                # one row_to_json JSONL per row, atomically renamed
+                # BEFORE the snapshot's validity window closes (the
+                # tail's START_REPLICATION is this connection's next
+                # command).
+                lsn, snap = client.create_slot_with_snapshot()
+                reader = LRClient(
+                    args.host, args.port, args.dbname, args.user,
+                    args.slot + "_boot",
+                )
+                reader.connect(replication=False)
+                try:
+                    rows = reader.snapshot_read(
+                        snap,
+                        "SELECT row_to_json(t) FROM "
+                        f"{args.bootstrap_table} t",
+                    )
+                finally:
+                    reader.close()
+                tmp = args.bootstrap_out + ".tmp"
+                with open(tmp, "w") as f:
+                    for (doc,) in rows:
+                        f.write(doc + "\n")
+                os.replace(tmp, args.bootstrap_out)
+                bootstrap_rows, start_lsn = len(rows), lsn
+            elif args.create_slot:
                 client.create_slot(if_not_exists=True)
             if args.plugin == "pgoutput":
                 n = tail_pgoutput_to_drop_dir(
                     client,
                     args.drop_dir,
                     publication=args.publication,
-                    start_lsn=args.start_lsn,
+                    start_lsn=start_lsn,
                     max_changes=args.max_messages,
                     idle_timeout_s=args.idle_timeout,
                     proto_version=args.proto_version,
@@ -272,7 +324,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
                 n = tail_to_drop_dir(
                     client,
                     args.drop_dir,
-                    start_lsn=args.start_lsn,
+                    start_lsn=start_lsn,
                     max_messages=args.max_messages,
                     idle_timeout_s=args.idle_timeout,
                 )
@@ -283,7 +335,9 @@ def main(argv: list[str] | None = None, out=None) -> int:
                 pass
         print(
             json.dumps(
-                {"consumed": n, "drop_dir": args.drop_dir, "plugin": args.plugin}
+                {"consumed": n, "drop_dir": args.drop_dir,
+                 "plugin": args.plugin, "bootstrap_rows": bootstrap_rows,
+                 "start_lsn": start_lsn}
             ),
             file=out,
         )
