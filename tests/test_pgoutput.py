@@ -829,3 +829,100 @@ def test_control_frames_inside_an_open_block_raise():
         asm.feed(102, msg_begin_prepare("g"))
     with pytest.raises(PgOutputProtocolError, match="inside an open"):
         asm.feed(103, msg_commit_prepared("g"))
+
+
+# -- property: the assembler emits EXACTLY the committed changes -----------
+
+
+def test_assembler_emits_exactly_committed_changes_property():
+    """Randomized framing scenarios across proto 1/2/3: plain,
+    streamed (1-2 blocks), prepared, and streamed-prepared
+    transactions, each committing or aborting — the assembler must
+    emit one document per surviving non-empty transaction, in decision
+    order, with the exact change values, and the feed-delta sum must
+    equal the number of changes actually emitted."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    tx = st.tuples(
+        st.sampled_from(["plain", "streamed", "prepared", "stream_prep"]),
+        st.booleans(),  # commits?
+        st.lists(st.integers(0, 99), min_size=0, max_size=5),  # change pks
+        st.booleans(),  # streamed: split into two blocks?
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(tx, min_size=1, max_size=6))
+    def run(txs):
+        asm = PgOutputAssembler(proto_version=3)
+        pos = [1000]
+
+        def feed(frame):
+            pos[0] += 100
+            return asm.feed(pos[0], frame)
+
+        delta = feed(REL)
+        expected = []
+        for i, (mode, commits, pks, split) in enumerate(txs):
+            xid = 700 + i
+            gid = f"g{i}"
+            vals = [str(p) for p in pks]
+            inserts = [msg_insert(5001, v, f"v{v}") for v in vals]
+            if mode == "plain":
+                if not commits:
+                    continue  # aborted plain txns never reach the wire
+                delta += feed(msg_begin(lsn=0x1000 + i))
+                for f in inserts:
+                    delta += feed(f)
+                delta += feed(msg_commit(end_lsn=0x2000 + i))
+                if vals:
+                    expected.append(vals)
+            elif mode == "streamed":
+                cut = len(inserts) // 2 if split else len(inserts)
+                delta += feed(msg_stream_start(xid))
+                for f in inserts[:cut]:
+                    delta += feed(sx(f, xid))
+                delta += feed(b"E")
+                if split:
+                    delta += feed(msg_stream_start(xid, first=0))
+                    for f in inserts[cut:]:
+                        delta += feed(sx(f, xid))
+                    delta += feed(b"E")
+                if commits:
+                    delta += feed(msg_stream_commit(xid, end_lsn=0x3000 + i))
+                    if vals:
+                        expected.append(vals)
+                else:
+                    delta += feed(msg_stream_abort(xid, xid))
+            elif mode == "prepared":
+                delta += feed(msg_begin_prepare(gid, xid=xid))
+                for f in inserts:
+                    delta += feed(f)
+                delta += feed(msg_prepare(gid, xid=xid))
+                if commits:
+                    delta += feed(msg_commit_prepared(gid, xid=xid))
+                    if vals:
+                        expected.append(vals)
+                else:
+                    delta += feed(msg_rollback_prepared(gid, xid=xid))
+            else:  # stream_prep
+                delta += feed(msg_stream_start(xid))
+                for f in inserts:
+                    delta += feed(sx(f, xid))
+                delta += feed(b"E")
+                delta += feed(msg_stream_prepare(gid, xid))
+                if commits:
+                    delta += feed(msg_commit_prepared(gid, xid=xid))
+                    if vals:
+                        expected.append(vals)
+                else:
+                    delta += feed(msg_rollback_prepared(gid, xid=xid))
+        got = [
+            [c["columnvalues"][0] for c in d["change"]] for d in asm.docs
+        ]
+        assert got == expected
+        assert delta == sum(len(v) for v in expected)
+        # nothing left buffered after every transaction decided
+        assert not asm._streamed and not asm._prepared and not asm._in_tx
+
+    run()
