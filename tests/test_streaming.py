@@ -744,3 +744,65 @@ def test_bucketed_sink_truncate_clears_all_buckets(spark, tmp_path):
         for r in sink.read_state().collect()
     }
     assert got2 == got
+
+
+def test_streamed_truncate_clears_state_through_wal2json_stream(spark, tmp_path):
+    """The round's truncate semantics wired END-TO-END through the
+    STREAMING path: pgoutput-shaped drop-dir docs (insert batch, then a
+    truncate + post-truncate insert) flow through wal2json_stream into
+    a truncate-aware ParquetStateSink — the table clears mid-stream and
+    only the post-truncate row survives."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from warp_pipe_spark.apply import TRUNCATE_KINDS
+    from warp_pipe_spark.changeset import column_value
+    from warp_pipe_spark.streaming import wal2json_stream
+
+    def doc(changes, nextlsn):
+        return _json.dumps({"change": changes, "nextlsn": nextlsn})
+
+    def ch(cid, kind, pk=None, val=None):
+        cols = (
+            {"columnnames": ["id", "val"], "columntypes": ["bigint", "text"],
+             "columnvalues": [str(pk), val]}
+            if kind != "truncate"
+            else {"columnnames": [], "columntypes": [], "columnvalues": []}
+        )
+        return {"id": cid, "kind": kind, "schema": "public",
+                "table": "users", **cols}
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "lr_01.jsonl").write_text(
+        doc([ch(1, "insert", 1, "a"), ch(2, "insert", 2, "b")], "0/1000") + "\n"
+    )
+    (drop / "lr_02.jsonl").write_text(
+        doc([ch(3, "truncate"), ch(4, "insert", 3, "c")], "0/2000") + "\n"
+    )
+
+    decoded = wal2json_stream(spark, str(drop), max_files_per_trigger=1)
+    typed = decoded.select(
+        "id",
+        F.col("kind").alias("action"),
+        F.col("table").alias("table_name"),
+        column_value("new_values", "id").cast("long").alias("pk"),
+        column_value("new_values", "val").alias("val"),
+    )
+    sink = ParquetStateSink(
+        spark, str(tmp_path / "state"), pk_cols=["pk"],
+        truncate_kinds=TRUNCATE_KINDS,
+    )
+    q = (
+        typed.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["pk"], r["val"])
+        for r in sink.read_state().select("pk", "val").collect()
+    }
+    assert got == {(3, "c")}
