@@ -26,6 +26,7 @@ Writes a markdown table to stdout; paste into SCALE.md.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import string
@@ -1492,6 +1493,90 @@ def soak_probe(spark, r: int = 10, limit: int = 5_000, n_buckets: int = 32) -> i
     return 0
 
 
+def trunc_probe(
+    spark, rows_per_table: int = 100_000, n_buckets: int = 8
+) -> int:
+    """Truncate table-clear cost envelope, MEASURED (round 11): a
+    truncate batch pays O(truncated table's state) ONCE — the widened
+    read+rewrite over all its buckets, the floor for a clear — while
+    steady batches before AND after keep the O(touched) cost the
+    round-10 --fanout probe pinned. Asserts: (1) correctness — the
+    truncated table holds exactly its post-truncate rows, the other
+    table is untouched; (2) recovery — the first steady batch AFTER
+    the truncate costs <= 1.5x the pre-truncate steady baseline (no
+    lingering widening)."""
+    import tempfile
+
+    from warp_pipe_spark.apply import TRUNCATE_KINDS
+    from warp_pipe_spark.streaming import ParquetStateSink
+
+    work = tempfile.mkdtemp(prefix="wp_trunc_")
+    sink = ParquetStateSink(
+        spark, os.path.join(work, "state"), pk_cols=["pk"],
+        n_buckets=n_buckets, truncate_kinds=TRUNCATE_KINDS,
+    )
+    next_id = [0]
+    next_batch = [0]
+
+    def mk(table, rows, action="U", start_pk=0, extra=None):
+        df = spark.range(rows).select(
+            (F.col("id") + F.lit(next_id[0])).alias("id"),
+            F.lit(table).alias("table_name"),
+            (F.col("id") % rows_per_table + start_pk).alias("pk"),
+            F.lit(action).alias("action"),
+            F.concat(F.lit("v"), F.col("id")).alias("val"),
+        )
+        next_id[0] += rows + 1
+        if extra is not None:
+            df = df.unionByName(extra)
+        return df
+
+    def apply(df):
+        next_batch[0] += 1
+        t0 = time.time()
+        sink.apply_batch(df, batch_id=next_batch[0])
+        return time.time() - t0
+
+    # seed two tables
+    apply(mk("ta", rows_per_table, action="INSERT"))
+    apply(mk("tb", rows_per_table, action="INSERT"))
+
+    def steady():
+        return min(apply(mk("ta", 1_000)) for _ in range(3))
+
+    before = steady()
+    trunc_row = spark.createDataFrame(
+        [(next_id[0], "truncate", "ta", None, None)],
+        "id LONG, action STRING, table_name STRING, pk LONG, val STRING",
+    )
+    next_id[0] += 1
+    t_trunc = apply(
+        mk("ta", 1_000, action="INSERT", start_pk=500_000, extra=trunc_row)
+    )
+    after = steady()
+    n_ta = sink.read_state().filter(F.col("table_name") == "ta").count()
+    n_tb = sink.read_state().filter(F.col("table_name") == "tb").count()
+    print(
+        json.dumps(
+            {
+                "probe": "truncprobe",
+                "rows_per_table": rows_per_table,
+                "steady_before_s": round(before, 3),
+                "truncate_batch_s": round(t_trunc, 3),
+                "steady_after_s": round(after, 3),
+                "ta_rows_after": n_ta,
+                "tb_rows_after": n_tb,
+            }
+        )
+    )
+    assert n_tb == rows_per_table, "other table touched by the clear"
+    # the truncate batch's 1k inserts use fresh pks; steady updates the
+    # original keys — both survive their own contracts
+    assert n_ta == 2_000, f"ta rows after clear: {n_ta}"
+    assert after <= before * 1.5 + 0.5, (before, after)
+    return 0
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--soak":
         r = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -1510,6 +1595,9 @@ def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--idxgrowth":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 250
         return idxgrowth_probe(get_spark("scale_probe_idxgrowth"), n)
+    if len(sys.argv) > 1 and sys.argv[1] == "--truncprobe":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+        return trunc_probe(get_spark("scale_probe_trunc"), n)
     if len(sys.argv) > 1 and sys.argv[1] == "--fanout":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 16
         return fanout_probe(get_spark("scale_probe_fanout"), n)
