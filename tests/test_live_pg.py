@@ -1589,3 +1589,63 @@ def test_live_cli_bootstrap_then_tail(live, tmp_path, capsys):
                 pass
         finally:
             helper.close()
+
+
+def test_live_schema_change_mid_tail(live, spark, tmp_path):
+    """Mid-stream schema evolution through pgoutput: the server sends a
+    fresh Relation message after ALTER TABLE ADD COLUMN, so changes
+    before the ALTER carry 2 columns and changes after carry 3 — the
+    decoder re-registers the relation and the additive-evolution apply
+    contract (merge_batch unionByName) absorbs the widened rows."""
+    from warp_pipe_spark.decoders import decode_wal2json
+    from warp_pipe_spark.pgoutput import tail_pgoutput_to_drop_dir
+
+    ctl, _, tbl = live
+    pub = f"wp_pub_ddl_{os.getpid()}"
+    rep = _client(f"wp_live_ddl_{os.getpid()}")
+    rep.plugin = "pgoutput"
+    rep.connect()
+    try:
+        ctl._simple_query(f"CREATE TABLE {tbl} (id int primary key, val text)")
+        ctl._simple_query(f"CREATE PUBLICATION {pub} FOR TABLE {tbl}")
+        rep.create_slot()
+        ctl._simple_query(f"INSERT INTO {tbl} VALUES (1, 'a')")
+        ctl._simple_query(f"ALTER TABLE {tbl} ADD COLUMN extra int")
+        ctl._simple_query(f"INSERT INTO {tbl} VALUES (2, 'b', 7)")
+        drop = str(tmp_path / "drop")
+        n = tail_pgoutput_to_drop_dir(
+            rep, drop, publication=pub, max_changes=2, idle_timeout_s=10.0
+        )
+        assert n == 2
+        out = decode_wal2json(
+            spark.read.text(drop).withColumnRenamed("value", "message")
+        ).orderBy("id").collect()
+        pre, post = out
+
+        def cols(r):
+            return [(c["column"], c["value"]) for c in r["new_values"]]
+
+        assert cols(pre) == [("id", "1"), ("val", "a")]
+        assert cols(post) == [("id", "2"), ("val", "b"), ("extra", "7")]
+    finally:
+        try:
+            rep.drop_slot()
+        except Exception:
+            try:
+                rep.close()
+            except Exception:
+                pass
+            for _ in range(5):
+                try:
+                    ctl._simple_query(f"DROP_REPLICATION_SLOT {rep.slot}")
+                    break
+                except Exception:
+                    time.sleep(0.5)
+        try:
+            ctl._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+        except Exception:
+            pass
+        try:
+            rep.close()
+        except Exception:
+            pass
