@@ -926,3 +926,51 @@ def test_assembler_emits_exactly_committed_changes_property():
         assert not asm._streamed and not asm._prepared and not asm._in_tx
 
     run()
+
+
+def test_tail_never_confirms_past_an_undecided_prepare(tmp_path):
+    """Crash-safety for two-phase: while gid-X is prepared but
+    undecided, a LATER committed transaction's flush must confirm only
+    up to gid-X's first frame — otherwise a restart never redelivers
+    the prepared changes and the eventual commit-prepared strands.
+    Once commit-prepared lands, the confirm advances past it."""
+    from test_lr_client import FakeWalsender
+
+    from warp_pipe_spark.lr_client import LRClient
+    from warp_pipe_spark.pgoutput import tail_pgoutput_to_drop_dir
+
+    payloads = [
+        REL,                                      # wal 100..
+        msg_begin_prepare("gid-x"),               # prepared, UNDECIDED
+        msg_insert(5001, "1", "held"),
+        msg_prepare("gid-x"),
+        msg_begin(lsn=0x5000),                    # a later plain commit
+        msg_insert(5001, "2", "b"),
+        msg_commit(end_lsn=0x5100),
+    ]
+    srv = FakeWalsender(
+        payloads, keepalive_every=100, hang_silent_after_payloads=True
+    )
+    c = LRClient("127.0.0.1", srv.port, "testdb", "u", "wp_slot",
+                 plugin="pgoutput", status_interval_s=9999)
+    c.connect()
+    drop = str(tmp_path / "drop")
+    n = tail_pgoutput_to_drop_dir(
+        c, drop, publication="pub", max_changes=1, idle_timeout_s=5.0,
+        proto_version=3,
+    )
+    # wait: max_changes=1 would be satisfied by the plain commit, but
+    # the bound also waits out undecided prepared transactions — the
+    # idle timeout ends the drain instead, having flushed the plain doc
+    import os as _os
+
+    assert n == 2  # the held change is counted (it may yet commit)
+    files = _os.listdir(drop)
+    assert len(files) == 1  # only the plain commit was written
+    # FakeWalsender lays frames from 0x15D68C8, each advancing by its
+    # payload length: the begin-prepare (frame 1) starts right after
+    # REL — the confirm must stop EXACTLY there, not at the stream head
+    floor = 0x15D68C8 + len(REL)
+    assert c.flushed_lsn == floor, (c.flushed_lsn, floor)
+    c.close()
+    srv.thread.join(5)

@@ -233,6 +233,13 @@ class PgOutputAssembler:
         #: gid of the transaction currently between begin-prepare and
         #: prepare (non-streamed two-phase path)
         self._preparing: str | None = None
+        #: gid → the WAL position of the prepared transaction's FIRST
+        #: frame: the confirm floor (see confirm_floor) — confirming at
+        #: or past it would stop the server redelivering the prepared
+        #: transaction after a restart, stranding its eventual
+        #: commit-prepared with no buffered changes
+        self._prepared_starts: dict[str, int] = {}
+        self._preparing_start: int | None = None
         self.docs: list[dict] = []
 
     # -- per-message ------------------------------------------------------
@@ -257,7 +264,7 @@ class PgOutputAssembler:
                     f"{self.proto_version} — prepared-transaction "
                     "framing was not requested"
                 )
-            return self._feed_twophase_ctl(kind, payload)
+            return self._feed_twophase_ctl(kind, wal_start, payload)
         # content messages inside a streamed block carry a leading
         # Int32 (sub)transaction xid (proto 2); shift the body past it
         base, msg_xid = 1, None
@@ -404,7 +411,9 @@ class PgOutputAssembler:
                 )
         return 0
 
-    def _feed_twophase_ctl(self, kind: bytes, payload: bytes) -> int:
+    def _feed_twophase_ctl(
+        self, kind: bytes, wal_start: int, payload: bytes
+    ) -> int:
         """Begin-Prepare / Prepare / Commit-Prepared / Rollback-Prepared
         / Stream-Prepare (proto 3, two_phase slots, PG 15+). Layouts
         per protocol.sgml: 'b' = prepare_lsn(8) end_lsn(8) ts(8) xid(4)
@@ -437,6 +446,7 @@ class PgOutputAssembler:
             self._pending = []
             self._in_tx = True
             self._preparing = gid
+            self._preparing_start = wal_start
         elif kind == b"P":
             if not self._in_tx or self._preparing is None:
                 raise PgOutputProtocolError(
@@ -449,7 +459,13 @@ class PgOutputAssembler:
                     f"gid {self._preparing!r}"
                 )
             self._prepared[gid] = self._pending
+            self._prepared_starts[gid] = (
+                self._preparing_start
+                if self._preparing_start is not None
+                else wal_start
+            )
             self._pending, self._in_tx, self._preparing = [], False, None
+            self._preparing_start = None
         elif kind == b"p":
             # stream-prepare: a STREAMED transaction became prepared —
             # its buffered blocks move from xid-keyed to gid-keyed
@@ -463,10 +479,17 @@ class PgOutputAssembler:
                     f"stream-prepare for unknown xid {xid}"
                 )
             self._prepared[gid] = [c for _, c in buf]
+            # floor = the streamed transaction's FIRST buffered change
+            # position (its redelivery replays from there); an empty
+            # buffer falls back to this frame's own position
+            self._prepared_starts[gid] = (
+                buf[0][1]["id"] if buf else wal_start
+            )
         elif kind == b"K":
             _, _, end_lsn, _, _ = struct.unpack_from("!Bqqqi", payload, 1)
             gid, _ = _cstr(payload, 30)
             buf = self._prepared.pop(gid, None)
+            self._prepared_starts.pop(gid, None)
             if buf is None:
                 raise PgOutputProtocolError(
                     f"commit-prepared for unknown gid {gid!r} — the "
@@ -482,8 +505,22 @@ class PgOutputAssembler:
             # unknown gid is legal here: ROLLBACK PREPARED of a
             # transaction prepared before our start position delivers
             # only the rollback — nothing buffered, nothing to do
+            self._prepared_starts.pop(gid, None)
             return -len(self._prepared.pop(gid, ()))
         return 0
+
+    def confirm_floor(self) -> int | None:
+        """Highest WAL position safe to CONFIRM to the server, or None
+        for no constraint: while a prepared transaction is UNDECIDED,
+        the confirmed-flush LSN must stay below its first frame —
+        otherwise a restart never redelivers the prepared changes and
+        the eventual commit-prepared arrives with nothing buffered
+        (the 'unknown gid' error, then a manual earlier-LSN replay).
+        The tail caps every standby-status flush LSN with this."""
+        starts = self._prepared_starts.values()
+        if self._preparing_start is not None:
+            starts = list(starts) + [self._preparing_start]
+        return min(starts) if starts else None
 
     def take_docs(self) -> list[dict]:
         """Pop and return all committed documents. The streaming tail
@@ -676,6 +713,16 @@ def tail_pgoutput_to_drop_dir(
     seq = 0
     hi_lsn = start_lsn
 
+    def confirm_lsn() -> None:
+        # cap at the oldest UNDECIDED prepared transaction's first
+        # frame (confirm_floor): confirming past it would stop the
+        # server redelivering the prepared changes after a restart,
+        # stranding the eventual commit-prepared
+        floor = asm.confirm_floor()
+        client.send_standby_status(
+            hi_lsn if floor is None else min(hi_lsn, floor)
+        )
+
     def flush(confirm: bool = True) -> None:
         nonlocal seq
         fresh = asm.take_docs()
@@ -693,7 +740,7 @@ def tail_pgoutput_to_drop_dir(
         )
         seq += 1
         if confirm:
-            client.send_standby_status(hi_lsn)
+            confirm_lsn()
 
     sock = client._conn.sock if client._conn else None
     prev_timeout = sock.gettimeout() if sock is not None else None
@@ -729,13 +776,12 @@ def tail_pgoutput_to_drop_dir(
                     # rollback-prepared: no file, but the position is
                     # consumed — confirm so a huge rolled-back
                     # transaction doesn't pin WAL until the next real
-                    # commit. (An UNDECIDED prepare is never the last
-                    # processed frame kind here, but note the tail's
-                    # confirm-on-flush can advance past one — a crash
-                    # before its commit-prepared then restarts past the
-                    # prepared changes and the 'K' raises with replay
-                    # guidance, never silently drops.)
-                    client.send_standby_status(hi_lsn)
+                    # commit. Confirms are floor-capped: an
+                    # UNDECIDED prepared transaction keeps the
+                    # confirmed LSN below its first frame, so a crash
+                    # before its commit-prepared restarts WITH the
+                    # prepared changes redelivered.
+                    confirm_lsn()
                 # the bound only fires BETWEEN transactions: breaking
                 # mid-transaction would discard the buffered changes of
                 # an uncommitted (but soon-committing) transaction —
