@@ -329,7 +329,13 @@ def test_cli_live_tail_wal2json_against_fake_walsender(tmp_path, capsys):
     )
     assert rc == 0
     status = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert status == {"consumed": 3, "drop_dir": drop, "plugin": "wal2json"}
+    assert status == {
+        "consumed": 3,
+        "drop_dir": drop,
+        "plugin": "wal2json",
+        "bootstrap_rows": None,  # no --bootstrap-table given
+        "start_lsn": 0,
+    }
     lines = []
     for fn in sorted(_os.listdir(drop)):
         with open(_os.path.join(drop, fn), "rb") as f:
