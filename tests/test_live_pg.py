@@ -1649,3 +1649,113 @@ def test_live_schema_change_mid_tail(live, spark, tmp_path):
             rep.close()
         except Exception:
             pass
+
+
+def test_live_pgoutput_binary_mode_matches_text_mode_bytes(live, tmp_path):
+    """`binary 'on'` (PG 14+): TWO slots over the SAME WAL — one tailed
+    in text tuple mode, one in binary mode. After the decoder renders
+    each binary cell back to the type's canonical text output
+    (_binary_to_text), the written JSONL documents must be
+    BYTE-IDENTICAL: same WAL-position ids, same nextlsn, same values.
+    The value battery deliberately stresses the renderers — float4/8
+    shortest-round-trip digits at the fixed/scientific boundaries
+    (1e15 vs 1e16, 0.0001 vs 1e-05, -0), numeric base-10000 digit
+    groups with leading/trailing-zero scales, timestamp fraction
+    trimming, bytea/uuid/jsonb, NULLs, and binary OLD-side key cells —
+    so this doubles as the calibration oracle for _pg_float_text's
+    formatting window against the server's actual Ryu output."""
+    from warp_pipe_spark.pgoutput import tail_pgoutput_to_drop_dir
+
+    ctl, _, tbl = live
+    pub = f"wp_pub_bin_{os.getpid()}"
+    rep_txt = _client(f"wp_live_bint_{os.getpid()}")
+    rep_bin = _client(f"wp_live_binb_{os.getpid()}")
+    for r in (rep_txt, rep_bin):
+        r.plugin = "pgoutput"
+        r.connect()
+    tz = ctl._simple_query("SHOW timezone")[0][0]
+    try:
+        ctl._simple_query(
+            f"CREATE TABLE {tbl} (id int primary key, i2 smallint,"
+            " i8 bigint, f4 real, f8 double precision, num numeric,"
+            " t text, by bytea, bo boolean, d date, tm time,"
+            " ts timestamp, tsz timestamptz, u uuid, jb jsonb)"
+        )
+        ctl._simple_query(f"CREATE PUBLICATION {pub} FOR TABLE {tbl}")
+        rep_txt.create_slot()
+        rep_bin.create_slot()
+        tsz = (
+            "TIMESTAMPTZ '2024-01-02 03:04:05.1+00'"
+            if tz in ("UTC", "Etc/UTC", "GMT")
+            # binary mode renders timestamptz at UTC; a non-UTC
+            # walsender session would render text mode in its own zone
+            # — keep the column NULL there and let the rest of the
+            # battery run
+            else "NULL"
+        )
+        ctl._simple_query(
+            f"INSERT INTO {tbl} VALUES"
+            " (1, 12, -5, 0.1, 1.0, 12345.6789, 'héllo',"
+            f"  E'\\\\x00ff', true, DATE '2024-01-02', TIME '03:00:00.5',"
+            f"  TIMESTAMP '2024-01-02 03:04:05.1', {tsz},"
+            "  '01234567-89ab-cdef-0123-456789abcdef',"
+            "  '{\"a\":1,\"b\":[1,2]}'),"
+            " (2, NULL, NULL, 'NaN', -0.0, -0.00123, NULL, NULL, false,"
+            "  NULL, NULL, NULL, NULL, NULL, NULL),"
+            " (3, 0, 9223372036854775807, 3.14159, 1e15, 5.00, '',"
+            "  E'\\\\x', NULL, NULL, TIME '23:59:59.999999',"
+            "  TIMESTAMP '2000-01-01 00:00:00', NULL, NULL, NULL),"
+            " (4, -32768, -9223372036854775808, 'Infinity', 1e16,"
+            "  'NaN', 'x', NULL, NULL, DATE '1999-12-31', NULL,"
+            "  NULL, NULL, NULL, NULL),"
+            " (5, 1, 2, -0.5, 0.0001, 0, 'y', NULL, NULL, NULL, NULL,"
+            "  NULL, NULL, NULL, NULL),"
+            " (6, 1, 2, 1e-5, 0.00001, 1000000000.0001, 'z', NULL,"
+            "  NULL, NULL, NULL, NULL, NULL, NULL, NULL)"
+        )
+        ctl._simple_query(
+            f"UPDATE {tbl} SET f8 = 2.5, num = 7.25 WHERE id = 3; "
+            f"DELETE FROM {tbl} WHERE id = 2"
+        )
+        drops = {}
+        for mode, rep in (("text", rep_txt), ("binary", rep_bin)):
+            drop = str(tmp_path / f"drop_{mode}")
+            n = tail_pgoutput_to_drop_dir(
+                rep, drop, publication=pub, max_changes=8,
+                idle_timeout_s=10.0, binary=(mode == "binary"),
+            )
+            assert n == 8, mode
+            lines = []
+            for name in sorted(os.listdir(drop)):
+                with open(os.path.join(drop, name), "rb") as f:
+                    lines.extend(f.read().splitlines())
+            drops[mode] = lines
+        assert len(drops["text"]) == len(drops["binary"])
+        for lt, lb in zip(drops["text"], drops["binary"]):
+            assert lt == lb
+    finally:
+        for rep in (rep_txt, rep_bin):
+            try:
+                rep.drop_slot()
+            except Exception:
+                try:
+                    rep.close()
+                except Exception:
+                    pass
+                for _ in range(5):
+                    try:
+                        ctl._simple_query(
+                            f"DROP_REPLICATION_SLOT {rep.slot}"
+                        )
+                        break
+                    except Exception:
+                        time.sleep(0.5)
+        try:
+            ctl._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+        except Exception:
+            pass
+        for rep in (rep_txt, rep_bin):
+            try:
+                rep.close()
+            except Exception:
+                pass

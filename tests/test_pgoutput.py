@@ -276,20 +276,173 @@ def test_truncate_changes_survive_the_wal2json_decode(spark):
     ]
 
 
-def test_binary_tuple_cell_fails_loud():
+def btup(*cells):
+    """TupleData with BINARY ('b') cells; None -> NULL."""
+    b = struct.pack("!h", len(cells))
+    for c in cells:
+        if c is None:
+            b += b"n"
+        else:
+            b += b"b" + struct.pack("!i", len(c)) + c
+    return b
+
+
+def msg_insert_binary(oid, *cells):
+    return b"I" + struct.pack("!i", oid) + b"N" + btup(*cells)
+
+
+def test_binary_mode_cells_decode_to_canonical_text():
+    """`binary 'on'` (PG 14+): cells arrive in each type's binary wire
+    format; the assembler renders them back to the type's text output,
+    so the document is byte-identical to a text-mode tail. One golden
+    value per supported type, wire bytes built by hand from the public
+    formats (<type>send in the PG source)."""
+    cols = [
+        (0, "b", 16), (0, "by", 17), (0, "i8", 20), (0, "i2", 21),
+        (0, "i4", 23), (0, "t", 25), (0, "f4", 700), (0, "f8", 701),
+        (0, "vc", 1043), (0, "d", 1082), (0, "tm", 1083),
+        (0, "ts", 1114), (0, "tsz", 1184), (0, "num", 1700),
+        (0, "u", 2950), (0, "jb", 3802),
+    ]
     asm = PgOutputAssembler()
-    bad = (
-        b"I"
-        + struct.pack("!i", 5001)
-        + b"N"
-        + struct.pack("!h", 1)
-        + b"b"
-        + struct.pack("!i", 1)
-        + b"\x01"
+    # 2024-01-02 03:04:05.1 in the 2000-01-01 epoch
+    us = (
+        (8767 * 86_400 + 3 * 3600 + 4 * 60 + 5) * 1_000_000 + 100_000
+    )  # 8767 days = 2000-01-01 -> 2024-01-02
+    feed_all(
+        asm,
+        [
+            msg_relation(7001, "public", "alltypes", cols),
+            msg_begin(),
+            msg_insert_binary(
+                7001,
+                b"\x01",
+                b"\x00\xff",
+                struct.pack("!q", -5),
+                struct.pack("!h", 12),
+                struct.pack("!i", 42),
+                "héllo".encode(),
+                struct.pack("!f", 0.1),
+                struct.pack("!d", 1.5e-5),
+                b"vc",
+                struct.pack("!i", 8767),
+                struct.pack("!q", 3 * 3600 * 1_000_000 + 500_000),
+                struct.pack("!q", us),
+                struct.pack("!q", us),
+                # 12345.6789: ndigits=3 weight=1 sign=+ dscale=4,
+                # base-10000 groups [1, 2345, 6789]
+                struct.pack("!hhHH", 3, 1, 0x0000, 4)
+                + struct.pack("!3H", 1, 2345, 6789),
+                bytes.fromhex("0123456789abcdef0123456789abcdef"),
+                b"\x01" + b'{"a": 1}',
+            ),
+            msg_commit(),
+        ],
     )
-    feed_all(asm, [REL, msg_begin()])
-    with pytest.raises(ValueError, match="binary mode"):
-        asm.feed(102, bad)
+    (doc,) = asm.docs
+    (change,) = doc["change"]
+    assert change["columnvalues"] == [
+        "t",
+        "\\x00ff",
+        "-5",
+        "12",
+        "42",
+        "héllo",
+        "0.1",  # float4-shortest, NOT the float8 repr of the cast
+        "1.5e-05",
+        "vc",
+        "2024-01-02",
+        "03:00:00.5",
+        "2024-01-02 03:04:05.1",
+        "2024-01-02 03:04:05.1+00",
+        "12345.6789",
+        "01234567-89ab-cdef-0123-456789abcdef",
+        '{"a": 1}',
+    ]
+
+
+def test_binary_mode_oldkeys_and_nulls():
+    """Binary cells on the OLD side decode through the same path; NULL
+    cells stay NULL (never rendered as a type's zero value)."""
+    asm = PgOutputAssembler()
+    feed_all(
+        asm,
+        [
+            REL,  # (id bigint key, val text)
+            msg_begin(),
+            b"U"
+            + struct.pack("!i", 5001)
+            + b"K"
+            + btup(struct.pack("!q", 7), None)
+            + b"N"
+            + btup(struct.pack("!q", 7), "x".encode()),
+            msg_commit(),
+        ],
+    )
+    (doc,) = asm.docs
+    (change,) = doc["change"]
+    assert change["columnvalues"] == ["7", "x"]
+    assert change["oldkeys"]["keyvalues"] == ["7"]
+
+
+def test_binary_cell_of_unsupported_type_fails_loud():
+    """A binary cell whose type oid has no decoder raises naming the
+    oid — guessing at an undocumented byte layout would corrupt the
+    value silently."""
+    from warp_pipe_spark.pgoutput import PgOutputProtocolError
+
+    asm = PgOutputAssembler()
+    rel = msg_relation(7002, "public", "arr", [(1, "a", 1007)])  # int4[]
+    feed_all(asm, [rel, msg_begin()])
+    with pytest.raises(PgOutputProtocolError, match="oid 1007"):
+        asm.feed(102, msg_insert_binary(7002, b"\x00\x00\x00\x01"))
+
+
+def test_pg_float_text_formatting_rules():
+    """float4out/float8out surface form: fixed for decimal exponents in
+    [-4, 15] with no trailing '.0', scientific with a signed two-digit
+    exponent otherwise; float4 digits are float4-shortest."""
+    from warp_pipe_spark.pgoutput import _pg_float_text
+
+    assert _pg_float_text(1.0) == "1"
+    assert _pg_float_text(-0.0) == "-0"
+    assert _pg_float_text(0.5) == "0.5"
+    assert _pg_float_text(100.0) == "100"
+    assert _pg_float_text(0.0001) == "0.0001"
+    assert _pg_float_text(0.00001) == "1e-05"
+    # %g-style notation windows, calibrated against live PG 15:
+    # float8 goes scientific at 1e15, float4 already at 1e6
+    assert _pg_float_text(1e14) == "100000000000000"
+    assert _pg_float_text(999999999999999.0) == "999999999999999"
+    assert _pg_float_text(1e15) == "1e+15"
+    assert _pg_float_text(1e16) == "1e+16"
+    assert _pg_float_text(1.2345678901234568e22) == "1.2345678901234568e+22"
+    assert _pg_float_text(float("nan")) == "NaN"
+    assert _pg_float_text(float("-inf")) == "-Infinity"
+    assert _pg_float_text(struct.unpack("!f", struct.pack("!f", 0.1))[0],
+                          single=True) == "0.1"
+    assert _pg_float_text(123456.0, single=True) == "123456"
+    assert _pg_float_text(1234567.0, single=True) == "1.234567e+06"
+    assert _pg_float_text(1e15, single=True) == "1e+15"
+
+
+def test_pg_numeric_text_edges():
+    from warp_pipe_spark.pgoutput import _pg_numeric_text
+
+    def num(ndigits, weight, sign, dscale, *groups):
+        return struct.pack("!hhHH", ndigits, weight, sign, dscale) + (
+            struct.pack(f"!{len(groups)}H", *groups) if groups else b""
+        )
+
+    # -0.00123: groups [12, 3000] starting at weight -1, dscale 5
+    assert _pg_numeric_text(num(2, -1, 0x4000, 5, 12, 3000)) == "-0.00123"
+    # integer with a mid-zero group: 10000 = [1, 0] weight 1
+    assert _pg_numeric_text(num(2, 1, 0x0000, 0, 1, 0)) == "10000"
+    # trailing groups beyond ndigits are implicit zeros: 5 at dscale 2
+    assert _pg_numeric_text(num(1, 0, 0x0000, 2, 5)) == "5.00"
+    # zero
+    assert _pg_numeric_text(num(0, 0, 0x0000, 0)) == "0"
+    assert _pg_numeric_text(num(0, 0, 0xC000, 0)) == "NaN"
 
 
 def test_bounded_drain_breaks_only_between_transactions(tmp_path):

@@ -137,6 +137,14 @@ def build_parser() -> argparse.ArgumentParser:
         "drop dir receives committed transactions only under every "
         "version",
     )
+    lt.add_argument(
+        "--binary",
+        action="store_true",
+        help="negotiate pgoutput binary tuple mode (PG 14+): cells "
+        "arrive in each type's binary wire format and are rendered "
+        "back to canonical text, so the drop-dir documents are "
+        "byte-identical to a text-mode tail",
+    )
     return p
 
 
@@ -319,6 +327,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
                     max_changes=args.max_messages,
                     idle_timeout_s=args.idle_timeout,
                     proto_version=args.proto_version,
+                    binary=args.binary,
                 )
             else:
                 n = tail_to_drop_dir(

@@ -25,7 +25,28 @@ Message grammar parsed here (one letter per XLogData payload):
                'truncate' per affected table, wal2json parity)
   Y type / O origin / M message                     (skipped)
   tuple: ncols(2) then per column 'n' (NULL) | 'u' (unchanged TOAST) |
-         't' len(4) bytes (text-mode value)
+         't' len(4) bytes (text-mode value) |
+         'b' len(4) bytes (binary-mode value, PG 14+ `binary 'on'`)
+
+Binary tuple mode (`binary 'on'`, PG 14+): the server sends each cell
+in the type's binary wire format instead of its text output — the same
+bytes COPY BINARY and the extended-protocol binary result format use.
+This decoder converts every 'b' cell BACK to the type's canonical text
+output (`_binary_to_text`, keyed by the Relation message's type oid),
+so the emitted document is byte-identical to a text-mode tail and
+everything downstream — drop dir, decode_wal2json, checksums, the LWW
+apply — is agnostic to which mode produced it. Scalar types with a
+fixed public wire format are decoded exactly (ints, floats via
+shortest-round-trip rendering, numeric's base-10000 digit groups,
+bool, bytea, uuid, date/time/timestamp[tz] from their 2000-01-01
+epoch); text-ish types pass through. A binary cell of any OTHER type
+raises PgOutputProtocolError naming the oid — guessing at an
+undocumented byte layout would corrupt values silently, and the fix
+(tail without `binary=True`) is one flag. timestamptz is rendered at
+UTC ('+00'): binary mode ships the raw UTC instant, so unlike text
+mode the output does not depend on the walsender's TimeZone GUC —
+equal to text mode exactly when the walsender session runs at UTC
+(the live suite pins this).
 
 Unchanged-TOAST cells ('u'): the server does not re-send a TOASTed
 value an UPDATE didn't touch. Those columns are OMITTED from
@@ -159,19 +180,210 @@ def _type_name(oid: int) -> str:
     return PG_TYPE_NAMES.get(oid, f"oid:{oid}")
 
 
+#: 2000-01-01, the epoch of PG's date (days, int4) and timestamp[tz]
+#: (microseconds, int8) binary formats
+_PG_EPOCH_ORDINAL = 730120  # datetime.date(2000, 1, 1).toordinal()
+
+
+def _shortest_digits(s: str) -> tuple[str, int]:
+    """Parse a shortest-round-trip rendering (fixed '123.45' or
+    scientific '1.5e-05') into (significant digits, decimal exponent of
+    the FIRST digit) — the d.ddd×10^exp normal form both PG's Ryu and
+    Python's repr agree on; only the surface formatting differs."""
+    if "e" in s or "E" in s:
+        mant, _, exp = s.replace("E", "e").partition("e")
+        digs = mant.replace(".", "").rstrip("0") or "0"
+        return digs, int(exp)
+    ip, _, fp = s.partition(".")
+    digs = ip + fp
+    exp = len(ip) - 1
+    lead = len(digs) - len(digs.lstrip("0"))
+    digs = digs.lstrip("0")
+    exp -= lead
+    digs = digs.rstrip("0") or "0"
+    return digs, (0 if digs == "0" else exp)
+
+
+def _pg_float_text(v: float, single: bool = False) -> str:
+    """Render a float the way float4out/float8out do (PG 12+ defaults,
+    extra_float_digits=1): shortest round-trip digits (Ryu), with
+    printf-%g notation thresholds — fixed for decimal exponents in
+    [-4, 15) for float8 / [-4, 6) for float4 (no trailing '.0'),
+    'd.ddde[+-]XX' (two-digit minimum exponent) otherwise. Calibrated
+    against live PG 15: 1e14 -> '100000000000000' but 1e15 -> '1e+15';
+    123456::real -> '123456' but 1234567::real -> '1.234567e+06'.
+    Python repr / numpy float32 rendering supply the same shortest
+    digits; this reshapes them to PG's surface form. Pinned
+    byte-identical to a live text-mode tail in tests/test_live_pg.py."""
+    import math
+
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "Infinity" if v > 0 else "-Infinity"
+    neg = math.copysign(1.0, v) < 0
+    if single:
+        import numpy as np
+
+        # shortest digits w.r.t. FLOAT4: repr(float) would emit the
+        # float8-shortest string (0.1::float4 -> '0.10000000149011612')
+        s = np.format_float_scientific(
+            np.float32(abs(v)), unique=True, trim="-"
+        )
+    else:
+        s = repr(abs(v))
+    digs, exp = _shortest_digits(s)
+    if -4 <= exp < (6 if single else 15):
+        if exp >= len(digs) - 1:
+            body = digs + "0" * (exp - len(digs) + 1)
+        elif exp >= 0:
+            body = digs[: exp + 1] + "." + digs[exp + 1 :]
+        else:
+            body = "0." + "0" * (-exp - 1) + digs
+    else:
+        body = digs[0] + ("." + digs[1:] if len(digs) > 1 else "")
+        body += f"e{exp:+03d}"
+    return ("-" if neg else "") + body
+
+
+def _pg_numeric_text(data: bytes) -> str:
+    """numeric binary format → canonical text: ndigits(2) weight(2)
+    sign(2) dscale(2), then ndigits base-10000 groups (int16 each).
+    weight = number of base-10000 groups before the decimal point,
+    minus one; dscale = decimal digits after the point in the text
+    form. Mirrors numeric.c's get_str_from_var exactly."""
+    ndigits, weight, sign, dscale = struct.unpack_from("!hhHH", data)
+    if sign == 0xC000:
+        return "NaN"
+    if sign == 0xD000:
+        return "Infinity"
+    if sign == 0xF000:
+        return "-Infinity"
+    groups = struct.unpack_from(f"!{ndigits}H", data, 8)
+    out = "-" if sign == 0x4000 else ""
+    if weight >= 0:
+        parts = []
+        for i in range(weight + 1):
+            g = groups[i] if i < ndigits else 0
+            parts.append(str(g) if i == 0 else f"{g:04d}")
+        out += "".join(parts)
+    else:
+        out += "0"
+    if dscale > 0:
+        frac = []
+        for j in range(dscale // 4 + 1):
+            idx = weight + 1 + j
+            g = groups[idx] if 0 <= idx < ndigits else 0
+            frac.append(f"{g:04d}")
+        out += "." + "".join(frac)[:dscale]
+    return out
+
+
+def _pg_time_of_day(us: int) -> str:
+    """HH:MM:SS with the fractional part trimmed of trailing zeros
+    (PG's EncodeTimeOnly/AppendSeconds behavior)."""
+    s, frac = divmod(us, 1_000_000)
+    h, rem = divmod(s, 3600)
+    m, sec = divmod(rem, 60)
+    out = f"{h:02d}:{m:02d}:{sec:02d}"
+    if frac:
+        out += (".%06d" % frac).rstrip("0")
+    return out
+
+
+def _pg_date_text(days: int) -> str:
+    import datetime as _dt
+
+    if days == 0x7FFFFFFF:
+        return "infinity"
+    if days == -0x80000000:
+        return "-infinity"
+    return _dt.date.fromordinal(_PG_EPOCH_ORDINAL + days).isoformat()
+
+
+def _pg_timestamp_text(us: int, tz_suffix: str = "") -> str:
+    if us == 0x7FFFFFFFFFFFFFFF:
+        return "infinity"
+    if us == -0x8000000000000000:
+        return "-infinity"
+    days, us_of_day = divmod(us, 86_400_000_000)
+    return (
+        _pg_date_text(days) + " " + _pg_time_of_day(us_of_day) + tz_suffix
+    )
+
+
+def _int_cell(data: bytes) -> str:
+    return str(int.from_bytes(data, "big", signed=True))
+
+
+#: oid → binary-wire-format-to-canonical-text decoder. Each mirrors the
+#: type's <type>send/<type>out pair in the public PG source; the live
+#: suite pins binary-mode output byte-identical to a text-mode tail.
+_BINARY_DECODERS = {
+    16: lambda d: "t" if d[0] else "f",
+    17: lambda d: "\\x" + d.hex(),
+    18: lambda d: d.decode(),  # "char"
+    19: lambda d: d.decode(),  # name
+    20: _int_cell,
+    21: _int_cell,
+    23: _int_cell,
+    26: lambda d: str(int.from_bytes(d, "big", signed=False)),  # oid
+    25: lambda d: d.decode(),
+    114: lambda d: d.decode(),  # json: binary form IS the text
+    700: lambda d: _pg_float_text(struct.unpack("!f", d)[0], single=True),
+    701: lambda d: _pg_float_text(struct.unpack("!d", d)[0]),
+    1042: lambda d: d.decode(),  # bpchar (space padding is in-band)
+    1043: lambda d: d.decode(),
+    1082: lambda d: _pg_date_text(struct.unpack("!i", d)[0]),
+    1083: lambda d: _pg_time_of_day(struct.unpack("!q", d)[0]),
+    1114: lambda d: _pg_timestamp_text(struct.unpack("!q", d)[0]),
+    1184: lambda d: _pg_timestamp_text(struct.unpack("!q", d)[0], "+00"),
+    1700: _pg_numeric_text,
+    # jsonb: version byte (1) then the canonical jsonb text form
+    3802: lambda d: d[1:].decode(),
+    2950: lambda d: "-".join(
+        (d.hex()[:8], d.hex()[8:12], d.hex()[12:16], d.hex()[16:20],
+         d.hex()[20:])
+    ),
+}
+
+
+def _binary_to_text(type_oid: int, data: bytes) -> str:
+    dec = _BINARY_DECODERS.get(type_oid)
+    if dec is None:
+        raise PgOutputProtocolError(
+            f"binary-mode cell of type oid {type_oid} "
+            f"({_type_name(type_oid)}) has no binary decoder — tail "
+            "without binary=True for this table, or extend "
+            "_BINARY_DECODERS with the type's documented wire format"
+        )
+    return dec(data)
+
+
+def _cell_text(v: str | bytes | None, type_oid: int) -> str | None:
+    """A tuple cell as canonical text: text-mode cells and NULLs pass
+    through; binary-mode cells decode via the column's type oid."""
+    if isinstance(v, bytes):
+        return _binary_to_text(type_oid, v)
+    return v
+
+
 def _cstr(b: bytes, off: int) -> tuple[str, int]:
     end = b.index(b"\x00", off)
     return b[off:end].decode(), end + 1
 
 
-def _tuple_data(b: bytes, off: int) -> tuple[list[str | None], list[int], int]:
+def _tuple_data(
+    b: bytes, off: int
+) -> tuple[list[str | bytes | None], list[int], int]:
     """TupleData → (values, unchanged-toast column indexes, new offset).
-    Text mode only: protocol v1 with binary disabled (we never request
-    the binary option) sends 't' cells; a 'b' cell here means a
-    misconfigured stream and fails loudly."""
+    Text cells ('t') decode to str; binary cells ('b', sent when the
+    tail requested `binary 'on'`) stay as raw bytes here — the caller
+    converts them to canonical text via the column's type oid from the
+    Relation message (which _tuple_data does not see)."""
     (ncols,) = struct.unpack_from("!h", b, off)
     off += 2
-    vals: list[str | None] = []
+    vals: list[str | bytes | None] = []
     toast: list[int] = []
     for i in range(ncols):
         kind = b[off : off + 1]
@@ -181,15 +393,16 @@ def _tuple_data(b: bytes, off: int) -> tuple[list[str | None], list[int], int]:
         elif kind == b"u":
             vals.append(None)
             toast.append(i)
-        elif kind == b"t":
+        elif kind in (b"t", b"b"):
             (ln,) = struct.unpack_from("!i", b, off)
             off += 4
-            vals.append(b[off : off + ln].decode())
+            raw = b[off : off + ln]
+            vals.append(raw.decode() if kind == b"t" else raw)
             off += ln
         else:
             raise ValueError(
-                f"unsupported TupleData cell kind {kind!r} (binary mode? "
-                "this decoder speaks proto_version 1 text tuples)"
+                f"unsupported TupleData cell kind {kind!r} — not in the "
+                "documented grammar (n/u/t/b)"
             )
     return vals, toast, off
 
@@ -544,7 +757,10 @@ class PgOutputAssembler:
             name, off = _cstr(b, off)
             type_oid, _typmod = struct.unpack_from("!ii", b, off)
             off += 8
-            cols.append((name, _type_name(type_oid), bool(flags & 1)))
+            # (name, type name, is-replica-key, raw type oid) — the oid
+            # drives binary-mode cell decoding (_binary_to_text)
+            cols.append((name, _type_name(type_oid), bool(flags & 1),
+                         type_oid))
         return oid, ns or "pg_catalog", rel, cols
 
     def _rel(self, b: bytes, base: int = 1) -> tuple[dict, int]:
@@ -615,6 +831,7 @@ class PgOutputAssembler:
         names = [c[0] for c in rel["cols"]]
         types = [c[1] for c in rel["cols"]]
         is_key = [c[2] for c in rel["cols"]]
+        oids = [c[3] for c in rel["cols"]]
         old = old_marker = None
         old_toast: list[int] = []
         if kind in (b"U", b"D"):
@@ -648,7 +865,9 @@ class PgOutputAssembler:
             keep = [i for i in range(len(new)) if i not in skip]
             change["columnnames"] = [names[i] for i in keep]
             change["columntypes"] = [types[i] for i in keep]
-            change["columnvalues"] = [new[i] for i in keep]
+            change["columnvalues"] = [
+                _cell_text(new[i], oids[i]) for i in keep
+            ]
         if old is not None:
             if old_marker == b"K":
                 # REPLICA IDENTITY DEFAULT/USING INDEX: the relation's
@@ -665,7 +884,7 @@ class PgOutputAssembler:
             change["oldkeys"] = {
                 "keynames": [names[i] for i in keep],
                 "keytypes": [types[i] for i in keep],
-                "keyvalues": [old[i] for i in keep],
+                "keyvalues": [_cell_text(old[i], oids[i]) for i in keep],
             }
         return [change]
 
@@ -679,6 +898,7 @@ def tail_pgoutput_to_drop_dir(
     idle_timeout_s: float | None = None,
     proto_version: int = 1,
     messages: bool = False,
+    binary: bool = False,
 ) -> int:
     """The pgoutput twin of lr_client.tail_to_drop_dir: stream with the
     built-in plugin, assemble one wal2json-shaped JSONL document per
@@ -763,6 +983,12 @@ def tail_pgoutput_to_drop_dir(
                 # (kind='message' changes; non-transactional ones emit
                 # as their own single-change document immediately)
                 options["messages"] = "on"
+            if binary:
+                # PG 14+: tuple cells arrive in the types' binary wire
+                # formats; the assembler converts each back to the
+                # canonical text output, so the written documents are
+                # byte-identical to a text-mode tail (live-pinned)
+                options["binary"] = "on"
             for msg in client.start(start_lsn, options=options):
                 if not isinstance(msg, XLogData):
                     continue
