@@ -1679,7 +1679,8 @@ def test_live_pgoutput_binary_mode_matches_text_mode_bytes(live, tmp_path):
             f"CREATE TABLE {tbl} (id int primary key, i2 smallint,"
             " i8 bigint, f4 real, f8 double precision, num numeric,"
             " t text, by bytea, bo boolean, d date, tm time,"
-            " ts timestamp, tsz timestamptz, u uuid, jb jsonb)"
+            " ts timestamp, tsz timestamptz, u uuid, jb jsonb,"
+            " ia int[], ta text[], na numeric[])"
         )
         ctl._simple_query(f"CREATE PUBLICATION {pub} FOR TABLE {tbl}")
         rep_txt.create_slot()
@@ -1699,19 +1700,25 @@ def test_live_pgoutput_binary_mode_matches_text_mode_bytes(live, tmp_path):
             f"  E'\\\\x00ff', true, DATE '2024-01-02', TIME '03:00:00.5',"
             f"  TIMESTAMP '2024-01-02 03:04:05.1', {tsz},"
             "  '01234567-89ab-cdef-0123-456789abcdef',"
-            "  '{\"a\":1,\"b\":[1,2]}'),"
+            "  '{\"a\":1,\"b\":[1,2]}',"
+            "  ARRAY[1,NULL,3],"
+            "  ARRAY['plain','a b','he\"llo','back\\slash','NULL',''],"
+            "  ARRAY[1.50, -0.00123]::numeric[]),"
             " (2, NULL, NULL, 'NaN', -0.0, -0.00123, NULL, NULL, false,"
-            "  NULL, NULL, NULL, NULL, NULL, NULL),"
+            "  NULL, NULL, NULL, NULL, NULL, NULL,"
+            "  '{}'::int[], NULL, NULL),"
             " (3, 0, 9223372036854775807, 3.14159, 1e15, 5.00, '',"
             "  E'\\\\x', NULL, NULL, TIME '23:59:59.999999',"
-            "  TIMESTAMP '2000-01-01 00:00:00', NULL, NULL, NULL),"
+            "  TIMESTAMP '2000-01-01 00:00:00', NULL, NULL, NULL,"
+            "  ARRAY[[1,2],[3,4]], NULL, NULL),"
             " (4, -32768, -9223372036854775808, 'Infinity', 1e16,"
             "  'NaN', 'x', NULL, NULL, DATE '1999-12-31', NULL,"
-            "  NULL, NULL, NULL, NULL),"
+            "  NULL, NULL, NULL, NULL, NULL, NULL, NULL),"
             " (5, 1, 2, -0.5, 0.0001, 0, 'y', NULL, NULL, NULL, NULL,"
-            "  NULL, NULL, NULL, NULL),"
+            "  NULL, NULL, NULL, NULL, NULL, NULL, NULL),"
             " (6, 1, 2, 1e-5, 0.00001, 1000000000.0001, 'z', NULL,"
-            "  NULL, NULL, NULL, NULL, NULL, NULL, NULL)"
+            "  NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,"
+            "  NULL)"
         )
         ctl._simple_query(
             f"UPDATE {tbl} SET f8 = 2.5, num = 7.25 WHERE id = 3; "

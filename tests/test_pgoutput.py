@@ -392,10 +392,46 @@ def test_binary_cell_of_unsupported_type_fails_loud():
     from warp_pipe_spark.pgoutput import PgOutputProtocolError
 
     asm = PgOutputAssembler()
-    rel = msg_relation(7002, "public", "arr", [(1, "a", 1007)])  # int4[]
+    rel = msg_relation(7002, "public", "m", [(1, "a", 790)])  # money
     feed_all(asm, [rel, msg_begin()])
-    with pytest.raises(PgOutputProtocolError, match="oid 1007"):
-        asm.feed(102, msg_insert_binary(7002, b"\x00\x00\x00\x01"))
+    with pytest.raises(PgOutputProtocolError, match="oid 790"):
+        asm.feed(102, msg_insert_binary(7002, b"\x00" * 8))
+
+
+def test_binary_mode_array_cells():
+    """Array binary wire format → array_out text: quoting rules,
+    NULL elements, multi-dim nesting, non-default lower bounds."""
+    from warp_pipe_spark.pgoutput import _pg_array_text
+
+    def arr(ndim, elem_oid, dims, elems):
+        b = struct.pack("!iii", ndim, 1, elem_oid)
+        for dlen, lb in dims:
+            b += struct.pack("!ii", dlen, lb)
+        for e in elems:
+            if e is None:
+                b += struct.pack("!i", -1)
+            else:
+                b += struct.pack("!i", len(e)) + e
+        return b
+
+    i = lambda n: struct.pack("!i", n)
+    assert _pg_array_text(arr(1, 23, [(3, 1)],
+                              [i(1), None, i(3)]), 23) == "{1,NULL,3}"
+    assert _pg_array_text(arr(0, 23, [], []), 23) == "{}"
+    # text quoting: specials, embedded quote/backslash, literal NULL
+    assert _pg_array_text(
+        arr(1, 25, [(5, 1)],
+            [b"plain", b"a b", b'he"llo', b"back\\slash", b"NULL"]),
+        25,
+    ) == '{plain,"a b","he\\"llo","back\\\\slash","NULL"}'
+    # 2-D nesting
+    assert _pg_array_text(
+        arr(2, 23, [(2, 1), (2, 1)], [i(1), i(2), i(3), i(4)]), 23
+    ) == "{{1,2},{3,4}}"
+    # non-default lower bound emits the dims prefix
+    assert _pg_array_text(
+        arr(1, 23, [(2, 0)], [i(7), i(8)]), 23
+    ) == "[0:1]={7,8}"
 
 
 def test_pg_float_text_formatting_rules():

@@ -348,16 +348,96 @@ _BINARY_DECODERS = {
 }
 
 
+#: array type oid → element type oid, for the scalar types above
+#: (pg_type.dat typarray links)
+_ARRAY_ELEM_OID = {
+    1000: 16, 1001: 17, 1002: 18, 1003: 19, 1016: 20, 1005: 21,
+    1007: 23, 1028: 26, 1009: 25, 199: 114, 1021: 700, 1022: 701,
+    1014: 1042, 1015: 1043, 1182: 1082, 1183: 1083, 1115: 1114,
+    1185: 1184, 1231: 1700, 2951: 2950, 3807: 3802,
+}
+
+
+def _array_elem_text(s: str) -> str:
+    """Quote one array element the way array_out does: quotes are
+    needed for the empty string, anything containing braces, the
+    delimiter, quote/backslash, whitespace, or the literal word NULL
+    (else it would read back as a NULL element)."""
+    if s == "" or s.upper() == "NULL" or any(
+        c in '{},"\\' or c.isspace() for c in s
+    ):
+        return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    return s
+
+
+def _pg_array_text(data: bytes, elem_oid: int) -> str:
+    """Array binary wire format → array_out text: ndim(4) hasnull(4)
+    elemtype(4), per-dim [len(4) lbound(4)], then row-major elements
+    as len(4)+bytes (-1 = NULL). Elements render through their own
+    binary decoder, then array quoting. Non-default lower bounds emit
+    the '[lb:ub]=' dims prefix, multi-dim arrays nest braces — both
+    exactly as array_out."""
+    ndim, _hasnull, wire_elem = struct.unpack_from("!iii", data)
+    if ndim == 0:
+        return "{}"
+    off = 12
+    dims = []
+    for _ in range(ndim):
+        dlen, lb = struct.unpack_from("!ii", data, off)
+        dims.append((dlen, lb))
+        off += 8
+    vals: list[str | None] = []
+    for _ in range(_prod(d for d, _ in dims)):
+        (ln,) = struct.unpack_from("!i", data, off)
+        off += 4
+        if ln == -1:
+            vals.append(None)
+        else:
+            vals.append(_binary_to_text(wire_elem or elem_oid,
+                                        data[off : off + ln]))
+            off += ln
+
+    def _render(dim_idx: int, flat: list) -> str:
+        if dim_idx == ndim - 1:
+            return "{" + ",".join(
+                "NULL" if v is None else _array_elem_text(v) for v in flat
+            ) + "}"
+        # split into dims[dim_idx] equal chunks of the remaining shape
+        chunk = len(flat) // dims[dim_idx][0]
+        return "{" + ",".join(
+            _render(dim_idx + 1, flat[i * chunk : (i + 1) * chunk])
+            for i in range(dims[dim_idx][0])
+        ) + "}"
+
+    body = _render(0, vals)
+    if any(lb != 1 for _, lb in dims):
+        prefix = "".join(
+            f"[{lb}:{lb + dlen - 1}]" for dlen, lb in dims
+        )
+        return prefix + "=" + body
+    return body
+
+
+def _prod(it) -> int:
+    n = 1
+    for x in it:
+        n *= x
+    return n
+
+
 def _binary_to_text(type_oid: int, data: bytes) -> str:
     dec = _BINARY_DECODERS.get(type_oid)
-    if dec is None:
-        raise PgOutputProtocolError(
-            f"binary-mode cell of type oid {type_oid} "
-            f"({_type_name(type_oid)}) has no binary decoder — tail "
-            "without binary=True for this table, or extend "
-            "_BINARY_DECODERS with the type's documented wire format"
-        )
-    return dec(data)
+    if dec is not None:
+        return dec(data)
+    elem = _ARRAY_ELEM_OID.get(type_oid)
+    if elem is not None:
+        return _pg_array_text(data, elem)
+    raise PgOutputProtocolError(
+        f"binary-mode cell of type oid {type_oid} "
+        f"({_type_name(type_oid)}) has no binary decoder — tail "
+        "without binary=True for this table, or extend "
+        "_BINARY_DECODERS with the type's documented wire format"
+    )
 
 
 def _cell_text(v: str | bytes | None, type_oid: int) -> str | None:
