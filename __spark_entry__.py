@@ -3489,12 +3489,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cs_kind_normalize": 11,
         # QUEUED FOR ROUND 12 (not a tag — a to-do): REGISTER
         # dedup.decontaminate (13-gram benchmark overlap vs a
-        # deterministic slice of documents) AND text.dedup_lines
-        # (C4-style cross-corpus line scrub) as query+oracle pairs.
-        # decontaminate shipped
-        # r11 pytest-only because the r11 window was exactly full
-        # (cs_truncate_replay + 7 tags + 42 r8-stale = 50) and a
-        # second new registration would have pushed an r8 re-earn out.
+        # deterministic slice of documents), text.dedup_lines
+        # (C4-style cross-corpus line scrub), AND
+        # text.repetition_signals (full Gopher §A1.1 suite; its exact
+        # DuckDB oracle is pre-validated against sf0.001 in
+        # test_dedup.py::test_repetition_signals_matches_duckdb_on_testdata)
+        # as query+oracle pairs. All three shipped r11 pytest-only
+        # because the r11 window was exactly full (cs_truncate_replay
+        # + 7 tags + 42 r8-stale = 50) and any new registration would
+        # have pushed an r8 re-earn out.
     }
 
     import glob as _glob

@@ -1077,3 +1077,131 @@ def test_dedup_lines_scrubs_cross_corpus_boilerplate(spark):
     assert got[1]["n_removed"] == 1 and got[2]["n_removed"] == 1
     assert got[3]["n_removed"] == 0
     assert got[1]["n_lines"] == 5
+
+
+def test_repetition_signals_hand_fixture(spark):
+    """Gopher §A1.1 repetition suite against hand-computed values.
+    docA exercises the line signals (one duplicated line), docB the
+    n-gram signals (6 identical tokens so every gram family is one
+    repeated gram); NULL/empty texts are excluded."""
+    from warp_pipe_spark.datapipe.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "foo\nfoo\nbar"),
+            (2, "w w w w w w"),
+            (3, None),
+            (4, ""),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r["doc_id"]: r.asDict() for r in repetition_signals(docs).collect()
+    }
+    assert set(got) == {1, 2}
+    a = got[1]
+    # lines: [foo, foo, bar] -> 1 of 3 duplicated; chars 9 total, 3 dup
+    assert a["n_chars"] == 11 and a["n_lines"] == 3
+    assert a["dup_line_frac_micro"] == 333333
+    assert a["dup_line_char_frac_micro"] == 333333
+    # single token => every n-gram family is the whole text once
+    assert a["top_2gram_char_frac_micro"] == 1000000
+    assert a["dup_5gram_char_frac_micro"] == 0
+    b = got[2]
+    assert b["n_chars"] == 11 and b["n_lines"] == 1
+    assert b["dup_line_frac_micro"] == 0
+    assert b["dup_line_char_frac_micro"] == 0
+    # 5x "w w" (len 3) -> 15e6 / 11; 4x len-5 3-grams; 3x len-7 4-grams
+    assert b["top_2gram_char_frac_micro"] == 1363636
+    assert b["top_3gram_char_frac_micro"] == 1818181
+    assert b["top_4gram_char_frac_micro"] == 1909090
+    # 2x "w w w w w" (len 9) duplicated 5-grams; 6-gram is unique
+    assert b["dup_5gram_char_frac_micro"] == 1636363
+    assert b["dup_6gram_char_frac_micro"] == 0
+    assert b["dup_10gram_char_frac_micro"] == 0
+
+
+def test_repetition_signals_matches_duckdb_on_testdata(spark):
+    """The r12-registration oracle, pre-validated on the real corpus:
+    the exact DuckDB SQL that will ship in oracle_sql() replays every
+    micro-fraction bit-for-bit at sf0.001."""
+    import duckdb
+
+    from warp_pipe_spark.datapipe.text import repetition_signals
+
+    pq = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(pq)
+    got = sorted(
+        (tuple(r) for r in repetition_signals(docs).collect())
+    )
+
+    def gram_cte(n):
+        sh = (
+            f"[array_to_string(t[i:i+{n-1}], ' ') "
+            f"FOR i IN range(1, greatest(len(t)-{n-1}, 1)+1)]"
+        )
+        return f"""
+    g{n} AS (SELECT doc_id, n_chars, unnest({sh}) AS g FROM tok),
+    gc{n} AS (SELECT doc_id, g, count(*) AS c, first(n_chars) AS n_chars
+              FROM g{n} GROUP BY doc_id, g),
+    per{n} AS (
+      SELECT doc_id,
+             max(ROW(c, length(g))) AS m,
+             CAST(sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END)
+                  AS BIGINT) AS dup_chars,
+             first(n_chars) AS n_chars
+      FROM gc{n} GROUP BY doc_id
+    )"""
+
+    ns = range(2, 11)
+    sql = (
+        """
+    WITH d AS (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
+      FROM read_parquet('"""
+        + pq
+        + """')
+      WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    tok AS (SELECT doc_id, n_chars, string_split(text, ' ') AS t FROM d),
+    l0 AS (SELECT doc_id,
+                  unnest(list_filter(string_split(text, chr(10)),
+                                     x -> length(x) > 0)) AS line
+           FROM d),
+    lc AS (SELECT doc_id, line, count(*) AS c FROM l0 GROUP BY 1, 2),
+    lstat AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_lines,
+             CAST(count(*) AS BIGINT) AS n_distinct_lines,
+             CAST(sum(c * length(line)) AS BIGINT) AS line_chars,
+             CAST(sum((c - 1) * length(line)) AS BIGINT) AS dup_line_chars
+      FROM lc GROUP BY doc_id
+    ),"""
+        + ",".join(gram_cte(n) for n in ns)
+        + """
+    SELECT d.doc_id, d.n_chars, n_lines,
+           ((n_lines - n_distinct_lines) * 1000000) // n_lines
+             AS dup_line_frac_micro,
+           (dup_line_chars * 1000000) // line_chars
+             AS dup_line_char_frac_micro,
+           """
+        + ", ".join(
+            f"(per{n}.m[1] * per{n}.m[2] * 1000000) // d.n_chars"
+            f" AS top_{n}gram_char_frac_micro"
+            for n in (2, 3, 4)
+        )
+        + ", "
+        + ", ".join(
+            f"(per{n}.dup_chars * 1000000) // d.n_chars"
+            f" AS dup_{n}gram_char_frac_micro"
+            for n in range(5, 11)
+        )
+        + """
+    FROM d
+    JOIN lstat USING (doc_id)
+    """
+        + " ".join(f"JOIN per{n} ON per{n}.doc_id = d.doc_id" for n in ns)
+    )
+    want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert len(got) == len(want) > 0
+    assert got == want

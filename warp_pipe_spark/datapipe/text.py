@@ -500,6 +500,131 @@ def fingerprints(docs: DataFrame, n: int = 5) -> DataFrame:
     )
 
 
+def repetition_signals(
+    docs: DataFrame,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """The FULL Gopher §A1.1 repetition suite (Rae et al. 2021) —
+    gopher_rules carries only the 2-gram duplicate mass; pre-training
+    pipelines gate on all of: duplicate-line fractions, the character
+    mass of the single most frequent {2,3,4}-gram, and the character
+    mass of duplicated {5..10}-grams. All ratios are exact integer
+    MICRO-fractions (value·10⁶ by BIGINT division), bit-replayable by
+    any engine. Deterministic definitions:
+
+      lines               non-empty '\\n' segments
+      dup_line_frac       (n_lines − n_distinct_lines) / n_lines
+      dup_line_char_frac  Σ_dup (c−1)·len(line) / Σ c·len(line)
+      top_{n}gram_char_frac  c*·len(g*) / n_chars, g* = the most
+                          frequent word n-gram (ties → longest)
+      dup_{n}gram_char_frac  Σ_{c>1} c·len(g) / n_chars
+
+    Docs with NULL or empty text are excluded (no denominator).
+
+    Plan at 100 TB: ONE tagged explode covers every n — each doc emits
+    (n, gram) rows for all nine n's in a single Generate, so the
+    per-n signals ride one groupBy(doc, n, gram) exchange with
+    map-side combine, one (doc, n) reduce, and one pivot to columns —
+    3 corpus-linear exchanges total instead of 9 explode+join chains
+    (the naive per-n formulation shuffles the corpus nine times and
+    joins nine doc-sized frames). Lines are a separate narrow pass
+    (2 exchanges) joined back on the already-partitioned doc_id.
+    No arrays of postings anywhere: a gram repeated c times is a
+    counter, never a c-element list. Zero Python.
+    """
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    base = docs.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select("doc_id", F.length("text").alias("n_chars"), "text")
+
+    def _tag(n: int) -> Column:
+        # NB: a two-arg lambda would receive (element, INDEX) from
+        # F.transform — the index, not a default-bound n
+        return F.transform(
+            shingles(F.col("text"), n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
+        )
+
+    tagged = F.flatten(F.array(*[_tag(n) for n in all_ns]))
+    rows = base.select(
+        "doc_id", "n_chars", F.explode(tagged).alias("x")
+    ).select("doc_id", "n_chars", "x.n", "x.g")
+    gc = rows.groupBy("doc_id", "n", "g").agg(
+        F.count("*").alias("c"), F.first("n_chars").alias("n_chars")
+    )
+    per = gc.groupBy("doc_id", "n").agg(
+        F.max(
+            F.struct(F.col("c").alias("c"), F.length("g").alias("l"))
+        ).alias("top"),
+        F.sum(
+            F.when(F.col("c") > 1, F.col("c") * F.length("g")).otherwise(
+                F.lit(0)
+            )
+        ).alias("dup_chars"),
+        F.first("n_chars").alias("n_chars"),
+    )
+    piv = (
+        per.select(
+            "doc_id",
+            "n_chars",
+            "n",
+            (F.col("top.c") * F.col("top.l")).alias("top_chars"),
+            "dup_chars",
+        )
+        .groupBy("doc_id", "n_chars")
+        .pivot("n", all_ns)
+        .agg(
+            F.first("top_chars").alias("top"),
+            F.first("dup_chars").alias("dup"),
+        )
+    )
+
+    lines = base.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.col("text"), "\n"), lambda s: F.length(s) > 0
+            )
+        ).alias("line"),
+    )
+    lc = lines.groupBy("doc_id", "line").agg(F.count("*").alias("c"))
+    lstat = lc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_lines"),
+        F.count("*").alias("n_distinct_lines"),
+        F.sum(F.col("c") * F.length("line")).alias("line_chars"),
+        F.sum((F.col("c") - 1) * F.length("line")).alias(
+            "dup_line_chars"
+        ),
+    )
+
+    out = piv.join(lstat, "doc_id")
+    cols = [
+        F.col("doc_id"),
+        F.col("n_chars"),
+        F.col("n_lines"),
+        F.expr(
+            "((n_lines - n_distinct_lines) * 1000000) div n_lines"
+        ).alias("dup_line_frac_micro"),
+        F.expr("(dup_line_chars * 1000000) div line_chars").alias(
+            "dup_line_char_frac_micro"
+        ),
+    ]
+    for n in top_ns:
+        cols.append(
+            F.expr(f"(`{n}_top` * 1000000) div n_chars").alias(
+                f"top_{n}gram_char_frac_micro"
+            )
+        )
+    for n in dup_ns:
+        cols.append(
+            F.expr(f"(`{n}_dup` * 1000000) div n_chars").alias(
+                f"dup_{n}gram_char_frac_micro"
+            )
+        )
+    return out.select(*cols)
+
+
 def dedup_lines(
     docs: DataFrame, min_docs: int = 2, sep: str = "\n"
 ) -> DataFrame:
