@@ -465,6 +465,17 @@ def main() -> None:
     compact_minhash_index(spark, mh_dir)
     aux["mhidx_compact"] = round(time.time() - t0, 3)
 
+    # full Gopher repetition suite (r11, registration queued for r12):
+    # tracked as aux until it has a driver row so the 9-family explode
+    # cost is visible per round (SCALE.md round 11: corpus-linear)
+    from warp_pipe_spark.datapipe.text import repetition_signals
+
+    t0 = time.time()
+    repetition_signals(docs).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    aux["repsig_suite"] = round(time.time() - t0, 3)
+
     # keyset-poll split (VERDICT r5 item 6): the registered
     # cs_keyset_poll_stream is a full drain-from-empty soak, opaque as
     # one number. Time each poll→sink→offset round separately: the
