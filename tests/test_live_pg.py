@@ -1766,3 +1766,74 @@ def test_live_pgoutput_binary_mode_matches_text_mode_bytes(live, tmp_path):
                 rep.close()
             except Exception:
                 pass
+
+
+def test_live_publication_column_list_prunes_at_the_server(live, spark, tmp_path):
+    """PG 15 publication COLUMN LISTS: `FOR TABLE t (id, val)` makes
+    the server send Relation messages carrying ONLY the listed columns
+    — P8's projection pushdown executed inside the database, the
+    column analogue of the row-filter test. The decoder must register
+    the narrowed relation and emit changes without the unpublished
+    column, and an UPDATE touching only an unpublished column still
+    arrives (with the published image)."""
+    from warp_pipe_spark.decoders import decode_wal2json
+    from warp_pipe_spark.pgoutput import tail_pgoutput_to_drop_dir
+
+    ctl, _, tbl = live
+    pub = f"wp_pub_collist_{os.getpid()}"
+    rep = _client(f"wp_live_collist_{os.getpid()}")
+    rep.plugin = "pgoutput"
+    rep.connect()
+    try:
+        ctl._simple_query(
+            f"CREATE TABLE {tbl} (id int primary key, val text,"
+            " secret text)"
+        )
+        ctl._simple_query(
+            f"CREATE PUBLICATION {pub} FOR TABLE {tbl} (id, val)"
+        )
+        rep.create_slot()
+        ctl._simple_query(
+            f"INSERT INTO {tbl} VALUES (1, 'a', 'hidden'); "
+            f"UPDATE {tbl} SET secret = 'still hidden' WHERE id = 1; "
+            f"UPDATE {tbl} SET val = 'a2' WHERE id = 1"
+        )
+        drop = str(tmp_path / "drop")
+        n = tail_pgoutput_to_drop_dir(
+            rep, drop, publication=pub, max_changes=3, idle_timeout_s=10.0
+        )
+        assert n == 3
+        out = decode_wal2json(
+            spark.read.text(drop).withColumnRenamed("value", "message")
+        ).orderBy("id").collect()
+        assert [r["kind"] for r in out] == ["insert", "update", "update"]
+
+        def cols(r):
+            return [(c["column"], c["value"]) for c in r["new_values"]]
+
+        # the unpublished column never reaches the wire — in ANY change
+        assert cols(out[0]) == [("id", "1"), ("val", "a")]
+        assert cols(out[1]) == [("id", "1"), ("val", "a")]
+        assert cols(out[2]) == [("id", "1"), ("val", "a2")]
+    finally:
+        try:
+            rep.drop_slot()
+        except Exception:
+            try:
+                rep.close()
+            except Exception:
+                pass
+            for _ in range(5):
+                try:
+                    ctl._simple_query(f"DROP_REPLICATION_SLOT {rep.slot}")
+                    break
+                except Exception:
+                    time.sleep(0.5)
+        try:
+            ctl._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+        except Exception:
+            pass
+        try:
+            rep.close()
+        except Exception:
+            pass
