@@ -3494,7 +3494,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text.repetition_signals (full Gopher §A1.1 suite; its exact
         # DuckDB oracle is pre-validated against sf0.001 in
         # test_dedup.py::test_repetition_signals_matches_duckdb_on_testdata)
-        # as query+oracle pairs. All three shipped r11 pytest-only
+        # AND sampling.select_token_budget (budgeted data selection;
+        # oracle = the global-window SQL pre-validated in
+        # test_retrieval_clustering.py)
+        # as query+oracle pairs. All four shipped r11 pytest-only
         # because the r11 window was exactly full (cs_truncate_replay
         # + 7 tags + 42 r8-stale = 50) and any new registration would
         # have pushed an r8 re-earn out.

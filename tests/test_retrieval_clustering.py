@@ -490,3 +490,88 @@ def test_pack_chunks_null_text_excluded_not_poisoned(spark):
             map(tuple, fn(without, n_shards=2, chunk_tokens=4, **kw).collect())
         )
         assert a == b
+
+
+def test_select_token_budget_hand_fixture(spark):
+    """Budgeted selection == the textbook global window
+    sum(tok) OVER (ORDER BY score DESC, doc_id) <= budget, computed
+    without the global sort. Boundary-bin greediness: an overflowing
+    doc STOPS the fill inside its score bin (no skipping)."""
+    from warp_pipe_spark.datapipe.sampling import select_token_budget
+
+    rows = [
+        # (doc_id, score, n_tokens)
+        (1, 3, 10),   # cum 10  -> keep (bin 3 fully fits)
+        (2, 3, 10),   # cum 20  -> keep
+        (3, 2, 15),   # cum 35  -> keep (boundary bin: fits)
+        (4, 2, 20),   # cum 55  -> over 40: stops the fill
+        (5, 2, 1),    # after the stop -> dropped despite fitting
+        (6, 1, 1),    # budget spent -> drop bin
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, score LONG, n_tokens LONG")
+    got = {
+        r["doc_id"]: r["keep"]
+        for r in select_token_budget(df, budget=40).collect()
+    }
+    assert got == {1: True, 2: True, 3: True, 4: False, 5: False, 6: False}
+    # budget exactly at a bin edge: the whole bin keeps, next bin drops
+    got2 = {
+        r["doc_id"]: r["keep"]
+        for r in select_token_budget(df, budget=20).collect()
+    }
+    assert got2 == {1: True, 2: True, 3: False, 4: False, 5: False, 6: False}
+
+
+def test_select_token_budget_matches_global_window_on_testdata(spark):
+    """Equivalence to the naive global-window formulation on the real
+    corpus, scored by quality_scores (integer-ish micro bins), via the
+    r12-registration DuckDB oracle."""
+    import duckdb
+
+    from warp_pipe_spark.datapipe.sampling import select_token_budget
+    from warp_pipe_spark.datapipe.text import quality_scores
+
+    pq = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(pq).filter("text IS NOT NULL")
+    scored = quality_scores(docs).select(
+        "doc_id", (F.col("quality_score") * 10).cast("long").alias("score"),
+        "n_tokens",
+    )
+    budget = 20_000
+    got = sorted(
+        (r["doc_id"], r["keep"])
+        for r in select_token_budget(scored, budget).collect()
+    )
+    want = sorted(
+        (int(d), bool(k))
+        for d, k in duckdb.sql(
+            f"""
+        WITH tok AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                 text, length(text) AS n_chars
+          FROM read_parquet('{pq}') WHERE text IS NOT NULL
+        ),
+        q AS (
+          SELECT doc_id, n_tokens,
+            CAST((
+              (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.4 ELSE 0 END
+               + CASE WHEN round(len(list_filter(string_split(text,' '),
+                     x -> x IN ('a','the')))::DOUBLE / n_tokens, 6) <= 0.3
+                 THEN 0.3 ELSE 0 END
+               + CASE WHEN round(length(regexp_replace(text,'[a-z0-9 ]','','g'))::DOUBLE
+                     / n_chars, 6) <= 0.1 THEN 0.2 ELSE 0 END
+               + CASE WHEN round((n_chars - (n_tokens-1))::DOUBLE / n_tokens, 6) >= 3.0
+                 THEN 0.1 ELSE 0 END) * 10) AS BIGINT) AS score
+          FROM tok
+        )
+        SELECT doc_id,
+               sum(n_tokens) OVER (ORDER BY score DESC, doc_id)
+                 <= {budget} AS keep
+        FROM q
+        """
+        ).fetchall()
+    )
+    assert len(got) == len(want) > 0
+    assert got == want
+    n_keep = sum(1 for _, k in got if k)
+    assert 0 < n_keep < len(got)  # the budget actually bites

@@ -287,3 +287,81 @@ def weighted_priority_sample(
         .orderBy(F.col("priority").asc(), F.col("id").asc())
         .limit(top_k)
     )
+
+
+def select_token_budget(
+    scored: DataFrame,
+    budget: int,
+    score_col: str = "score",
+    tok_col: str = "n_tokens",
+) -> DataFrame:
+    """Data selection under a token budget — the final step of corpus
+    curation: keep the highest-scoring documents whose cumulative token
+    count fits `budget`. Semantically identical to the textbook global
+    window
+
+        keep := sum(tok) OVER (ORDER BY score DESC, doc_id) <= budget
+
+    but computed WITHOUT a global single-partition sort, which is the
+    scale-killer in the naive form (Window.orderBy with no partitionBy
+    funnels 100 TB through one task). Two-stage exact equivalent:
+
+      1. aggregate token mass per DISTINCT SCORE (one corpus-linear
+         groupBy); a window over the score bins — |distinct scores|
+         rows, tiny for the integer/micro-fraction scores the quality
+         ops emit — classifies each bin as fully-kept (its cumulative
+         mass fits), fully-dropped (the budget was already spent), or
+         THE boundary bin (at most one).
+      2. broadcast-join the three-way verdict back (map-side) and
+         rank per-doc ONLY inside the boundary bin, with a window
+         PARTITIONED by score — bounded by one bin's docs, never the
+         corpus.
+
+    Contract: the stage-1 window is |distinct scores|-sized — with
+    continuous per-doc-unique scores it degrades back to a global
+    sort; pre-quantize such scores (the house micro-fraction integers
+    make bins ~10⁶ max). Ties inside a score resolve by doc_id
+    ascending, greedy without skipping: a boundary doc that overflows
+    the remainder stops the fill even if a smaller doc follows —
+    deterministic and exactly the global-window semantics.
+
+    Returns the input rows plus `keep`.
+    """
+    s, t = F.col(score_col), F.col(tok_col)
+    bins = scored.groupBy(score_col).agg(F.sum(t).alias("_btok"))
+    wb = (
+        Window.orderBy(F.desc(score_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bins = bins.select(
+        score_col,
+        F.coalesce(F.sum("_btok").over(wb), F.lit(0)).alias("_before"),
+        "_btok",
+    ).select(
+        score_col,
+        "_before",
+        (F.col("_before") + F.col("_btok")).alias("_after"),
+    )
+    verdict = bins.select(
+        score_col,
+        "_before",
+        F.when(F.col("_after") <= budget, F.lit("keep"))
+        .when(F.col("_before") >= budget, F.lit("drop"))
+        .otherwise(F.lit("boundary"))
+        .alias("_verdict"),
+    )
+    joined = scored.join(F.broadcast(verdict), score_col)
+    decided = joined.filter(F.col("_verdict") != "boundary").withColumn(
+        "keep", F.col("_verdict") == "keep"
+    )
+    wd = (
+        Window.partitionBy(score_col)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the filter FIRST: the per-doc window's input is one bin's docs,
+    # never the corpus (fully-decided bins skip the sort entirely)
+    boundary = joined.filter(F.col("_verdict") == "boundary").withColumn(
+        "keep", F.col("_before") + F.sum(t).over(wd) <= budget
+    )
+    return decided.unionByName(boundary).drop("_verdict", "_before")
