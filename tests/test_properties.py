@@ -416,3 +416,104 @@ def test_gate_sink_converges_for_any_batch_split(spark, tmp_path_factory, split)
     acc = sink.accepted()
     got = {r["doc_id"] for r in acc.collect()} if acc is not None else set()
     assert got == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.floats(allow_nan=True, allow_infinity=True))
+def test_pg_float_text_round_trips_float8(v):
+    """_pg_float_text must emit a string PG (and Python) parse back to
+    the EXACT same double — shortest-round-trip is the wire contract
+    binary mode shares with the server's own Ryu output. Surface form
+    (notation windows) is pinned against live PG elsewhere; this pins
+    the value fidelity for arbitrary doubles."""
+    import math
+
+    from warp_pipe_spark.pgoutput import _pg_float_text
+
+    s = _pg_float_text(v)
+    if math.isnan(v):
+        assert s == "NaN"
+        return
+    if math.isinf(v):
+        assert s == ("Infinity" if v > 0 else "-Infinity")
+        return
+    assert float(s) == v
+    # PG never prints a trailing '.0' or a one-digit exponent
+    assert not s.endswith(".0")
+    if "e" in s:
+        assert len(s.split("e")[1].lstrip("+-")) >= 2
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(-(2**31), 2**31 - 1).map(lambda x: x / 10**4))
+def test_pg_float_text_round_trips_float4(v):
+    import struct
+
+    from warp_pipe_spark.pgoutput import _pg_float_text
+
+    f4 = struct.unpack("!f", struct.pack("!f", v))[0]
+    s = _pg_float_text(f4, single=True)
+    # parsing back through float4 must reproduce the same float4
+    assert struct.unpack("!f", struct.pack("!f", float(s)))[0] == f4
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.decimals(
+        allow_nan=False,
+        allow_infinity=False,
+        min_value=-(10**40),
+        max_value=10**40,
+        places=12,
+    )
+)
+def test_pg_numeric_binary_round_trips(d):
+    """Encode a Decimal in numeric's base-10000 wire format the way
+    numeric_send does, decode with _pg_numeric_text, and require the
+    canonical text PG itself would print (Decimal-equal AND
+    dscale-exact)."""
+    import struct as _struct
+    from decimal import Decimal
+
+    from warp_pipe_spark.pgoutput import _pg_numeric_text
+
+    sign, digits, exp = d.as_tuple()
+    dscale = max(0, -exp)
+    # digit string straight from the tuple: abs()/format() round
+    # through the 28-digit decimal CONTEXT and can silently drop a
+    # 29th significant digit (hypothesis found exactly that)
+    digs = "".join(map(str, digits))
+    if exp < 0:
+        if len(digs) > -exp:
+            ip, fp = digs[:exp], digs[exp:]
+        else:
+            ip, fp = "", digs.rjust(-exp, "0")
+    else:
+        ip, fp = digs + "0" * exp, ""
+    ip = ip.lstrip("0") or ""
+    # pad integer part to a multiple of 4 on the left, fraction on the
+    # right
+    ip_pad = ("0" * ((4 - len(ip) % 4) % 4)) + ip
+    fp_pad = fp + ("0" * ((4 - len(fp) % 4) % 4))
+    groups = [
+        int(ip_pad[i : i + 4]) for i in range(0, len(ip_pad), 4)
+    ] + [int(fp_pad[i : i + 4]) for i in range(0, len(fp_pad), 4)]
+    weight = len(ip_pad) // 4 - 1 if ip else -1
+    # numeric_send strips leading/trailing ZERO groups (adjusting
+    # weight for leading ones)
+    while groups and groups[0] == 0:
+        groups.pop(0)
+        weight -= 1
+    while groups and groups[-1] == 0:
+        groups.pop()
+    if not groups:
+        weight = 0
+        sign = 0  # PG numeric has no negative zero on the wire
+    payload = _struct.pack(
+        "!hhHH", len(groups), weight, 0x4000 if sign else 0x0000, dscale
+    ) + _struct.pack(f"!{len(groups)}H", *groups)
+    out = _pg_numeric_text(payload)
+    assert Decimal(out) == d
+    # dscale governs printed fraction digits exactly
+    frac = out.partition(".")[2]
+    assert len(frac) == dscale
