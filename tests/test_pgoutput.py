@@ -1163,3 +1163,21 @@ def test_tail_never_confirms_past_an_undecided_prepare(tmp_path):
     assert c.flushed_lsn == floor, (c.flushed_lsn, floor)
     c.close()
     srv.thread.join(5)
+
+
+def test_binary_date_outside_python_year_range_fails_loud():
+    """PG dates span 4713 BC..5874897 AD; Python's stop at 9999. A
+    binary date cell beyond that raises a NAMED protocol error (text
+    mode renders such values fine — the fix is one flag) instead of a
+    bare ValueError mid-tail."""
+    from warp_pipe_spark.pgoutput import (
+        PgOutputProtocolError,
+        _pg_date_text,
+        _pg_timestamp_text,
+    )
+
+    assert _pg_date_text(0x7FFFFFFF) == "infinity"
+    with pytest.raises(PgOutputProtocolError, match="year range"):
+        _pg_date_text(4_000_000)  # ~year 12950
+    with pytest.raises(PgOutputProtocolError, match="year range"):
+        _pg_timestamp_text(4_000_000 * 86_400_000_000)

@@ -298,7 +298,18 @@ def _pg_date_text(days: int) -> str:
         return "infinity"
     if days == -0x80000000:
         return "-infinity"
-    return _dt.date.fromordinal(_PG_EPOCH_ORDINAL + days).isoformat()
+    try:
+        return _dt.date.fromordinal(_PG_EPOCH_ORDINAL + days).isoformat()
+    except (ValueError, OverflowError):
+        # PG dates span 4713 BC..5874897 AD; Python's stop at year
+        # 9999. Rendering one of those wrong would corrupt the tail —
+        # name the gap instead.
+        raise PgOutputProtocolError(
+            f"binary-mode date/timestamp {days} days from 2000-01-01 "
+            "is outside Python's year range (1..9999) — this renderer "
+            "cannot produce PG's text form for it; tail without "
+            "binary=True for this table"
+        )
 
 
 def _pg_timestamp_text(us: int, tz_suffix: str = "") -> str:
