@@ -1837,3 +1837,115 @@ def test_live_publication_column_list_prunes_at_the_server(live, spark, tmp_path
             rep.close()
         except Exception:
             pass
+
+
+def test_live_pgoutput_v2_streaming_with_binary_tuples(live, tmp_path):
+    """Options COMPOSE: proto_version=2 (streamed in-progress
+    transactions) + binary 'on' together — content messages inside
+    S/E blocks carry both the leading xid AND binary cells, and the
+    decoder must produce the identical document a plain text-mode v1
+    tail yields for the same WAL (typed battery riding a 3000-row
+    streamed transaction so the stream path actually engages)."""
+    from warp_pipe_spark.lr_client import XLogData
+    from warp_pipe_spark.pgoutput import (
+        PgOutputAssembler,
+        tail_pgoutput_to_drop_dir,
+    )
+
+    ctl, _, tbl = live
+    pub = f"wp_pub_v2b_{os.getpid()}"
+    rep_bin = _client(f"wp_live_v2b_{os.getpid()}")
+    rep_txt = _client(f"wp_live_v2t_{os.getpid()}")
+    for r in (rep_bin, rep_txt):
+        r.plugin = "pgoutput"
+        r.connect()
+    try:
+        rep_bin._simple_query("SET logical_decoding_work_mem = '64kB'")
+        ctl._simple_query(
+            f"CREATE TABLE {tbl} (doc_id int primary key, f8 double"
+            " precision, num numeric, d date, body text)"
+        )
+        ctl._simple_query(f"CREATE PUBLICATION {pub} FOR TABLE {tbl}")
+        rep_bin.create_slot()
+        rep_txt.create_slot()
+        ctl._simple_query(
+            f"INSERT INTO {tbl} "
+            "SELECT g, g * 0.1, g * 1.5, DATE '2024-01-01' + g % 300,"
+            " repeat('x', 120) || g::text "
+            "FROM generate_series(1, 3000) g"
+        )
+        # binary + streaming tail, frame kinds observed on the wire
+        asm = PgOutputAssembler(proto_version=2)
+        seen = set()
+        sock = rep_bin._conn.sock
+        prev = sock.gettimeout()
+        sock.settimeout(30.0)
+        try:
+            for msg in rep_bin.start(
+                0,
+                options={
+                    "proto_version": "2",
+                    "publication_names": pub,
+                    "streaming": "on",
+                    "binary": "on",
+                },
+            ):
+                if not isinstance(msg, XLogData):
+                    continue
+                seen.add(msg.payload[:1])
+                asm.feed(msg.wal_start, msg.payload)
+                if asm.docs:
+                    break
+        finally:
+            try:
+                sock.settimeout(prev)
+            except OSError:
+                pass
+        assert b"S" in seen and b"c" in seen  # really streamed
+        (bin_doc,) = asm.take_docs()
+        assert len(bin_doc["change"]) == 3000
+
+        # plain v1 text-mode tail over the SAME WAL from the twin slot
+        drop = str(tmp_path / "drop_txt")
+        n = tail_pgoutput_to_drop_dir(
+            rep_txt, drop, publication=pub, max_changes=3000,
+            idle_timeout_s=15.0,
+        )
+        assert n == 3000
+        txt_lines = []
+        for name in sorted(os.listdir(drop)):
+            with open(os.path.join(drop, name)) as f:
+                txt_lines.extend(f.read().splitlines())
+        txt_changes = [
+            c for ln in txt_lines for c in json.loads(ln)["change"]
+        ]
+        # identical VALUES change-by-change (ids equal too: same WAL
+        # positions; nextlsn differs — stream-commit's end_lsn vs the
+        # v1 commit's — so compare the change lists, not the envelope)
+        assert txt_changes == bin_doc["change"]
+    finally:
+        for rep in (rep_bin, rep_txt):
+            try:
+                rep.drop_slot()
+            except Exception:
+                try:
+                    rep.close()
+                except Exception:
+                    pass
+                for _ in range(5):
+                    try:
+                        ctl._simple_query(
+                            f"DROP_REPLICATION_SLOT {rep.slot}"
+                        )
+                        break
+                    except Exception:
+                        time.sleep(0.5)
+        try:
+            ctl._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+        except Exception:
+            pass
+        for rep in (rep_bin, rep_txt):
+            try:
+                rep.close()
+            except Exception:
+                pass
