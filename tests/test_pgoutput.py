@@ -1181,3 +1181,14 @@ def test_binary_date_outside_python_year_range_fails_loud():
         _pg_date_text(4_000_000)  # ~year 12950
     with pytest.raises(PgOutputProtocolError, match="year range"):
         _pg_timestamp_text(4_000_000 * 86_400_000_000)
+
+
+def test_jsonb_binary_unknown_version_fails_loud():
+    from warp_pipe_spark.pgoutput import (
+        PgOutputProtocolError,
+        _binary_to_text,
+    )
+
+    assert _binary_to_text(3802, b"\x01" + b"[1]") == "[1]"
+    with pytest.raises(PgOutputProtocolError, match="jsonb binary version"):
+        _binary_to_text(3802, b"\x02" + b"[1]")

@@ -327,6 +327,18 @@ def _int_cell(data: bytes) -> str:
     return str(int.from_bytes(data, "big", signed=True))
 
 
+def _jsonb_text(data: bytes) -> str:
+    if not data or data[0] != 1:
+        # jsonb_send prefixes its (currently only) wire version; a
+        # different byte means a format we cannot strip blindly
+        raise PgOutputProtocolError(
+            f"jsonb binary version {data[0] if data else '<empty>'} "
+            "is not the known version 1 — refusing to strip an "
+            "unknown header"
+        )
+    return data[1:].decode()
+
+
 #: oid → binary-wire-format-to-canonical-text decoder. Each mirrors the
 #: type's <type>send/<type>out pair in the public PG source; the live
 #: suite pins binary-mode output byte-identical to a text-mode tail.
@@ -351,7 +363,7 @@ _BINARY_DECODERS = {
     1184: lambda d: _pg_timestamp_text(struct.unpack("!q", d)[0], "+00"),
     1700: _pg_numeric_text,
     # jsonb: version byte (1) then the canonical jsonb text form
-    3802: lambda d: d[1:].decode(),
+    3802: lambda d: _jsonb_text(d),
     2950: lambda d: "-".join(
         (d.hex()[:8], d.hex()[8:12], d.hex()[12:16], d.hex()[16:20],
          d.hex()[20:])
