@@ -235,3 +235,48 @@ def test_redelivery_after_compaction_stays_correct(spark, tmp_path):
     sink.compact()
     sink(b0.repartition(4), 0)  # redelivery post-compaction
     assert {tuple(r) for r in sink.accepted().collect()} == want
+
+
+def test_train_quality_model_learns_a_separable_corpus(spark):
+    """Batch logistic regression over hashed token features: on a
+    linearly separable fixture (spam tokens vs ham tokens) the loss
+    must fall monotonically-ish and the trained weights must classify
+    the training docs perfectly through apply_quality_model — which
+    shares the exact featurization, so train->apply composes."""
+    from warp_pipe_spark.datapipe.text import (
+        apply_quality_model,
+        train_quality_model,
+    )
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "good clean prose words here", 1))
+        rows.append((100 + i, "buy spam casino pills now", 0))
+    labeled = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, label INT"
+    )
+    w, hist = train_quality_model(labeled, dims=64, iters=6, lr=1.0)
+    assert len(hist) == 6
+    assert hist[-1][1] < hist[0][1]  # loss decreased
+    out = {
+        r["doc_id"]: r["keep"]
+        for r in apply_quality_model(labeled, w).collect()
+    }
+    assert all(out[i] for i in range(20))
+    assert not any(out[100 + i] for i in range(20))
+
+
+def test_apply_quality_model_plan_broadcasts_weights(spark):
+    """The apply path must stay one corpus groupBy + a broadcast join
+    — no SortMergeJoin, no dims-sized literal in the plan."""
+    import numpy as np
+
+    from warp_pipe_spark.datapipe.text import apply_quality_model
+
+    docs = spark.createDataFrame(
+        [(1, "a b c")], "doc_id LONG, text STRING"
+    )
+    df = apply_quality_model(docs, np.ones(64))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -408,6 +408,136 @@ def quality_model_score(docs: DataFrame, dims: int = 4096) -> DataFrame:
     )
 
 
+def train_quality_model(
+    labeled: DataFrame,
+    dims: int = 4096,
+    iters: int = 5,
+    lr: float = 0.5,
+    reg: float = 0.0,
+):
+    """TRAIN the quality classifier in-engine — the counterpart of
+    quality_model_score, which only APPLIES fixed weights. Batch
+    logistic regression over the same hashing-trick features
+    (bucket = h32(token) mod dims, count-valued), so the trained
+    vector drops straight into apply_quality_model's fold.
+
+    Input: (doc_id, text, label) with label in {0, 1} (1 = keep).
+    Returns (weights: numpy float64[dims], history: [(iter, logloss)]).
+
+    Per iteration, two corpus-linear passes and zero corpus-sized
+    driver traffic (the kmeans discipline — clustering.py):
+      1. score: exploded (doc, bucket) rows broadcast-join the
+         dims-row weight table, groupBy(doc) sums — residual
+         r = sigmoid(score) − label lands in a doc-sized frame;
+      2. gradient: the same exploded rows join the residual on doc_id
+         (co-keyed shuffle) and groupBy(bucket) sums r — the ONLY
+         collect is the dims-sized gradient.
+    Weights update driver-side in numpy: w −= lr·(g/n + reg·w).
+    State is one dims-float vector broadcast per iteration, never
+    corpus-sized; iterations are a driver-bounded loop exactly like
+    Lloyd's in emb_kmeans. No oracle (float sigmoid; the driver
+    registry carries the deterministic apply path instead) — pinned by
+    convergence tests on a separable fixture.
+    """
+    import math
+
+    import numpy as np
+
+    spark = labeled.sparkSession
+    feats = labeled.select(
+        "doc_id",
+        F.col("label").cast("double").alias("label"),
+        F.explode(_tokens(F.col("text"))).alias("t"),
+    ).select(
+        "doc_id", "label", (h32(F.col("t")) % dims).alias("bucket")
+    )
+    # counts per (doc, bucket): one map-side-combinable aggregation,
+    # reused by every iteration (cache the narrow frame)
+    fx = feats.groupBy("doc_id", "label", "bucket").agg(
+        F.count("*").cast("double").alias("x")
+    )
+    fx.persist()
+    try:
+        n_docs = fx.select("doc_id").distinct().count()
+        w = np.zeros(dims, dtype=np.float64)
+        history: list[tuple[int, float]] = []
+        for it in range(iters):
+            wdf = F.broadcast(
+                spark.createDataFrame(
+                    [(int(b), float(w[b])) for b in range(dims)],
+                    "bucket INT, w DOUBLE",
+                )
+            )
+            scored = (
+                fx.join(wdf, "bucket")
+                .groupBy("doc_id", "label")
+                .agg(F.sum(F.col("x") * F.col("w")).alias("s"))
+            )
+            resid = scored.select(
+                "doc_id",
+                "label",
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("s"))) - F.col(
+                    "label"
+                )).alias("r"),
+                F.col("s"),
+            )
+            resid.persist()
+            try:
+                loss = resid.select(
+                    F.avg(
+                        F.when(
+                            F.col("label") > 0.5,
+                            F.log1p(F.exp(-F.col("s"))),
+                        ).otherwise(F.log1p(F.exp(F.col("s"))))
+                    ).alias("ll")
+                ).collect()[0]["ll"]
+                grad_rows = (
+                    fx.join(resid.select("doc_id", "r"), "doc_id")
+                    .groupBy("bucket")
+                    .agg(F.sum(F.col("x") * F.col("r")).alias("g"))
+                    .collect()
+                )
+            finally:
+                resid.unpersist()
+            g = np.zeros(dims, dtype=np.float64)
+            for row in grad_rows:
+                g[row["bucket"]] = row["g"]
+            w -= lr * (g / max(n_docs, 1) + reg * w)
+            history.append((it, float(loss) if loss is not None else math.nan))
+    finally:
+        fx.unpersist()
+    return w, history
+
+
+def apply_quality_model(docs: DataFrame, weights) -> DataFrame:
+    """Apply a trained weight vector (train_quality_model) at corpus
+    scale: exploded tokens broadcast-join the dims-row weight table,
+    one groupBy(doc) sum — the distributed-robust shape (a dims-sized
+    literal array in the plan would bloat codegen; a broadcast join
+    keeps the vector off the expression tree). Returns
+    (doc_id, n_tokens, score, keep)."""
+    spark = docs.sparkSession
+    dims = len(weights)
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            [(int(b), float(weights[b])) for b in range(dims)],
+            "bucket INT, w DOUBLE",
+        )
+    )
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("t")
+    ).select("doc_id", (h32(F.col("t")) % dims).alias("bucket"))
+    scored = (
+        toks.join(wdf, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("w").alias("score"),
+        )
+    )
+    return scored.withColumn("keep", F.col("score") > 0)
+
+
 def bpe_pair_counts(docs: DataFrame, top_k: int = 50) -> DataFrame:
     """One iteration of BPE tokenizer training: adjacent character-pair
     counts weighted by word frequency — the argmax pair is the next
