@@ -377,3 +377,120 @@ def test_media_n_bytes_is_byte_length_not_char_length(spark):
     )
     for r in media_from_documents(docs).collect():
         assert r["meta"]["n_bytes"] == len(r["content"]), r
+
+
+def test_png_round_trip_all_five_filters():
+    """Encode with each scanline filter (None/Sub/Up/Average/Paeth),
+    decode, require pixel-exact recovery — five forward filters
+    proving five inverse filters, not just filter-0 passthrough."""
+    from warp_pipe_spark.datapipe.multimodal import (
+        png_decode,
+        png_encode,
+        synth_pixels,
+    )
+
+    px = synth_pixels(7, 23, 11)  # odd dims: stride edge cases
+    for f in range(5):
+        blob = png_encode(px, row_filter=f)
+        out = png_decode(blob)
+        assert out.shape == (11, 23, 3), f
+        assert (out == px).all(), f"filter {f} corrupted pixels"
+
+
+def test_png_decode_validates_crc_and_signature():
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from warp_pipe_spark.datapipe.multimodal import (
+        png_decode,
+        png_encode,
+        synth_pixels,
+    )
+
+    blob = bytearray(png_encode(synth_pixels(1, 4, 4)))
+    with _pytest.raises(ValueError, match="signature"):
+        png_decode(b"\x89PNX" + bytes(blob[4:]))
+    # flip one IDAT byte: the chunk CRC must catch it
+    idat_at = bytes(blob).index(b"IDAT")
+    blob[idat_at + 6] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        png_decode(bytes(blob))
+
+
+def test_image_decode_sniffs_bmp_and_png_identically():
+    """The same pixels encoded as BMP and as PNG must decode to the
+    same array through the magic-sniffing image_decode — which makes
+    every image op (avg_hash, tiles, resize) codec-agnostic without
+    touching their oracles (BMP inputs keep the BMP path)."""
+    from warp_pipe_spark.datapipe.multimodal import (
+        bmp_encode,
+        image_decode,
+        png_encode,
+        synth_pixels,
+    )
+
+    px = synth_pixels(3, 17, 9)
+    assert (image_decode(bmp_encode(px)) == px).all()
+    assert (image_decode(png_encode(px, row_filter=4)) == px).all()
+
+
+def test_avg_hash_is_codec_invariant(spark):
+    """avg_hash over a PNG-encoded corpus equals avg_hash over the
+    BMP-encoded corpus of the SAME synthetic pixels — the perceptual
+    hash sees pixels, never container bytes."""
+    import pandas as pd
+
+    from warp_pipe_spark.datapipe.multimodal import (
+        avg_hash,
+        bmp_dims,
+        bmp_encode,
+        png_encode,
+        synth_pixels,
+    )
+
+    rows_bmp, rows_png = [], []
+    for mid in range(6):
+        w, h = bmp_dims(mid)
+        px = synth_pixels(mid, w, h)
+        rows_bmp.append((mid, "image", bmp_encode(px)))
+        rows_png.append((mid, "image", png_encode(px, row_filter=mid % 5)))
+    schema = "media_id LONG, kind STRING, content BINARY"
+    got_bmp = {
+        r["media_id"]: (r["hash_hi"], r["hash_lo"])
+        for r in avg_hash(spark.createDataFrame(rows_bmp, schema)).collect()
+    }
+    got_png = {
+        r["media_id"]: (r["hash_hi"], r["hash_lo"])
+        for r in avg_hash(spark.createDataFrame(rows_png, schema)).collect()
+    }
+    assert got_bmp == got_png and len(got_bmp) == 6
+
+
+def test_decode_media_real_features_for_png(spark):
+    """decode_media(fake=False) now handles PNG blobs: same 8-double
+    feature shape, pixel sums equal to the BMP encoding of the same
+    image, stride = w*3+1 (filter byte + unpadded RGB row)."""
+    from warp_pipe_spark.datapipe.multimodal import (
+        bmp_encode,
+        decode_media,
+        png_encode,
+        synth_pixels,
+    )
+
+    px = synth_pixels(5, 12, 7)
+    df = spark.createDataFrame(
+        [
+            (1, "image", bmp_encode(px)),
+            (2, "image", png_encode(px, row_filter=2)),
+        ],
+        "media_id LONG, kind STRING, content BINARY",
+    )
+    out = {
+        r["media_id"]: r["features"]
+        for r in decode_media(df, fake=False).collect()
+    }
+    # w, h, n_pixels, sum_r, sum_g, sum_b agree; stride & n_bytes are
+    # container-specific
+    assert out[1][:6] == out[2][:6]
+    assert out[2][6] == 12 * 3 + 1

@@ -9,9 +9,14 @@ Decode paths:
     synthetic corpus (`bmp_media`) derives every pixel from integer
     arithmetic on (media_id, x, y), which makes per-channel pixel sums
     exactly replayable by a SQL oracle that never touches the bytes.
-  - FAKE: compressed formats (JPEG/PNG/audio/video codecs) need libs
-    absent from this container; `fake=True` runs a deterministic
-    md5-derived featurizer through the identical Arrow plumbing.
+  - REAL: 8-bit PNG (grey/RGB/RGBA, non-interlaced) — a from-scratch
+    codec over stdlib zlib (`png_encode`/`png_decode`): chunk framing,
+    CRC verification, and all five scanline filters implemented here;
+    `image_decode` sniffs BMP vs PNG magic so every image op is
+    codec-agnostic.
+  - FAKE: formats whose codecs genuinely need external libs (JPEG,
+    real audio codecs); `fake=True` runs a deterministic md5-derived
+    featurizer through the identical Arrow plumbing.
 
 Scale design: media bytes never leave the executor as Python objects
 row-at-a-time; they move as Arrow binary batches into a single
@@ -151,6 +156,175 @@ def bmp_decode(data: bytes) -> np.ndarray:
     if h_signed > 0:  # bottom-up: first file row is the bottom image row
         bgr = bgr[::-1]
     return bgr[:, :, ::-1]  # BGR → RGB
+
+
+# -- PNG: from-scratch codec; stdlib zlib supplies ONLY inflate/deflate
+#    and crc32 — chunk framing, IHDR validation, and all five scanline
+#    filters (None/Sub/Up/Average/Paeth, RFC 2083 §6) are implemented
+#    here, so `decode_media` no longer needs external imaging libs for
+#    PNG (JPEG and real audio codecs still route through fake=True).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: IHDR color type → samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack("!I", len(data))
+        + typ
+        + data
+        + struct.pack("!I", zlib.crc32(typ + data))
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_encode(pixels: np.ndarray, row_filter: int = 0) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an 8-bit truecolor PNG.
+    `row_filter` selects the per-scanline filter (0..4) applied to
+    EVERY row — exercising all five forward filters is what lets the
+    round-trip tests prove the decoder's five inverses, not just
+    filter-0 passthrough."""
+    import zlib
+
+    if row_filter not in range(5):
+        raise ValueError(f"PNG filter must be 0..4, got {row_filter}")
+    h, w = pixels.shape[:2]
+    bpp = 3
+    raw = pixels.astype(np.int16)
+    out = bytearray()
+    prev = np.zeros((w, bpp), dtype=np.int16)
+    for y in range(h):
+        row = raw[y]
+        left = np.vstack([np.zeros((1, bpp), np.int16), row[:-1]])
+        upleft = np.vstack([np.zeros((1, bpp), np.int16), prev[:-1]])
+        if row_filter == 0:
+            filt = row
+        elif row_filter == 1:
+            filt = row - left
+        elif row_filter == 2:
+            filt = row - prev
+        elif row_filter == 3:
+            filt = row - (left + prev) // 2
+        else:
+            pred = np.empty_like(row)
+            for x in range(w):
+                for c in range(bpp):
+                    pred[x, c] = _paeth(
+                        int(left[x, c]), int(prev[x, c]), int(upleft[x, c])
+                    )
+            filt = row - pred
+        out.append(row_filter)
+        out.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack("!IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG (greyscale / RGB / RGBA) to
+    an (h, w, channels) uint8 array: chunk walk with CRC verification,
+    IDAT concatenation, inflate, then the five scanline unfilters.
+    Sub/Average/Paeth reconstruct sequentially within a row (their
+    definition — each byte depends on the reconstructed left
+    neighbor); None/Up vectorize."""
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    off = 8
+    ihdr = None
+    idat = bytearray()
+    while off < len(data):
+        (ln,) = struct.unpack_from("!I", data, off)
+        typ = data[off + 4 : off + 8]
+        chunk = data[off + 8 : off + 8 + ln]
+        (crc,) = struct.unpack_from("!I", data, off + 8 + ln)
+        if zlib.crc32(typ + chunk) != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = struct.unpack("!IIBBBBB", chunk)
+        elif typ == b"IDAT":
+            idat.extend(chunk)
+        elif typ == b"IEND":
+            break
+        off += 12 + ln
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} compression={comp} "
+            f"filter={filt} interlace={interlace} (8-bit "
+            "non-interlaced only)"
+        )
+    ch = _PNG_CHANNELS.get(ctype)
+    if ch is None:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    img = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int16)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=pos + 1
+        ).astype(np.int16)
+        pos += stride + 1
+        if f == 0:
+            recon = row
+        elif f == 2:
+            recon = (row + prev) % 256
+        elif f in (1, 3, 4):
+            recon = np.empty(stride, dtype=np.int16)
+            for x in range(stride):
+                a = recon[x - ch] if x >= ch else 0
+                if f == 1:
+                    recon[x] = (row[x] + a) % 256
+                elif f == 3:
+                    recon[x] = (row[x] + (a + prev[x]) // 2) % 256
+                else:
+                    c = prev[x - ch] if x >= ch else 0
+                    recon[x] = (
+                        row[x] + _paeth(int(a), int(prev[x]), int(c))
+                    ) % 256
+        else:
+            raise ValueError(f"PNG row {y}: unknown filter {f}")
+        img[y] = recon.astype(np.uint8)
+        prev = recon
+    return img.reshape(h, w, ch)
+
+
+def image_decode(data: bytes) -> np.ndarray:
+    """Magic-sniffing image decode → (h, w, 3) uint8 RGB: BMP and PNG
+    route to their from-scratch codecs (greyscale broadcast to RGB,
+    alpha dropped — downstream features are RGB-shaped); anything else
+    raises, as a real decoder should."""
+    if data[:2] == b"BM":
+        return bmp_decode(data)
+    if data[:8] == _PNG_SIG:
+        px = png_decode(data)
+        if px.shape[2] == 1:
+            return np.repeat(px, 3, axis=2)
+        return px[:, :, :3]
+    raise ValueError("unsupported image format (BMP and PNG only)")
 
 
 def synth_pixels(media_id: int, w: int, h: int) -> np.ndarray:
@@ -511,7 +685,7 @@ def image_tile_features(media: DataFrame, tile: int = 4) -> DataFrame:
         for pdf in batches:
             out = []
             for mid, c in zip(pdf["media_id"], pdf["content"]):
-                px = bmp_decode(bytes(c)).astype(np.int64)
+                px = image_decode(bytes(c)).astype(np.int64)
                 h, w, _ = px.shape
                 for ty in range(0, h, tile):
                     for tx in range(0, w, tile):
@@ -593,7 +767,19 @@ def _fake_features(content: bytes) -> list[float]:
 def _bmp_features(content: bytes) -> list[float]:
     """Real decode features: 8 integer-valued doubles (exact in IEEE754
     below 2^53, so any engine replays them bit-for-bit) —
-    [width, height, n_pixels, sum_r, sum_g, sum_b, stride, n_bytes]."""
+    [width, height, n_pixels, sum_r, sum_g, sum_b, stride, n_bytes].
+    PNG blobs route through the from-scratch png codec (stride there =
+    w*3+1, the filter byte + unpadded RGB row actually laid out in the
+    file); BMP math is untouched — the registered oracles replay it."""
+    if content[:8] == _PNG_SIG:
+        img = image_decode(content)
+        h, w = img.shape[:2]
+        s = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+        return [
+            float(w), float(h), float(w * h),
+            float(s[0]), float(s[1]), float(s[2]),
+            float(w * 3 + 1), float(len(content)),
+        ]
     img = bmp_decode(content)
     h, w = img.shape[:2]
     s = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
@@ -631,7 +817,7 @@ def avg_hash(media: DataFrame, grid: int = 8) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
-                px = bmp_decode(bytes(blob)).astype(np.int64)
+                px = image_decode(bytes(blob)).astype(np.int64)
                 h, w = px.shape[:2]
                 gray = px.sum(axis=2)  # r+g+b per pixel
                 ys = (np.arange(grid) * h) // grid
@@ -660,11 +846,11 @@ def avg_hash(media: DataFrame, grid: int = 8) -> DataFrame:
 def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode / feature-extract media content → FEATURES_SCHEMA.
 
-    fake=False runs the REAL decoder (24-bit BMP via `bmp_decode`; a
-    non-BMP blob raises, as a real decoder should). Compressed formats
-    (JPEG/PNG/audio codecs) would need external libs — fake=True runs
-    the deterministic md5 featurizer through identical plumbing for
-    those. Either way: one Arrow mapInPandas pass, binary batches, no
+    fake=False runs the REAL decoders (24-bit BMP via `bmp_decode`,
+    8-bit PNG via the from-scratch `png_decode` over stdlib zlib; any
+    other blob raises, as a real decoder should). JPEG / real audio
+    codecs would need external libs — fake=True runs the deterministic
+    md5 featurizer through identical plumbing for those. Either way: one Arrow mapInPandas pass, binary batches, no
     row-at-a-time Python boundary crossings.
     """
     featurize = _bmp_features if not fake else _fake_features
