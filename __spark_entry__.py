@@ -3496,8 +3496,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # test_dedup.py::test_repetition_signals_matches_duckdb_on_testdata)
         # AND sampling.select_token_budget (budgeted data selection;
         # oracle = the global-window SQL pre-validated in
-        # test_retrieval_clustering.py)
-        # as query+oracle pairs. All four shipped r11 pytest-only
+        # test_retrieval_clustering.py) AND a multimodal_decode_png
+        # twin (decode_media over multimodal.png_media, selecting the
+        # synth-pixel-replayable columns w/h/sum_r/g/b — n_bytes is
+        # zlib-output-sized, not SQL-replayable, so it stays out of
+        # the oracle projection)
+        # as query+oracle pairs. All shipped r11 pytest-only
         # because the r11 window was exactly full (cs_truncate_replay
         # + 7 tags + 42 r8-stale = 50) and any new registration would
         # have pushed an r8 re-earn out.

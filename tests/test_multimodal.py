@@ -494,3 +494,28 @@ def test_decode_media_real_features_for_png(spark):
     # container-specific
     assert out[1][:6] == out[2][:6]
     assert out[2][6] == 12 * 3 + 1
+
+
+def test_png_media_decodes_to_the_same_pixels_as_bmp_media(spark):
+    """png_media is bmp_media's PNG twin over the same synth_pixels —
+    decode_media's replayable feature columns (w, h, channel sums)
+    must be identical across the two tables (the queued r12 query's
+    contract)."""
+    from warp_pipe_spark.datapipe.multimodal import (
+        bmp_media,
+        decode_media,
+        png_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(8)], "doc_id LONG"
+    )
+    f_bmp = {
+        r["media_id"]: r["features"][:6]
+        for r in decode_media(bmp_media(docs), fake=False).collect()
+    }
+    f_png = {
+        r["media_id"]: r["features"][:6]
+        for r in decode_media(png_media(docs), fake=False).collect()
+    }
+    assert f_bmp == f_png and len(f_bmp) == 8

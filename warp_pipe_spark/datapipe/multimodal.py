@@ -377,6 +377,44 @@ def bmp_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(mapper, schema=MEDIA_SCHEMA)
 
 
+def png_media(docs: DataFrame) -> DataFrame:
+    """bmp_media's PNG twin: the SAME synth_pixels per doc_id, encoded
+    by the from-scratch PNG codec (row filter cycles doc_id mod 5 so
+    every filter appears in the corpus). Pixel-level results of any
+    image op are therefore identical across the two tables — the
+    codec-invariance contract avg_hash pins in tests."""
+
+    def mapper(batches):
+        for pdf in batches:
+            contents, metas = [], []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                w, h = bmp_dims(mid)
+                blob = png_encode(
+                    synth_pixels(mid, w, h), row_filter=mid % 5
+                )
+                contents.append(blob)
+                metas.append(
+                    {
+                        "n_bytes": len(blob),
+                        "mime": "image/png",
+                        "width": w,
+                        "height": h,
+                        "duration_ms": 0,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": "image",
+                    "content": contents,
+                    "meta": metas,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(mapper, schema=MEDIA_SCHEMA)
+
+
 # -- video: BMP-frame stream container, real demux + per-frame decode ----
 
 
