@@ -1949,3 +1949,85 @@ def test_live_pgoutput_v2_streaming_with_binary_tuples(live, tmp_path):
                 rep.close()
             except Exception:
                 pass
+
+
+def test_live_pgoutput_binary_mode_randomized_battery(live, tmp_path):
+    """Fuzz the binary renderers against the server's own text output:
+    200 rows of seeded-random values — float8 spanning the exponent
+    range (mantissa·10^e, e in −300..300), float4 likewise in its
+    range, numerics with random precision/scale, random printable
+    unicode text — tailed through BOTH tuple modes and byte-compared.
+    The fixed battery covers the edges we thought of; this covers the
+    ones we didn't (deterministic via setseed, so failures replay)."""
+    from warp_pipe_spark.pgoutput import tail_pgoutput_to_drop_dir
+
+    ctl, _, tbl = live
+    pub = f"wp_pub_fuzz_{os.getpid()}"
+    rep_txt = _client(f"wp_live_fzt_{os.getpid()}")
+    rep_bin = _client(f"wp_live_fzb_{os.getpid()}")
+    for r in (rep_txt, rep_bin):
+        r.plugin = "pgoutput"
+        r.connect()
+    try:
+        ctl._simple_query(
+            f"CREATE TABLE {tbl} (id int primary key, f8 double"
+            " precision, f4 real, num numeric, t text)"
+        )
+        ctl._simple_query(f"CREATE PUBLICATION {pub} FOR TABLE {tbl}")
+        rep_txt.create_slot()
+        rep_bin.create_slot()
+        ctl._simple_query("SELECT setseed(0.42)")
+        ctl._simple_query(
+            f"INSERT INTO {tbl} "
+            "SELECT g,"
+            " (random() * 2 - 1) * power(10::double precision,"
+            "   floor(random() * 600 - 300)),"
+            " ((random() * 2 - 1) * power(10::double precision,"
+            "   floor(random() * 70 - 35)))::real,"
+            " round((random() * 2 - 1)::numeric"
+            "   * power(10::numeric, floor(random() * 20)::int),"
+            "   floor(random() * 12)::int),"
+            " (SELECT string_agg(chr(32 + (random() * 94)::int), '')"
+            "  FROM generate_series(1, 20))"
+            " FROM generate_series(1, 200) g"
+        )
+        lines = {}
+        for mode, rep in (("text", rep_txt), ("binary", rep_bin)):
+            drop = str(tmp_path / f"fuzz_{mode}")
+            n = tail_pgoutput_to_drop_dir(
+                rep, drop, publication=pub, max_changes=200,
+                idle_timeout_s=15.0, binary=(mode == "binary"),
+            )
+            assert n == 200, mode
+            ls = []
+            for name in sorted(os.listdir(drop)):
+                with open(os.path.join(drop, name), "rb") as f:
+                    ls.extend(f.read().splitlines())
+            lines[mode] = ls
+        assert lines["text"] == lines["binary"]
+    finally:
+        for rep in (rep_txt, rep_bin):
+            try:
+                rep.drop_slot()
+            except Exception:
+                try:
+                    rep.close()
+                except Exception:
+                    pass
+                for _ in range(5):
+                    try:
+                        ctl._simple_query(
+                            f"DROP_REPLICATION_SLOT {rep.slot}"
+                        )
+                        break
+                    except Exception:
+                        time.sleep(0.5)
+        try:
+            ctl._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+        except Exception:
+            pass
+        for rep in (rep_txt, rep_bin):
+            try:
+                rep.close()
+            except Exception:
+                pass

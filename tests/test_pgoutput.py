@@ -1192,3 +1192,21 @@ def test_jsonb_binary_unknown_version_fails_loud():
     assert _binary_to_text(3802, b"\x01" + b"[1]") == "[1]"
     with pytest.raises(PgOutputProtocolError, match="jsonb binary version"):
         _binary_to_text(3802, b"\x02" + b"[1]")
+
+
+def test_pg_float_text_rejects_midpoint_renderings():
+    """PG's Ryu port refuses to print a value that sits exactly on a
+    float midpoint (open information interval — defensive against
+    readers without half-even rounding), even though such a string
+    parses back correctly. Live fuzz found the float4 case: 257110208
+    (ulp 16, lower midpoint 257110200 with 7 digits) must render with
+    8 digits like float4out does, not numpy's 7."""
+    from warp_pipe_spark.pgoutput import _pg_float_text
+
+    v = struct.unpack("!f", bytes.fromhex("4d75330c"))[0]
+    assert _pg_float_text(v, single=True) == "2.5711021e+08"
+    # and the value still parses back either way (the point: PG's
+    # choice is about output policy, not parse correctness)
+    assert struct.unpack("!f", struct.pack("!f", float("2.571102e8")))[
+        0
+    ] == v

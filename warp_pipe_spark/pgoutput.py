@@ -204,6 +204,67 @@ def _shortest_digits(s: str) -> tuple[str, int]:
     return digs, (0 if digs == "0" else exp)
 
 
+def _in_open_interval(cand, v: float, single: bool) -> bool:
+    """Is the Decimal `cand` STRICTLY inside the information interval
+    of the float whose exact value is `v` — above the midpoint to the
+    next-smaller float and below the midpoint to the next-larger?
+    PG's Ryu port rejects the bounds unconditionally (it refuses to
+    print a value sitting exactly on a halfway point, defending
+    against readers whose rounding isn't half-even), so ties are NOT
+    accepted here even when the mantissa is even. Verified live:
+    '2.571102e8'::float4 parses back exactly, yet float4out prints
+    2.5711021e+08. Exact rational arithmetic — no doubles in the
+    decision."""
+    import math
+    from fractions import Fraction
+
+    import numpy as np
+
+    c = Fraction(cand)
+    target = Fraction(v)
+    ftype = np.float32 if single else np.float64
+    lo = float(np.nextafter(ftype(v), ftype(float("-inf"))))
+    hi = float(np.nextafter(ftype(v), ftype(float("inf"))))
+    above_lo = math.isinf(lo) or c > (Fraction(lo) + target) / 2
+    below_hi = math.isinf(hi) or c < (target + Fraction(hi)) / 2
+    return above_lo and below_hi
+
+
+def _float_shortest_digits(av: float, single: bool) -> tuple[str, int]:
+    """Shortest decimal digits uniquely identifying the float with
+    exact value `av` (>0) under PG's open-interval rule. For float4,
+    numpy's dragon4 is doubly unusable — it validates round-trips
+    through double-then-narrow (double-rounding across float32
+    midpoints) AND accepts even-mantissa ties PG rejects: live fuzz
+    found 257110200 (an exact float32 midpoint, ulp 16) where numpy
+    emits 7 digits but the server prints 8. Python's repr has the
+    same tie-acceptance mismatch for float8 in principle, so both
+    widths go through the exact search: for each length try the
+    half-even rounding and its unit-in-last-place neighbors (Ryu's
+    closest-in-interval choice), accepting the first strictly inside
+    the interval."""
+    from decimal import ROUND_HALF_EVEN, Decimal, localcontext
+
+    if av == 0.0:
+        return "0", 0
+    d = Decimal(av)  # exact decimal expansion of the binary value
+    for ndig in range(1, 10 if single else 18):
+        with localcontext() as cx:
+            cx.prec = ndig
+            cx.rounding = ROUND_HALF_EVEN
+            base = +d
+        delta = Decimal(1).scaleb(base.adjusted() - ndig + 1)
+        for cand in (base, base - delta, base + delta):
+            if cand > 0 and _in_open_interval(cand, av, single):
+                digs = "".join(map(str, cand.as_tuple()[1])).rstrip(
+                    "0"
+                ) or "0"
+                return digs, cand.adjusted()
+    raise AssertionError(
+        "unreachable: shortest search exhausted 9/17 digits"
+    )
+
+
 def _pg_float_text(v: float, single: bool = False) -> str:
     """Render a float the way float4out/float8out do (PG 12+ defaults,
     extra_float_digits=1): shortest round-trip digits (Ryu), with
@@ -223,16 +284,18 @@ def _pg_float_text(v: float, single: bool = False) -> str:
         return "Infinity" if v > 0 else "-Infinity"
     neg = math.copysign(1.0, v) < 0
     if single:
-        import numpy as np
-
-        # shortest digits w.r.t. FLOAT4: repr(float) would emit the
-        # float8-shortest string (0.1::float4 -> '0.10000000149011612')
-        s = np.format_float_scientific(
-            np.float32(abs(v)), unique=True, trim="-"
-        )
+        digs, exp = _float_shortest_digits(abs(v), single=True)
     else:
-        s = repr(abs(v))
-    digs, exp = _shortest_digits(s)
+        # fast path: repr is shortest-correct for float8 except when
+        # its choice sits exactly ON a midpoint (repr accepts
+        # even-mantissa ties, PG's open-interval rule does not) —
+        # verify once, fall back to the exact search only then
+        digs, exp = _shortest_digits(repr(abs(v)))
+        from decimal import Decimal
+
+        cand = Decimal(digs).scaleb(exp - (len(digs) - 1))
+        if not _in_open_interval(cand, abs(v), single=False):
+            digs, exp = _float_shortest_digits(abs(v), single=False)
     if -4 <= exp < (6 if single else 15):
         if exp >= len(digs) - 1:
             body = digs + "0" * (exp - len(digs) + 1)
