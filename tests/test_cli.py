@@ -449,3 +449,45 @@ def test_cli_bootstrap_requires_out_path(capsys):
     )
     assert rc == 2
     assert "--bootstrap-out" in capsys.readouterr().err
+
+
+def test_cli_live_tail_pgoutput_binary_mode(tmp_path, capsys):
+    """--binary: the CLI negotiates `binary 'on'` in START_REPLICATION
+    and binary tuple cells decode to canonical text in the drop dir —
+    the flag is plumbing, the rendering is the decoder's."""
+    import json as _json
+    import os as _os
+    import struct as _struct
+
+    from test_lr_client import FakeWalsender
+    from test_pgoutput import REL, msg_begin, msg_commit, msg_insert_binary
+
+    from warp_pipe_spark.__main__ import main
+
+    payloads = [
+        REL,  # (id bigint, val text)
+        msg_begin(lsn=0x1000),
+        msg_insert_binary(5001, _struct.pack("!q", 42), "x".encode()),
+        msg_commit(end_lsn=0x1100),
+    ]
+    srv = FakeWalsender(payloads, keepalive_every=100)
+    drop = str(tmp_path / "drop")
+    rc = main(
+        [
+            "live-tail", "--host", "127.0.0.1", "--port", str(srv.port),
+            "--dbname", "testdb", "--user", "u", "--slot", "wp_slot",
+            "--plugin", "pgoutput", "--publication", "pub", "--binary",
+            "--create-slot", "--drop-dir", drop, "--max-messages", "1",
+        ]
+    )
+    assert rc == 0
+    status = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert status["consumed"] == 1
+    (start_cmd,) = srv.start_commands
+    assert 'binary \'on\'' in start_cmd or 'binary "on"' in start_cmd.replace("'", '"')
+    docs = []
+    for fn in sorted(_os.listdir(drop)):
+        with open(_os.path.join(drop, fn)) as f:
+            docs += [_json.loads(ln) for ln in f.read().splitlines()]
+    assert docs[0]["change"][0]["columnvalues"] == ["42", "x"]
+    srv.thread.join(5)

@@ -53,6 +53,9 @@ class FakeWalsender:
         self.standby_lsns: list[int] = []
         self.created_slots: list[str] = []
         self.dropped_slots: list[str] = []
+        #: every START_REPLICATION command verbatim — tests assert the
+        #: negotiated option list (proto_version, binary, ...)
+        self.start_commands: list[str] = []
         self.startup_params: dict[str, str] = {}
         self.errors: list[BaseException] = []
         self.sock = socket.socket()
@@ -124,6 +127,7 @@ class FakeWalsender:
                     self.dropped_slots.append(sql.split()[1])
                     self._send_rows(c, [])
                 elif sql.startswith("START_REPLICATION"):
+                    self.start_commands.append(sql)
                     self._stream(c)
                     # keep serving: a synchronized client can run
                     # further walsender commands on this connection
