@@ -3504,7 +3504,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # as query+oracle pairs. All shipped r11 pytest-only
         # because the r11 window was exactly full (cs_truncate_replay
         # + 7 tags + 42 r8-stale = 50) and any new registration would
-        # have pushed an r8 re-earn out.
+        # have pushed an r8 re-earn out. r12 arithmetic: once
+        # CORRECTNESS_r11 lands, staleness is 43 r9 / 50 r10 / 50 r11,
+        # so the r12 window = 43 r9-stale mandatory + these 5 new
+        # registrations (front-loaded automatically) = 48 of 50, two
+        # slots spare for review-fix re-earn tags.
     }
 
     import glob as _glob
