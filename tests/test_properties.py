@@ -517,3 +517,34 @@ def test_pg_numeric_binary_round_trips(d):
     # dscale governs printed fraction digits exactly
     frac = out.partition(".")[2]
     assert len(frac) == dscale
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(1, 20)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(0, 150),
+)
+def test_select_token_budget_equals_global_window_spec(spark, rows, budget):
+    """The two-stage bin formulation must equal the naive
+    sum-over-(score DESC, doc_id) prefix rule for ARBITRARY
+    score/token tables and budgets — including all-kept, all-dropped,
+    and boundary-on-bin-edge cases the hand fixture can't enumerate."""
+    from warp_pipe_spark.datapipe.sampling import select_token_budget
+
+    data = [(i, s, t) for i, (s, t) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "doc_id LONG, score LONG, n_tokens LONG"
+    )
+    got = {
+        r["doc_id"]: r["keep"]
+        for r in select_token_budget(df, budget).collect()
+    }
+    cum, want = 0, {}
+    for i, s, t in sorted(data, key=lambda r: (-r[1], r[0])):
+        cum += t
+        want[i] = cum <= budget
+    assert got == want
