@@ -548,3 +548,105 @@ def test_select_token_budget_equals_global_window_spec(spark, rows, budget):
         cum += t
         want[i] = cum <= budget
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_texts, min_size=1, max_size=6))
+def test_repetition_signals_match_python_spec(spark, texts):
+    """The one-explode+pivot formulation equals the per-doc spec
+    computed in plain Python for arbitrary hazard texts (empty docs,
+    whitespace runs, newline-only docs) — same tokenize/shingle
+    semantics as the DuckDB oracles."""
+    from warp_pipe_spark.datapipe.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_signals(df).collect()
+    }
+
+    def sh(toks, n):
+        if len(toks) < n:
+            return [" ".join(toks)]
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    want_ids = set()
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        lines = [ln for ln in t.split("\n") if ln]
+        if not lines:
+            continue  # no line stats -> excluded (inner join), mirrored
+        want_ids.add(i)
+        row = got[i]
+        n_chars = len(t)
+        from collections import Counter
+
+        lc = Counter(lines)
+        n_lines = len(lines)
+        assert row["n_chars"] == n_chars and row["n_lines"] == n_lines
+        assert row["dup_line_frac_micro"] == (
+            (n_lines - len(lc)) * 1_000_000
+        ) // n_lines
+        line_chars = sum(c * len(x) for x, c in lc.items())
+        dup_chars = sum((c - 1) * len(x) for x, c in lc.items())
+        assert row["dup_line_char_frac_micro"] == (
+            (dup_chars * 1_000_000) // line_chars
+            if line_chars
+            else row["dup_line_char_frac_micro"]
+        )
+        toks = t.split(" ")
+        for n in (2, 3, 4):
+            gc = Counter(sh(toks, n))
+            top = max(gc.items(), key=lambda kv: (kv[1], len(kv[0])))
+            assert row[f"top_{n}gram_char_frac_micro"] == (
+                top[1] * len(top[0]) * 1_000_000
+            ) // n_chars, (i, n, t)
+        for n in (5, 6, 7, 8, 9, 10):
+            gc = Counter(sh(toks, n))
+            dup = sum(c * len(g) for g, c in gc.items() if c > 1)
+            assert row[f"dup_{n}gram_char_frac_micro"] == (
+                dup * 1_000_000
+            ) // n_chars, (i, n, t)
+    assert set(got) == want_ids
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=5),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    st.integers(1, 8),
+)
+def test_train_bpe_matches_reference_on_random_corpora(
+    spark, docs_words, n_merges
+):
+    """train_bpe == the pure-Python Sennrich reference for random tiny
+    corpora — merges in order and final symbol sequences, beyond the
+    single fixture corpus."""
+    from test_ingest import _bpe_reference
+
+    from warp_pipe_spark.datapipe.text import train_bpe
+
+    corpus = [" ".join(ws) for ws in docs_words]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id LONG, text STRING"
+    )
+    wcounts = {}
+    for t in corpus:
+        for w in t.split(" "):
+            if w:
+                wcounts[w] = wcounts.get(w, 0) + 1
+    want_merges, want_vocab = _bpe_reference(wcounts, n_merges)
+    merges, vocab_df = train_bpe(df, n_merges=n_merges)
+    assert merges == want_merges
+    got_vocab = {r["w"]: list(r["symbols"]) for r in vocab_df.collect()}
+    assert got_vocab == want_vocab
