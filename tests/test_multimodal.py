@@ -519,3 +519,42 @@ def test_png_media_decodes_to_the_same_pixels_as_bmp_media(spark):
         for r in decode_media(png_media(docs), fake=False).collect()
     }
     assert f_bmp == f_png and len(f_bmp) == 8
+
+
+def test_resize_media_preserves_the_container(spark):
+    """resize_media sniffs the input codec and re-encodes in kind: a
+    PNG resizes to a PNG, a BMP to a BMP, with identical pixel
+    results across the two containers for the same source image."""
+    from warp_pipe_spark.datapipe.multimodal import (
+        bmp_encode,
+        image_decode,
+        png_encode,
+        resize_media,
+        synth_pixels,
+    )
+
+    px = synth_pixels(9, 16, 10)
+    rows = [
+        (1, "image", bmp_encode(px),
+         {"n_bytes": 0, "mime": "image/bmp", "width": 8, "height": 5,
+          "duration_ms": 0}),
+        (2, "image", png_encode(px, row_filter=3),
+         {"n_bytes": 0, "mime": "image/png", "width": 8, "height": 5,
+          "duration_ms": 0}),
+    ]
+    schema = (
+        "media_id LONG, kind STRING, content BINARY, "
+        "meta STRUCT<n_bytes: LONG, mime: STRING, width: INT, "
+        "height: INT, duration_ms: LONG>"
+    )
+    out = {
+        r["media_id"]: bytes(r["content"])
+        for r in resize_media(
+            spark.createDataFrame(rows, schema), fake=False
+        ).collect()
+    }
+    assert out[1][:2] == b"BM"
+    assert out[2][:8] == b"\x89PNG\r\n\x1a\n"
+    a, b = image_decode(out[1]), image_decode(out[2])
+    assert a.shape == (5, 8, 3)
+    assert (a == b).all()

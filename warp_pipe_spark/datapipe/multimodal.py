@@ -947,12 +947,20 @@ def resize_media(
                 continue
             contents, metas = [], []
             for c, m in zip(pdf["content"], pdf["meta"]):
-                img = bmp_decode(bytes(c))
+                raw = bytes(c)
+                img = image_decode(raw)
                 sh, sw = img.shape[:2]
                 tw, th = int(m["width"]), int(m["height"])
                 xs = (np.arange(tw) * sw) // tw
                 ys = (np.arange(th) * sh) // th
-                blob = bmp_encode(img[np.ix_(ys, xs)])
+                resized = img[np.ix_(ys, xs)]
+                # container-preserving: a PNG resizes to a PNG, a BMP
+                # to a BMP (BMP inputs keep their exact byte path — the
+                # registered resize oracle replays it)
+                if raw[:8] == _PNG_SIG:
+                    blob = png_encode(resized)
+                else:
+                    blob = bmp_encode(resized)
                 contents.append(blob)
                 m = dict(m)
                 m["n_bytes"] = len(blob)
