@@ -330,3 +330,39 @@ def test_nn_descent_is_deterministic(spark):
 
     per = Counter(t[0] for t in a)
     assert max(per.values()) <= 5
+
+
+def test_graph_search_high_recall_over_nn_descent_graph(spark):
+    """Build the k-NN graph once, answer queries by batched greedy
+    beam search: recall@10 against brute force must be high without
+    any query ever scoring the whole corpus."""
+    from warp_pipe_spark.datapipe.similarity import (
+        graph_search,
+        nn_descent,
+        topk_cosine,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 40")
+    k = 10
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_cosine(emb, queries=queries, k=k).collect()
+    }
+    # search the WIDE graph (build width 2k) with beam 3k — the
+    # HNSW-style composition; searching the truncated k-graph was
+    # measured at 0.84 recall vs 0.99 here
+    graph = nn_descent(emb, k=2 * k, iters=3)
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in graph_search(
+            graph, emb, queries, k=k, hops=3, beam=3 * k
+        ).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.95, recall
+    # exactly k answers per query, deterministic ranks
+    from collections import Counter
+
+    per = Counter(q for q, _ in got)
+    assert set(per.values()) == {k}
