@@ -3508,7 +3508,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_r11 lands, staleness is 43 r9 / 50 r10 / 50 r11,
         # so the r12 window = 43 r9-stale mandatory + these 5 new
         # registrations (front-loaded automatically) = 48 of 50, two
-        # slots spare for review-fix re-earn tags.
+        # slots spare for review-fix re-earn tags. If the slots stay
+        # free, optional weak-check (rows-only, no oracle — iterative
+        # float algorithms like emb_kmeans' lineage) candidates:
+        # ann_nn_descent / ann_graph_search (similarity.py; output is
+        # deterministic, but no SQL engine replays the iteration).
     }
 
     import glob as _glob
