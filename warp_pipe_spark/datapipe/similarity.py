@@ -185,7 +185,7 @@ def nn_descent(
     the standard scalable builder for the neighbor graphs HNSW/NSG
     search over, and the missing graph-construction piece between the
     pairwise LSH ops and the IVF index. LSH-SEEDED: the initial graph
-    is the hyperplane band-candidate set capped at k per node (never
+    is the hyperplane band-candidate set capped at k_build per node (never
     all-pairs), then each iteration applies the paper's principle —
     a neighbor of my neighbor is probably my neighbor — joining the
     symmetrized graph with itself on the shared endpoint, scoring new
