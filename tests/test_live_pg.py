@@ -2031,3 +2031,86 @@ def test_live_pgoutput_binary_mode_randomized_battery(live, tmp_path):
                 rep.close()
             except Exception:
                 pass
+
+
+def test_live_unchanged_toast_column_is_omitted(live, tmp_path):
+    """The ADVICE-r10 TOAST contract against a REAL TOASTed value: a
+    column forced out-of-line (STORAGE EXTERNAL, 10kB payload) that an
+    UPDATE doesn't touch arrives as an 'u' cell and must be ABSENT
+    from the change — in text mode and in binary mode, byte-identical
+    across the two. The golden-frame tests pin the byte shape; this
+    pins that a real server actually produces it."""
+    from warp_pipe_spark.pgoutput import tail_pgoutput_to_drop_dir
+
+    ctl, _, tbl = live
+    pub = f"wp_pub_toast_{os.getpid()}"
+    rep_txt = _client(f"wp_live_tot_{os.getpid()}")
+    rep_bin = _client(f"wp_live_tob_{os.getpid()}")
+    for r in (rep_txt, rep_bin):
+        r.plugin = "pgoutput"
+        r.connect()
+    try:
+        ctl._simple_query(
+            f"CREATE TABLE {tbl} (id int primary key, big text, val text)"
+        )
+        ctl._simple_query(
+            f"ALTER TABLE {tbl} ALTER COLUMN big SET STORAGE EXTERNAL"
+        )
+        ctl._simple_query(f"CREATE PUBLICATION {pub} FOR TABLE {tbl}")
+        rep_txt.create_slot()
+        rep_bin.create_slot()
+        ctl._simple_query(
+            f"INSERT INTO {tbl} VALUES (1, repeat('x', 10000), 'a')"
+        )
+        ctl._simple_query(f"UPDATE {tbl} SET val = 'b' WHERE id = 1")
+        lines = {}
+        for mode, rep in (("text", rep_txt), ("binary", rep_bin)):
+            drop = str(tmp_path / f"toast_{mode}")
+            n = tail_pgoutput_to_drop_dir(
+                rep, drop, publication=pub, max_changes=2,
+                idle_timeout_s=10.0, binary=(mode == "binary"),
+            )
+            assert n == 2, mode
+            ls = []
+            for name in sorted(os.listdir(drop)):
+                with open(os.path.join(drop, name), "rb") as f:
+                    ls.extend(f.read().splitlines())
+            lines[mode] = ls
+        assert lines["text"] == lines["binary"]
+        changes = [
+            c for ln in lines["text"] for c in json.loads(ln)["change"]
+        ]
+        ins, upd = changes
+        # insert carries the full 10kB value; the update OMITS the
+        # untouched TOASTed column entirely (never a NULL)
+        assert ins["columnnames"] == ["id", "big", "val"]
+        assert len(ins["columnvalues"][1]) == 10000
+        assert upd["kind"] == "update"
+        assert upd["columnnames"] == ["id", "val"]
+        assert upd["columnvalues"] == ["1", "b"]
+    finally:
+        for rep in (rep_txt, rep_bin):
+            try:
+                rep.drop_slot()
+            except Exception:
+                try:
+                    rep.close()
+                except Exception:
+                    pass
+                for _ in range(5):
+                    try:
+                        ctl._simple_query(
+                            f"DROP_REPLICATION_SLOT {rep.slot}"
+                        )
+                        break
+                    except Exception:
+                        time.sleep(0.5)
+        try:
+            ctl._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+        except Exception:
+            pass
+        for rep in (rep_txt, rep_bin):
+            try:
+                rep.close()
+            except Exception:
+                pass
