@@ -2114,3 +2114,80 @@ def test_live_unchanged_toast_column_is_omitted(live, tmp_path):
                 rep.close()
             except Exception:
                 pass
+
+
+def test_live_replica_identity_full_old_tuples(live, tmp_path):
+    """REPLICA IDENTITY FULL against the real server: updates and
+    deletes carry 'O' old tuples with ALL columns — genuine NULLs
+    included (the key-flag heuristic this replaced dropped them) —
+    and binary mode renders the same bytes."""
+    from warp_pipe_spark.pgoutput import tail_pgoutput_to_drop_dir
+
+    ctl, _, tbl = live
+    pub = f"wp_pub_rif_{os.getpid()}"
+    rep_txt = _client(f"wp_live_rift_{os.getpid()}")
+    rep_bin = _client(f"wp_live_rifb_{os.getpid()}")
+    for r in (rep_txt, rep_bin):
+        r.plugin = "pgoutput"
+        r.connect()
+    try:
+        ctl._simple_query(
+            f"CREATE TABLE {tbl} (id int primary key, val text, n int)"
+        )
+        ctl._simple_query(f"ALTER TABLE {tbl} REPLICA IDENTITY FULL")
+        ctl._simple_query(f"CREATE PUBLICATION {pub} FOR TABLE {tbl}")
+        rep_txt.create_slot()
+        rep_bin.create_slot()
+        ctl._simple_query(
+            f"INSERT INTO {tbl} VALUES (1, NULL, 7); "
+            f"UPDATE {tbl} SET n = 8 WHERE id = 1; "
+            f"DELETE FROM {tbl} WHERE id = 1"
+        )
+        lines = {}
+        for mode, rep in (("text", rep_txt), ("binary", rep_bin)):
+            drop = str(tmp_path / f"rif_{mode}")
+            n = tail_pgoutput_to_drop_dir(
+                rep, drop, publication=pub, max_changes=3,
+                idle_timeout_s=10.0, binary=(mode == "binary"),
+            )
+            assert n == 3, mode
+            ls = []
+            for name in sorted(os.listdir(drop)):
+                with open(os.path.join(drop, name), "rb") as f:
+                    ls.extend(f.read().splitlines())
+            lines[mode] = ls
+        assert lines["text"] == lines["binary"]
+        changes = [
+            c for ln in lines["text"] for c in json.loads(ln)["change"]
+        ]
+        _, upd, dele = changes
+        # identity FULL: the old image is every column, NULL preserved
+        assert upd["oldkeys"]["keynames"] == ["id", "val", "n"]
+        assert upd["oldkeys"]["keyvalues"] == ["1", None, "7"]
+        assert dele["oldkeys"]["keyvalues"] == ["1", None, "8"]
+    finally:
+        for rep in (rep_txt, rep_bin):
+            try:
+                rep.drop_slot()
+            except Exception:
+                try:
+                    rep.close()
+                except Exception:
+                    pass
+                for _ in range(5):
+                    try:
+                        ctl._simple_query(
+                            f"DROP_REPLICATION_SLOT {rep.slot}"
+                        )
+                        break
+                    except Exception:
+                        time.sleep(0.5)
+        try:
+            ctl._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+        except Exception:
+            pass
+        for rep in (rep_txt, rep_bin):
+            try:
+                rep.close()
+            except Exception:
+                pass
