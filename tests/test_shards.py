@@ -1,0 +1,53 @@
+"""WebDataset tar-shard writer: byte-deterministic shards, readable by
+the stdlib tarfile reader, manifest equals the files on disk."""
+
+import hashlib
+import os
+import tarfile
+
+
+def test_write_webdataset_round_trips_and_is_deterministic(spark, tmp_path):
+    from warp_pipe_spark.datapipe.shards import write_webdataset
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} body") for i in range(50)]
+        + [(99, None)],  # NULL text -> excluded
+        "doc_id LONG, text STRING",
+    )
+    out1 = str(tmp_path / "run1")
+    m1 = {
+        r["shard"]: (r["n_docs"], r["n_bytes"], r["sha256"])
+        for r in write_webdataset(docs, out1, n_shards=4).collect()
+    }
+    assert sum(n for n, _, _ in m1.values()) == 50  # NULL excluded
+    # manifest matches the bytes on disk; members read back in order
+    seen_ids = set()
+    for shard, (n_docs, n_bytes, sha) in m1.items():
+        path = os.path.join(out1, f"shard-{shard:05d}.tar")
+        blob = open(path, "rb").read()
+        assert len(blob) == n_bytes
+        assert hashlib.sha256(blob).hexdigest() == sha
+        with tarfile.open(path) as tar:
+            members = tar.getmembers()
+            assert len(members) == n_docs
+            names = [m.name for m in members]
+            assert names == sorted(names)
+            for m in members:
+                did = int(m.name.split(".")[0])
+                seen_ids.add(did)
+                body = tar.extractfile(m).read().decode()
+                assert body == f"document number {did} body"
+                assert m.mtime == 0 and m.uid == 0
+    assert seen_ids == set(range(50))
+
+    # a second run produces byte-identical shards (rerun verifiability)
+    out2 = str(tmp_path / "run2")
+    m2 = {
+        r["shard"]: (r["n_docs"], r["n_bytes"], r["sha256"])
+        for r in write_webdataset(docs, out2, n_shards=4).collect()
+    }
+    assert m1 == m2
+    for shard in m1:
+        b1 = open(os.path.join(out1, f"shard-{shard:05d}.tar"), "rb").read()
+        b2 = open(os.path.join(out2, f"shard-{shard:05d}.tar"), "rb").read()
+        assert b1 == b2

@@ -1,0 +1,106 @@
+"""Training-shard packaging: curated documents → WebDataset-style tar
+shards, the layout multimodal/LLM data loaders stream
+(shard-00000.tar containing {key}.txt members, one per document).
+
+Scale shape: shard assignment is a pure hash column, the per-shard tar
+bytes are built INSIDE applyInPandas on the executors (one group = one
+shard = one tar), and only a manifest row (shard, n_docs, n_bytes,
+sha256) returns to the plan — document bytes never pass through the
+driver. Shards are byte-DETERMINISTIC: members sorted by doc_id,
+zeroed uid/gid/mtime, fixed ustar format — the same corpus always
+produces the same sha256 per shard, so a 100 TB re-run is verifiable
+shard-by-shard against a previous manifest (the same rerun-equality
+contract as the hash-keyed samplers).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import os
+import tarfile
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MANIFEST_SCHEMA = "shard LONG, n_docs LONG, n_bytes LONG, sha256 STRING"
+
+
+def _shard_tar_bytes(rows: "list[tuple[int, bytes]]") -> bytes:
+    """Deterministic tar: ustar, sorted members, zeroed metadata."""
+    buf = io.BytesIO()
+    with tarfile.open(
+        fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+    ) as tar:
+        for doc_id, payload in sorted(rows):
+            info = tarfile.TarInfo(name=f"{doc_id:012d}.txt")
+            info.size = len(payload)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            info.uname = info.gname = ""
+            info.mode = 0o644
+            tar.addfile(info, io.BytesIO(payload))
+    return buf.getvalue()
+
+
+def write_webdataset(
+    docs: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Write `docs` as `out_dir/shard-{i:05d}.tar` WebDataset shards
+    and RETURN the manifest DataFrame (shard, n_docs, n_bytes,
+    sha256). Shard membership = crc-free deterministic hash of the id
+    (same md5-derived scheme as the samplers), so membership, member
+    order, and therefore shard BYTES are reproducible run over run.
+
+    Files are written executor-side with the atomic tmp+rename
+    discipline (a crashed run leaves no half-written shard visible);
+    out_dir must be a filesystem every executor can reach — on a real
+    cluster that is the shared store, in local mode any directory.
+    NULL-text docs are excluded (a shard member cannot be NULL; the
+    pack_chunks precedent).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    clean = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % n_shards
+        ).alias("shard"),
+    )
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        rows = [
+            (int(i), t.encode("utf-8"))
+            for i, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        blob = _shard_tar_bytes(rows)
+        path = os.path.join(out_dir, f"shard-{shard:05d}.tar")
+        tmp = path + f".tmp_{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "n_docs": [len(rows)],
+                "n_bytes": [len(blob)],
+                "sha256": [hashlib.sha256(blob).hexdigest()],
+            }
+        )
+
+    return clean.groupBy("shard").applyInPandas(
+        write_shard, schema=MANIFEST_SCHEMA
+    )
