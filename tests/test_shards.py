@@ -51,3 +51,32 @@ def test_write_webdataset_round_trips_and_is_deterministic(spark, tmp_path):
         b1 = open(os.path.join(out1, f"shard-{shard:05d}.tar"), "rb").read()
         b2 = open(os.path.join(out2, f"shard-{shard:05d}.tar"), "rb").read()
         assert b1 == b2
+
+
+def test_cli_corpus_shard(spark, tmp_path, capsys):
+    """corpus-shard: shards + one manifest JSON line per shard on
+    stdout, deterministic across invocations."""
+    import json
+
+    from warp_pipe_spark.__main__ import main
+
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"body {i}") for i in range(20)], "doc_id LONG, text STRING"
+    ).write.parquet(docs_dir)
+    out = str(tmp_path / "shards")
+    rc = main(
+        ["corpus-shard", "--docs", docs_dir, "--out", out,
+         "--n-shards", "3"]
+    )
+    assert rc == 0
+    lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert sum(d["n_docs"] for d in lines) == 20
+    assert [d["shard"] for d in lines] == sorted(d["shard"] for d in lines)
+    for d in lines:
+        assert os.path.exists(
+            os.path.join(out, f"shard-{d['shard']:05d}.tar")
+        )

@@ -66,6 +66,14 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--out", required=True)
     cp.add_argument("--chunk-tokens", type=int, default=512)
     cp.add_argument("--shards", type=int, default=8)
+    cs = sub.add_parser(
+        "corpus-shard",
+        help="package a documents parquet dir as deterministic "
+        "WebDataset tar shards + manifest",
+    )
+    cs.add_argument("--docs", required=True)
+    cs.add_argument("--out", required=True)
+    cs.add_argument("--n-shards", type=int, default=8)
     qg = sub.add_parser(
         "quality-gate",
         help="gate a documents parquet dir: accept (PII-scrubbed) / "
@@ -226,6 +234,28 @@ def main(argv: list[str] | None = None, out=None) -> int:
         kept.write.mode("overwrite").parquet(args.out)
         n_in, n_out = docs.count(), spark.read.parquet(args.out).count()
         print(f"kept {n_out} of {n_in} documents -> {args.out}", file=out)
+        return 0
+    if args.command == "corpus-shard":
+        from warp_pipe_spark.datapipe.shards import write_webdataset
+        from warp_pipe_spark.session import get_spark
+
+        spark = get_spark("warp_pipe_corpus")
+        docs = spark.read.parquet(args.docs)
+        manifest = write_webdataset(
+            docs, args.out, n_shards=args.n_shards
+        ).orderBy("shard").collect()
+        for r in manifest:
+            print(
+                json.dumps(
+                    {
+                        "shard": r["shard"],
+                        "n_docs": r["n_docs"],
+                        "n_bytes": r["n_bytes"],
+                        "sha256": r["sha256"],
+                    }
+                ),
+                file=out,
+            )
         return 0
     if args.command == "corpus-pack":
         from warp_pipe_spark.datapipe.sampling import pack_chunks
