@@ -18,6 +18,7 @@ Stages (each independently pinned in tests/):
   5. token-budget selection           (sampling.select_token_budget —
                                        no global sort)
   6. sequence packing                 (sampling.pack_chunks)
+  7. training shards + manifest       (shards.write_webdataset)
 
 Every stage is DataFrame-declared; the training loops hold only
 vocab/dims-sized driver state, and the whole pass is deterministic —
@@ -113,12 +114,24 @@ def main() -> None:
         (_F.max("chunk_last") + 1).alias("n")
     ).collect()[0]["n"]
 
+    # 7. package the curated docs as deterministic WebDataset shards
+    import tempfile
+
+    from warp_pipe_spark.datapipe.shards import write_webdataset
+
+    shard_dir = tempfile.mkdtemp(prefix="wp_curated_shards_")
+    manifest = write_webdataset(picked, shard_dir, n_shards=4).collect()
+
     print(f"input docs:              {n0}")
     print(f"after line scrub (text): {n_scrub}")
     print(f"decontaminated away:     {n_contaminated}")
     print(f"train logloss:           {hist[0][1]:.3f} -> {hist[-1][1]:.3f}")
     print(f"budget-selected docs:    {n_picked}")
     print(f"packed 512-tok seqs:     {n_seq}")
+    print(
+        f"tar shards:              {len(manifest)} "
+        f"({sum(r['n_bytes'] for r in manifest)} bytes) -> {shard_dir}"
+    )
     print("curation v2 demo OK")
 
 
