@@ -80,3 +80,35 @@ def test_cli_corpus_shard(spark, tmp_path, capsys):
         assert os.path.exists(
             os.path.join(out, f"shard-{d['shard']:05d}.tar")
         )
+
+
+def test_write_webdataset_multimodal_members(spark, tmp_path):
+    """members={'txt': ..., 'bin': ...}: each key contributes adjacent
+    {key}.bin/{key}.txt members (sorted extensions), binary columns
+    pass through byte-exact, a NULL in ANY member column excludes the
+    whole sample."""
+    from warp_pipe_spark.datapipe.shards import write_webdataset
+
+    rows = [
+        (1, "caption one", bytearray(b"\x00\x01\xff")),
+        (2, "caption two", bytearray(b"PNGish")),
+        (3, None, bytearray(b"orphan binary")),  # NULL txt -> excluded
+        (4, "no binary", None),                  # NULL bin -> excluded
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, caption STRING, content BINARY"
+    )
+    out = str(tmp_path / "mm")
+    m = write_webdataset(
+        docs, out, n_shards=1,
+        members={"txt": "caption", "bin": "content"},
+    ).collect()
+    assert len(m) == 1 and m[0]["n_docs"] == 2
+    with tarfile.open(os.path.join(out, "shard-00000.tar")) as tar:
+        names = [t.name for t in tar.getmembers()]
+        assert names == [
+            "000000000001.bin", "000000000001.txt",
+            "000000000002.bin", "000000000002.txt",
+        ]
+        assert tar.extractfile("000000000001.bin").read() == b"\x00\x01\xff"
+        assert tar.extractfile("000000000002.txt").read() == b"caption two"

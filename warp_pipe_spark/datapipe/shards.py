@@ -27,14 +27,14 @@ from pyspark.sql import functions as F
 MANIFEST_SCHEMA = "shard LONG, n_docs LONG, n_bytes LONG, sha256 STRING"
 
 
-def _shard_tar_bytes(rows: "list[tuple[int, bytes]]") -> bytes:
+def _shard_tar_bytes(rows: "list[tuple[str, bytes]]") -> bytes:
     """Deterministic tar: ustar, sorted members, zeroed metadata."""
     buf = io.BytesIO()
     with tarfile.open(
         fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
     ) as tar:
-        for doc_id, payload in sorted(rows):
-            info = tarfile.TarInfo(name=f"{doc_id:012d}.txt")
+        for name, payload in sorted(rows):
+            info = tarfile.TarInfo(name=name)
             info.size = len(payload)
             info.mtime = 0
             info.uid = info.gid = 0
@@ -50,6 +50,7 @@ def write_webdataset(
     n_shards: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    members: "dict[str, str] | None" = None,
 ) -> DataFrame:
     """Write `docs` as `out_dir/shard-{i:05d}.tar` WebDataset shards
     and RETURN the manifest DataFrame (shard, n_docs, n_bytes,
@@ -57,17 +58,30 @@ def write_webdataset(
     (same md5-derived scheme as the samplers), so membership, member
     order, and therefore shard BYTES are reproducible run over run.
 
+    `members` maps tar-member EXTENSION -> source column for
+    multi-member samples — the actual WebDataset convention for
+    multimodal data ({key}.png + {key}.txt + {key}.json grouped by
+    key). Default: {"txt": text_col}. STRING columns encode UTF-8,
+    BINARY columns pass through; a NULL in any member column excludes
+    the whole sample (a tar member cannot be NULL; the pack_chunks
+    precedent). Members of one key sit adjacently, sorted by
+    extension — the grouped layout streaming readers rely on.
+
     Files are written executor-side with the atomic tmp+rename
     discipline (a crashed run leaves no half-written shard visible);
     out_dir must be a filesystem every executor can reach — on a real
     cluster that is the shared store, in local mode any directory.
-    NULL-text docs are excluded (a shard member cannot be NULL; the
-    pack_chunks precedent).
     """
+    if members is None:
+        members = {"txt": text_col}
+    exts = sorted(members)
     os.makedirs(out_dir, exist_ok=True)
-    clean = docs.filter(F.col(text_col).isNotNull()).select(
+    clean = docs
+    for col in members.values():
+        clean = clean.filter(F.col(col).isNotNull())
+    clean = clean.select(
         F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("text"),
+        *[F.col(members[e]).alias(f"_m_{e}") for e in exts],
         (
             F.conv(
                 F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
@@ -78,12 +92,19 @@ def write_webdataset(
         ).alias("shard"),
     )
 
+    def _payload(v) -> bytes:
+        return v.encode("utf-8") if isinstance(v, str) else bytes(v)
+
     def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
+        # NB: itertuples() renames underscore-prefixed columns to
+        # positional fields — index the frame by column instead
         rows = [
-            (int(i), t.encode("utf-8"))
-            for i, t in zip(pdf["doc_id"], pdf["text"])
+            (f"{int(doc_id):012d}.{e}", _payload(v))
+            for e in exts
+            for doc_id, v in zip(pdf["doc_id"], pdf[f"_m_{e}"])
         ]
+        n_keys = len(pdf)
         blob = _shard_tar_bytes(rows)
         path = os.path.join(out_dir, f"shard-{shard:05d}.tar")
         tmp = path + f".tmp_{os.getpid()}"
@@ -95,7 +116,7 @@ def write_webdataset(
         return pd.DataFrame(
             {
                 "shard": [shard],
-                "n_docs": [len(rows)],
+                "n_docs": [n_keys],
                 "n_bytes": [len(blob)],
                 "sha256": [hashlib.sha256(blob).hexdigest()],
             }
