@@ -112,3 +112,28 @@ def test_write_webdataset_multimodal_members(spark, tmp_path):
         ]
         assert tar.extractfile("000000000001.bin").read() == b"\x00\x01\xff"
         assert tar.extractfile("000000000002.txt").read() == b"caption two"
+
+
+def test_read_webdataset_round_trips_the_corpus(spark, tmp_path):
+    """write -> read -> the member contents equal the source corpus,
+    verified IN the engine (anti-join empty both ways)."""
+    from pyspark.sql import functions as F
+
+    from warp_pipe_spark.datapipe.shards import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text body {i}") for i in range(30)],
+        "doc_id LONG, text STRING",
+    )
+    out = str(tmp_path / "rt")
+    write_webdataset(docs, out, n_shards=3).collect()
+    back = read_webdataset(spark, out).select(
+        F.col("key").alias("doc_id"),
+        F.decode("content", "utf-8").alias("text"),
+    )
+    assert back.count() == 30
+    assert docs.exceptAll(back).count() == 0
+    assert back.exceptAll(docs).count() == 0
