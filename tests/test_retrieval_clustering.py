@@ -575,3 +575,48 @@ def test_select_token_budget_matches_global_window_on_testdata(spark):
     assert got == want
     n_keep = sum(1 for _, k in got if k)
     assert 0 < n_keep < len(got)  # the budget actually bites
+
+
+def test_temperature_mix_boosts_the_tail(spark):
+    """alpha<1 must RAISE the tail group's kept share and LOWER the
+    head's relative to the natural mix; alpha=1 keeps everything
+    (rates never exceed 1 and the natural mix needs no downsampling
+    when targets equal masses); determinism across reruns."""
+    from warp_pipe_spark.datapipe.sampling import temperature_mix
+
+    rows = []
+    did = 0
+    for src, n in (("head", 900), ("mid", 90), ("tail", 10)):
+        for _ in range(n):
+            rows.append((did, src, 100))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, source STRING, n_tokens LONG"
+    )
+
+    kept = temperature_mix(docs, alpha=0.3).groupBy("source").count()
+    k = {r["source"]: r["count"] for r in kept.collect()}
+    # tail keeps everything (capped at rate 1), head is cut hard
+    assert k["tail"] == 10
+    assert k["head"] < 900 * 0.5
+    # share of tail in the kept mix far exceeds its natural 1%
+    tot = sum(k.values())
+    assert k["tail"] / tot > 0.03
+
+    k1 = {
+        r["source"]: r["count"]
+        for r in temperature_mix(docs, alpha=1.0)
+        .groupBy("source")
+        .count()
+        .collect()
+    }
+    assert k1 == {"head": 900, "mid": 90, "tail": 10}
+
+    again = {
+        r["source"]: r["count"]
+        for r in temperature_mix(docs, alpha=0.3)
+        .groupBy("source")
+        .count()
+        .collect()
+    }
+    assert again == k

@@ -365,3 +365,97 @@ def select_token_budget(
         "keep", F.col("_before") + F.sum(t).over(wd) <= budget
     )
     return decided.unionByName(boundary).drop("_verdict", "_before")
+
+
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    budget: int | None = None,
+    group_col: str = "source",
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based mixture rebalancing (the mT5/XLM-R
+    multilingual trick): sample a token `budget` from the corpus with
+    group shares ∝ mass_g^alpha — alpha=1 is the natural mix, alpha→0
+    approaches uniform, the usual 0.2-0.7 range boosts tail groups.
+    docs_mix_rebalance's flat median budget is a cousin of the same
+    shape without the temperature dial.
+
+    budget=None uses the LARGEST budget at which the temperature
+    shares hold exactly — min_g(mass_g · Σw / w_g), the point where
+    the scarcest boosted group is consumed whole and nothing is
+    oversampled. (At alpha=1 that is the full corpus: shares equal
+    the natural mix.) An explicit larger budget triggers capped
+    water-filling: groups whose target exceeds their mass keep
+    everything and their surplus re-normalizes the rest.
+
+    Keep rule: deterministic hash threshold (md5 of the id, the house
+    sampler scheme) against rate_micro(g) = target_g/mass_g in exact
+    integer micros; the single float step (mass^alpha) rounds to
+    micro units BEFORE normalization, so the keep-set reproduces
+    across engines and reruns. Two corpus passes: a groupBy for
+    masses (|groups|-row driver math), then a stateless
+    broadcast-join filter — the corpus never shuffles. Returns the
+    kept docs with per-row rate_micro for auditability.
+    """
+    from warp_pipe_spark.datapipe.text import h32
+
+    spark = docs.sparkSession
+    masses = (
+        docs.groupBy(group_col)
+        .agg(F.sum(F.col(weight_col)).alias("mass"))
+        .collect()
+    )
+    total = sum(r["mass"] for r in masses)
+    # weights in micro units, rounded once — the only float step
+    w_micro = {
+        r[group_col]: max(1, round((r["mass"] ** alpha) * 1_000_000))
+        for r in masses
+    }
+    w_total = sum(w_micro.values())
+    mass_by = {r[group_col]: r["mass"] for r in masses}
+    if budget is None:
+        budget = min(
+            mass_by[g] * w_total // w for g, w in w_micro.items()
+        )
+    budget = min(budget, total)
+    # capped water-filling: a group whose proportional target exceeds
+    # its mass keeps everything; its surplus re-normalizes the rest
+    capped: set = set()
+    for _ in range(len(masses)):
+        free_w = sum(w for g, w in w_micro.items() if g not in capped)
+        free_budget = budget - sum(mass_by[g] for g in capped)
+        newly = {
+            g
+            for g, w in w_micro.items()
+            if g not in capped
+            and w * free_budget >= free_w * mass_by[g]
+        }
+        if not newly:
+            break
+        capped |= newly
+    free_w = sum(w for g, w in w_micro.items() if g not in capped) or 1
+    free_budget = budget - sum(mass_by[g] for g in capped)
+    rates = {}
+    for g, w in w_micro.items():
+        if g in capped:
+            rates[g] = 1_000_000
+        else:
+            target = w * free_budget // free_w
+            rates[g] = min(
+                1_000_000, (target * 1_000_000) // max(mass_by[g], 1)
+            )
+    rate_df = F.broadcast(
+        spark.createDataFrame(
+            [(g, int(r)) for g, r in rates.items()],
+            f"{group_col} STRING, rate_micro LONG",
+        )
+    )
+    return (
+        docs.join(rate_df, group_col)
+        .filter(
+            h32(F.col(id_col).cast("string")) % 1_000_000
+            < F.col("rate_micro")
+        )
+    )
