@@ -3513,6 +3513,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # float algorithms like emb_kmeans' lineage) candidates:
         # ann_nn_descent / ann_graph_search (similarity.py; output is
         # deterministic, but no SQL engine replays the iteration).
+        # sampling.temperature_mix IS oracle-expressible (integer
+        # micro rates from a groups-sized CTE) if a strong-check slot
+        # opens in a later round.
     }
 
     import glob as _glob
