@@ -620,3 +620,16 @@ def test_temperature_mix_boosts_the_tail(spark):
         .collect()
     }
     assert again == k
+
+
+def test_temperature_mix_ignores_null_weights(spark):
+    from warp_pipe_spark.datapipe.sampling import temperature_mix
+
+    docs = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 100), (3, "b", None), (4, "b", None)],
+        "doc_id LONG, source STRING, n_tokens LONG",
+    )
+    kept = temperature_mix(docs, alpha=0.5).collect()
+    # the all-NULL group contributes no mass and no kept rows; the
+    # real group survives whole at the default budget
+    assert {r["doc_id"] for r in kept} == {1, 2}

@@ -402,6 +402,10 @@ def temperature_mix(
     from warp_pipe_spark.datapipe.text import h32
 
     spark = docs.sparkSession
+    # NULL weights carry no mass and can't be sampled by token budget;
+    # an all-NULL group would otherwise surface as mass None and crash
+    # the share math
+    docs = docs.filter(F.col(weight_col).isNotNull())
     masses = (
         docs.groupBy(group_col)
         .agg(F.sum(F.col(weight_col)).alias("mass"))
