@@ -1205,3 +1205,25 @@ def test_repetition_signals_matches_duckdb_on_testdata(spark):
     want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_dedup_lines_with_regex_metacharacter_separator(spark):
+    """sep is a LITERAL: '.' must not split on every character (F.split
+    is regex-based; the rejoin side was already literal)."""
+    from warp_pipe_spark.datapipe.text import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "boiler.keep one.tail"),
+            (2, "boiler.keep two.tail"),
+            (3, "boiler.keep three.tail"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in dedup_lines(docs, min_docs=3, sep=".").collect()
+    }
+    assert got[1] == "keep one"
+    assert got[2] == "keep two"
+    assert got[3] == "keep three"

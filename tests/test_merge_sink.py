@@ -490,3 +490,33 @@ def test_sql_executor_truncate_clear_emits_id_guarded_delete(spark):
     # the post-truncate insert still merges
     assert any("MERGE INTO users t" in s for s in rec.stmts)
     assert any("MERGE INTO pets t" in s for s in rec.stmts)
+
+
+def test_on_truncate_unchecked_skips_the_scan(spark):
+    """'unchecked' is the explicit opt-out for truncate-free sources:
+    no per-batch truncate detection job runs (review finding — the
+    scan cost bought nothing on audit/wal2json-v1 streams), and a
+    truncate row reaching such a sink folds like any other unknown
+    kind instead of raising."""
+    from warp_pipe_spark.merge_sink import InMemoryMergeExecutor, MergeStateSink
+
+    ex = InMemoryMergeExecutor(spark)
+    sink = MergeStateSink(
+        spark, ex, pk_cols=["pk"], on_truncate="unchecked"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "INSERT", "t", 1, "a"),
+            (2, "truncate", "t", None, None),
+        ],
+        "id LONG, action STRING, table_name STRING, pk LONG, val STRING",
+    )
+    sink.apply_batch(batch, 0)
+    # the insert landed; the truncate neither raised nor cleared
+    vals = [r["val"] for r in ex.tables["t"].collect() if r["val"]]
+    assert vals == ["a"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unchecked"):
+        MergeStateSink(spark, ex, pk_cols=["pk"], on_truncate="bogus")

@@ -1153,7 +1153,11 @@ def test_tail_never_confirms_past_an_undecided_prepare(tmp_path):
     # idle timeout ends the drain instead, having flushed the plain doc
     import os as _os
 
-    assert n == 2  # the held change is counted (it may yet commit)
+    # only the plain commit's change was WRITTEN; the prepared-but-
+    # undecided change stays buffered and is excluded from the count
+    # (the un-confirmed server redelivers it after a restart, so
+    # counting it now would double-count across the restart)
+    assert n == 1
     files = _os.listdir(drop)
     assert len(files) == 1  # only the plain commit was written
     # FakeWalsender lays frames from 0x15D68C8, each advancing by its
@@ -1210,3 +1214,41 @@ def test_pg_float_text_rejects_midpoint_renderings():
     assert struct.unpack("!f", struct.pack("!f", float("2.571102e8")))[
         0
     ] == v
+
+
+def test_idle_exit_with_open_stream_reports_zero_written(tmp_path):
+    """The 'changes WRITTEN' contract on idle-timeout exits: a
+    streamed in-progress transaction whose commit never arrives was
+    counted change-by-change by feed(), but nothing reached the drop
+    dir — the tail must return 0, not the buffered count (the
+    un-confirmed server redelivers those changes after a restart, so
+    counting them now would double-count across it)."""
+    import json as _json
+    import os as _os
+
+    from test_lr_client import FakeWalsender
+
+    from warp_pipe_spark.lr_client import LRClient
+    from warp_pipe_spark.pgoutput import tail_pgoutput_to_drop_dir
+
+    payloads = [
+        msg_stream_start(700),
+        sx(REL, 700),
+        sx(msg_insert(5001, "1", "a"), 700),
+        sx(msg_insert(5001, "2", "b"), 700),
+        b"E",
+        # no stream-commit: the wire goes silent mid-transaction
+    ]
+    srv = FakeWalsender(
+        payloads, keepalive_every=100, hang_silent_after_payloads=True
+    )
+    c = LRClient("127.0.0.1", srv.port, "testdb", "u", "wp_slot",
+                 plugin="pgoutput", status_interval_s=9999)
+    c.connect()
+    drop = str(tmp_path / "drop")
+    n = tail_pgoutput_to_drop_dir(
+        c, drop, publication="pub", proto_version=2, idle_timeout_s=3.0
+    )
+    c.close()
+    assert n == 0
+    assert _os.listdir(drop) == []

@@ -633,3 +633,20 @@ def test_temperature_mix_ignores_null_weights(spark):
     # the all-NULL group contributes no mass and no kept rows; the
     # real group survives whole at the default budget
     assert {r["doc_id"] for r in kept} == {1, 2}
+
+
+def test_temperature_mix_excludes_null_groups_from_budget_math(spark):
+    """A NULL-source group can never match the final equi-join; it
+    must be excluded BEFORE the budget math so its mass doesn't
+    inflate other groups' targets (review finding)."""
+    from warp_pipe_spark.datapipe.sampling import temperature_mix
+
+    rows = [(i, "a", 100) for i in range(10)]
+    rows += [(100 + i, None, 100) for i in range(90)]
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, source STRING, n_tokens LONG"
+    )
+    kept = temperature_mix(docs, alpha=0.5).collect()
+    # only the real group exists; at the default budget it is kept
+    # whole — if the NULL mass leaked into the math, rates would skew
+    assert {r["doc_id"] for r in kept} == set(range(10))

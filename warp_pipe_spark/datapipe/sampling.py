@@ -404,8 +404,12 @@ def temperature_mix(
     spark = docs.sparkSession
     # NULL weights carry no mass and can't be sampled by token budget;
     # an all-NULL group would otherwise surface as mass None and crash
-    # the share math
-    docs = docs.filter(F.col(weight_col).isNotNull())
+    # the share math. NULL GROUPS are excluded for the same reason the
+    # final equi-join would drop them anyway — but excluded BEFORE the
+    # budget math, so their mass never inflates other groups' targets
+    docs = docs.filter(
+        F.col(weight_col).isNotNull() & F.col(group_col).isNotNull()
+    )
     masses = (
         docs.groupBy(group_col)
         .agg(F.sum(F.col(weight_col)).alias("mass"))

@@ -287,6 +287,8 @@ def graph_search(
     k: int = 10,
     hops: int = 3,
     beam: int | None = None,
+    n_planes: int = 16,
+    n_bands: int = 4,
 ) -> DataFrame:
     """Greedy BEAM search over an nn_descent graph — the query-time
     primitive HNSW-style indexes run, batched for Spark: every query
@@ -347,8 +349,10 @@ def graph_search(
             .select("query_id", "neighbor_id", "rank", "cos_sim")
         )
 
-    # entry points: corpus nodes sharing an LSH band with the query
-    n_planes, n_bands = 16, 4
+    # entry points: corpus nodes sharing an LSH band with the query —
+    # pass the SAME n_planes/n_bands the graph was seeded with
+    # (nn_descent's arguments); a mismatched signature space gives
+    # unrelated entry nodes and silently degraded recall
     bits = n_planes // n_bands
 
     def _bands(df: DataFrame, idcol: str):

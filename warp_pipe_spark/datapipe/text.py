@@ -723,7 +723,9 @@ def repetition_signals(
                           frequent word n-gram (ties → longest)
       dup_{n}gram_char_frac  Σ_{c>1} c·len(g) / n_chars
 
-    Docs with NULL or empty text are excluded (no denominator).
+    Docs with NULL or empty text are excluded (no denominator), as
+    are docs with NO non-empty lines (text of only newlines): the
+    line-stats join is the exclusion gate, mirrored by the oracle.
 
     Plan at 100 TB: ONE tagged explode covers every n — each doc emits
     (n, gram) rows for all nine n's in a single Generate, so the
@@ -851,9 +853,16 @@ def dedup_lines(
     dup-hash set joins back (AQE can split a skewed hash) → one
     bounded-group reassembly agg per doc. Three exchanges, all
     corpus-linear."""
+    # \Q...\E: `sep` is a LITERAL separator in both directions —
+    # F.split takes a regex, concat_ws a literal, and an unquoted "."
+    # or "|" would split on every character while rejoining with the
+    # literal (paragraph mode "\n\n" happened to work only because it
+    # has no metacharacters)
     lines = docs.select(
         "doc_id",
-        F.posexplode(F.split(F.col("text"), sep)).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.col("text"), "\\Q" + sep + "\\E")
+        ).alias("pos", "line"),
     ).withColumn("_h", h60(F.lower(F.trim(F.col("line")))))
     blank = F.trim(F.col("line")) == ""
     nd = (

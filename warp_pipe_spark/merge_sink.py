@@ -413,6 +413,13 @@ class MergeStateSink:
         rows the truncate supersedes are dropped before the fold
         (apply.split_truncates' contract). Redelivery stays a no-op:
         the clear is id-guarded, post-truncate rows survive it.
+      - 'unchecked': SKIP the per-batch truncate scan entirely — for
+        sources that cannot emit truncates (audit-trigger mode,
+        wal2json v1), where paying a detection aggregation every
+        micro-batch forever buys nothing. Explicit opt-out, never the
+        default: a pgoutput source behind 'unchecked' would fold a
+        table clear as an upsert-shaped no-op, the exact silent
+        corruption 'error' exists to stop.
     """
 
     def __init__(
@@ -425,9 +432,10 @@ class MergeStateSink:
         table_col: str = "table_name",
         on_truncate: str = "error",
     ):
-        if on_truncate not in ("error", "clear"):
+        if on_truncate not in ("error", "clear", "unchecked"):
             raise ValueError(
-                f"on_truncate must be 'error' or 'clear', got {on_truncate!r}"
+                "on_truncate must be 'error', 'clear' or 'unchecked', "
+                f"got {on_truncate!r}"
             )
         self.spark = spark
         self.executor = executor
@@ -445,14 +453,19 @@ class MergeStateSink:
         # per-table latest-truncate marks: one tiny agg job per batch —
         # the price of never letting a table clear slip through as an
         # upsert. Tables number O(tables); the collect is the same
-        # driver-side routing read as `touched` below.
-        marks = {
-            r[0]: r[1]
-            for r in batch.filter(F.col(self.kind_col).isin(*TRUNCATE_KINDS))
-            .groupBy(self.table_col)
-            .agg(F.max(self.id_col))
-            .collect()
-        }
+        # driver-side routing read as `touched` below. Truncate-free
+        # sources skip the scan with on_truncate='unchecked'.
+        marks = {}
+        if self.on_truncate != "unchecked":
+            marks = {
+                r[0]: r[1]
+                for r in batch.filter(
+                    F.col(self.kind_col).isin(*TRUNCATE_KINDS)
+                )
+                .groupBy(self.table_col)
+                .agg(F.max(self.id_col))
+                .collect()
+            }
         if marks:
             if self.on_truncate == "error":
                 raise ValueError(

@@ -901,6 +901,21 @@ class PgOutputAssembler:
             starts = list(starts) + [self._preparing_start]
         return min(starts) if starts else None
 
+    def undelivered_count(self) -> int:
+        """Changes feed() counted that are still BUFFERED — an open
+        transaction's pending list, open streamed transactions,
+        undecided prepared transactions. A tail exiting on idle
+        timeout subtracts this from its running feed() sum so its
+        return value honors the 'changes WRITTEN' contract: buffered
+        changes were never flushed to a document (and on restart the
+        un-confirmed server redelivers them, so counting them now
+        would double-count across the restart)."""
+        return (
+            len(self._pending)
+            + sum(len(v) for v in self._streamed.values())
+            + sum(len(v) for v in self._prepared.values())
+        )
+
     def take_docs(self) -> list[dict]:
         """Pop and return all committed documents. The streaming tail
         calls this at each flush so the assembler never accumulates
@@ -1205,4 +1220,8 @@ def tail_pgoutput_to_drop_dir(
             except OSError:
                 pass
         flush(confirm=False)
-    return n_changes
+    # idle-timeout exits can leave an open (streamed/prepared/plain)
+    # transaction buffered: those changes were counted by feed() but
+    # never written — subtract them so the return value (and the
+    # CLI's "consumed") reports CHANGES WRITTEN, not changes seen
+    return n_changes - asm.undelivered_count()
