@@ -336,3 +336,32 @@ def test_train_bpe_matches_reference_implementation(spark):
         r["w"]: list(r["symbols"]) for r in vocab_df.collect()
     }
     assert got_vocab == want_vocab
+
+
+def test_logistic_loss_is_finite_at_extreme_scores(spark):
+    """The epoch-loss expression must stay finite where F.exp
+    overflows (|s| > 709): softplus form, exact vs math.log1p at
+    moderate s, asymptotically max(s,0) − s·label at extreme s."""
+    import math
+
+    from warp_pipe_spark.datapipe.text import logistic_loss
+
+    df = spark.createDataFrame(
+        [(1e4, 1.0), (1e4, 0.0), (-1e4, 1.0), (-1e4, 0.0),
+         (2.5, 1.0), (-2.5, 0.0), (0.0, 1.0)],
+        "s DOUBLE, label DOUBLE",
+    )
+    got = {
+        (r["s"], r["label"]): r["ll"]
+        for r in df.select(
+            "s", "label",
+            logistic_loss(F.col("s"), F.col("label")).alias("ll"),
+        ).collect()
+    }
+    assert all(math.isfinite(v) for v in got.values())
+    # a confident wrong answer costs |s|, a confident right one ~0
+    assert got[(1e4, 0.0)] == 1e4 and got[(-1e4, 1.0)] == 1e4
+    assert got[(1e4, 1.0)] == 0.0 and got[(-1e4, 0.0)] == 0.0
+    assert abs(got[(2.5, 1.0)] - math.log1p(math.exp(-2.5))) < 1e-12
+    assert abs(got[(-2.5, 0.0)] - math.log1p(math.exp(-2.5))) < 1e-12
+    assert abs(got[(0.0, 1.0)] - math.log(2.0)) < 1e-12

@@ -137,3 +137,41 @@ def test_read_webdataset_round_trips_the_corpus(spark, tmp_path):
     assert back.count() == 30
     assert docs.exceptAll(back).count() == 0
     assert back.exceptAll(docs).count() == 0
+
+
+def test_write_webdataset_clears_stale_shards(spark, tmp_path):
+    """A re-run with fewer shards must not leave the previous run's
+    tars behind: read_webdataset globs shard-*.tar, so stale files
+    would resurface documents absent from the returned manifest."""
+    from warp_pipe_spark.datapipe.shards import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(20)], "doc_id LONG, text STRING"
+    )
+    out = str(tmp_path / "re")
+    m0 = write_webdataset(docs, out, n_shards=8).collect()
+    assert len(os.listdir(out)) == len(m0) >= 3
+    # crashed-run leftover must go too
+    open(os.path.join(out, "shard-00003.tar.tmp_999"), "wb").close()
+    m = write_webdataset(docs, out, n_shards=2).collect()
+    assert sorted(os.listdir(out)) == ["shard-00000.tar", "shard-00001.tar"]
+    assert sum(r["n_docs"] for r in m) == 20
+    assert read_webdataset(spark, out).count() == 20
+
+
+def test_write_webdataset_rejects_non_integral_ids(spark, tmp_path):
+    """Member keys are zero-padded integers (and read_webdataset
+    int()s them back) — a string id must fail fast at the API with a
+    message, not executor-side inside applyInPandas."""
+    import pytest
+
+    from warp_pipe_spark.datapipe.shards import write_webdataset
+
+    docs = spark.createDataFrame(
+        [("a1", "text one")], "doc_id STRING, text STRING"
+    )
+    with pytest.raises(ValueError, match="integral id_col"):
+        write_webdataset(docs, str(tmp_path / "bad"))

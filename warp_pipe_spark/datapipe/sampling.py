@@ -320,7 +320,11 @@ def select_token_budget(
     Contract: the stage-1 window is |distinct scores|-sized — with
     continuous per-doc-unique scores it degrades back to a global
     sort; pre-quantize such scores (the house micro-fraction integers
-    make bins ~10⁶ max). Ties inside a score resolve by doc_id
+    make bins ~10⁶ max). The verdict join is left unhinted so AQE
+    broadcasts it only while the bin table actually is small — a
+    forced broadcast would ship a corpus-sized verdict frame through
+    the driver exactly in the degenerate case. Ties inside a score
+    resolve by doc_id
     ascending, greedy without skipping: a boundary doc that overflows
     the remainder stops the fill even if a smaller doc follows —
     deterministic and exactly the global-window semantics.
@@ -350,7 +354,7 @@ def select_token_budget(
         .otherwise(F.lit("boundary"))
         .alias("_verdict"),
     )
-    joined = scored.join(F.broadcast(verdict), score_col)
+    joined = scored.join(verdict, score_col)
     decided = joined.filter(F.col("_verdict") != "boundary").withColumn(
         "keep", F.col("_verdict") == "keep"
     )

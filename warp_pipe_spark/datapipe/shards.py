@@ -75,7 +75,28 @@ def write_webdataset(
     if members is None:
         members = {"txt": text_col}
     exts = sorted(members)
+    # Member names are {doc_id:012d}.{ext} and read_webdataset parses
+    # the key back with int(): a string/float id_col would only fail
+    # executor-side inside applyInPandas with an opaque ValueError, so
+    # reject it here where the message can say what to do.
+    id_type = docs.schema[id_col].dataType.typeName()
+    if id_type not in ("byte", "short", "integer", "long"):
+        raise ValueError(
+            f"write_webdataset requires an integral id_col "
+            f"({id_col!r} is {id_type}); tar member keys are zero-padded "
+            f"integers — cast or renumber ids first"
+        )
     os.makedirs(out_dir, exist_ok=True)
+    # A re-run with fewer shards (or a shard hashing empty) must not
+    # leave stale tars behind for read_webdataset's glob to pick up:
+    # the manifest is the source of truth, so the directory starts
+    # clean of shard files (half-written .tmp_* from a crashed run too).
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(out_dir, "shard-*.tar")) + _glob.glob(
+        os.path.join(out_dir, "shard-*.tar.tmp_*")
+    ):
+        os.remove(stale)
     clean = docs
     for col in members.values():
         clean = clean.filter(F.col(col).isNotNull())

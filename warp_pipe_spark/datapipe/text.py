@@ -408,6 +408,18 @@ def quality_model_score(docs: DataFrame, dims: int = 4096) -> DataFrame:
     )
 
 
+def logistic_loss(s: Column, label: Column) -> Column:
+    """Per-row logistic log-loss in the numerically stable softplus
+    form max(s,0) − s·label + log1p(e^−|s|). The textbook
+    label·log1p(e^−s) + (1−label)·log1p(e^s) overflows F.exp to inf
+    past |s| ≈ 709 and reports an inf epoch loss while training (which
+    uses the sigmoid residual, stable by construction) is actually
+    progressing; this form is exact for all finite s."""
+    return (
+        F.greatest(s, F.lit(0.0)) - s * label + F.log1p(F.exp(-F.abs(s)))
+    )
+
+
 def train_quality_model(
     labeled: DataFrame,
     dims: int = 4096,
@@ -485,10 +497,7 @@ def train_quality_model(
             try:
                 loss = resid.select(
                     F.avg(
-                        F.when(
-                            F.col("label") > 0.5,
-                            F.log1p(F.exp(-F.col("s"))),
-                        ).otherwise(F.log1p(F.exp(F.col("s"))))
+                        logistic_loss(F.col("s"), F.col("label"))
                     ).alias("ll")
                 ).collect()[0]["ll"]
                 grad_rows = (
