@@ -193,6 +193,32 @@ def _cc_star_shared(spark: SparkSession, sf: str) -> DataFrame:
     return df
 
 
+# Shared NN-Descent working graph per (session, sf_dir): ann_nn_descent
+# serves its rank<=10 truncation and ann_graph_search beam-searches the
+# full 20-wide edge set — one O(n·k_build²) build instead of two. Same
+# eviction discipline as _CC_STAR_CACHE; the frame is 20 rows per
+# vector and deterministic, so sharing changes cost, never results.
+_NN_GRAPH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _nn_graph_shared(spark: SparkSession, sf: str) -> DataFrame:
+    from warp_pipe_spark.datapipe.similarity import nn_descent
+    from warp_pipe_spark.io import read_table
+
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _NN_GRAPH_CACHE if k[0] != app]:
+        del _NN_GRAPH_CACHE[k]
+    key = (app, sf)
+    df = _NN_GRAPH_CACHE.get(key)
+    if df is None:
+        emb = read_table(spark, sf, "embeddings")
+        # k == k_build == 20: the untruncated working graph of the
+        # nn_descent(k=10, iters=2) call (whose default k_build is 2k)
+        df = nn_descent(emb, k=20, iters=2, k_build=20).persist()
+        _NN_GRAPH_CACHE[key] = df
+    return df
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -3357,6 +3383,138 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_weighted_sample=docs_weighted_sample,
     )
 
+    # --- round 12: the r11 queue lands as driver-checked queries --------
+    def docs_repetition_signals(spark, sf):
+        """The FULL Gopher §A1.1 repetition suite (Rae et al. 2021):
+        duplicate-line fraction + duplicate-line character mass,
+        top-{2,3,4}-gram character dominance, duplicate-{5..10}-gram
+        character mass — every signal an exact micro-fraction (integer
+        div), one exploded-token pass per gram family, all map-side-
+        combinable groupBys. text_gopher_rules carries the word-level
+        gate; this is the repetition half the paper actually filters
+        on. See text.repetition_signals."""
+        from warp_pipe_spark.datapipe.text import repetition_signals
+
+        return repetition_signals(_docs(spark, sf))
+
+    def docs_dedup_lines(spark, sf):
+        """C4/CCNet cross-corpus LINE dedup: a (lowercased, trimmed)
+        line appearing in ≥2 DISTINCT documents is boilerplate and is
+        scrubbed from every document; texts reassemble in original
+        line order. Three corpus-linear exchanges (hash the line, a
+        count-distinct per 60-bit hash — no posting lists — and one
+        bounded-group reassembly). See text.dedup_lines."""
+        from warp_pipe_spark.datapipe.text import dedup_lines
+
+        return dedup_lines(_docs(spark, sf), min_docs=2)
+
+    def docs_decontaminate(spark, sf):
+        """Benchmark decontamination (GPT-3 App. C / The Pile): flag
+        every training document sharing a word 13-gram with the
+        benchmark — here a deterministic 5% corpus slice (doc_id %
+        20 = 0) standing in for the eval suite, so the query is
+        self-contained on the testdata. The benchmark side collapses
+        to distinct shingle hashes and BROADCASTS (plan pinned in
+        tests/test_dedup.py) — the corpus never shuffles; output is
+        the flagged (doc_id, n_hits) audit frame `clean` anti-joins
+        against. See dedup.decontaminate."""
+        from warp_pipe_spark.datapipe.dedup import decontaminate
+
+        docs = _docs(spark, sf)
+        bench = docs.filter(F.col("doc_id") % 20 == 0)
+        _, flagged = decontaminate(docs, bench, n=13)
+        return flagged.select(
+            "doc_id", F.col("n_hits").cast("long").alias("n_hits")
+        )
+
+    def docs_select_token_budget(spark, sf):
+        """Budgeted data selection — keep the best-scoring documents
+        whose cumulative tokens fit a 20k budget, equal to the
+        textbook global window sum(tok) OVER (ORDER BY score DESC,
+        doc_id) <= budget but computed WITHOUT the single-partition
+        global sort: token mass aggregates per distinct score bin, a
+        bins-sized window classifies keep/drop/boundary, and only THE
+        boundary bin ranks per-doc. Scores are the quality heuristic
+        quantized to integer deciles (the pre-quantization contract).
+        See sampling.select_token_budget."""
+        from warp_pipe_spark.datapipe.sampling import select_token_budget
+        from warp_pipe_spark.datapipe.text import quality_scores
+
+        scored = quality_scores(_docs(spark, sf)).select(
+            "doc_id",
+            (F.col("quality_score") * 10).cast("long").alias("score"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+        return select_token_budget(scored, budget=20_000)
+
+    def multimodal_decode_png(spark, sf):
+        """multimodal_decode_real's PNG twin: the SAME synth pixels
+        per doc encoded by the from-scratch PNG codec (zlib/DEFLATE +
+        the five filter types, cycling doc_id mod 5 so every filter
+        appears in the corpus), decoded back by the from-scratch
+        parser, reduced to per-channel pixel sums. The oracle replays
+        the sums from (media_id, x, y) arithmetic and never sees a
+        byte — a codec bug on either side cannot cancel out. n_bytes
+        is zlib-output-sized (not SQL-replayable) and stays out of the
+        projection. See multimodal.png_media / png_encode."""
+        from warp_pipe_spark.datapipe.multimodal import png_media
+
+        feats = decode_media(png_media(_docs(spark, sf)), fake=False)
+        return _bmp_sums(feats)
+
+    # --- round 12: graph-ANN pair as rows-only weak checks --------------
+    # (deliberately NO oracle_sql entries: the NN-Descent iteration has
+    # no SQL replay — like emb_kmeans' lineage, but where kmeans could
+    # pin deterministic centroids in SQL, a neighbor-graph fixpoint
+    # cannot — so the driver records the weaker rows-only check and the
+    # judge sees which. Recall vs brute force is pinned in
+    # tests/test_similarity.py; determinism is pinned there too. The
+    # two queries share ONE memoized k_build=20 build per (session,
+    # sf) — the _cc_star_shared discipline — because rebuilding the
+    # graph inside the search query would double the registry's most
+    # expensive new entry for no informational gain.)
+    def ann_nn_descent(spark, sf):
+        """NN-Descent k-NN-graph construction (Dong et al., WWW 2011),
+        LSH-seeded, never all-pairs: per iteration the symmetrized
+        graph joins itself on the shared endpoint (neighbor-of-my-
+        neighbor), exact cosine scores the O(n·k_build²) candidates,
+        and a k_build-bounded window (WindowGroupLimit partial top-k)
+        closes the round; localCheckpoint per iteration caps lineage.
+        Deterministic end to end: hash-derived planes, sims rounded to
+        6 places, id tie-breaks. Output == nn_descent(emb, k=10,
+        iters=2) exactly: the shared frame IS that call's k_build=20
+        working graph, and rank<=10 is its final truncation. See
+        similarity.nn_descent."""
+        return _nn_graph_shared(spark, sf).filter(F.col("rank") <= 10)
+
+    def ann_graph_search(spark, sf):
+        """Batched greedy beam search over the NN-Descent graph — the
+        HNSW-style query path: every query advances one hop per round
+        (frontier × k edges, exact-cosine rescoring, beam-bounded
+        truncation), LSH band mates as entry points, beam 3k. Searches
+        the full 20-wide working graph (serve width 2·k — HNSW's
+        M_max > M detour margin; the ≥0.95-recall composition is
+        pinned in tests/test_similarity.py). See
+        similarity.graph_search."""
+        from warp_pipe_spark.datapipe.similarity import graph_search
+
+        emb = read_table(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 40)
+        return graph_search(
+            _nn_graph_shared(spark, sf), emb, queries_df,
+            k=10, hops=3, beam=30,
+        )
+
+    q.update(
+        docs_repetition_signals=docs_repetition_signals,
+        docs_dedup_lines=docs_dedup_lines,
+        docs_decontaminate=docs_decontaminate,
+        docs_select_token_budget=docs_select_token_budget,
+        multimodal_decode_png=multimodal_decode_png,
+        ann_nn_descent=ann_nn_descent,
+        ann_graph_search=ann_graph_search,
+    )
+
     # The driver's correctness harness verifies the FIRST 50 dict
     # entries per round, so the ordering below IS the round's
     # verification window. It is computed, not hand-maintained
@@ -3487,35 +3645,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 'truncate' (result-identical on truncate-free testdata, but
         # the oracle TEXT changed, so the green row must re-earn).
         "cs_kind_normalize": 11,
-        # QUEUED FOR ROUND 12 (not a tag — a to-do): REGISTER
-        # dedup.decontaminate (13-gram benchmark overlap vs a
-        # deterministic slice of documents), text.dedup_lines
-        # (C4-style cross-corpus line scrub), AND
-        # text.repetition_signals (full Gopher §A1.1 suite; its exact
-        # DuckDB oracle is pre-validated against sf0.001 in
-        # test_dedup.py::test_repetition_signals_matches_duckdb_on_testdata)
-        # AND sampling.select_token_budget (budgeted data selection;
-        # oracle = the global-window SQL pre-validated in
-        # test_retrieval_clustering.py) AND a multimodal_decode_png
-        # twin (decode_media over multimodal.png_media, selecting the
-        # synth-pixel-replayable columns w/h/sum_r/g/b — n_bytes is
-        # zlib-output-sized, not SQL-replayable, so it stays out of
-        # the oracle projection)
-        # as query+oracle pairs. All shipped r11 pytest-only
-        # because the r11 window was exactly full (cs_truncate_replay
-        # + 7 tags + 42 r8-stale = 50) and any new registration would
-        # have pushed an r8 re-earn out. r12 arithmetic: once
-        # CORRECTNESS_r11 lands, staleness is 43 r9 / 50 r10 / 50 r11,
-        # so the r12 window = 43 r9-stale mandatory + these 5 new
-        # registrations (front-loaded automatically) = 48 of 50, two
-        # slots spare for review-fix re-earn tags. If the slots stay
-        # free, optional weak-check (rows-only, no oracle — iterative
-        # float algorithms like emb_kmeans' lineage) candidates:
-        # ann_nn_descent / ann_graph_search (similarity.py; output is
-        # deterministic, but no SQL engine replays the iteration).
-        # sampling.temperature_mix IS oracle-expressible (integer
-        # micro rates from a groups-sized CTE) if a strong-check slot
-        # opens in a later round.
+        # ROUND 12 EXECUTED THE r11 QUEUE: docs_decontaminate,
+        # docs_dedup_lines, docs_repetition_signals,
+        # docs_select_token_budget, multimodal_decode_png registered
+        # with strong oracles, plus ann_nn_descent / ann_graph_search
+        # as rows-only weak checks (no SQL engine replays the
+        # NN-Descent iteration — emb_kmeans' lineage, minus the
+        # SQL-pinnable fixpoint). r12 window arithmetic: 43 r9-stale
+        # mandatory + 7 new registrations (front-loaded automatically
+        # as never-green) = exactly 50; no tags needed — the round's
+        # review fixes touched only pytest-only surfaces (shards,
+        # train_quality_model) or queries registered fresh this round
+        # (select_token_budget).
+        # CAPACITY NOTE, r13+: at 150 registered queries the rotation
+        # is SATURATED (3 rounds × 50 = 150 — every window from r13 on
+        # is exactly one staleness cohort: 50 r10-stale in r13, 50
+        # r11-stale in r14, ...). A new registration now requires
+        # RETIRING a query (or a red row freeing a slot, or the driver
+        # widening the window). sampling.temperature_mix therefore
+        # stays pytest-pinned (its DuckDB oracle shape is sketched in
+        # tests/test_retrieval_clustering.py) unless a slot opens; the
+        # next candidate retirement is dedup_embedding's bounded
+        # all-pairs fixture, whose linear twin dedup_embedding_lsh_auto
+        # carries the same semantics with a scale-true plan.
     }
 
     import glob as _glob
@@ -6188,4 +6340,177 @@ def oracle_sql() -> dict[str, str]:
                 THEN (n_hit * 1000000) // n_candidates END AS precision_micro
     FROM stats
     """
+
+    # --- round 12 registrations -----------------------------------------
+
+    # Gopher §A1.1 repetition suite: per gram family, per-doc gram
+    # counts (gc) reduce to the dominant gram's character mass (top) or
+    # the duplicated grams' character mass (dup); max(ROW(c, len)) is
+    # the arg_max-on-struct idiom (the arg_max-can't-take-ROW gotcha).
+    # Pre-validated bit-for-bit at sf0.001 in
+    # tests/test_dedup.py::test_repetition_signals_matches_duckdb_on_testdata.
+    def _rep_gram_cte(n: int) -> str:
+        sh = (
+            f"[array_to_string(t[i:i+{n - 1}], ' ') "
+            f"FOR i IN range(1, greatest(len(t)-{n - 1}, 1)+1)]"
+        )
+        return f"""
+    g{n} AS (SELECT doc_id, n_chars, unnest({sh}) AS g FROM rep_tok),
+    gc{n} AS (SELECT doc_id, g, count(*) AS c, first(n_chars) AS n_chars
+              FROM g{n} GROUP BY doc_id, g),
+    per{n} AS (
+      SELECT doc_id,
+             max(ROW(c, length(g))) AS m,
+             CAST(sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END)
+                  AS BIGINT) AS dup_chars,
+             first(n_chars) AS n_chars
+      FROM gc{n} GROUP BY doc_id
+    )"""
+
+    _rep_ns = range(2, 11)
+    o["docs_repetition_signals"] = (
+        """
+    WITH d AS (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    rep_tok AS (SELECT doc_id, n_chars, string_split(text, ' ') AS t FROM d),
+    l0 AS (SELECT doc_id,
+                  unnest(list_filter(string_split(text, chr(10)),
+                                     x -> length(x) > 0)) AS line
+           FROM d),
+    lc AS (SELECT doc_id, line, count(*) AS c FROM l0 GROUP BY 1, 2),
+    lstat AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_lines,
+             CAST(count(*) AS BIGINT) AS n_distinct_lines,
+             CAST(sum(c * length(line)) AS BIGINT) AS line_chars,
+             CAST(sum((c - 1) * length(line)) AS BIGINT) AS dup_line_chars
+      FROM lc GROUP BY doc_id
+    ),"""
+        + ",".join(_rep_gram_cte(n) for n in _rep_ns)
+        + """
+    SELECT d.doc_id, d.n_chars, n_lines,
+           ((n_lines - n_distinct_lines) * 1000000) // n_lines
+             AS dup_line_frac_micro,
+           (dup_line_chars * 1000000) // line_chars
+             AS dup_line_char_frac_micro,
+           """
+        + ", ".join(
+            f"(per{n}.m[1] * per{n}.m[2] * 1000000) // d.n_chars"
+            f" AS top_{n}gram_char_frac_micro"
+            for n in (2, 3, 4)
+        )
+        + ", "
+        + ", ".join(
+            f"(per{n}.dup_chars * 1000000) // d.n_chars"
+            f" AS dup_{n}gram_char_frac_micro"
+            for n in range(5, 11)
+        )
+        + """
+    FROM d
+    JOIN lstat USING (doc_id)
+    """
+        + " ".join(f"JOIN per{n} ON per{n}.doc_id = d.doc_id" for n in _rep_ns)
+    )
+
+    # C4/CCNet line scrub: parallel unnest zips (pos, line); the
+    # boilerplate set is the >=2-distinct-doc 60-bit hashes of the
+    # lowercased trimmed line; blank lines never count and never drop;
+    # reassembly = list(line ORDER BY pos) over the kept rows (an
+    # all-boilerplate doc coalesces to the empty string, matching
+    # Spark's concat_ws over the empty array).
+    o["docs_dedup_lines"] = f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, chr(10)) AS L
+      FROM documents WHERE text IS NOT NULL
+    ),
+    l AS (
+      SELECT doc_id,
+             unnest(range(1, len(L) + 1)) AS pos,
+             unnest(L) AS line
+      FROM d
+    ),
+    h AS (
+      SELECT doc_id, pos, line,
+             {_H60_SQL.format(x="lower(trim(line))")} AS hh,
+             trim(line) = '' AS blank
+      FROM l
+    ),
+    boiler AS (
+      SELECT hh FROM h WHERE NOT blank
+      GROUP BY hh HAVING count(DISTINCT doc_id) >= 2
+    ),
+    k AS (
+      SELECT h.*,
+             (NOT blank AND hh IN (SELECT hh FROM boiler)) AS dropped
+      FROM h
+    )
+    SELECT doc_id,
+           coalesce(
+             array_to_string(
+               list(line ORDER BY pos) FILTER (WHERE NOT dropped),
+               chr(10)),
+             '') AS text,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(coalesce(sum(CASE WHEN dropped THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_removed
+    FROM k GROUP BY doc_id
+    """
+
+    # decontamination: both sides build DISTINCT word-13-gram shingles
+    # (short texts contribute the whole text — the greatest(..,1) slice
+    # rule) through the shared 60-bit hash; n_hits = how many of the
+    # doc's distinct shingles appear in the benchmark slice's set.
+    _SH13_SQL = (
+        "[array_to_string(t[i:i+12], ' ') "
+        "FOR i IN range(1, greatest(len(t)-12, 1)+1)]"
+    )
+    o["docs_decontaminate"] = f"""
+    WITH dtok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    dsh AS (
+      SELECT doc_id, {_H60_SQL.format(x="s")} AS h
+      FROM (SELECT doc_id, unnest(list_distinct({_SH13_SQL})) AS s FROM dtok)
+    ),
+    bench AS (SELECT DISTINCT h FROM dsh WHERE doc_id % 20 = 0)
+    SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM dsh d JOIN bench USING (h)
+    GROUP BY d.doc_id
+    """
+
+    # budgeted selection == the textbook global window over the decile-
+    # quantized quality score (the formulation select_token_budget
+    # avoids executing; semantics pinned equal in
+    # tests/test_retrieval_clustering.py). Scoring SQL = the
+    # text_quality oracle's indicator arithmetic, scaled to deciles.
+    o["docs_select_token_budget"] = """
+    WITH tok AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             text, length(text) AS n_chars
+      FROM documents WHERE text IS NOT NULL
+    ),
+    q AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST((
+          (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.4 ELSE 0 END
+           + CASE WHEN round(len(list_filter(string_split(text, ' '),
+                 x -> x IN ('a', 'the')))::DOUBLE / n_tokens, 6) <= 0.3
+             THEN 0.3 ELSE 0 END
+           + CASE WHEN round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+                 / n_chars, 6) <= 0.1 THEN 0.2 ELSE 0 END
+           + CASE WHEN round((n_chars - (n_tokens - 1))::DOUBLE / n_tokens, 6) >= 3.0
+             THEN 0.1 ELSE 0 END) * 10) AS BIGINT) AS score
+      FROM tok
+    )
+    SELECT doc_id, score, n_tokens,
+           sum(n_tokens) OVER (ORDER BY score DESC, doc_id) <= 20000 AS keep
+    FROM q
+    """
+
+    # the PNG twin replays the SAME pixel arithmetic as the BMP decode
+    # — codec-independent by construction (only the bytes differ, and
+    # the oracle never sees bytes)
+    o["multimodal_decode_png"] = o["multimodal_decode_real"]
+
     return o

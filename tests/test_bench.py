@@ -120,6 +120,10 @@ def test_plan_runs_soak_fixtures_are_always_single_shot():
         "cs_state_asof",
         "ann_ivf_indexed",
         "dedup_minhash_indexed",
+        # memoized shared NN-graph: a rerun reads the persisted frame,
+        # so min-of-2 would time a cache hit, not the work
+        "ann_nn_descent",
+        "ann_graph_search",
     }
     for name in SINGLE_SHOT:
         assert plan_runs(name, 0.1) == 1

@@ -35,8 +35,12 @@ def test_entry_returns_rows(spark):
 def test_every_oracle_key_has_a_query():
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     assert set(os_) <= set(qs)
-    # full coverage: every declared query is oracle-compared
-    assert set(qs) - set(os_) == set()
+    # full strong coverage EXCEPT the declared rows-only pair: the
+    # NN-Descent iteration has no SQL replay (round-12 registration
+    # note in queries()), so those two intentionally carry the
+    # driver's weaker rows-only check — any OTHER oracle-less query is
+    # a registration bug this test catches.
+    assert set(qs) - set(os_) == {"ann_nn_descent", "ann_graph_search"}
 
 
 @pytest.mark.parametrize("name", FAST_SUBSET)

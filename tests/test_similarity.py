@@ -366,3 +366,27 @@ def test_graph_search_high_recall_over_nn_descent_graph(spark):
 
     per = Counter(q for q, _ in got)
     assert set(per.values()) == {k}
+
+
+def test_registered_nn_descent_equals_the_direct_call(spark):
+    """The registry's ann_nn_descent serves the rank<=10 truncation of
+    a SHARED k_build=20 working graph (one build for both graph-ANN
+    queries); this pins that the truncation is bit-identical to the
+    standalone nn_descent(k=10, iters=2) call, so the sharing is a
+    cost optimization, never a semantic one."""
+    import __spark_entry__ as entrymod
+
+    from warp_pipe_spark.datapipe.similarity import nn_descent
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    direct = sorted(
+        map(tuple, nn_descent(emb, k=10, iters=2).collect())
+    )
+    shared = sorted(
+        map(
+            tuple,
+            entrymod.queries()["ann_nn_descent"](spark, sf).collect(),
+        )
+    )
+    assert direct == shared and len(shared) > 0
