@@ -478,16 +478,9 @@ def main() -> None:
     compact_minhash_index(spark, mh_dir)
     aux["mhidx_compact"] = round(time.time() - t0, 3)
 
-    # full Gopher repetition suite (r11, registration queued for r12):
-    # tracked as aux until it has a driver row so the 9-family explode
-    # cost is visible per round (SCALE.md round 11: corpus-linear)
-    from warp_pipe_spark.datapipe.text import repetition_signals
-
-    t0 = time.time()
-    repetition_signals(docs).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    aux["repsig_suite"] = round(time.time() - t0, 3)
+    # (the r11 repsig_suite aux entry is gone: docs_repetition_signals
+    # is a registered HEADLINE query as of r12, so the aux would have
+    # double-paid the 9-family explode every run)
 
     # keyset-poll split (VERDICT r5 item 6): the registered
     # cs_keyset_poll_stream is a full drain-from-empty soak, opaque as
@@ -505,9 +498,14 @@ def main() -> None:
         dataframe_keyset_fetch,
     )
 
+    from warp_pipe_spark.io import scratch_dir
+
     cs = entrymod._cs(spark, sf_dir)
     n_total = cs.count()
-    ks_base = tempfile.mkdtemp(prefix="wp_bench_keyset_")
+    # tmpfs-backed, like the registered soak: keyset_poll_drain was the
+    # committed reference's storage-variance absorber (12.98→18.2 s on
+    # quiet machines); on RAM it measures the poller, not disk aging
+    ks_base = scratch_dir("wp_bench_keyset_")
     ks_sink = ParquetStateSink(
         spark, os.path.join(ks_base, "state"), pk_cols=["pk"]
     )
@@ -526,6 +524,11 @@ def main() -> None:
             break
         per_round.append((time.time() - r0, applied))
     aux.update(split_keyset_rounds(per_round, poller.limit))
+    # nothing reads the sink after the split — free the tmpfs pages
+    # (a leaked /tmp dir was disk; a leaked /dev/shm dir is RAM)
+    import shutil
+
+    shutil.rmtree(ks_base, ignore_errors=True)
 
     canary_end = run_canary(spark)
 

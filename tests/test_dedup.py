@@ -1227,3 +1227,32 @@ def test_dedup_lines_with_regex_metacharacter_separator(spark):
     assert got[1] == "keep one"
     assert got[2] == "keep two"
     assert got[3] == "keep three"
+
+
+def test_embedding_near_dup_blocking_is_result_invariant(spark):
+    """The blocked-GEMM execution must be a pure cost choice: any
+    block count yields the identical pair set and identical rounded
+    sims (same-block upper-triangle + cross-block min/max dedup ==
+    the old per-pair a.vec_id < b.vec_id join, exactly once each)."""
+    from warp_pipe_spark.datapipe.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    ref = sorted(
+        map(
+            tuple,
+            embedding_near_dup_pairs(emb, 0.4, n_blocks=1).collect(),
+        )
+    )
+    assert len(ref) > 0
+    for nb in (3, 7, 32):
+        got = sorted(
+            map(
+                tuple,
+                embedding_near_dup_pairs(
+                    emb, 0.4, n_blocks=nb
+                ).collect(),
+            )
+        )
+        assert got == ref, nb

@@ -40,6 +40,23 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp preferring tmpfs (/dev/shm): soak/sink BENCH fixtures
+    measure state-commit cost, and a disk-backed tempdir folds storage
+    aging into the measurement (the keyset drain drifted 12.98→18.2 s
+    across otherwise-idle runs purely from filesystem variance) —
+    RAM-backed scratch keeps the fixture measuring the engine. Falls
+    back to the system default when /dev/shm is missing or read-only;
+    the sinks are path-agnostic, so only the noise floor changes."""
+    import os
+    import tempfile
+
+    base = "/dev/shm"
+    if os.path.isdir(base) and os.access(base, os.W_OK):
+        return tempfile.mkdtemp(prefix=prefix, dir=base)
+    return tempfile.mkdtemp(prefix=prefix)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Testdata timestamps are naive parquet TIMESTAMP(MICROS)
     # (isAdjustedToUTC=false). Spark 4 infers those as TIMESTAMP_NTZ,
