@@ -491,3 +491,58 @@ def test_cli_live_tail_pgoutput_binary_mode(tmp_path, capsys):
             docs += [_json.loads(ln) for ln in f.read().splitlines()]
     assert docs[0]["change"][0]["columnvalues"] == ["42", "x"]
     srv.thread.join(5)
+
+
+def test_cli_corpus_curate_end_to_end(spark, tmp_path, capsys):
+    """ONE command from documents parquet to curated WebDataset
+    shards (VERDICT r11 item 6): all optional stages on, stats JSON +
+    manifest lines on stdout, shards on disk, deterministic across
+    reruns, and every stage visibly bites on the real sf0.001 corpus."""
+    import json
+
+    from warp_pipe_spark.__main__ import main
+
+    docs_dir = "/root/testdata/sf0.001/documents.parquet"
+    bench_dir = str(tmp_path / "bench")
+    # stand-in eval set: every 50th document
+    spark.read.parquet(docs_dir).filter("doc_id % 50 = 0").select(
+        "doc_id", "text"
+    ).write.parquet(bench_dir)
+
+    out = str(tmp_path / "curated")
+    argv = [
+        "corpus-curate", "--docs", docs_dir, "--out", out,
+        "--min-line-docs", "2", "--benchmark", bench_dir,
+        "--alpha", "0.5", "--budget", "20000", "--n-shards", "4",
+    ]
+    assert main(argv) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    stats = json.loads(lines[0])["stats"]
+    manifest = [json.loads(ln) for ln in lines[1:]]
+
+    import os
+
+    # the funnel is monotone and every enabled stage bites
+    assert stats["n_input"] == 500
+    assert 0 < stats["n_after_dedup"] <= stats["n_input"]
+    assert stats["n_decontaminated"] > 0
+    assert 0 < stats["n_after_gate"] <= stats["n_after_dedup"]
+    assert 0 < stats["n_after_mix"] <= stats["n_after_gate"]
+    assert 0 < stats["n_selected"] <= stats["n_after_mix"]
+    assert stats["n_sharded"] == stats["n_selected"]
+    assert stats["n_shards"] == len(manifest) <= 4
+    for d in manifest:
+        assert os.path.exists(
+            os.path.join(out, f"shard-{d['shard']:05d}.tar")
+        )
+
+    # rerun -> byte-identical shards (manifest hashes equal)
+    out2 = str(tmp_path / "curated2")
+    argv2 = list(argv)
+    argv2[argv2.index(out)] = out2
+    assert main(argv2) == 0
+    lines2 = capsys.readouterr().out.strip().splitlines()
+    manifest2 = [json.loads(ln) for ln in lines2[1:]]
+    assert [d["sha256"] for d in manifest2] == [
+        d["sha256"] for d in manifest
+    ]

@@ -58,6 +58,46 @@ def build_parser() -> argparse.ArgumentParser:
         help="keep the highest classifier-scored doc per near-dup "
         "cluster instead of the min doc_id",
     )
+    cu = sub.add_parser(
+        "corpus-curate",
+        help="ONE command from a documents parquet dir to curated "
+        "WebDataset shards: dedup -> line scrub -> decontaminate -> "
+        "quality gate + PII scrub -> temperature mix -> token budget "
+        "-> deterministic tars + manifest (optional stages off unless "
+        "their flag is set)",
+    )
+    cu.add_argument("--docs", required=True, help="documents parquet dir/file")
+    cu.add_argument("--out", required=True, help="shard output dir")
+    cu.add_argument("--max-bucket", type=int, default=1000)
+    cu.add_argument("--keep-best", action="store_true")
+    cu.add_argument(
+        "--min-line-docs",
+        type=int,
+        default=0,
+        help=">=2 enables the C4-style cross-corpus line scrub at this "
+        "distinct-doc threshold",
+    )
+    cu.add_argument(
+        "--benchmark",
+        default=None,
+        help="eval-set parquet (doc_id, text); enables 13-gram "
+        "decontamination against it",
+    )
+    cu.add_argument(
+        "--alpha",
+        type=float,
+        default=None,
+        help="enables temperature mixture rebalancing at this alpha",
+    )
+    cu.add_argument("--group-col", default="source")
+    cu.add_argument(
+        "--budget",
+        type=int,
+        default=None,
+        help="enables token-budget selection (keep best-scoring docs "
+        "whose cumulative tokens fit)",
+    )
+    cu.add_argument("--n-shards", type=int, default=8)
     cp = sub.add_parser(
         "corpus-pack",
         help="write the chunk-packing layout for a documents parquet dir",
@@ -175,65 +215,55 @@ def main(argv: list[str] | None = None, out=None) -> int:
     if args.command == "corpus-clean":
         # keepers = exact-dup group representatives minus near-dup
         # cluster non-representatives (the docs_clean_corpus dedup
-        # core, operable from the shell)
-        from pyspark.sql import functions as F
-
-        from warp_pipe_spark.datapipe.dedup import (
-            connected_components_star,
-            exact_dedup,
-            minhash_lsh_pairs,
-        )
+        # core, operable from the shell). The keep_best caveats — the
+        # keepers-only argmax and the deliberate divergence from the
+        # registered docs_cluster_keep_best reporting query — live in
+        # curate.dedup_survivors, which corpus-curate shares.
+        from warp_pipe_spark.datapipe.curate import dedup_survivors
         from warp_pipe_spark.session import get_spark
 
         spark = get_spark("warp_pipe_corpus")
         docs = spark.read.parquet(args.docs)
-        keepers = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
-        pairs = minhash_lsh_pairs(docs, max_bucket=args.max_bucket)
-        clusters = connected_components_star(pairs)
-        if args.keep_best:
-            # quality-aware resolution: keep the argmax-scored doc per
-            # cluster. The argmax is taken over exact-dedup KEEPERS
-            # only: exact duplicates score identically, so an
-            # unrestricted argmax can elect a non-keeper copy that the
-            # keepers semi-join below then deletes — wiping the whole
-            # cluster. Ties among distinct keepers break to the MIN
-            # doc_id (matching exact_dedup's representative choice),
-            # via max(struct(score, -doc_id)). NOTE: this deliberately
-            # diverges from the registered docs_cluster_keep_best
-            # query, which has no keeper restriction and tie-breaks to
-            # the MAX doc_id — that query ranks ALL cluster members as
-            # a standalone scoring report, while this path must pick a
-            # survivor consistent with the exact-dedup stage it runs
-            # behind.
-            from warp_pipe_spark.datapipe.text import quality_model_score
-
-            scores = quality_model_score(docs).select("doc_id", "score_sum")
-            j = (
-                clusters.join(keepers, "doc_id", "left_semi")
-                .join(scores, "doc_id")
-            )
-            best = F.max(
-                F.struct(
-                    F.col("score_sum").alias("s"),
-                    (-F.col("doc_id")).alias("nd"),
-                )
-            )
-            kept_per_cluster = j.groupBy("cluster_id").agg(
-                (-best["nd"]).alias("doc_id")
-            )
-            drop = clusters.join(
-                kept_per_cluster.select("doc_id"), "doc_id", "left_anti"
-            ).select("doc_id")
-        else:
-            drop = clusters.filter(
-                F.col("doc_id") != F.col("cluster_id")
-            ).select("doc_id")
-        kept = docs.join(keepers, "doc_id", "left_semi").join(
-            drop, "doc_id", "left_anti"
-        )
-        kept.write.mode("overwrite").parquet(args.out)
+        dedup_survivors(
+            docs, max_bucket=args.max_bucket, keep_best=args.keep_best
+        ).write.mode("overwrite").parquet(args.out)
         n_in, n_out = docs.count(), spark.read.parquet(args.out).count()
         print(f"kept {n_out} of {n_in} documents -> {args.out}", file=out)
+        return 0
+    if args.command == "corpus-curate":
+        from warp_pipe_spark.datapipe.curate import curate_corpus
+        from warp_pipe_spark.session import get_spark
+
+        spark = get_spark("warp_pipe_corpus")
+        docs = spark.read.parquet(args.docs)
+        bench = (
+            spark.read.parquet(args.benchmark) if args.benchmark else None
+        )
+        manifest, stats = curate_corpus(
+            docs,
+            args.out,
+            max_bucket=args.max_bucket,
+            keep_best=args.keep_best,
+            min_line_docs=args.min_line_docs,
+            benchmark=bench,
+            alpha=args.alpha,
+            group_col=args.group_col,
+            budget=args.budget,
+            n_shards=args.n_shards,
+        )
+        print(json.dumps({"stats": stats}), file=out)
+        for r in manifest:
+            print(
+                json.dumps(
+                    {
+                        "shard": r["shard"],
+                        "n_docs": r["n_docs"],
+                        "n_bytes": r["n_bytes"],
+                        "sha256": r["sha256"],
+                    }
+                ),
+                file=out,
+            )
         return 0
     if args.command == "corpus-shard":
         from warp_pipe_spark.datapipe.shards import write_webdataset
