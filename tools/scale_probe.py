@@ -123,6 +123,15 @@ PROBE_QUERIES = [
     "docs_bigram_ppl",
     "ann_ivf_pq_topk",
     "ann_recall_eval",
+    # round-12 registrations + the blocked-GEMM rework
+    "docs_repetition_signals",
+    "docs_dedup_lines",
+    "docs_decontaminate",
+    "docs_select_token_budget",
+    "multimodal_decode_png",
+    "dedup_embedding",
+    "ann_nn_descent",
+    "ann_graph_search",
 ]
 
 
