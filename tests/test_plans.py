@@ -494,3 +494,40 @@ def test_select_token_budget_no_global_sort_on_corpus(spark):
     assert "hashpartitioning(score" in p, p
     assert tree.count("BroadcastHashJoin") >= 1, tree
     assert tree.count("SortMergeJoin") == 0, tree
+
+
+def test_dedup_lines_three_corpus_exchanges_no_posting_lists(spark, qs):
+    """The C4 line scrub's scale claim: hash the line, ONE
+    count-distinct agg per 60-bit hash (map-side combinable, no
+    per-hash arrays), the dup set joins back, one bounded-group
+    reassembly — three corpus exchanges plus the count-distinct's
+    internal expand, never a sort-merge join or a global sort."""
+    p = plan_of(spark, qs["docs_dedup_lines"](spark, SF))
+    tree = tree_of(p)
+    assert tree.count("SortMergeJoin") <= 1, tree  # AQE may pick either
+    assert "CartesianProduct" not in tree, tree
+    assert "collect_list" not in tree.split("ObjectHashAggregate")[0], tree
+    assert p.count("Arguments: SinglePartition") == 0, p
+
+
+def test_repetition_signals_no_joins_across_gram_families(spark, qs):
+    """Gopher repetition suite: every gram family reduces per-doc and
+    the families join back on doc_id only — no cartesian, no
+    single-partition funnel, and the doc_id joins stay hash joins."""
+    p = plan_of(spark, qs["docs_repetition_signals"](spark, SF))
+    tree = tree_of(p)
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert p.count("Arguments: SinglePartition") == 0, p
+
+
+def test_decode_png_is_a_pure_map_stage(spark, qs):
+    """The PNG decode path is scan → mapInPandas → project, zero
+    joins. At most ONE exchange: the io.fan_out guard's repartition,
+    present only because the test corpus is a single split narrower
+    than the core count (it moves doc_id longs, and is a no-op at real
+    scale where input splits provide the parallelism)."""
+    p = plan_of(spark, qs["multimodal_decode_png"](spark, SF))
+    tree = tree_of(p)
+    assert n_exchanges(p) <= 1, p
+    assert "Join" not in tree, tree

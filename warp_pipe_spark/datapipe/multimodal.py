@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from warp_pipe_spark.io import fan_out
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -374,7 +376,9 @@ def bmp_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(mapper, schema=MEDIA_SCHEMA)
+    return fan_out(docs.select("doc_id"), "doc_id").mapInPandas(
+        mapper, schema=MEDIA_SCHEMA
+    )
 
 
 def png_media(docs: DataFrame) -> DataFrame:
@@ -412,7 +416,9 @@ def png_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(mapper, schema=MEDIA_SCHEMA)
+    return fan_out(docs.select("doc_id"), "doc_id").mapInPandas(
+        mapper, schema=MEDIA_SCHEMA
+    )
 
 
 # -- video: BMP-frame stream container, real demux + per-frame decode ----
@@ -458,7 +464,9 @@ def video_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(mapper, schema=MEDIA_SCHEMA)
+    return fan_out(docs.select("doc_id"), "doc_id").mapInPandas(
+        mapper, schema=MEDIA_SCHEMA
+    )
 
 
 def split_bmp_stream(data: bytes) -> list[bytes]:
@@ -614,7 +622,9 @@ def wav_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(mapper, schema=MEDIA_SCHEMA)
+    return fan_out(docs.select("doc_id"), "doc_id").mapInPandas(
+        mapper, schema=MEDIA_SCHEMA
+    )
 
 
 AUDIO_FEATURES_SCHEMA = T.StructType(

@@ -747,10 +747,19 @@ def repetition_signals(
     No arrays of postings anywhere: a gram repeated c times is a
     counter, never a c-element list. Zero Python.
     """
+    from warp_pipe_spark.io import fan_out
+
     all_ns = sorted(set(top_ns) | set(dup_ns))
-    base = docs.filter(
-        F.col("text").isNotNull() & (F.length("text") > 0)
-    ).select("doc_id", F.length("text").alias("n_chars"), "text")
+    # fan_out: the 9-family explode multiplies each partition's bytes
+    # ~300× and Spark can't split a partition mid-stage — a small
+    # single-split scan would serialize the whole Generate onto one
+    # core (no-op at real scale; see io.fan_out)
+    base = fan_out(
+        docs.filter(
+            F.col("text").isNotNull() & (F.length("text") > 0)
+        ).select("doc_id", F.length("text").alias("n_chars"), "text"),
+        "doc_id",
+    )
 
     def _tag(n: int) -> Column:
         # NB: a two-arg lambda would receive (element, INDEX) from

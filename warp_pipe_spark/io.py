@@ -40,6 +40,25 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+def fan_out(df: DataFrame, *cols: str) -> DataFrame:
+    """Spread a narrow frame across the session's cores before a
+    high-fan-out stage (a 9-family shingle explode, a per-doc media
+    encode): Spark cannot split a partition mid-stage, so a small
+    single-split scan serializes a 300× Generate or a per-row codec
+    onto one core while 31 idle. NO-OP when the frame already has >=
+    defaultParallelism partitions — at real scale input splits provide
+    the parallelism and the exchange would be pure cost; the shuffle
+    this inserts on the small-input path moves only the narrow
+    pre-explosion projection. Pass key columns to hash-partition
+    (keeps a doc's rows together); none for round-robin."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    if cols:
+        return df.repartition(sc.defaultParallelism, *cols)
+    return df.repartition(sc.defaultParallelism)
+
+
 def scratch_dir(prefix: str) -> str:
     """mkdtemp preferring tmpfs (/dev/shm): soak/sink BENCH fixtures
     measure state-commit cost, and a disk-backed tempdir folds storage
