@@ -1185,6 +1185,17 @@ def test_live_two_phase_restart_redelivers_prepared(live, spark, tmp_path):
     tails = []
 
     def fresh_tail():
+        # a crashed/closed tail's walsender may hold the slot ACTIVE
+        # for a beat after the socket drops; a reconnect inside that
+        # window fails with "slot is active for PID" — wait it out
+        for _ in range(20):
+            rows = ctl._simple_query(
+                "SELECT active FROM pg_replication_slots "
+                f"WHERE slot_name = '{slot}'"
+            )
+            if not rows or rows[0][0] in ("f", "false", False):
+                break
+            time.sleep(0.25)
         c = _client(slot)
         c.plugin = "pgoutput"
         c.connect()

@@ -821,7 +821,10 @@ def embedding_near_dup_pairs(
     blocking ships each vector B times (~2 MB) and turns the compute
     into L3-resident GEMM. Same O(n²) math, so the max_rows bound
     stays; B defaults to ~n/512 capped at 32 (one task wave per 16
-    block pairs at local[32] — scale B with cluster parallelism).
+    block pairs at local[32] — scale B with cluster parallelism). A
+    caller RAISING max_rows for a large bounded block should raise
+    n_blocks with it (~n/8192 keeps each collect_list'd block a few
+    MB); the default cap is sized for the enforced 200k bound.
 
     The numpy side prefilters at threshold − 1e-6 and the exact
     verdict — F.round(cos, 6) >= threshold, HALF_UP like the previous
@@ -906,7 +909,13 @@ def embedding_near_dup_pairs(
                 if out
                 else pd.DataFrame(
                     {"vec_a": [], "vec_b": [], "cos_raw": []}
-                ).astype({"vec_a": "int64", "vec_b": "int64"})
+                ).astype(
+                    {
+                        "vec_a": "int64",
+                        "vec_b": "int64",
+                        "cos_raw": "float64",
+                    }
+                )
             )
 
     cand = block_pairs.mapInPandas(
@@ -957,9 +966,14 @@ def decontaminate(
     )
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
-    doc_grams = _hashed_shingle_arrays(docs, n).select(
-        "doc_id", F.explode("sh_arr").alias("h")
-    )
+    from warp_pipe_spark.io import fan_out
+
+    # fan_out: 13-gram shingles are ~80-char strings, so the corpus
+    # side's Generate multiplies partition bytes ~80× — spread a
+    # small single-split scan before it (no-op at real scale)
+    doc_grams = _hashed_shingle_arrays(
+        fan_out(docs.select("doc_id", "text"), "doc_id"), n
+    ).select("doc_id", F.explode("sh_arr").alias("h"))
     flagged = (
         doc_grams.join(bench_grams, "h")
         .groupBy("doc_id")
