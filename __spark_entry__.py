@@ -3669,20 +3669,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r13-mandatory by staleness anyway — the tag documents WHY its
         # code string changed, exactly like the round-6 clustering tags.
         "dedup_embedding": 13,
-        # round-12 fan-out guard (io.fan_out in the media sources and
-        # repetition_signals) + the keyset soak's tmpfs scratch dir:
-        # pure execution changes, result-identical (oracle sweep of all
-        # 12 affected queries at sf0.01 ALL OK in-round). The affected
-        # r9-green queries re-earn in THIS round's window already;
-        # these tags document the rest, timed to the round where each
-        # is staleness-mandatory anyway (r10-green → 13, r11-green →
-        # 14) so the documentary tag never evicts a re-earn:
-        "multimodal_features": 13,
+        # round-12 fan-out guard (io.fan_out in repetition_signals,
+        # decontaminate's corpus side, and png_media — the BMP/WAV/
+        # stream codecs measured FASTER without it: their sub-second
+        # work loses more to the exchange than 32-way spread gains, so
+        # those sources reverted byte-identical) + the keyset soak's
+        # tmpfs scratch dir: pure execution changes, result-identical
+        # (oracle sweeps at sf0.01 ALL OK in-round). Every affected
+        # query either re-earns in THIS round's window (r9-green) or
+        # registered fresh this round, except the soak:
         "cs_keyset_poll_stream": 13,
-        "multimodal_phash": 14,
-        "multimodal_audio_frames": 14,
-        "multimodal_image_tiles": 14,
-        "multimodal_video_diffs": 14,
         # CAPACITY NOTE, r13+: at 150 registered queries the rotation
         # is SATURATED (3 rounds × 50 = 150 — every window from r13 on
         # is exactly one staleness cohort: 50 r10-stale in r13, 50

@@ -376,9 +376,7 @@ def bmp_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return fan_out(docs.select("doc_id"), "doc_id").mapInPandas(
-        mapper, schema=MEDIA_SCHEMA
-    )
+    return docs.select("doc_id").mapInPandas(mapper, schema=MEDIA_SCHEMA)
 
 
 def png_media(docs: DataFrame) -> DataFrame:
@@ -416,6 +414,9 @@ def png_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
+    # fan_out: zlib DEFLATE per doc is the one codec heavy enough to
+    # beat the exchange overhead (7.8 s single-task -> 2.4 s); the
+    # cheap BMP/WAV/stream codecs stay on the scan partitioning
     return fan_out(docs.select("doc_id"), "doc_id").mapInPandas(
         mapper, schema=MEDIA_SCHEMA
     )
@@ -464,9 +465,7 @@ def video_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return fan_out(docs.select("doc_id"), "doc_id").mapInPandas(
-        mapper, schema=MEDIA_SCHEMA
-    )
+    return docs.select("doc_id").mapInPandas(mapper, schema=MEDIA_SCHEMA)
 
 
 def split_bmp_stream(data: bytes) -> list[bytes]:
@@ -622,9 +621,7 @@ def wav_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return fan_out(docs.select("doc_id"), "doc_id").mapInPandas(
-        mapper, schema=MEDIA_SCHEMA
-    )
+    return docs.select("doc_id").mapInPandas(mapper, schema=MEDIA_SCHEMA)
 
 
 AUDIO_FEATURES_SCHEMA = T.StructType(
