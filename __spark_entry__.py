@@ -3550,15 +3550,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # HUGEINT->BIGINT casts) — the committed green rows predate
         # the current oracle strings
         "text_quality": 6,
-        "docs_chunk_overlap": 6,
+        # (docs_chunk_overlap round-6 tag expired; re-tagged 11 below)
         # round 6: near-dup stage swapped to the result-identical
         # prefix-filtered engine (oracle unchanged) on top of the
         # oracle DECIMAL->DOUBLE cast
         "docs_clean_corpus": 6,
         # touched in round 5; the r05 window was consumed by that
         # round's 50 registrations, so they re-earn now
-        "cs_keyset_poll_stream": 6,
-        "cs_incremental_merge": 6,
+        # (cs_keyset_poll_stream round-6 tag expired; re-tagged 13 below)
+        # (cs_incremental_merge round-6 tag expired; re-tagged 11 below)
         "docs_dup_spans": 6,
         "tpch_q21": 6,
         # QUEUED for round 7 (the round-6 window is full at 50: 44
@@ -3568,7 +3568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # so its r05 green row still describes current results; its
         # round-7 tag activates it the moment CORRECTNESS_r06 lands,
         # alongside the queued prefix-Jaccard ground-truth swap.
-        "dedup_lsh_eval": 7,
+        # (dedup_lsh_eval round-7 tag expired; re-tagged 13 below)
         # round-6 crash-path review fixes touched their modules
         # (dedup_index.py: count-distinct bucket cap + shared banding
         # rows; streaming.py: first-batch pointer + null-row skip) with
@@ -3579,7 +3579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --capsweep06 measurement showed cap 5 keeps only 19.5% of
         # true t=0.6 pairs at sf0.1 (cap 20: recall 1.000, 0
         # additions). Takes the round-7 window's one spare slot.
-        "docs_clean_corpus_capped": 7,
+        # (docs_clean_corpus_capped round-7 tag expired; re-tagged 13 below)
         "cs_state_asof": 7,
         # round-6 temporal review: asof_join now excludes NULL-ts/key
         # right rows (match-identical on the testdata, which has none)
@@ -3620,7 +3620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (fixture SFs sit far under the bound), code string changed.
         # (Replaces this key's expired round-6 tag — one literal per
         # key; the AST hygiene scan rejects duplicate dict keys.)
-        "dedup_ngram_jaccard": 8,
+        # (dedup_ngram_jaccard round-8 tag expired; re-tagged 13 below)
         # round-10 sampling review: pack_chunks excludes NULL-text docs
         # instead of emitting a poisoned layout row (NULL tok_start +
         # a chunk_last borrowed from neighbors' running sum). Identical
@@ -3679,6 +3679,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # query either re-earns in THIS round's window (r9-green) or
         # registered fresh this round, except the soak:
         "cs_keyset_poll_stream": 13,
+        # round-12 shingle-family fan_out (io.fan_out inside
+        # _hashed_shingle_arrays: clean_corpus_capped 5.9→4.0 s,
+        # containment 5.1→3.7 s; oracle sweep of all seven consumers
+        # at sf0.01 ALL OK). docs_clean_corpus is r9-green and
+        # re-earns this round; the rest tag their staleness-mandatory
+        # round (r10-green → 13, r11-green → 14):
+        "dedup_ngram_jaccard": 13,
+        "docs_clean_corpus_capped": 13,
+        "dedup_lsh_eval": 13,
+        "dedup_ngram_jaccard_capped": 14,
+        "dedup_containment": 14,
         # CAPACITY NOTE, r13+: at 150 registered queries the rotation
         # is SATURATED (3 rounds × 50 = 150 — every window from r13 on
         # is exactly one staleness cohort: 50 r10-stale in r13, 50

@@ -189,9 +189,12 @@ def test_ngram_jaccard_carries_sizes_no_join(spark, qs):
     """Union sizes ride the posting lists: the whole pair pipeline is
     two keyed aggregates (shingle, then pair) with NO join — in
     particular no broadcast of a per-document sizes table, which would
-    OOM at corpus scale."""
+    OOM at corpus scale. A third exchange is permitted: io.fan_out's
+    pre-shingling spread of the narrow (doc_id, text) projection,
+    present only when the test corpus is a single split narrower than
+    the core count (absent at real scale)."""
     p = plan_of(spark, qs["dedup_ngram_jaccard"](spark, SF))
-    assert n_exchanges(p) == 2, tree_of(p)
+    assert 2 <= n_exchanges(p) <= 3, tree_of(p)
     assert "Join" not in tree_of(p), tree_of(p)
 
 
