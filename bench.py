@@ -216,7 +216,7 @@ HEADLINE = [
 
 
 #: First-run threshold below which a query is re-run and the min
-#: recorded. The 142-query registry is bimodal: a sub-3s bulk where
+#: recorded. The 150-query registry is bimodal: a sub-3s bulk where
 #: absolute load jitter (~0.1-0.5s) reads as a 1.1-1.2x fake
 #: regression, and a multi-second tail where the same jitter is noise
 #: within rounding. Re-timing only the bulk bounds the added wall
