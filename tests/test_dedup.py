@@ -1256,3 +1256,25 @@ def test_embedding_near_dup_blocking_is_result_invariant(spark):
             )
         )
         assert got == ref, nb
+
+
+def test_embedding_near_dup_ignores_null_rows(spark):
+    """NULL vec_id / NULL embedding rows must be excluded exactly like
+    the old per-pair join excluded them (NULL comparisons never
+    matched) — not crash the block task's numpy stack."""
+    from warp_pipe_spark.datapipe.dedup import embedding_near_dup_pairs
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),
+        (None, [1.0, 0.0]),
+        (3, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    got = sorted(
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in embedding_near_dup_pairs(df, 0.9).collect()
+    )
+    assert got == [(1, 2, 1.0)]

@@ -853,8 +853,14 @@ def embedding_near_dup_pairs(
         )
     if n_blocks is None:
         n_blocks = max(1, min(32, -(-n // 512)))
+    # NULL id/vector rows never paired under the old join formulation
+    # (NULL comparisons are never true); here they must not reach the
+    # numpy stack, where a None crashes the whole block's task
+    clean = embeddings.filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
     blocks = (
-        embeddings.select(
+        clean.select(
             "vec_id",
             "embedding",
             F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("blk"),

@@ -223,8 +223,12 @@ def _in_open_interval(cand, v: float, single: bool) -> bool:
     c = Fraction(cand)
     target = Fraction(v)
     ftype = np.float32 if single else np.float64
-    lo = float(np.nextafter(ftype(v), ftype(float("-inf"))))
-    hi = float(np.nextafter(ftype(v), ftype(float("inf"))))
+    # nextafter past ±FLT_MAX overflows to ±inf BY DESIGN (the isinf
+    # branches below are that case's handling); silence numpy's
+    # RuntimeWarning so the suite output stays clean
+    with np.errstate(over="ignore"):
+        lo = float(np.nextafter(ftype(v), ftype(float("-inf"))))
+        hi = float(np.nextafter(ftype(v), ftype(float("inf"))))
     above_lo = math.isinf(lo) or c > (Fraction(lo) + target) / 2
     below_hi = math.isinf(hi) or c < (target + Fraction(hi)) / 2
     return above_lo and below_hi
