@@ -24,6 +24,11 @@ FAST_SUBSET = [
     "tpch_q21",
     "text_quality",
     "dedup_exact",
+    # round-12 registrations with cheap sf0.001 oracles, so the unit
+    # suite itself exercises the new query+oracle pairs every run
+    "docs_dedup_lines",
+    "docs_select_token_budget",
+    "docs_decontaminate",
 ]
 
 
