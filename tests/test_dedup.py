@@ -1278,3 +1278,112 @@ def test_embedding_near_dup_ignores_null_rows(spark):
         for r in embedding_near_dup_pairs(df, 0.9).collect()
     )
     assert got == [(1, 2, 1.0)]
+
+
+def test_scrub_dup_spans_hand_fixture(spark):
+    """ExactSubstr removal semantics on a hand-computed corpus: the
+    canonical (smallest (doc_id, pos)) copy of each repeated n-gram
+    survives, every other occurrence's full span dies, within-doc
+    repeats count, short docs pass through, token order is kept."""
+    from warp_pipe_spark.datapipe.text import scrub_dup_spans
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1 holds the canonical "a b c" (pos 0); its trailing
+            # tokens survive
+            (1, "a b c x y"),
+            # doc 2 repeats "a b c" at pos 1 -> tokens 1..3 die
+            (2, "q a b c z"),
+            # doc 3: within-doc repeat "m n o m n o": pos 0 canonical,
+            # pos 3 dies
+            (3, "m n o m n o"),
+            # doc 4: too short for any 3-gram repeat involvement
+            (4, "u v"),
+            (5, None),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed_tokens"])
+        for r in scrub_dup_spans(docs, n=3).collect()
+    }
+    assert got[1] == ("a b c x y", 5, 0)
+    assert got[2] == ("q z", 5, 3)
+    assert got[3] == ("m n o", 6, 3)
+    assert got[4] == ("u v", 2, 0)
+    assert 5 not in got
+    # keep_canonical=False scrubs EVERY occurrence (the paper's
+    # alternative policy): doc 1 loses its copy too
+    got2 = {
+        r["doc_id"]: r["text"]
+        for r in scrub_dup_spans(docs, n=3, keep_canonical=False).collect()
+    }
+    assert got2[1] == "x y"
+    assert got2[2] == "q z"
+    assert got2[3] == ""
+
+
+def test_scrub_dup_spans_matches_duckdb_on_testdata(spark):
+    """Pre-validated DuckDB oracle on the real corpus (the r11
+    registration pattern: the registry is saturated at 150, so the op
+    ships pytest-pinned with its oracle ready for the day a slot
+    opens). n=8 so the scrub actually bites at sf0.001."""
+    import duckdb
+
+    from warp_pipe_spark.datapipe.text import scrub_dup_spans
+
+    pq = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(pq)
+    n = 8
+    got = sorted(
+        map(tuple, scrub_dup_spans(docs, n=n).collect())
+    )
+    sql = f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM read_parquet('{pq}') WHERE text IS NOT NULL
+    ),
+    toks AS (
+      SELECT doc_id, unnest(range(1, len(t)+1)) AS pos1, unnest(t) AS tok
+      FROM d
+    ),
+    grams AS (
+      SELECT doc_id, unnest(range(1, greatest(len(t)-{n - 1}, 0)+1)) AS pos1,
+             unnest([('0x' || substr(md5(array_to_string(t[i:i+{n - 1}], ' ')), 1, 15))::BIGINT
+                     FOR i IN range(1, greatest(len(t)-{n - 1}, 0)+1)]) AS h
+      FROM d
+    ),
+    per_h AS (
+      SELECT h, count(*) AS occ, min(ROW(doc_id, pos1)) AS canon
+      FROM grams GROUP BY h
+    ),
+    starts AS (
+      SELECT g.doc_id, g.pos1,
+             NOT (p.canon[1] = g.doc_id AND p.canon[2] = g.pos1)
+               AS s
+      FROM grams g JOIN per_h p USING (h) WHERE p.occ >= 2
+    ),
+    marked AS (
+      SELECT t.doc_id, t.pos1, t.tok,
+             coalesce(
+               max(CASE WHEN s THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY t.doc_id ORDER BY t.pos1
+                       ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)
+               = 1, false) AS kill
+      FROM toks t
+      LEFT JOIN starts st ON st.doc_id = t.doc_id AND st.pos1 = t.pos1
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(
+             list(tok ORDER BY pos1) FILTER (WHERE NOT kill), ' '), '')
+             AS text,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(coalesce(sum(CASE WHEN kill THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_removed_tokens
+    FROM marked GROUP BY doc_id
+    """
+    want = sorted(map(tuple, duckdb.sql(sql).fetchall()))
+    assert len(got) == len(want) > 0
+    assert got == want
+    # the scrub must actually bite on the real corpus at this n
+    assert any(r[3] > 0 for r in got)

@@ -534,3 +534,20 @@ def test_decode_png_is_a_pure_map_stage(spark, qs):
     tree = tree_of(p)
     assert n_exchanges(p) <= 1, p
     assert "Join" not in tree, tree
+
+
+def test_scrub_dup_spans_no_posting_lists_no_cartesian(spark):
+    """ExactSubstr removal keeps the dup_spans discipline: the per-hash
+    aggregates are constant-state (count + min(struct) — bounded per
+    key, never a positions array), the only collect_list is the
+    per-doc bounded reassembly ABOVE the kill window, and nothing
+    plans as a cartesian/nested-loop join."""
+    from warp_pipe_spark.datapipe.text import scrub_dup_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(spark, scrub_dup_spans(docs, n=8))
+    t = tree_of(p)
+    assert "CartesianProduct" not in t and "NestedLoop" not in t, t
+    pre_window = t.split("Window")[0]
+    assert "collect_list" not in pre_window, t
+    assert p.count("Arguments: SinglePartition") == 0, p

@@ -915,3 +915,122 @@ def dedup_lines(
             F.sum(F.col("_drop").cast("int")).alias("n_removed"),
         )
     )
+
+
+def scrub_dup_spans(
+    docs: DataFrame, n: int = 50, keep_canonical: bool = True
+) -> DataFrame:
+    """EXACT-SUBSTRING deduplication — the removal counterpart of the
+    docs_dup_spans MEASUREMENT query (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": scrub every repeated
+    word n-gram span from the corpus, keeping one canonical copy).
+    Returns (doc_id, text, n_tokens, n_removed_tokens).
+
+    Semantics: a span START is any token position whose n-gram hash
+    occurs at >= 2 positions corpus-wide (cross-doc AND within-doc
+    repeats both count, as in the paper's suffix-array tool); with
+    keep_canonical the globally smallest (doc_id, pos) occurrence of
+    each hash is exempt, so one copy of every repeated span survives.
+    A token dies iff ANY non-canonical span start covers it. As in the
+    released ExactSubstr tool, overlapping repeats can scrub parts of
+    a canonical copy whose neighborhood is itself a repeat elsewhere —
+    exactly-one-survivor is per SPAN, not per maximal region.
+    Reassembly keeps surviving tokens in order, single-space-joined
+    (the house token spec). Docs shorter than n tokens have no span
+    starts and pass through verbatim; NULL-text docs are excluded.
+
+    Plan at 100 TB — no suffix array, no posting lists, corpus-linear:
+      1. one tagged explode of (doc, pos, 60-bit n-gram hash);
+      2. per-hash occurrence count + canonical = two streaming
+         aggregates (count + min(struct(doc,pos)) — a boilerplate
+         hash shared by D positions costs D rows through a combiner,
+         never a D-element array);
+      3. the dup-start flags join back on the hash (AQE splits a
+         skewed hash) and land on the token table keyed (doc, pos);
+      4. the kill mask is ONE bounded window per doc —
+         max(dup_start) over rowsBetween(-(n-1), 0) — and reassembly
+         is the dedup_lines bounded-group agg.
+    """
+    from pyspark.sql import Window
+
+    from warp_pipe_spark.io import fan_out
+
+    base = fan_out(
+        docs.filter(F.col("text").isNotNull()).select("doc_id", "text"),
+        "doc_id",
+    )
+    toks = base.select(
+        "doc_id",
+        F.posexplode(_tokens(F.col("text"))).alias("pos", "tok"),
+    )
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                # positional n-grams: NO short-text whole-doc
+                # fallback (a doc shorter than n has no span to
+                # scrub), unlike the similarity shingles. The short
+                # branch must be an EMPTY array — sequence(1, 0)
+                # DESCENDS in Spark and would emit slice(toks, 0, n)
+                F.when(
+                    F.size(_tokens(F.col("text"))) >= n,
+                    F.sequence(
+                        F.lit(1),
+                        F.size(_tokens(F.col("text"))) - (n - 1),
+                    ),
+                ).otherwise(F.expr("array()").cast("array<int>")),
+                lambda i: h60(
+                    F.concat_ws(" ", F.slice(_tokens(F.col("text")), i, n))
+                ),
+            )
+        ).alias("pos", "h"),
+    )
+    per_h = grams.groupBy("h").agg(
+        F.count("*").alias("occ"),
+        F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("canon"),
+    )
+    dup_h = per_h.filter(F.col("occ") >= 2)
+    starts = grams.join(dup_h, "h").select(
+        "doc_id",
+        "pos",
+        (
+            ~(
+                F.lit(keep_canonical)
+                & (F.col("canon.doc_id") == F.col("doc_id"))
+                & (F.col("canon.pos") == F.col("pos"))
+            )
+        ).alias("_start"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(n - 1), 0)
+    )
+    marked = (
+        toks.join(starts, ["doc_id", "pos"], "left")
+        .withColumn(
+            "_kill",
+            F.coalesce(
+                F.max(F.when(F.col("_start"), 1).otherwise(0)).over(w) == 1,
+                F.lit(False),
+            ),
+        )
+    )
+    return marked.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("_kill"),
+                            F.struct(F.col("pos"), F.col("tok")),
+                        )
+                    )
+                ),
+                lambda x: x["tok"],
+            ),
+        ).alias("text"),
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.col("_kill").cast("long")).alias("n_removed_tokens"),
+    )
