@@ -546,3 +546,45 @@ def test_cli_corpus_curate_end_to_end(spark, tmp_path, capsys):
     assert [d["sha256"] for d in manifest2] == [
         d["sha256"] for d in manifest
     ]
+
+
+def test_cli_corpus_curate_span_scrub_stage(spark, tmp_path, capsys):
+    """--dedup-spans wires ExactSubstr removal into the one-command
+    pipeline: a doc whose only content is another doc's repeated span
+    shrinks to empty text before the gate (which then rejects it)."""
+    import json
+    import os
+
+    from warp_pipe_spark.__main__ import main
+
+    span = " ".join(f"tok{i}" for i in range(8))
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (1, span + " unique tail one two three"),
+            (2, span),  # pure repeat of doc 1's span -> scrubbed empty
+            (3, "independent document body here"),
+        ],
+        "doc_id LONG, text STRING",
+    ).write.parquet(docs_dir)
+    out = str(tmp_path / "cur")
+    rc = main(
+        ["corpus-curate", "--docs", docs_dir, "--out", out,
+         "--dedup-spans", "8", "--n-shards", "1"]
+    )
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    stats = json.loads(lines[0])["stats"]
+    assert stats["n_input"] == 3
+    # doc 2 survives dedup (not an exact/near dup at MinHash scale)
+    # but its text is fully scrubbed by the span stage; the manifest
+    # stays consistent with the funnel even when the downstream gate
+    # (min-words) rejects the tiny fixture docs entirely
+    assert stats["n_after_dedup"] == 3
+    assert stats["n_nonempty_after_spanscrub"] == 2
+    manifest = [json.loads(ln) for ln in lines[1:]]
+    assert stats["n_sharded"] == sum(d["n_docs"] for d in manifest)
+    for d in manifest:
+        assert os.path.exists(
+            os.path.join(out, f"shard-{d['shard']:05d}.tar")
+        )

@@ -78,6 +78,13 @@ def build_parser() -> argparse.ArgumentParser:
         "distinct-doc threshold",
     )
     cu.add_argument(
+        "--dedup-spans",
+        type=int,
+        default=0,
+        help=">=2 enables ExactSubstr repeated-span removal at this "
+        "n-gram width (50 = the Lee et al. setting)",
+    )
+    cu.add_argument(
         "--benchmark",
         default=None,
         help="eval-set parquet (doc_id, text); enables 13-gram "
@@ -245,6 +252,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
             max_bucket=args.max_bucket,
             keep_best=args.keep_best,
             min_line_docs=args.min_line_docs,
+            span_ngrams=args.dedup_spans,
             benchmark=bench,
             alpha=args.alpha,
             group_col=args.group_col,

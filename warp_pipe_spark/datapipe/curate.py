@@ -86,6 +86,7 @@ def curate_corpus(
     max_bucket: int = 1000,
     keep_best: bool = False,
     min_line_docs: int = 0,
+    span_ngrams: int = 0,
     benchmark: DataFrame | None = None,
     alpha: float | None = None,
     group_col: str = "source",
@@ -100,6 +101,9 @@ def curate_corpus(
       1. exact + near dedup               (dedup_survivors)
       2. cross-corpus line scrub          (text.dedup_lines,
                                            min_line_docs >= 2 enables)
+      2b. ExactSubstr span removal        (text.scrub_dup_spans at
+                                           span_ngrams tokens;
+                                           span_ngrams >= 2 enables)
       3. benchmark decontamination        (dedup.decontaminate, 13-gram;
                                            `benchmark` frame enables)
       4. quality gate + PII scrub         (ingest.quality_gate →
@@ -143,6 +147,21 @@ def curate_corpus(
         cur = cur.drop("text").join(scrubbed, "doc_id")
         if collect_stats:
             stats["n_nonempty_after_linescrub"] = cur.filter(
+                F.length("text") > 0
+            ).count()
+
+    # 2b. ExactSubstr repeated-span removal (rewrites text in place;
+    # the paper's ordering: substring dedup before quality gating so
+    # boilerplate spans don't drag good documents under the gate)
+    if span_ngrams >= 2:
+        from warp_pipe_spark.datapipe.text import scrub_dup_spans
+
+        scrubbed = scrub_dup_spans(cur, n=span_ngrams).select(
+            "doc_id", "text"
+        )
+        cur = cur.drop("text").join(scrubbed, "doc_id")
+        if collect_stats:
+            stats["n_nonempty_after_spanscrub"] = cur.filter(
                 F.length("text") > 0
             ).count()
 
