@@ -46,13 +46,20 @@ def table_hash(rows: list[tuple], colnames: list[str]) -> str:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[2:]
+    qs = entrymod.queries()
+    # --window: exactly the FIRST 50 queries() entries — the driver's
+    # verification window for the round being built, so a pre-round
+    # dry-run replays precisely what CORRECTNESS_r{N} will record
+    if args and args[0] == "--window":
+        only = set(list(qs)[:50]) | set(args[1:])
+    else:
+        only = set(args)
     spark = get_spark("oracle_check")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
