@@ -3738,6 +3738,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 v.get("rows_match")
                 and v.get("schema_match")
                 and v.get("hash_match")
+            ) or (
+                # Deliberate rows-only checks (queries with no
+                # oracle_sql entry — e.g. the graph-ANN pair, whose
+                # iterative build no SQL engine replays) come back as
+                # err="no_oracle" with the Spark row count recorded.
+                # That is the strongest row the driver can ever emit
+                # for them, so it is green-EQUIVALENT for rotation:
+                # counting it red would front-load the pair forever
+                # and evict 2 staleness-mandatory re-earns per round.
+                v.get("err") == "no_oracle"
+                and v.get("spark_rows") is not None
             ):
                 if rnd > last_green.get(k, -1):
                     last_green[k] = rnd

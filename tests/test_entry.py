@@ -127,16 +127,27 @@ def test_driver_window_holds_all_new_changed_and_stale_queries():
     assert rounds, "no CORRECTNESS files — driver harness not run yet"
     latest = max(rounds)
 
+    def _green(v: dict) -> bool:
+        # Mirrors the rotation classifier in __spark_entry__: a
+        # deliberate rows-only check (no oracle_sql entry, e.g. the
+        # graph-ANN pair) comes back err="no_oracle" with spark_rows
+        # recorded — the strongest row the driver can emit for it, so
+        # green-EQUIVALENT, not a regression (VERDICT r12 item 1).
+        return bool(
+            (v.get("rows_match") and v.get("schema_match") and v.get("hash_match"))
+            or (v.get("err") == "no_oracle" and v.get("spark_rows") is not None)
+        )
+
     last_green: dict[str, int] = {}
     for n in sorted(rounds):
         for k, v in rounds[n].items():
-            if v.get("rows_match") and v.get("schema_match") and v.get("hash_match"):
+            if _green(v):
                 last_green[k] = n
 
     qs = list(entrymod.queries())
     window = set(qs[:50])
     red_latest = [
-        k for k, v in rounds[latest].items() if not v.get("hash_match") and k in qs
+        k for k, v in rounds[latest].items() if not _green(v) and k in qs
     ]
     missing_red = [k for k in red_latest if k not in window]
     assert not missing_red, (
