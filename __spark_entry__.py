@@ -1285,10 +1285,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         semantics."""
         return ngram_jaccard_pairs(_docs(spark, sf), threshold=0.01, max_doc_freq=5)
 
-    def dedup_embedding_q(spark, sf):
-        return embedding_near_dup_pairs(
-            read_table(spark, sf, "embeddings"), threshold=0.4
-        )
+    # RETIRED r13: dedup_embedding (the bounded all-pairs exact
+    # baseline, embedding_near_dup_pairs at threshold 0.4) left the
+    # registry to fund a strong-oracle slot (VERDICT r12 item 3). The
+    # operator itself is unchanged and stays pinned by
+    # tests/test_dedup.py (blocked-GEMM path, hand fixtures + DuckDB
+    # replay); its scale-true linear twin dedup_embedding_lsh_auto
+    # remains registered and driver-checked.
 
     def _clean_corpus(spark, sf, max_doc_freq):
         """End-to-end training-data cleaning pass: keep the canonical
@@ -1360,7 +1363,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_simhash=dedup_simhash_q,
         dedup_ngram_jaccard=dedup_ngram_jaccard_q,
         dedup_ngram_jaccard_capped=dedup_ngram_jaccard_capped_q,
-        dedup_embedding=dedup_embedding_q,
         docs_clean_corpus=docs_clean_corpus,
         docs_clean_corpus_capped=docs_clean_corpus_capped,
     )
@@ -1411,25 +1413,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cos_sim",
         )
 
-    def dedup_embedding_lsh(spark, sf):
-        """The 100 TB near-dup path END-TO-END: hyperplane-LSH bucket
-        candidates (linear) verified by exact cosine (only on
-        candidates, never all-pairs). Complements dedup_embedding
-        (exact all-pairs baseline) — at scale only this shape runs."""
-        from warp_pipe_spark.datapipe.dedup import cosine_v
-        from warp_pipe_spark.datapipe.similarity import hyperplane_lsh_pairs
-
-        emb = read_table(spark, sf, "embeddings")
-        cand = hyperplane_lsh_pairs(emb)
-        a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-        b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-        sim = F.round(cosine_v(F.col("ea"), F.col("eb")), 6)
-        return (
-            cand.join(a, "vec_a")
-            .join(b, "vec_b")
-            .select("vec_a", "vec_b", sim.alias("cos_sim"))
-            .filter(F.col("cos_sim") >= 0.4)
-        )
+    # RETIRED r13: dedup_embedding_lsh (the 16-plane determinism
+    # fixture — LSH candidates + exact-cosine verify) left the
+    # registry alongside dedup_embedding to fund the second
+    # strong-oracle slot. It was one of the standing perf-weak trio
+    # (fixed plane count is superlinear in bucket occupancy as the
+    # corpus grows); the registered dedup_embedding_lsh_auto twin runs
+    # the IDENTICAL composition with corpus-derived parameters — the
+    # configuration that actually ships at 100 TB — and the fixed-
+    # plane determinism semantics stay pinned in
+    # tests/test_similarity.py / test_dedup.py.
 
     def ann_lsh_pairs(spark, sf):
         """Scale path for embedding near-dup: random-hyperplane LSH
@@ -1480,7 +1473,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_ivf_indexed=ann_ivf_indexed,
         ann_lsh_pairs=ann_lsh_pairs,
         ann_lsh_pairs_auto=ann_lsh_pairs_auto,
-        dedup_embedding_lsh=dedup_embedding_lsh,
         dedup_embedding_lsh_auto=dedup_embedding_lsh_auto,
     )
 
@@ -3519,6 +3511,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_graph_search=ann_graph_search,
     )
 
+    # --- round 13: retirement-funded registrations -----------------------
+    # The rotation is saturated at 150 = 3×50, so these two slots were
+    # FUNDED by retiring dedup_embedding + dedup_embedding_lsh — both
+    # r10-green (hence staleness-mandatory THIS round: the swap shrinks
+    # the mandatory cohort to 48 exactly as the two never-green
+    # registrations front-load, keeping the window at 2 new + 48
+    # re-earns = 50 with nothing evicted), both bounded/fixed-parameter
+    # perf-weak fixtures whose semantics stay pytest-pinned and whose
+    # scale-true `_auto` twin remains registered.
+
+    def docs_scrub_dup_spans(spark, sf):
+        """ExactSubstr repeated-span REMOVAL (Lee et al. 2022) as a
+        driver-checked query: every word 8-gram occurring at >=2
+        positions corpus-wide is scrubbed wherever it appears except
+        its globally-first (doc_id, pos) canonical copy; surviving
+        tokens reassemble in order. n=8 (not the production default
+        50) so the scrub demonstrably bites at oracle SF. Corpus-
+        linear plan — streaming count+min aggregates per hash, no
+        posting lists, ONE bounded window per doc (pinned in
+        tests/test_plans.py). See text.scrub_dup_spans; oracle
+        pre-validated bit-exact in tests/test_dedup.py before this
+        registration."""
+        from warp_pipe_spark.datapipe.text import scrub_dup_spans
+
+        return scrub_dup_spans(_docs(spark, sf), n=8)
+
+    def docs_temperature_mix(spark, sf):
+        """Temperature-based mixture rebalancing (the mT5/XLM-R
+        alpha-sampling trick) at alpha=0.5 over a half-corpus char
+        budget: group shares ∝ mass^0.5 boost tail sources, the keep
+        rule is the house deterministic md5 threshold against exact
+        integer micro-rates, and the corpus never shuffles (one
+        groupBy for masses, then a broadcast-joined stateless filter).
+        alpha=0.5 specifically: sqrt is IEEE-correctly-rounded in
+        both engines' libm, so the single float step (mass^alpha,
+        rounded once to micro units BEFORE normalization) replays
+        bit-identically in the DuckDB oracle. The half budget sits
+        well inside the no-capping region for the balanced testdata
+        sources, so the water-filling loop is a no-op on both sides
+        and the rate math is single-pass SQL. See
+        sampling.temperature_mix."""
+        from warp_pipe_spark.datapipe.sampling import temperature_mix
+
+        docs = _docs(spark, sf)
+        total = (
+            docs.filter(
+                F.col("n_chars").isNotNull() & F.col("source").isNotNull()
+            )
+            .agg(F.sum("n_chars"))
+            .collect()[0][0]
+        )
+        kept = temperature_mix(
+            docs,
+            alpha=0.5,
+            budget=int(total) // 2,
+            group_col="source",
+            weight_col="n_chars",
+        )
+        return kept.select(
+            "doc_id",
+            "source",
+            F.col("rate_micro").cast("long").alias("rate_micro"),
+        )
+
+    q.update(
+        docs_scrub_dup_spans=docs_scrub_dup_spans,
+        docs_temperature_mix=docs_temperature_mix,
+    )
+
     # The driver's correctness harness verifies the FIRST 50 dict
     # entries per round, so the ordering below IS the round's
     # verification window. It is computed, not hand-maintained
@@ -3661,14 +3722,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # review fixes touched only pytest-only surfaces (shards,
         # train_quality_model) or queries registered fresh this round
         # (select_token_budget).
-        # round-12 perf rework (VERDICT r11 "what's wrong" item 2):
-        # embedding_near_dup_pairs switched from the per-pair join to
-        # blocked GEMM (result-invariance pinned across block counts in
-        # test_dedup; oracle re-verified at sf0.001/0.01/0.1; idle cost
-        # 9.0 s → 1.3 s). dedup_embedding is r10-green, hence
-        # r13-mandatory by staleness anyway — the tag documents WHY its
-        # code string changed, exactly like the round-6 clustering tags.
-        "dedup_embedding": 13,
+        # (the r12 blocked-GEMM rework had queued a documentary
+        # "dedup_embedding": 13 tag here; the query was RETIRED in r13
+        # to fund a strong-oracle slot — see the round-13 registration
+        # block — so the tag went with it.)
         # round-12 fan-out guard (io.fan_out in repetition_signals,
         # decontaminate's corpus side, and png_media — the BMP/WAV/
         # stream codecs measured FASTER without it: their sub-second
@@ -3691,16 +3748,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard_capped": 14,
         "dedup_containment": 14,
         # CAPACITY NOTE, r13+: at 150 registered queries the rotation
-        # is SATURATED (3 rounds × 50 = 150 — every window from r13 on
-        # is exactly one staleness cohort: 50 r10-stale in r13, 50
-        # r11-stale in r14, ...). A new registration now requires
-        # RETIRING a query (or a red row freeing a slot, or the driver
-        # widening the window). sampling.temperature_mix therefore
-        # stays pytest-pinned (its DuckDB oracle shape is sketched in
-        # tests/test_retrieval_clustering.py) unless a slot opens; the
-        # next candidate retirement is dedup_embedding's bounded
-        # all-pairs fixture, whose linear twin dedup_embedding_lsh_auto
-        # carries the same semantics with a scale-true plan.
+        # is SATURATED (3 rounds × 50 = 150 — every window is exactly
+        # one staleness cohort). A new registration requires RETIRING
+        # a query (or a red row freeing a slot, or the driver widening
+        # the window), and the swap must be timed to the round where
+        # the retiree is itself staleness-mandatory so the cohort
+        # shrinks exactly as the never-green registration front-loads.
+        # r13 executed that playbook: dedup_embedding +
+        # dedup_embedding_lsh (both r10-green → r13-mandatory) retired;
+        # docs_scrub_dup_spans + docs_temperature_mix registered →
+        # window = 2 new + 48 re-earns = 50, nothing evicted. Next
+        # swap candidates if a slot is ever needed again: ann_lsh_pairs
+        # (the last fixed-parameter perf-weak fixture; its _auto twin
+        # is registered) funding whatever operator ships next.
     }
 
     import glob as _glob
@@ -4586,12 +4646,9 @@ def oracle_sql() -> dict[str, str]:
         _sh_uncapped, _sh_capped
     )
 
-    o["dedup_embedding"] = f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS_SQL} AS cos_sim
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE {_COS_SQL} >= 0.4
-    """
+    # (dedup_embedding's all-pairs oracle retired with the query, r13;
+    # the exact-cosine SQL shape lives on in the _lsh_auto oracle's
+    # verify stage and in tests/test_dedup.py's DuckDB replay.)
 
     o["ann_topk"] = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -4699,24 +4756,9 @@ def oracle_sql() -> dict[str, str]:
       ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
     """
 
-    o["dedup_embedding_lsh"] = f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    sig AS (SELECT vec_id, CAST({_sig_terms} AS BIGINT) AS sig FROM e),
-    bands AS (
-      SELECT vec_id, g.band, (sig >> (g.band * 4)) & 15 AS key
-      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) g
-    ),
-    cand AS (
-      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
-    )
-    SELECT c.vec_a, c.vec_b, {_cos2('x.v', 'y.v')} AS cos_sim
-    FROM cand c
-    JOIN e x ON x.vec_id = c.vec_a
-    JOIN e y ON y.vec_id = c.vec_b
-    WHERE {_cos2('x.v', 'y.v')} >= 0.4
-    """
+    # (dedup_embedding_lsh's fixed-plane oracle retired with the
+    # query, r13 — the _lsh_auto entry below replays the identical
+    # candidates→verify composition with corpus-derived parameters.)
 
     # Auto-parameter LSH (the scale-safe path, VERDICT r4 item 2):
     # bits/band derived from the corpus size exactly as
@@ -6556,5 +6598,98 @@ def oracle_sql() -> dict[str, str]:
     # — codec-independent by construction (only the bytes differ, and
     # the oracle never sees bytes)
     o["multimodal_decode_png"] = o["multimodal_decode_real"]
+
+    # --- round 13 registrations ------------------------------------------
+    # ExactSubstr span removal, n=8. Pre-validated bit-exact in
+    # tests/test_dedup.py::test_scrub_dup_spans_matches_duckdb_on_testdata
+    # before registration. NOTE the gram CTE uses greatest(len-7, 0) —
+    # NO whole-doc short-text fallback (a doc shorter than n has no
+    # span to scrub), unlike the similarity _SH8_SQL shingles.
+    o["docs_scrub_dup_spans"] = f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    toks AS (
+      SELECT doc_id, unnest(range(1, len(t)+1)) AS pos1, unnest(t) AS tok
+      FROM d
+    ),
+    grams AS (
+      SELECT doc_id, unnest(range(1, greatest(len(t)-7, 0)+1)) AS pos1,
+             unnest([{_H60_SQL.format(x="array_to_string(t[i:i+7], ' ')")}
+                     FOR i IN range(1, greatest(len(t)-7, 0)+1)]) AS h
+      FROM d
+    ),
+    per_h AS (
+      SELECT h, count(*) AS occ, min(ROW(doc_id, pos1)) AS canon
+      FROM grams GROUP BY h
+    ),
+    starts AS (
+      SELECT g.doc_id, g.pos1,
+             NOT (p.canon[1] = g.doc_id AND p.canon[2] = g.pos1) AS s
+      FROM grams g JOIN per_h p USING (h) WHERE p.occ >= 2
+    ),
+    marked AS (
+      SELECT t.doc_id, t.pos1, t.tok,
+             coalesce(
+               max(CASE WHEN s THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY t.doc_id ORDER BY t.pos1
+                       ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+               = 1, false) AS kill
+      FROM toks t
+      LEFT JOIN starts st ON st.doc_id = t.doc_id AND st.pos1 = t.pos1
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(
+             list(tok ORDER BY pos1) FILTER (WHERE NOT kill), ' '), '')
+             AS text,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(coalesce(sum(CASE WHEN kill THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_removed_tokens
+    FROM marked GROUP BY doc_id
+    """
+
+    # Temperature mixture, alpha=0.5, budget = half the corpus char
+    # mass. The single float step is pow(mass, 0.5)*1e6 rounded once —
+    # sqrt is correctly rounded in IEEE libm on both engines, so the
+    # integer micro-weights replay exactly; everything after is exact
+    # BIGINT arithmetic (// floor-div on positive ints matches
+    # Python's). The balanced testdata sources sit far inside the
+    # no-capping region at budget=total//2 (largest share·budget ≈
+    # mass/2 < mass), so the Python water-filling loop provably
+    # no-ops and the rate math is single-pass.
+    o["docs_temperature_mix"] = f"""
+    WITH d AS (
+      SELECT doc_id, source, n_chars FROM documents
+      WHERE n_chars IS NOT NULL AND source IS NOT NULL
+    ),
+    m AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass
+      FROM d GROUP BY source
+    ),
+    w AS (
+      SELECT source, mass,
+             greatest(1, CAST(round(pow(mass, 0.5) * 1000000) AS BIGINT))
+               AS wm
+      FROM m
+    ),
+    t AS (
+      SELECT CAST(sum(wm) AS BIGINT) AS w_total,
+             CAST(sum(mass) AS BIGINT) AS total
+      FROM w
+    ),
+    r AS (
+      SELECT source,
+             CAST(least(
+               1000000,
+               ((wm * (total // 2) // w_total) * 1000000)
+                 // greatest(mass, 1)
+             ) AS BIGINT) AS rate_micro
+      FROM w, t
+    )
+    SELECT d.doc_id, d.source, r.rate_micro
+    FROM d JOIN r USING (source)
+    WHERE {_H32_SQL.format(x="d.doc_id::VARCHAR")} % 1000000 < rate_micro
+    """
 
     return o

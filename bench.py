@@ -143,7 +143,6 @@ HEADLINE = [
     "ann_ivf_indexed",
     "ann_lsh_pairs",
     "ann_lsh_pairs_auto",
-    "dedup_embedding_lsh",
     "dedup_embedding_lsh_auto",
     "multimodal_features",
     "multimodal_frame_sample",
@@ -200,7 +199,6 @@ HEADLINE = [
     "cs_since_ts",
     "cs_whitelist_ignore",
     "cs_pk_collect",
-    "dedup_embedding",
     # round 12 registrations (ann_nn_descent MUST precede
     # ann_graph_search: they share the memoized k_build=20 working
     # graph, so the build is paid once and the search entry times the
@@ -212,6 +210,11 @@ HEADLINE = [
     "multimodal_decode_png",
     "ann_nn_descent",
     "ann_graph_search",
+    # round 13 registrations (funded by retiring dedup_embedding +
+    # dedup_embedding_lsh — both stay pytest-pinned, the _auto twin
+    # stays benched above)
+    "docs_scrub_dup_spans",
+    "docs_temperature_mix",
 ]
 
 

@@ -74,6 +74,26 @@ def test_embedding_near_dup(spark):
     assert pairs == {(1, 2)}
 
 
+def test_embedding_near_dup_excludes_zero_norm_vectors(spark):
+    """The zero-norm contract (ADVICE r12): cosine to a directionless
+    vector is undefined, and the two historical paths disagreed
+    silently (Spark NaN-ordering emitted NaN pairs, the numpy
+    prefilter dropped them). Dropping is the pinned behavior — a zero
+    vector appears in NO pair, at any threshold, and does not crash
+    the GEMM task."""
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.999, 0.01]),
+        (3, [0.0, 0.0]),  # zero norm: outside the similarity universe
+        (4, None),  # NULL vector: same treatment
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    got = embedding_near_dup_pairs(emb, threshold=0.0).collect()
+    ids = {r["vec_a"] for r in got} | {r["vec_b"] for r in got}
+    assert 3 not in ids and 4 not in ids
+    assert {(r["vec_a"], r["vec_b"]) for r in got} == {(1, 2)}
+
+
 def test_regex_shingles_match_slice_form(spark):
     """The regex-lookahead shingle extraction must equal the reference
     slice+concat_ws formulation, including the <n-token fallback."""
@@ -1387,3 +1407,18 @@ def test_scrub_dup_spans_matches_duckdb_on_testdata(spark):
     assert got == want
     # the scrub must actually bite on the real corpus at this n
     assert any(r[3] > 0 for r in got)
+
+
+def test_embedding_near_dup_rejects_non_integral_vec_id(spark):
+    """GEMM blocking assigns blocks with F.pmod(vec_id, B) — a string
+    id must fail fast at the API with a message, not inside pmod's
+    analysis (VERDICT r12 item 3, the write_webdataset discipline)."""
+    import pytest
+
+    from warp_pipe_spark.datapipe.dedup import embedding_near_dup_pairs
+
+    emb = spark.createDataFrame(
+        [("a1", [1.0, 0.0])], "vec_id STRING, embedding ARRAY<FLOAT>"
+    )
+    with pytest.raises(ValueError, match="integral vec_id"):
+        embedding_near_dup_pairs(emb)

@@ -175,3 +175,41 @@ def test_write_webdataset_rejects_non_integral_ids(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="integral id_col"):
         write_webdataset(docs, str(tmp_path / "bad"))
+
+
+def test_write_webdataset_failed_run_preserves_previous_shards(spark, tmp_path):
+    """The staging-swap contract (ADVICE r12): the pre-r13 writer
+    deleted every existing shard up front, so a failed job destroyed
+    the previous valid shard set. Now a failing write must leave the
+    old tars byte-identical on disk and clean up its staging dir."""
+    import glob
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from warp_pipe_spark.datapipe.shards import write_webdataset
+
+    out = str(tmp_path / "wd")
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(20)], "doc_id LONG, text STRING"
+    )
+    write_webdataset(docs, out, n_shards=2).collect()
+    tars = sorted(glob.glob(os.path.join(out, "shard-*.tar")))
+    assert len(tars) == 2
+    before = {p: open(p, "rb").read() for p in tars}
+
+    bad = docs.withColumn(
+        "text",
+        F.when(F.length("text") < 0, F.lit("x")).otherwise(
+            F.raise_error(F.lit("boom"))
+        ),
+    )
+    with pytest.raises(Exception, match="boom"):
+        write_webdataset(bad, out, n_shards=2)
+
+    after = {
+        p: open(p, "rb").read()
+        for p in sorted(glob.glob(os.path.join(out, "shard-*.tar")))
+    }
+    assert after == before
+    assert not glob.glob(os.path.join(out, ".staging_*"))

@@ -316,6 +316,26 @@ def test_nn_descent_improves_recall_over_the_lsh_seed(spark):
     assert r_iter >= 0.95, (r_seed, r_iter)
 
 
+def test_nn_descent_excludes_zero_norm_vectors(spark):
+    """The zero-norm contract (ADVICE r12), graph side: a zero vector
+    ranks NaN cosine differently under Spark's Window (NaN first) vs
+    np.lexsort (NaN last), so it is excluded from the graph outright —
+    it appears as neither a node nor a neighbor, and no cos_sim in the
+    output is NaN."""
+    import math
+
+    from warp_pipe_spark.datapipe.similarity import nn_descent
+
+    rows = [(i, [float(i % 7 + 1), float((i * 3) % 5)]) for i in range(40)]
+    rows.append((99, [0.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = nn_descent(emb, k=3, iters=1).collect()
+    assert out
+    ids = {r["vec_id"] for r in out} | {r["nbr_id"] for r in out}
+    assert 99 not in ids
+    assert all(not math.isnan(r["cos_sim"]) for r in out)
+
+
 def test_nn_descent_is_deterministic(spark):
     from warp_pipe_spark.datapipe.similarity import nn_descent
 

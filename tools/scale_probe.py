@@ -58,7 +58,6 @@ PROBE_QUERIES = [
     "ann_topk",
     "ann_lsh_pairs",
     "ann_lsh_pairs_auto",
-    "dedup_embedding_lsh",
     "ann_ivf_topk",
     # multimodal (Arrow decode paths)
     "multimodal_decode_real",
@@ -129,9 +128,13 @@ PROBE_QUERIES = [
     "docs_decontaminate",
     "docs_select_token_budget",
     "multimodal_decode_png",
-    "dedup_embedding",
     "ann_nn_descent",
     "ann_graph_search",
+    # round-13 registrations (retirement-funded: dedup_embedding and
+    # dedup_embedding_lsh left the registry; their probes live on in
+    # SCALE.md history and the _auto twin above)
+    "docs_scrub_dup_spans",
+    "docs_temperature_mix",
 ]
 
 
@@ -1662,7 +1665,7 @@ def main() -> int:
     # open hazard.
     # emb_semdedup pins k=8 for oracle determinism; cluster sizes grow
     # with N so its pair stage is quadratic-by-design (use _auto)
-    pinned_fixtures = {"ann_lsh_pairs", "dedup_embedding_lsh", "emb_semdedup"}
+    pinned_fixtures = {"ann_lsh_pairs", "emb_semdedup"}
     names = [n for n in PROBE_QUERIES if n in qs and (not only or n in only)]
     print(f"| query | sf0.1 s | {r}x s | ratio | verdict (ideal ≤ {r}) |")
     print("|---|---|---|---|---|")

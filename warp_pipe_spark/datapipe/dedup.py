@@ -840,6 +840,17 @@ def embedding_near_dup_pairs(
     implementation and the DuckDB oracle — is applied JVM-side, so
     banker's-rounding np.round never decides a boundary.
     """
+    # Block assignment is F.pmod(vec_id, n_blocks): a string/float
+    # vec_id would die in pmod's analysis with an opaque cast error,
+    # so reject it here where the message can say what to do (the
+    # write_webdataset id-type discipline, VERDICT r12 item 3).
+    id_type = embeddings.schema["vec_id"].dataType.typeName()
+    if id_type not in ("byte", "short", "integer", "long"):
+        raise ValueError(
+            f"embedding_near_dup_pairs requires an integral vec_id "
+            f"('vec_id' is {id_type}); blocking hashes vec_id with pmod "
+            "— cast or renumber ids first"
+        )
     # bounded probe: limit(max_rows+1) stops scanning once the bound is
     # exceeded — the rejection of a 10^9-row input must not itself pay
     # a full-corpus count
@@ -855,9 +866,19 @@ def embedding_near_dup_pairs(
         n_blocks = max(1, min(32, -(-n // 512)))
     # NULL id/vector rows never paired under the old join formulation
     # (NULL comparisons are never true); here they must not reach the
-    # numpy stack, where a None crashes the whole block's task
+    # numpy stack, where a None crashes the whole block's task.
+    # Zero-norm embeddings are excluded EXPLICITLY by the same filter:
+    # cosine is undefined for a directionless vector, and the two
+    # historical implementations disagreed silently — Spark's NaN
+    # ordering (NaN > any double) made the old F.round(cos,6) >=
+    # threshold verdict EMIT zero-norm pairs with NaN cos_sim, while
+    # the numpy prefilter (nan >= x is False) dropped them. Dropping
+    # is the contract now (pinned in test_dedup): a zero vector can no
+    # more be "near" something than a NULL one.
     clean = embeddings.filter(
-        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+        F.col("vec_id").isNotNull()
+        & F.col("embedding").isNotNull()
+        & F.exists("embedding", lambda x: x != 0)
     )
     blocks = (
         clean.select(
@@ -892,8 +913,10 @@ def embedding_near_dup_pairs(
                     [np.asarray(r["embedding"], dtype=np.float64) for r in vb]
                 )
                 # dot / (|a|·|b|): the same arithmetic shape as the
-                # per-pair einsum this replaced (zero-norm rows yield
-                # nan, which the >= prefilter drops, as before)
+                # per-pair einsum this replaced. Zero-norm rows were
+                # filtered JVM-side above, so no nan reaches the
+                # prefilter (the errstate guard stays for the
+                # float-underflow corner of near-zero norms)
                 with np.errstate(divide="ignore", invalid="ignore"):
                     sims = A @ B.T / np.outer(
                         np.linalg.norm(A, axis=1),

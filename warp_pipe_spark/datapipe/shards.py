@@ -67,8 +67,25 @@ def write_webdataset(
     precedent). Members of one key sit adjacently, sorted by
     extension — the grouped layout streaming readers rely on.
 
-    Files are written executor-side with the atomic tmp+rename
-    discipline (a crashed run leaves no half-written shard visible);
+    Crash/concurrency safety (ADVICE r12): shards are written into a
+    per-writer STAGING subdirectory and the visible shard set is
+    swapped only AFTER the whole job succeeds — the pre-r13 version
+    deleted every existing shard-*.tar up front, so a failed or
+    interrupted write destroyed the previous valid shard set with no
+    replacement, and two concurrent writers deleted each other's
+    output mid-write. The swap (remove stale tars incl. any orphaned
+    .tmp_*, then per-file atomic os.replace from staging) still
+    guarantees read_webdataset's glob never sees a half-written tar or
+    a stale shard index after the call returns; a crash before the
+    swap leaves the old shard set fully intact, and each writer stages
+    under a unique token so concurrent writers can no longer destroy
+    in-flight work (the last swap wins per file, as with any two
+    writers to one directory). The sink is consequently EAGER — the
+    write job runs inside this call and the returned manifest is a
+    small local frame (n_shards rows), which is what every caller did
+    with it anyway (.collect() immediately: a sink that only half-
+    promises to have written on return is not a sink).
+
     out_dir must be a filesystem every executor can reach — on a real
     cluster that is the shared store, in local mode any directory.
     """
@@ -86,17 +103,15 @@ def write_webdataset(
             f"({id_col!r} is {id_type}); tar member keys are zero-padded "
             f"integers — cast or renumber ids first"
         )
-    os.makedirs(out_dir, exist_ok=True)
-    # A re-run with fewer shards (or a shard hashing empty) must not
-    # leave stale tars behind for read_webdataset's glob to pick up:
-    # the manifest is the source of truth, so the directory starts
-    # clean of shard files (half-written .tmp_* from a crashed run too).
     import glob as _glob
+    import shutil as _shutil
+    import uuid as _uuid
 
-    for stale in _glob.glob(os.path.join(out_dir, "shard-*.tar")) + _glob.glob(
-        os.path.join(out_dir, "shard-*.tar.tmp_*")
-    ):
-        os.remove(stale)
+    os.makedirs(out_dir, exist_ok=True)
+    staging = os.path.join(
+        out_dir, f".staging_{os.getpid()}_{_uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(staging)
     clean = docs
     for col in members.values():
         clean = clean.filter(F.col(col).isNotNull())
@@ -127,7 +142,10 @@ def write_webdataset(
         ]
         n_keys = len(pdf)
         blob = _shard_tar_bytes(rows)
-        path = os.path.join(out_dir, f"shard-{shard:05d}.tar")
+        # staging is private to this writer, but keep the tmp+fsync+
+        # rename discipline anyway: a task retry must not leave a
+        # torn file for the SWAP to publish
+        path = os.path.join(staging, f"shard-{shard:05d}.tar")
         tmp = path + f".tmp_{os.getpid()}"
         with open(tmp, "wb") as f:
             f.write(blob)
@@ -143,8 +161,29 @@ def write_webdataset(
             }
         )
 
-    return clean.groupBy("shard").applyInPandas(
-        write_shard, schema=MANIFEST_SCHEMA
+    try:
+        manifest_rows = (
+            clean.groupBy("shard")
+            .applyInPandas(write_shard, schema=MANIFEST_SCHEMA)
+            .collect()
+        )
+        # job succeeded: publish. Stale tars from a previous (possibly
+        # wider-n_shards) run and any orphaned .tmp_* leave first so
+        # read_webdataset's glob tracks the new manifest exactly, then
+        # each staged tar moves in with a per-file atomic replace.
+        staged = sorted(_glob.glob(os.path.join(staging, "shard-*.tar")))
+        staged_names = {os.path.basename(p) for p in staged}
+        for stale in _glob.glob(
+            os.path.join(out_dir, "shard-*.tar")
+        ) + _glob.glob(os.path.join(out_dir, "shard-*.tar.tmp_*")):
+            if os.path.basename(stale) not in staged_names:
+                os.remove(stale)
+        for src in staged:
+            os.replace(src, os.path.join(out_dir, os.path.basename(src)))
+    finally:
+        _shutil.rmtree(staging, ignore_errors=True)
+    return docs.sparkSession.createDataFrame(
+        manifest_rows, MANIFEST_SCHEMA
     )
 
 

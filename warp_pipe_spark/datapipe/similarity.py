@@ -213,7 +213,18 @@ def nn_descent(
     """
     if k_build is None:
         k_build = 2 * k
-    emb = embeddings.select("vec_id", "embedding")
+    # Zero-norm embeddings are excluded up front: cosine to a
+    # directionless vector is undefined (NaN), and NaN ordering is
+    # engine-dependent — Spark's Window orderBy(desc) ranks NaN FIRST
+    # (NaN > any double) where np.lexsort places it LAST, so a zero
+    # vector would silently change ranks depending on which scoring
+    # path ran. The contract (pinned in test_similarity) matches
+    # embedding_near_dup_pairs: zero vectors join NULL vectors outside
+    # the similarity universe.
+    emb = embeddings.select("vec_id", "embedding").filter(
+        F.col("embedding").isNotNull()
+        & F.exists("embedding", lambda x: x != 0)
+    )
 
     def _score_topk(cand: DataFrame) -> DataFrame:
         # score + per-query top-k in ONE cogrouped Arrow pass: the

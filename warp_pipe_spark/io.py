@@ -45,15 +45,48 @@ def fan_out(df: DataFrame, *cols: str) -> DataFrame:
     high-fan-out stage (a 9-family shingle explode, a per-doc media
     encode): Spark cannot split a partition mid-stage, so a small
     single-split scan serializes a 300× Generate or a per-row codec
-    onto one core while 31 idle. NO-OP when the frame already has >=
-    defaultParallelism partitions — at real scale input splits provide
-    the parallelism and the exchange would be pure cost; the shuffle
-    this inserts on the small-input path moves only the narrow
-    pre-explosion projection. Pass key columns to hash-partition
-    (keeps a doc's rows together); none for round-robin."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
-        return df
+    onto one core while 31 idle. NO-OP when the plan's LEAF scans are
+    big enough to have produced >= defaultParallelism input splits —
+    at real scale those splits provide the parallelism and the
+    exchange would be pure cost; the shuffle this inserts on the
+    small-input path moves only the narrow pre-explosion projection.
+
+    The guard reads the optimized logical plan's leaf statistics, NOT
+    df.rdd.getNumPartitions() (the pre-r13 check): for any plan
+    containing a shuffle the static partition count reports
+    spark.sql.shuffle.partitions and the helper no-opped, even though
+    AQE coalesces the post-shuffle stage to ~1 runtime partition on
+    exactly the small inputs this targets (e.g. the multiply-joined
+    corpus inside curate_corpus) — and the .rdd probe itself forced a
+    full physical-plan/RDD conversion per call on the driver. Leaf
+    bytes are a plan-time constant: small leaves can never yield wide
+    runtime stages, big leaves mean the scan already parallelizes.
+    Pass key columns to hash-partition (keeps a doc's rows together);
+    none for round-robin."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        leaves = plan.collectLeaves()
+        leaf_bytes = sum(
+            int(leaves.apply(i).stats().sizeInBytes().toString())
+            for i in range(leaves.size())
+        )
+        try:
+            max_split = int(
+                spark.conf.get("spark.sql.files.maxPartitionBytes")
+                .lower()
+                .rstrip("b")
+            )
+        except (ValueError, AttributeError):
+            max_split = 128 * 1024 * 1024
+        if leaf_bytes >= sc.defaultParallelism * max_split:
+            return df
+    except Exception:
+        # stats unavailable (exotic relation) — fall back to the
+        # static partition probe rather than fail the query
+        if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+            return df
     if cols:
         return df.repartition(sc.defaultParallelism, *cols)
     return df.repartition(sc.defaultParallelism)
@@ -66,14 +99,29 @@ def scratch_dir(prefix: str) -> str:
     across otherwise-idle runs purely from filesystem variance) —
     RAM-backed scratch keeps the fixture measuring the engine. Falls
     back to the system default when /dev/shm is missing or read-only;
-    the sinks are path-agnostic, so only the noise floor changes."""
+    the sinks are path-agnostic, so only the noise floor changes.
+
+    Every directory is registered for removal at interpreter exit:
+    registered queries hand the returned DataFrame to a caller that
+    never sees the sink path (the driver just collects it), so nobody
+    else CAN clean up — and an uncollected tmpfs dir is RAM held until
+    reboot, which accumulates across bench/correctness invocations and
+    can exhaust /dev/shm's 50%-of-RAM cap. atexit runs after any
+    collection of the returned frame (same process), and callers that
+    rmtree earlier (bench.py's soak fixture) are harmless double-frees
+    under ignore_errors."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     base = "/dev/shm"
     if os.path.isdir(base) and os.access(base, os.W_OK):
-        return tempfile.mkdtemp(prefix=prefix, dir=base)
-    return tempfile.mkdtemp(prefix=prefix)
+        path = tempfile.mkdtemp(prefix=prefix, dir=base)
+    else:
+        path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
