@@ -6,19 +6,25 @@ published pre-training recipe, start to finish. Runnable as:
 Stages (each independently pinned in tests/):
   1. cross-corpus line dedup          (text.dedup_lines — C4/CCNet
                                        boilerplate scrub)
-  2. benchmark decontamination        (dedup.decontaminate — 13-gram
+  2. ExactSubstr span removal         (text.scrub_dup_spans — Lee et
+                                       al. 2022: repeated 50-token
+                                       spans scrubbed BEFORE quality
+                                       gating, so boilerplate spans
+                                       don't drag good docs under the
+                                       gate)
+  3. benchmark decontamination        (dedup.decontaminate — 13-gram
                                        eval-overlap removal)
-  3. Gopher gate: rules + repetition  (text.gopher_rules +
+  4. Gopher gate: rules + repetition  (text.gopher_rules +
                                        text.repetition_signals)
-  4. quality model: TRAIN then apply  (text.train_quality_model →
+  5. quality model: TRAIN then apply  (text.train_quality_model →
                                        apply_quality_model; labels
                                        bootstrapped from the Gopher
                                        verdict, the standard
                                        self-training seed)
-  5. token-budget selection           (sampling.select_token_budget —
+  6. token-budget selection           (sampling.select_token_budget —
                                        no global sort)
-  6. sequence packing                 (sampling.pack_chunks)
-  7. training shards + manifest       (shards.write_webdataset)
+  7. sequence packing                 (sampling.pack_chunks)
+  8. training shards + manifest       (shards.write_webdataset)
 
 Every stage is DataFrame-declared; the training loops hold only
 vocab/dims-sized driver state, and the whole pass is deterministic —
@@ -59,14 +65,30 @@ def main() -> None:
     scrubbed = dedup_lines(docs, min_docs=3).select("doc_id", "text")
     n_scrub = scrubbed.filter(F.length("text") > 0).count()
 
-    # 2. decontaminate vs a stand-in eval set (every 50th doc)
+    # 2. ExactSubstr: scrub every repeated 50-token span (keep one
+    # canonical copy), BEFORE any quality gating — the Lee et al.
+    # ordering, so boilerplate spans don't sink good documents at the
+    # gate. Rewrites text in place, never drops docs.
+    from warp_pipe_spark.datapipe.text import scrub_dup_spans
+
+    # localCheckpoint: the scrub's window+aggregate lineage would
+    # otherwise be re-executed by every downstream count and by each
+    # classifier training iteration (the demo's stages compose into
+    # ONE lazy plan) — materialize the stage boundary once.
+    span_scrubbed = scrub_dup_spans(scrubbed, n=50).localCheckpoint()
+    n_span_tokens = span_scrubbed.agg(
+        F.sum("n_removed_tokens").alias("t")
+    ).collect()[0]["t"]
+    span_scrubbed = span_scrubbed.select("doc_id", "text")
+
+    # 3. decontaminate vs a stand-in eval set (every 50th doc)
     bench = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
     clean, flagged = decontaminate(
-        scrubbed.filter(F.col("doc_id") % 50 != 0), bench, n=13
+        span_scrubbed.filter(F.col("doc_id") % 50 != 0), bench, n=13
     )
     n_contaminated = flagged.count()
 
-    # 3. Gopher rules + repetition signals gate
+    # 4. Gopher rules + repetition signals gate
     rules = gopher_rules(clean).select("doc_id", "keep")
     rep = repetition_signals(clean).select(
         "doc_id",
@@ -82,7 +104,7 @@ def main() -> None:
         .withColumn("gopher_keep", F.col("keep") & F.col("rep_keep"))
     )
 
-    # 4. train the quality classifier on the Gopher verdict, re-apply
+    # 5. train the quality classifier on the Gopher verdict, re-apply
     labeled = gated.select(
         "doc_id", "text", F.col("gopher_keep").cast("int").alias("label")
     )
@@ -93,7 +115,7 @@ def main() -> None:
         .join(scored.filter("keep").select("doc_id", "n_tokens"), "doc_id")
     )
 
-    # 5. budgeted selection: top docs by model score under 30k tokens
+    # 6. budgeted selection: top docs by model score under 30k tokens
     budgeted = select_token_budget(
         survivors.join(
             scored.select(
@@ -106,7 +128,7 @@ def main() -> None:
     picked = budgeted.filter("keep").select("doc_id", "text")
     n_picked = picked.count()
 
-    # 6. pack into 512-token training sequences
+    # 7. pack into 512-token training sequences
     packed = pack_chunks(picked, chunk_tokens=512)
     import pyspark.sql.functions as _F
 
@@ -114,7 +136,7 @@ def main() -> None:
         (_F.max("chunk_last") + 1).alias("n")
     ).collect()[0]["n"]
 
-    # 7. package the curated docs as deterministic WebDataset shards
+    # 8. package the curated docs as deterministic WebDataset shards
     import tempfile
 
     from warp_pipe_spark.datapipe.shards import write_webdataset
@@ -124,6 +146,7 @@ def main() -> None:
 
     print(f"input docs:              {n0}")
     print(f"after line scrub (text): {n_scrub}")
+    print(f"span-scrub removed toks: {n_span_tokens}")
     print(f"decontaminated away:     {n_contaminated}")
     print(f"train logloss:           {hist[0][1]:.3f} -> {hist[-1][1]:.3f}")
     print(f"budget-selected docs:    {n_picked}")
