@@ -1308,6 +1308,137 @@ def test_live_two_phase_restart_redelivers_prepared(live, spark, tmp_path):
                 pass
 
 
+def test_live_stream_prepare_restart_redelivers(live, spark, tmp_path):
+    """VERDICT r12 item 7: the restart-redelivery soak for the
+    STREAMED two-phase path. The walsender's logical_decoding_work_mem
+    drops to 64kB so a 3000-row transaction is streamed WHILE RUNNING
+    (S/E blocks), then PREPARE TRANSACTION arrives as a
+    stream-prepare ('p') frame — the crash case the plain-PREPARE soak
+    above cannot reach: the prepared changes live xid-keyed in the
+    stream buffers until 'p' moves them under the gid, and the confirm
+    floor must pin to the FIRST streamed change. A tail that consumes
+    the whole streamed prepare and dies must leave the slot
+    redeliverable: the restarted tail emits the full document when
+    COMMIT PREPARED arrives and the drop dir converges to the live
+    table."""
+    from warp_pipe_spark.decoders import decode_wal2json
+    from warp_pipe_spark.lr_client import XLogData
+    from warp_pipe_spark.pgoutput import tail_pgoutput_to_drop_dir
+
+    ctl, _, tbl = live
+    n_prep = ctl._simple_query("SHOW max_prepared_transactions")
+    if int(n_prep[0][0]) == 0:
+        pytest.skip("server has max_prepared_transactions=0")
+    pub = f"wp_pub_sp_{os.getpid()}"
+    slot = f"wp_live_sp_{os.getpid()}"
+    gid = f"wpsp_{os.getpid()}"
+    drop = str(tmp_path / "drop")
+    tails = []
+
+    def fresh_tail():
+        for _ in range(20):
+            rows = ctl._simple_query(
+                "SELECT active FROM pg_replication_slots "
+                f"WHERE slot_name = '{slot}'"
+            )
+            if not rows or rows[0][0] in ("f", "false", False):
+                break
+            time.sleep(0.25)
+        c = _client(slot)
+        c.plugin = "pgoutput"
+        c.connect()
+        # governs THIS walsender's decode session: 3000 rows exceed
+        # 64kB and stream instead of spooling to a post-prepare block
+        c._simple_query("SET logical_decoding_work_mem = '64kB'")
+        tails.append(c)
+        return c
+
+    def spy(client, seen: set):
+        orig = client.start
+
+        def start_spy(start_lsn, options=None):
+            for m in orig(start_lsn, options=options):
+                if isinstance(m, XLogData):
+                    seen.add(m.payload[:1])
+                yield m
+
+        client.start = start_spy
+
+    rep1 = fresh_tail()
+    try:
+        ctl._simple_query(
+            f"CREATE TABLE {tbl} (id int primary key, val text)"
+        )
+        ctl._simple_query(f"CREATE PUBLICATION {pub} FOR TABLE {tbl}")
+        rep1.create_slot(two_phase=True)
+
+        ctl._simple_query(
+            f"BEGIN; INSERT INTO {tbl} "
+            "SELECT g, repeat('y', 120) || g::text "
+            "FROM generate_series(1, 3000) g; "
+            f"PREPARE TRANSACTION '{gid}'"
+        )
+        seen1: set = set()
+        spy(rep1, seen1)
+        n1 = tail_pgoutput_to_drop_dir(
+            rep1, drop, publication=pub,
+            idle_timeout_s=8.0, proto_version=3,
+        )
+        assert n1 == 0  # undecided prepared changes are not "written"
+        # the transaction really took the streamed-2PC wire shape
+        assert b"S" in seen1 and b"E" in seen1 and b"p" in seen1, seen1
+        rep1.close()  # crash between stream-prepare and commit-prepared
+        ctl._simple_query(f"COMMIT PREPARED '{gid}'")
+
+        # restart: the floor must have pinned below the streamed
+        # transaction's first change, so the server redelivers ALL of
+        # it and commit-prepared emits the full document
+        rep2 = fresh_tail()
+        seen2: set = set()
+        spy(rep2, seen2)
+        n2 = tail_pgoutput_to_drop_dir(
+            rep2, drop, publication=pub,
+            idle_timeout_s=8.0, proto_version=3,
+        )
+        assert n2 == 3000, n2
+        assert b"K" in seen2, seen2  # commit-prepared on the wire
+
+        docs = spark.read.text(drop).withColumnRenamed("value", "message")
+        out = decode_wal2json(docs)
+        assert out.count() == 3000
+        assert out.filter("kind <> 'insert'").count() == 0
+        live_n = ctl._simple_query(f"SELECT count(*) FROM {tbl}")
+        assert int(live_n[0][0]) == 3000
+    finally:
+        closer = tails[-1]
+        try:
+            closer.drop_slot()
+        except Exception:
+            try:
+                closer.close()
+            except Exception:
+                pass
+            for _ in range(5):
+                try:
+                    ctl._simple_query(f"DROP_REPLICATION_SLOT {slot}")
+                    break
+                except Exception:
+                    time.sleep(0.5)
+        try:
+            ctl._simple_query(f"ROLLBACK PREPARED '{gid}'")
+        except Exception:
+            pass
+        try:
+            ctl._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+        except Exception:
+            pass
+        for c in tails:
+            try:
+                c.close()
+            except Exception:
+                pass
+
+
 def test_live_snapshot_bootstrap_is_gap_free(live, spark, tmp_path):
     """Gap-free CDC bootstrap, live: CREATE_REPLICATION_SLOT ...
     EXPORT_SNAPSHOT gives a consistent point + snapshot name; a
