@@ -551,3 +551,58 @@ def test_scrub_dup_spans_no_posting_lists_no_cartesian(spark):
     pre_window = t.split("Window")[0]
     assert "collect_list" not in pre_window, t
     assert p.count("Arguments: SinglePartition") == 0, p
+
+
+def test_temperature_mix_never_shuffles_the_corpus(spark, qs):
+    """docs_temperature_mix's scale contract: the corpus side is one
+    pruned parquet scan filtered in place and joined against the
+    broadcast 20-row rates frame — ZERO shuffle exchanges (the keep
+    rule is a pure hash predicate inside the join), with the NULL
+    weight/group filters pushed to the scan."""
+    p = plan_of(spark, qs["docs_temperature_mix"](spark, SF))
+    t = tree_of(p)
+    assert n_exchanges(p) == 0, t
+    assert "BroadcastHashJoin" in t, t
+    assert "PushedFilters" in p and "IsNotNull(n_chars)" in p, p
+
+
+def test_fan_out_spreads_small_post_shuffle_frames(spark):
+    """The r13 fan_out guard (ADVICE r12): the decision reads LEAF-scan
+    statistics, not the static partition count. A small frame whose
+    plan contains a shuffle (static partition count == shuffle
+    partitions, which used to defeat the guard) must still be spread —
+    AQE will coalesce its runtime stage to ~1 partition, serializing
+    the downstream fan-out stage. A frame whose leaves are large
+    enough to have produced >= defaultParallelism input splits must
+    pass through untouched (no pure-cost exchange at real scale,
+    simulated here by shrinking maxPartitionBytes so the same small
+    scan counts as 'many splits')."""
+    from pyspark.sql import functions as F
+
+    from warp_pipe_spark.io import fan_out
+
+    par = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    # bare small scan: spread (unchanged behavior)
+    assert (
+        fan_out(docs.select("doc_id", "text"), "doc_id")
+        .rdd.getNumPartitions()
+        == par
+    )
+
+    # post-shuffle small frame (the ADVICE case: old guard no-opped)
+    cur = docs.join(docs.select("doc_id"), "doc_id").select("doc_id", "text")
+    p = plan_of(spark, fan_out(cur, "doc_id"))
+    assert "REPARTITION" in p, tree_of(p)
+    assert n_exchanges(p) >= 1, tree_of(p)
+
+    # big-leaf no-op, simulated: with a tiny maxPartitionBytes the same
+    # leaf counts as >= defaultParallelism splits -> pass through
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1b")
+        out = fan_out(cur, "doc_id")
+        assert out is cur
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)

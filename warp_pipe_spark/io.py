@@ -68,10 +68,12 @@ def fan_out(df: DataFrame, *cols: str) -> DataFrame:
     try:
         plan = df._jdf.queryExecution().optimizedPlan()
         leaves = plan.collectLeaves()
-        leaf_bytes = sum(
-            int(leaves.apply(i).stats().sizeInBytes().toString())
-            for i in range(leaves.size())
-        )
+        leaf_bytes = 0
+        for i in range(leaves.size()):
+            v = leaves.apply(i).stats().sizeInBytes()
+            # py4j hands small scala BigInts back as Python ints and
+            # big ones as JavaObjects — normalize via str for both
+            leaf_bytes += v if isinstance(v, int) else int(str(v))
         try:
             max_split = int(
                 spark.conf.get("spark.sql.files.maxPartitionBytes")
