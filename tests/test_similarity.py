@@ -410,3 +410,30 @@ def test_registered_nn_descent_equals_the_direct_call(spark):
         )
     )
     assert direct == shared and len(shared) > 0
+
+
+def test_graph_search_excludes_zero_norm_vectors(spark):
+    """graph_search shares nn_descent's zero-norm contract (ADVICE
+    r12 family): a zero-norm corpus vector must never surface as a
+    neighbor (Spark's NaN-first desc ordering would rank its NaN
+    cos_sim ABOVE every real candidate), and a zero-norm query
+    returns no rows instead of an all-NaN ranking."""
+    import math
+
+    from warp_pipe_spark.datapipe.similarity import graph_search, nn_descent
+
+    rows = [(i, [float(i % 7 + 1), float((i * 3) % 5 + 1)]) for i in range(40)]
+    emb_rows = rows + [(99, [0.0, 0.0])]
+    emb = spark.createDataFrame(
+        emb_rows, "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    graph = nn_descent(emb, k=3, iters=1)
+    queries = spark.createDataFrame(
+        [rows[0], rows[5], (99, [0.0, 0.0])],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    out = graph_search(graph, emb, queries, k=3, hops=2).collect()
+    assert out
+    assert all(r["neighbor_id"] != 99 for r in out)
+    assert all(r["query_id"] != 99 for r in out)
+    assert all(not math.isnan(r["cos_sim"]) for r in out)

@@ -364,10 +364,21 @@ def graph_search(
     the detours greedy search needs."""
     if beam is None:
         beam = 2 * k
-    emb = embeddings.select("vec_id", "embedding")
+    # Same zero-norm contract as nn_descent (they share the NaN
+    # hazard: a zero-norm LSH entry point would score NaN and Spark's
+    # NaN-first desc ordering would rank it ABOVE every real
+    # neighbor): zero vectors sit outside the similarity universe — a
+    # zero-norm corpus vector is never a candidate, a zero-norm query
+    # returns no rows.
+    _nonzero = lambda c: F.col(c).isNotNull() & F.exists(  # noqa: E731
+        c, lambda x: x != 0
+    )
+    emb = embeddings.select("vec_id", "embedding").filter(
+        _nonzero("embedding")
+    )
     q = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
+    ).filter(_nonzero("q_emb"))
 
     def _score(cand: DataFrame) -> DataFrame:
         c = emb.select(
