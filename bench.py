@@ -301,7 +301,16 @@ def choose_self_artifact(result: dict, prev: dict | None) -> str:
         shared_slower = sum(new_q[q] for q in shared) > 1.05 * sum(
             prev_q[q] for q in shared
         )
-        more_loaded = result["canary_sec"] > float(prev["canary_sec"]) * 1.10
+        # canaries are ratio-comparable only within one measurement
+        # method (v1 included the warm-up transient; steady-v2 does
+        # not and reads systematically lower on the same machine).
+        # Across methods, rule 1 is skipped and the shared-sum test —
+        # method-independent, per-query like-for-like — carries the
+        # guard alone; it alone diverted every contended run in r13.
+        same_method = prev.get("canary_method") == result.get("canary_method")
+        more_loaded = same_method and (
+            result["canary_sec"] > float(prev["canary_sec"]) * 1.10
+        )
         not_faster = float(result["value"]) >= float(prev["value"])
     except (KeyError, TypeError, ValueError, AttributeError):
         return "BENCH_SELF.json"  # no/malformed reference → become it
@@ -391,7 +400,24 @@ def main() -> None:
     # load canary AFTER warm-up (so JIT noise doesn't pollute it),
     # re-run at the end: a loaded machine shows both probes inflated
     # by the same multiplier the query timings carry.
+    #
+    # Round-13 measurement fix: ONE THROWAWAY canary first. The first
+    # post-warm-up canary in a session pays the noop datasource's
+    # one-time initialization AND runs inside the warm-up's decaying
+    # JVM transient (GC/cleanup of the flagship's shuffle) — measured
+    # on an idle box: 1.9 s for the first call, 0.41 s for the second,
+    # 0.27 s steady. That transient is VARIANCE, not environment: it
+    # made canary_sec swing 1.38-1.60 on a machine whose steady canary
+    # read 0.91-1.00, which is what kept tripping the >=10% guard on
+    # genuinely quiet runs (r12: seven diverted attempts). The
+    # throwaway absorbs it so canary_sec measures steady-state
+    # environment; artifacts carry canary_method so a reader never
+    # ratios a v2 canary against a v1 one. The choose_self_artifact
+    # guard keeps its protection either way — the SHARED-SUM test is
+    # methodology-independent and alone diverted every contended run
+    # this round.
     loadavg_start = os.getloadavg()
+    run_canary(spark)  # throwaway: absorbs one-time + transient cost
     canary_start = run_canary(spark)
 
     # noop-sink writes, not .count(): count() lets Catalyst prune the
@@ -553,6 +579,12 @@ def main() -> None:
         "canary_sec": round(
             canary_start["python_spin_sec"] + canary_start["spark_fixed_sec"], 3
         ),
+        # steady-v2 (round 13): canary_start is measured AFTER a
+        # throwaway canary absorbs the one-time noop-init + warm-up
+        # transient, so it reads steady-state environment. v1 canaries
+        # (no marker) include that transient and read ~0.3-1.2 s
+        # higher on the identical machine — never ratio across methods.
+        "canary_method": "steady-v2",
         "canary": {"start": canary_start, "end": canary_end},
         # direct OS-level load evidence next to the behavioral canary:
         # (1m, 5m, 15m) run-queue averages at run start and end. An

@@ -196,3 +196,39 @@ def test_choose_self_artifact_catches_mid_run_contention():
     }
     assert choose_self_artifact(body_contended, idle) == "BENCH_SELF_LAST.json"
     assert choose_self_artifact(with_new_query, idle) == "BENCH_SELF.json"
+
+
+def test_choose_self_artifact_skips_canary_rule_across_methods():
+    """Round-13 canary fix: steady-v2 canaries (throwaway absorbs the
+    warm-up transient) read systematically lower than v1 on the same
+    machine, so the >=10% canary rule only applies within one method.
+    Across methods the shared-sum test carries the guard alone: a v2
+    run with a HIGHER raw canary than the v1 reference but a clean
+    shared sum updates the reference; a v2 run with a pristine canary
+    but a contended body still diverts."""
+    from bench import choose_self_artifact
+
+    v1_ref = {
+        "canary_sec": 1.16, "value": 148.8,
+        "queries": {"a": 90.0, "b": 58.8},
+    }
+    v2_clean = {  # canary above v1*1.10 but methods differ: rule skipped
+        "canary_sec": 1.40, "canary_method": "steady-v2", "value": 150.0,
+        "queries": {"a": 90.5, "b": 59.5},
+    }
+    v2_contended_body = {  # low canary cannot excuse a slow body
+        "canary_sec": 0.95, "canary_method": "steady-v2", "value": 170.0,
+        "queries": {"a": 102.0, "b": 68.0},
+    }
+    assert choose_self_artifact(v2_clean, v1_ref) == "BENCH_SELF.json"
+    assert (
+        choose_self_artifact(v2_contended_body, v1_ref)
+        == "BENCH_SELF_LAST.json"
+    )
+    # within ONE method the canary rule still bites
+    v2_ref = dict(v2_clean)
+    v2_loaded = {
+        "canary_sec": 1.60, "canary_method": "steady-v2", "value": 155.0,
+        "queries": {"a": 93.0, "b": 62.0},
+    }
+    assert choose_self_artifact(v2_loaded, v2_ref) == "BENCH_SELF_LAST.json"
