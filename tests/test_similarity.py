@@ -542,3 +542,70 @@ def test_nn_graph_insert_rejects_colliding_ids(spark):
     )
     with _pytest.raises(ValueError, match="fresh ids"):
         nn_graph_insert(graph, emb, dup, k=3)
+
+
+def test_nn_graph_delete_repairs_and_preserves_untouched(spark):
+    """Delete-with-repair (nn_graph_insert's counterpart): deleted ids
+    vanish as both nodes and neighbors; nodes that pointed at a
+    deleted id repair from the deleted node's surviving neighbors
+    (ranks contiguous, <= k edges); nodes touching no deleted id pass
+    through bit-identically; deleting an absent id is a no-op; the
+    whole update is deterministic."""
+    from warp_pipe_spark.datapipe.similarity import nn_descent, nn_graph_delete
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter("vec_id < 150")
+    k = 8
+    graph = nn_descent(emb, k=k, iters=2, k_build=k).localCheckpoint()
+    dels = spark.createDataFrame(
+        [(i,) for i in range(0, 150, 15)], "vec_id LONG"
+    )
+    del_set = {i for i in range(0, 150, 15)}
+
+    out = nn_graph_delete(graph, emb, dels, k=k).localCheckpoint()
+    rows = out.collect()
+    ids = {r["vec_id"] for r in rows} | {r["nbr_id"] for r in rows}
+    assert not (ids & del_set)
+
+    by_node = {}
+    for r in rows:
+        by_node.setdefault(r["vec_id"], []).append((r["rank"], r["nbr_id"]))
+    for n, es in by_node.items():
+        ranks = sorted(rk for rk, _ in es)
+        assert ranks == list(range(1, len(es) + 1)), (n, ranks)
+        assert len(es) <= k
+
+    # untouched nodes (no edge to a deleted id) bit-equal
+    old = {}
+    touched = set()
+    for r in graph.collect():
+        if r["vec_id"] in del_set:
+            continue
+        if r["nbr_id"] in del_set:
+            touched.add(r["vec_id"])
+        old.setdefault(r["vec_id"], set()).add(
+            (r["nbr_id"], r["rank"], r["cos_sim"])
+        )
+    new = {}
+    for r in rows:
+        new.setdefault(r["vec_id"], set()).add(
+            (r["nbr_id"], r["rank"], r["cos_sim"])
+        )
+    untouched = [n for n in old if n not in touched]
+    assert untouched
+    for n in untouched:
+        assert new.get(n) == old[n], n
+    # touched nodes actually repaired (most regain full width)
+    assert touched
+    regained = sum(1 for n in touched if len(new.get(n, ())) == k)
+    assert regained >= len(touched) * 0.6, (regained, len(touched))
+
+    # idempotent no-op: deleting ids the graph never held
+    ghost = spark.createDataFrame([(9_999,)], "vec_id LONG")
+    same = sorted(map(tuple, nn_graph_delete(graph, emb, ghost, k=k).collect()))
+    assert same == sorted(map(tuple, graph.collect()))
+
+    # determinism
+    again = sorted(map(tuple, nn_graph_delete(graph, emb, dels, k=k).collect()))
+    assert sorted(map(tuple, rows)) == again

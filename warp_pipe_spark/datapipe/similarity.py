@@ -619,6 +619,106 @@ def nn_graph_insert(
     return untouched.unionByName(reranked)
 
 
+def nn_graph_delete(
+    graph: DataFrame,
+    embeddings: DataFrame,
+    delete_ids: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """INCREMENTAL delete from an nn_descent graph — nn_graph_insert's
+    counterpart, completing the maintenance pair a served graph index
+    needs (the FreshDiskANN delete-with-repair shape): deleted nodes
+    leave, and every node that pointed AT one repairs its edge list by
+    considering the deleted node's own (surviving) neighbors — the
+    NN-Descent neighbor-of-my-neighbor principle applied once, in
+    reverse. `delete_ids` is any frame with a vec_id column; deleting
+    an id the graph never held is a no-op (idempotent), so replaying a
+    tombstone stream is safe.
+
+    Per batch of D deletes: dropping out-edges is a partition-local
+    anti-join; AFFECTED nodes (those with an in-edge to a deleted id)
+    gain candidate edges deleted_node→its_survivors scored by exact
+    cosine — O(in_degree(D)·k) candidate rows — and re-rank through
+    ONE k-bounded window; every node touching no deleted id passes
+    through BIT-UNCHANGED via an anti-join. Cost is O(D·k²)
+    candidates regardless of graph size, the same asymmetry as the
+    insert path.
+
+    Determinism matches the family: rounded exact cosine, (−cos,
+    nbr_id) ordering, id tie-breaks. A repaired node can end with
+    fewer than k edges when the graph region is sparse (the paper
+    behavior — repair proposes, the window disposes); ranks stay
+    contiguous from 1. Pinned in tests/test_similarity.py: no deleted
+    id survives anywhere, untouched nodes bit-equal, idempotent
+    no-op, determinism."""
+    dels = delete_ids.select("vec_id").distinct()
+    dels_n = dels.select(F.col("vec_id").alias("nbr_id"))
+
+    # edges leaving a deleted node, kept aside as repair material
+    del_out = graph.join(dels, "vec_id", "left_semi").select(
+        F.col("vec_id").alias("gone"),
+        F.col("nbr_id").alias("repair_nbr"),
+    )
+    # the graph minus deleted nodes' own lists
+    kept = graph.join(dels, "vec_id", "left_anti")
+    # nodes that must repair: they had an edge to a deleted id
+    affected = (
+        kept.join(dels_n, "nbr_id", "left_semi")
+        .select("vec_id")
+        .distinct()
+    )
+    # surviving edges of affected nodes (deleted targets dropped)
+    surviving = (
+        kept.join(affected, "vec_id", "left_semi")
+        .join(dels_n, "nbr_id", "left_anti")
+        .select("vec_id", "nbr_id", "cos_sim")
+    )
+    # repair candidates: for each lost edge a→d, d's own surviving
+    # neighbors become a's candidates (self and already-deleted
+    # targets excluded), scored exactly
+    lost = kept.join(affected, "vec_id", "left_semi").join(
+        dels_n, "nbr_id", "left_semi"
+    ).select("vec_id", F.col("nbr_id").alias("gone"))
+    cand_ids = (
+        lost.join(del_out, "gone")
+        .select("vec_id", F.col("repair_nbr").alias("nbr_id"))
+        .filter(F.col("vec_id") != F.col("nbr_id"))
+        .join(dels_n, "nbr_id", "left_anti")
+        .distinct()
+        # a candidate the node already holds needs no rescoring (and
+        # must not duplicate): existing edges win
+        .join(surviving.select("vec_id", "nbr_id"), ["vec_id", "nbr_id"], "left_anti")
+    )
+    ea = embeddings.select(
+        F.col("vec_id"), F.col("embedding").alias("_ea")
+    )
+    eb = embeddings.select(
+        F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("_eb")
+    )
+    cand = (
+        cand_ids.join(ea, "vec_id")
+        .join(eb, "nbr_id")
+        .select(
+            "vec_id",
+            "nbr_id",
+            F.round(cosine_v(F.col("_ea"), F.col("_eb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("nbr_id").asc()
+    )
+    repaired = (
+        surviving.unionByName(cand)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "nbr_id", "rank", "cos_sim")
+    )
+    untouched = kept.join(affected, "vec_id", "left_anti").select(
+        "vec_id", "nbr_id", "rank", "cos_sim"
+    )
+    return untouched.unionByName(repaired)
+
+
 def pq_codes(
     embeddings: DataFrame, dim: int = 64, m: int = 4, k: int = 4
 ) -> DataFrame:
