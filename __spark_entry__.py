@@ -3726,6 +3726,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # "dedup_embedding": 13 tag here; the query was RETIRED in r13
         # to fund a strong-oracle slot — see the round-13 registration
         # block — so the tag went with it.)
+        # round-13 result-identical changes, tagged to each query's
+        # staleness-mandatory round (r12-green → 15) per the standing
+        # discipline: (a) io.fan_out's guard now reads LEAF-scan stats
+        # instead of the static partition count (ADVICE r12) — plans
+        # may gain/lose the pre-explosion exchange, results cannot
+        # change (oracle re-swept ALL OK at sf0.01 on every consumer);
+        # (b) nn_descent/graph_search exclude zero-norm vectors
+        # explicitly (none exist in testdata; the ANN pair's recorded
+        # rows-only counts reproduce bit-identically). r13-window
+        # consumers (dedup_ngram_jaccard, docs_clean_corpus_capped,
+        # dedup_lsh_eval, cs_keyset_poll_stream) re-earn this round;
+        # r11-green consumers carry their existing 14 tags below.
+        "docs_clean_corpus": 15,
+        "docs_repetition_signals": 15,
+        "docs_decontaminate": 15,
+        "multimodal_decode_png": 15,
+        "ann_nn_descent": 15,
+        "ann_graph_search": 15,
         # round-12 fan-out guard (io.fan_out in repetition_signals,
         # decontaminate's corpus side, and png_media — the BMP/WAV/
         # stream codecs measured FASTER without it: their sub-second
