@@ -597,10 +597,14 @@ def nn_graph_insert(
     )
     # a candidate may duplicate an existing edge (a band mate the
     # graph already holds): existing wins the dedup so old scores
-    # stay bit-identical
+    # stay bit-identical. Dedup against the AFFECTED slice, not the
+    # full graph — equivalent (a candidate's vec_id is affected or
+    # new, and new ids hold no edges) and batch-bounded, where an
+    # anti-join against the whole graph would shuffle a
+    # petabyte-scale edge table for a tiny insert batch.
     merged = existing_aff.unionByName(
         cand.join(
-            graph.select("vec_id", "nbr_id").withColumn("_has", F.lit(1)),
+            existing_aff.select("vec_id", "nbr_id"),
             ["vec_id", "nbr_id"],
             "left_anti",
         )
