@@ -591,7 +591,12 @@ def nn_graph_insert(
     # 3. re-rank ONLY nodes with at least one candidate edge; everyone
     # else passes through bit-unchanged
     cand = fwd.union(rev).union(nn_both).dropDuplicates(["vec_id", "nbr_id"])
-    affected = cand.select("vec_id").distinct()
+    # bounded by construction: candidate vec_ids are the batch plus at
+    # most batch·beam reverse targets, so the affected set broadcasts
+    # regardless of graph size (the tombstone analogue in
+    # nn_graph_delete stays AQE-decided — a deleted hub can inflate
+    # ITS affected set to the hub's whole in-neighborhood)
+    affected = F.broadcast(cand.select("vec_id").distinct())
     existing_aff = graph.select("vec_id", "nbr_id", "cos_sim").join(
         affected, "vec_id", "left_semi"
     )
@@ -655,7 +660,11 @@ def nn_graph_delete(
     contiguous from 1. Pinned in tests/test_similarity.py: no deleted
     id survives anywhere, untouched nodes bit-equal, idempotent
     no-op, determinism."""
-    dels = delete_ids.select("vec_id").distinct()
+    # the tombstone batch is bounded by construction (it is the
+    # DELETE REQUEST, not derived state): broadcast it so every
+    # drop/semi/anti against the petabyte-scale edge table is a
+    # map-side probe, never a shuffle of the graph
+    dels = F.broadcast(delete_ids.select("vec_id").distinct())
     dels_n = dels.select(F.col("vec_id").alias("nbr_id"))
 
     # edges leaving a deleted node, kept aside as repair material
