@@ -366,6 +366,28 @@ def run_canary(spark) -> dict[str, float]:
     return {"python_spin_sec": py, "spark_fixed_sec": jvm}
 
 
+def run_sustained_canary(spark) -> float:
+    """Fixed-cost SUSTAINED all-core probe (round 13): ~5 s of md5
+    hashing across 32 tasks. The 1-2 s bracket probes above measure
+    burst throughput, which on this class of host can be 1.4-1.7x the
+    ALL-CORE-SUSTAINED throughput (all-core turbo drop / co-tenant
+    frequency pressure that engages only under minutes of saturation
+    and relaxes within seconds — measured r13: single-thread spin
+    0.64-0.75 s solo, 0.85-1.06 s under 31 busy cores, recovered 3 s
+    later). A bench body that reads uniformly slower than the
+    committed reference while both burst canaries are pristine is
+    THIS effect, not a regression; the field makes that attribution
+    readable from the artifact alone instead of requiring the
+    forensic positional analysis it took to find."""
+    t0 = time.time()
+    spark.range(0, 64_000_000, 1, 32).selectExpr(
+        "md5(cast(id as string)) as h"
+    ).selectExpr(
+        "sum(conv(substring(h, 1, 8), 16, 10)) as s"
+    ).write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 3)
+
+
 def split_keyset_rounds(
     per_round: list[tuple[float, int]], limit: int
 ) -> dict[str, float]:
@@ -419,6 +441,7 @@ def main() -> None:
     loadavg_start = os.getloadavg()
     run_canary(spark)  # throwaway: absorbs one-time + transient cost
     canary_start = run_canary(spark)
+    sustained_start = run_sustained_canary(spark)
 
     # noop-sink writes, not .count(): count() lets Catalyst prune the
     # aggregate/projection expressions that ARE the query's work (a
@@ -560,6 +583,7 @@ def main() -> None:
     shutil.rmtree(ks_base, ignore_errors=True)
 
     canary_end = run_canary(spark)
+    sustained_end = run_sustained_canary(spark)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -586,6 +610,11 @@ def main() -> None:
         # higher on the identical machine — never ratio across methods.
         "canary_method": "steady-v2",
         "canary": {"start": canary_start, "end": canary_end},
+        # ~5s fixed all-core md5 probe (run_sustained_canary): exposes
+        # the sustained-saturation frequency penalty the 1-2s burst
+        # canaries cannot see. Ratio against a prior artifact's value
+        # before reading a uniformly-slower body as a regression.
+        "sustained": {"start": sustained_start, "end": sustained_end},
         # direct OS-level load evidence next to the behavioral canary:
         # (1m, 5m, 15m) run-queue averages at run start and end. An
         # idle 32-core box shows ~32 only if THIS bench saturates it;
