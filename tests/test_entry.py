@@ -29,6 +29,9 @@ FAST_SUBSET = [
     "docs_dedup_lines",
     "docs_select_token_budget",
     "docs_decontaminate",
+    # round-13 (retirement-funded) registrations, same rationale
+    "docs_scrub_dup_spans",
+    "docs_temperature_mix",
 ]
 
 
@@ -247,3 +250,40 @@ def test_rotation_tolerates_malformed_correctness_artifact(tmp_path):
         cwd=tmp_path, capture_output=True, text=True, timeout=120, env=env,
     )
     assert r.returncode == 0, r.stderr
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_temperature_mix_oracle_no_capping_precondition(sf):
+    """docs_temperature_mix's oracle is single-pass SQL because at
+    budget=total//2 NO group hits the water-filling cap (w·budget <
+    w_total·mass for every group) — the Python loop provably no-ops.
+    That is a property of the DATA (balanced sources); if the testdata
+    generator ever skews a source enough to cap, this fails with the
+    reason instead of the driver recording an opaque hash mismatch."""
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""
+        WITH m AS (
+          SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass
+          FROM read_parquet('{sf}/documents.parquet')
+          WHERE n_chars IS NOT NULL AND source IS NOT NULL
+          GROUP BY source
+        ),
+        w AS (
+          SELECT source, mass,
+                 greatest(1, CAST(round(pow(mass, 0.5) * 1000000) AS BIGINT)) AS wm
+          FROM m
+        )
+        SELECT source,
+               wm * ((SELECT sum(mass) FROM w) // 2) AS lhs,
+               (SELECT sum(wm) FROM w) * mass AS rhs
+        FROM w
+        """
+    ).fetchall()
+    capped = [(s, l, r) for s, l, r in rows if l >= r]
+    assert not capped, (
+        f"{sf}: groups would hit the water-filling cap at budget=total//2 "
+        f"— the single-pass oracle no longer replays temperature_mix: {capped}"
+    )
