@@ -609,3 +609,23 @@ def test_nn_graph_delete_repairs_and_preserves_untouched(spark):
     # determinism
     again = sorted(map(tuple, nn_graph_delete(graph, emb, dels, k=k).collect()))
     assert sorted(map(tuple, rows)) == again
+
+
+def test_nn_graph_insert_empty_batch_is_identity(spark):
+    """An empty insert batch (or one that is all zero-norm/NULL —
+    outside the similarity universe) must return the graph
+    row-identically: the maintenance pair is safe to drive from a
+    stream that sometimes delivers nothing."""
+    from warp_pipe_spark.datapipe.similarity import nn_descent, nn_graph_insert
+
+    rows = [(i, [float(i % 5 + 1), float(i % 3 + 1)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    graph = nn_descent(emb, k=3, iters=1).localCheckpoint()
+    empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<FLOAT>")
+    zeroes = spark.createDataFrame(
+        [(100, [0.0, 0.0]), (101, None)], "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    want = sorted(map(tuple, graph.collect()))
+    for batch in (empty, zeroes):
+        got = sorted(map(tuple, nn_graph_insert(graph, emb, batch, k=3).collect()))
+        assert got == want

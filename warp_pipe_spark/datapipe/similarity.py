@@ -518,6 +518,11 @@ def nn_graph_insert(
     new_emb = new_vectors.select("vec_id", "embedding").filter(
         _nonzero("embedding")
     )
+    # an empty batch (or one that is all zero-norm/NULL) is identity:
+    # a streaming caller sometimes delivers nothing, and the LSH
+    # signature stage cannot infer a dim from zero rows anyway
+    if new_emb.limit(1).count() == 0:
+        return graph.select("vec_id", "nbr_id", "rank", "cos_sim")
     n_collide = new_emb.join(
         old_emb.select("vec_id"), "vec_id", "left_semi"
     ).count()
