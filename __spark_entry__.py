@@ -3765,6 +3765,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_eval": 13,
         "dedup_ngram_jaccard_capped": 14,
         "dedup_containment": 14,
+        # round-14 tie-rule alignment (ADVICE r13): temperature_mix's
+        # micro-weight rounding is half-away-from-zero on BOTH sides
+        # now (Python int(x+0.5) / oracle floor(x+0.5)) instead of the
+        # engines' round()s with DIFFERENT tie rules (banker's vs
+        # half-away). Result-identical on testdata — no mass^alpha*1e6
+        # lands on a .5 tie at any SF (verified by direct enumeration
+        # of all 20 groups at sf0.001/0.01/0.1) and the re-sweep is
+        # ALL OK at all three SFs — but the oracle TEXT changed, so
+        # the green row re-earns at its staleness-mandatory round
+        # (r13-green → 16), the dedup_containment pattern above.
+        "docs_temperature_mix": 16,
         # CAPACITY NOTE, r13+: at 150 registered queries the rotation
         # is SATURATED (3 rounds × 50 = 150 — every window is exactly
         # one staleness cohort). A new registration requires RETIRING
@@ -6668,8 +6679,11 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # Temperature mixture, alpha=0.5, budget = half the corpus char
-    # mass. The single float step is pow(mass, 0.5)*1e6 rounded once —
-    # sqrt is correctly rounded in IEEE libm on both engines, so the
+    # mass. The single float step is pow(mass, 0.5)*1e6 rounded once,
+    # half-AWAY-from-zero on BOTH sides (floor(x+0.5) here, int(x+0.5)
+    # in Python — never each engine's round(), whose tie rules differ:
+    # banker's vs half-away, ADVICE r13) — sqrt is correctly rounded
+    # in IEEE libm on both engines, so the
     # integer micro-weights replay exactly; everything after is exact
     # BIGINT arithmetic (// floor-div on positive ints matches
     # Python's). The balanced testdata sources sit far inside the
@@ -6687,8 +6701,8 @@ def oracle_sql() -> dict[str, str]:
     ),
     w AS (
       SELECT source, mass,
-             greatest(1, CAST(round(pow(mass, 0.5) * 1000000) AS BIGINT))
-               AS wm
+             greatest(1, CAST(floor(pow(mass, 0.5) * 1000000 + 0.5)
+                              AS BIGINT)) AS wm
       FROM m
     ),
     t AS (

@@ -213,3 +213,62 @@ def test_write_webdataset_failed_run_preserves_previous_shards(spark, tmp_path):
     }
     assert after == before
     assert not glob.glob(os.path.join(out, ".staging_*"))
+
+
+def test_write_webdataset_sweeps_dead_writers_staging(spark, tmp_path):
+    """Orphan sweep (ADVICE r13): a writer killed with SIGKILL can't
+    run its finally-cleanup, so its .staging_<pid>_<uuid> dir would
+    accumulate in out_dir forever. A successful publish sweeps staging
+    dirs whose embedded pid is dead — and must KEEP a live writer's
+    (pid-recycling errs toward keeping) and anything it can't parse."""
+    import glob
+    import subprocess
+
+    from warp_pipe_spark.datapipe.shards import write_webdataset
+
+    out = tmp_path / "wd"
+    out.mkdir()
+    # a genuinely dead pid: a real child that has already exited
+    child = subprocess.Popen(["true"])
+    child.wait()
+    dead = out / f".staging_{child.pid}_deadbeef"
+    dead.mkdir()
+    (dead / "shard-00000.tar").write_bytes(b"torn")
+    alive = out / f".staging_{os.getpid()}_cafe0001"
+    alive.mkdir()
+    weird = out / ".staging_notapid_x"
+    weird.mkdir()
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "doc_id LONG, text STRING"
+    )
+    write_webdataset(docs, str(out), n_shards=2).collect()
+
+    left = {os.path.basename(p) for p in glob.glob(str(out / ".staging_*"))}
+    assert dead.name not in left
+    assert alive.name in left
+    assert weird.name in left
+
+
+def test_parse_spark_bytes_full_grammar():
+    """ADVICE r13: fan_out's threshold read only parsed '<n>[b]' and
+    raised on the human forms Spark itself documents ('128m', '1g'),
+    silently falling back to 128MB. The parser covers the JavaUtils
+    byteStringAs grammar; garbage raises ValueError for the caller's
+    explicit fallback, never a silent wrong size."""
+    import pytest
+
+    from warp_pipe_spark.io import parse_spark_bytes
+
+    assert parse_spark_bytes("134217728") == 128 * 1024 * 1024
+    assert parse_spark_bytes("134217728b") == 128 * 1024 * 1024
+    assert parse_spark_bytes("128m") == 128 * 1024 * 1024
+    assert parse_spark_bytes("128MB") == 128 * 1024 * 1024
+    assert parse_spark_bytes("64mb") == 64 * 1024 * 1024
+    assert parse_spark_bytes("1g") == 1024 ** 3
+    assert parse_spark_bytes("2t") == 2 * 1024 ** 4
+    assert parse_spark_bytes("1p") == 1024 ** 5
+    assert parse_spark_bytes(" 512k ") == 512 * 1024
+    for bad in ("", "mb", "12x", "1.5g", "128kk", "k128"):
+        with pytest.raises(ValueError):
+            parse_spark_bytes(bad)

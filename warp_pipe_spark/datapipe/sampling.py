@@ -420,9 +420,14 @@ def temperature_mix(
         .collect()
     )
     total = sum(r["mass"] for r in masses)
-    # weights in micro units, rounded once — the only float step
+    # weights in micro units, rounded once — the only float step.
+    # Half-AWAY-from-zero via int(x+0.5) (x is always positive here),
+    # NOT Python round(): round() is banker's (half-to-even) while the
+    # registered DuckDB oracle's round() is half-away — an exact .5
+    # tie in mass^alpha*1e6 would hash-mismatch despite identical
+    # inputs (ADVICE r13). The oracle mirrors with floor(x + 0.5).
     w_micro = {
-        r[group_col]: max(1, round((r["mass"] ** alpha) * 1_000_000))
+        r[group_col]: max(1, int((r["mass"] ** alpha) * 1_000_000 + 0.5))
         for r in masses
     }
     w_total = sum(w_micro.values())

@@ -73,14 +73,22 @@ def write_webdataset(
     deleted every existing shard-*.tar up front, so a failed or
     interrupted write destroyed the previous valid shard set with no
     replacement, and two concurrent writers deleted each other's
-    output mid-write. The swap (remove stale tars incl. any orphaned
-    .tmp_*, then per-file atomic os.replace from staging) still
+    output mid-write. The swap (per-file atomic os.replace from
+    staging FIRST, then remove stale tars incl. any orphaned .tmp_*)
     guarantees read_webdataset's glob never sees a half-written tar or
     a stale shard index after the call returns; a crash before the
     swap leaves the old shard set fully intact, and each writer stages
     under a unique token so concurrent writers can no longer destroy
     in-flight work (the last swap wins per file, as with any two
-    writers to one directory). The sink is consequently EAGER — the
+    writers to one directory). The swap itself is N independent
+    renames, NOT atomic as a set (ADVICE r13): a crash mid-swap leaves
+    a MIXED directory — some shards from the new set, the rest from
+    the old, every file individually a valid tar — but never a missing
+    shard both sets had, because replacement precedes deletion. Readers
+    needing set-level atomicity should publish into a versioned
+    subdirectory and flip a manifest pointer; for the training-shard
+    use case a mixed-but-valid set after a mid-publish crash (rerun
+    the publish to converge) is the deliberate trade. The sink is consequently EAGER — the
     write job runs inside this call and the returned manifest is a
     small local frame (n_shards rows), which is what every caller did
     with it anyway (.collect() immediately: a sink that only half-
@@ -167,19 +175,40 @@ def write_webdataset(
             .applyInPandas(write_shard, schema=MANIFEST_SCHEMA)
             .collect()
         )
-        # job succeeded: publish. Stale tars from a previous (possibly
-        # wider-n_shards) run and any orphaned .tmp_* leave first so
-        # read_webdataset's glob tracks the new manifest exactly, then
-        # each staged tar moves in with a per-file atomic replace.
+        # job succeeded: publish. Staged tars move in FIRST (per-file
+        # atomic os.replace over any same-named stale tar), and only
+        # then do stale tars from a previous (possibly wider-n_shards)
+        # run and orphaned .tmp_* leave — replace-then-delete, not the
+        # pre-r14 delete-then-replace, so a crash mid-swap can leave a
+        # MIXED set (some new, some old tars) but never a MISSING
+        # shard both sets had (ADVICE r13). The end state is identical:
+        # read_webdataset's glob tracks the new manifest exactly.
         staged = sorted(_glob.glob(os.path.join(staging, "shard-*.tar")))
         staged_names = {os.path.basename(p) for p in staged}
+        for src in staged:
+            os.replace(src, os.path.join(out_dir, os.path.basename(src)))
         for stale in _glob.glob(
             os.path.join(out_dir, "shard-*.tar")
         ) + _glob.glob(os.path.join(out_dir, "shard-*.tar.tmp_*")):
             if os.path.basename(stale) not in staged_names:
                 os.remove(stale)
-        for src in staged:
-            os.replace(src, os.path.join(out_dir, os.path.basename(src)))
+        # orphan sweep (ADVICE r13): this process's finally below can't
+        # run after SIGKILL/power loss, so .staging_* dirs from writers
+        # that died hard would otherwise accumulate forever. A staging
+        # dir whose embedded pid is no longer alive has no owner — a
+        # RECYCLED pid belonging to some unrelated process reads as
+        # alive and the dir is merely kept (safe direction: a live
+        # concurrent writer's staging is never swept).
+        for orphan in _glob.glob(os.path.join(out_dir, ".staging_*")):
+            try:
+                pid = int(os.path.basename(orphan).split("_")[1])
+                os.kill(pid, 0)
+            except (ValueError, IndexError):
+                pass  # unrecognized name — not ours to judge
+            except ProcessLookupError:
+                _shutil.rmtree(orphan, ignore_errors=True)
+            except PermissionError:
+                pass  # pid alive under another uid
     finally:
         _shutil.rmtree(staging, ignore_errors=True)
     return docs.sparkSession.createDataFrame(

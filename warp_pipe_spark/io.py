@@ -39,6 +39,39 @@ TABLES = (
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+_BYTE_SUFFIXES = {
+    "": 1,
+    "b": 1,
+    "k": 1024,
+    "kb": 1024,
+    "m": 1024**2,
+    "mb": 1024**2,
+    "g": 1024**3,
+    "gb": 1024**3,
+    "t": 1024**4,
+    "tb": 1024**4,
+    "p": 1024**5,
+    "pb": 1024**5,
+}
+
+
+def parse_spark_bytes(s: str) -> int:
+    """Spark byte-string grammar (JavaUtils.byteStringAs): an integer
+    with an optional case-insensitive k/m/g/t/p suffix, each optionally
+    followed by 'b'; bare numbers are bytes (maxPartitionBytes'
+    default unit). ADVICE r13: the previous .rstrip('b') hack parsed
+    '134217728b' but raised on '128m'/'64mb'/'1g', silently mis-sizing
+    fan_out's leaf-stats threshold whenever the session set the conf
+    in the human form Spark itself documents. Raises ValueError on
+    anything outside the grammar — callers choose their own fallback."""
+    t = s.strip().lower()
+    num = t.rstrip("kmgtpb")
+    try:
+        factor = _BYTE_SUFFIXES[t[len(num):]]
+    except KeyError:
+        raise ValueError(f"not a Spark byte string: {s!r}") from None
+    return int(num) * factor
+
 
 def fan_out(df: DataFrame, *cols: str) -> DataFrame:
     """Spread a narrow frame across the session's cores before a
@@ -75,10 +108,8 @@ def fan_out(df: DataFrame, *cols: str) -> DataFrame:
             # big ones as JavaObjects — normalize via str for both
             leaf_bytes += v if isinstance(v, int) else int(str(v))
         try:
-            max_split = int(
+            max_split = parse_spark_bytes(
                 spark.conf.get("spark.sql.files.maxPartitionBytes")
-                .lower()
-                .rstrip("b")
             )
         except (ValueError, AttributeError):
             max_split = 128 * 1024 * 1024
