@@ -3790,6 +3790,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # swap candidates if a slot is ever needed again: ann_lsh_pairs
         # (the last fixed-parameter perf-weak fixture; its _auto twin
         # is registered) funding whatever operator ships next.
+        # r14 DECISION (VERDICT r13 item 4): the swap is PLANNED FOR
+        # r16 — ann_lsh_pairs went green r13, so r16 is its
+        # staleness-mandatory round (retiring it earlier would not
+        # shrink that round's cohort; retiring it then also zeroes
+        # perf_weak_count). Its funded replacement: docs_dsir_select
+        # (DSIR importance resampling, Xie et al. 2023 — hashed-ngram
+        # importance weights + deterministic Gumbel top-k), built and
+        # oracle-pre-validated THIS round (r12 queue pattern), shipping
+        # pytest-only until the r16 slot opens. The r14/r15 windows are
+        # exactly their 50-query staleness cohorts — no slot, no tag.
     }
 
     import glob as _glob

@@ -606,3 +606,31 @@ def test_fan_out_spreads_small_post_shuffle_frames(spark):
         assert out is cur
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
+def test_dsir_select_never_globally_sorts(spark):
+    """dsir_select's scale contract (queued for the r16 registration):
+    top-k selection must plan as TakeOrderedAndProject (per-partition
+    top-k + k-row merge), NEVER a single-partition global sort; the
+    ≤n_buckets ratio table must broadcast onto the exploded corpus
+    (no corpus-sized shuffle joins, no cartesian); total exchanges
+    stay at the 6 the shape needs (2 count aggs, 2 total aggs under
+    the 1-row cross, doc-score agg, plus AQE bookkeeping) — a rewrite
+    reintroducing the corpus-wide ids outer join or per-doc ln calls
+    shows up here as exchange/sort growth."""
+    from pyspark.sql import functions as F
+
+    from warp_pipe_spark.datapipe.sampling import dsir_select
+    from warp_pipe_spark.io import read_table
+
+    docs = read_table(spark, SF, "documents").select(
+        "doc_id", "text", "source"
+    )
+    target = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    p = plan_of(spark, dsir_select(docs, target, k=100))
+    t = tree_of(p)
+    assert "TakeOrderedAndProject" in t, t
+    assert "SinglePartition" not in t, t
+    assert "CartesianProduct" not in t, t
+    assert t.count("BroadcastHashJoin") >= 1, t
+    assert n_exchanges(p) <= 6, t

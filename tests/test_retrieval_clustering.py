@@ -650,3 +650,133 @@ def test_temperature_mix_excludes_null_groups_from_budget_math(spark):
     # only the real group exists; at the default budget it is kept
     # whole — if the NULL mass leaked into the math, rates would skew
     assert {r["doc_id"] for r in kept} == set(range(10))
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """DSIR (Xie et al. 2023): hashed-ngram importance weights must
+    score docs that share the target sample's vocabulary above docs
+    that don't, and Gumbel-top-k selection ∝ w must pick mostly
+    target-like docs; reruns are bit-identical (hash-derandomized)."""
+    from warp_pipe_spark.datapipe.sampling import dsir_select, dsir_weights
+
+    rows = []
+    for i in range(50):
+        rows.append((i, "the quick brown fox jumps over the lazy dog"))
+    for i in range(50, 100):
+        rows.append((i, "zz yy xx ww vv uu tt ss rr qq pp oo"))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    target = spark.createDataFrame(
+        [(1000 + j, "quick brown fox and the lazy dog again") for j in range(5)],
+        "doc_id LONG, text STRING",
+    )
+
+    w = {r["doc_id"]: r["logw_micro"] for r in dsir_weights(docs, target).collect()}
+    assert len(w) == 100
+    mean_like = sum(w[i] for i in range(50)) / 50
+    mean_junk = sum(w[i] for i in range(50, 100)) / 50
+    assert mean_like > mean_junk
+
+    sel = dsir_select(docs, target, k=30)
+    picked = {r["doc_id"] for r in sel.collect()}
+    assert len(picked) == 30
+    assert sum(1 for i in picked if i < 50) >= 25  # mostly target-like
+
+    again = {r["doc_id"] for r in dsir_select(docs, target, k=30).collect()}
+    assert again == picked
+
+
+def test_dsir_null_and_empty_text(spark):
+    """NULL text is excluded (the temperature_mix convention); empty
+    text is a real doc whose single '' unigram is a feature like any
+    other — present in the output, never a crash."""
+    from warp_pipe_spark.datapipe.sampling import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, None), (3, "")], "doc_id LONG, text STRING"
+    )
+    target = spark.createDataFrame([(9, "a b")], "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r["logw_micro"] for r in dsir_weights(docs, target).collect()}
+    assert set(out) == {1, 3}
+    assert out[1] > out[3]  # doc 1 shares the target's features
+
+
+def test_dsir_matches_duckdb_bit_for_bit(spark, sf_dir):
+    """Pre-validation of the r16 registration oracle (the r11/r12
+    queue pattern): the full DSIR pipeline — hashed unigram+bigram
+    buckets, Laplace micro log-ratios (ONE ln per bucket in a pinned
+    operation order, half-away micro rounding), exact integer per-doc
+    sums, hash-derandomized Gumbel keys, ORDER BY key LIMIT k — must
+    replay bit-for-bit in DuckDB on the real sf0.001 documents."""
+    import duckdb
+
+    from warp_pipe_spark.datapipe.sampling import dsir_select
+    from warp_pipe_spark.io import read_table
+
+    B, K = 4096, 100
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    target = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    got = sorted(
+        (r["doc_id"], r["logw_micro"], r["key_micro"])
+        for r in dsir_select(docs, target, k=K, n_buckets=B).collect()
+    )
+
+    h32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+    feats = """
+      SELECT doc_id,
+             {h} % {B} AS bucket
+      FROM (
+        SELECT doc_id,
+               unnest(
+                 string_split(text, ' ') ||
+                 list_transform(
+                   generate_series(1, greatest(len(string_split(text, ' ')) - 1, 0)),
+                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
+                 )
+               ) AS ng
+        FROM {src}
+      )
+    """
+    sql = f"""
+    WITH d AS (
+      SELECT doc_id, text
+      FROM read_parquet('{sf_dir}/documents.parquet') WHERE text IS NOT NULL
+    ),
+    tgt AS (
+      SELECT doc_id, text
+      FROM read_parquet('{sf_dir}/documents.parquet')
+      WHERE text IS NOT NULL AND source = 'src0'
+    ),
+    rawf AS ({feats.format(h=h32.format(x="ng"), B=B, src="d")}),
+    tgtf AS ({feats.format(h=h32.format(x="ng"), B=B, src="tgt")}),
+    q AS (SELECT bucket, CAST(count(*) AS BIGINT) AS q_cnt FROM rawf GROUP BY bucket),
+    p AS (SELECT bucket, CAST(count(*) AS BIGINT) AS p_cnt FROM tgtf GROUP BY bucket),
+    tot AS (
+      SELECT (SELECT CAST(sum(q_cnt) AS BIGINT) FROM q) AS q_tot,
+             (SELECT CAST(sum(p_cnt) AS BIGINT) FROM p) AS p_tot
+    ),
+    ratio AS (
+      SELECT q.bucket,
+             CAST(floor(ln(
+               (COALESCE(p.p_cnt, 0) + 1.0) * (tot.q_tot + {B}.0)
+               / ((q.q_cnt + 1.0) * (COALESCE(tot.p_tot, 0) + {B}.0))
+             ) * 1000000 + 0.5) AS BIGINT) AS lr_micro
+      FROM q LEFT JOIN p USING (bucket), tot
+    ),
+    scored AS (
+      SELECT rawf.doc_id, CAST(sum(ratio.lr_micro) AS BIGINT) AS logw_micro
+      FROM rawf JOIN ratio USING (bucket) GROUP BY rawf.doc_id
+    ),
+    w AS (
+      SELECT d.doc_id, COALESCE(scored.logw_micro, 0) AS logw_micro
+      FROM d LEFT JOIN scored USING (doc_id)
+    )
+    SELECT doc_id, logw_micro,
+           logw_micro + CAST(floor(-ln(-ln(
+             (({h32.format(x="'dsir|' || doc_id::VARCHAR")}) + 0.5) / 4294967296.0
+           )) * 1000000 + 0.5) AS BIGINT) AS key_micro
+    FROM w
+    ORDER BY key_micro DESC, doc_id ASC
+    LIMIT {K}
+    """
+    want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert got == want

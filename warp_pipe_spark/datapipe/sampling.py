@@ -476,3 +476,159 @@ def temperature_mix(
             < F.col("rate_micro")
         )
     )
+
+
+def _dsir_buckets(
+    docs: DataFrame, n_buckets: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, bucket) — one row per hashed-ngram OCCURRENCE (unigrams +
+    word bigrams, the DSIR paper's feature space), bucket = h32(ngram)
+    % n_buckets. Word split matches the module's whitespace tokenizer;
+    bigrams join with a single space so 'a b' the bigram and 'a b' the
+    two unigrams hash differently only via the h32 input text itself
+    (exactly reproducible in SQL). NULL texts are excluded (the
+    temperature_mix convention); an empty text yields the '' unigram,
+    which is fine — it is a feature like any other, identical on both
+    engines."""
+    t = F.split(F.col(text_col), " ")
+    d = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), t.alias("_t")
+    )
+    bigrams = F.when(
+        F.size("_t") >= 2,
+        F.expr(
+            "transform(sequence(0, size(_t) - 2), "
+            "i -> concat(element_at(_t, i + 1), ' ', "
+            "element_at(_t, i + 2)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    from warp_pipe_spark.datapipe.text import h32
+
+    return d.select(
+        "_id", F.explode(F.concat(F.col("_t"), bigrams)).alias("_ng")
+    ).select("_id", (h32(F.col("_ng")) % n_buckets).alias("bucket"))
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw doc
+    by how much more likely its hashed-ngram bag is under a TARGET
+    corpus distribution than under the raw corpus's own —
+    log w(x) = Σ_b c_b(x)·(ln p_b − ln q_b), with p/q Laplace-smoothed
+    bucket multinomials over n_buckets hashed unigram+bigram features.
+    The standard model-free "select data that looks like the target"
+    primitive for 100 TB pretraining pipelines (quality classifiers
+    need labels; DSIR needs only a target SAMPLE).
+
+    Integer-exact replay contract: the per-bucket log-ratio is ONE ln
+    of a ratio assembled in a fixed operation order,
+        lr_micro(b) = floor(ln((p_b+1)·(Q+B) / ((q_b+1)·(P+B)))·1e6
+                            + 0.5)
+    (half-away rounding, the temperature_mix rule), and the per-doc
+    score is the exact integer Σ c_b·lr_micro(b) — float enters once
+    per BUCKET (≤ n_buckets lns), never per doc, so the oracle replays
+    the per-doc sums bit-for-bit and rank boundaries cannot flip on
+    accumulation order.
+
+    Shape at scale: the corpus explodes once into (id, bucket); bucket
+    counts are a map-side-combinable groupBy over ≤ n_buckets keys;
+    the ratio table is ≤ n_buckets rows and BROADCASTS back onto the
+    exploded frame; one groupBy(id) sums the doc scores — that inner
+    join is TOTAL (split() never returns an empty array, so every doc
+    has ≥1 feature and every raw bucket is in q by construction),
+    which is why there is no docs-side outer join re-attaching missing
+    ids. The q/p totals ride ONE full-outer join of the two ≤n_buckets
+    count tables (full outer, not left: target-only buckets must count
+    toward p_tot even though they can never be looked up), aggregated
+    once and cross-joined back as a 1-row broadcast. The target sample
+    (small by definition) pays the same explode. No collect, no
+    Python, no global sort. Returns (id_col, logw_micro LONG).
+    """
+    raw = _dsir_buckets(docs, n_buckets, id_col, text_col)
+    tgt = _dsir_buckets(target, n_buckets, id_col, text_col)
+    q = raw.groupBy("bucket").agg(F.count(F.lit(1)).alias("q_cnt"))
+    p = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("p_cnt"))
+    qp = q.join(p, "bucket", "full")
+    totals = F.broadcast(
+        qp.agg(
+            F.sum("q_cnt").alias("q_tot"), F.sum("p_cnt").alias("p_tot")
+        )
+    )
+    ratio = (
+        qp.filter(F.col("q_cnt").isNotNull())
+        .crossJoin(totals)
+        .select(
+            "bucket",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("p_cnt"), F.lit(0)) + F.lit(1.0))
+                    * (F.col("q_tot") + F.lit(float(n_buckets)))
+                    / (
+                        (F.col("q_cnt") + F.lit(1.0))
+                        * (
+                            F.coalesce(F.col("p_tot"), F.lit(0))
+                            + F.lit(float(n_buckets))
+                        )
+                    )
+                )
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    return (
+        raw.join(F.broadcast(ratio), "bucket")
+        .groupBy("_id")
+        .agg(F.sum("lr_micro").cast("long").alias("logw_micro"))
+        .select(F.col("_id").alias(id_col), "logw_micro")
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: DataFrame,
+    k: int,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR selection: Gumbel-top-k resampling over dsir_weights —
+    draw k docs WITHOUT replacement with probability ∝ w(x), the
+    paper's resampling step, derandomized the house way: the Gumbel
+    noise g = −ln(−ln(u)) uses u = (h32('dsir|'+id)+0.5)/2^32 (the
+    +0.5 keeps u strictly inside (0,1); the 'dsir|' salt decorrelates
+    from every other sampler's keep rule on the same ids), quantized
+    to micros with the same half-away rule as the weights, so
+    key = logw_micro + g_micro is an exact integer on both engines.
+
+    Selection is orderBy(key desc, id asc).limit(k) — Spark plans
+    TakeOrderedAndProject (per-partition top-k, k-row merge), never a
+    global sort; the oracle is the literal ORDER BY ... LIMIT k.
+    Returns (id_col, logw_micro, key_micro), the selected k."""
+    from warp_pipe_spark.datapipe.text import h32
+
+    w = dsir_weights(docs, target, n_buckets, id_col, text_col)
+    u = (
+        h32(F.concat(F.lit("dsir|"), F.col(id_col).cast("string")))
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    g_micro = F.floor(-F.log(-F.log(u)) * 1_000_000 + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        w.select(
+            id_col,
+            "logw_micro",
+            (F.col("logw_micro") + g_micro).alias("key_micro"),
+        )
+        .orderBy(F.col("key_micro").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
