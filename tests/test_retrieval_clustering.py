@@ -780,3 +780,94 @@ def test_dsir_matches_duckdb_bit_for_bit(spark, sf_dir):
     """
     want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
     assert got == want
+
+
+def test_unimax_allocation_caps_and_uniformity():
+    """UniMax (Chung et al. 2023): small groups cap at max_epochs,
+    the freed budget splits EQUALLY (not proportionally) among the
+    rest; allocation is exact integer math; budget is never exceeded
+    and floor-dust is bounded by the group count."""
+    from warp_pipe_spark.datapipe.sampling import unimax_allocation
+
+    masses = {"head": 900, "mid": 90, "tail": 10}
+    e = unimax_allocation(masses, budget=600, max_epochs=4)
+    # tail caps at 4 epochs (cap 40 < share 200); mid caps at 4 too
+    # (cap 360 < (600-40)//2 = 280? no: 360 > 280 -> mid takes 280)
+    assert e["tail"] == 4_000_000
+    assert e["mid"] == 280 * 1_000_000 // 90
+    assert e["head"] == 280 * 1_000_000 // 900
+    # total allocated tokens <= budget
+    spent = sum(e[g] * masses[g] // 1_000_000 for g in masses)
+    assert spent <= 600
+    # huge budget: everyone caps at exactly max_epochs
+    full = unimax_allocation(masses, budget=10**9, max_epochs=4)
+    assert all(v == 4_000_000 for v in full.values())
+    # tiny budget, no caps bind: equal shares regardless of mass
+    tiny = unimax_allocation(masses, budget=30, max_epochs=4)
+    assert tiny["tail"] == 1_000_000  # share 10 = its whole mass @ 1 epoch? no:
+    # ascending caps: tail cap 40 vs share 30//3=10 -> takes 10 (1.0 ep)
+    assert tiny["mid"] == 10 * 1_000_000 // 90
+    assert tiny["head"] == 10 * 1_000_000 // 900
+
+
+def test_unimax_sample_matches_duckdb_bit_for_bit(spark, sf_dir):
+    """The unimax_sample keep/copy rule replays bit-for-bit in DuckDB:
+    the greedy ascending-cap loop as a recursive CTE (exact BIGINT
+    floor division), the fractional epoch as the salted-hash
+    threshold, full epochs as integer div — pre-validating the oracle
+    for a future registration slot."""
+    import duckdb
+
+    from warp_pipe_spark.datapipe.sampling import unimax_sample
+    from warp_pipe_spark.io import read_table
+
+    B, E = 300_000, 3
+    docs = read_table(spark, sf_dir, "documents")
+    got = sorted(
+        (r["doc_id"], r["source"], r["epochs_micro"], r["n_copies"])
+        for r in unimax_sample(docs, budget=B, max_epochs=E)
+        .select("doc_id", "source", "epochs_micro", "n_copies")
+        .collect()
+    )
+    assert got, "sample must be non-empty at this budget"
+
+    sql = f"""
+    WITH RECURSIVE m AS (
+      SELECT source AS g, CAST(sum(n_chars) AS BIGINT) AS n
+      FROM read_parquet('{sf_dir}/documents.parquet')
+      WHERE n_chars IS NOT NULL AND source IS NOT NULL
+      GROUP BY source
+    ),
+    ord AS (
+      SELECT g, n, n * {E} AS cap,
+             CAST(row_number() OVER (ORDER BY n * {E}, g) AS BIGINT) AS i,
+             CAST(count(*) OVER () AS BIGINT) AS total
+      FROM m
+    ),
+    alloc AS (
+      SELECT CAST(0 AS BIGINT) AS i, CAST({B} AS BIGINT) AS remaining,
+             CAST(NULL AS VARCHAR) AS g, CAST(NULL AS BIGINT) AS epochs_micro
+      UNION ALL
+      SELECT o.i,
+             a.remaining - least(o.cap, a.remaining // (o.total - o.i + 1)),
+             o.g,
+             least(o.cap, a.remaining // (o.total - o.i + 1)) * 1000000
+               // greatest(o.n, 1)
+      FROM alloc a JOIN ord o ON o.i = a.i + 1
+    ),
+    r AS (SELECT g, epochs_micro FROM alloc WHERE g IS NOT NULL)
+    SELECT d.doc_id, d.source, r.epochs_micro,
+           epochs_micro // 1000000
+           + CASE WHEN ('0x' || substr(md5('unimax|' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+                       % 1000000 < epochs_micro % 1000000
+                  THEN 1 ELSE 0 END AS n_copies
+    FROM read_parquet('{sf_dir}/documents.parquet') d
+    JOIN r ON d.source = r.g
+    WHERE d.n_chars IS NOT NULL
+      AND epochs_micro // 1000000
+          + CASE WHEN ('0x' || substr(md5('unimax|' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+                      % 1000000 < epochs_micro % 1000000
+                 THEN 1 ELSE 0 END > 0
+    """
+    want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert got == want

@@ -632,3 +632,102 @@ def dsir_select(
         .orderBy(F.col("key_micro").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def unimax_allocation(
+    masses: dict, budget: int, max_epochs: int = 4
+) -> dict:
+    """UniMax budget allocation (Chung et al., ICLR 2023): distribute
+    a total token `budget` across groups as UNIFORMLY as possible,
+    except no group repeats more than `max_epochs` times — the fairer
+    successor to temperature sampling for multilingual mixes (temp
+    sampling still starves the tail and over-epochs the smallest
+    corpora; UniMax caps epochs explicitly and splits the rest
+    evenly). Dual of temperature_mix's water-filling: there shares are
+    ∝ mass^alpha capped at 1 epoch; here shares are EQUAL capped at
+    `max_epochs` epochs.
+
+    Exact integer arithmetic end to end (the replay contract): groups
+    ascend by (cap, group) where cap = mass·max_epochs; each takes
+    min(cap, remaining // n_remaining). Processing in ascending-cap
+    order makes the greedy loop exactly the capped-uniform
+    water-filling fixpoint (a group that caps frees budget only for
+    LATER, larger groups). Floor-division dust stays unallocated —
+    deterministic, and ≤ n_groups tokens. Returns
+    {group: epochs_micro} with epochs_micro = alloc·1e6 // mass
+    (a 2.5-epoch group reads 2_500_000)."""
+    items = sorted(
+        (int(n) * max_epochs, g, int(n)) for g, n in masses.items()
+    )
+    remaining = int(budget)
+    n_rem = len(items)
+    out = {}
+    for cap, g, n in items:
+        alloc = min(cap, remaining // n_rem)
+        out[g] = alloc * 1_000_000 // max(n, 1)
+        remaining -= alloc
+        n_rem -= 1
+    return out
+
+
+def unimax_sample(
+    docs: DataFrame,
+    budget: int,
+    max_epochs: int = 4,
+    group_col: str = "source",
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """UniMax mixture sampling over a corpus: compute the epoch-capped
+    uniform allocation (unimax_allocation) from per-group token
+    masses, then materialize it per document as `n_copies` — full
+    epochs copy every doc, the fractional epoch keeps a
+    hash-thresholded subset (u = h32('unimax|'+id) % 1e6 <
+    epochs_micro % 1e6 — the house derandomized sampler, salted so it
+    is independent of every other sampler's keep rule on the same
+    ids). A data loader repeats each doc n_copies times; docs with
+    n_copies = 0 are dropped from the output.
+
+    Shape at scale: the temperature_mix shape exactly — one groupBy
+    for |groups| masses (driver math on that tiny dict), then a
+    broadcast-joined stateless filter; the corpus never shuffles.
+    Returns the kept docs with (epochs_micro, n_copies) for
+    auditability. NULL weights/groups are excluded before the budget
+    math (the temperature_mix contract)."""
+    from warp_pipe_spark.datapipe.text import h32
+
+    spark = docs.sparkSession
+    docs = docs.filter(
+        F.col(weight_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    masses = (
+        docs.groupBy(group_col)
+        .agg(F.sum(F.col(weight_col)).alias("mass"))
+        .collect()
+    )
+    epochs = unimax_allocation(
+        {r[group_col]: r["mass"] for r in masses}, budget, max_epochs
+    )
+    rate_df = F.broadcast(
+        spark.createDataFrame(
+            [(g, int(e)) for g, e in epochs.items()],
+            f"{group_col} STRING, epochs_micro LONG",
+        )
+    )
+    frac_keep = (
+        h32(F.concat(F.lit("unimax|"), F.col(id_col).cast("string")))
+        % 1_000_000
+        < F.col("epochs_micro") % 1_000_000
+    )
+    return (
+        docs.join(rate_df, group_col)
+        .withColumn(
+            "n_copies",
+            # integer `div`, never float `/`+cast: double division of
+            # a micro count can land one ulp under an exact integer
+            # and truncate a whole epoch away
+            F.expr("epochs_micro div 1000000")
+            + F.when(frac_keep, F.lit(1)).otherwise(F.lit(0)),
+        )
+        .filter(F.col("n_copies") > 0)
+    )
