@@ -871,3 +871,47 @@ def test_unimax_sample_matches_duckdb_bit_for_bit(spark, sf_dir):
     """
     want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
     assert got == want
+
+
+def test_dsir_index_replays_weights_and_scores_unseen(spark, tmp_path):
+    """The persisted DSIR ratio table (train/serve split): scoring the
+    build corpus through the index replays dsir_weights bit-for-bit,
+    and a served doc whose ngrams the build corpus NEVER saw still
+    scores through the full-domain table (q_cnt=0 smoothed ratio)
+    instead of silently summing nothing."""
+    from warp_pipe_spark.datapipe.sampling import (
+        build_dsir_index,
+        dsir_score_indexed,
+        dsir_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(20)]
+        + [(100 + i, "one two three four") for i in range(20)],
+        "doc_id LONG, text STRING",
+    )
+    target = spark.createDataFrame(
+        [(900, "alpha beta gamma")], "doc_id LONG, text STRING"
+    )
+    B = 512
+    path = str(tmp_path / "dsir_idx")
+    build_dsir_index(docs, target, path, n_buckets=B)
+
+    direct = {
+        r["doc_id"]: r["logw_micro"]
+        for r in dsir_weights(docs, target, n_buckets=B).collect()
+    }
+    via_index = {
+        r["doc_id"]: r["logw_micro"]
+        for r in dsir_score_indexed(spark, docs, path).collect()
+    }
+    assert via_index == direct
+
+    unseen = spark.createDataFrame(
+        [(500, "zzzz qqqq wwww")], "doc_id LONG, text STRING"
+    )
+    out = dsir_score_indexed(spark, unseen, path).collect()
+    assert len(out) == 1
+    # 5 feature occurrences (3 unigrams + 2 bigrams), each scoring the
+    # q_cnt=0 smoothed ratio — a real (nonzero) number, not a dropped sum
+    assert out[0]["logw_micro"] != 0

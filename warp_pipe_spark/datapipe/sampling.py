@@ -731,3 +731,96 @@ def unimax_sample(
         )
         .filter(F.col("n_copies") > 0)
     )
+
+
+def build_dsir_index(
+    docs: DataFrame,
+    target: DataFrame,
+    path: str,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the DSIR log-ratio table — the train/serve split the
+    persisted IVF and MinHash indexes already have: the two corpus
+    passes (raw + target bucket counts) run ONCE batch-side, and any
+    later batch (a streaming foreachBatch micro-batch, a new crawl
+    snapshot) scores against the frozen table with a stateless
+    broadcast join (dsir_score_indexed), never re-reading the corpus.
+
+    Unlike dsir_weights' internal table (raw-observed buckets only —
+    total for corpus self-scoring by construction), the persisted
+    table covers the FULL bucket domain 0..n_buckets-1: a served doc
+    can present ngrams the build corpus never saw, and those buckets
+    must score with the correct Laplace-smoothed ratio (q_cnt = 0)
+    instead of silently dropping from the sum. ≤ n_buckets rows —
+    tiny at any corpus scale. The same pinned-operation-order ln and
+    half-away micro rounding as dsir_weights, so scoring the build
+    corpus through the index replays dsir_weights bit-for-bit
+    (pinned in tests)."""
+    spark = docs.sparkSession
+    raw = _dsir_buckets(docs, n_buckets, id_col, text_col)
+    tgt = _dsir_buckets(target, n_buckets, id_col, text_col)
+    q = raw.groupBy("bucket").agg(F.count(F.lit(1)).alias("q_cnt"))
+    p = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("p_cnt"))
+    domain = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    qp = domain.join(q, "bucket", "left").join(p, "bucket", "left")
+    totals = F.broadcast(
+        qp.agg(
+            F.sum("q_cnt").alias("q_tot"), F.sum("p_cnt").alias("p_tot")
+        )
+    )
+    (
+        qp.crossJoin(totals)
+        .select(
+            "bucket",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("p_cnt"), F.lit(0)) + F.lit(1.0))
+                    * (
+                        F.coalesce(F.col("q_tot"), F.lit(0))
+                        + F.lit(float(n_buckets))
+                    )
+                    / (
+                        (F.coalesce(F.col("q_cnt"), F.lit(0)) + F.lit(1.0))
+                        * (
+                            F.coalesce(F.col("p_tot"), F.lit(0))
+                            + F.lit(float(n_buckets))
+                        )
+                    )
+                )
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def dsir_score_indexed(
+    spark,
+    batch: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score a batch against a persisted DSIR index: stateless — one
+    explode of the BATCH, one broadcast join against the ≤n_buckets
+    ratio table, one batch-keyed aggregate. n_buckets is recovered
+    from the full-domain table itself (count of its rows), so callers
+    cannot desynchronize the hash modulus from the index they load.
+    Returns (id_col, logw_micro); fit for foreachBatch ingest gating
+    (filter on logw_micro ≥ threshold) the way the quality-gate and
+    ingest-dedup sinks consume their frozen models."""
+    ratio = spark.read.parquet(path)
+    n_buckets = ratio.count()
+    b = _dsir_buckets(batch, n_buckets, id_col, text_col)
+    return (
+        b.join(F.broadcast(ratio), "bucket")
+        .groupBy("_id")
+        .agg(F.sum("lr_micro").cast("long").alias("logw_micro"))
+        .select(F.col("_id").alias(id_col), "logw_micro")
+    )
