@@ -588,3 +588,52 @@ def test_cli_corpus_curate_span_scrub_stage(spark, tmp_path, capsys):
         assert os.path.exists(
             os.path.join(out, f"shard-{d['shard']:05d}.tar")
         )
+
+
+def test_cli_corpus_curate_dsir_stage(spark, tmp_path, capsys):
+    """--dsir-target/--dsir-keep wire DSIR selection into the
+    one-command pipeline: the funnel keeps exactly dsir_keep docs at
+    that stage, drawn ∝ target-likeness, between the gate and the
+    mixture stages; stats expose it as n_after_dsir."""
+    import json
+    import os
+
+    from warp_pipe_spark.__main__ import main
+
+    docs_dir = "/root/testdata/sf0.001/documents.parquet"
+    tgt_dir = str(tmp_path / "tgt")
+    spark.read.parquet(docs_dir).filter("source = 'src0'").select(
+        "doc_id", "text"
+    ).write.parquet(tgt_dir)
+
+    out = str(tmp_path / "cur")
+    rc = main(
+        ["corpus-curate", "--docs", docs_dir, "--out", out,
+         "--dsir-target", tgt_dir, "--dsir-keep", "120",
+         "--n-shards", "2"]
+    )
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    stats = json.loads(lines[0])["stats"]
+    assert stats["n_after_dsir"] == 120
+    assert stats["n_sharded"] == 120
+    manifest = [json.loads(ln) for ln in lines[1:]]
+    assert stats["n_sharded"] == sum(d["n_docs"] for d in manifest)
+    for d in manifest:
+        assert os.path.exists(
+            os.path.join(out, f"shard-{d['shard']:05d}.tar")
+        )
+
+
+def test_curate_corpus_dsir_requires_keep(spark, tmp_path):
+    import pytest as _pytest
+
+    from warp_pipe_spark.datapipe.curate import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], "doc_id LONG, text STRING"
+    )
+    with _pytest.raises(ValueError, match="dsir_keep"):
+        curate_corpus(
+            docs, str(tmp_path / "o"), dsir_target=docs, dsir_keep=None
+        )

@@ -62,7 +62,8 @@ def build_parser() -> argparse.ArgumentParser:
         "corpus-curate",
         help="ONE command from a documents parquet dir to curated "
         "WebDataset shards: dedup -> line scrub -> decontaminate -> "
-        "quality gate + PII scrub -> temperature mix -> token budget "
+        "quality gate + PII scrub -> DSIR target selection -> "
+        "temperature mix -> token budget "
         "-> deterministic tars + manifest (optional stages off unless "
         "their flag is set)",
     )
@@ -89,6 +90,19 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="eval-set parquet (doc_id, text); enables 13-gram "
         "decontamination against it",
+    )
+    cu.add_argument(
+        "--dsir-target",
+        default=None,
+        help="target-sample parquet (doc_id, text); with --dsir-keep, "
+        "enables DSIR target-likeness selection (Gumbel-top-k docs "
+        "drawn proportional to hashed-ngram importance weight)",
+    )
+    cu.add_argument(
+        "--dsir-keep",
+        type=int,
+        default=None,
+        help="how many docs DSIR selection draws",
     )
     cu.add_argument(
         "--alpha",
@@ -246,6 +260,11 @@ def main(argv: list[str] | None = None, out=None) -> int:
         bench = (
             spark.read.parquet(args.benchmark) if args.benchmark else None
         )
+        dsir_target = (
+            spark.read.parquet(args.dsir_target)
+            if args.dsir_target
+            else None
+        )
         manifest, stats = curate_corpus(
             docs,
             args.out,
@@ -254,6 +273,8 @@ def main(argv: list[str] | None = None, out=None) -> int:
             min_line_docs=args.min_line_docs,
             span_ngrams=args.dedup_spans,
             benchmark=bench,
+            dsir_target=dsir_target,
+            dsir_keep=args.dsir_keep,
             alpha=args.alpha,
             group_col=args.group_col,
             budget=args.budget,

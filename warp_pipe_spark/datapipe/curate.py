@@ -88,6 +88,8 @@ def curate_corpus(
     min_line_docs: int = 0,
     span_ngrams: int = 0,
     benchmark: DataFrame | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_keep: int | None = None,
     alpha: float | None = None,
     group_col: str = "source",
     budget: int | None = None,
@@ -178,6 +180,22 @@ def curate_corpus(
         cur.join(gate.filter("keep").select("doc_id"), "doc_id", "left_semi")
     )
     _n("n_after_gate", cur)
+
+    # 4b. DSIR target-likeness selection: keep dsir_keep docs drawn
+    # ∝ importance weight against the target sample's hashed-ngram
+    # distribution. AFTER the gate (score clean text, not boilerplate),
+    # BEFORE the mixture/budget stages (select the target-like pool
+    # first, then balance and trim it).
+    if dsir_target is not None:
+        if dsir_keep is None:
+            raise ValueError(
+                "dsir_target needs dsir_keep (how many docs to draw)"
+            )
+        from warp_pipe_spark.datapipe.sampling import dsir_select
+
+        picked = dsir_select(cur, dsir_target, k=dsir_keep).select("doc_id")
+        cur = cur.join(picked, "doc_id", "left_semi")
+        _n("n_after_dsir", cur)
 
     # 5. temperature mixture rebalancing (needs a token weight)
     if alpha is not None:
