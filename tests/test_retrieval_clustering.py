@@ -915,3 +915,14 @@ def test_dsir_index_replays_weights_and_scores_unseen(spark, tmp_path):
     # 5 feature occurrences (3 unigrams + 2 bigrams), each scoring the
     # q_cnt=0 smoothed ratio — a real (nonzero) number, not a dropped sum
     assert out[0]["logw_micro"] != 0
+
+
+def test_unimax_allocation_rejects_degenerate_params():
+    import pytest as _pytest
+
+    from warp_pipe_spark.datapipe.sampling import unimax_allocation
+
+    with _pytest.raises(ValueError, match="budget"):
+        unimax_allocation({"a": 10}, budget=-1)
+    with _pytest.raises(ValueError, match="max_epochs"):
+        unimax_allocation({"a": 10}, budget=10, max_epochs=0)

@@ -656,6 +656,13 @@ def unimax_allocation(
     deterministic, and ≤ n_groups tokens. Returns
     {group: epochs_micro} with epochs_micro = alloc·1e6 // mass
     (a 2.5-epoch group reads 2_500_000)."""
+    if budget < 0:
+        raise ValueError(f"unimax budget must be >= 0, got {budget}")
+    if max_epochs < 1:
+        # epochs < 1 is temperature/budget territory (every group
+        # capped below one pass); a 0 cap here would silently allocate
+        # nothing and a fractional cap would break the integer contract
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
     items = sorted(
         (int(n) * max_epochs, g, int(n)) for g, n in masses.items()
     )
