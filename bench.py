@@ -287,7 +287,19 @@ def choose_self_artifact(result: dict, prev: dict | None) -> str:
       2. the SHARED-query sum more than 5% above the committed one
          (like-for-like total: catches mid-run contention the bracket
          canaries miss — found in round 11 when a canary-1.42 run with
-         a 13%-slower body overwrote a canary-1.46 run's 162s).
+         a 13%-slower body overwrote a canary-1.46 run's 162s);
+      3. the START-bracket sustained probe more than 1.5x the
+         committed one (round 14, VERDICT r13 item 7): the ~5s
+         all-core probe sees the sustained-saturation frequency
+         penalty the 1-2s burst canaries cannot — a run whose BODY
+         starts under that penalty is contended even if the burst
+         canary reads pristine. Start bracket only: an END-side
+         spike after a flat body (r14's accepted reference: tertile
+         ratios 1.067/1.021/1.015 with the wave arriving in the
+         closing bracket) is post-body noise the shared-sum test
+         already arbitrates. Applies only when BOTH artifacts carry
+         the field, and — like rule 1 — never against a strictly
+         FASTER run.
     The shared-sum comparison ignores queries only one side has, so
     registering a new query never blocks the reference from updating.
     A genuine code regression also diverts — conservative in the safe
@@ -311,10 +323,16 @@ def choose_self_artifact(result: dict, prev: dict | None) -> str:
         more_loaded = same_method and (
             result["canary_sec"] > float(prev["canary_sec"]) * 1.10
         )
+        try:
+            sustained_loaded = float(
+                result["sustained"]["start"]
+            ) > 1.5 * float(prev["sustained"]["start"])
+        except (KeyError, TypeError, ValueError):
+            sustained_loaded = False  # either side predates the probe
         not_faster = float(result["value"]) >= float(prev["value"])
     except (KeyError, TypeError, ValueError, AttributeError):
         return "BENCH_SELF.json"  # no/malformed reference → become it
-    if shared_slower or (more_loaded and not_faster):
+    if shared_slower or ((more_loaded or sustained_loaded) and not_faster):
         return "BENCH_SELF_LAST.json"
     return "BENCH_SELF.json"
 

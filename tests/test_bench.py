@@ -232,3 +232,35 @@ def test_choose_self_artifact_skips_canary_rule_across_methods():
         "queries": {"a": 93.0, "b": 62.0},
     }
     assert choose_self_artifact(v2_loaded, v2_ref) == "BENCH_SELF_LAST.json"
+
+
+def test_choose_self_artifact_sustained_start_rule():
+    """Round-14 (VERDICT r13 item 7): a run whose START-bracket
+    sustained probe reads >1.5x the committed one began its body under
+    the all-core frequency penalty burst canaries can't see — divert,
+    unless strictly faster (load inflation cannot produce faster). An
+    END-side spike alone never diverts (post-body noise; the r14
+    reference landed exactly that way), and artifacts predating the
+    probe skip the rule instead of crashing."""
+    from bench import choose_self_artifact
+
+    def run(total, s_start, s_end, canary=0.86):
+        return {
+            "canary_sec": canary,
+            "canary_method": "steady-v2",
+            "value": total,
+            "queries": {"a": total * 0.6, "b": total * 0.4},
+            "sustained": {"start": s_start, "end": s_end},
+        }
+
+    idle = run(160.5, 2.55, 9.8)
+    start_contended = run(163.0, 4.2, 4.0)  # sum within 5%, start 1.65x
+    start_contended_faster = run(150.0, 4.2, 4.0)
+    end_spike_only = run(161.0, 2.6, 12.0)
+    assert choose_self_artifact(start_contended, idle) == "BENCH_SELF_LAST.json"
+    assert choose_self_artifact(start_contended_faster, idle) == "BENCH_SELF.json"
+    assert choose_self_artifact(end_spike_only, idle) == "BENCH_SELF.json"
+
+    # no-sustained reference: rule skipped, canary/shared-sum still govern
+    legacy = {k: v for k, v in idle.items() if k != "sustained"}
+    assert choose_self_artifact(run(161.0, 9.9, 9.9), legacy) == "BENCH_SELF.json"
