@@ -365,3 +365,73 @@ def test_logistic_loss_is_finite_at_extreme_scores(spark):
     assert abs(got[(2.5, 1.0)] - math.log1p(math.exp(-2.5))) < 1e-12
     assert abs(got[(-2.5, 0.0)] - math.log1p(math.exp(-2.5))) < 1e-12
     assert abs(got[(0.0, 1.0)] - math.log(2.0)) < 1e-12
+
+
+def test_dsir_gate_sink_under_structured_streaming(spark, tmp_path):
+    """DsirGateSink: the frozen-index DSIR gate driven by a REAL
+    readStream/foreachBatch/availableNow pipeline must converge to the
+    batch dsir_score_indexed threshold split over the same files, and
+    accept/reject must partition the stream."""
+    from pyspark.sql import types as T
+
+    from warp_pipe_spark.datapipe.ingest import DsirGateSink
+    from warp_pipe_spark.datapipe.sampling import (
+        build_dsir_index,
+        dsir_score_indexed,
+    )
+
+    docs = _docs(spark)
+    target = read_table(spark, SF, "documents").filter(
+        "source = 'src0'"
+    ).select("doc_id", "text")
+    idx = str(tmp_path / "dsir_idx")
+    build_dsir_index(docs, target, idx, n_buckets=512)
+
+    # pick a threshold that splits the corpus nontrivially: the median
+    scores = sorted(
+        r["logw_micro"]
+        for r in dsir_score_indexed(spark, docs, idx).collect()
+    )
+    thr = scores[len(scores) // 2]
+
+    drop = str(tmp_path / "drop")
+    for i in range(2):
+        docs.filter(F.col("doc_id") % 2 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(drop)
+
+    sink = DsirGateSink(spark, str(tmp_path / "gate"), idx, thr)
+    stream = (
+        spark.readStream.schema(
+            T.StructType.fromDDL("doc_id LONG, text STRING")
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    want_keep = {
+        r["doc_id"]
+        for r in dsir_score_indexed(spark, docs, idx)
+        .filter(F.col("logw_micro") >= thr)
+        .collect()
+    }
+    got_keep = {r["doc_id"] for r in sink.accepted().collect()}
+    assert got_keep == want_keep
+    assert 0 < len(got_keep) < docs.count()
+    rej = {
+        (r["doc_id"], r["logw_micro"]) for r in sink.rejected().collect()
+    }
+    assert len(rej) + len(got_keep) == docs.count()
+    assert all(lw < thr for _, lw in rej)
+
+    # redelivery idempotence: direct re-call of batch 0 rewrites
+    # byte-identical content
+    sink(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    assert {r["doc_id"] for r in sink.accepted().collect()} == got_keep

@@ -177,3 +177,60 @@ class CorpusQualityGateSink:
                 totals["files_before"] += r["files_before"]
                 totals["files_after"] += r["files_after"]
         return totals
+
+
+class DsirGateSink(CorpusQualityGateSink):
+    """foreachBatch target: score each micro-batch against a FROZEN
+    DSIR ratio table (build_dsir_index, built batch-side once) and
+    route docs with logw_micro >= min_logw_micro to accept/, the rest
+    to reject/ with their score for audit — "keep what looks like the
+    target" as an ingest gate, the DSIR analogue of the quality-gate
+    sink (same committed-batch layout, same idempotent overwrite-per-
+    batch_id redelivery contract, same accepted()/rejected()/compact()
+    surface inherited unchanged).
+
+    The ratio table and its n_buckets are loaded ONCE at construction
+    (a long-lived tail must not re-read the parquet and re-count the
+    modulus per micro-batch); per-batch cost is one batch explode, one
+    broadcast join against the ≤n_buckets table, one batch-keyed
+    aggregate — O(batch), no state reads, no corpus joins."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        index_path: str,
+        min_logw_micro: int,
+    ) -> None:
+        super().__init__(spark, base_dir)
+        self.min_logw_micro = int(min_logw_micro)
+        self._ratio = spark.read.parquet(index_path)
+        self._n_buckets = self._ratio.count()
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        from warp_pipe_spark.datapipe.sampling import dsir_score_against
+
+        # persist both: scored feeds the accept semi-join AND the
+        # reject projection — without it the batch explode + broadcast
+        # join + aggregate runs twice per micro-batch
+        batch = batch.persist()
+        scored = dsir_score_against(
+            batch, self._ratio, self._n_buckets
+        ).persist()
+        try:
+            keep = scored.filter(
+                F.col("logw_micro") >= self.min_logw_micro
+            )
+            batch.join(
+                keep.select("doc_id"), "doc_id", "left_semi"
+            ).write.mode("overwrite").parquet(
+                os.path.join(self.accept_dir, f"batch_{batch_id}")
+            )
+            scored.filter(
+                F.col("logw_micro") < self.min_logw_micro
+            ).write.mode("overwrite").parquet(
+                os.path.join(self.reject_dir, f"batch_{batch_id}")
+            )
+        finally:
+            scored.unpersist()
+            batch.unpersist()

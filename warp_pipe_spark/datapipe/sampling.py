@@ -823,7 +823,21 @@ def dsir_score_indexed(
     (filter on logw_micro ≥ threshold) the way the quality-gate and
     ingest-dedup sinks consume their frozen models."""
     ratio = spark.read.parquet(path)
-    n_buckets = ratio.count()
+    return dsir_score_against(batch, ratio, ratio.count(), id_col, text_col)
+
+
+def dsir_score_against(
+    batch: DataFrame,
+    ratio: DataFrame,
+    n_buckets: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score a batch against an ALREADY-LOADED ratio table — the
+    long-lived-sink path (DsirGateSink loads the table and its
+    n_buckets once at construction instead of re-reading the parquet
+    and re-counting per micro-batch). dsir_score_indexed is the
+    one-shot wrapper."""
     b = _dsir_buckets(batch, n_buckets, id_col, text_col)
     return (
         b.join(F.broadcast(ratio), "bucket")
