@@ -634,3 +634,24 @@ def test_dsir_select_never_globally_sorts(spark):
     assert "CartesianProduct" not in t, t
     assert t.count("BroadcastHashJoin") >= 1, t
     assert n_exchanges(p) <= 6, t
+
+
+def test_ts_topk_similar_scans_the_log_once(spark):
+    """ts_topk_similar's scale contract: the entity-sized z-normed
+    series frame is pinned (localCheckpoint) before fanning out to its
+    four consumers, so the EVENT LOG is scanned exactly once — the
+    unpinned plan re-derived the whole pipeline per consumer (16
+    parquet scans / 31 exchanges measured). Post-pin plan: zero
+    parquet scans in the tree (the log read happened at checkpoint
+    time), no cartesian on the SAX path, WindowGroupLimit for the
+    per-entity top-k."""
+    from warp_pipe_spark.datapipe.timeseries import ts_topk_similar
+    from warp_pipe_spark.io import read_table
+
+    ev = read_table(spark, SF, "events")
+    p = plan_of(spark, ts_topk_similar(ev, k=3))
+    t = tree_of(p)
+    assert t.count("Scan parquet") == 0, t
+    assert "CartesianProduct" not in t, t
+    assert "WindowGroupLimit" in t, t
+    assert n_exchanges(p) <= 8, t
