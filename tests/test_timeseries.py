@@ -140,6 +140,132 @@ def test_ts_topk_brute_finds_planted_twins(spark):
     assert again == got
 
 
+def _ts_oracle_sql(sf_dir: str, n_bins: int, segments: int, k: int) -> str:
+    """Registration-grade DuckDB replica of ts_topk_similar (the r12+
+    queue pattern — pre-validated here, spliced into oracle_sql() when
+    a registry slot opens). Float contract: every fold is left-assoc
+    in index order with an explicit 0.0 init (list_reduce over a
+    0.0-prepended list ≡ Spark's F.aggregate), ONE sqrt per series,
+    round(x, 6) on both engines; the series themselves are
+    integer-exact. Precondition (pinned by the callers' params): no
+    SAX bucket within max_bucket of the hot-bucket backstop, so
+    drop_hot_buckets is a no-op and the plain word-equijoin replays
+    bucket_pairs exactly."""
+    n, s = n_bins, n_bins // segments
+    assert s * segments == n_bins
+
+    def fold(terms):
+        return (
+            "list_reduce([0.0, "
+            + ", ".join(terms)
+            + "], (acc, x) -> acc + x)"
+        )
+
+    var_terms = [
+        f"(series[{i}] - mu) * (series[{i}] - mu)" for i in range(1, n + 1)
+    ]
+    z_items = ", ".join(
+        f"round((series[{i}] - mu) / sd, 6)" for i in range(1, n + 1)
+    )
+    zeros = ", ".join("0.0" for _ in range(n))
+    seg_means = ", ".join(
+        fold([f"zs[{j * s + i}]" for i in range(1, s + 1)]) + f" / {float(s)} AS m{j}"
+        for j in range(segments)
+    )
+    word = " || ".join(
+        f"(CASE WHEN m{j} < -0.6745 THEN 'a' WHEN m{j} < 0.0 THEN 'b' "
+        f"WHEN m{j} < 0.6745 THEN 'c' ELSE 'd' END)"
+        for j in range(segments)
+    )
+    dot = fold([f"za[{i}] * zb[{i}]" for i in range(1, n + 1)])
+    return f"""
+    WITH ev AS (
+      SELECT user_id AS entity, epoch_us(ts) AS t
+      FROM read_parquet('{sf_dir}/events.parquet')
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    span AS (SELECT min(t) AS t0, max(t) AS t1 FROM ev),
+    b AS (
+      SELECT entity,
+             CAST(((t - t0) * {n}) // (t1 - t0 + 1) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS c
+      FROM ev, span GROUP BY entity, bin
+    ),
+    grid AS (
+      SELECT e.entity, g.i
+      FROM (SELECT DISTINCT entity FROM ev) e
+      CROSS JOIN range({n}) g(i)
+    ),
+    ser AS (
+      SELECT grid.entity, list(COALESCE(b.c, 0) ORDER BY grid.i) AS series
+      FROM grid LEFT JOIN b ON b.entity = grid.entity AND b.bin = grid.i
+      GROUP BY grid.entity
+    ),
+    m AS (
+      SELECT entity, series,
+             CAST(list_sum(series) AS BIGINT) / {float(n)} AS mu
+      FROM ser
+    ),
+    v AS (
+      SELECT entity, series, mu,
+             sqrt({fold(var_terms)} / {float(n)}) AS sd
+      FROM m
+    ),
+    z AS (
+      SELECT entity,
+             CASE WHEN sd = 0 THEN [{zeros}] ELSE [{z_items}] END AS zs
+      FROM v
+    ),
+    sm AS (SELECT entity, zs, {seg_means} FROM z),
+    w AS (SELECT entity, zs, {word} AS word FROM sm),
+    cand AS (
+      SELECT w1.entity AS ea, w1.zs AS za, w2.entity AS eb, w2.zs AS zb
+      FROM w w1 JOIN w w2
+        ON w1.word = w2.word AND w1.entity < w2.entity
+    ),
+    scored AS (
+      SELECT ea, eb, round({dot} / {float(n)}, 6) AS corr FROM cand
+    ),
+    sym AS (
+      SELECT ea, eb, corr FROM scored
+      UNION ALL
+      SELECT eb AS ea, ea AS eb, corr FROM scored
+    ),
+    ranked AS (
+      SELECT ea, eb, corr,
+             row_number() OVER (PARTITION BY ea
+                                ORDER BY corr DESC, eb ASC) AS rnk
+      FROM sym
+    )
+    SELECT ea AS entity, eb AS neighbor, CAST(rnk AS BIGINT) AS rank, corr
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
+def test_ts_topk_matches_duckdb_bit_for_bit(spark, sf_dir):
+    """Pre-validation of the queued registration oracle: the full
+    SAX-bucketed Pearson top-k — integer-exact series, 6 dp z-norm,
+    PAA quantization, word-bucket candidates, exact left-assoc dot
+    products, ties by neighbor — replays bit-for-bit in DuckDB on the
+    real sf0.001 events, at BOTH the registration parameterization
+    (segments=4) and the coarser segments=2."""
+    for segments in (2, 4):
+        got = sorted(
+            (r["entity"], r["neighbor"], r["rank"], r["corr"])
+            for r in ts_topk_similar(
+                _events(spark), k=3, n_bins=32, segments=segments
+            ).collect()
+        )
+        want = sorted(
+            (e, nb, int(rk), c)
+            for e, nb, rk, c in duckdb.sql(
+                _ts_oracle_sql(SF, 32, segments, 3)
+            ).fetchall()
+        )
+        assert len(got) > 0, f"segments={segments} yielded no candidates"
+        assert got == want, f"segments={segments}"
+
+
 def test_sax_candidates_recall_vs_brute(spark):
     """SAX buckets must recover planted structure: three behavioral
     archetypes (morning / evening / uniform), five users each — every
