@@ -655,3 +655,23 @@ def test_ts_topk_similar_scans_the_log_once(spark):
     assert "CartesianProduct" not in t, t
     assert "WindowGroupLimit" in t, t
     assert n_exchanges(p) <= 8, t
+
+
+def test_prototypes_prune_one_cluster_shuffle(spark):
+    """prototypes_prune's scale contract: after the linear kmeans
+    stages (broadcast k-row centroids — a BroadcastNestedLoopJoin,
+    never a shuffle cartesian — and one vec_id-keyed argmin exchange),
+    the prune itself costs ONE cluster-keyed exchange feeding BOTH
+    stacked Window ops (row_number + per-cluster count share the
+    partition key). 3 exchanges total; the embeddings parquet is
+    scanned once with only (vec_id, embedding) read."""
+    from warp_pipe_spark.datapipe.clustering import prototypes_prune
+    from warp_pipe_spark.io import read_table
+
+    emb = read_table(spark, SF, "embeddings")
+    p = plan_of(spark, prototypes_prune(emb, keep_micro=250_000))
+    t = tree_of(p)
+    assert "CartesianProduct" not in t, t
+    assert t.count("Scan parquet") == 1, t
+    assert len(re.findall(r"\+- Window", t)) == 2, t
+    assert n_exchanges(p) <= 3, t

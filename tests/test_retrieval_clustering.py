@@ -926,3 +926,105 @@ def test_unimax_allocation_rejects_degenerate_params():
         unimax_allocation({"a": 10}, budget=-1)
     with _pytest.raises(ValueError, match="max_epochs"):
         unimax_allocation({"a": 10}, budget=10, max_epochs=0)
+
+
+# --- SSL-prototype pruning (Sorscher et al. 2022) --------------------
+
+
+def test_prototypes_prune_hard_vs_easy(embs):
+    """Two 3-point blobs, quota ceil(3 · 0.34) = 2 per cluster: 'hard'
+    keeps the two farthest from each centroid (drops the most
+    prototypical point), 'easy' the two nearest (drops the outlier);
+    with 3 points the two regimes share exactly the middle one. Rank
+    is 1-based in keep order; reruns identical."""
+    from warp_pipe_spark.datapipe.clustering import prototypes_prune
+
+    def run(keep):
+        rows = prototypes_prune(embs, keep_micro=340_000, keep=keep, k=2).collect()
+        by_cl: dict = {}
+        for r in rows:
+            by_cl.setdefault(r["cluster"], []).append(r)
+        return rows, by_cl
+
+    hard_rows, hard = run("hard")
+    easy_rows, easy = run("easy")
+    assert len(hard_rows) == len(easy_rows) == 4  # 2 per cluster
+    dist = {
+        r["vec_id"]: r["dist"]
+        for r in kmeans_assign(embs, k=2, iters=2).collect()
+    }
+    for cl, kept in hard.items():
+        kept_ids = {r["vec_id"] for r in kept}
+        dropped = {r["vec_id"] for r in easy[cl]} | kept_ids
+        # the hard set must contain the cluster's max-dist point...
+        all_in_cl = sorted(dropped, key=lambda i: (-dist[i], i))
+        assert all_in_cl[0] in kept_ids
+        # ...and exclude the most prototypical (min dist) one
+        assert all_in_cl[-1] not in kept_ids
+        # ranks are 1..n_keep in keep order
+        assert sorted(r["rank"] for r in kept) == [1, 2]
+    # easy is the mirror: excludes the farthest, includes the nearest
+    for cl, kept in easy.items():
+        kept_ids = {r["vec_id"] for r in kept}
+        universe = {r["vec_id"] for r in hard[cl]} | kept_ids
+        by_d = sorted(universe, key=lambda i: (dist[i], i))
+        assert by_d[0] in kept_ids and by_d[-1] not in kept_ids
+
+    again = sorted(map(tuple, prototypes_prune(embs, keep_micro=340_000, k=2).collect()))
+    assert again == sorted(map(tuple, hard_rows))
+
+
+def test_prototypes_prune_quota_edges(embs):
+    """keep_micro=0 keeps nothing; 1e6 keeps everything; bad keep mode
+    and out-of-range fractions raise."""
+    from warp_pipe_spark.datapipe.clustering import prototypes_prune
+
+    assert prototypes_prune(embs, keep_micro=0, k=2).count() == 0
+    assert prototypes_prune(embs, keep_micro=1_000_000, k=2).count() == 6
+    with pytest.raises(ValueError, match="keep must be"):
+        prototypes_prune(embs, keep="hardest")
+    with pytest.raises(ValueError, match="out of"):
+        prototypes_prune(embs, keep_micro=2_000_000)
+
+
+def test_prototypes_prune_matches_duckdb_bit_for_bit(spark, sf_dir):
+    """Queued-oracle pre-validation on the real embeddings: the prune
+    is one window + an exact integer ceil quota over the
+    already-replayed emb_kmeans frame — the DuckDB replica reuses the
+    registered emb_kmeans oracle text verbatim and must match
+    bit-for-bit, both regimes."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from warp_pipe_spark.datapipe.clustering import prototypes_prune
+    from warp_pipe_spark.io import read_table
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    km_sql = entrymod.oracle_sql()["emb_kmeans"]
+    emb = read_table(spark, sf_dir, "embeddings")
+    for keep, order in (("hard", "DESC"), ("easy", "ASC")):
+        got = sorted(
+            (r["vec_id"], r["cluster"], r["dist"], r["rank"])
+            for r in prototypes_prune(emb, keep_micro=250_000, keep=keep).collect()
+        )
+        want = sorted(
+            map(
+                tuple,
+                con.sql(f"""
+        WITH km AS ({km_sql}),
+        c AS (SELECT cluster, count(*) AS n_c FROM km GROUP BY cluster),
+        r AS (SELECT vec_id, cluster, dist,
+                     row_number() OVER (PARTITION BY cluster
+                                        ORDER BY dist {order}, vec_id ASC) AS rnk
+              FROM km)
+        SELECT r.vec_id, r.cluster, r.dist, CAST(r.rnk AS BIGINT) AS rank
+        FROM r JOIN c USING (cluster)
+        WHERE r.rnk <= (c.n_c * 250000 + 999999) // 1000000
+        """).fetchall(),
+            )
+        )
+        assert len(got) > 0
+        assert got == want, keep

@@ -215,6 +215,66 @@ def semdedup_pairs(
     )
 
 
+def prototypes_prune(
+    embeddings: DataFrame,
+    keep_micro: int = 500_000,
+    keep: str = "hard",
+    k: int | None = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """SSL-prototype data pruning (Sorscher et al., NeurIPS 2022 —
+    "Beyond neural scaling laws"): score each example by its distance
+    to the nearest k-means centroid in embedding space (the
+    "prototype"), then keep a fixed fraction per cluster —
+    `keep='hard'` retains the FARTHEST examples (the abundant-data
+    regime, where easy prototypical points are redundant),
+    `keep='easy'` the nearest (the scarce-data regime). Completes the
+    cluster-curation triad with semdedup_pairs (near-dup removal
+    inside clusters) and curate's keep_best (quality election).
+
+    The quota is cluster-balanced — n_keep(c) = ceil(|c| ·
+    keep_micro / 1e6), exact integer arithmetic (`div`, the
+    micro-fraction house rule) so any engine replays the boundary
+    bit-for-bit — which prevents the global-threshold failure mode of
+    wiping out small clusters entirely (class-balanced pruning per the
+    paper's ImageNet protocol). Ties on the 6 dp distance break on
+    vec_id so the kept set is engine-independent.
+
+    Scale: kmeans_assign is linear (broadcast centroids, no windows);
+    the pruning itself is ONE shuffle keyed by cluster feeding both
+    window functions (row_number + count share the partition key), and
+    clusters are bounded ≈ target_cluster_size by auto-k, so no
+    partition outgrows an executor at any corpus size. Returns
+    (vec_id, cluster, dist, rank) for the kept rows; rank is the
+    1-based position in the keep order within the cluster."""
+    if keep not in ("hard", "easy"):
+        raise ValueError(f"keep must be 'hard' or 'easy', got {keep!r}")
+    if not 0 <= keep_micro <= 1_000_000:
+        raise ValueError(f"keep_micro out of [0, 1e6]: {keep_micro}")
+    from pyspark.sql import Window
+
+    assigned = kmeans_assign(embeddings, k=k, iters=iters)
+    order = (
+        F.col("dist").desc() if keep == "hard" else F.col("dist").asc()
+    )
+    w = Window.partitionBy("cluster").orderBy(order, F.col("vec_id").asc())
+    wc = Window.partitionBy("cluster")
+    return (
+        assigned.select(
+            "vec_id",
+            "cluster",
+            "dist",
+            F.row_number().over(w).cast("long").alias("rank"),
+            F.count(F.lit(1)).over(wc).alias("n_c"),
+        )
+        .filter(
+            F.col("rank")
+            <= F.expr(f"(n_c * {keep_micro} + 999999) div 1000000")
+        )
+        .select("vec_id", "cluster", "dist", "rank")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
