@@ -675,3 +675,31 @@ def test_prototypes_prune_one_cluster_shuffle(spark):
     assert t.count("Scan parquet") == 1, t
     assert len(re.findall(r"\+- Window", t)) == 2, t
     assert n_exchanges(p) <= 3, t
+
+
+def test_bloom_gate_packed_is_shuffle_free(spark):
+    """bloom_gate_packed's scale contract: the batch side is scan →
+    MapInPandas with ZERO exchanges — the filter rides in as an
+    m_bits/8-byte broadcast bitmap, so a 100 TB batch gates without
+    shuffling a single row. (bloom_gate, the pure-DataFrame twin,
+    legitimately pays a broadcast probe join + the verdict join-back;
+    verdict parity between the two is pinned in test_bloom.py.)"""
+    from warp_pipe_spark.datapipe.bloom import bloom_gate_packed, build_bloom
+    from pyspark.sql import functions as F
+
+    ref = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").alias("key")
+    )
+    words = build_bloom(ref, m_bits=1 << 14, k_hashes=4).localCheckpoint(
+        eager=True
+    )
+    batch = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").alias("key")
+    )
+    p = plan_of(
+        spark, bloom_gate_packed(batch, words, m_bits=1 << 14, k_hashes=4)
+    )
+    t = tree_of(p)
+    assert "MapInPandas" in t, t
+    assert n_exchanges(p) == 0, t
+    assert t.count("Scan parquet") == 1, t
