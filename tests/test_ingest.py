@@ -435,3 +435,82 @@ def test_dsir_gate_sink_under_structured_streaming(spark, tmp_path):
     # byte-identical content
     sink(docs.filter(F.col("doc_id") % 2 == 0), 0)
     assert {r["doc_id"] for r in sink.accepted().collect()} == got_keep
+
+
+def test_bloom_gate_sink_under_structured_streaming(spark, tmp_path):
+    """BloomGateSink: the frozen-bitmap bloom gate driven by a REAL
+    readStream/foreachBatch/availableNow pipeline. Reference = the
+    odd doc_ids; the stream carries ALL docs in two micro-batches.
+    Every reference key must land in reject/ (no false negatives
+    through a stream), accept/ must contain no reference key, and
+    accept ∪ reject must partition the stream. Redelivery of a batch
+    id rewrites byte-identical content."""
+    from pyspark.sql import types as T
+
+    from warp_pipe_spark.datapipe.bloom import bloom_gate, build_bloom
+    from warp_pipe_spark.datapipe.ingest import BloomGateSink
+
+    M, K = 1 << 14, 4
+    docs = _docs(spark)
+    ref = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("key")
+    )
+    idx = str(tmp_path / "bloom_idx")
+    build_bloom(ref, m_bits=M, k_hashes=K).write.parquet(idx)
+
+    drop = str(tmp_path / "drop")
+    for i in range(2):
+        docs.filter(F.col("doc_id") % 4 >= 2 * i).coalesce(1).write.mode(
+            "append"
+        ).parquet(drop)
+
+    sink = BloomGateSink(
+        spark, str(tmp_path / "gate"), idx, m_bits=M, k_hashes=K
+    )
+    stream = (
+        spark.readStream.schema(
+            T.StructType.fromDDL("doc_id LONG, text STRING")
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    streamed = {
+        r["doc_id"]
+        for r in spark.read.parquet(drop).select("doc_id").collect()
+    }
+    ref_keys = {r["key"] for r in ref.collect()}
+    acc = {r["doc_id"] for r in sink.accepted().collect()}
+    rej = {r["doc_id"] for r in sink.rejected().collect()}
+    assert acc | rej == streamed
+    assert acc & rej == set()
+    assert (ref_keys & streamed) <= rej  # no false negatives ever
+    assert acc.isdisjoint(ref_keys)
+    # the accept side is non-trivial (even ids minus fp), and the
+    # streamed verdicts equal the batch gate's over the same frame
+    assert len(acc) > 0
+    want = {
+        r["doc_id"]
+        for r in bloom_gate(
+            spark.read.parquet(drop).select(F.col("doc_id")),
+            spark.read.parquet(idx),
+            key_col="doc_id",
+            m_bits=M,
+            k_hashes=K,
+        )
+        .filter(~F.col("maybe_member"))
+        .collect()
+    }
+    assert acc == want
+
+    # redelivery idempotence
+    first = docs.filter(F.col("doc_id") % 4 >= 0)
+    sink(first.select("doc_id", "text"), 0)
+    assert {r["doc_id"] for r in sink.accepted().collect()} == acc

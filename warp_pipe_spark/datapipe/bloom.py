@@ -182,31 +182,50 @@ def bloom_gate(
     )
 
 
+def packed_bitmap(words: DataFrame, m_bits: int):
+    """Materialize the packed word table into the m_bits/8-byte numpy
+    bitmap the map-side probe reads. toLocalIterator keeps peak driver
+    memory at the bitmap itself (plus one Arrow batch), never the full
+    row list; the size is bounded by the m_bits PARAMETER — the bloom
+    filter's declared memory budget — independent of data size."""
+    import numpy as np
+
+    n_words = (m_bits + 63) // 64
+    bitmap = np.zeros(n_words, dtype=np.uint64)
+    for row in words.toLocalIterator():
+        bitmap[row["word_idx"]] |= np.uint64(row["word"] & 0xFFFFFFFFFFFFFFFF)
+    return bitmap
+
+
 def bloom_gate_packed(
     batch: DataFrame,
-    words: DataFrame,
+    words,
     key_col: str = "key",
     m_bits: int = 1 << 20,
     k_hashes: int = 4,
 ) -> DataFrame:
     """Map-side probe: the packed word table materializes once into an
-    m_bits/8-byte numpy bitmap (bounded by the m_bits parameter — the
-    filter's declared memory budget, independent of data size),
-    broadcasts, and every Arrow batch probes locally. ZERO joins and
-    zero shuffles on the batch side — the plan is scan → mapInPandas.
-    Same verdicts as bloom_gate (pytest-pinned): hashlib.md5 over
-    'bloom<j>|<key>' replays h32 exactly."""
+    m_bits/8-byte numpy bitmap, broadcasts, and every Arrow batch
+    probes locally. ZERO joins and zero shuffles on the batch side —
+    the plan is scan → mapInPandas. Same verdicts as bloom_gate
+    (pytest-pinned): hashlib.md5 over 'bloom<j>|<key>' replays h32
+    exactly.
+
+    `words` may be the packed-word DataFrame, a prebuilt
+    packed_bitmap ndarray, or an existing pyspark Broadcast of one —
+    long-lived callers (BloomGateSink) broadcast ONCE at construction
+    instead of leaking one broadcast per micro-batch."""
     _check_params(m_bits, k_hashes)
     import numpy as np
+    from pyspark.broadcast import Broadcast
 
     spark = batch.sparkSession
-    n_words = (m_bits + 63) // 64
-    bitmap = np.zeros(n_words, dtype=np.uint64)
-    # toLocalIterator keeps peak driver memory at the bitmap itself
-    # (plus one Arrow batch), never the full row list
-    for row in words.toLocalIterator():
-        bitmap[row["word_idx"]] |= np.uint64(row["word"] & 0xFFFFFFFFFFFFFFFF)
-    bc = spark.sparkContext.broadcast(bitmap)
+    if isinstance(words, Broadcast):
+        bc = words
+    elif isinstance(words, np.ndarray):
+        bc = spark.sparkContext.broadcast(words)
+    else:
+        bc = spark.sparkContext.broadcast(packed_bitmap(words, m_bits))
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in batch.schema.fields
     ) + ", maybe_member boolean"

@@ -234,3 +234,71 @@ class DsirGateSink(CorpusQualityGateSink):
         finally:
             scored.unpersist()
             batch.unpersist()
+
+
+class BloomGateSink(CorpusQualityGateSink):
+    """foreachBatch target: probe each micro-batch against a FROZEN
+    bloom filter of already-ingested keys (datapipe.bloom) and route
+    NOVEL docs to accept/, flagged candidate-duplicates to reject/
+    with their key for the downstream exact-verify — URL/fingerprint
+    ingest dedup as a streaming gate (same committed-batch layout and
+    idempotent overwrite-per-batch_id redelivery contract as the
+    quality and DSIR gates; accepted()/rejected()/compact() inherited
+    unchanged).
+
+    The packed word table is materialized into the m_bits/8-byte
+    numpy bitmap and broadcast ONCE at construction — a long-lived
+    tail must not re-read the index parquet, rebuild the bitmap, or
+    leak one broadcast per micro-batch. Per-batch cost is a map-side
+    numpy probe: ZERO joins, zero shuffles, O(batch) regardless of
+    how many billion keys the filter summarizes (bloom.py plan pin).
+    No false negatives by construction, so accept/ provably contains
+    no already-seen key; false positives land in reject/ and are
+    recoverable there by the exact verify (bloom_gate_verified) —
+    the gate never silently drops novel data, it quarantines it."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        index_path: str,
+        m_bits: int,
+        k_hashes: int = 4,
+        key_col: str = "doc_id",
+    ) -> None:
+        from warp_pipe_spark.datapipe.bloom import packed_bitmap
+
+        super().__init__(spark, base_dir)
+        self.m_bits = int(m_bits)
+        self.k_hashes = int(k_hashes)
+        self.key_col = key_col
+        words = spark.read.parquet(index_path)
+        self._bc = spark.sparkContext.broadcast(
+            packed_bitmap(words, self.m_bits)
+        )
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        from warp_pipe_spark.datapipe.bloom import bloom_gate_packed
+
+        # persist the probed frame: it feeds both the accept and the
+        # reject write; without it the mapInPandas probe runs twice
+        gated = bloom_gate_packed(
+            batch,
+            self._bc,
+            key_col=self.key_col,
+            m_bits=self.m_bits,
+            k_hashes=self.k_hashes,
+        ).persist()
+        try:
+            gated.filter(~F.col("maybe_member")).drop(
+                "maybe_member"
+            ).write.mode("overwrite").parquet(
+                os.path.join(self.accept_dir, f"batch_{batch_id}")
+            )
+            gated.filter(F.col("maybe_member")).select(
+                self.key_col
+            ).write.mode("overwrite").parquet(
+                os.path.join(self.reject_dir, f"batch_{batch_id}")
+            )
+        finally:
+            gated.unpersist()
