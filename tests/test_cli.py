@@ -637,3 +637,50 @@ def test_curate_corpus_dsir_requires_keep(spark, tmp_path):
         curate_corpus(
             docs, str(tmp_path / "o"), dsir_target=docs, dsir_keep=None
         )
+
+
+def test_cli_corpus_curate_bloom_stage(spark, tmp_path, capsys):
+    """--bloom-index wires the stage-0 cross-snapshot exact-key gate
+    into the one-command pipeline: doc_ids held by the previous
+    snapshot's bloom filter are dropped before any other stage (every
+    held key gone — no false negatives — and the funnel's later
+    stages see only the remainder); stats expose n_after_bloom_gate."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from warp_pipe_spark.__main__ import main
+    from warp_pipe_spark.datapipe.bloom import build_bloom
+
+    docs_dir = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(docs_dir)
+    n_docs = docs.count()
+    prev = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("key")
+    )
+    n_prev = prev.count()
+    idx = str(tmp_path / "bloom_idx")
+    build_bloom(prev, m_bits=1 << 16, k_hashes=4).write.parquet(idx)
+
+    out = str(tmp_path / "cur")
+    rc = main(
+        ["corpus-curate", "--docs", docs_dir, "--out", out,
+         "--bloom-index", idx, "--bloom-m-bits", str(1 << 16),
+         "--n-shards", "2"]
+    )
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    stats = json.loads(lines[0])["stats"]
+    assert stats["n_input"] == n_docs
+    # every previously-seen key is gone (no false negatives); false
+    # positives can only push the count LOWER than the odd-id half
+    assert stats["n_after_bloom_gate"] <= n_docs - n_prev
+    assert stats["n_after_bloom_gate"] > 0
+    assert stats["n_after_dedup"] <= stats["n_after_bloom_gate"]
+    manifest = [json.loads(ln) for ln in lines[1:]]
+    assert stats["n_sharded"] == sum(d["n_docs"] for d in manifest)
+    for d in manifest:
+        assert os.path.exists(
+            os.path.join(out, f"shard-{d['shard']:05d}.tar")
+        )

@@ -72,6 +72,16 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--max-bucket", type=int, default=1000)
     cu.add_argument("--keep-best", action="store_true")
     cu.add_argument(
+        "--bloom-index",
+        default=None,
+        help="packed bloom-word parquet of a PREVIOUS snapshot's "
+        "doc_ids (datapipe.bloom.build_bloom); enables the stage-0 "
+        "cross-snapshot exact-key gate (drops maybe-members before "
+        "any other stage; size --bloom-m-bits for the fp budget)",
+    )
+    cu.add_argument("--bloom-m-bits", type=int, default=1 << 20)
+    cu.add_argument("--bloom-k", type=int, default=4)
+    cu.add_argument(
         "--min-line-docs",
         type=int,
         default=0,
@@ -270,6 +280,9 @@ def main(argv: list[str] | None = None, out=None) -> int:
             args.out,
             max_bucket=args.max_bucket,
             keep_best=args.keep_best,
+            bloom_index=args.bloom_index,
+            bloom_m_bits=args.bloom_m_bits,
+            bloom_k=args.bloom_k,
             min_line_docs=args.min_line_docs,
             span_ngrams=args.dedup_spans,
             benchmark=bench,

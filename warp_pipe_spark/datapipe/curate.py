@@ -85,6 +85,9 @@ def curate_corpus(
     *,
     max_bucket: int = 1000,
     keep_best: bool = False,
+    bloom_index: str | None = None,
+    bloom_m_bits: int = 1 << 20,
+    bloom_k: int = 4,
     min_line_docs: int = 0,
     span_ngrams: int = 0,
     benchmark: DataFrame | None = None,
@@ -100,6 +103,11 @@ def curate_corpus(
 
     Stages (each optional stage is OFF unless its knob is set, so the
     default run is dedup → gate → shard):
+      0. cross-snapshot exact-key gate    (bloom.bloom_gate_packed
+                                           against a previous
+                                           snapshot's persisted bloom
+                                           index; `bloom_index`
+                                           enables)
       1. exact + near dedup               (dedup_survivors)
       2. cross-corpus line scrub          (text.dedup_lines,
                                            min_line_docs >= 2 enables)
@@ -134,6 +142,31 @@ def curate_corpus(
 
     cur = docs.filter(F.col("text").isNotNull())
     _n("n_input", cur)
+
+    # 0. cross-snapshot exact-key gate: drop docs whose doc_id the
+    # previous snapshot's bloom filter already holds, BEFORE paying
+    # any downstream stage — the incremental-crawl economy (the 100 TB
+    # prior snapshot rides in as an m_bits/8-byte bitmap, zero
+    # shuffles on this corpus). False positives drop novel docs at
+    # the textbook rate — size m_bits for the fp budget; a
+    # quarantine-instead-of-drop policy is bloom_gate_verified, for
+    # callers that keep the prior key set reachable.
+    if bloom_index is not None:
+        from warp_pipe_spark.datapipe.bloom import bloom_gate_packed
+
+        words = cur.sparkSession.read.parquet(bloom_index)
+        cur = (
+            bloom_gate_packed(
+                cur,
+                words,
+                key_col="doc_id",
+                m_bits=bloom_m_bits,
+                k_hashes=bloom_k,
+            )
+            .filter(~F.col("maybe_member"))
+            .drop("maybe_member")
+        )
+        _n("n_after_bloom_gate", cur)
 
     # 1. exact + near dedup
     cur = dedup_survivors(cur, max_bucket=max_bucket, keep_best=keep_best)
