@@ -703,3 +703,23 @@ def test_bloom_gate_packed_is_shuffle_free(spark):
     assert "MapInPandas" in t, t
     assert n_exchanges(p) == 0, t
     assert t.count("Scan parquet") == 1, t
+
+
+def test_semantic_decontaminate_corpus_never_shuffles(spark):
+    """semantic_decontaminate's scale contract: the corpus side is
+    scan → MapInPandas (broadcast bench GEMM) — the ONE exchange in
+    the plan carries only flagged candidate pairs, k-bounded by a
+    partial WindowGroupLimit before it."""
+    from pyspark.sql import functions as F
+
+    from warp_pipe_spark.datapipe.similarity import semantic_decontaminate
+    from warp_pipe_spark.io import read_table
+
+    emb = read_table(spark, SF, "embeddings")
+    bench = emb.filter("vec_id % 50 = 0")
+    p = plan_of(spark, semantic_decontaminate(emb, bench, threshold=0.9))
+    t = tree_of(p)
+    assert "MapInPandas" in t, t
+    assert t.count("Scan parquet") == 1, t
+    assert "WindowGroupLimit" in t, t
+    assert n_exchanges(p) <= 1, t

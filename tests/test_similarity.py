@@ -629,3 +629,119 @@ def test_nn_graph_insert_empty_batch_is_identity(spark):
     for batch in (empty, zeroes):
         got = sorted(map(tuple, nn_graph_insert(graph, emb, batch, k=3).collect()))
         assert got == want
+
+
+# --- semantic decontamination ----------------------------------------
+
+
+def test_semantic_decontaminate_hand_fixture(spark):
+    """Paraphrase-shaped fixture: a scaled copy of a bench vector
+    flags at cos 1.0 (scale invariance), a nearby vector flags above
+    threshold, an orthogonal one stays clean; two IDENTICAL bench
+    vectors tie at 6 dp and the smaller bench_id wins; zero-norm and
+    NULL vectors are excluded on both sides."""
+    from warp_pipe_spark.datapipe.similarity import semantic_decontaminate
+
+    bench = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0, 0.0]),
+            (11, [1.0, 0.0, 0.0, 0.0]),   # identical twin: tie -> 10
+            (12, [0.0, 1.0, 0.0, 0.0]),
+            (13, [0.0, 0.0, 0.0, 0.0]),   # zero-norm: excluded
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [3.0, 0.0, 0.0, 0.0]),     # scaled copy of bench 10/11
+            (2, [0.95, 0.3122, 0.0, 0.0]), # near bench 10 (cos ~0.95)
+            (3, [0.0, 0.0, 1.0, 0.0]),     # orthogonal to all: clean
+            (4, [0.0, 0.0, 0.0, 0.0]),     # zero-norm: excluded
+            (5, None),                     # NULL: excluded
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    out = {
+        r["vec_id"]: (r["bench_id"], r["cos_sim"])
+        for r in semantic_decontaminate(corpus, bench, threshold=0.9).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1] == (10, 1.0)  # tie between bench 10/11 -> smaller id
+    assert out[2][0] == 10 and 0.9 <= out[2][1] < 1.0
+    again = {
+        r["vec_id"]: (r["bench_id"], r["cos_sim"])
+        for r in semantic_decontaminate(corpus, bench, threshold=0.9).collect()
+    }
+    assert again == out
+
+
+def test_semantic_decontaminate_bench_bound(spark):
+    from warp_pipe_spark.datapipe.similarity import semantic_decontaminate
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(10)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    with pytest.raises(ValueError, match="max_bench"):
+        semantic_decontaminate(emb, emb, max_bench=5)
+    # empty benchmark -> empty result, not a crash
+    empty = emb.filter("vec_id < 0")
+    assert semantic_decontaminate(emb, empty).count() == 0
+
+
+def test_semantic_decontaminate_finds_leaked_eval_items(spark, sf_dir):
+    """On the real embeddings: 'benchmark' = every 50th vector, so
+    those exact vectors are leaked into the corpus — each must flag
+    itself at cos 1.0, and the flagged set must match the DuckDB
+    brute-force replica bit-for-bit (fold cosine, 6 dp round,
+    rank-1 by (cos DESC, bench_id ASC))."""
+    import duckdb
+
+    from warp_pipe_spark.datapipe.similarity import semantic_decontaminate
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    bench = emb.filter("vec_id % 50 = 0")
+    got = sorted(
+        (r["vec_id"], r["bench_id"], r["cos_sim"])
+        for r in semantic_decontaminate(emb, bench, threshold=0.9).collect()
+    )
+    leaked = {r["vec_id"] for r in bench.collect()}
+    got_self = {v: (b, c) for v, b, c in got if v in leaked}
+    assert set(got_self) == leaked
+    assert all(b == v and c == 1.0 for v, (b, c) in got_self.items())
+
+    fold = (
+        "list_reduce([{x}[i] * {y}[i] FOR i IN range(1, len({x})+1)], "
+        "(acc, v) -> acc + v)"
+    )
+    cos = (
+        f"round(({fold.format(x='c.v', y='b.v')}) / "
+        f"(sqrt({fold.format(x='c.v', y='c.v')}) * "
+        f"sqrt({fold.format(x='b.v', y='b.v')})), 6)"
+    )
+    want = sorted(
+        map(
+            tuple,
+            duckdb.sql(f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM read_parquet('{sf_dir}/embeddings.parquet')
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> x <> 0)) > 0
+    ),
+    b AS (SELECT vec_id AS bench_id, v FROM e WHERE vec_id % 50 = 0),
+    s AS (
+      SELECT c.vec_id, b.bench_id, {cos} AS cos_sim
+      FROM e c CROSS JOIN b
+    ),
+    f AS (SELECT * FROM s WHERE cos_sim >= 0.9),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos_sim DESC, bench_id ASC) AS rnk
+      FROM f
+    )
+    SELECT vec_id, bench_id, cos_sim FROM r WHERE rnk = 1
+    """).fetchall(),
+        )
+    )
+    assert got == want

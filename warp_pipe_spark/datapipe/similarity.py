@@ -57,6 +57,113 @@ def topk_cosine(
     )
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    max_bench: int = 100_000,
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic
+    complement of dedup.decontaminate's exact 13-gram screen
+    (paraphrased or lightly-edited eval items share no 13-gram but DO
+    sit next to the original in embedding space). For each corpus
+    vector whose best cosine against ANY benchmark vector clears
+    `threshold`, emit (vec_id, bench_id, cos_sim): the contaminating
+    eval item with the highest ROUNDED similarity, ties on the 6 dp
+    value broken by smallest bench_id.
+
+    Scale shape — the asymmetry IS the design: benchmarks are small
+    (thousands of items) and the corpus is the 100 TB side, so the
+    benchmark matrix broadcasts (bounded by `max_bench`, enforced with
+    a limit-probe not a full count) and the corpus streams through ONE
+    Arrow mapInPandas GEMM pass — zero corpus shuffles. The UDF
+    prefilters at threshold − 1e-6 and emits candidate pairs only
+    (≈ contamination_rate · |corpus| rows); the exact verdict —
+    F.round(cos, 6) >= threshold, HALF_UP like the DuckDB oracle, so
+    banker's-rounding np.round never decides a boundary — and the
+    per-doc argmax window run JVM-side on that small flagged set
+    (embedding_near_dup_pairs' division of labor, dedup.py:808).
+
+    NULL and zero-norm vectors are excluded on BOTH sides (cosine is
+    undefined for a directionless vector — the dedup.py:874 contract).
+
+    `benchmark` is (vec_id, embedding); its ids are reported under
+    `bench_id_col`. Corpus ids may collide with benchmark ids (a
+    leaked eval item flags itself at cos 1.0)."""
+    n_b = benchmark.limit(max_bench + 1).count()
+    if n_b > max_bench:
+        raise ValueError(
+            f"benchmark exceeds max_bench={max_bench} rows; the bench "
+            "matrix must stay broadcastable — split the benchmark or "
+            "raise max_bench explicitly"
+        )
+    clean = lambda df: df.filter(  # noqa: E731
+        F.col("vec_id").isNotNull()
+        & F.col("embedding").isNotNull()
+        & F.exists("embedding", lambda x: x != 0)
+    )
+    bench_rows = sorted(
+        (r["vec_id"], list(r["embedding"]))
+        for r in clean(benchmark).select("vec_id", "embedding").collect()
+    )
+    spark = corpus.sparkSession
+    if not bench_rows:
+        return spark.createDataFrame(
+            [], f"vec_id long, {bench_id_col} long, cos_sim double"
+        )
+    ids_b = np.asarray([i for i, _ in bench_rows], dtype=np.int64)
+    B = np.stack([np.asarray(v, dtype=np.float64) for _, v in bench_rows])
+    nb = np.linalg.norm(B, axis=1)
+    bc = spark.sparkContext.broadcast((ids_b, B, nb))
+    prefilter = threshold - 1e-6
+
+    def gemm(batches):
+        ids_bb, Bb, nbb = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids_a = pdf["vec_id"].to_numpy(dtype=np.int64)
+            A = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            # dot / (|a|·|b|): the embedding_near_dup_pairs arithmetic
+            # shape, which the DuckDB fold replays at 6 dp
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = A @ Bb.T / np.outer(
+                    np.linalg.norm(A, axis=1), nbb
+                )
+            ii, jj = np.nonzero(sims >= prefilter)
+            if len(ii) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids_a[ii],
+                    bench_id_col: ids_bb[jj],
+                    "cos_raw": sims[ii, jj],
+                }
+            )
+
+    cand = clean(corpus).select(
+        "vec_id", _cast_double(F.col("embedding")).alias("embedding")
+    ).mapInPandas(
+        gemm, f"vec_id long, {bench_id_col} long, cos_raw double"
+    )
+    flagged = cand.select(
+        "vec_id",
+        bench_id_col,
+        F.round("cos_raw", 6).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col(bench_id_col).asc()
+    )
+    return (
+        flagged.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", bench_id_col, "cos_sim")
+    )
+
+
 def plane_sign(i: int, d: int) -> float:
     """Deterministic ±1 hyperplane component: +1 iff the 32-bit md5
     prefix of "i:d" is even (the same h32 scheme the SQL oracles
