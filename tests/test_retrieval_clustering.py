@@ -1028,3 +1028,99 @@ def test_prototypes_prune_matches_duckdb_bit_for_bit(spark, sf_dir):
         )
         assert len(got) > 0
         assert got == want, keep
+
+
+# --- persisted inverted BM25 index -----------------------------------
+
+
+def test_text_index_serves_bm25_identically_and_prunes(spark, sf_dir, tmp_path):
+    """The persisted inverted index must (a) return EXACTLY the
+    non-indexed bm25_topk rows over the same corpus — the additive
+    stats triple replays avg(dl)/count(*) bit-for-bit — and (b) show
+    literal tbucket partition filters on the postings scan: unqueried
+    bucket dirs are pruned at file-listing time, the inverted-index
+    economy at 100 TB."""
+    import re
+
+    from warp_pipe_spark.datapipe.retrieval import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_text_index,
+    )
+    from warp_pipe_spark.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    terms = ["the", "data", "pipeline"]
+    path = str(tmp_path / "tidx")
+    build_text_index(docs, path, n_term_buckets=16)
+
+    out = bm25_topk_indexed(spark, path, terms, n_term_buckets=16)
+    got = [(r["doc_id"], r["n_terms_hit"], r["score"]) for r in out.collect()]
+    want = [
+        (r["doc_id"], r["n_terms_hit"], r["score"])
+        for r in bm25_topk(docs, terms).collect()
+    ]
+    assert got == want and len(got) == 10
+
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "tbucket" in ln
+    ]
+    assert pf, plan
+    assert any(re.search(r"tbucket.* IN \(", ln) for ln in pf), pf
+
+
+def test_text_index_append_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """Append-only maintenance: build on half the corpus, append the
+    other half — every BM25 score must equal a fresh full build's
+    (the additive df/stats partials sum to the exact full-corpus
+    values; no read-merge-rewrite ever happened)."""
+    from warp_pipe_spark.datapipe.retrieval import (
+        bm25_topk_indexed,
+        build_text_index,
+        update_text_index,
+    )
+    from warp_pipe_spark.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    terms = ["the", "data", "quality"]
+    inc = str(tmp_path / "inc")
+    build_text_index(docs.filter("doc_id % 2 = 0"), inc, n_term_buckets=8)
+    update_text_index(docs.filter("doc_id % 2 = 1"), inc, n_term_buckets=8)
+    full = str(tmp_path / "full")
+    build_text_index(docs, full, n_term_buckets=8)
+
+    a = [
+        tuple(r)
+        for r in bm25_topk_indexed(spark, inc, terms, n_term_buckets=8).collect()
+    ]
+    b = [
+        tuple(r)
+        for r in bm25_topk_indexed(spark, full, terms, n_term_buckets=8).collect()
+    ]
+    assert a == b and len(a) == 10
+
+
+def test_text_index_empty_query_and_unknown_term(spark, tmp_path):
+    from warp_pipe_spark.datapipe.retrieval import (
+        bm25_topk_indexed,
+        build_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a d"), (3, None)], "doc_id LONG, text STRING"
+    )
+    path = str(tmp_path / "t")
+    build_text_index(docs, path, n_term_buckets=4)
+    assert bm25_topk_indexed(spark, path, [], n_term_buckets=4).count() == 0
+    assert (
+        bm25_topk_indexed(spark, path, ["zzz"], n_term_buckets=4).count() == 0
+    )
+    one = bm25_topk_indexed(spark, path, ["d"], n_term_buckets=4).collect()
+    assert [r["doc_id"] for r in one] == [2]

@@ -125,3 +125,160 @@ def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= top_k)
         .select("doc_id", "term", "tf", "df", "tfidf", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def _h32_py(s: str) -> int:
+    """Python replay of text.h32 (first 8 md5 hex chars) for
+    driver-side term→bucket routing."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def build_text_index(
+    docs: DataFrame, path: str, n_term_buckets: int = 64
+) -> None:
+    """Persist an inverted BM25 index, the lexical member of the
+    persisted-index family (IVF cells / MinHash bands / DSIR ratio
+    table): `<path>/postings` holds (term, doc_id, tf, dl) partitioned
+    BY TERM BUCKET (h32(term) % n_term_buckets), `<path>/df` the
+    per-term document frequencies under the same partitioning, and
+    `<path>/stats` the corpus aggregates. A query then reads ONLY its
+    terms' bucket directories — the inverted-index "touch the posting
+    lists, not the corpus" property realized as parquet partition
+    pruning (the unqueried buckets are never file-listed, not merely
+    filtered after a scan).
+
+    Everything persisted is ADDITIVE — df rows are per-build counts
+    summed at query time, stats rows are (n_docs, dl_sum, dl_cnt)
+    partials — so `update_text_index` is pure parquet append: no
+    read-merge-rewrite, no index downtime, the log-structured shape
+    compaction tools already handle. The stats triple mirrors
+    bm25_topk's exact arithmetic: n_docs = count(*) over ALL docs
+    (NULL text included), avgdl = sum(dl)/count(dl) over tokenized
+    rows only, so indexed and non-indexed scores agree bit-for-bit
+    (pytest-pinned)."""
+    from warp_pipe_spark.datapipe.text import h32
+
+    tokd = _doc_tokens(docs)
+    stats = tokd.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("dl_sum"),
+        F.count("dl").alias("dl_cnt"),
+    )
+    posts = (
+        tokd.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("tbucket", h32(F.col("term")) % n_term_buckets)
+    )
+    posts.write.mode("overwrite").partitionBy("tbucket").parquet(
+        path + "/postings"
+    )
+    (
+        posts.groupBy("tbucket", "term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .write.mode("overwrite")
+        .partitionBy("tbucket")
+        .parquet(path + "/df")
+    )
+    stats.write.mode("overwrite").parquet(path + "/stats")
+
+
+def update_text_index(
+    new_docs: DataFrame, path: str, n_term_buckets: int = 64
+) -> None:
+    """Append an ingest batch to a persisted text index: postings, df
+    deltas, and stats partials all APPEND into place (the additive
+    layout makes the merge a query-time sum) — cost ∝ |batch| tokens,
+    the corpus is never re-read. The lexical twin of
+    update_minhash_index / update_ivf_index. After many small appends,
+    io.compact_dataset per bucket dir restores file counts."""
+    from warp_pipe_spark.datapipe.text import h32
+
+    tokd = _doc_tokens(new_docs)
+    stats = tokd.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("dl_sum"),
+        F.count("dl").alias("dl_cnt"),
+    )
+    posts = (
+        tokd.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("tbucket", h32(F.col("term")) % n_term_buckets)
+    )
+    posts.write.mode("append").partitionBy("tbucket").parquet(
+        path + "/postings"
+    )
+    (
+        posts.groupBy("tbucket", "term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .write.mode("append")
+        .partitionBy("tbucket")
+        .parquet(path + "/df")
+    )
+    stats.write.mode("append").parquet(path + "/stats")
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    n_term_buckets: int = 64,
+) -> DataFrame:
+    """BM25 top-k served FROM the persisted index: the query's term
+    buckets are computed driver-side (a pure hash of the query — no
+    data job), the postings/df scans carry literal tbucket partition
+    filters (unqueried bucket dirs never file-listed, pinned in
+    tests), and the scoring replays bm25_topk's exact arithmetic over
+    the summed additive stats — identical output to the non-indexed
+    path over the same corpus (pytest-pinned), at I/O cost
+    ∝ |query's posting lists| instead of |corpus|."""
+    if not query_terms:
+        return spark.createDataFrame(
+            [], "doc_id long, n_terms_hit long, score double"
+        )
+    bks = sorted({_h32_py(t) % n_term_buckets for t in query_terms})
+    post = (
+        spark.read.parquet(path + "/postings")
+        .filter(F.col("tbucket").isin(bks))
+        .filter(F.col("term").isin(query_terms))
+    )
+    df_ = (
+        spark.read.parquet(path + "/df")
+        .filter(F.col("tbucket").isin(bks))
+        .filter(F.col("term").isin(query_terms))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+    stats = spark.read.parquet(path + "/stats").agg(
+        F.sum("n_docs").alias("n_docs"),
+        (
+            F.sum("dl_sum").cast("double") / F.sum("dl_cnt").cast("double")
+        ).alias("avgdl"),
+    )
+    scored = post.join(F.broadcast(df_), "term").join(F.broadcast(stats))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * (1.0 + k1)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    per_term = scored.select(
+        "doc_id", "term", (idf * tf_part).alias("term_score")
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.round(F.sum("term_score"), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(top_k)
+    )
