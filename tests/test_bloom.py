@@ -107,8 +107,6 @@ def test_duplicate_and_null_keys(spark, ref_keys):
 
 
 def test_param_validation():
-    import pandas as pd  # noqa: F401  (spark-free param check)
-
     from warp_pipe_spark.datapipe.bloom import _check_params
 
     with pytest.raises(ValueError, match="m_bits"):
