@@ -723,3 +723,21 @@ def test_semantic_decontaminate_corpus_never_shuffles(spark):
     assert t.count("Scan parquet") == 1, t
     assert "WindowGroupLimit" in t, t
     assert n_exchanges(p) <= 1, t
+
+
+def test_profile_table_sketch_sized_shuffles(spark):
+    """profile_table's scale contract: two passes over the table (one
+    narrow aggregate, one KMV melt), WindowGroupLimit bounds each
+    task's KMV contribution to k hashes per column, and no exchange
+    carries table-sized data except the distinct-hash combine (which
+    is map-side partially aggregated)."""
+    from warp_pipe_spark.datapipe.profile import profile_table
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    p = plan_of(spark, profile_table(docs))
+    t = tree_of(p)
+    assert t.count("Scan parquet") == 2, t
+    assert "WindowGroupLimit" in t, t
+    assert n_exchanges(p) <= 4, t
