@@ -552,6 +552,66 @@ def main() -> None:
     # is a registered HEADLINE query as of r12, so the aux would have
     # double-paid the 9-family explode every run)
 
+    # round-14 library ops (queued, not registered — the rotation is
+    # saturated): steady costs measured per round so the artifacts
+    # carry real numbers without touching the 50-query window. Each is
+    # a single noop-sink run; 10x probes live in SCALE.md.
+    from warp_pipe_spark.datapipe.bloom import (
+        bloom_gate_packed,
+        build_bloom,
+    )
+    from warp_pipe_spark.datapipe.clustering import prototypes_prune
+    from warp_pipe_spark.datapipe.profile import profile_table
+    from warp_pipe_spark.datapipe.retrieval import (
+        bm25_topk_indexed,
+        build_text_index,
+    )
+    from warp_pipe_spark.datapipe.similarity import semantic_decontaminate
+    from warp_pipe_spark.datapipe.timeseries import ts_topk_similar
+
+    ev = read_table(spark, sf_dir, "events")
+    t0 = time.time()
+    ts_topk_similar(ev, k=3, segments=4).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    aux["ts_topk_similar"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    prototypes_prune(emb, keep_micro=250_000).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    aux["prototypes_prune"] = round(time.time() - t0, 3)
+
+    ref_keys = docs.select(F.col("doc_id").alias("key"))
+    t0 = time.time()
+    bloom_words = build_bloom(ref_keys, m_bits=1 << 22, k_hashes=4)
+    bloom_gate_packed(
+        ref_keys, bloom_words, m_bits=1 << 22, k_hashes=4
+    ).write.format("noop").mode("overwrite").save()
+    aux["bloom_build_and_gate"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    semantic_decontaminate(
+        emb, emb.filter("vec_id % 50 = 0"), threshold=0.9
+    ).write.format("noop").mode("overwrite").save()
+    aux["semantic_decontaminate"] = round(time.time() - t0, 3)
+
+    tidx_dir = tempfile.mkdtemp(prefix="wp_bench_tidx_")
+    t0 = time.time()
+    build_text_index(docs.select("doc_id", "text"), tidx_dir)
+    aux["tidx_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    bm25_topk_indexed(
+        spark, tidx_dir, ["the", "data", "pipeline"]
+    ).write.format("noop").mode("overwrite").save()
+    aux["tidx_query"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    profile_table(
+        docs.select("doc_id", "source", "text")
+    ).write.format("noop").mode("overwrite").save()
+    aux["profile_table"] = round(time.time() - t0, 3)
+
     # keyset-poll split (VERDICT r5 item 6): the registered
     # cs_keyset_poll_stream is a full drain-from-empty soak, opaque as
     # one number. Time each poll→sink→offset round separately: the
