@@ -92,18 +92,65 @@ def test_verified_gate_exact_membership(spark, ref_keys, batch):
 def test_duplicate_and_null_keys(spark, ref_keys):
     """Duplicate batch keys each carry the (single, correct) verdict —
     the probe distincts keys before exploding so count(hit)==k stays
-    well-defined; NULL keys gate to false on both paths."""
+    well-defined; NULL keys gate to false on both paths. The batch is
+    COALESCED TO ONE PARTITION so NULL and integer keys share an
+    Arrow batch: the r14 review's confirmed false-negative bug —
+    pandas coerces int64+None to float64, the probe hashed '123.0'
+    while the filter held '123' — only reproduces when they co-locate
+    (the fix renders the key with Spark's own CAST before
+    mapInPandas)."""
     words = build_bloom(ref_keys, m_bits=1 << 14, k_hashes=4)
-    one = ref_keys.limit(1)
-    dup = one.unionByName(one).unionByName(
-        spark.createDataFrame([(None,)], "key LONG")
+    one = ref_keys.orderBy("key").limit(1)
+    dup = (
+        one.unionByName(one)
+        .unionByName(spark.createDataFrame([(None,)], "key LONG"))
+        .coalesce(1)
     )
     for path in (bloom_gate, bloom_gate_packed):
         rows = path(dup, words, m_bits=1 << 14, k_hashes=4).collect()
-        assert len(rows) == 3
+        assert len(rows) == 3, path.__name__
         verdicts = [r["maybe_member"] for r in rows if r["key"] is not None]
-        assert verdicts == [True, True]
-        assert [r["maybe_member"] for r in rows if r["key"] is None] == [False]
+        assert verdicts == [True, True], path.__name__
+        assert [r["maybe_member"] for r in rows if r["key"] is None] == [
+            False
+        ], path.__name__
+
+
+def test_write_read_bloom_roundtrip_and_mismatch_guard(spark, ref_keys, batch, tmp_path):
+    """write_bloom/read_bloom carry m_bits/k_hashes with the index —
+    probing with the stored parameters reproduces the in-memory
+    verdicts exactly; packed_bitmap refuses a word table built with a
+    LARGER m_bits than the probe was given (the silent-corruption
+    direction is covered by reading the stored params instead of
+    re-supplying them)."""
+    from warp_pipe_spark.datapipe.bloom import (
+        packed_bitmap,
+        read_bloom,
+        write_bloom,
+    )
+
+    idx = str(tmp_path / "idx")
+    write_bloom(ref_keys, idx, m_bits=1 << 14, k_hashes=3)
+    words, m_bits, k_hashes = read_bloom(spark, idx)
+    assert (m_bits, k_hashes) == (1 << 14, 3)
+    got = {
+        r["key"]: r["maybe_member"]
+        for r in bloom_gate_packed(
+            batch, words, m_bits=m_bits, k_hashes=k_hashes
+        ).collect()
+    }
+    want = {
+        r["key"]: r["maybe_member"]
+        for r in bloom_gate(
+            batch,
+            build_bloom(ref_keys, m_bits=1 << 14, k_hashes=3),
+            m_bits=1 << 14,
+            k_hashes=3,
+        ).collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="larger"):
+        packed_bitmap(words, 1 << 10)
 
 
 def test_param_validation():

@@ -651,7 +651,7 @@ def test_cli_corpus_curate_bloom_stage(spark, tmp_path, capsys):
     from pyspark.sql import functions as F
 
     from warp_pipe_spark.__main__ import main
-    from warp_pipe_spark.datapipe.bloom import build_bloom
+    from warp_pipe_spark.datapipe.bloom import write_bloom
 
     docs_dir = "/root/testdata/sf0.001/documents.parquet"
     docs = spark.read.parquet(docs_dir)
@@ -661,13 +661,12 @@ def test_cli_corpus_curate_bloom_stage(spark, tmp_path, capsys):
     )
     n_prev = prev.count()
     idx = str(tmp_path / "bloom_idx")
-    build_bloom(prev, m_bits=1 << 16, k_hashes=4).write.parquet(idx)
+    write_bloom(prev, idx, m_bits=1 << 16, k_hashes=4)
 
     out = str(tmp_path / "cur")
     rc = main(
         ["corpus-curate", "--docs", docs_dir, "--out", out,
-         "--bloom-index", idx, "--bloom-m-bits", str(1 << 16),
-         "--n-shards", "2"]
+         "--bloom-index", idx, "--n-shards", "2"]
     )
     assert rc == 0
     lines = capsys.readouterr().out.strip().splitlines()

@@ -447,7 +447,7 @@ def test_bloom_gate_sink_under_structured_streaming(spark, tmp_path):
     id rewrites byte-identical content."""
     from pyspark.sql import types as T
 
-    from warp_pipe_spark.datapipe.bloom import bloom_gate, build_bloom
+    from warp_pipe_spark.datapipe.bloom import bloom_gate, write_bloom
     from warp_pipe_spark.datapipe.ingest import BloomGateSink
 
     M, K = 1 << 14, 4
@@ -456,7 +456,7 @@ def test_bloom_gate_sink_under_structured_streaming(spark, tmp_path):
         F.col("doc_id").alias("key")
     )
     idx = str(tmp_path / "bloom_idx")
-    build_bloom(ref, m_bits=M, k_hashes=K).write.parquet(idx)
+    write_bloom(ref, idx, m_bits=M, k_hashes=K)
 
     drop = str(tmp_path / "drop")
     for i in range(2):
@@ -464,9 +464,7 @@ def test_bloom_gate_sink_under_structured_streaming(spark, tmp_path):
             "append"
         ).parquet(drop)
 
-    sink = BloomGateSink(
-        spark, str(tmp_path / "gate"), idx, m_bits=M, k_hashes=K
-    )
+    sink = BloomGateSink(spark, str(tmp_path / "gate"), idx)
     stream = (
         spark.readStream.schema(
             T.StructType.fromDDL("doc_id LONG, text STRING")
@@ -500,7 +498,7 @@ def test_bloom_gate_sink_under_structured_streaming(spark, tmp_path):
         r["doc_id"]
         for r in bloom_gate(
             spark.read.parquet(drop).select(F.col("doc_id")),
-            spark.read.parquet(idx),
+            spark.read.parquet(idx + "/words"),
             key_col="doc_id",
             m_bits=M,
             k_hashes=K,

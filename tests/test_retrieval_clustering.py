@@ -1054,7 +1054,7 @@ def test_text_index_serves_bm25_identically_and_prunes(spark, sf_dir, tmp_path):
     path = str(tmp_path / "tidx")
     build_text_index(docs, path, n_term_buckets=16)
 
-    out = bm25_topk_indexed(spark, path, terms, n_term_buckets=16)
+    out = bm25_topk_indexed(spark, path, terms)
     got = [(r["doc_id"], r["n_terms_hit"], r["score"]) for r in out.collect()]
     want = [
         (r["doc_id"], r["n_terms_hit"], r["score"])
@@ -1092,17 +1092,17 @@ def test_text_index_append_equals_full_rebuild(spark, sf_dir, tmp_path):
     terms = ["the", "data", "quality"]
     inc = str(tmp_path / "inc")
     build_text_index(docs.filter("doc_id % 2 = 0"), inc, n_term_buckets=8)
-    update_text_index(docs.filter("doc_id % 2 = 1"), inc, n_term_buckets=8)
+    update_text_index(docs.filter("doc_id % 2 = 1"), inc)
     full = str(tmp_path / "full")
     build_text_index(docs, full, n_term_buckets=8)
 
     a = [
         tuple(r)
-        for r in bm25_topk_indexed(spark, inc, terms, n_term_buckets=8).collect()
+        for r in bm25_topk_indexed(spark, inc, terms).collect()
     ]
     b = [
         tuple(r)
-        for r in bm25_topk_indexed(spark, full, terms, n_term_buckets=8).collect()
+        for r in bm25_topk_indexed(spark, full, terms).collect()
     ]
     assert a == b and len(a) == 10
 
@@ -1118,9 +1118,9 @@ def test_text_index_empty_query_and_unknown_term(spark, tmp_path):
     )
     path = str(tmp_path / "t")
     build_text_index(docs, path, n_term_buckets=4)
-    assert bm25_topk_indexed(spark, path, [], n_term_buckets=4).count() == 0
+    assert bm25_topk_indexed(spark, path, []).count() == 0
     assert (
-        bm25_topk_indexed(spark, path, ["zzz"], n_term_buckets=4).count() == 0
+        bm25_topk_indexed(spark, path, ["zzz"]).count() == 0
     )
-    one = bm25_topk_indexed(spark, path, ["d"], n_term_buckets=4).collect()
+    one = bm25_topk_indexed(spark, path, ["d"]).collect()
     assert [r["doc_id"] for r in one] == [2]

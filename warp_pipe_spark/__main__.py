@@ -74,13 +74,11 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument(
         "--bloom-index",
         default=None,
-        help="packed bloom-word parquet of a PREVIOUS snapshot's "
-        "doc_ids (datapipe.bloom.build_bloom); enables the stage-0 "
-        "cross-snapshot exact-key gate (drops maybe-members before "
-        "any other stage; size --bloom-m-bits for the fp budget)",
+        help="write_bloom directory of a PREVIOUS snapshot's doc_ids "
+        "(datapipe.bloom.write_bloom — m_bits/k_hashes travel with "
+        "the index); enables the stage-0 cross-snapshot exact-key "
+        "gate (drops maybe-members before any other stage)",
     )
-    cu.add_argument("--bloom-m-bits", type=int, default=1 << 20)
-    cu.add_argument("--bloom-k", type=int, default=4)
     cu.add_argument(
         "--min-line-docs",
         type=int,
@@ -281,8 +279,6 @@ def main(argv: list[str] | None = None, out=None) -> int:
             max_bucket=args.max_bucket,
             keep_best=args.keep_best,
             bloom_index=args.bloom_index,
-            bloom_m_bits=args.bloom_m_bits,
-            bloom_k=args.bloom_k,
             min_line_docs=args.min_line_docs,
             span_ngrams=args.dedup_spans,
             benchmark=bench,

@@ -193,8 +193,55 @@ def packed_bitmap(words: DataFrame, m_bits: int):
     n_words = (m_bits + 63) // 64
     bitmap = np.zeros(n_words, dtype=np.uint64)
     for row in words.toLocalIterator():
+        if row["word_idx"] >= n_words:
+            raise ValueError(
+                f"word_idx {row['word_idx']} outside a {m_bits}-bit "
+                "filter — the word table was built with a larger "
+                "m_bits than the probe was given (use write_bloom/"
+                "read_bloom so the parameters travel with the index)"
+            )
         bitmap[row["word_idx"]] |= np.uint64(row["word"] & 0xFFFFFFFFFFFFFFFF)
     return bitmap
+
+
+def write_bloom(
+    keys: DataFrame,
+    path: str,
+    key_col: str = "key",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> None:
+    """Build AND persist: `<path>/words` holds the packed word table,
+    `<path>/meta` a one-row (m_bits, k_hashes) frame. The parameters
+    TRAVEL WITH the index — a probe re-supplying different values
+    would either silently false-negative (smaller m at probe time:
+    bits land at different positions) or crash (larger stored m:
+    word_idx past the bitmap), so read_bloom is the only sanctioned
+    way to open a persisted filter."""
+    _check_params(m_bits, k_hashes)
+    spark = keys.sparkSession
+    build_bloom(keys, key_col, m_bits, k_hashes).write.mode(
+        "overwrite"
+    ).parquet(path + "/words")
+    spark.createDataFrame(
+        [(m_bits, k_hashes)], "m_bits long, k_hashes long"
+    ).write.mode("overwrite").parquet(path + "/meta")
+
+
+def read_bloom(spark, path: str):
+    """Open a persisted filter: returns (words DataFrame, m_bits,
+    k_hashes) with the build-time parameters, to be passed verbatim to
+    the probes."""
+    meta = spark.read.parquet(path + "/meta").collect()
+    if len(meta) != 1:
+        raise ValueError(
+            f"bloom index at {path} has {len(meta)} meta rows, want 1"
+        )
+    return (
+        spark.read.parquet(path + "/words"),
+        int(meta[0]["m_bits"]),
+        int(meta[0]["k_hashes"]),
+    )
 
 
 def bloom_gate_packed(
@@ -214,7 +261,18 @@ def bloom_gate_packed(
     `words` may be the packed-word DataFrame, a prebuilt
     packed_bitmap ndarray, or an existing pyspark Broadcast of one —
     long-lived callers (BloomGateSink) broadcast ONCE at construction
-    instead of leaking one broadcast per micro-batch."""
+    instead of leaking one broadcast per micro-batch.
+
+    Hash-parity note: the key is rendered to a STRING by Spark's own
+    CAST in a JVM column BEFORE mapInPandas, and the probe hashes that
+    string verbatim. Hashing the raw pandas value instead was a
+    confirmed false-negative bug: one NULL in an Arrow batch coerces
+    an int64 key column to float64, so every key in that batch
+    formats as '123.0' while the filter was built from '123' — and
+    booleans/floats render differently in Python vs Spark even
+    without NULLs. The string column keeps dtype=object with None for
+    NULL, immune to coercion (regression-pinned with a single-
+    partition NULL+int batch in tests)."""
     _check_params(m_bits, k_hashes)
     import numpy as np
     from pyspark.broadcast import Broadcast
@@ -229,38 +287,31 @@ def bloom_gate_packed(
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in batch.schema.fields
     ) + ", maybe_member boolean"
+    key_str = "__wp_bloom_key_str"
+    tagged = batch.withColumn(key_str, F.col(key_col).cast("string"))
 
     def probe(it: Iterator) -> Iterator:
-        import hashlib
-
-        import pandas as pd
+        from warp_pipe_spark.datapipe.text import h32_py
 
         bm = bc.value
         for pdf in it:
-            keys = pdf[key_col]
             verdicts = []
-            for val in keys:
-                if val is None or (isinstance(val, float) and pd.isna(val)):
+            for val in pdf[key_str]:
+                if val is None:
                     verdicts.append(False)
                     continue
                 ok = True
                 for j in range(k_hashes):
-                    h = int(
-                        hashlib.md5(
-                            f"bloom{j}|{val}".encode()
-                        ).hexdigest()[:8],
-                        16,
-                    )
-                    bit = h % m_bits
+                    bit = h32_py(f"bloom{j}|{val}") % m_bits
                     if not (bm[bit // 64] >> np.uint64(bit % 64)) & np.uint64(1):
                         ok = False
                         break
                 verdicts.append(ok)
-            pdf = pdf.copy()
+            pdf = pdf.drop(columns=[key_str])
             pdf["maybe_member"] = verdicts
             yield pdf
 
-    return batch.mapInPandas(probe, out_schema)
+    return tagged.mapInPandas(probe, out_schema)
 
 
 def bloom_gate_verified(

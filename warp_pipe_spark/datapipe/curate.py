@@ -86,8 +86,6 @@ def curate_corpus(
     max_bucket: int = 1000,
     keep_best: bool = False,
     bloom_index: str | None = None,
-    bloom_m_bits: int = 1 << 20,
-    bloom_k: int = 4,
     min_line_docs: int = 0,
     span_ngrams: int = 0,
     benchmark: DataFrame | None = None,
@@ -147,21 +145,26 @@ def curate_corpus(
     # previous snapshot's bloom filter already holds, BEFORE paying
     # any downstream stage — the incremental-crawl economy (the 100 TB
     # prior snapshot rides in as an m_bits/8-byte bitmap, zero
-    # shuffles on this corpus). False positives drop novel docs at
-    # the textbook rate — size m_bits for the fp budget; a
-    # quarantine-instead-of-drop policy is bloom_gate_verified, for
+    # shuffles on this corpus). The index is a write_bloom directory:
+    # m_bits/k_hashes travel with it, never re-supplied (a mismatch
+    # silently false-negatives). False positives drop novel docs at
+    # the textbook rate — size m_bits at build time for the fp budget;
+    # a quarantine-instead-of-drop policy is bloom_gate_verified, for
     # callers that keep the prior key set reachable.
     if bloom_index is not None:
-        from warp_pipe_spark.datapipe.bloom import bloom_gate_packed
+        from warp_pipe_spark.datapipe.bloom import (
+            bloom_gate_packed,
+            read_bloom,
+        )
 
-        words = cur.sparkSession.read.parquet(bloom_index)
+        words, m_bits, k_hashes = read_bloom(cur.sparkSession, bloom_index)
         cur = (
             bloom_gate_packed(
                 cur,
                 words,
                 key_col="doc_id",
-                m_bits=bloom_m_bits,
-                k_hashes=bloom_k,
+                m_bits=m_bits,
+                k_hashes=k_hashes,
             )
             .filter(~F.col("maybe_member"))
             .drop("maybe_member")

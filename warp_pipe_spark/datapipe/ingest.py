@@ -246,10 +246,13 @@ class BloomGateSink(CorpusQualityGateSink):
     quality and DSIR gates; accepted()/rejected()/compact() inherited
     unchanged).
 
-    The packed word table is materialized into the m_bits/8-byte
-    numpy bitmap and broadcast ONCE at construction — a long-lived
-    tail must not re-read the index parquet, rebuild the bitmap, or
-    leak one broadcast per micro-batch. Per-batch cost is a map-side
+    The index is a write_bloom directory — m_bits/k_hashes travel
+    WITH it (re-supplied parameters that disagreed with the build
+    would silently false-negative, the r14 review finding). The
+    packed word table is materialized into the m_bits/8-byte numpy
+    bitmap and broadcast ONCE at construction — a long-lived tail
+    must not re-read the index parquet, rebuild the bitmap, or leak
+    one broadcast per micro-batch. Per-batch cost is a map-side
     numpy probe: ZERO joins, zero shuffles, O(batch) regardless of
     how many billion keys the filter summarizes (bloom.py plan pin).
     No false negatives by construction, so accept/ provably contains
@@ -262,17 +265,13 @@ class BloomGateSink(CorpusQualityGateSink):
         spark: SparkSession,
         base_dir: str,
         index_path: str,
-        m_bits: int,
-        k_hashes: int = 4,
         key_col: str = "doc_id",
     ) -> None:
-        from warp_pipe_spark.datapipe.bloom import packed_bitmap
+        from warp_pipe_spark.datapipe.bloom import packed_bitmap, read_bloom
 
         super().__init__(spark, base_dir)
-        self.m_bits = int(m_bits)
-        self.k_hashes = int(k_hashes)
+        words, self.m_bits, self.k_hashes = read_bloom(spark, index_path)
         self.key_col = key_col
-        words = spark.read.parquet(index_path)
         self._bc = spark.sparkContext.broadcast(
             packed_bitmap(words, self.m_bits)
         )

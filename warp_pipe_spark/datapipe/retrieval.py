@@ -127,14 +127,6 @@ def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
     )
 
 
-def _h32_py(s: str) -> int:
-    """Python replay of text.h32 (first 8 md5 hex chars) for
-    driver-side term→bucket routing."""
-    import hashlib
-
-    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
-
-
 def build_text_index(
     docs: DataFrame, path: str, n_term_buckets: int = 64
 ) -> None:
@@ -157,7 +149,10 @@ def build_text_index(
     bm25_topk's exact arithmetic: n_docs = count(*) over ALL docs
     (NULL text included), avgdl = sum(dl)/count(dl) over tokenized
     rows only, so indexed and non-indexed scores agree bit-for-bit
-    (pytest-pinned)."""
+    (pytest-pinned). n_term_buckets is PERSISTED on every stats row —
+    queries and updates read it from the index instead of trusting a
+    re-supplied parameter, because a modulus mismatch would silently
+    prune the WRONG partition dirs (missing postings, no error)."""
     from warp_pipe_spark.datapipe.text import h32
 
     tokd = _doc_tokens(docs)
@@ -165,7 +160,7 @@ def build_text_index(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("dl_sum"),
         F.count("dl").alias("dl_cnt"),
-    )
+    ).withColumn("n_term_buckets", F.lit(n_term_buckets).cast("long"))
     posts = (
         tokd.select("doc_id", "dl", F.explode("toks").alias("term"))
         .groupBy("doc_id", "dl", "term")
@@ -185,23 +180,46 @@ def build_text_index(
     stats.write.mode("overwrite").parquet(path + "/stats")
 
 
-def update_text_index(
-    new_docs: DataFrame, path: str, n_term_buckets: int = 64
-) -> None:
+def _index_n_buckets(spark, path: str) -> int:
+    """The modulus the index was BUILT with, read from the persisted
+    stats (one tiny parquet read, driver-side): every stats partial
+    carries the same value by construction; a mixed set means someone
+    appended with a different build — refuse loudly rather than prune
+    the wrong dirs."""
+    vals = [
+        r["n_term_buckets"]
+        for r in spark.read.parquet(path + "/stats")
+        .select("n_term_buckets")
+        .distinct()
+        .collect()
+    ]
+    if len(vals) != 1:
+        raise ValueError(
+            f"text index at {path} carries inconsistent n_term_buckets "
+            f"{sorted(vals)} — rebuild with build_text_index"
+        )
+    return int(vals[0])
+
+
+def update_text_index(new_docs: DataFrame, path: str) -> None:
     """Append an ingest batch to a persisted text index: postings, df
     deltas, and stats partials all APPEND into place (the additive
     layout makes the merge a query-time sum) — cost ∝ |batch| tokens,
     the corpus is never re-read. The lexical twin of
-    update_minhash_index / update_ivf_index. After many small appends,
-    io.compact_dataset per bucket dir restores file counts."""
+    update_minhash_index / update_ivf_index. The bucket modulus comes
+    from the index itself (_index_n_buckets) — an append can never
+    write under a different partitioning than the build. After many
+    small appends, io.compact_dataset per bucket dir restores file
+    counts."""
     from warp_pipe_spark.datapipe.text import h32
 
+    n_term_buckets = _index_n_buckets(new_docs.sparkSession, path)
     tokd = _doc_tokens(new_docs)
     stats = tokd.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("dl_sum"),
         F.count("dl").alias("dl_cnt"),
-    )
+    ).withColumn("n_term_buckets", F.lit(n_term_buckets).cast("long"))
     posts = (
         tokd.select("doc_id", "dl", F.explode("toks").alias("term"))
         .groupBy("doc_id", "dl", "term")
@@ -228,7 +246,6 @@ def bm25_topk_indexed(
     k1: float = 1.2,
     b: float = 0.75,
     top_k: int = 10,
-    n_term_buckets: int = 64,
 ) -> DataFrame:
     """BM25 top-k served FROM the persisted index: the query's term
     buckets are computed driver-side (a pure hash of the query — no
@@ -237,12 +254,18 @@ def bm25_topk_indexed(
     tests), and the scoring replays bm25_topk's exact arithmetic over
     the summed additive stats — identical output to the non-indexed
     path over the same corpus (pytest-pinned), at I/O cost
-    ∝ |query's posting lists| instead of |corpus|."""
+    ∝ |query's posting lists| instead of |corpus|. The bucket modulus
+    is read from the index (one tiny stats read) — a caller-supplied
+    value that disagreed with the build would silently prune the
+    wrong dirs."""
+    from warp_pipe_spark.datapipe.text import h32_py
+
     if not query_terms:
         return spark.createDataFrame(
             [], "doc_id long, n_terms_hit long, score double"
         )
-    bks = sorted({_h32_py(t) % n_term_buckets for t in query_terms})
+    n_term_buckets = _index_n_buckets(spark, path)
+    bks = sorted({h32_py(t) % n_term_buckets for t in query_terms})
     post = (
         spark.read.parquet(path + "/postings")
         .filter(F.col("tbucket").isin(bks))

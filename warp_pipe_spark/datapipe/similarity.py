@@ -169,10 +169,9 @@ def plane_sign(i: int, d: int) -> float:
     prefix of "i:d" is even (the same h32 scheme the SQL oracles
     replay). Pure function of (plane, dimension) — no RNG, reproducible
     in any engine."""
-    import hashlib
+    from warp_pipe_spark.datapipe.text import h32_py
 
-    h = int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:8], 16)
-    return 1.0 if h % 2 == 0 else -1.0
+    return 1.0 if h32_py(f"{i}:{d}") % 2 == 0 else -1.0
 
 
 def hyperplane_signatures(

@@ -661,6 +661,16 @@ def h32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def h32_py(s: str) -> int:
+    """Driver/worker-side Python replay of h32 — THE single copy
+    (bloom probes, term→bucket routing, hyperplane signs all route
+    here so a future change to the house hash cannot desynchronize
+    one of several inline replicas)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
 def h60(col: Column) -> Column:
     """60-bit variant (15 hex chars) — collision-safe for fingerprints."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")

@@ -209,6 +209,14 @@ def ts_topk_similar(
     """
     from warp_pipe_spark.datapipe.dedup import bucket_pairs
 
+    # validate BEFORE the checkpoint below pays the full event-log
+    # scan: sax_words' own divisibility check fires only after the
+    # log has already been aggregated (r14 review finding)
+    if not brute and n_bins % segments != 0:
+        raise ValueError(
+            f"ts_topk_similar: n_bins {n_bins} not divisible by "
+            f"{segments} segments — pick n_bins a multiple of segments"
+        )
     # the z-normed series frame is |entities| rows of an n_bins array
     # and feeds FOUR consumers (SAX words + both pair sides + the
     # brute cross) — without pinning, each consumer re-derives the
