@@ -211,3 +211,40 @@ def test_bloom_matches_duckdb_bit_for_bit(spark, ref_keys, batch):
     ).fetchall()]
     assert got_bits == want_bits
     assert got == want
+
+
+def test_update_bloom_append_equals_rebuild(spark, ref_keys, batch, tmp_path):
+    """Append-only maintenance: build on half the keys, update_bloom
+    the other half — BOTH probe paths must return exactly the verdicts
+    of a fresh full build (duplicate word_idx rows from the append OR
+    together in read_bloom), and no reference key may false-negative."""
+    from warp_pipe_spark.datapipe.bloom import (
+        read_bloom,
+        update_bloom,
+        write_bloom,
+    )
+
+    inc = str(tmp_path / "inc")
+    write_bloom(
+        ref_keys.filter("key % 2 = 0"), inc, m_bits=1 << 14, k_hashes=4
+    )
+    update_bloom(ref_keys.filter("key % 2 = 1"), inc)
+    words, m_bits, k_hashes = read_bloom(spark, inc)
+    # the OR-fold leaves unique word_idx rows
+    assert words.groupBy("word_idx").count().filter("count > 1").count() == 0
+
+    full_words = build_bloom(ref_keys, m_bits=1 << 14, k_hashes=4)
+    for gate in (bloom_gate, bloom_gate_packed):
+        got = {
+            r["key"]: r["maybe_member"]
+            for r in gate(batch, words, m_bits=m_bits, k_hashes=k_hashes).collect()
+        }
+        want = {
+            r["key"]: r["maybe_member"]
+            for r in gate(
+                batch, full_words, m_bits=1 << 14, k_hashes=4
+            ).collect()
+        }
+        assert got == want, gate.__name__
+    known = {r["key"] for r in ref_keys.orderBy("key").limit(200).collect()}
+    assert all(got[k] for k in known)

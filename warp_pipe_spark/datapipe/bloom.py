@@ -228,20 +228,45 @@ def write_bloom(
     ).write.mode("overwrite").parquet(path + "/meta")
 
 
-def read_bloom(spark, path: str):
-    """Open a persisted filter: returns (words DataFrame, m_bits,
-    k_hashes) with the build-time parameters, to be passed verbatim to
-    the probes."""
+def _read_meta(spark, path: str) -> tuple[int, int]:
     meta = spark.read.parquet(path + "/meta").collect()
     if len(meta) != 1:
         raise ValueError(
             f"bloom index at {path} has {len(meta)} meta rows, want 1"
         )
-    return (
-        spark.read.parquet(path + "/words"),
-        int(meta[0]["m_bits"]),
-        int(meta[0]["k_hashes"]),
+    return int(meta[0]["m_bits"]), int(meta[0]["k_hashes"])
+
+
+def read_bloom(spark, path: str):
+    """Open a persisted filter: returns (words DataFrame, m_bits,
+    k_hashes) with the build-time parameters, to be passed verbatim to
+    the probes. Appended batches (update_bloom) leave duplicate
+    word_idx rows in the words dataset; they OR together here with one
+    bit_or aggregate over the ≤ m_bits/64-row table, so both probe
+    paths see a unique-word frame."""
+    m_bits, k_hashes = _read_meta(spark, path)
+    words = (
+        spark.read.parquet(path + "/words")
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
     )
+    return words, m_bits, k_hashes
+
+
+def update_bloom(new_keys: DataFrame, path: str, key_col: str = "key") -> None:
+    """Append an ingest batch's keys into a persisted filter — the
+    bloom twin of update_minhash_index / update_ivf_index /
+    update_text_index. Bloom bits are pure-UNION state (no deletes,
+    no counts), so maintenance is a parquet append of the batch's
+    packed words: duplicate word_idx rows across appends OR together
+    at open time (read_bloom's one bit_or aggregate). Cost ∝
+    |batch|·k_hashes; the reference key set is never re-read. The
+    build-time m_bits/k_hashes come from the index meta — a batch can
+    never be hashed under a different geometry than the build."""
+    m_bits, k_hashes = _read_meta(new_keys.sparkSession, path)
+    build_bloom(new_keys, key_col, m_bits, k_hashes).write.mode(
+        "append"
+    ).parquet(path + "/words")
 
 
 def bloom_gate_packed(
