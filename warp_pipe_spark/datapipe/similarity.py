@@ -57,6 +57,58 @@ def topk_cosine(
     )
 
 
+def topk_update(
+    cached: DataFrame,
+    new_vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Incremental EXACT top-k under corpus growth — the EDBT 2020
+    incremental-top-k idea (reuse the previous answer; touch only the
+    delta) re-expressed for the served-similarity table a CDC-fed
+    corpus maintains: when an ingest batch arrives, merge the CACHED
+    per-query top-k with scores against ONLY the new vectors and
+    re-rank. Exactness argument: old vectors' cosines are unchanged,
+    so no old vector outside the cached top-k can enter the new
+    top-k — the cached k rows are a sufficient summary of the entire
+    old corpus. Per-update cost is |queries|·|batch| scoring + a
+    (k+|batch|)-bounded re-rank per query, independent of corpus
+    size; applied per micro-batch it keeps a "similar items" table
+    exact under ingest without ever rescoring the corpus
+    (pytest-pinned equal to a full topk_cosine rebuild, including
+    tie order).
+
+    `cached` is topk_cosine-shaped (query_id, neighbor_id, rank,
+    cos_sim) — pass None-equivalent (empty) for a cold start.
+    Conventions match topk_cosine: query side broadcast, self-matches
+    excluded, ties break by neighbor_id asc on the rounded score."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = new_vectors.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    scored_new = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim", F.round(cosine_v(F.col("q_emb"), F.col("c_emb")), 6)
+        )
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    merged = cached.select("query_id", "neighbor_id", "cos_sim").unionByName(
+        scored_new
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def semantic_decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
