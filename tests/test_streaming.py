@@ -806,3 +806,73 @@ def test_streamed_truncate_clears_state_through_wal2json_stream(spark, tmp_path)
         for r in sink.read_state().select("pk", "val").collect()
     }
     assert got == {(3, "c")}
+
+
+def test_sink_single_write_handles_escaped_table_names(spark, tmp_path):
+    """r14 single-write path: table names containing characters Spark
+    escapes in partition dirs (%XX), plus the empty string (which Spark
+    writes under __HIVE_DEFAULT_PARTITION__), must round-trip through
+    the staging partitionBy + rename into the same per-table version
+    dirs the per-table writer produced."""
+    weird = ["users", "a/b:c", "x=y", "100%", ""]
+    rows = [(i + 1, "INSERT", t, i + 1, f"v{i}") for i, t in enumerate(weird)]
+    sink = ParquetStateSink(spark, str(tmp_path / "state"), pk_cols=["pk"])
+    sink.apply_batch(spark.createDataFrame(rows, SCHEMA), batch_id=0)
+    pointer = sink._read_pointer()
+    assert set(pointer) == set(weird)
+    got = {
+        (r["table_name"], r["pk"], r["val"])
+        for r in sink.read_state().collect()
+    }
+    assert got == {(t, i + 1, f"v{i}") for i, t in enumerate(weird)}
+    # second batch touches a subset: untouched weird-name tables keep
+    # their version dirs, touched ones re-version
+    sink.apply_batch(
+        spark.createDataFrame([(10, "UPDATE", "a/b:c", 2, "v1b")], SCHEMA),
+        batch_id=1,
+    )
+    p1 = sink._read_pointer()
+    assert p1["a/b:c"].endswith("v_1")
+    assert p1["users"] == pointer["users"]
+    assert {
+        (r["table_name"], r["val"])
+        for r in sink.read_state().filter("pk = 2").collect()
+    } == {("a/b:c", "v1b")}
+
+
+def test_batch_stats_matches_apply_batch_derivation(spark, tmp_path):
+    """batch_stats' one-job (touched, max_id, n) must agree with what
+    apply_batch derives itself — including NULL-table rows, which count
+    toward the offset watermark but never into the touched set — and
+    feeding the hint back must produce the identical committed state."""
+    rows = [
+        (1, "INSERT", "users", 1, "a"),
+        (7, "INSERT", None, 9, "poison"),  # null-table: offset-only
+        (3, "INSERT", "pets", 1, "rex"),
+        (5, "UPDATE", "users", 1, "a2"),
+    ]
+    batch = spark.createDataFrame(rows, SCHEMA)
+    plain = ParquetStateSink(spark, str(tmp_path / "plain"), pk_cols=["pk"])
+    hinted = ParquetStateSink(spark, str(tmp_path / "hinted"), pk_cols=["pk"])
+    touched, mx, n = hinted.batch_stats(batch)
+    assert touched == [("pets", None), ("users", None)]
+    assert (mx, n) == (7, 4)
+    plain.apply_batch(batch, batch_id=0)
+    hinted.apply_batch(batch, batch_id=0, touched=touched)
+    as_set = lambda s: {  # noqa: E731
+        (r["table_name"], r["pk"], r["id"], r["val"])
+        for r in s.read_state().collect()
+    }
+    assert as_set(plain) == as_set(hinted)
+    assert plain._read_pointer() == hinted._read_pointer()
+    # bucketed sinks key the touched set by (table, bucket)
+    b = ParquetStateSink(
+        spark, str(tmp_path / "bucketed"), pk_cols=["pk"], n_buckets=4
+    )
+    touched_b, mx_b, n_b = b.batch_stats(batch)
+    assert (mx_b, n_b) == (7, 4)
+    assert all(t in ("pets", "users") and 0 <= bk < 4 for t, bk in touched_b)
+    b.apply_batch(batch, batch_id=0, touched=touched_b)
+    assert {
+        (r["table_name"], r["pk"]) for r in b.read_state().collect()
+    } == {("users", 1), ("pets", 1)}

@@ -26,7 +26,7 @@ import json
 import os
 import shutil
 from collections.abc import Sequence
-from urllib.parse import quote
+from urllib.parse import quote, unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -189,6 +189,11 @@ class ParquetStateSink:
         return F.pmod(F.hash(*[F.col(c) for c in self.pk_cols]), F.lit(self.n_buckets))
 
     BUCKET_PART = "_wpb"  # partition-dir column for bucketed writes
+    TABLE_PART = "_wpt"  # staging partition-dir column (one write/batch)
+    #: Spark writes null/empty partition values under this marker dir.
+    #: table_name NULL rows are filtered before the write, so within a
+    #: staging dir the marker can only mean the empty-string table.
+    HIVE_DEFAULT = "__HIVE_DEFAULT_PARTITION__"
 
     def _key(self, table: str, bucket: "int | None") -> str:
         return table if bucket is None else f"{table}#b{bucket}"
@@ -235,7 +240,47 @@ class ParquetStateSink:
             return None
         return self._read_tables(sorted(pointer.values()))
 
-    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+    def batch_stats(
+        self, batch: DataFrame
+    ) -> "tuple[list[tuple[str, int | None]], int | None, int]":
+        """ONE Spark job serving the poller AND the sink's own planning:
+        per-(table[, bucket]) max-id/row-count over `batch`. Returns
+        (touched, max_id, n_rows) where `touched` is exactly the set
+        apply_batch would derive from its distinct-collect (NULL-table
+        rows excluded — the sink skips them) while max_id/n_rows cover
+        EVERY batch row with a non-null id (the poller's offset must
+        advance past rows the sink cannot apply, or a poison row would
+        stall the tail forever). Callers that feed the result straight
+        back as apply_batch(touched=...) save one full pass over the
+        batch per micro-batch — the keyset poller's round cost was two
+        batch scans (offset agg + touched distinct) plus the write."""
+        cols = [F.col(self.table_col).alias("_t")]
+        if self.n_buckets:
+            cols.append(self._bucket_col().alias("_b"))
+        rows = (
+            batch.groupBy(*cols)
+            .agg(
+                F.max(F.col(self.id_col)).alias("_mx"),
+                F.count(F.col(self.id_col)).alias("_n"),
+            )
+            .collect()
+        )
+        touched = sorted(
+            (r["_t"], int(r["_b"]) if self.n_buckets else None)
+            for r in rows
+            if r["_t"] is not None
+        )
+        mxs = [r["_mx"] for r in rows if r["_mx"] is not None]
+        return touched, (max(mxs) if mxs else None), int(
+            sum(r["_n"] for r in rows)
+        )
+
+    def apply_batch(
+        self,
+        batch: DataFrame,
+        batch_id: int,
+        touched: "list[tuple[str, int | None]] | None" = None,
+    ) -> None:
         pointer = self._read_pointer()
         if pointer is None:
             # commit an EMPTY pointer before the first version dirs are
@@ -264,20 +309,23 @@ class ParquetStateSink:
                 .distinct()
                 .collect()
             }
-        if self.n_buckets:
-            touched = sorted(
-                (r[0], int(r[1]))
-                for r in batch.select(
-                    self.table_col, self._bucket_col().alias("_b")
+        if touched is None:
+            # no caller-supplied hint (batch_stats on the SAME batch) —
+            # derive the touched set with one distinct-collect
+            if self.n_buckets:
+                touched = sorted(
+                    (r[0], int(r[1]))
+                    for r in batch.select(
+                        self.table_col, self._bucket_col().alias("_b")
+                    )
+                    .distinct()
+                    .collect()
                 )
-                .distinct()
-                .collect()
-            )
-        else:
-            touched = sorted(
-                (r[0], None)
-                for r in batch.select(self.table_col).distinct().collect()
-            )
+            else:
+                touched = sorted(
+                    (r[0], None)
+                    for r in batch.select(self.table_col).distinct().collect()
+                )
         if truncated:
             # a truncate must clear EVERY committed bucket of its
             # table, including ones no batch row hashes into — widen
@@ -304,50 +352,56 @@ class ParquetStateSink:
         new_state = merge_batch(
             state, batch, self.pk_cols, self.id_col, self.kind_col,
             self.table_col, truncate_kinds=self.truncate_kinds,
-        ).persist()
-        try:
-            new_pointer = dict(pointer)
-            # ONE write job per touched table (partitionBy lays every
-            # touched bucket under the table's version dir) — per-batch
-            # job count is O(touched tables), not O(touched buckets),
-            # which is the difference between 5 and 160 sequential jobs
-            # for a 5-table batch over 32 buckets
-            by_table: dict[str, list[int | None]] = {}
-            for t, b in touched:
-                by_table.setdefault(t, []).append(b)
-            for t in sorted(by_table):
-                part = new_state.filter(F.col(self.table_col) == t)
-                vdir = self._table_rel(t, batch_id)
-                out = os.path.join(self.state_dir, vdir)
-                if self.n_buckets:
-                    bs = by_table[t]
-                    part = part.filter(self._bucket_col().isin(bs)).withColumn(
-                        self.BUCKET_PART, self._bucket_col()
-                    )
-                    part.write.mode("overwrite").partitionBy(
-                        self.BUCKET_PART
-                    ).parquet(out)
-                    for b in bs:
-                        rel = self._table_rel(t, batch_id, b)
-                        if os.path.isdir(os.path.join(self.state_dir, rel)):
-                            new_pointer[self._key(t, b)] = rel
-                        else:
-                            # every row in the bucket was deleted: no
-                            # partition dir was written — empty state is
-                            # NO pointer entry (a dir with no parquet
-                            # files would be unreadable on restart)
-                            new_pointer.pop(self._key(t, b), None)
-                else:
-                    part.write.mode("overwrite").parquet(out)
-                    if any(
-                        f.endswith(".parquet") for f in os.listdir(out)
-                    ):
-                        new_pointer[t] = vdir
-                    else:
-                        new_pointer.pop(t, None)
-            self._commit_pointer(new_pointer, batch_id)
-        finally:
-            new_state.unpersist()
+        )
+        # ONE write job per micro-batch, whatever it touches (r14; the
+        # r13 shape was one job per touched TABLE, and before that one
+        # per touched bucket): the merged state — which by construction
+        # contains exactly the touched tables/buckets — is laid down in
+        # a single partitionBy(_wpt[, _wpb]) write into a staging dir,
+        # then each `_wpt=<table>` subtree is renamed to the table's
+        # version dir. Steady micro-batch latency on this path is
+        # dominated by fixed per-job cost (task dispatch + commit
+        # protocol), so a 5-table batch was paying 5× it for no extra
+        # bytes; same-filesystem renames are metadata-only. The
+        # duplicated `_wpt` partition column (the table column stays a
+        # DATA column) keeps the files byte-compatible with the r13
+        # layout — readers are unchanged. Because the single write is
+        # the only action on `new_state`, the merge no longer needs a
+        # persist/unpersist bracket.
+        new_pointer = dict(pointer)
+        staging = os.path.join(self.state_dir, f"_staging.{batch_id}")
+        shutil.rmtree(staging, ignore_errors=True)
+        part_cols = [self.TABLE_PART]
+        out = new_state.withColumn(self.TABLE_PART, F.col(self.table_col))
+        if self.n_buckets:
+            out = out.withColumn(self.BUCKET_PART, self._bucket_col())
+            part_cols.append(self.BUCKET_PART)
+        out.write.mode("overwrite").partitionBy(*part_cols).parquet(staging)
+        written: set[str] = set()
+        for d in os.listdir(staging):
+            if not d.startswith(self.TABLE_PART + "="):
+                continue  # _SUCCESS etc.
+            enc = d[len(self.TABLE_PART) + 1:]
+            t = "" if enc == self.HIVE_DEFAULT else unquote(enc)
+            written.add(t)
+            vdir = os.path.join(self.state_dir, self._table_rel(t, batch_id))
+            os.makedirs(os.path.dirname(vdir), exist_ok=True)
+            shutil.rmtree(vdir, ignore_errors=True)  # redelivered batch_id
+            os.replace(os.path.join(staging, d), vdir)
+        shutil.rmtree(staging, ignore_errors=True)
+        for t, b in touched:
+            rel = self._table_rel(t, batch_id, b)
+            if t in written and (
+                b is None or os.path.isdir(os.path.join(self.state_dir, rel))
+            ):
+                new_pointer[self._key(t, b)] = rel
+            else:
+                # every row of the table/bucket was deleted: no
+                # partition dir was written — empty state is NO pointer
+                # entry (a dir with no parquet files would be
+                # unreadable on restart)
+                new_pointer.pop(self._key(t, b), None)
+        self._commit_pointer(new_pointer, batch_id)
         if self.retain_history:
             # history entry AFTER the commit point: a crash between the
             # two leaves the newest commit missing from the log (asof
@@ -490,14 +544,18 @@ class KeysetPoller:
         last = self.committed_offset()
         batch = self.fetch(self.spark, last, self.limit).persist()
         try:
-            top = batch.agg(F.max("id").alias("mx"), F.count("id").alias("n")).first()
-            if top["mx"] is None:
+            # one job yields the offset watermark AND the sink's
+            # touched set (r14: the separate max/count agg plus the
+            # sink's distinct-collect were two full batch passes of
+            # pure fixed job cost per round)
+            touched, mx, n = self.sink.batch_stats(batch)
+            if mx is None:
                 return 0
             # high-watermark id doubles as the sink's version tag —
             # monotone per keyset contract, stable across redelivery
-            self.sink.apply_batch(batch, batch_id=int(top["mx"]))
-            self._commit_offset(int(top["mx"]))
-            return int(top["n"])
+            self.sink.apply_batch(batch, batch_id=int(mx), touched=touched)
+            self._commit_offset(int(mx))
+            return n
         finally:
             batch.unpersist()
 
