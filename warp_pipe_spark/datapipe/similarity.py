@@ -384,83 +384,87 @@ def nn_descent(
         & F.exists("embedding", lambda x: x != 0)
     )
 
-    def _score_topk(cand: DataFrame) -> DataFrame:
-        # score + per-query top-k in ONE cogrouped Arrow pass: the
-        # candidate rows carry only the NEIGHBOR vector (one hash
-        # join); the query vector arrives once per group through the
-        # cogroup's right side instead of being joined onto every
-        # candidate row — half the Arrow bytes of the
-        # join-both-sides + Window formulation this replaced, and the
-        # k_build truncation happens in the same pass (no separate
-        # vec_id exchange for row_number). Per-group state is one
-        # query's candidate block (≤ ~k_build² rows), never the
-        # corpus. Arithmetic is the exact cosine_v einsum (same call,
-        # same shapes, float64), rounding and (−cos, nbr_id) ordering
-        # identical to the old window — results are unchanged.
-        c = emb.select(
-            F.col("vec_id").alias("_cid"), F.col("embedding").alias("_ce")
+    def _score_topk(
+        up: DataFrame, directed: "DataFrame | None" = None
+    ) -> DataFrame:
+        # r14 rework: hash joins + ONE batched einsum (cosine_v) + one
+        # k-bounded window replaces a cogrouped applyInPandas that
+        # invoked a scoring function once per vec_id GROUP — ~n Python
+        # calls and n tiny Arrow batches per pass dominated the pass at
+        # any corpus size, since per-group candidate blocks are only
+        # ≤ k_build² rows. The top-k truncation now runs as
+        # WindowGroupLimit (partial map-side top-k before the
+        # exchange); rounding is identical and ties order by
+        # (−cos, nbr_id) exactly as the per-group lexsort did. Outputs
+        # verified BIT-identical against the cogroup form at all three
+        # testdata SFs for every in-repo (k, iters, k_build) config.
+        # SYMMETRY DEDUP: cos(a,b) is BITWISE equal to cos(b,a) —
+        # elementwise products commute exactly in IEEE754, the j-order
+        # of each row reduction is unchanged, and na·nb == nb·na. So
+        # each UNORDERED pair crosses the Python boundary and pays the
+        # einsum once (half the dominant cost of the pass). `up` is the
+        # distinct unordered pair set; `directed` (when given) is the
+        # RAW directed candidate row set — possibly with duplicates —
+        # that restricts the mirrored scores via one narrow LEFT SEMI
+        # join (semi never multiplies, so the caller skips its own
+        # distinct). directed=None asserts the candidate set IS the
+        # mirror of `up` (true for the LSH seed, which is symmetric by
+        # construction — the seed pass then scores the banding pairs
+        # directly, no directed frame is ever built).
+        lo_e = emb.select(
+            F.col("vec_id").alias("_lo"), F.col("embedding").alias("_le")
         )
-        withc = cand.join(c, cand["nbr_id"] == c["_cid"]).select(
-            "vec_id", "nbr_id", "_ce"
+        hi_e = emb.select(
+            F.col("vec_id").alias("_hi"), F.col("embedding").alias("_he")
         )
-
-        def score_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-            if left.empty or right.empty:
-                return pd.DataFrame(
-                    {"vec_id": [], "nbr_id": [], "rank": [], "cos_sim": []}
-                ).astype(
-                    {
-                        "vec_id": "int64",
-                        "nbr_id": "int64",
-                        "rank": "int32",
-                        "cos_sim": "float64",
-                    }
-                )
-            A = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in left["_ce"]]
+        ps = (
+            up.join(hi_e, "_hi")
+            .join(lo_e, "_lo")
+            .select(
+                "_lo",
+                "_hi",
+                F.round(cosine_v(F.col("_le"), F.col("_he")), 6).alias(
+                    "cos_sim"
+                ),
             )
-            q = np.asarray(
-                right["embedding"].iloc[0], dtype=np.float64
+        )
+        both = ps.select(
+            F.col("_lo").alias("vec_id"),
+            F.col("_hi").alias("nbr_id"),
+            "cos_sim",
+        ).union(
+            ps.select(
+                F.col("_hi").alias("vec_id"),
+                F.col("_lo").alias("nbr_id"),
+                "cos_sim",
             )
-            Q = np.broadcast_to(q, A.shape)
-            dot = np.einsum("ij,ij->i", A, Q)
-            na = np.sqrt(np.einsum("ij,ij->i", A, A))
-            nq = np.sqrt(np.einsum("ij,ij->i", Q, Q))
-            cos = np.round(dot / (na * nq), 6)
-            nbr = left["nbr_id"].to_numpy()
-            order = np.lexsort((nbr, -cos))[:k_build]
-            return pd.DataFrame(
-                {
-                    "vec_id": left["vec_id"].to_numpy()[order],
-                    "nbr_id": nbr[order],
-                    "rank": np.arange(1, len(order) + 1, dtype=np.int32),
-                    "cos_sim": cos[order],
-                }
-            )
-
+        )
+        scored = (
+            both
+            if directed is None
+            else both.join(directed, ["vec_id", "nbr_id"], "left_semi")
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("cos_sim").desc(), F.col("nbr_id").asc()
+        )
         return (
-            withc.groupBy("vec_id")
-            .cogroup(emb.groupBy("vec_id"))
-            .applyInPandas(
-                score_group,
-                schema="vec_id LONG, nbr_id LONG, rank INT, cos_sim DOUBLE",
+            scored.withColumn(
+                "rank", F.row_number().over(w).cast("int")
             )
+            .filter(F.col("rank") <= k_build)
+            .select("vec_id", "nbr_id", "rank", "cos_sim")
         )
 
+    # the banding pairs ARE the seed's unordered candidate set
+    # (vec_a < vec_b, distinct): the mirror-union + distinct the seed
+    # pass used to build — a full shuffle of 2× the pair rows — never
+    # needs to exist
     pairs = hyperplane_lsh_pairs(emb, n_planes, n_bands)
-    seed = (
+    graph = _score_topk(
         pairs.select(
-            F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("nbr_id")
+            F.col("vec_a").alias("_lo"), F.col("vec_b").alias("_hi")
         )
-        .union(
-            pairs.select(
-                F.col("vec_b").alias("vec_id"),
-                F.col("vec_a").alias("nbr_id"),
-            )
-        )
-        .distinct()
-    )
-    graph = _score_topk(seed).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
     for _ in range(iters):
         sym = graph.select("vec_id", "nbr_id").union(
             graph.select(
@@ -480,8 +484,16 @@ def nn_descent(
             )
             .filter(F.col("vec_id") != F.col("nbr_id"))
         )
-        cand = non.union(graph.select("vec_id", "nbr_id")).distinct()
-        graph = _score_topk(cand).localCheckpoint(eager=True)
+        # raw union (duplicates welcome): the unordered distinct below
+        # and the left-semi restriction inside _score_topk are the only
+        # dedups the pass needs — the old cand.distinct() was a third
+        # full shuffle of the same ~n·k² rows
+        cand = non.union(graph.select("vec_id", "nbr_id"))
+        up = cand.select(
+            F.least("vec_id", "nbr_id").alias("_lo"),
+            F.greatest("vec_id", "nbr_id").alias("_hi"),
+        ).distinct()
+        graph = _score_topk(up, directed=cand).localCheckpoint(eager=True)
     return graph.filter(F.col("rank") <= k)
 
 
