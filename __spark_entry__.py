@@ -2873,20 +2873,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "neighbor_id"
         )
         keys = ["query_id", "neighbor_id"]
-        t = truth.agg(F.count("*").cast("long").alias("n_truth"))
-        h1 = truth.join(ivf, keys, "left_semi").agg(
-            F.count("*").cast("long").alias("ivf_hit")
-        )
-        h2 = truth.join(ivfpq, keys, "left_semi").agg(
-            F.count("*").cast("long").alias("ivfpq_hit")
-        )
-        h3 = truth.join(ivfpq16, keys, "left_semi").agg(
-            F.count("*").cast("long").alias("ivfpq16_hit")
+        # r14 plan restructure: the four counts come out of ONE pass.
+        # The previous shape aggregated truth once and semi-joined it
+        # against each approximate path separately — Catalyst reuses
+        # none of those subtrees (different output partitionings), so
+        # the truth pipeline executed 4x and the plan carried 110
+        # Exchanges. Three LEFT joins onto marker columns + one global
+        # aggregate compute the identical counts (top-k outputs are
+        # unique per (query, neighbor) by construction — rank is a
+        # row_number — so left-join multiplicity is exactly 1 and
+        # count(marker) == the semi-join count).
+        j = (
+            truth.join(ivf.withColumn("_h1", F.lit(1)), keys, "left")
+            .join(ivfpq.withColumn("_h2", F.lit(1)), keys, "left")
+            .join(ivfpq16.withColumn("_h3", F.lit(1)), keys, "left")
         )
         return (
-            t.crossJoin(h1)
-            .crossJoin(h2)
-            .crossJoin(h3)
+            j.agg(
+                F.count("*").cast("long").alias("n_truth"),
+                F.count("_h1").cast("long").alias("ivf_hit"),
+                F.count("_h2").cast("long").alias("ivfpq_hit"),
+                F.count("_h3").cast("long").alias("ivfpq16_hit"),
+            )
             .select(
                 "n_truth",
                 "ivf_hit",
@@ -2929,16 +2937,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_a", "doc_b"
         )
         cand = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
-        hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
-        t = truth.agg(F.count("*").cast("long").alias("n_truth"))
-        c = cand.agg(F.count("*").cast("long").alias("n_candidates"))
-        h = hit.agg(F.count("*").cast("long").alias("n_hit"))
+        # r14 plan restructure: one FULL OUTER join + one aggregate
+        # replace three independent aggregations (truth count, cand
+        # count, semi-join hit count) that each re-executed their
+        # entire pair pipeline — truth 2x, cand 2x, 72 Exchanges in
+        # the old plan. Both pair sets are distinct (a < b) by
+        # construction, so presence markers count exactly what the
+        # separate aggregates counted.
+        j = truth.withColumn("_t", F.lit(1)).join(
+            cand.withColumn("_c", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
+        )
         micro = lambda num, den: F.when(  # noqa: E731
             F.col(den) > 0, F.expr(f"({num} * 1000000) div {den}")
         )
         return (
-            t.crossJoin(c)
-            .crossJoin(h)
+            j.agg(
+                F.count("_t").cast("long").alias("n_truth"),
+                F.count("_c").cast("long").alias("n_candidates"),
+                F.count(
+                    F.when(
+                        F.col("_t").isNotNull() & F.col("_c").isNotNull(), 1
+                    )
+                )
+                .cast("long")
+                .alias("n_hit"),
+            )
             .select(
                 "n_truth",
                 "n_candidates",

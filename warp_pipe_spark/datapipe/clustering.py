@@ -194,8 +194,16 @@ def semdedup_pairs(
     cluster is visible in the cluster-size histogram before paying the
     join."""
     # keep_vector avoids a full-corpus re-join on vec_id solely to
-    # recover the vector column the final assignment already carried
-    assigned = kmeans_assign(embeddings, k=k, iters=iters, keep_vector=True)
+    # recover the vector column the final assignment already carried.
+    # localCheckpoint (r14): both sides of the cluster self-join read
+    # `assigned` — without the pin the whole kmeans assignment pipeline
+    # (scan + broadcast-centroid join + distance eval) executes twice,
+    # as two mirrored subtrees in the plan. Lazy: materializes on first
+    # use, computed once, lineage cut; values are deterministic so the
+    # pin moves cost, never results.
+    assigned = kmeans_assign(
+        embeddings, k=k, iters=iters, keep_vector=True
+    ).localCheckpoint(eager=False)
     a = assigned.select(
         "cluster", F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
     )
