@@ -390,13 +390,28 @@ def pagerank(
     trans = edges.join(out_w, "src").select(
         "src", "dst", (F.col("weight") / F.col("out_w")).alias("p")
     ).localCheckpoint(eager=False)
-    has_out = out_w.select(F.col("src").alias("node"), F.lit(1).alias("has_out"))
+    # DANGLING NODE SET, computed once (r14): the previous shape
+    # rebuilt has_out from `edges` INSIDE every iteration's dangling
+    # aggregate — under AQE each exchange of that re-mined subtree runs
+    # as its own query-stage job, and the edge-mining pipeline (for the
+    # event graph: a full user-keyed window over the log) re-executed
+    # per iteration. The set is iteration-invariant; pin it.
+    dangling = nodes.join(
+        out_w.select(F.col("src").alias("node")), "node", "left_anti"
+    ).localCheckpoint(eager=False)
     pr = nodes.select("node", F.lit(round(1.0 / n, round_dp)).alias("pr"))
     for _ in range(iters):
-        dang = (
-            pr.join(has_out, "node", "left")
-            .filter(F.col("has_out").isNull())
+        # dangling mass as a DRIVER SCALAR (one double per iteration):
+        # the broadcast-join form paid a broadcast-exchange job per
+        # iteration to ship the same single number. first()[0] yields
+        # the exact double Spark computed, and lit(dm) / n replays the
+        # identical float division the broadcast column fed — verified
+        # bit-identical end to end. The eager evaluation this forces
+        # per iteration was already forced by the broadcast build.
+        dm = (
+            pr.join(F.broadcast(dangling), "node", "left_semi")
             .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dmass"))
+            .first()[0]
         )
         contrib = (
             pr.join(trans, pr["node"] == trans["src"])
@@ -405,13 +420,15 @@ def pagerank(
         )
         pr = (
             nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
-            .join(F.broadcast(dang))
             .select(
                 "node",
                 F.round(
                     F.lit((1.0 - damping) / n)
                     + damping
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dmass") / n),
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.lit(dm) / n
+                    ),
                     round_dp,
                 ).alias("pr"),
             )
