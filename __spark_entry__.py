@@ -738,7 +738,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # idle reference
         base = scratch_dir("wp_keyset_")
         sink = ParquetStateSink(spark, os.path.join(base, "state"), pk_cols=["pk"])
-        cs = _cs(spark, sf)
+        # materialize the derived log ONCE (r14): every poll round's
+        # keyset fetch re-ran the events-explode derivation just to
+        # sort-and-slice it — ~9 re-derivations per soak. A real tail
+        # polls a STORED log (parquet dir, audit table), so the
+        # one-time pin is the production shape, not a shortcut; the
+        # derivation is deterministic either way.
+        cs = _cs(spark, sf).localCheckpoint(eager=True)
         # scale-aware batch size: ~8 poll rounds at ANY SF (still
         # multi-round, so offset commit/resume is exercised), instead
         # of a fixed 4000 whose round count — and with it the
@@ -3100,7 +3106,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from warp_pipe_spark.streaming import ParquetStateSink
 
-        cs = _cs(spark, sf)
+        # one materialization feeds the max-id probe and all three
+        # tercile batches (r14) — the unpinned form re-ran the
+        # events-explode derivation four times
+        cs = _cs(spark, sf).localCheckpoint(eager=True)
         max_id = cs.agg(F.max("id")).first()[0]
         cut1, cut2 = max_id // 3, (2 * max_id) // 3
         base = tempfile.mkdtemp(prefix="wp_asof_")

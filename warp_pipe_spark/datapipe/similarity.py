@@ -241,7 +241,8 @@ def hyperplane_signatures(
     |dot| > 1e-5. Replaces n_planes interpreted aggregate/zip_with
     folds (~2·n_planes·dim lambda invocations per row) with BLAS.
     """
-    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.functions import arrow_udf
+    from pyspark.sql.types import LongType
 
     if dim is None:
         row = embeddings.select(F.size("embedding").alias("d")).first()
@@ -256,11 +257,24 @@ def hyperplane_signatures(
     )
     weights = (1 << np.arange(n_planes)).astype(np.int64)
 
-    @pandas_udf("long")
-    def sig_udf(emb: pd.Series) -> pd.Series:
-        v = np.stack([np.asarray(e, dtype=np.float64) for e in emb])
+    # r14: Arrow-native batches — the (n, d) matrix is a zero-copy
+    # reshape of the list buffer (see dedup._arrow_list_matrix) instead
+    # of a per-row np.asarray+np.stack loop; identical matmul on an
+    # identical float64 matrix, so the packed bits cannot differ.
+    @arrow_udf(LongType())
+    def sig_udf(emb):
+        import pyarrow as pa
+
+        from warp_pipe_spark.datapipe.dedup import _arrow_list_matrix
+
+        v = _arrow_list_matrix(emb)
+        if v is None:
+            rows = [np.asarray(e, dtype=np.float64) for e in emb.to_pandas()]
+            if not rows:
+                return pa.array([], type=pa.int64())
+            v = np.stack(rows)
         bits = (v @ planes) > 0
-        return pd.Series(bits @ weights)
+        return pa.array(bits @ weights, type=pa.int64())
 
     return embeddings.select("vec_id", sig_udf(F.col("embedding")).alias("sig"))
 
