@@ -54,6 +54,7 @@ from warp_pipe_spark.io import (
     CHANGESETS_CTE,
     changesets_as_audit_log,
     derive_changesets,
+    explode_nonnull,
     read_table,
 )
 from warp_pipe_spark.store import ChangesetStore
@@ -2270,9 +2271,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         per partition BEFORE the single-row exchange) — the same shape
         as events_topk_users, linear at any corpus size."""
         docs = _docs(spark, sf)
-        tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w")).filter(
-            F.col("w") != ""
-        )
+        tok = explode_nonnull(docs, F.split("text", " "), "w").select(
+            "doc_id", "w"
+        ).filter(F.col("w") != "")
         per = tok.groupBy("w").agg(
             F.count("*").cast("long").alias("n_occ"),
             F.count_distinct("doc_id").cast("long").alias("n_docs"),
@@ -2293,8 +2294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         a broadcast at any corpus scale — AQE picks it; no hint needed.
         Integer-exact micro fractions."""
         docs = _docs(spark, sf)
-        tok = docs.select(
-            "doc_id", F.explode(F.split("text", " ")).alias("w")
+        tok = explode_nonnull(docs, F.split("text", " "), "w").select(
+            "doc_id", "w"
         ).filter(F.col("w") != "")
         per = tok.groupBy("w").agg(F.count("*").alias("n_occ"))
         win = Window.orderBy(F.col("n_occ").desc(), F.col("w").asc())
@@ -2527,12 +2528,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from warp_pipe_spark.datapipe.text import h60, shingles
 
         docs = _docs(spark, sf)
-        sh = docs.select(
-            "doc_id",
-            F.explode(
-                F.transform(shingles(F.col("text"), 8), lambda s: h60(s))
-            ).alias("h"),
-        )
+        sh = explode_nonnull(
+            docs,
+            F.transform(shingles(F.col("text"), 8), lambda s: h60(s)),
+            "h",
+        ).select("doc_id", "h")
         # occ compresses repeated positions of the same 8-gram within
         # one doc; rows after this never exceed distinct (h, doc) pairs
         occ = sh.groupBy("h", "doc_id").agg(F.count("*").cast("long").alias("occ"))
@@ -2563,14 +2563,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from warp_pipe_spark.datapipe.text import h60, shingles
 
         docs = _docs(spark, sf)
-        sh = lambda d: d.select(  # noqa: E731
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(shingles(F.col("text"), 5), lambda s: h60(s))
-                )
-            ).alias("h"),
-        )
+        sh = lambda d: explode_nonnull(  # noqa: E731
+            d,
+            F.array_distinct(
+                F.transform(shingles(F.col("text"), 5), lambda s: h60(s))
+            ),
+            "h",
+        ).select("doc_id", "h")
         esh = sh(docs.filter(F.col("doc_id") < 50))
         tsh = sh(docs.filter(F.col("doc_id") >= 50)).select("h").distinct()
         base = esh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))

@@ -85,13 +85,15 @@ def bloom_bits(
     (unpacked) form the DuckDB oracle probes directly. Returns
     (bit BIGINT)."""
     _check_params(m_bits, k_hashes)
+    from warp_pipe_spark.io import explode_nonnull
+
     return (
-        keys.filter(F.col(key_col).isNotNull())
-        .select(
-            F.explode(_bit_cols(F.col(key_col), m_bits, k_hashes)).alias(
-                "bit"
-            )
+        explode_nonnull(
+            keys.filter(F.col(key_col).isNotNull()),
+            _bit_cols(F.col(key_col), m_bits, k_hashes),
+            "bit",
         )
+        .select("bit")
         .distinct()
     )
 
@@ -144,14 +146,13 @@ def bloom_gate(
     # distinct keys first: a key appearing twice in the batch would
     # otherwise contribute 2k probe rows and count(hit) == k could
     # never hold for it
+    from warp_pipe_spark.io import explode_nonnull
+
     probes = (
-        batch.select(key_col)
-        .distinct()
-        .select(
-            key_col,
-            F.explode(_bit_cols(F.col(key_col), m_bits, k_hashes)).alias(
-                "bit"
-            ),
+        explode_nonnull(
+            batch.select(key_col).distinct(),
+            _bit_cols(F.col(key_col), m_bits, k_hashes),
+            "bit",
         )
         .select(
             key_col,

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from warp_pipe_spark.datapipe.text import h32, h60, shingles
+from warp_pipe_spark.io import explode_nonnull
 
 # MinHash universal-hash params: h_j(x) = (A[j]*x + B[j]) mod P.
 # P = 2^31-1 (Mersenne prime); A odd primes < 2^30 so A*x < 2^62.
@@ -132,7 +133,7 @@ def bucket_pairs(
         )
     )
     return (
-        buckets.select(F.explode(pair_arr).alias("p"))
+        explode_nonnull(buckets, pair_arr, "p")
         .select(F.col(f"p.{a_name}").alias(a_name), F.col(f"p.{b_name}").alias(b_name))
         .distinct()
     )
@@ -188,7 +189,9 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     projection. One token-level shuffle + one doc-level shuffle; the
     shuffle row count never exceeds the distinct (doc, token) pairs
     (the old shape exploded that ×bits — 32× the exchange volume)."""
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tok = explode_nonnull(docs, F.split("text", " "), "w").select(
+        "doc_id", "w"
+    )
     cnt = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
     cnt = cnt.withColumn("h", h32(F.col("w")))
     bit_aggs = [
@@ -274,18 +277,20 @@ def _shingle_pair_counts(
         # the filtered sets; the doc_id-keyed size join happens before
         # postings are built, so nothing downstream changes shape.
         kept = drop_hot_buckets(
-            arr.select("doc_id", F.explode("sh_arr").alias("shingle")),
+            explode_nonnull(arr, F.col("sh_arr"), "shingle").select(
+                "doc_id", "shingle"
+            ),
             ["shingle"],
             max_doc_freq,
         )
         sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
         sh = kept.join(sizes, "doc_id").select("doc_id", "n_sh", "shingle")
     else:
-        sh = arr.select(
-            "doc_id",
-            F.size("sh_arr").alias("n_sh"),
-            F.explode("sh_arr").alias("shingle"),
-        )
+        sh = explode_nonnull(
+            arr.withColumn("n_sh", F.size("sh_arr")),
+            F.col("sh_arr"),
+            "shingle",
+        ).select("doc_id", "n_sh", "shingle")
     # ONE shuffle keyed by shingle hash, then emit the i<j doc pairs
     # inside each posting list — half the exchanges of the equivalent
     # self-join (which shuffles the exploded table twice). sort_array on
@@ -312,7 +317,7 @@ def _shingle_pair_counts(
     # na/nb are functionally dependent on doc_a/doc_b, so folding them
     # into the grouping key adds no groups.
     inter = (
-        buckets.select(F.explode(pair_arr).alias("p"))
+        explode_nonnull(buckets, pair_arr, "p")
         .groupBy(
             F.col("p.doc_a").alias("doc_a"),
             F.col("p.doc_b").alias("doc_b"),
@@ -504,7 +509,9 @@ def jaccard_pairs_prefix(
     # round up to t — so candidate generation is complete for every
     # pair the verification step would keep, not just for true-J >= t.
     t_eff = max(threshold - 1e-6, 1e-12)
-    ex = arr.select("doc_id", "n_sh", F.explode("sh_arr").alias("s"))
+    ex = explode_nonnull(arr, F.col("sh_arr"), "s").select(
+        "doc_id", "n_sh", "s"
+    )
     freq = ex.groupBy("s").agg(F.count("*").alias("df"))
     # canonical total order: ascending corpus doc_freq, hash tiebreak —
     # identical for every document, which the completeness proof needs
@@ -1041,17 +1048,21 @@ def decontaminate(
     broadcast_benchmark=False for a pathologically large benchmark to
     fall back to a shuffled join AQE can re-plan."""
     bench_grams = (
-        _hashed_shingle_arrays(
-            benchmark.select(F.col("doc_id"), F.col("text")), n
+        explode_nonnull(
+            _hashed_shingle_arrays(
+                benchmark.select(F.col("doc_id"), F.col("text")), n
+            ),
+            F.col("sh_arr"),
+            "h",
         )
-        .select(F.explode("sh_arr").alias("h"))
+        .select("h")
         .distinct()
     )
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
-    doc_grams = _hashed_shingle_arrays(docs, n).select(
-        "doc_id", F.explode("sh_arr").alias("h")
-    )
+    doc_grams = explode_nonnull(
+        _hashed_shingle_arrays(docs, n), F.col("sh_arr"), "h"
+    ).select("doc_id", "h")
     flagged = (
         doc_grams.join(bench_grams, "h")
         .groupBy("doc_id")

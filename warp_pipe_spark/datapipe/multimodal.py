@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from warp_pipe_spark.io import fan_out
+from warp_pipe_spark.io import explode_nonnull, fan_out
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -983,9 +983,12 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     Catalyst sequence-explode — the expansion happens distributed, not
     on the driver."""
     vids = media.filter(F.col("kind") == "video")
-    return vids.select(
-        "media_id",
-        F.explode(
-            F.sequence(F.lit(0).cast("long"), F.col("meta.duration_ms"), F.lit(every_ms).cast("long"))
-        ).alias("frame_ts_ms"),
-    )
+    return explode_nonnull(
+        vids,
+        F.sequence(
+            F.lit(0).cast("long"),
+            F.col("meta.duration_ms"),
+            F.lit(every_ms).cast("long"),
+        ),
+        "frame_ts_ms",
+    ).select("media_id", "frame_ts_ms")

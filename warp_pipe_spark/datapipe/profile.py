@@ -129,18 +129,20 @@ def profile_table(
     )
 
     # pass 2: per-column KMV — melt, distinct, k-smallest per column
-    melted = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("column"),
-                        h60(F.col(c).cast("string")).alias("h"),
-                    )
-                    for c in columns
-                ]
-            )
-        ).alias("m")
+    from warp_pipe_spark.io import explode_nonnull
+
+    melted = explode_nonnull(
+        df,
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    h60(F.col(c).cast("string")).alias("h"),
+                )
+                for c in columns
+            ]
+        ),
+        "m",
     ).select("m.column", "m.h").filter(F.col("h").isNotNull()).distinct()
     w = Window.partitionBy("column").orderBy(F.col("h").asc())
     kmv = (

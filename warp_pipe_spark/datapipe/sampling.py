@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from warp_pipe_spark.io import explode_nonnull
+
 
 def _hash_rank(col) -> F.Column:
     """Deterministic per-row priority: md5 of the id's decimal string.
@@ -219,24 +221,21 @@ def chunk_texts_overlap(
     # pos < chunk guards the negative-numerator case: integer div
     # truncates toward zero while the membership bound needs floor, so
     # the k_lo formula is only applied where pos - chunk >= 0
-    placed = toks.select(
-        "shard",
-        (F.col("tok_start") + F.col("i")).alias("pos"),
-        "tok",
-    ).select(
-        "shard",
-        "pos",
-        F.explode(
-            F.sequence(
-                F.expr(
-                    f"CASE WHEN pos < {chunk_tokens} THEN 0L "
-                    f"ELSE (pos - {chunk_tokens}) div {stride} + 1 END"
-                ),
-                F.expr(f"pos div {stride}"),
-            )
-        ).alias("chunk_id"),
-        "tok",
-    )
+    placed = explode_nonnull(
+        toks.select(
+            "shard",
+            (F.col("tok_start") + F.col("i")).alias("pos"),
+            "tok",
+        ),
+        F.sequence(
+            F.expr(
+                f"CASE WHEN pos < {chunk_tokens} THEN 0L "
+                f"ELSE (pos - {chunk_tokens}) div {stride} + 1 END"
+            ),
+            F.expr(f"pos div {stride}"),
+        ),
+        "chunk_id",
+    ).select("shard", "pos", "chunk_id", "tok")
     return (
         placed.groupBy("shard", "chunk_id")
         .agg(
@@ -504,8 +503,8 @@ def _dsir_buckets(
     ).otherwise(F.array().cast("array<string>"))
     from warp_pipe_spark.datapipe.text import h32
 
-    return d.select(
-        "_id", F.explode(F.concat(F.col("_t"), bigrams)).alias("_ng")
+    return explode_nonnull(
+        d, F.concat(F.col("_t"), bigrams), "_ng"
     ).select("_id", (h32(F.col("_ng")) % n_buckets).alias("bucket"))
 
 

@@ -113,15 +113,16 @@ def range_join_buckets(
     # date_trunc('day') produces in ANY session timezone. Stepping unix
     # seconds drifts one hour off the truncated left-side buckets at a
     # DST transition (a 23/25-hour day), silently dropping matches.
-    r = right.withColumn(
-        "_bucket",
-        F.explode(
-            F.sequence(
-                F.date_trunc("day", F.col(right_start)),
-                F.date_trunc("day", F.col(right_end)),
-                F.expr("INTERVAL 1 DAY"),
-            )
+    from warp_pipe_spark.io import explode_nonnull
+
+    r = explode_nonnull(
+        right,
+        F.sequence(
+            F.date_trunc("day", F.col(right_start)),
+            F.date_trunc("day", F.col(right_end)),
+            F.expr("INTERVAL 1 DAY"),
         ),
+        "_bucket",
     )
     l = left.withColumn(  # noqa: E741
         "_bucket", F.date_trunc("day", F.col(left_ts))

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from warp_pipe_spark.io import explode_nonnull
+
 # deterministic marker lexicons for the n-gram/marker language heuristic.
 # Priority order (ties resolve in this order) is the dict order.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -147,8 +149,8 @@ def gopher_rules(
         (F.size(g2) - F.size(F.array_distinct(g2))).alias("dup_2grams"),
         "text",
     )
-    words = pre.select(
-        "doc_id", "n_2grams", "dup_2grams", F.explode(toks).alias("w")
+    words = explode_nonnull(pre, toks, "w").select(
+        "doc_id", "n_2grams", "dup_2grams", "w"
     )
     wc = words.groupBy("doc_id", "w").agg(
         F.count("*").alias("c"),
@@ -241,7 +243,9 @@ def unigram_lm(docs: DataFrame, rare_max_tf: int = 2) -> DataFrame:
     (map-side combinable), join tokens back on token — AQE broadcasts
     the vocabulary when it is small and shuffle-joins otherwise —
     then one groupBy(doc_id). No collects, no Python."""
-    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("w"))
+    toks = explode_nonnull(docs, _tokens(F.col("text")), "w").select(
+        "doc_id", "w"
+    )
     vocab = toks.groupBy("w").agg(F.count("*").alias("tf"))
     return (
         toks.join(vocab, "w")
@@ -271,7 +275,9 @@ def hash_embed(docs: DataFrame, dims: int = 8) -> DataFrame:
     all `dims` signed sums as parallel aggregates (the SimHash shuffle
     shape: exchange rows = distinct (doc, token) pairs, never ×dims).
     Returns (doc_id, f0..f{dims-1}) as LONGs."""
-    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("w"))
+    tok = explode_nonnull(docs, _tokens(F.col("text")), "w").select(
+        "doc_id", "w"
+    )
     cnt = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
     cnt = cnt.withColumn("h", h60(F.col("w")))
     aggs = [
@@ -306,7 +312,9 @@ def unigram_logppl(docs: DataFrame) -> DataFrame:
     Shape: explode → vocab agg (map-side partial) → AQE-broadcast join
     back → one groupBy(doc_id). The V/T scalars ride a one-row
     broadcast. Returns (doc_id, n_tokens, logppl)."""
-    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("w"))
+    toks = explode_nonnull(docs, _tokens(F.col("text")), "w").select(
+        "doc_id", "w"
+    )
     vocab = toks.groupBy("w").agg(F.count("*").alias("tf"))
     totals = vocab.agg(
         F.sum("tf").alias("v_tokens"), F.count("*").alias("t_types")
@@ -342,8 +350,8 @@ def bigram_logppl(docs: DataFrame) -> DataFrame:
     exception as unigram_logppl. Returns (doc_id, n_bigrams,
     logppl)."""
     bg = (
-        docs.select(
-            "doc_id", F.explode(shingles(F.col("text"), 2)).alias("bg")
+        explode_nonnull(docs, shingles(F.col("text"), 2), "bg").select(
+            "doc_id", "bg"
         )
         # shingles' <n-token fallback emits the whole text; for a
         # 1-token doc that pseudo-"bigram" (no space) would get a
@@ -354,7 +362,7 @@ def bigram_logppl(docs: DataFrame) -> DataFrame:
         .withColumn("w1", F.substring_index("bg", " ", 1))
     )
     bgc = bg.groupBy("bg").agg(F.count("*").alias("cbg"))
-    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("w"))
+    toks = explode_nonnull(docs, _tokens(F.col("text")), "w").select("w")
     uni = toks.groupBy("w").agg(F.count("*").alias("cw"))
     totals = uni.agg(F.count("*").alias("t_types"))
     lp = F.log(
@@ -456,10 +464,10 @@ def train_quality_model(
     import numpy as np
 
     spark = labeled.sparkSession
-    feats = labeled.select(
+    feats = explode_nonnull(labeled, _tokens(F.col("text")), "t").select(
         "doc_id",
         F.col("label").cast("double").alias("label"),
-        F.explode(_tokens(F.col("text"))).alias("t"),
+        "t",
     ).select(
         "doc_id", "label", (h32(F.col("t")) % dims).alias("bucket")
     )
@@ -533,9 +541,9 @@ def apply_quality_model(docs: DataFrame, weights) -> DataFrame:
             "bucket INT, w DOUBLE",
         )
     )
-    toks = docs.select(
-        "doc_id", F.explode(_tokens(F.col("text"))).alias("t")
-    ).select("doc_id", (h32(F.col("t")) % dims).alias("bucket"))
+    toks = explode_nonnull(docs, _tokens(F.col("text")), "t").select(
+        "doc_id", (h32(F.col("t")) % dims).alias("bucket")
+    )
     scored = (
         toks.join(wdf, "bucket")
         .groupBy("doc_id")
@@ -556,9 +564,9 @@ def bpe_pair_counts(docs: DataFrame, top_k: int = 50) -> DataFrame:
     on vocabulary-sized data. Top-k lands as WindowGroupLimit (partial
     per-partition top-k before a single-row exchange), same shape as
     docs_vocabulary."""
-    tok = docs.select(F.explode(_tokens(F.col("text"))).alias("w")).filter(
-        F.col("w") != ""
-    )
+    tok = explode_nonnull(docs, _tokens(F.col("text")), "w").select(
+        "w"
+    ).filter(F.col("w") != "")
     wc = tok.groupBy("w").agg(F.count("*").alias("c"))
     pairs_arr = F.when(
         F.length("w") >= 2,
@@ -605,7 +613,8 @@ def train_bpe(docs: DataFrame, n_merges: int = 50):
     paper; add one by appending it to `symbols` before calling).
     """
     wc = (
-        docs.select(F.explode(_tokens(F.col("text"))).alias("w"))
+        explode_nonnull(docs, _tokens(F.col("text")), "w")
+        .select("w")
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("c"))
@@ -780,9 +789,9 @@ def repetition_signals(
         )
 
     tagged = F.flatten(F.array(*[_tag(n) for n in all_ns]))
-    rows = base.select(
-        "doc_id", "n_chars", F.explode(tagged).alias("x")
-    ).select("doc_id", "n_chars", "x.n", "x.g")
+    rows = explode_nonnull(base, tagged, "x").select(
+        "doc_id", "n_chars", "x.n", "x.g"
+    )
     gc = rows.groupBy("doc_id", "n", "g").agg(
         F.count("*").alias("c"), F.first("n_chars").alias("n_chars")
     )
@@ -813,14 +822,11 @@ def repetition_signals(
         )
     )
 
-    lines = base.select(
-        "doc_id",
-        F.explode(
-            F.filter(
-                F.split(F.col("text"), "\n"), lambda s: F.length(s) > 0
-            )
-        ).alias("line"),
-    )
+    lines = explode_nonnull(
+        base,
+        F.filter(F.split(F.col("text"), "\n"), lambda s: F.length(s) > 0),
+        "line",
+    ).select("doc_id", "line")
     lc = lines.groupBy("doc_id", "line").agg(F.count("*").alias("c"))
     lstat = lc.groupBy("doc_id").agg(
         F.sum("c").alias("n_lines"),
@@ -886,12 +892,16 @@ def dedup_lines(
     # or "|" would split on every character while rejoining with the
     # literal (paragraph mode "\n\n" happened to work only because it
     # has no metacharacters)
-    lines = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.split(F.col("text"), "\\Q" + sep + "\\E")
-        ).alias("pos", "line"),
-    ).withColumn("_h", h60(F.lower(F.trim(F.col("line")))))
+    lines = (
+        docs.select(
+            "doc_id",
+            F.posexplode_outer(
+                F.split(F.col("text"), "\\Q" + sep + "\\E")
+            ).alias("pos", "line"),
+        )
+        .filter(F.col("line").isNotNull())
+        .withColumn("_h", h60(F.lower(F.trim(F.col("line")))))
+    )
     blank = F.trim(F.col("line")) == ""
     nd = (
         lines.filter(~blank)
@@ -969,13 +979,18 @@ def scrub_dup_spans(
         docs.filter(F.col("text").isNotNull()).select("doc_id", "text"),
         "doc_id",
     )
+    # posexplode_outer + null-filter, not posexplode: the inferred
+    # size()>0 filter of the non-outer form would re-run the n-gram
+    # hash transform below the fan_out exchange (explode_nonnull's
+    # rationale; posexplode has no shared helper because of the twin
+    # pos/val aliases)
     toks = base.select(
         "doc_id",
-        F.posexplode(_tokens(F.col("text"))).alias("pos", "tok"),
-    )
+        F.posexplode_outer(_tokens(F.col("text"))).alias("pos", "tok"),
+    ).filter(F.col("tok").isNotNull())
     grams = base.select(
         "doc_id",
-        F.posexplode(
+        F.posexplode_outer(
             F.transform(
                 # positional n-grams: NO short-text whole-doc
                 # fallback (a doc shorter than n has no span to
@@ -994,7 +1009,7 @@ def scrub_dup_spans(
                 ),
             )
         ).alias("pos", "h"),
-    )
+    ).filter(F.col("h").isNotNull())
     per_h = grams.groupBy("h").agg(
         F.count("*").alias("occ"),
         F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("canon"),

@@ -125,6 +125,24 @@ def fan_out(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(sc.defaultParallelism)
 
 
+def explode_nonnull(df: DataFrame, arr, alias: str) -> DataFrame:
+    """explode() for an EXPENSIVE array expression whose elements are
+    never null. Plain explode() makes the optimizer infer a
+    `size(arr) > 0 AND isnotnull(arr)` pre-filter (Generate's implicit
+    skip of null/empty arrays, surfaced as a Filter) and push it below
+    any repartition by INLINING the full array expression — so a
+    shingling+md5 transform runs once more, BEFORE the fan_out
+    exchange, serialized on the small scan's single split. The
+    outer-explode + cheap post-Generate null filter computes the array
+    exactly once, after the spread, and is row-identical to explode()
+    as long as no ELEMENT is null (an empty/null array yields one null
+    row, dropped here; explode() yields none) — callers must only pass
+    arrays with non-null elements (hash/token transforms qualify)."""
+    return df.withColumn(alias, F.explode_outer(arr)).filter(
+        F.col(alias).isNotNull()
+    )
+
+
 def scratch_dir(prefix: str) -> str:
     """mkdtemp preferring tmpfs (/dev/shm): soak/sink BENCH fixtures
     measure state-commit cost, and a disk-backed tempdir folds storage
@@ -250,7 +268,13 @@ def derive_changesets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id") % 20 == 0, F.array(mk("DELETE", 7, 2, F.col("value")))
         ).otherwise(empty),
     )
-    ex = ev.select("event_id", "user_id", "event_type", F.explode(arr).alias("c"))
+    # explode_nonnull, not explode: the inferred size(arr)>0 filter
+    # would rebuild the 1-3 struct array a second time per event (see
+    # the helper's docstring); arr always holds the INSERT, so the
+    # outer form drops nothing
+    ex = explode_nonnull(ev, arr, "c").select(
+        "event_id", "user_id", "event_type", "c"
+    )
     return ex.select(
         F.col("c.id").alias("id"),
         F.col("c.ts").alias("ts"),
