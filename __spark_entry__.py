@@ -3784,16 +3784,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (oracle sweeps at sf0.01 ALL OK in-round). Every affected
         # query either re-earns in THIS round's window (r9-green) or
         # registered fresh this round, except the soak:
-        "cs_keyset_poll_stream": 13,
+        # (cs_keyset_poll_stream round-13 tag expired; re-tagged 16 below)
         # round-12 shingle-family fan_out (io.fan_out inside
         # _hashed_shingle_arrays: clean_corpus_capped 5.9→4.0 s,
         # containment 5.1→3.7 s; oracle sweep of all seven consumers
         # at sf0.01 ALL OK). docs_clean_corpus is r9-green and
         # re-earns this round; the rest tag their staleness-mandatory
         # round (r10-green → 13, r11-green → 14):
-        "dedup_ngram_jaccard": 13,
-        "docs_clean_corpus_capped": 13,
-        "dedup_lsh_eval": 13,
+        # (dedup_ngram_jaccard round-13 tag expired; re-tagged 16 below)
+        # (docs_clean_corpus_capped round-13 tag expired; re-tagged 16 below)
+        # (dedup_lsh_eval round-13 tag expired; re-tagged 16 below)
         "dedup_ngram_jaccard_capped": 14,
         "dedup_containment": 14,
         # round-14 tie-rule alignment (ADVICE r13): temperature_mix's
@@ -3831,6 +3831,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-pre-validated THIS round (r12 queue pattern), shipping
         # pytest-only until the r16 slot opens. The r14/r15 windows are
         # exactly their 50-query staleness cohorts — no slot, no tag.
+        #
+        # ROUND-14 OPTIMIZATION PASS — result-identical execution
+        # changes, tagged to each touched query's staleness-mandatory
+        # round per the standing discipline. Touched set computed
+        # MECHANICALLY: normalized plan diff of plans/r14/*_before.txt
+        # (pre-optimization code) vs *_after.txt (end state) — 64
+        # queries' physical plans changed — plus the soak/iterative
+        # fixtures whose returned plan is a pinned scan but whose
+        # execution path changed (keyset/as-of pins, pagerank,
+        # dedup_clusters, minhash_indexed, graph_search,
+        # quality_model). The changes: explode_nonnull sweep (the
+        # inferred-filter fix, incl. derive_changesets → every cs_*),
+        # cosine_v/hyperplane Arrow zero-copy kernels, nn_descent
+        # unordered-pair scoring, one-pass eval aggregation, semdedup
+        # assignment pin, ParquetStateSink single staged write +
+        # batch_stats. Oracle re-verified in-round: full sf0.001 AND
+        # sf0.01 sweeps ALL OK after every commit. r11-green consumers
+        # re-earn in THIS round's window (no tag); r12-green → 15,
+        # r13-green → 16 (the four expired r13 tags of the same
+        # queries above are commented out in place, repo pattern).
+        "cs_audit_decode": 15,
+        "cs_checksum": 15,
+        "cs_checksum_scalable": 15,
+        "cs_debezium_decode": 15,
+        "cs_pk_collect": 15,
+        "cs_point_lookup": 15,
+        "cs_replay_dedup": 15,
+        "cs_replay_final_state": 15,
+        "cs_retention": 15,
+        "cs_since_id": 15,
+        "cs_since_ts": 15,
+        "cs_wal2json_decode": 15,
+        "dedup_clusters": 15,
+        "docs_contamination": 15,
+        "docs_dedup_lines": 15,
+        "docs_dup_spans": 15,
+        "multimodal_frame_sample": 15,
+        "text_gopher_rules": 15,
+        "ann_ivf_indexed": 16,
+        "ann_ivf_topk": 16,
+        "ann_lsh_pairs": 16,
+        "ann_topk": 16,
+        "cs_attribute_changes": 16,
+        "cs_count_stats": 16,
+        "cs_keyset_poll_stream": 16,
+        "cs_scd2_intervals": 16,
+        "cs_snapshot_diff": 16,
+        "cs_state_asof": 16,
+        "cs_whitelist_ignore": 16,
+        "dedup_clusters_star": 16,
+        "dedup_drop_list": 16,
+        "dedup_lsh_eval": 16,
+        "dedup_minhash_indexed": 16,
+        "dedup_minhash_pairs": 16,
+        "dedup_ngram_jaccard": 16,
+        "dedup_simhash": 16,
+        "docs_clean_corpus_capped": 16,
+        "docs_scrub_dup_spans": 16,
+        "docs_vocabulary": 16,
+        "events_asof_lastchange": 16,
+        "events_range_join": 16,
     }
 
     import glob as _glob
