@@ -547,15 +547,28 @@ class KeysetPoller:
             # one job yields the offset watermark AND the sink's
             # touched set (r14: the separate max/count agg plus the
             # sink's distinct-collect were two full batch passes of
-            # pure fixed job cost per round)
-            touched, mx, n = self.sink.batch_stats(batch)
-            if mx is None:
-                return 0
-            # high-watermark id doubles as the sink's version tag —
-            # monotone per keyset contract, stable across redelivery
-            self.sink.apply_batch(batch, batch_id=int(mx), touched=touched)
+            # pure fixed job cost per round). Sinks without the
+            # batch_stats fast path (MergeStateSink folds its own
+            # touched set from the post-truncate winners) keep the
+            # plain offset aggregate and the old apply signature.
+            stats = getattr(self.sink, "batch_stats", None)
+            if stats is not None:
+                touched, mx, n = stats(batch)
+                if mx is None:
+                    return 0
+                # high-watermark id doubles as the sink's version tag —
+                # monotone per keyset contract, stable across redelivery
+                self.sink.apply_batch(batch, batch_id=int(mx), touched=touched)
+            else:
+                top = batch.agg(
+                    F.max("id").alias("mx"), F.count("id").alias("n")
+                ).first()
+                mx, n = top["mx"], int(top["n"])
+                if mx is None:
+                    return 0
+                self.sink.apply_batch(batch, batch_id=int(mx))
             self._commit_offset(int(mx))
-            return n
+            return int(n)
         finally:
             batch.unpersist()
 
