@@ -52,7 +52,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
-from warp_pipe_spark.session import get_spark
+from warp_pipe_spark.session import DEFAULT_CPUS, get_spark
 
 HEADLINE = [
     "cs_replay_final_state",
@@ -733,7 +733,30 @@ def main() -> None:
             json.dump(result, f, indent=1)
     except OSError:
         pass
-    print(json.dumps(result, separators=(",", ":")))
+    print(json.dumps(compact_result(result), separators=(",", ":")))
+
+
+def compact_result(result: dict) -> dict:
+    """The final stdout line, kept standalone-parseable and small
+    (VERDICT r14 #2): the full artifact (runs, aux, canary brackets,
+    sustained probes, loadavg) lands in BENCH_SELF[_LAST].json above —
+    the one-line contract JSON carries only the driver-compared fields
+    (metric/value/unit/queries/sf) plus the scalar environment
+    calibrators (canary_sec, sustained start/end, cpus). The r13
+    round-over-round comparison died to a capture that truncated the
+    old ~25 KB line mid-JSON; this line is ~5 KB and pinned < 8 KB in
+    tests/test_bench.py."""
+    return {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "queries": result["queries"],
+        "sf": result["sf"],
+        "cpus": DEFAULT_CPUS,
+        "canary_sec": result["canary_sec"],
+        "canary_method": result["canary_method"],
+        "sustained": result["sustained"],
+    }
 
 
 if __name__ == "__main__":

@@ -264,3 +264,48 @@ def test_choose_self_artifact_sustained_start_rule():
     # no-sustained reference: rule skipped, canary/shared-sum still govern
     legacy = {k: v for k, v in idle.items() if k != "sustained"}
     assert choose_self_artifact(run(161.0, 9.9, 9.9), legacy) == "BENCH_SELF.json"
+
+
+def test_compact_result_line_is_small_and_standalone():
+    # VERDICT r14 #2: the r13 round-over-round comparison died because
+    # the final stdout line (~25 KB with runs/aux/canary brackets) was
+    # truncated mid-JSON by the capture. The contract line must carry
+    # the driver-compared fields, parse standalone, and stay < 8 KB at
+    # full 150-query registry width.
+    import json
+
+    from bench import HEADLINE, compact_result
+
+    full = {
+        "metric": "headline_queries_total_sec",
+        "value": 123.456,
+        "unit": "sec",
+        "queries": {name: 12.345 for name in HEADLINE},
+        "runs": {name: 2 for name in HEADLINE},
+        "aux": {"ann_ivf_index_build": 1.0},
+        "canary_sec": 0.9,
+        "canary_method": "steady-v2",
+        "canary": {"start": {}, "end": {}},
+        "sustained": {"start": 2.5, "end": 2.6},
+        "loadavg": {"start": [0, 0, 0], "end": [0, 0, 0]},
+        "sf": 0.1,
+        "timing": "noop-sink write ...",
+    }
+    line = json.dumps(compact_result(full), separators=(",", ":"))
+    assert len(line) < 8_000
+    parsed = json.loads(line)
+    # the driver contract fields survive ...
+    assert parsed["metric"] == "headline_queries_total_sec"
+    assert parsed["value"] == 123.456
+    assert parsed["unit"] == "sec"
+    assert parsed["sf"] == 0.1
+    assert set(parsed["queries"]) == set(HEADLINE)
+    # ... the calibration scalars survive ...
+    assert parsed["canary_sec"] == 0.9
+    assert parsed["sustained"] == {"start": 2.5, "end": 2.6}
+    assert parsed["cpus"] >= 1
+    # ... and the bulky diagnostics are file-only (BENCH_SELF.json)
+    assert "runs" not in parsed
+    assert "aux" not in parsed
+    assert "loadavg" not in parsed
+    assert "canary" not in parsed
