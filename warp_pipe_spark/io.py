@@ -137,7 +137,15 @@ def explode_nonnull(df: DataFrame, arr, alias: str) -> DataFrame:
     exactly once, after the spread, and is row-identical to explode()
     as long as no ELEMENT is null (an empty/null array yields one null
     row, dropped here; explode() yields none) — callers must only pass
-    arrays with non-null elements (hash/token transforms qualify)."""
+    arrays with non-null elements (hash/token transforms qualify).
+
+    MISUSE IS SILENT (ADVICE r14): an array with null ELEMENTS loses
+    those rows here where plain explode() would emit them as null rows.
+    Before converting a new site, prove the element-nonnull invariant
+    (or assert it once in a test with
+    `df.filter(exists(arr, x -> x IS NULL)).count() == 0`); do not use
+    this helper as a drop-null-elements combinator — write the intent
+    out with an explicit `filter` if that is what you mean."""
     return df.withColumn(alias, F.explode_outer(arr)).filter(
         F.col(alias).isNotNull()
     )

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from warp_pipe_spark.apply import TRUNCATE_KINDS, replay
+from warp_pipe_spark.streaming import StateSink
 
 DELETE_KINDS = ("delete", "DELETE")
 
@@ -396,7 +397,7 @@ class InMemoryMergeExecutor:
         return out
 
 
-class MergeStateSink:
+class MergeStateSink(StateSink):
     """foreachBatch/KeysetPoller-compatible sink over a MergeExecutor:
     fold the micro-batch to winners, then one MERGE per touched table.
     Atomicity and redelivery-idempotence come from the target format's

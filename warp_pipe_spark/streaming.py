@@ -22,6 +22,7 @@ the parquet rewrite for Delta MERGE, same plan shape.
 
 from __future__ import annotations
 
+import abc
 import json
 import os
 import shutil
@@ -58,7 +59,46 @@ class StateCorruptError(RuntimeError):
     so a reader never silently restarts from empty on a damaged store."""
 
 
-class ParquetStateSink:
+class StateSink(abc.ABC):
+    """Contract shared by every micro-batch state sink the KeysetPoller
+    (or foreachBatch) can drive. Concrete sinks must expose an `id_col`
+    attribute (the keyset/ordering column) and implement `apply_batch`.
+
+    `batch_stats` exists on the BASE class precisely so that adding a
+    fast path to one sink can never again break another (the r14
+    `MergeStateSink` AttributeError): the default derives the poller's
+    offset watermark with one aggregate job and returns `touched=None`,
+    meaning "I have no routing hint — call `apply_batch(batch,
+    batch_id)` plainly and let the sink derive its own touched set".
+    Sinks that CAN fold routing into the same job (ParquetStateSink)
+    override it and return a non-None `touched`, and must then accept
+    `apply_batch(..., touched=...)`."""
+
+    id_col: str
+
+    @abc.abstractmethod
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """Apply one micro-batch. Must be idempotent under redelivery."""
+
+    def batch_stats(
+        self, batch: DataFrame
+    ) -> "tuple[list[tuple[str, int | None]] | None, int | None, int]":
+        """(touched, max_id, n_rows) over `batch` in one Spark job.
+        touched=None = no routing hint (default); max_id=None = empty
+        batch. Overrides must keep max_id/n_rows covering EVERY row
+        with a non-null id — the poller's offset must advance past rows
+        the sink cannot apply, or a poison row stalls the tail forever."""
+        top = batch.agg(
+            F.max(F.col(self.id_col)).alias("mx"),
+            F.count(F.col(self.id_col)).alias("n"),
+        ).first()
+        return None, top["mx"], int(top["n"])
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        self.apply_batch(batch, batch_id)
+
+
+class ParquetStateSink(StateSink):
     """foreachBatch apply target: maintains replayed state at `state_dir`.
 
     Layout — versioned per-table dirs behind an atomically-swapped
@@ -92,9 +132,16 @@ class ParquetStateSink:
         state (merge_batch is last-writer-wins on (table, pk, id)), so
         checkpoint replay after a crash is safe.
 
-    On a real cluster the pointer lives on a store with atomic rename
-    (HDFS) or is replaced by a Delta/Iceberg table commit; the plan
-    shape (keyed merge per touched table) is identical.
+    LOCAL-FS CONTRACT: the staged write commits via `os.replace` /
+    `shutil.rmtree` / `os.listdir` against `state_dir`, so the state
+    dir must be a driver-local path on one POSIX filesystem (the
+    fixtures use tmpfs). There the per-batch renames are metadata-only
+    and `os.replace` is atomic. On HDFS the same sequencing holds via
+    FileSystem.rename; on an OBJECT STORE (s3://, gs://) renames are
+    COPY+DELETE — neither atomic nor metadata-only — so this sink does
+    not apply there: swap the parquet rewrite for a Delta/Iceberg MERGE
+    commit, which keeps the identical plan shape (keyed merge per
+    touched table) behind the table format's own atomic commit.
     """
 
     POINTER = "_POINTER.json"
@@ -198,6 +245,20 @@ class ParquetStateSink:
     def _key(self, table: str, bucket: "int | None") -> str:
         return table if bucket is None else f"{table}#b{bucket}"
 
+    def _reject_marker_tables(self, tables) -> None:
+        """A table literally named __HIVE_DEFAULT_PARTITION__ would be
+        written UNESCAPED by Spark's partitioned write, colliding with
+        the marker for the empty-string table — its state would be
+        silently filed under the wrong pointer key (ADVICE r14). Reject
+        it loudly up front; no real source emits that name."""
+        for t in tables:
+            if t == self.HIVE_DEFAULT:
+                raise ValueError(
+                    f"table name {t!r} collides with Spark's default-"
+                    "partition marker and cannot be stored by "
+                    "ParquetStateSink — rename the table upstream"
+                )
+
     def _table_rel(self, table: str, batch_id: int, bucket: "int | None" = None) -> str:
         base = f"tables/{quote(table, safe='')}/v_{batch_id}"
         if bucket is not None:
@@ -208,6 +269,63 @@ class ParquetStateSink:
             # lives in the dir name, not the files)
             base += f"/{self.BUCKET_PART}={bucket}"
         return base
+
+    def _fresh_table_rel(
+        self, table: str, batch_id: int, pointer: dict[str, str]
+    ) -> str:
+        """Version-dir rel for this delivery that never clobbers a dir a
+        committed reader references. The pre-r15 shape rmtree'd the
+        canonical `v_<batch>` dir on a REDELIVERED batch_id BEFORE the
+        new pointer was committed — if the committed pointer referenced
+        that exact dir (commit landed, offset didn't, crash, replay), a
+        crash between rmtree and commit left the pointer pointing at
+        deleted state, violating the class guarantee that 'a crash at
+        any point leaves the previous pointer valid'. Now: a colliding
+        dir that nothing references (orphan of a delivery that died
+        pre-commit) is cleared and reused; a referenced one is left
+        untouched and this delivery lands under `v_<batch>.r<n>` — it
+        becomes garbage only AFTER the pointer commit, where the
+        existing post-commit sweep (or retain_history) handles it."""
+        rel = self._table_rel(table, batch_id)
+        if not os.path.lexists(os.path.join(self.state_dir, rel)):
+            return rel
+        if rel not in self._referenced_table_rels(pointer):
+            shutil.rmtree(
+                os.path.join(self.state_dir, rel), ignore_errors=True
+            )
+            return rel
+        n = 1
+        while os.path.lexists(os.path.join(self.state_dir, f"{rel}.r{n}")):
+            n += 1
+        return f"{rel}.r{n}"
+
+    def _referenced_table_rels(self, pointer: dict[str, str]) -> set[str]:
+        """Table-level version dirs some committed state still reads:
+        the live pointer's, plus every history entry's when
+        retain_history (time travel reads them)."""
+
+        def table_level(rel: str) -> str:
+            return rel.split("/" + self.BUCKET_PART + "=")[0]
+
+        refs = {table_level(r) for r in pointer.values()}
+        if self.retain_history:
+            log = os.path.join(self.state_dir, self.POINTER_LOG)
+            try:
+                with open(log) as f:
+                    for line in f:
+                        if not line.strip():
+                            continue
+                        try:
+                            entry = json.loads(line)
+                        except ValueError:
+                            continue
+                        refs.update(
+                            table_level(r)
+                            for r in entry.get("tables", {}).values()
+                        )
+            except OSError:
+                pass
+        return refs
 
     def _read_tables(self, rels: Sequence[str]) -> DataFrame | None:
         """ONE multi-path scan over every referenced version dir — a
@@ -270,6 +388,7 @@ class ParquetStateSink:
             for r in rows
             if r["_t"] is not None
         )
+        self._reject_marker_tables(t for t, _ in touched)
         mxs = [r["_mx"] for r in rows if r["_mx"] is not None]
         return touched, (max(mxs) if mxs else None), int(
             sum(r["_n"] for r in rows)
@@ -345,6 +464,7 @@ class ParquetStateSink:
             touched = sorted(set(touched) | extra)
         if not touched:
             return
+        self._reject_marker_tables(t for t, _ in touched)
         keys = [self._key(t, b) for t, b in touched]
         # read ONLY the touched tables'/buckets' current state
         old_rels = {k: pointer[k] for k in keys if k in pointer}
@@ -377,24 +497,31 @@ class ParquetStateSink:
             out = out.withColumn(self.BUCKET_PART, self._bucket_col())
             part_cols.append(self.BUCKET_PART)
         out.write.mode("overwrite").partitionBy(*part_cols).parquet(staging)
-        written: set[str] = set()
+        written: dict[str, str] = {}  # table -> table-level rel landed
         for d in os.listdir(staging):
             if not d.startswith(self.TABLE_PART + "="):
                 continue  # _SUCCESS etc.
             enc = d[len(self.TABLE_PART) + 1:]
             t = "" if enc == self.HIVE_DEFAULT else unquote(enc)
-            written.add(t)
-            vdir = os.path.join(self.state_dir, self._table_rel(t, batch_id))
+            rel = self._fresh_table_rel(t, batch_id, pointer)
+            vdir = os.path.join(self.state_dir, rel)
             os.makedirs(os.path.dirname(vdir), exist_ok=True)
-            shutil.rmtree(vdir, ignore_errors=True)  # redelivered batch_id
             os.replace(os.path.join(staging, d), vdir)
+            written[t] = rel
         shutil.rmtree(staging, ignore_errors=True)
         for t, b in touched:
-            rel = self._table_rel(t, batch_id, b)
-            if t in written and (
-                b is None or os.path.isdir(os.path.join(self.state_dir, rel))
+            trel = written.get(t)
+            if trel is not None and (
+                b is None
+                or os.path.isdir(
+                    os.path.join(
+                        self.state_dir, f"{trel}/{self.BUCKET_PART}={b}"
+                    )
+                )
             ):
-                new_pointer[self._key(t, b)] = rel
+                new_pointer[self._key(t, b)] = (
+                    trel if b is None else f"{trel}/{self.BUCKET_PART}={b}"
+                )
             else:
                 # every row of the table/bucket was deleted: no
                 # partition dir was written — empty state is NO pointer
@@ -544,28 +671,30 @@ class KeysetPoller:
         last = self.committed_offset()
         batch = self.fetch(self.spark, last, self.limit).persist()
         try:
-            # one job yields the offset watermark AND the sink's
-            # touched set (r14: the separate max/count agg plus the
-            # sink's distinct-collect were two full batch passes of
-            # pure fixed job cost per round). Sinks without the
-            # batch_stats fast path (MergeStateSink folds its own
-            # touched set from the post-truncate winners) keep the
-            # plain offset aggregate and the old apply signature.
+            # one job yields the offset watermark AND (for sinks with
+            # the fast path) the routing hint (r14: the separate
+            # max/count agg plus the sink's distinct-collect were two
+            # full batch passes of pure fixed job cost per round).
+            # Every StateSink has batch_stats — the base class default
+            # is the plain offset aggregate with touched=None, meaning
+            # "no hint, call apply_batch plainly" (MergeStateSink folds
+            # its own touched set from the post-truncate winners). The
+            # getattr covers duck-typed sinks that predate the ABC.
             stats = getattr(self.sink, "batch_stats", None)
             if stats is not None:
                 touched, mx, n = stats(batch)
-                if mx is None:
-                    return 0
-                # high-watermark id doubles as the sink's version tag —
-                # monotone per keyset contract, stable across redelivery
-                self.sink.apply_batch(batch, batch_id=int(mx), touched=touched)
             else:
                 top = batch.agg(
                     F.max("id").alias("mx"), F.count("id").alias("n")
                 ).first()
-                mx, n = top["mx"], int(top["n"])
-                if mx is None:
-                    return 0
+                touched, mx, n = None, top["mx"], int(top["n"])
+            if mx is None:
+                return 0
+            if touched is not None:
+                # high-watermark id doubles as the sink's version tag —
+                # monotone per keyset contract, stable across redelivery
+                self.sink.apply_batch(batch, batch_id=int(mx), touched=touched)
+            else:
                 self.sink.apply_batch(batch, batch_id=int(mx))
             self._commit_offset(int(mx))
             return int(n)
