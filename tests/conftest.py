@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import os
 import sys
 
 import pytest
@@ -9,6 +10,35 @@ sys.path.insert(0, "/root/repo")
 from warp_pipe_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.001"
+
+# Multi-second property/streaming soaks are opt-in (r15, VERDICT r14
+# #3): the full suite outgrew the driver's verify window (~18 min wall;
+# the r14 driver run was cut at ~82% with zero failures, which would
+# also mask a REAL late-suite failure). The ~6 min of slowest soaks —
+# hypothesis-style many-round convergence properties, live streaming
+# tails, end-to-end CLI curation — run when WARP_PIPE_SOAK_TESTS=1
+# (CI/nightly/builder full runs); a plain `pytest tests/` stays the
+# correctness gate and finishes inside the window.
+RUN_SOAKS = os.environ.get("WARP_PIPE_SOAK_TESTS") == "1"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "soak: multi-second convergence/streaming soak, skipped unless "
+        "WARP_PIPE_SOAK_TESTS=1",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if RUN_SOAKS:
+        return
+    skip = pytest.mark.skip(
+        reason="soak; set WARP_PIPE_SOAK_TESTS=1 to run"
+    )
+    for item in items:
+        if "soak" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture(scope="session")

@@ -36,6 +36,7 @@ def test_sessionize_gap_semantics(spark):
     assert by_user[2] == [1]
 
 
+@pytest.mark.soak
 def test_streaming_hourly_with_watermark(spark, tmp_path, events):
     src = str(tmp_path / "stream_src")
     ckpt = str(tmp_path / "ckpt")
@@ -60,6 +61,7 @@ def test_streaming_hourly_with_watermark(spark, tmp_path, events):
     assert 0 <= closed <= 500
 
 
+@pytest.mark.soak
 def test_wal2json_stream_decodes(spark, tmp_path):
     import json
 
@@ -89,6 +91,9 @@ def test_wal2json_stream_decodes(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
+    # assert the query actually terminated: under heavy suite load the
+    # r14-driver run timed out here and the bare 0-row read produced a
+    # misleading assertion failure instead of "stream did not finish"
+    assert q.awaitTermination(300), "wal2json stream did not finish in 300s"
     rows = spark.sql("SELECT * FROM wal_mem").collect()
     assert len(rows) == 1 and rows[0]["kind"] == "insert" and rows[0]["table"] == "users"

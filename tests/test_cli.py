@@ -493,6 +493,7 @@ def test_cli_live_tail_pgoutput_binary_mode(tmp_path, capsys):
     srv.thread.join(5)
 
 
+@pytest.mark.soak
 def test_cli_corpus_curate_end_to_end(spark, tmp_path, capsys):
     """ONE command from documents parquet to curated WebDataset
     shards (VERDICT r11 item 6): all optional stages on, stats JSON +

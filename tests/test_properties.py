@@ -89,6 +89,7 @@ def _logs(draw):
     return rows
 
 
+@pytest.mark.soak
 @settings(max_examples=15, deadline=None)
 @given(_logs())
 def test_replay_idempotent_under_duplicate_delivery(spark, rows):
@@ -240,6 +241,7 @@ def test_wav_codec_roundtrip_property(n, seed):
     assert rate == 16000 and (back == s).all()
 
 
+@pytest.mark.soak
 @settings(max_examples=10, deadline=None)
 @given(_logs(), st.integers(1, 4))
 def test_merge_sink_any_batch_split_converges_to_replay(spark, rows, n_batches):
@@ -351,6 +353,7 @@ def test_quality_model_score_matches_python_replay(spark, texts):
     st.integers(1, 10),   # stride (may exceed chunk: gaps are invalid,
                           # so clamp below)
 )
+@pytest.mark.soak
 def test_chunk_overlap_membership_invariants(spark, chunk, stride):
     """For ANY (chunk, stride <= chunk): every stream position is
     covered by ceil-bounded window counts, total window-token mass
@@ -388,6 +391,7 @@ def test_chunk_overlap_membership_invariants(spark, chunk, stride):
             assert sum(r["n_tokens"] for r in got_rows) == n
 
 
+@pytest.mark.soak
 @settings(max_examples=8, deadline=None)
 @given(st.lists(st.integers(0, 3), min_size=12, max_size=12))
 def test_gate_sink_converges_for_any_batch_split(spark, tmp_path_factory, split):
@@ -528,6 +532,7 @@ def test_pg_numeric_binary_round_trips(d):
     ),
     st.integers(0, 150),
 )
+@pytest.mark.soak
 def test_select_token_budget_equals_global_window_spec(spark, rows, budget):
     """The two-stage bin formulation must equal the naive
     sum-over-(score DESC, doc_id) prefix rule for ARBITRARY
@@ -550,6 +555,7 @@ def test_select_token_budget_equals_global_window_spec(spark, rows, budget):
     assert got == want
 
 
+@pytest.mark.soak
 @settings(max_examples=10, deadline=None)
 @given(st.lists(_texts, min_size=1, max_size=6))
 def test_repetition_signals_match_python_spec(spark, texts):
@@ -665,6 +671,7 @@ def test_train_bpe_matches_reference_on_random_corpora(
     ),
     st.booleans(),
 )
+@pytest.mark.soak
 def test_bloom_no_false_negatives_for_arbitrary_keys(spark, keys, add_null):
     """For ANY key set (negatives included) the bloom invariant holds:
     every built key probes True on BOTH paths, the paths agree on
@@ -749,6 +756,7 @@ def test_activity_series_matches_integer_spec(spark, evs, n_bins):
     ),
     st.integers(min_value=0, max_value=1_000_000),
 )
+@pytest.mark.soak
 def test_prototypes_prune_quota_is_exact_ceil(spark, sizes, keep_micro):
     """For ANY cluster-size layout and ANY keep_micro, each cluster
     keeps exactly ceil(n_c * keep_micro / 1e6) rows with contiguous
@@ -794,6 +802,7 @@ def test_prototypes_prune_quota_is_exact_ceil(spark, sizes, keep_micro):
         max_size=25,
     )
 )
+@pytest.mark.soak
 def test_profile_table_matches_python_spec(spark, rows):
     """profile_table's counts, exact micro-fraction, small-cardinality
     distinct, and typed min/max equal the pure-Python spec for ANY

@@ -290,6 +290,7 @@ def test_lsh_rejects_non_divisible_planes_and_empty_corpus(spark):
         hyperplane_signatures(empty, n_planes=8)
 
 
+@pytest.mark.soak
 def test_nn_descent_improves_recall_over_the_lsh_seed(spark):
     """The neighbor-of-neighbor iterations must strictly improve
     recall@k against the brute-force truth, starting from the
@@ -352,6 +353,7 @@ def test_nn_descent_is_deterministic(spark):
     assert max(per.values()) <= 5
 
 
+@pytest.mark.soak
 def test_graph_search_high_recall_over_nn_descent_graph(spark):
     """Build the k-NN graph once, answer queries by batched greedy
     beam search: recall@10 against brute force must be high without
@@ -439,6 +441,7 @@ def test_graph_search_excludes_zero_norm_vectors(spark):
     assert all(not math.isnan(r["cos_sim"]) for r in out)
 
 
+@pytest.mark.soak
 def test_nn_graph_insert_recall_and_untouched_nodes(spark):
     """Incremental insert vs ground truth: build the graph on 90% of
     the fixture, insert the held-out 10%, then (a) the inserted nodes'

@@ -500,6 +500,7 @@ def test_bucketed_sink_rejects_zero_buckets(spark, tmp_path):
         )
 
 
+@pytest.mark.soak
 def test_keyset_poller_tails_while_writer_appends(spark, tmp_path):
     """True reader-vs-writer race (VERDICT r2 item 4): the poller tails
     the audit dir WHILE a concurrent writer keeps appending changeset
