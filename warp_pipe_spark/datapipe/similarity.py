@@ -398,9 +398,7 @@ def nn_descent(
         & F.exists("embedding", lambda x: x != 0)
     )
 
-    def _score_topk(
-        up: DataFrame, directed: "DataFrame | None" = None
-    ) -> DataFrame:
+    def _score_topk(up: DataFrame, flagged: bool = False) -> DataFrame:
         # r14 rework: hash joins + ONE batched einsum (cosine_v) + one
         # k-bounded window replaces a cogrouped applyInPandas that
         # invoked a scoring function once per vec_id GROUP — ~n Python
@@ -416,21 +414,31 @@ def nn_descent(
         # elementwise products commute exactly in IEEE754, the j-order
         # of each row reduction is unchanged, and na·nb == nb·na. So
         # each UNORDERED pair crosses the Python boundary and pays the
-        # einsum once (half the dominant cost of the pass). `up` is the
-        # distinct unordered pair set; `directed` (when given) is the
-        # RAW directed candidate row set — possibly with duplicates —
-        # that restricts the mirrored scores via one narrow LEFT SEMI
-        # join (semi never multiplies, so the caller skips its own
-        # distinct). directed=None asserts the candidate set IS the
-        # mirror of `up` (true for the LSH seed, which is symmetric by
-        # construction — the seed pass then scores the banding pairs
-        # directly, no directed frame is ever built).
+        # einsum once (half the dominant cost of the pass).
+        #
+        # r15 rework: the mirror is ONE conditional array-explode over
+        # the scored pair rows instead of a self-UNION (whose two
+        # branches re-executed the join+einsum subtree — there is no
+        # exchange between them for ReuseExchange to dedup, so every
+        # pair paid the Python boundary twice after all) and the
+        # directed-candidate restriction is two precomputed boolean
+        # FLAGS on `up` (flagged=True) instead of a LEFT SEMI join —
+        # the iteration caller derives them in the same aggregation
+        # that dedups the pair set, so the semi join's two exchanges
+        # (and the second execution of the O(n·k²) candidate subtree
+        # it consumed) are gone. flagged=False (the LSH seed, whose
+        # banding pairs are symmetric by construction) emits both
+        # directions unconditionally. Row set per direction is exactly
+        # the old semi-join's — (a,b) survives iff the directed
+        # candidate set contained it — so the window input, and the
+        # output, are bit-identical (re-verified at all three SFs).
         lo_e = emb.select(
             F.col("vec_id").alias("_lo"), F.col("embedding").alias("_le")
         )
         hi_e = emb.select(
             F.col("vec_id").alias("_hi"), F.col("embedding").alias("_he")
         )
+        flag_cols = ["_fwd", "_rev"] if flagged else []
         ps = (
             up.join(hi_e, "_hi")
             .join(lo_e, "_lo")
@@ -440,23 +448,34 @@ def nn_descent(
                 F.round(cosine_v(F.col("_le"), F.col("_he")), 6).alias(
                     "cos_sim"
                 ),
+                *flag_cols,
             )
         )
-        both = ps.select(
-            F.col("_lo").alias("vec_id"),
-            F.col("_hi").alias("nbr_id"),
+        fwd = F.col("_fwd") if flagged else F.lit(True)
+        rev = F.col("_rev") if flagged else F.lit(True)
+        dirs = F.filter(
+            F.array(
+                F.when(
+                    fwd,
+                    F.struct(
+                        F.col("_lo").alias("v"), F.col("_hi").alias("n")
+                    ),
+                ),
+                F.when(
+                    rev,
+                    F.struct(
+                        F.col("_hi").alias("v"), F.col("_lo").alias("n")
+                    ),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+        scored = ps.select(
+            F.explode(dirs).alias("_d"), "cos_sim"
+        ).select(
+            F.col("_d.v").alias("vec_id"),
+            F.col("_d.n").alias("nbr_id"),
             "cos_sim",
-        ).union(
-            ps.select(
-                F.col("_hi").alias("vec_id"),
-                F.col("_lo").alias("nbr_id"),
-                "cos_sim",
-            )
-        )
-        scored = (
-            both
-            if directed is None
-            else both.join(directed, ["vec_id", "nbr_id"], "left_semi")
         )
         w = Window.partitionBy("vec_id").orderBy(
             F.col("cos_sim").desc(), F.col("nbr_id").asc()
@@ -498,16 +517,27 @@ def nn_descent(
             )
             .filter(F.col("vec_id") != F.col("nbr_id"))
         )
-        # raw union (duplicates welcome): the unordered distinct below
-        # and the left-semi restriction inside _score_topk are the only
-        # dedups the pass needs — the old cand.distinct() was a third
-        # full shuffle of the same ~n·k² rows
+        # raw union (duplicates welcome): ONE pair-keyed aggregation
+        # both dedups the unordered pair set AND records which
+        # direction(s) the raw candidate set contained (r15) — the
+        # flags replace the left-semi restriction, so the O(n·k²)
+        # candidate subtree is consumed exactly once and the semi
+        # join's two exchanges are gone (the r14 shape consumed it
+        # twice: distinct + semi probe side).
         cand = non.union(graph.select("vec_id", "nbr_id"))
-        up = cand.select(
-            F.least("vec_id", "nbr_id").alias("_lo"),
-            F.greatest("vec_id", "nbr_id").alias("_hi"),
-        ).distinct()
-        graph = _score_topk(up, directed=cand).localCheckpoint(eager=True)
+        up = (
+            cand.select(
+                F.least("vec_id", "nbr_id").alias("_lo"),
+                F.greatest("vec_id", "nbr_id").alias("_hi"),
+                (F.col("vec_id") < F.col("nbr_id")).alias("_f"),
+            )
+            .groupBy("_lo", "_hi")
+            .agg(
+                F.max("_f").alias("_fwd"),
+                F.max(~F.col("_f")).alias("_rev"),
+            )
+        )
+        graph = _score_topk(up, flagged=True).localCheckpoint(eager=True)
     return graph.filter(F.col("rank") <= k)
 
 
@@ -580,17 +610,24 @@ def graph_search(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     ).filter(_nonzero("q_emb"))
 
+    # r15: the query vector RIDES THE FRONTIER (`q_emb` column, joined
+    # on once at the entry phase) instead of being re-joined every hop
+    # — per hop that deletes one join (at scale: a shuffle of the query
+    # table per hop; locally: one broadcast build per pinned action).
+    # The carried column is beam rows × one vector per query, bounded
+    # by the frontier itself, and every row of a query carries the
+    # identical vector, so scores cannot change.
     def _score(cand: DataFrame) -> DataFrame:
         c = emb.select(
             F.col("vec_id").alias("_cid"), F.col("embedding").alias("_ce")
         )
         return (
-            cand.join(q, "query_id")
-            .join(c, cand["neighbor_id"] == c["_cid"])
+            cand.join(c, cand["neighbor_id"] == c["_cid"])
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .select(
                 "query_id",
                 "neighbor_id",
+                "q_emb",
                 F.round(cosine_v(F.col("q_emb"), F.col("_ce")), 6).alias(
                     "cos_sim"
                 ),
@@ -604,7 +641,7 @@ def graph_search(
         return (
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= width)
-            .select("query_id", "neighbor_id", "rank", "cos_sim")
+            .select("query_id", "neighbor_id", "q_emb", "rank", "cos_sim")
         )
 
     # entry points: corpus nodes sharing an LSH band with the query —
@@ -642,7 +679,13 @@ def graph_search(
         emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
         "neighbor_id",
     )
-    entry = qb.join(cb, ["band", "key"]).select("query_id", "neighbor_id")
+    # the ONLY query-table join: entry rows take their q_emb here and
+    # the frontier carries it through every hop (duplicate entry pairs
+    # — a query and corpus vector sharing >1 band — are preserved
+    # exactly as before: the q join multiplies each row by 1)
+    entry = qb.join(cb, ["band", "key"]).select(
+        "query_id", "neighbor_id"
+    ).join(q, "query_id")
     _pin = (
         (lambda df: df.localCheckpoint(eager=True))
         if checkpoint
@@ -652,17 +695,43 @@ def graph_search(
     edges = graph.select(
         F.col("vec_id").alias("neighbor_id"), F.col("nbr_id")
     )
-    for _ in range(hops):
+    for hop in range(hops):
+        # r15 hop fusion: the candidate dedup runs as ONE query-keyed
+        # aggregation (collect_set over the hop's candidates is exactly
+        # the old global distinct, grouped by query) and q_emb rides
+        # along via first() — every row of a query carries the
+        # identical vector, so first() is deterministic. Per-query set
+        # size is bounded by beam·(k_edges+1), so the aggregation
+        # buffer is O(beam·k), never corpus-sized. Explode order is
+        # irrelevant — the window re-sorts, and neighbors are unique
+        # per query — so the hop output is bit-identical.
         expanded = (
             frontier.join(edges, "neighbor_id")
             .select(
-                "query_id", F.col("nbr_id").alias("neighbor_id")
+                "query_id", F.col("nbr_id").alias("neighbor_id"), "q_emb"
             )
-            .union(frontier.select("query_id", "neighbor_id"))
-            .distinct()
+            .union(frontier.select("query_id", "neighbor_id", "q_emb"))
+            .groupBy("query_id")
+            .agg(
+                F.collect_set("neighbor_id").alias("_nbrs"),
+                F.first("q_emb").alias("q_emb"),
+            )
+            .select(
+                "query_id", F.explode("_nbrs").alias("neighbor_id"), "q_emb"
+            )
         )
-        frontier = _pin(_truncate(_score(expanded), beam))
-    return frontier.filter(F.col("rank") <= k)
+        scored = _truncate(_score(expanded), beam)
+        # the LAST hop stays unpinned (r15): the pin exists because the
+        # frontier feeds the NEXT hop twice (union branches) — the
+        # final frontier feeds only the caller's single action, and the
+        # previous hop's pin already bounds its recompute, so the
+        # barrier (one action + one RDD materialization per run) buys
+        # nothing. Callers that fan the result out pin it themselves
+        # (nn_graph_insert does).
+        frontier = scored if hop == hops - 1 else _pin(scored)
+    return frontier.filter(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", "rank", "cos_sim"
+    )
 
 
 def nn_graph_insert(
