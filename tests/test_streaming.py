@@ -157,9 +157,9 @@ def test_sink_steady_batch_work_independent_of_backlog_width(spark, tmp_path):
     reads: list[list[str]] = []
     orig_read = sink._read_tables
 
-    def spy(rels):
+    def spy(rels, **kw):
         reads.append(sorted(rels))
-        return orig_read(rels)
+        return orig_read(rels, **kw)
 
     sink._read_tables = spy
 
@@ -262,10 +262,10 @@ def test_sink_crash_during_first_batch_recovers_on_replay(spark, tmp_path):
     b0 = spark.createDataFrame(MULTI, SCHEMA)
     real_commit = sink._commit_pointer
 
-    def crash_on_batch_commit(tables, batch_id):
+    def crash_on_batch_commit(tables, batch_id, **kw):
         if tables:  # let the pre-write empty commit through
             raise OSError("crash at first batch's commit point")
-        real_commit(tables, batch_id)
+        real_commit(tables, batch_id, **kw)
 
     sink._commit_pointer = crash_on_batch_commit
     with pytest.raises(OSError):

@@ -38,6 +38,18 @@ from pyspark.sql import functions as F
 from warp_pipe_spark.datapipe.dedup import band_rows
 
 
+def _n_files(d: str) -> int:
+    """Parquet data files under an index dir (driver-local walk — the
+    index shares the sink family's LOCAL-FS contract; on a real object
+    store this is one manifest/listing call)."""
+    return sum(
+        1
+        for _root, _, files in os.walk(d)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
 def build_minhash_index(docs: DataFrame, path: str, n: int = 3) -> None:
     """Write the corpus banding rows partitioned by band (8 fixed
     partitions; within each, files accumulate per append batch). The
@@ -115,14 +127,6 @@ def compact_minhash_index(spark: SparkSession, path: str) -> dict:
     bands = os.path.join(path, "bands")
     tmp = os.path.join(path, "bands.compacting")
     old = os.path.join(path, "bands.pre_compact")
-
-    def _n_files(d: str) -> int:
-        return sum(
-            1
-            for root, _, files in os.walk(d)
-            for f in files
-            if f.endswith(".parquet")
-        )
 
     # recovery from a previous call's crash inside the swap window
     if not os.path.isdir(bands):
@@ -263,12 +267,30 @@ class IngestDedupSink:
         out_dir: str,
         n: int = 3,
         max_bucket: int | None = None,
+        auto_compact_files: int | None = 512,
     ) -> None:
         self.spark = spark
         self.index_dir = index_dir
         self.out_dir = out_dir
         self.n = n
         self.max_bucket = max_bucket
+        # auto_compact_files (VERDICT r14 #6, guide §6): after a
+        # batch's append+query, if the band partitions hold more than
+        # this many parquet files, run compact_minhash_index inline —
+        # the sink loop is the one place exclusive access is free
+        # (batches are sequential), so long-lived ingest no longer
+        # needs an external maintenance job to keep query's
+        # listing+footer overhead bounded. The rewrite costs
+        # O(index) once per ~(threshold / files-per-batch) batches;
+        # size the threshold so that amortized cost stays below the
+        # append cost for your corpus:batch ratio (512 ≈ tens of
+        # batches of headroom at 8 bands × a handful of files per
+        # append). None disables (pre-r15 behavior: compaction is the
+        # caller's maintenance op). Compaction is result-invariant
+        # (see compact_minhash_index) and runs AFTER the batch's
+        # candidates are written, so a crash mid-compaction replays
+        # into the recovery path, never into missing output.
+        self.auto_compact_files = auto_compact_files
 
     def _marker(self, batch_id: int) -> str:
         return os.path.join(self.index_dir, "_ingested", f"batch_{batch_id}")
@@ -304,6 +326,11 @@ class IngestDedupSink:
             )
         finally:
             rows.unpersist()
+        if self.auto_compact_files is not None and (
+            _n_files(os.path.join(self.index_dir, "bands"))
+            > self.auto_compact_files
+        ):
+            compact_minhash_index(self.spark, self.index_dir)
 
     def candidates(self) -> DataFrame | None:
         """All candidate pairs surfaced so far (one multi-path scan).

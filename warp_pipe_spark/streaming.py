@@ -29,9 +29,10 @@ import shutil
 from collections.abc import Sequence
 from urllib.parse import quote, unquote
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
 
 from warp_pipe_spark.apply import merge_batch
 from warp_pipe_spark.changeset import AUDIT_LOG_SCHEMA
@@ -87,12 +88,22 @@ class StateSink(abc.ABC):
         touched=None = no routing hint (default); max_id=None = empty
         batch. Overrides must keep max_id/n_rows covering EVERY row
         with a non-null id — the poller's offset must advance past rows
-        the sink cannot apply, or a poison row stalls the tail forever."""
-        top = batch.agg(
-            F.max(F.col(self.id_col)).alias("mx"),
-            F.count(F.col(self.id_col)).alias("n"),
-        ).first()
-        return None, top["mx"], int(top["n"])
+        the sink cannot apply, or a poison row stalls the tail forever.
+
+        Collected via `observe` + a noop-sink write, not `.agg()`: the
+        metrics ride along the scan itself, so there is no
+        single-partition exchange and the whole derivation is ONE
+        exchange-free job (r15; the agg form was two jobs per round
+        under AQE — the shuffle-stage job plus the post-shuffle
+        collect)."""
+        obs = Observation()
+        batch.observe(
+            obs,
+            F.max(F.col(self.id_col)).alias("_mx"),
+            F.count(F.col(self.id_col)).alias("_n"),
+        ).write.format("noop").mode("overwrite").save()
+        vals = obs.get
+        return None, vals["_mx"], int(vals["_n"])
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         self.apply_batch(batch, batch_id)
@@ -191,9 +202,10 @@ class ParquetStateSink(StateSink):
     def _pointer_path(self) -> str:
         return os.path.join(self.state_dir, self.POINTER)
 
-    def _read_pointer(self) -> dict[str, str] | None:
-        """None = no committed state yet; StateCorruptError = state that
-        exists but can't be read (never silently treated as empty)."""
+    def _read_meta(self) -> dict | None:
+        """Full pointer metadata (tables + committed schema), or None if
+        no committed state yet; StateCorruptError = state that exists
+        but can't be read (never silently treated as empty)."""
         path = self._pointer_path()
         if not os.path.exists(path):
             tables_dir = os.path.join(self.state_dir, "tables")
@@ -214,23 +226,99 @@ class ParquetStateSink(StateSink):
                     f"n_buckets={self.n_buckets} — bucket layout is fixed "
                     "at first commit"
                 )
-            return dict(meta["tables"])
+            meta["tables"] = dict(meta["tables"])
+            return meta
         except StateCorruptError:
             raise
         except (OSError, ValueError, KeyError, TypeError) as e:
             raise StateCorruptError(f"unreadable state pointer {path}: {e}") from e
 
-    def _commit_pointer(self, tables: dict[str, str], batch_id: int) -> None:
+    def _read_pointer(self) -> dict[str, str] | None:
+        meta = self._read_meta()
+        return None if meta is None else meta["tables"]
+
+    def _commit_pointer(
+        self,
+        tables: dict[str, str],
+        batch_id: int,
+        schema: dict | None = None,
+    ) -> None:
+        """`schema` is the state-row schema (StructType.jsonValue) every
+        committed version dir is readable UNDER (missing columns in
+        older dirs null-fill — the additive-evolution contract): storing
+        it lets readers skip parquet schema inference entirely (the
+        mergeSchema footer job was one of the five jobs every poll round
+        paid, r15). None (first empty commit / pre-r15 pointers) falls
+        back to the mergeSchema read."""
         os.makedirs(self.state_dir, exist_ok=True)
         tmp = self._pointer_path() + f".tmp.{batch_id}"
         with open(tmp, "w") as f:
             json.dump(
-                {"batch_id": batch_id, "n_buckets": self.n_buckets, "tables": tables},
+                {
+                    "batch_id": batch_id,
+                    "n_buckets": self.n_buckets,
+                    "tables": tables,
+                    "schema": schema,
+                },
                 f,
             )
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._pointer_path())  # atomic commit point
+
+    @staticmethod
+    def _merge_schema_json(
+        committed: dict | None, new_state_schema: StructType
+    ) -> dict:
+        """Widen the committed schema json with the columns this batch's
+        merged state carries. The union keeps columns only UNTOUCHED
+        tables' dirs still hold (the batch's merge never sees them, but
+        the committed reader must), appends genuinely new columns, and
+        fails loudly on a same-name/different-type conflict — exactly
+        unionByName's contract, extended across tables the batch does
+        not touch. Everything is stored nullable: an old dir null-fills
+        columns it predates, so no column can be promised non-null."""
+
+        def nullable(dt: dict) -> dict:
+            if isinstance(dt, dict):
+                if dt.get("type") == "struct":
+                    return {
+                        "type": "struct",
+                        "fields": [
+                            {**f, "nullable": True, "type": nullable(f["type"])}
+                            for f in dt["fields"]
+                        ],
+                    }
+                if dt.get("type") == "array":
+                    return {
+                        **dt,
+                        "containsNull": True,
+                        "elementType": nullable(dt["elementType"]),
+                    }
+                if dt.get("type") == "map":
+                    return {
+                        **dt,
+                        "valueContainsNull": True,
+                        "keyType": nullable(dt["keyType"]),
+                        "valueType": nullable(dt["valueType"]),
+                    }
+            return dt
+        new = nullable(new_state_schema.jsonValue())
+        if not committed:
+            return new
+        merged = [dict(f) for f in committed["fields"]]
+        by_name = {f["name"]: f for f in merged}
+        for f in new["fields"]:
+            old = by_name.get(f["name"])
+            if old is None:
+                merged.append(f)
+            elif old["type"] != f["type"]:
+                raise ValueError(
+                    f"state column {f['name']!r} changed type "
+                    f"{old['type']!r} -> {f['type']!r} — type changes "
+                    "need an explicit migration, not a silent cast"
+                )
+        return {"type": "struct", "fields": merged}
 
     def _bucket_col(self):
         return F.pmod(F.hash(*[F.col(c) for c in self.pk_cols]), F.lit(self.n_buckets))
@@ -327,22 +415,32 @@ class ParquetStateSink(StateSink):
                 pass
         return refs
 
-    def _read_tables(self, rels: Sequence[str]) -> DataFrame | None:
+    def _read_tables(
+        self, rels: Sequence[str], schema: dict | None = None
+    ) -> DataFrame | None:
         """ONE multi-path scan over every referenced version dir — a
         per-dir read + N-way union builds an O(N) plan that dominates
         micro-batch latency once batches touch many buckets (a uniform
         5-table × 32-bucket batch = 160 dirs). All dirs share the state
         schema, and each path is its own listing root (leaf dirs, so no
-        partition-column discovery)."""
+        partition-column discovery).
+
+        `schema` (the pointer's committed schema json, r15) skips
+        parquet schema inference outright — no footer is opened before
+        the consuming job runs, and version dirs written before a
+        source-side ALTER TABLE ADD COLUMN null-fill the missing
+        columns (the parquet reader clips files to the requested
+        schema). Without it (pre-r15 pointers, history entries) the
+        mergeSchema read provides the same null-fill semantics at the
+        cost of a footer-scan job."""
         if not rels:
             return None
         dirs = [os.path.join(self.state_dir, r) for r in rels]
         try:
-            # mergeSchema: version dirs written before a source-side
-            # ALTER TABLE ADD COLUMN lack the new column; the merged
-            # read null-fills them instead of silently adopting
-            # whichever dir's footer lists first (merge_batch carries
-            # the same additive-evolution contract on the write side)
+            if schema is not None:
+                return self.spark.read.schema(
+                    StructType.fromJson(schema)
+                ).parquet(*dirs)
             return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
         except Exception as e:
             raise StateCorruptError(
@@ -353,10 +451,12 @@ class ParquetStateSink(StateSink):
 
     def read_state(self) -> DataFrame | None:
         """Full committed state (all tables), or None if none committed."""
-        pointer = self._read_pointer()
-        if not pointer:
+        meta = self._read_meta()
+        if not meta or not meta["tables"]:
             return None
-        return self._read_tables(sorted(pointer.values()))
+        return self._read_tables(
+            sorted(meta["tables"].values()), schema=meta.get("schema")
+        )
 
     def batch_stats(
         self, batch: DataFrame
@@ -371,28 +471,37 @@ class ParquetStateSink(StateSink):
         stall the tail forever). Callers that feed the result straight
         back as apply_batch(touched=...) save one full pass over the
         batch per micro-batch — the keyset poller's round cost was two
-        batch scans (offset agg + touched distinct) plus the write."""
-        cols = [F.col(self.table_col).alias("_t")]
+        batch scans (offset agg + touched distinct) plus the write.
+
+        Collected via `observe` + a noop-sink write (r15): the three
+        aggregates (global max/count + the touched collect_set) ride
+        along the scan itself, so the whole derivation is ONE
+        exchange-free job — the groupBy form was an AQE shuffle-stage
+        job plus the post-shuffle collect every round. collect_set is
+        bounded by |tables| × n_buckets distinct structs, the same
+        cardinality the groupBy shipped."""
         if self.n_buckets:
-            cols.append(self._bucket_col().alias("_b"))
-        rows = (
-            batch.groupBy(*cols)
-            .agg(
-                F.max(F.col(self.id_col)).alias("_mx"),
-                F.count(F.col(self.id_col)).alias("_n"),
+            tb = F.struct(
+                F.col(self.table_col).alias("_t"),
+                self._bucket_col().alias("_b"),
             )
-            .collect()
-        )
+        else:
+            tb = F.struct(F.col(self.table_col).alias("_t"))
+        obs = Observation()
+        batch.observe(
+            obs,
+            F.max(F.col(self.id_col)).alias("_mx"),
+            F.count(F.col(self.id_col)).alias("_n"),
+            F.collect_set(tb).alias("_tb"),
+        ).write.format("noop").mode("overwrite").save()
+        vals = obs.get
         touched = sorted(
             (r["_t"], int(r["_b"]) if self.n_buckets else None)
-            for r in rows
+            for r in vals["_tb"]
             if r["_t"] is not None
         )
         self._reject_marker_tables(t for t, _ in touched)
-        mxs = [r["_mx"] for r in rows if r["_mx"] is not None]
-        return touched, (max(mxs) if mxs else None), int(
-            sum(r["_n"] for r in rows)
-        )
+        return touched, vals["_mx"], int(vals["_n"])
 
     def apply_batch(
         self,
@@ -400,7 +509,9 @@ class ParquetStateSink(StateSink):
         batch_id: int,
         touched: "list[tuple[str, int | None]] | None" = None,
     ) -> None:
-        pointer = self._read_pointer()
+        meta = self._read_meta()
+        pointer = None if meta is None else meta["tables"]
+        committed_schema = None if meta is None else meta.get("schema")
         if pointer is None:
             # commit an EMPTY pointer before the first version dirs are
             # written: a crash mid-first-batch then leaves (valid empty
@@ -429,22 +540,11 @@ class ParquetStateSink(StateSink):
                 .collect()
             }
         if touched is None:
-            # no caller-supplied hint (batch_stats on the SAME batch) —
-            # derive the touched set with one distinct-collect
-            if self.n_buckets:
-                touched = sorted(
-                    (r[0], int(r[1]))
-                    for r in batch.select(
-                        self.table_col, self._bucket_col().alias("_b")
-                    )
-                    .distinct()
-                    .collect()
-                )
-            else:
-                touched = sorted(
-                    (r[0], None)
-                    for r in batch.select(self.table_col).distinct().collect()
-                )
+            # no caller-supplied hint — batch_stats on the (already
+            # null-filtered) batch derives the same touched set in one
+            # exchange-free observe job (r15; the distinct-collect was
+            # an AQE shuffle job + collect per direct apply_batch call)
+            touched, _, _ = self.batch_stats(batch)
         if truncated:
             # a truncate must clear EVERY committed bucket of its
             # table, including ones no batch row hashes into — widen
@@ -468,7 +568,11 @@ class ParquetStateSink(StateSink):
         keys = [self._key(t, b) for t, b in touched]
         # read ONLY the touched tables'/buckets' current state
         old_rels = {k: pointer[k] for k in keys if k in pointer}
-        state = self._read_tables(sorted(old_rels.values())) if old_rels else None
+        state = (
+            self._read_tables(sorted(old_rels.values()), schema=committed_schema)
+            if old_rels
+            else None
+        )
         new_state = merge_batch(
             state, batch, self.pk_cols, self.id_col, self.kind_col,
             self.table_col, truncate_kinds=self.truncate_kinds,
@@ -489,6 +593,11 @@ class ParquetStateSink(StateSink):
         # the only action on `new_state`, the merge no longer needs a
         # persist/unpersist bracket.
         new_pointer = dict(pointer)
+        # widen the committed schema with this batch's merged-state
+        # columns BEFORE the write: the commit below must describe every
+        # dir the new pointer references, including untouched tables'
+        # (see _merge_schema_json). Derived from the plan, not a job.
+        new_schema = self._merge_schema_json(committed_schema, new_state.schema)
         staging = os.path.join(self.state_dir, f"_staging.{batch_id}")
         shutil.rmtree(staging, ignore_errors=True)
         part_cols = [self.TABLE_PART]
@@ -528,14 +637,21 @@ class ParquetStateSink(StateSink):
                 # entry (a dir with no parquet files would be
                 # unreadable on restart)
                 new_pointer.pop(self._key(t, b), None)
-        self._commit_pointer(new_pointer, batch_id)
+        self._commit_pointer(new_pointer, batch_id, schema=new_schema)
         if self.retain_history:
             # history entry AFTER the commit point: a crash between the
             # two leaves the newest commit missing from the log (asof
             # falls back one batch) but never logs an uncommitted
             # pointer. Current state is always read_state(), log-free.
             with open(os.path.join(self.state_dir, self.POINTER_LOG), "a") as f:
-                json.dump({"batch_id": batch_id, "tables": new_pointer}, f)
+                json.dump(
+                    {
+                        "batch_id": batch_id,
+                        "tables": new_pointer,
+                        "schema": new_schema,
+                    },
+                    f,
+                )
                 f.write("\n")
                 f.flush()
                 os.fsync(f.fileno())
@@ -602,7 +718,9 @@ class ParquetStateSink(StateSink):
                     chosen = entry
         if chosen is None or not chosen["tables"]:
             return None
-        return self._read_tables(sorted(chosen["tables"].values()))
+        return self._read_tables(
+            sorted(chosen["tables"].values()), schema=chosen.get("schema")
+        )
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         self.apply_batch(batch, batch_id)
