@@ -184,25 +184,29 @@ def minhash_lsh_pairs(
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """32-bit SimHash fingerprint per doc, weighted by token frequency.
 
-    explode(tokens) → (doc, token) counts → ONE groupBy(doc) computing
-    all `bits` signed bit-sums as parallel aggregates → assemble in a
-    projection. One token-level shuffle + one doc-level shuffle; the
-    shuffle row count never exceeds the distinct (doc, token) pairs
-    (the old shape exploded that ×bits — 32× the exchange volume)."""
+    explode(tokens) → ONE groupBy(doc) computing all `bits` signed
+    bit-sums as parallel aggregates (±1 per token OCCURRENCE) →
+    assemble in a projection. The per-(doc, token) count
+    pre-aggregation the r3-r14 shape paid is algebraically redundant —
+    summing ±1 over every occurrence of a token equals summing ±count
+    over its distinct row, bit by bit — so its exchange (which carried
+    the token STRINGS) is gone: one doc-keyed shuffle total, and after
+    map-side partial aggregation the exchange carries `bits` longs per
+    (doc × map partition), no strings (r15; guide §2.3/§2.4 — 2
+    Exchanges → 1). The trade is hashing per occurrence instead of per
+    distinct (doc, token); md5 is codegen'd and the saved shuffle wins
+    at every scale measured."""
     tok = explode_nonnull(docs, F.split("text", " "), "w").select(
-        "doc_id", "w"
+        "doc_id", h32(F.col("w")).alias("h")
     )
-    cnt = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
-    cnt = cnt.withColumn("h", h32(F.col("w")))
+    one = F.lit(1).cast("long")
     bit_aggs = [
         F.sum(
-            F.when(F.expr(f"(shiftright(h, {i}) & 1) = 1"), F.col("c")).otherwise(
-                -F.col("c")
-            )
+            F.when(F.expr(f"(shiftright(h, {i}) & 1) = 1"), one).otherwise(-one)
         ).alias(f"s{i}")
         for i in range(bits)
     ]
-    bitsums = cnt.groupBy("doc_id").agg(*bit_aggs)
+    bitsums = tok.groupBy("doc_id").agg(*bit_aggs)
     assembled = sum(
         F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
