@@ -1186,6 +1186,47 @@ def pq_adc_topk(
     )
 
 
+def ivf_candidates(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    n_centroids: int = 10,
+    n_probe: int = 3,
+) -> DataFrame:
+    """The IVF candidate set both search paths prune to: DISTINCT
+    (query_id, vec_id) where vec_id's cell is one of query_id's
+    n_probe nearest centroids (query row excluded). ONE scoring pass
+    computes the centroid ranking for assignment (crank == 1, all
+    vectors) and probing (crank <= n_probe, query vectors) — filtering
+    by vec_id commutes with the vec_id-partitioned row_number, so the
+    set is exactly what the per-path builders derive independently.
+
+    Exists for compositions that run SEVERAL searches over the same
+    probe decisions (ann_recall_eval: exact-rerank + two PQ variants):
+    measured r15, Catalyst reuses NONE of the separately-built IVF
+    subtrees (0 ReusedExchange in the committed r14 plan — the paths
+    prune different columns, so the canonical subtrees differ), so the
+    composition paid the centroid scoring 6x. Pin this once
+    (localCheckpoint) and pass it as `cand=`."""
+    cent = _ivf_centroids(embeddings, n_centroids)
+    scored = embeddings.crossJoin(F.broadcast(cent)).withColumn(
+        "csim", F.round(cosine_v(F.col("embedding"), F.col("cent_emb")), 6)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cent_id").asc()
+    )
+    ranked = scored.withColumn("crank", F.row_number().over(w))
+    assign = ranked.filter(F.col("crank") == 1).select("vec_id", "cent_id")
+    probes = ranked.filter(
+        (F.col("vec_id") < n_queries) & (F.col("crank") <= n_probe)
+    ).select(F.col("vec_id").alias("query_id"), "cent_id")
+    return (
+        probes.join(assign, "cent_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+
+
 def ivf_pq_topk(
     embeddings: DataFrame,
     dim: int = 64,
@@ -1195,6 +1236,7 @@ def ivf_pq_topk(
     n_queries: int = 10,
     n_centroids: int = 10,
     n_probe: int = 3,
+    cand: DataFrame | None = None,
 ) -> DataFrame:
     """FULL IVF-PQ (Jégou et al. 2011) — the composition both halves
     exist for: the IVF coarse quantizer prunes the candidate set to
@@ -1208,26 +1250,8 @@ def ivf_pq_topk(
     adc_dist) — rank by ascending quantized distance, vec_id
     tie-break, query row excluded."""
     sub = dim // m
-    cent = _ivf_centroids(embeddings, n_centroids)
-    scored = embeddings.crossJoin(F.broadcast(cent)).withColumn(
-        "csim", F.round(cosine_v(F.col("embedding"), F.col("cent_emb")), 6)
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("csim").desc(), F.col("cent_id").asc()
-    )
-    assign = _ivf_assign(embeddings, cent).select("vec_id", "cent_id")
-    probes = (
-        scored.filter(F.col("vec_id") < n_queries)
-        .withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") <= n_probe)
-        .select(F.col("vec_id").alias("query_id"), "cent_id")
-    )
-    cand = (
-        probes.join(assign, "cent_id")
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .select("query_id", "vec_id")
-        .distinct()
-    )
+    if cand is None:
+        cand = ivf_candidates(embeddings, n_queries, n_centroids, n_probe)
     codes = pq_codes(embeddings, dim, m, k_cb)
     q = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
@@ -1449,6 +1473,7 @@ def ivf_topk_cosine(
     n_queries: int = 10,
     n_centroids: int = 10,
     n_probe: int = 3,
+    cand: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: deterministic centroids (every (N//n_centroids)-th
     vector), assign each vector to its nearest centroid, queries probe
@@ -1461,26 +1486,47 @@ def ivf_topk_cosine(
     Centroid choice is fully deterministic (every `step`-th vec_id,
     bounded, never a bare limit on an unordered scan) so the DuckDB
     oracle can replay the probe decisions exactly."""
-    cent = _ivf_centroids(embeddings, n_centroids)
-    scored = embeddings.crossJoin(F.broadcast(cent)).withColumn(
-        "csim", F.round(cosine_v(F.col("embedding"), F.col("cent_emb")), 6)
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id").asc())
-    assign = _ivf_assign(embeddings, cent)
-    # queries probe n_probe nearest centroids
-    probes = (
-        scored.filter(F.col("vec_id") < n_queries)
-        .withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") <= n_probe)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "cent_id")
-    )
-    cands = probes.join(assign, "cent_id").filter(
-        F.col("query_id") != F.col("vec_id")
-    )
     sim = F.round(cosine_v(F.col("q_emb"), F.col("embedding")), 6)
-    ranked = cands.select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("cos_sim")
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    if cand is not None:
+        # precomputed candidate set (a pinned ivf_candidates): attach
+        # the query vectors (broadcast — n_queries rows) and the
+        # neighbor vectors, score exactly as below. cand is already
+        # DISTINCT (query_id, vec_id), so no dedup is needed; each
+        # (query, vector) pair exists at most once either way because a
+        # vector belongs to exactly one cell.
+        q = embeddings.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        ranked = (
+            cand.join(embeddings.select("vec_id", "embedding"), "vec_id")
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                sim.alias("cos_sim"),
+            )
+        )
+    else:
+        cent = _ivf_centroids(embeddings, n_centroids)
+        scored = embeddings.crossJoin(F.broadcast(cent)).withColumn(
+            "csim", F.round(cosine_v(F.col("embedding"), F.col("cent_emb")), 6)
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id").asc())
+        assign = _ivf_assign(embeddings, cent)
+        # queries probe n_probe nearest centroids
+        probes = (
+            scored.filter(F.col("vec_id") < n_queries)
+            .withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= n_probe)
+            .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "cent_id")
+        )
+        cands = probes.join(assign, "cent_id").filter(
+            F.col("query_id") != F.col("vec_id")
+        )
+        ranked = cands.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("cos_sim")
+        ).dropDuplicates(["query_id", "neighbor_id"])
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
