@@ -250,11 +250,24 @@ def ts_topk_similar(
         6,
     )
     scored = pairs.select("ea", "eb", corr.alias("corr"))
-    both = scored.union(
-        scored.select(
-            F.col("eb").alias("ea"), F.col("ea").alias("eb"), "corr"
-        )
-    )
+    # mirror via one array-explode over the scored rows, NOT a
+    # self-union (r15): the union's two branches re-executed the
+    # candidate join + correlation subtree — there is no exchange
+    # between them for ReuseExchange to dedup, so every pair paid the
+    # scoring twice (the same defect nn_descent's mirror had). Row
+    # multiset is identical: each scored (ea, eb) emits exactly the
+    # two directed rows the union emitted.
+    both = scored.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("ea"), F.col("eb")),
+                F.struct(
+                    F.col("eb").alias("ea"), F.col("ea").alias("eb")
+                ),
+            )
+        ).alias("_d"),
+        "corr",
+    ).select("_d.ea", "_d.eb", "corr")
     wnd = Window.partitionBy("ea").orderBy(
         F.col("corr").desc(), F.col("eb").asc()
     )
