@@ -636,10 +636,27 @@ def connected_components(
     # materialize the edge list ONCE — its lineage is the whole
     # candidate-generation pipeline (LSH bands etc.) and every loop
     # round joins against it; without the checkpoint each round would
-    # re-run that pipeline from the scan.
+    # re-run that pipeline from the scan. The mirror is one array
+    # explode over the pair rows, NOT a self-union (r15): the union's
+    # two branches each re-executed the candidate pipeline below the
+    # checkpoint — no exchange sits between them, so ReuseExchange
+    # dedups nothing and the most expensive subtree of every CC
+    # consumer ran twice. Row multiset is identical (each pair emits
+    # exactly its two directed edges).
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
         .distinct()
         .localCheckpoint()
     )
