@@ -3925,6 +3925,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ann_ivf_pq_topk/ann_ivf_topk physical plans verified
         # byte-identical under id-normalization (no tag).
         "ann_recall_eval": 17,
+        # r15: pagerank pins the mined edge list once (eager
+        # localCheckpoint) before the nodes/out_w/trans/dangling
+        # consumers — result-identical (oracle 3 SFs ALL OK in-round)
+        "events_pagerank": 17,
     }
 
     import glob as _glob

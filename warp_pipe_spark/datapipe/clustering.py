@@ -375,6 +375,14 @@ def pagerank(
     to cut lineage. Ranks round to `round_dp` each iteration so a
     DuckDB oracle replays bit-for-bit (sum-order noise can't
     compound)."""
+    # pin the edge list FIRST (r15): `edges` is typically the output of
+    # a mining pipeline (the event graph: a full user-keyed lag window
+    # over the log) and is consumed by nodes (twice, via the union),
+    # out_w, trans and dangling — which materialize in SEPARATE
+    # checkpoint jobs, across which ReuseExchange shares nothing, so
+    # the mining re-executed per consumer. One eager checkpoint = one
+    # mining pass; every consumer below re-scans an edge-sized leaf.
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
