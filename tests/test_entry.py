@@ -30,7 +30,14 @@ FAST_SUBSET = [
     "docs_select_token_budget",
     "docs_decontaminate",
     # round-13 (retirement-funded) registrations, same rationale
-    "docs_scrub_dup_spans",
+    # (scrub's DUCKDB oracle side alone takes ~50 s at sf0.001 — the
+    # slowest single test in the suite and pure oracle-engine cost, not
+    # Spark code under test — so it rides the soak gate, r15; the
+    # driver's own correctness gate and tools/oracle_check still
+    # compare it every round)
+    pytest.param(
+        "docs_scrub_dup_spans", marks=pytest.mark.soak
+    ),
     "docs_temperature_mix",
 ]
 

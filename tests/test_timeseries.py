@@ -3,6 +3,7 @@ building (DuckDB bit-exact), the z-norm/SAX float contract, and the
 SAX-bucketed Pearson top-k against its brute-force oracle."""
 
 import duckdb
+import pytest
 import pyspark.sql.functions as F
 
 from warp_pipe_spark.datapipe.timeseries import (
@@ -266,6 +267,7 @@ def test_ts_topk_matches_duckdb_bit_for_bit(spark, sf_dir):
         assert got == want, f"segments={segments}"
 
 
+@pytest.mark.soak
 def test_sax_candidates_recall_vs_brute(spark):
     """SAX buckets must recover planted structure: three behavioral
     archetypes (morning / evening / uniform), five users each — every
