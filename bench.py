@@ -406,6 +406,42 @@ def run_sustained_canary(spark) -> float:
     return round(time.time() - t0, 3)
 
 
+def read_steal_ticks() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat, or None where the
+    file is absent. Steal is time the HOST scheduler did not run this
+    VM's vCPUs — invisible to guest-side cgroup stats (cpu.stat showed
+    nr_throttled=0 while this was happening). Measured r15 on an idle
+    guest: steal ramped 1.8% -> ~15% under a few MINUTES of 32-core
+    saturation and recovered within seconds of going idle, i.e. the
+    host throttles sustained saturation. That is what inflated the
+    late-registry queries positionally in the r14 driver run (and made
+    the 8-core run, which never triggers it, read faster than the
+    32-core one). steal_pct in the artifact makes a run self-diagnose:
+    high steal = host throttling, not a code regression."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:9]]
+    except (OSError, ValueError, IndexError):
+        return None
+    if len(vals) < 8:
+        return None
+    return vals[7], sum(vals)
+
+
+def steal_pct(
+    start: tuple[int, int] | None, end: tuple[int, int] | None
+) -> float | None:
+    """Percent of this run's cpu-ticks stolen by the host, or None if
+    either bracket is unavailable or no time elapsed."""
+    if start is None or end is None:
+        return None
+    dsteal, dtotal = end[0] - start[0], end[1] - start[1]
+    if dtotal <= 0:
+        return None
+    return round(100.0 * dsteal / dtotal, 2)
+
+
 def split_keyset_rounds(
     per_round: list[tuple[float, int]], limit: int
 ) -> dict[str, float]:
@@ -457,6 +493,7 @@ def main() -> None:
     # methodology-independent and alone diverted every contended run
     # this round.
     loadavg_start = os.getloadavg()
+    steal_start = read_steal_ticks()
     run_canary(spark)  # throwaway: absorbs one-time + transient cost
     canary_start = run_canary(spark)
     sustained_start = run_sustained_canary(spark)
@@ -702,6 +739,10 @@ def main() -> None:
             "start": [round(x, 2) for x in loadavg_start],
             "end": [round(x, 2) for x in os.getloadavg()],
         },
+        # percent of the run's cpu-ticks the HOST withheld from this
+        # VM (see read_steal_ticks) — the r14 "contention gradient"
+        # attributor. None off-Linux.
+        "steal_pct": steal_pct(steal_start, read_steal_ticks()),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "timing": (
             "noop-sink write, all output columns materialized; "
@@ -756,6 +797,7 @@ def compact_result(result: dict) -> dict:
         "canary_sec": result["canary_sec"],
         "canary_method": result["canary_method"],
         "sustained": result["sustained"],
+        "steal_pct": result.get("steal_pct"),
     }
 
 

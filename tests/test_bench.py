@@ -309,3 +309,20 @@ def test_compact_result_line_is_small_and_standalone():
     assert "aux" not in parsed
     assert "loadavg" not in parsed
     assert "canary" not in parsed
+
+
+def test_steal_pct_brackets():
+    # r15: host-level vCPU steal (invisible to guest cgroup stats) is
+    # what inflated late-registry queries positionally in the r14
+    # driver run; the artifact now carries the attribution scalar.
+    from bench import read_steal_ticks, steal_pct
+
+    # 10% of the elapsed ticks stolen
+    assert steal_pct((100, 10_000), (200, 11_000)) == 10.0
+    # missing brackets or no elapsed time -> None, never a crash
+    assert steal_pct(None, (200, 11_000)) is None
+    assert steal_pct((100, 10_000), None) is None
+    assert steal_pct((100, 10_000), (100, 10_000)) is None
+    # on this CI box /proc/stat exists and parses
+    ticks = read_steal_ticks()
+    assert ticks is not None and ticks[1] > 0 and ticks[0] >= 0
