@@ -3815,8 +3815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (dedup_ngram_jaccard round-13 tag expired; re-tagged 16 below)
         # (docs_clean_corpus_capped round-13 tag expired; re-tagged 16 below)
         # (dedup_lsh_eval round-13 tag expired; re-tagged 16 below)
-        "dedup_ngram_jaccard_capped": 14,
-        "dedup_containment": 14,
+        # (dedup_ngram_jaccard_capped round-14 tag expired; re-tagged 17 below)
+        # (dedup_containment round-14 tag expired; re-tagged 17 below)
         # round-14 tie-rule alignment (ADVICE r13): temperature_mix's
         # micro-weight rounding is half-away-from-zero on BOTH sides
         # now (Python int(x+0.5) / oracle floor(x+0.5)) instead of the
@@ -3929,6 +3929,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # localCheckpoint) before the nodes/out_w/trans/dangling
         # consumers — result-identical (oracle 3 SFs ALL OK in-round)
         "events_pagerank": 17,
+        # r15: _shingle_pair_counts capped branch attaches post-filter
+        # set sizes via a doc_id window instead of groupBy+join — the
+        # join shape re-executed the scan+tokenize+shingle+md5 subtree
+        # (plan md5 4 -> 2, Exchange 22 -> 12, Scan 8 -> 4).
+        # Result-identical (exceptAll 0 both ways at sf0.1; oracle 3
+        # SFs ALL OK in-round). docs_clean_corpus_capped (r13-green)
+        # rides its existing 16 tag above; these two are r14-green:
+        "dedup_ngram_jaccard_capped": 17,
+        "dedup_containment": 17,
     }
 
     import glob as _glob

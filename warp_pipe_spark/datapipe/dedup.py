@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from warp_pipe_spark.datapipe.text import h32, h60, shingles
 from warp_pipe_spark.io import explode_nonnull
@@ -287,8 +288,22 @@ def _shingle_pair_counts(
             ["shingle"],
             max_doc_freq,
         )
-        sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-        sh = kept.join(sizes, "doc_id").select("doc_id", "n_sh", "shingle")
+        # post-filter set sizes via a doc_id window, not groupBy+join:
+        # the join shape consumed `kept` twice (the aggregate AND the
+        # probe side), re-executing the scan+tokenize+shingle+md5
+        # subtree — Catalyst reuses nothing across the two (r15
+        # measured: md5 appears 4x in the physical plan, 0
+        # ReusedExchange). The window computes the same exact count
+        # inside the one doc_id exchange the size attachment needs
+        # anyway; per-doc groups are document-length-bounded, so the
+        # window buffer is as safe as the per-doc shingle arrays. At
+        # cluster scale this also deletes the join the sizes table
+        # stops being broadcastable for.
+        sh = kept.select(
+            "doc_id",
+            F.count("*").over(W.partitionBy("doc_id")).alias("n_sh"),
+            "shingle",
+        )
     else:
         sh = explode_nonnull(
             arr.withColumn("n_sh", F.size("sh_arr")),
